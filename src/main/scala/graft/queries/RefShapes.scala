@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** The reference's own query surface, re-expressed over the fixture tables.
+  *
+  * elric-rs issues exactly four SQL shapes against ClickHouse (SURVEY §2.2;
+  * reference `src/table_info.rs:221-261`, `src/main.rs:303-307`) and runs a
+  * fixed dataflow pipeline (SURVEY §2.1). Each query here reproduces one of
+  * those shapes on the driver testdata so the DuckDB oracle can check it:
+  *
+  *  - ref_q1_*: projection + conjunctive equality filter + multi-key sort
+  *    (`information_schema.columns` lookup, src/table_info.rs:221-236)
+  *  - ref_q2_*: aliasing + NOT/LIKE predicates + sort
+  *    (`system.tables` discovery, src/table_info.rs:244-261)
+  *  - ref_q3_*: filter + ORDER BY DESC + LIMIT 1 argmax
+  *    (cursor recovery, src/main.rs:303-307)
+  *  - pipe_*: the per-block dataflow operators O9-O12 (group/route, field-map
+  *    projection, latest-wins, pk-merge, dynamic cast), batch-expressed.
+  *
+  * Scale notes: every filter/projection here pushes into the parquet scan;
+  * argmax-per-key uses a window over a hash-partitioned shuffle (no
+  * driver-side collect); the global argmax is a sort+limit-1, which Spark
+  * executes as a top-K (TakeOrderedAndProject), O(n) per partition.
+  */
+object RefShapes {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1 shape: SELECT column_name, data_type FROM information_schema.columns
+    // WHERE table_schema=? AND table_name=? ORDER BY column_name, data_type
+    "ref_q1_columns_lookup" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(col("p_type") === "ECONOMY" && col("p_size") === 10)
+        .select(col("p_name").as("column_name"), col("p_brand").as("data_type"))
+        .orderBy(col("column_name"), col("data_type"))
+    }),
+
+    // Q2 shape: projection+aliasing, NOT/!=/LIKE predicates, 2-key sort.
+    "ref_q2_tables_discovery" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(!col("p_type").like("%View") &&
+          !col("p_brand").like("Brand#1%") &&
+          col("p_size") =!= 0 &&
+          col("p_type").like("%O%"))
+        .select(col("p_brand").as("table_schema"), col("p_name").as("table_name"),
+          col("p_partkey").as("table_key"))
+        .orderBy(col("table_schema"), col("table_name"), col("table_key"))
+    }),
+
+    // Q3 shape: cursor recovery = filter id, ORDER BY block_num DESC, LIMIT 1.
+    // events stands in for the cursors table (user_id=id, event_id=block_num).
+    "ref_q3_cursor_recovery" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("user_id") === 7)
+        .select(col("user_id").as("id"), col("event_id").as("block_num"),
+          col("event_type").as("cursor"))
+        .orderBy(col("block_num").desc)
+        .limit(1)
+    }),
+
+    // Q3 generalized: latest-per-key via row_number window (argmax per id).
+    "ref_q3_argmax_per_key" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"))
+        .orderBy(col("user_id"))
+    }),
+
+    // O9: group-by-table routing — hash aggregation by route key.
+    "pipe_o9_route_by_table" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type").as("table_name"))
+        .agg(count(lit(1)).as("n_changes"),
+          min(col("event_id")).as("first_change"),
+          max(col("event_id")).as("last_change"))
+        .orderBy(col("table_name"))
+    }),
+
+    // O10: fields list -> map projection; extract typed value from the
+    // string-encoded props payload (map_from_entries analog via regexp).
+    "pipe_o10_field_projection" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          regexp_extract(col("props"), "[0-9]+", 0).cast("int").as("k"))
+        .filter(col("event_id") < 1000)
+        .orderBy(col("event_id"))
+    }),
+
+    // O10 latest-wins: duplicate field names collapse to the last value
+    // (reference src/main.rs:291-297). Here: last event value per user.
+    "pipe_o10_latest_wins" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max_by(col("value"), col("event_id")).as("final_value"),
+          max_by(col("event_type"), col("event_id")).as("final_type"))
+        .orderBy(col("user_id"))
+    }),
+
+    // O12: dynamic string->typed cast matrix (reference table_info.rs:73-167).
+    // Values travel as strings and are cast at the sink boundary; here we
+    // stringify real columns then cast back, covering int/long/double/bool/
+    // date/timestamp lanes.
+    "pipe_o12_cast_matrix" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 500)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_linenumber").cast("string").cast("int").as("c_int"),
+          col("l_orderkey").cast("string").cast("long").as("c_long"),
+          (col("l_quantity") > 25).cast("string").cast("boolean").as("c_bool"),
+          col("l_shipdate").cast("date").cast("string").as("c_date_str"),
+          unix_timestamp(col("l_shipdate")).as("c_epoch_s"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "ref_q1_columns_lookup" ->
+      """SELECT p_name AS column_name, p_brand AS data_type FROM part
+        |WHERE p_type = 'ECONOMY' AND p_size = 10
+        |ORDER BY column_name, data_type""".stripMargin,
+
+    "ref_q2_tables_discovery" ->
+      """SELECT p_brand AS table_schema, p_name AS table_name, p_partkey AS table_key
+        |FROM part
+        |WHERE p_type NOT LIKE '%View' AND p_brand NOT LIKE 'Brand#1%'
+        |  AND p_size != 0 AND p_type LIKE '%O%'
+        |ORDER BY table_schema, table_name, table_key""".stripMargin,
+
+    "ref_q3_cursor_recovery" ->
+      """SELECT user_id AS id, event_id AS block_num, event_type AS cursor
+        |FROM events WHERE user_id = 7
+        |ORDER BY block_num DESC LIMIT 1""".stripMargin,
+
+    "ref_q3_argmax_per_key" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+        |FROM (SELECT user_id, event_id, event_type,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "pipe_o9_route_by_table" ->
+      """SELECT event_type AS table_name, count(*) AS n_changes,
+        |       min(event_id) AS first_change, max(event_id) AS last_change
+        |FROM events GROUP BY 1 ORDER BY table_name""".stripMargin,
+
+    "pipe_o10_field_projection" ->
+      """SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS INT) AS k
+        |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin,
+
+    "pipe_o10_latest_wins" ->
+      """SELECT user_id, arg_max(value, event_id) AS final_value,
+        |       arg_max(event_type, event_id) AS final_type
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "pipe_o12_cast_matrix" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(CAST(l_linenumber AS VARCHAR) AS INT) AS c_int,
+        |       CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS c_long,
+        |       CAST(CAST(l_quantity > 25 AS VARCHAR) AS BOOLEAN) AS c_bool,
+        |       CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS c_date_str,
+        |       CAST(epoch(l_shipdate) AS BIGINT) AS c_epoch_s
+        |FROM lineitem WHERE l_orderkey < 500
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  )
+}

@@ -1,0 +1,621 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational query surface: joins, aggregations, windows, sorts/top-k, set
+  * ops, scalar functions, subqueries — the capabilities the reference's host
+  * database provides and the engine must expose (SURVEY §2.3). All queries
+  * are plain declarative DataFrame/SQL so Catalyst gets full pushdown /
+  * pruning / join-reorder freedom.
+  *
+  * Exact-match discipline for the DuckDB oracle:
+  *  - every query ends in a deterministic ORDER BY over a unique key,
+  *  - double aggregates are round()ed (floating sums are order-sensitive),
+  *  - timestamps leave as epoch seconds or formatted strings,
+  *  - no nullable sort keys (NULL-ordering defaults differ across engines).
+  *
+  * Scale notes (100 TB): dimension sides (region/nation/supplier/part at
+  * fixed or sub-linear cardinality) are explicitly broadcast() so the big
+  * fact scans never shuffle for them; fact-fact joins (orders⋈lineitem) are
+  * shuffle hash/sort-merge on the join key, which AQE re-plans at runtime;
+  * aggregates are partial (map-side combine) by construction.
+  */
+object Relational {
+
+  private def rev: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- aggregation -----------------------------------------------------
+    // TPC-H Q1 pricing summary: wide partial-agg, 6 groups.
+    "tpch_q1_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1999-06-30").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(rev), 2).as("sum_disc_price"),
+          round(sum(rev * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "agg_stats_per_group" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("n_custs"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          round(min(col("o_totalprice")), 2).as("min_price"),
+          round(max(col("o_totalprice")), 2).as("max_price"),
+          round(avg(col("o_totalprice")), 4).as("avg_price"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
+    // ROLLUP grouping sets (NULL group keys coalesced to 'ALL' to keep sort
+    // keys non-null on both engines).
+    "agg_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("qty"))
+        .orderBy(col("rf"), col("ls"))
+    }),
+
+    "agg_cube" -> ((s, d) => {
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pr"), col("n"))
+        .orderBy(col("st"), col("pr"))
+    }),
+
+    "agg_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // approx_count_distinct (HLL) has no cross-engine-exact oracle; checked
+    // rows-only + a relative-error unit test in AggSpec.
+    "agg_approx_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- joins -----------------------------------------------------------
+    // TPC-H Q3: customer(filtered) ⋈ orders ⋈ lineitem, top-10 by revenue.
+    // Plan shape: broadcast the filtered customer keys; orders⋈lineitem is
+    // the only shuffle; top-10 via TakeOrderedAndProject (no global sort).
+    "tpch_q3_top_orders" -> ((s, d) => {
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(rev), 2).as("revenue"))
+        .select(col("o_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5: 6-way join; dims broadcast, facts shuffle once on orderkey.
+    "tpch_q5_region_volume" -> ((s, d) => {
+      val asia = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, d)
+      val dims = broadcast(n.join(asia, col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name")))
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+      val sup = Tables.supplier(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(dims, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(rev), 2).as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
+    "join_inner" -> ((s, d) => {
+      Tables.nation(s, d)
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    "join_left_outer" -> ((s, d) => {
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("big_orders"))
+      Tables.customer(s, d)
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), coalesce(col("big_orders"), lit(0L)).as("big_orders"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "join_right_outer" -> ((s, d) => {
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+      o.join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "right")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_big"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "join_full_outer" -> ((s, d) => {
+      val a = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey")).distinct()
+      val b = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("cust2")).distinct()
+      a.join(b, col("o_custkey") === col("cust2"), "full")
+        .select(coalesce(col("o_custkey"), lit(-1L)).as("f_cust"),
+          coalesce(col("cust2"), lit(-1L)).as("o_cust"))
+        .orderBy(col("f_cust"), col("o_cust"))
+    }),
+
+    // EXISTS → left semi join (no row multiplication, early-out probe).
+    "join_semi_exists" -> ((s, d) => {
+      val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      Tables.customer(s, d)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // NOT EXISTS → left anti join.
+    "join_anti_not_exists" -> ((s, d) => {
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 250000.0)
+      Tables.customer(s, d)
+        .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "join_cross_small" -> ((s, d) => {
+      Tables.region(s, d).crossJoin(Tables.nation(s, d).select(col("n_name")))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // Non-equi (theta) join: banded price lookup against a tiny broadcast
+    // range table — at scale this is a broadcast-nested-loop, which is the
+    // right plan when one side is O(10) rows.
+    "join_theta_band" -> ((s, d) => {
+      val bands = s.createDataFrame(Seq(
+        ("low", 0.0, 100000.0), ("mid", 100000.0, 300000.0),
+        ("high", 300000.0, 1e18))).toDF("band", "lo", "hi")
+      Tables.orders(s, d)
+        .join(broadcast(bands),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("volume"))
+        .orderBy(col("band"))
+    }),
+
+    // ---- window functions --------------------------------------------------
+    "window_rank_dense_topn" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("c_nationkey"), col("rn"), col("rnk"), col("drnk"),
+          col("c_custkey"), round(col("c_acctbal"), 2).as("bal"))
+        .orderBy(col("c_nationkey"), col("rn"))
+    }),
+
+    "window_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      Tables.events(s, d)
+        .filter(col("user_id") < 20)
+        .withColumn("prev_type", lag(col("event_type"), 1, "none").over(w))
+        .withColumn("next_type", lead(col("event_type"), 1, "none").over(w))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("prev_type"), col("next_type"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "window_running_moving" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      Tables.events(s, d)
+        .filter(col("user_id") < 20)
+        .withColumn("running_sum",
+          round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+        .withColumn("moving_avg",
+          round(avg(col("value")).over(w.rowsBetween(-3, 0)), 4))
+        .select(col("user_id"), col("event_id"), col("running_sum"), col("moving_avg"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "window_ntile_share" -> ((s, d) => {
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 2000)
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy(col("quartile"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("vol"))
+        .orderBy(col("quartile"))
+    }),
+
+    // ---- sorts / top-k -----------------------------------------------------
+    "sort_multikey" -> ((s, d) => {
+      Tables.supplier(s, d)
+        .select(col("s_nationkey"), round(col("s_acctbal"), 2).as("bal"), col("s_suppkey"))
+        .orderBy(col("s_nationkey").asc, col("bal").desc, col("s_suppkey").asc)
+    }),
+
+    // Global top-K: Spark plans TakeOrderedAndProject — per-partition heap,
+    // no full sort, no single-node shuffle of the whole table.
+    "sort_topk" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("price").desc, col("o_orderkey"))
+        .limit(25)
+    }),
+
+    // ---- set operations ----------------------------------------------------
+    "setop_union_all" -> ((s, d) => {
+      val a = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k"))
+      val b = Tables.customer(s, d).filter(col("c_acctbal") > 9000.0)
+        .select(col("c_custkey").as("k"))
+      a.union(b).groupBy(col("k")).agg(count(lit(1)).as("n")).orderBy(col("k"))
+    }),
+
+    "setop_union_distinct" -> ((s, d) => {
+      val a = Tables.orders(s, d).filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+      val b = Tables.orders(s, d).filter(col("o_orderstatus") === "P").select(col("o_custkey").as("k"))
+      a.union(b).distinct().orderBy(col("k"))
+    }),
+
+    "setop_intersect" -> ((s, d) => {
+      val a = Tables.orders(s, d).filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+      val b = Tables.orders(s, d).filter(col("o_orderstatus") === "O").select(col("o_custkey").as("k"))
+      a.intersect(b).orderBy(col("k"))
+    }),
+
+    "setop_except" -> ((s, d) => {
+      val a = Tables.customer(s, d).select(col("c_custkey").as("k"))
+      val b = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+      a.except(b).orderBy(col("k"))
+    }),
+
+    // ---- scalar functions --------------------------------------------------
+    "scalar_string_funcs" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(col("p_partkey") < 200)
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          lower(col("p_brand")).as("lo"),
+          substring(col("p_name"), 1, 5).as("sub5"),
+          length(col("p_name")).as("len"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("cat"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devowel"),
+          trim(lit("  pad  ")).as("trimmed"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("padded"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "scalar_math_funcs" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_quantity") - 25.0).as("abs_dev"),
+          floor(col("l_extendedprice")).as("fl"),
+          ceil(col("l_extendedprice")).as("ce"),
+          round(sqrt(col("l_quantity")), 6).as("sq"),
+          pmod(col("l_orderkey"), lit(7)).as("m7"),
+          (col("l_quantity") * col("l_quantity")).as("sqr"),
+          round(log(col("l_extendedprice")), 6).as("ln_p"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "scalar_date_funcs" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          quarter(col("o_orderdate")).as("q"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds"),
+          date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").as("plus30"),
+          datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "scalar_case_null" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          when(col("c_acctbal") < 0, "debt")
+            .when(col("c_acctbal") < 5000, "low")
+            .otherwise("high").as("tier"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(bldg)")).as("seg"),
+          (col("c_acctbal") > 0).as("positive"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- subqueries (SQL surface, spark.sql over temp views) ---------------
+    "subq_in_uncorrelated" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      Tables.nation(s, d).createOrReplaceTempView("v_nation")
+      s.sql(
+        """SELECT c_custkey, c_name FROM v_customer
+          |WHERE c_nationkey IN (SELECT n_nationkey FROM v_nation WHERE n_regionkey = 2)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    "subq_scalar_agg" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      s.sql(
+        """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM v_orders
+          |WHERE o_totalprice > (SELECT 1.5 * avg(o_totalprice) FROM v_orders)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    "subq_correlated_exists" -> ((s, d) => {
+      Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql(
+        """SELECT s_suppkey, s_name FROM v_supplier
+          |WHERE EXISTS (SELECT 1 FROM v_lineitem
+          |              WHERE l_suppkey = s_suppkey AND l_quantity > 49)
+          |ORDER BY s_suppkey""".stripMargin)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "tpch_q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity),2) AS sum_qty,
+        |  round(sum(l_extendedprice),2) AS sum_base_price,
+        |  round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+        |  round(sum(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)),2) AS sum_charge,
+        |  round(avg(l_quantity),4) AS avg_qty,
+        |  round(avg(l_extendedprice),4) AS avg_price,
+        |  round(avg(l_discount),4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-06-30 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_stats_per_group" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  count(DISTINCT o_custkey) AS n_custs,
+        |  round(sum(o_totalprice),2) AS sum_price,
+        |  round(min(o_totalprice),2) AS min_price,
+        |  round(max(o_totalprice),2) AS max_price,
+        |  round(avg(o_totalprice),4) AS avg_price
+        |FROM orders GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
+        |  count(*) AS n, round(sum(l_quantity),2) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS st, coalesce(o_orderpriority,'ALL') AS pr,
+        |  count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY st, pr""".stripMargin,
+
+    "agg_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "tpch_q3_top_orders" ->
+      """SELECT o_orderkey,
+        |  round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "tpch_q5_region_volume" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "join_inner" ->
+      """SELECT n_nationkey, n_name, r_name FROM nation
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "join_left_outer" ->
+      """SELECT c_custkey, coalesce(big_orders, 0) AS big_orders
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS big_orders FROM orders
+        |  WHERE o_totalprice > 400000.0 GROUP BY o_custkey) o
+        |ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_right_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_big
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+        |RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "join_full_outer" ->
+      """SELECT coalesce(a.o_custkey, -1) AS f_cust, coalesce(b.cust2, -1) AS o_cust
+        |FROM (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus='F') a
+        |FULL OUTER JOIN (SELECT DISTINCT o_custkey AS cust2 FROM orders WHERE o_orderstatus='O') b
+        |ON a.o_custkey = b.cust2
+        |ORDER BY f_cust, o_cust""".stripMargin,
+
+    "join_semi_exists" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_anti_not_exists" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_cross_small" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN (SELECT n_name FROM nation)
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "join_theta_band" ->
+      """SELECT band, count(*) AS n, round(sum(o_totalprice),2) AS volume
+        |FROM orders JOIN (VALUES ('low',0.0,100000.0),('mid',100000.0,300000.0),
+        |  ('high',300000.0,1e18)) AS bands(band,lo,hi)
+        |ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "window_rank_dense_topn" ->
+      """SELECT c_nationkey, rn, rnk, drnk, c_custkey, round(c_acctbal,2) AS bal
+        |FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+        |   rank()       OVER w AS rnk,
+        |   dense_rank() OVER w AS drnk,
+        |   row_number() OVER w AS rn
+        | FROM customer
+        | WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey))
+        |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
+
+    "window_lag_lead" ->
+      """SELECT user_id, event_id, event_type,
+        |  lag(event_type, 1, 'none')  OVER w AS prev_type,
+        |  lead(event_type, 1, 'none') OVER w AS next_type
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "window_running_moving" ->
+      """SELECT user_id, event_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_sum,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),4) AS moving_avg
+        |FROM events WHERE user_id < 20
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "window_ntile_share" ->
+      """SELECT quartile, count(*) AS n, round(sum(o_totalprice),2) AS vol
+        |FROM (SELECT o_totalprice,
+        |   ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+        | FROM orders WHERE o_orderkey < 2000)
+        |GROUP BY quartile ORDER BY quartile""".stripMargin,
+
+    "sort_multikey" ->
+      """SELECT s_nationkey, round(s_acctbal,2) AS bal, s_suppkey FROM supplier
+        |ORDER BY s_nationkey ASC, bal DESC, s_suppkey ASC""".stripMargin,
+
+    "sort_topk" ->
+      """SELECT o_orderkey, round(o_totalprice,2) AS price FROM orders
+        |ORDER BY price DESC, o_orderkey LIMIT 25""".stripMargin,
+
+    "setop_union_all" ->
+      """SELECT k, count(*) AS n FROM (
+        |  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION ALL
+        |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000.0)
+        |GROUP BY k ORDER BY k""".stripMargin,
+
+    "setop_union_distinct" ->
+      """SELECT o_custkey AS k FROM orders WHERE o_orderstatus='F'
+        |UNION
+        |SELECT o_custkey AS k FROM orders WHERE o_orderstatus='P'
+        |ORDER BY k""".stripMargin,
+
+    "setop_intersect" ->
+      """SELECT o_custkey AS k FROM orders WHERE o_orderstatus='F'
+        |INTERSECT
+        |SELECT o_custkey AS k FROM orders WHERE o_orderstatus='O'
+        |ORDER BY k""".stripMargin,
+
+    "setop_except" ->
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY k""".stripMargin,
+
+    "scalar_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
+        |  substring(p_name, 1, 5) AS sub5, length(p_name) AS len,
+        |  concat_ws('|', p_brand, p_type) AS cat,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+        |  trim('  pad  ') AS trimmed,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded
+        |FROM part WHERE p_partkey < 200 ORDER BY p_partkey""".stripMargin,
+
+    "scalar_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_quantity - 25.0) AS abs_dev,
+        |  floor(l_extendedprice) AS fl, ceil(l_extendedprice) AS ce,
+        |  round(sqrt(l_quantity),6) AS sq,
+        |  l_orderkey % 7 AS m7,
+        |  l_quantity * l_quantity AS sqr,
+        |  round(ln(l_extendedprice),6) AS ln_p
+        |FROM lineitem WHERE l_orderkey < 300
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "scalar_date_funcs" ->
+      """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  dayofmonth(o_orderdate) AS dom, quarter(o_orderdate) AS q,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS ds,
+        |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+        |  datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+
+    "scalar_case_null" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'debt'
+        |       WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS tier,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(bldg)') AS seg,
+        |  c_acctbal > 0 AS positive
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "subq_in_uncorrelated" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "subq_scalar_agg" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+        |WHERE o_totalprice > (SELECT 1.5 * avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "subq_correlated_exists" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_suppkey = s_suppkey AND l_quantity > 49)
+        |ORDER BY s_suppkey""".stripMargin
+  )
+}
