@@ -35,7 +35,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RefShapes.queries ++
-      graft.queries.Relational.queries
+      graft.queries.Relational.queries ++
+      graft.queries.FuncShapes.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (driver
@@ -43,5 +44,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     graft.queries.RefShapes.oracles ++
-      graft.queries.Relational.oracles
+      graft.queries.Relational.oracles ++
+      graft.queries.FuncShapes.oracles
 }
