@@ -17,9 +17,10 @@ import org.apache.spark.sql.types._
   *    values panic, `src/table_info.rs:136-139`); we parse signed correctly.
   *  - unsigned widths map to the next-wider Spark signed type (Spark has no
   *    unsigned integers): UInt8→Short, UInt16→Int, UInt32→Long,
-  *    UInt64→Decimal(20,0), UInt128/Int128→Decimal(38,0).
-  *  - UInt256/Int256 exceed Decimal(38); they travel as a canonical decimal
-  *    string plus an order-preserving 32-byte binary (graft.functions.U256).
+  *    UInt64→Decimal(20,0).
+  *  - 128/256-bit lanes exceed Decimal(38) at the extremes (i128::MIN has 39
+  *    digits), so they travel as a canonical decimal string plus an
+  *    order-preserving bits/8-byte binary (graft.functions.U256).
   */
 sealed trait ChType {
   /** Spark type the typed projection casts to. */
@@ -34,13 +35,13 @@ object ChType {
   case object ChUInt16 extends ChType { val sparkType: DataType = IntegerType }
   case object ChUInt32 extends ChType { val sparkType: DataType = LongType }
   case object ChUInt64 extends ChType { val sparkType: DataType = DecimalType(20, 0) }
-  case object ChUInt128 extends ChType { val sparkType: DataType = DecimalType(38, 0) }
+  case object ChUInt128 extends ChType { val sparkType: DataType = StringType }
   case object ChUInt256 extends ChType { val sparkType: DataType = StringType }
   case object ChInt8 extends ChType { val sparkType: DataType = ByteType }
   case object ChInt16 extends ChType { val sparkType: DataType = ShortType }
   case object ChInt32 extends ChType { val sparkType: DataType = IntegerType }
   case object ChInt64 extends ChType { val sparkType: DataType = LongType }
-  case object ChInt128 extends ChType { val sparkType: DataType = DecimalType(38, 0) }
+  case object ChInt128 extends ChType { val sparkType: DataType = StringType }
   case object ChInt256 extends ChType { val sparkType: DataType = StringType }
   case object ChFloat32 extends ChType { val sparkType: DataType = FloatType }
   case object ChFloat64 extends ChType { val sparkType: DataType = DoubleType }

@@ -14,13 +14,13 @@ class ColumnTypesSpec extends AnyFunSuite {
       "UInt16" -> IntegerType,
       "UInt32" -> LongType,
       "UInt64" -> DecimalType(20, 0),
-      "UInt128" -> DecimalType(38, 0),
+      "UInt128" -> StringType,
       "UInt256" -> StringType,
       "Int8" -> ByteType,
       "Int16" -> ShortType,
       "Int32" -> IntegerType,
       "Int64" -> LongType,
-      "Int128" -> DecimalType(38, 0),
+      "Int128" -> StringType,
       "Int256" -> StringType,
       "Float32" -> FloatType,
       "Float64" -> DoubleType,
