@@ -41,15 +41,19 @@ final case class UndoSignal(lastValidBlock: Long, lastValidCursor: String)
 
 /** Tagged union of the stream element (`BlockResponse::New | Undo`,
   * reference `src/substreams_stream.rs:21-24`). Exactly one of data/undo is
-  * set; kind ∈ {"data", "undo"}. */
+  * set; kind ∈ {"data", "undo"}. `seq` is the arrival order assigned by the
+  * source — the gRPC stream is implicitly ordered; a Dataset is not, so the
+  * order must travel with the row for the finality state machine to replay
+  * a micro-batch deterministically. */
 final case class BlockMsg(
+    seq: Long,
     kind: String,
     data: Option[BlockScoped],
     undo: Option[UndoSignal])
 
 object BlockMsg {
-  def data(b: BlockScoped): BlockMsg = BlockMsg("data", Some(b), None)
-  def undo(u: UndoSignal): BlockMsg = BlockMsg("undo", None, Some(u))
+  def data(seq: Long, b: BlockScoped): BlockMsg = BlockMsg(seq, "data", Some(b), None)
+  def undo(seq: Long, u: UndoSignal): BlockMsg = BlockMsg(seq, "undo", None, Some(u))
 }
 
 /** Checkpoint row persisted after each flushed block (`src/loader.rs:34-40`;
