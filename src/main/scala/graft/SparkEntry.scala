@@ -36,7 +36,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RefShapes.queries ++
       graft.queries.Relational.queries ++
-      graft.queries.FuncShapes.queries
+      graft.queries.FuncShapes.queries ++
+      graft.queries.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (driver
@@ -45,5 +46,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.RefShapes.oracles ++
       graft.queries.Relational.oracles ++
-      graft.queries.FuncShapes.oracles
+      graft.queries.FuncShapes.oracles ++
+      graft.queries.Streams.oracles
 }

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-time windowing surface (SURVEY §2.3 streaming; absent in the
+  * reference, whose only "window" is the block-height finality buffer —
+  * provided here because any streaming engine user needs them).
+  *
+  * Each query is the BATCH execution of a streaming construct —
+  * `window()` / `session_window()` produce identical results under
+  * `readStream` + watermark (covered by WindowStreamSpec); batch mode is
+  * what the DuckDB oracle can check exactly.
+  *
+  * Scale: windowed aggregation shuffles once on (key, window); session
+  * windows shuffle on user_id then sort-merge sessions within partitions —
+  * both the standard Spark plans a 1000-executor job would want.
+  */
+object Streams {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // tumbling 1 h count/sum per event type
+    "stream_tumbling_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("n"), col("sum_v"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
+    // sliding 1 h window every 30 min — every event lands in exactly 2 windows
+    "stream_sliding_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+        .select(unix_timestamp(col("window.start")).as("win_start"), col("n"), col("sum_v"))
+        .orderBy(col("win_start"))
+    }),
+
+    // session windows per user, 10 min inactivity gap
+    "stream_session_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("sess_start"),
+          col("n"), col("sum_v"))
+        .orderBy(col("user_id"), col("sess_start"))
+    })
+  )
+
+  // DuckDB reads events.ts as TIMESTAMP_NS; CAST to TIMESTAMP truncates to µs
+  // exactly like Tables.events does on the Spark side, so both engines window
+  // the same instants. Window starts are epoch-aligned in Spark by default.
+  def oracles: Map[String, String] = Map(
+    "stream_tumbling_window" ->
+      """SELECT CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600e6) * 3600 AS BIGINT) AS win_start,
+        |  event_type, count(*) AS n, round(sum(value),2) AS sum_v
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "stream_sliding_window" ->
+      """WITH e AS (SELECT CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 1800e6) * 1800 AS BIGINT) AS s0,
+        |                  value FROM events)
+        |SELECT win_start, count(*) AS n, round(sum(value),2) AS sum_v FROM (
+        |  SELECT s0 AS win_start, value FROM e
+        |  UNION ALL
+        |  SELECT s0 - 1800 AS win_start, value FROM e)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "stream_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, value,
+        |         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY ts) >= 600000000
+        |              OR lag(t) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (SELECT user_id, t, value,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS grp
+        |      FROM o)
+        |SELECT user_id, CAST(floor(min(t) / 1e6) AS BIGINT) AS sess_start,
+        |       count(*) AS n, round(sum(value),2) AS sum_v
+        |FROM g GROUP BY user_id, grp ORDER BY user_id, sess_start""".stripMargin
+  )
+}

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.model.{BlockMsg, ChTable}
+import graft.sink.MultiTableSink
+
+/** End-to-end wiring of the streaming load path (reference run-loop,
+  * `src/main.rs:194-235`):
+  *
+  *   message stream → finality buffer/undo (stateful) → per-batch:
+  *   decode/route/cast → per-table sink → cursor write-last
+  *
+  * Checkpointing covers both the source offsets and the buffer state, so a
+  * restarted query resumes mid-chain without re-delivering committed batches
+  * — the Spark-native equivalent of the reference's cursor-resume + in-memory
+  * buffer rebuild. Micro-batch period plays the reference's 15 s insert
+  * period (`src/loader.rs:58`); pass a `Trigger` via `writeStream` options if
+  * the default (as-fast-as-possible) isn't wanted.
+  */
+object GraftStream {
+
+  def start(
+      msgs: Dataset[BlockMsg],
+      catalog: Seq[ChTable],
+      outDir: String,
+      checkpointDir: String,
+      cursorId: String,
+      strict: Boolean = false): StreamingQuery = {
+    val sink = new MultiTableSink(catalog, outDir, cursorId, strict)
+    StreamingFinality.released(msgs)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(sink.writeBatch _)
+      .start()
+  }
+
+  /** Streaming file source of BlockMsg parquet rows — the fixture stand-in
+    * for the gRPC connector (SURVEY §7.1 source a). One file per trigger
+    * keeps batch boundaries deterministic for tests. */
+  def fileSource(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): Dataset[BlockMsg] = {
+    implicit val enc = Encoders.product[BlockMsg]
+    spark.readStream
+      .schema(enc.schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+      .as[BlockMsg]
+  }
+}
