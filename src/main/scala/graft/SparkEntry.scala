@@ -37,7 +37,8 @@ object SparkEntry {
     graft.queries.RefShapes.queries ++
       graft.queries.Relational.queries ++
       graft.queries.FuncShapes.queries ++
-      graft.queries.Streams.queries
+      graft.queries.Streams.queries ++
+      graft.queries.Extensions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (driver
@@ -47,5 +48,6 @@ object SparkEntry {
     graft.queries.RefShapes.oracles ++
       graft.queries.Relational.oracles ++
       graft.queries.FuncShapes.oracles ++
-      graft.queries.Streams.oracles
+      graft.queries.Streams.oracles ++
+      graft.queries.Extensions.oracles
 }

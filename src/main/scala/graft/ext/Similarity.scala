@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (ARRAY<FLOAT/DOUBLE>).
+  *
+  * Baseline: brute-force cosine top-k — one codegen'd pass over the corpus
+  * (dot products via zip_with/aggregate, no UDF), finished by a top-k
+  * (TakeOrderedAndProject — per-partition heaps, no global sort). At 100 TB
+  * this is the exact-answer path: a broadcast of the (tiny) query set
+  * against a full scan, shuffling only k rows per partition.
+  *
+  * Scale path: random-hyperplane LSH — P sign bits bucket the corpus
+  * (2^P buckets, computed scan-side); queries probe only their own bucket
+  * (optionally multi-probe neighbors). Bucketing is a plain repartition-able
+  * column, so the corpus can be written bucketed/partitioned by `bucket` and
+  * probes become partition-pruned scans.
+  */
+object Similarity {
+
+  /** dot(a, b) in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors of `queryId`'s vector (excluded from results). */
+  def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val q = embeddings.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qvec"))
+    embeddings.join(broadcast(q))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), round(cosine(col(vecCol), col("qvec")), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Fixed seeded hyperplanes (dim × planes), for sign-bit bucketing. */
+  def hyperplanes(dim: Int, planes: Int, seed: Long = 7L): Seq[Seq[Double]] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(planes)(Seq.fill(dim)(r.nextGaussian()))
+  }
+
+  /** LSH bucket id = the integer of sign(dot(v, plane_i)) bits. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedLit(p)) >= 0, 1L << i).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Approximate top-k: probe only the query's bucket. Recall depends on
+    * `planes` (fewer planes → bigger buckets → higher recall, more compute);
+    * callers wanting guarantees union several plane-sets (hash tables). */
+  def lshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, planes: Int = 4, dim: Int = 64): DataFrame = {
+    val ps = hyperplanes(dim, planes)
+    val bucketed = embeddings.withColumn("bucket", lshBucket(col(vecCol), ps))
+    val q = bucketed.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qvec"), col("bucket"))
+    bucketed.join(broadcast(q), "bucket")
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), round(cosine(col(vecCol), col("qvec")), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All pairs above a cosine threshold within an id-bounded slice —
+    * embedding-based near-dup detection (quadratic: bound the slice, or go
+    * through lshBucket + within-bucket pairs at scale). */
+  def cosineNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = embeddings.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+    val b = embeddings.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    a.crossJoin(b).filter(col("id1") < col("id2"))
+      .withColumn("cos", round(cosine(col("v1"), col("v2")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+
+  /** Scalable near-dup: only pairs sharing an LSH bucket are compared. */
+  def lshNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 4, dim: Int = 64): DataFrame = {
+    val ps = hyperplanes(dim, planes)
+    val bucketed = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), ps).as("bucket"))
+    val l = bucketed.select(col("bucket"), col("id").as("id1"), col("v").as("v1"))
+    val r = bucketed.select(col("bucket"), col("id").as("id2"), col("v").as("v2"))
+    l.join(r, "bucket").filter(col("id1") < col("id2"))
+      .withColumn("cos", round(cosine(col("v1"), col("v2")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos")).distinct()
+  }
+}

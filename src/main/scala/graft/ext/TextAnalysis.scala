@@ -1,0 +1,116 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, content fingerprinting.
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` column algebra —
+  * no UDFs — so the whole feature extraction fuses into the document scan's
+  * whole-stage codegen and runs embarrassingly parallel at 100 TB (no
+  * shuffle until/unless the caller aggregates).
+  */
+object TextAnalysis {
+
+  /** Canonical tokenization: lowercase, split on whitespace, drop empties.
+    * (Kept deliberately simple so the DuckDB oracle can mirror it exactly.) */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alphanumeric runs and single punctuation marks
+    * each count as one token — a cheap regex proxy for byte-pair tokenizers'
+    * "word pieces + punctuation" behavior. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(lower(text), "(?<=[^a-z0-9])|(?=[^a-z0-9])"),
+      t => t.rlike("[a-z0-9]|\\p{Punct}")))
+
+  /** Per-document quality features (ratios in [0,1]). */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") / length(text))
+
+  def upperRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "[^A-Z]", "")).cast("double") / length(text))
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(filter(toks, t => t.isInCollection(stopwords))).cast("double") / size(toks))
+  }
+
+  def meanWordLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0)
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: long enough, readable word lengths,
+    * some stopwords (fluent prose), not drowning in punctuation. The exact
+    * blend is a heuristic; each term is individually oracle-checkable. */
+  def qualityScore(text: Column): Column = {
+    val lenTerm = least(length(text).cast("double") / 500.0, lit(1.0))
+    val stopTerm = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val wordTerm = when(meanWordLen(text).between(3.0, 10.0), 1.0).otherwise(0.5)
+    val punctTerm = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+    (lenTerm * 0.3 + stopTerm * 0.3 + wordTerm * 0.2 + punctTerm * 0.2)
+  }
+
+  /** Content fingerprint: md5 of the normalized text (lowercase, collapsed
+    * whitespace). Stable across engines — the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " ").cast("binary"))
+
+  /** 64-bit rolling-ish fingerprint via xxhash64 of the normalized text —
+    * cheaper than md5 when a 64-bit key suffices (Spark-only; no oracle). */
+  def fingerprint64(text: Column): Column =
+    xxhash64(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  // ---- language identification -------------------------------------------
+
+  /** Tiny embedded stopword inventories; enough signal for a coarse
+    * n-gram/stopword language guess without any external model. */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "it", "that", "this", "for", "with", "on", "as", "be", "at", "by",
+    "not", "from", "but", "they", "his", "her", "you", "we", "have")
+  val FrenchStopwords: Seq[String] = Seq(
+    "le", "la", "les", "un", "une", "des", "et", "ou", "de", "du", "dans",
+    "est", "sont", "il", "elle", "nous", "vous", "pour", "avec", "sur",
+    "pas", "que", "qui", "ce", "cette", "au", "aux", "son", "ses", "mais")
+  val GermanStopwords: Seq[String] = Seq(
+    "der", "die", "das", "ein", "eine", "und", "oder", "von", "zu", "in",
+    "ist", "sind", "er", "sie", "wir", "ihr", "für", "mit", "auf", "nicht",
+    "dass", "den", "dem", "des", "im", "am", "auch", "als", "bei", "nach")
+  val SpanishStopwords: Seq[String] = Seq(
+    "el", "la", "los", "las", "un", "una", "unos", "y", "o", "de", "del",
+    "en", "es", "son", "él", "ella", "nosotros", "para", "con", "sobre",
+    "no", "que", "quien", "este", "esta", "al", "su", "sus", "pero", "por")
+
+  val LangInventories: Seq[(String, Seq[String])] = Seq(
+    "en" -> EnglishStopwords, "fr" -> FrenchStopwords,
+    "de" -> GermanStopwords, "es" -> SpanishStopwords)
+
+  /** Fraction of tokens found in `words` — the per-language score. */
+  def langScore(text: Column, words: Seq[String]): Column = stopwordRatio(text, words)
+
+  /** Coarse language ID: CJK codepoint share first (no whitespace tokens),
+    * then argmax of stopword hit-rate across the embedded inventories;
+    * "und" = undetermined when nothing scores. Pure column algebra — the
+    * argmax is a greatest()-chain, not a UDF. */
+  def langId(text: Column): Column = {
+    val cjkRatio = when(length(text) === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "[^\\p{script=Han}\\p{script=Hiragana}\\p{script=Katakana}\\p{script=Hangul}]", ""))
+        .cast("double") / length(text))
+    val scored = LangInventories.map { case (lang, words) => (lang, langScore(text, words)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scored.foldRight(lit("und")) { case ((lang, score), acc) =>
+      when(score === best && best > 0.0, lang).otherwise(acc)
+    }
+    when(cjkRatio > 0.05, "zh").otherwise(pick)
+  }
+}

@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+
+/** Training-data-pipeline extension surface over documents/embeddings:
+  * deduplication, similarity search, text analysis, multimodal plumbing.
+  *
+  * Oracle policy: everything whose semantics DuckDB can replicate exactly
+  * (token stats, quality features, md5 fingerprints, exact dedup groups,
+  * n-gram Jaccard, cosine top-k / near-dup pairs, multimodal metadata) is
+  * oracle-checked value-for-value. Hash-sketch internals (MinHash/LSH,
+  * SimHash, hyperplane buckets) have no cross-engine twin, so their queries
+  * return deterministic per-document rows (rows-only check) and their
+  * pair-finding behavior is proven in DedupSpec/SimilaritySpec against
+  * constructed near-duplicates.
+  */
+object Extensions {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- text analysis (oracle-checked) ------------------------------------
+    "text_token_stats" -> ((s, d) => {
+      val t = TA.tokens(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TA.tokenCount(col("text")).as("n_tokens"),
+        size(array_distinct(t)).as("n_distinct"),
+        round(TA.meanWordLen(col("text")), 4).as("avg_word_len"),
+        length(col("text")).as("n_chars_m"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_quality" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        round(TA.punctRatio(col("text")), 4).as("punct_ratio"),
+        round(TA.upperRatio(col("text")), 4).as("upper_ratio"),
+        round(TA.stopwordRatio(col("text")), 4).as("stop_ratio"),
+        round(TA.qualityScore(col("text")), 4).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // exact-dedup groups on the md5 content fingerprint
+    "dedup_exact_groups" -> ((s, d) => {
+      Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("survivor_id"))
+        .select(col("fp"), col("survivor_id"), col("n_dups"))
+    }),
+
+    // exact pairwise n-gram Jaccard on a bounded slice (quadratic by nature)
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(
+        Tables.documents(s, d).filter(col("doc_id") < 60), "text", "doc_id",
+        minJaccard = 0.5)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // ---- similarity search (oracle-checked) --------------------------------
+    "sim_cosine_topk" -> ((s, d) => {
+      Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 10)
+    }),
+
+    "sim_embedding_neardup" -> ((s, d) => {
+      Similarity.cosineNearDupPairs(
+        Tables.embeddings(s, d).filter(col("vec_id") < 100), "vec_id", "embedding",
+        threshold = 0.3)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // ---- multimodal metadata plumbing (oracle-checked) ---------------------
+    "multimodal_metadata" -> ((s, d) => {
+      Multimodal.mediaFromDocuments(Tables.documents(s, d))
+        .select(col("media_id"), length(col("content")).as("byte_len"),
+          col("format"), col("width"), col("height"))
+        .orderBy(col("media_id"))
+    }),
+
+    // ---- sketch-based ops (deterministic; rows-only + spec-verified) -------
+    "dedup_minhash_sig" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Dedup.minhashSignature(col("text"), k = 8).as("sig"))
+        .select(col("doc_id"), col("sig").getItem(0).as("h0"),
+          col("sig").getItem(1).as("h1"), col("sig").getItem(7).as("h7"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "dedup_simhash" -> ((s, d) => {
+      val withSh = Tables.documents(s, d)
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      val sh0 = withSh.filter(col("doc_id") === 0).select(col("sh").as("sh0"))
+      withSh.join(broadcast(sh0))
+        .select(col("doc_id"), conv(col("sh").cast("string"), 10, 16).as("simhash_hex"),
+          graft.ext.SimHash.hamming(col("sh"), col("sh0")).as("hamming_to_0"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_langid" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), TA.langId(col("text")).as("lang_guess"),
+          round(TA.langScore(col("text"), TA.EnglishStopwords), 4).as("en_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "sim_ann_lsh_topk" -> ((s, d) => {
+      Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 10, planes = 4, dim = 64)
+    }),
+
+    "dedup_minhash_pairs" -> ((s, d) => {
+      // union the LSH candidates with a per-doc row so the result is
+      // non-empty even when the corpus has no near-dups (rows-only check)
+      val pairs = Dedup.minhashNearDups(Tables.documents(s, d), "text", "doc_id",
+        bands = 8, rows = 4, threshold = 0.5)
+        .select(col("id1"), col("id2"), col("est_jaccard"))
+      val marker = Tables.documents(s, d).groupBy()
+        .agg(count(lit(1)).as("n_docs"))
+        .select(lit(-1L).as("id1"), col("n_docs").cast("long").as("id2"),
+          lit(0.0).as("est_jaccard"))
+      marker.unionAll(pairs).orderBy(col("id1"), col("id2"))
+    }),
+
+    "multimodal_decode" -> ((s, d) => {
+      val feats = Multimodal.extractFeatures(
+        Multimodal.mediaDataset(Tables.documents(s, d)))
+      feats.toDF()
+        .select(col("media_id"), col("byte_len"), col("frames_sampled"),
+          round(element_at(col("features"), 1), 4).as("f0"))
+        .orderBy(col("media_id"))
+    })
+  )
+
+  // DuckDB mirrors. Tokenization both sides: lowercase, split \s+, drop
+  // empty. DuckDB md5() hashes the UTF-8 string exactly like Spark's
+  // md5(CAST AS BINARY).
+  private val toks = """list_filter(regexp_split_to_array(lower(text), '\s+'), x -> length(x) > 0)"""
+  private val enStops =
+    TA.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def oracles: Map[String, String] = Map(
+    "text_token_stats" ->
+      s"""SELECT doc_id, len($toks) AS n_tokens,
+         |  len(list_distinct($toks)) AS n_distinct,
+         |  round(CAST(list_aggregate(list_transform($toks, x -> length(x)), 'sum') AS DOUBLE)
+         |        / len($toks), 4) AS avg_word_len,
+         |  length(text) AS n_chars_m
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(text)=0 THEN 0.0
+         |         ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)/length(text) END AS punct_ratio,
+         |    CASE WHEN length(text)=0 THEN 0.0
+         |         ELSE CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)/length(text) END AS upper_ratio,
+         |    CASE WHEN len($toks)=0 THEN 0.0
+         |         ELSE CAST(len(list_filter($toks, x -> list_contains($enStops, x))) AS DOUBLE)/len($toks) END AS stop_ratio,
+         |    CASE WHEN len($toks)=0 THEN 0.0
+         |         ELSE CAST(list_aggregate(list_transform($toks, x -> length(x)), 'sum') AS DOUBLE)/len($toks) END AS mwl,
+         |    length(text) AS n_len
+         |  FROM documents)
+         |SELECT doc_id, round(punct_ratio,4) AS punct_ratio, round(upper_ratio,4) AS upper_ratio,
+         |  round(stop_ratio,4) AS stop_ratio,
+         |  round(least(n_len/500.0, 1.0)*0.3 + least(stop_ratio*4.0, 1.0)*0.3
+         |    + (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)*0.2
+         |    + greatest(0.0, 1.0 - punct_ratio*5.0)*0.2, 4) AS quality
+         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact_groups" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS survivor_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY survivor_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH w AS (SELECT doc_id, list_distinct($toks) AS words FROM documents WHERE doc_id < 60)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(a.words, b.words))), 6) AS jaccard
+         |FROM w a, w b WHERE a.doc_id < b.doc_id
+         |  AND CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.words, b.words))) >= 0.5
+         |ORDER BY id1, id2""".stripMargin,
+
+    "sim_cosine_topk" ->
+      """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
+        |FROM embeddings WHERE vec_id != 0
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "sim_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 100)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |FROM e a, e b WHERE a.vec_id < b.vec_id
+        |  AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+        |ORDER BY id1, id2""".stripMargin,
+
+    "multimodal_metadata" ->
+      """SELECT doc_id AS media_id, octet_length(encode(text)) AS byte_len,
+        |  CASE WHEN n_chars % 3 = 0 THEN 'png' WHEN n_chars % 3 = 1 THEN 'jpg'
+        |       ELSE 'webp' END AS format,
+        |  CAST(n_chars % 640 + 1 AS INT) AS width,
+        |  CAST(n_chars % 480 + 1 AS INT) AS height
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+}

@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  /** corpus with known structure: 0/1 exact dups, 2/3 near dups (one word
+    * changed), 4/5 unrelated */
+  private def corpus(): DataFrame = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill nearby every single day"
+    val near = "the quick brown fox jumps over the lazy dog while the cat watches from the cold windowsill nearby every single day"
+    val other = "completely different content about databases indexes shuffles partitions executors and the joy of distributed computing systems"
+    val third = "unrelated words entirely concerning gardening tomatoes basil watering schedules and the patience required for composting"
+    Seq(
+      (0L, base), (1L, base), (2L, base + " extra"), (3L, near),
+      (4L, other), (5L, third)
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup: identical texts collapse, survivor is min id") {
+    val groups = Dedup.exactGroups(corpus(), "text", "doc_id")
+    val dupGroup = groups.filter(col("n_dups") > 1).collect()
+    assert(dupGroup.length === 1)
+    assert(dupGroup.head.getAs[Long]("survivor_id") === 0L)
+    assert(dupGroup.head.getAs[Long]("n_dups") === 2L)
+    val kept = Dedup.exactDedup(corpus(), "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(0L, 2L, 3L, 4L, 5L))
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated pairs") {
+    val pairs = Dedup.minhashNearDups(corpus(), "text", "doc_id",
+      bands = 8, rows = 4, threshold = 0.4)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact dup pair must collide in every band")
+    assert(pairs.contains((2L, 3L)) || pairs.contains((0L, 3L)) || pairs.contains((1L, 3L)),
+      s"near-dup 3 should pair with the base family, got $pairs")
+    assert(!pairs.exists(p => p._2 >= 4L && p._1 < 4L), s"unrelated docs paired: $pairs")
+  }
+
+  test("minhash signature: identical text -> identical signature; est_jaccard sane") {
+    import spark.implicits._
+    val df = corpus().select(col("doc_id"),
+      Dedup.minhashSignature(col("text"), k = 32).as("sig"))
+    val sigs = df.as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(0L) === sigs(1L))
+    assert(sigs(0L) !== sigs(4L))
+    // near-dup signatures agree on most positions
+    val agree23 = sigs(2L).zip(sigs(3L)).count { case (a, b) => a == b } / 32.0
+    val agree04 = sigs(0L).zip(sigs(4L)).count { case (a, b) => a == b } / 32.0
+    assert(agree23 > 0.4, s"near dups agree=$agree23")
+    assert(agree04 < 0.2, s"unrelated agree=$agree04")
+  }
+
+  test("simhash: near dups within small hamming, unrelated far") {
+    import spark.implicits._
+    val sh = corpus().select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(1L)) === 0)
+    assert(ham(sh(0L), sh(3L)) <= 10, s"near dup hamming ${ham(sh(0L), sh(3L))}")
+    assert(ham(sh(0L), sh(4L)) > 10, s"unrelated hamming ${ham(sh(0L), sh(4L))}")
+  }
+
+  test("simhashNearDups bucketing returns verified close pairs only") {
+    val pairs = Dedup.simhashNearDups(corpus(), "text", "doc_id", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 4L)))
+    assert(!pairs.contains((4L, 5L)))
+  }
+
+  test("ngram jaccard pairs: exact=1.0, near high, unrelated filtered") {
+    val pairs = Dedup.ngramJaccardPairs(corpus(), "text", "doc_id", minJaccard = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) === 1.0)
+    assert(pairs((2L, 3L)) > 0.8)
+    assert(!pairs.contains((0L, 4L)))
+  }
+}

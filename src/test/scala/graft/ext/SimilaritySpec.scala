@@ -1,0 +1,76 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  private val dim = 16
+
+  /** deterministic vector set: 3 tight clusters + noise */
+  private def vectors() = {
+    import spark.implicits._
+    val r = new scala.util.Random(123)
+    val centers = Seq.fill(3)(Array.fill(dim)(r.nextGaussian()))
+    (0 until 90).map { i =>
+      val c = centers(i % 3)
+      val v = c.map(x => (x + r.nextGaussian() * 0.1).toFloat)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("cosine: orthogonal=0, identical=1, opposite=-1") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1f, 0f), Seq(0f, 1f), 0.0),
+      (Seq(1f, 2f), Seq(1f, 2f), 1.0),
+      (Seq(1f, 0f), Seq(-1f, 0f), -1.0)
+    ).toDF("a", "b", "expect")
+    df.select(Similarity.cosine(col("a"), col("b")).as("cos"), col("expect"))
+      .collect().foreach { r =>
+        assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9)
+      }
+  }
+
+  test("brute-force top-k matches driver-side exact computation") {
+    import spark.implicits._
+    val df = vectors().cache()
+    val got = Similarity.bruteForceTopK(df, "vec_id", "embedding", queryId = 0L, k = 5)
+      .as[(Long, Double)].collect().toSeq
+    // naive reference computation on the driver
+    val all = df.as[(Long, Seq[Float])].collect().toMap
+    val q = all(0L).map(_.toDouble)
+    def cos(v: Seq[Float]): Double = {
+      val w = v.map(_.toDouble)
+      val dot = q.zip(w).map { case (a, b) => a * b }.sum
+      dot / (math.sqrt(q.map(x => x * x).sum) * math.sqrt(w.map(x => x * x).sum))
+    }
+    val expect = all.removed(0L).view.map { case (id, v) =>
+      (id, BigDecimal(cos(v)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy { case (id, c) => (-c, id) }.take(5)
+    assert(got.map(_._1) === expect.map(_._1))
+    got.zip(expect).foreach { case ((_, g), (_, e)) => assert(math.abs(g - e) < 1e-5) }
+  }
+
+  test("LSH top-k: high recall on clustered data, bucket co-membership works") {
+    val df = vectors().cache()
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.lshTopK(df, "vec_id", "embedding", 0L, 10, planes = 2, dim = dim)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low (exact=$exact approx=$approx)")
+  }
+
+  test("LSH near-dup pairs are a subset of exact pairs at the same threshold") {
+    val df = vectors().cache()
+    val exact = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupPairs(df, "vec_id", "embedding", 0.98, planes = 2, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH produced non-dup pairs: ${lsh -- exact}")
+    // clustered data at sigma=0.1 has some very close pairs; LSH should find some
+    if (exact.nonEmpty) assert(lsh.nonEmpty, "LSH found none of the exact pairs")
+  }
+}

@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import graft.ext.{TextAnalysis => TA}
+
+  test("token and subword counts on known strings") {
+    import spark.implicits._
+    val df = Seq(
+      ("hello world", 2),
+      ("  spaced   out  tokens ", 3),
+      ("", 0),
+      ("one", 1)
+    ).toDF("text", "expect")
+    df.select(TA.tokenCount(col("text")).as("n"), col("expect")).collect()
+      .foreach(r => assert(r.getInt(0) === r.getInt(1)))
+    val sub = Seq(("don't stop, now!", "x")).toDF("text", "x")
+      .select(TA.subwordCount(col("text"))).collect().head.getInt(0)
+    // don / ' / t | stop / , | now / ! -> 7 pieces
+    assert(sub === 7)
+  }
+
+  test("quality features on crafted docs") {
+    import spark.implicits._
+    val clean = "the cat sat on the mat and it was a good day for all of us"
+    val junk = "@@@@ ### $$$$ %%%% ^^^^ &&&&"
+    val df = Seq(("c", clean), ("j", junk)).toDF("k", "text")
+      .select(col("k"), TA.qualityScore(col("text")).as("q"),
+        TA.punctRatio(col("text")).as("p"), TA.stopwordRatio(col("text")).as("s"))
+    val m = df.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(m("c")._1 > m("j")._1, s"clean ${m("c")} should outscore junk ${m("j")}")
+    assert(m("j")._2 > 0.5, "junk is mostly punctuation")
+    assert(m("c")._3 > 0.4, "clean prose has stopwords")
+  }
+
+  test("language ID on real multilingual snippets") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", "the quick brown fox jumps over the lazy dog and it was not a problem for they have seen this before"),
+      ("fr", "le chat est sur la table et nous avons une maison dans les montagnes pour que vous soyez avec nous"),
+      ("de", "der hund ist in dem garten und wir haben eine katze die nicht mit auf den berg kommen will"),
+      ("es", "el perro está en la casa y nosotros tenemos un gato que no quiere subir al monte con sus amigos"),
+      ("zh", "今天天气很好我们一起去公园散步然后吃饭")
+    ).toDF("expect", "text")
+    val got = df.select(col("expect"), TA.langId(col("text")).as("guess")).collect()
+    got.foreach(r => assert(r.getString(0) === r.getString(1),
+      s"expected ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
+  test("fingerprint: whitespace/case normalization collapses, content differs") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "Hello   World"),
+      ("b", "hello world"),
+      ("c", "hello worlds")
+    ).toDF("k", "text").select(col("k"), TA.fingerprint(col("text")).as("fp"))
+    val m = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("a") === m("b"))
+    assert(m("a") !== m("c"))
+    // md5 well-known value sanity: md5("hello world")
+    assert(m("b") === "5eb63bbbe01eeed093cb22bb8f5acdc3")
+  }
+}
