@@ -98,19 +98,79 @@ object TextAnalysis {
   /** Fraction of tokens found in `words` — the per-language score. */
   def langScore(text: Column, words: Seq[String]): Column = stopwordRatio(text, words)
 
+  private val CjkClass =
+    "[^\\p{script=Han}\\p{script=Hiragana}\\p{script=Katakana}\\p{script=Hangul}]"
+
+  def cjkRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(length(regexp_replace(text, CjkClass, "")).cast("double") / length(text))
+
   /** Coarse language ID: CJK codepoint share first (no whitespace tokens),
     * then argmax of stopword hit-rate across the embedded inventories;
     * "und" = undetermined when nothing scores. Pure column algebra — the
-    * argmax is a greatest()-chain, not a UDF. */
+    * argmax is a greatest()-chain, not a UDF.
+    *
+    * WARNING — inline form: Spark higher-order functions are interpreted,
+    * so the token pipeline re-evaluates once per inventory per when-branch.
+    * Fine for small frames and unit tests; use `textStatsFrame` (one
+    * explode + codegen'd aggregates) at scale. */
   def langId(text: Column): Column = {
-    val cjkRatio = when(length(text) === 0, 0.0)
-      .otherwise(length(regexp_replace(text, "[^\\p{script=Han}\\p{script=Hiragana}\\p{script=Katakana}\\p{script=Hangul}]", ""))
-        .cast("double") / length(text))
     val scored = LangInventories.map { case (lang, words) => (lang, langScore(text, words)) }
     val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
     val pick = scored.foldRight(lit("und")) { case ((lang, score), acc) =>
       when(score === best && best > 0.0, lang).otherwise(acc)
     }
-    when(cjkRatio > 0.05, "zh").otherwise(pick)
+    when(cjkRatio(text) > 0.05, "zh").otherwise(pick)
+  }
+
+  /** Scale path for all per-document token statistics: ONE evaluation of
+    * the token pipeline (explode), then codegen'd count/sum aggregates with
+    * map-side combine — the same explode+aggregate shape as
+    * Dedup.minhashSignatures, for the same reason (interpreted HOFs don't
+    * share subexpressions). Emits per doc:
+    * n_tokens, n_distinct, sum_len, per-language stopword hits, cjk/punct/
+    * upper ratios, plus derived avg_word_len, stop_ratio_<lang>, quality,
+    * lang_guess. */
+  def textStatsFrame(docs: org.apache.spark.sql.DataFrame, textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
+    // Doc-level character stats in their own projection: keeping them out of
+    // the post-explode plan stops CollapseProject from re-running the
+    // regexps once per TOKEN row. Rejoined on id after the aggregate.
+    val docStats = docs.select(col(idCol).as("id"),
+      length(col(textCol)).as("n_chars_m"),
+      cjkRatio(col(textCol)).as("cjk"),
+      punctRatio(col(textCol)).as("punct_ratio"),
+      upperRatio(col(textCol)).as("upper_ratio"))
+    val hitAggs = LangInventories.map { case (lang, words) =>
+      count_if(col("t").isInCollection(words)).as(s"hits_$lang")
+    }
+    val counts = docs
+      .select(col(idCol).as("id"), explode_outer(tokens(col(textCol))).as("t"))
+      .groupBy(col("id"))
+      .agg(count(col("t")).as("n_tokens"),
+        (Seq(count_distinct(col("t")).as("n_distinct"),
+          coalesce(sum(length(col("t"))), lit(0L)).as("sum_len")) ++ hitAggs): _*)
+      .join(docStats, "id")
+    val n = col("n_tokens")
+    def ratio(c: Column): Column = when(n === 0, 0.0).otherwise(c.cast("double") / n)
+    val mwl = ratio(col("sum_len"))
+    val stopEn = ratio(col("hits_en"))
+    val scored = LangInventories.map { case (lang, _) => (lang, ratio(col(s"hits_$lang"))) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scored.foldRight(lit("und")) { case ((lang, score), acc) =>
+      when(score === best && best > 0.0, lang).otherwise(acc)
+    }
+    val quality =
+      least(col("n_chars_m").cast("double") / 500.0, lit(1.0)) * 0.3 +
+        least(stopEn * 4.0, lit(1.0)) * 0.3 +
+        when(mwl.between(3.0, 10.0), 1.0).otherwise(0.5) * 0.2 +
+        greatest(lit(0.0), lit(1.0) - col("punct_ratio") * 5.0) * 0.2
+    counts.select(col("id"), col("n_chars_m"), col("n_tokens"), col("n_distinct"),
+      round(mwl, 4).as("avg_word_len"),
+      round(col("punct_ratio"), 4).as("punct_ratio"),
+      round(col("upper_ratio"), 4).as("upper_ratio"),
+      round(stopEn, 4).as("stop_ratio"),
+      round(quality, 4).as("quality"),
+      when(col("cjk") > 0.05, "zh").otherwise(pick).as("lang_guess"),
+      round(stopEn, 4).as("en_score"))
   }
 }

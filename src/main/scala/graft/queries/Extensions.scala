@@ -22,25 +22,18 @@ object Extensions {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // ---- text analysis (oracle-checked) ------------------------------------
+    // ---- text analysis (oracle-checked; explode+agg scale path) ------------
     "text_token_stats" -> ((s, d) => {
-      val t = TA.tokens(col("text"))
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        TA.tokenCount(col("text")).as("n_tokens"),
-        size(array_distinct(t)).as("n_distinct"),
-        round(TA.meanWordLen(col("text")), 4).as("avg_word_len"),
-        length(col("text")).as("n_chars_m"))
+      TA.textStatsFrame(Tables.documents(s, d), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_distinct"),
+          col("avg_word_len"), col("n_chars_m"))
         .orderBy(col("doc_id"))
     }),
 
     "text_quality" -> ((s, d) => {
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        round(TA.punctRatio(col("text")), 4).as("punct_ratio"),
-        round(TA.upperRatio(col("text")), 4).as("upper_ratio"),
-        round(TA.stopwordRatio(col("text")), 4).as("stop_ratio"),
-        round(TA.qualityScore(col("text")), 4).as("quality"))
+      TA.textStatsFrame(Tables.documents(s, d), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("punct_ratio"), col("upper_ratio"),
+          col("stop_ratio"), col("quality"))
         .orderBy(col("doc_id"))
     }),
 
@@ -99,9 +92,8 @@ object Extensions {
     }),
 
     "text_langid" -> ((s, d) => {
-      Tables.documents(s, d)
-        .select(col("doc_id"), TA.langId(col("text")).as("lang_guess"),
-          round(TA.langScore(col("text"), TA.EnglishStopwords), 4).as("en_score"))
+      TA.textStatsFrame(Tables.documents(s, d), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("lang_guess"), col("en_score"))
         .orderBy(col("doc_id"))
     }),
 

@@ -1,0 +1,202 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom streaming source implementing the reference's source contract
+  * (operators O1-O5, SURVEY §2.1) as a Spark DataSource V2
+  * `MicroBatchStream` with **cursor-as-offset** semantics
+  * (`src/substreams_stream.rs:53-149`: the stream resumes from
+  * `latest_cursor`; here the checkpointed offset IS that cursor, so a
+  * restarted query resumes exactly where it stopped — reference O3's
+  * reconnect-resume loop, minus the network).
+  *
+  * The "server" is a deterministic synthetic chain generator (no gRPC in
+  * this environment): block numbers advance monotonically; every
+  * `reorgEvery`-th message is a `BlockUndoSignal` rolling back `reorgDepth`
+  * blocks, after which the rolled-back heights are re-delivered with new
+  * block ids — exactly the envelope stream shape of
+  * `BlockResponse::New | Undo` (`src/substreams_stream.rs:21-24`). Finality
+  * trails the head by `finalityLag` blocks (`final_block_height`).
+  *
+  * Scale: `planInputPartitions` splits each micro-batch's seq range across
+  * `numPartitions` readers — generation (in real life: fetching) is
+  * distributed, the driver only tracks the long offset. Rate limiting =
+  * `blocksPerTrigger` (the maxOffsetsPerTrigger analog; reference
+  * backpressure is the async await, O3/§4).
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format("graft.sources.chain")
+  *     .option("blocksPerTrigger", 10)   // msgs admitted per micro-batch
+  *     .option("totalBlocks", 1000)      // stop advancing after this many msgs
+  *     .option("reorgEvery", 50)         // undo message cadence (0 = never)
+  *     .option("reorgDepth", 3)
+  *     .option("finalityLag", 12)
+  *     .load()                           // schema = BlockMsg
+  * }}}
+  */
+class ChainSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = ChainSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new ChainTable(new CaseInsensitiveStringMap(properties))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object ChainSource {
+  /** BlockMsg as a Catalyst schema (kept in sync with graft.model.BlockMsg). */
+  val schema: StructType = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("data", StructType(Seq(
+      StructField("clock", StructType(Seq(
+        StructField("id", StringType),
+        StructField("number", LongType),
+        StructField("ts", TimestampType)))),
+      StructField("cursor", StringType),
+      StructField("finalBlockHeight", LongType),
+      StructField("changes", ArrayType(StructType(Seq(
+        StructField("table", StringType),
+        StructField("pk", StringType),
+        StructField("compositePk", MapType(StringType, StringType)),
+        StructField("fields", ArrayType(StructType(Seq(
+          StructField("name", StringType),
+          StructField("newValue", StringType),
+          StructField("oldValue", StringType))))))))))), nullable = true),
+    StructField("undo", StructType(Seq(
+      StructField("lastValidBlock", LongType),
+      StructField("lastValidCursor", StringType))), nullable = true)))
+
+  final case class Config(blocksPerTrigger: Long, totalBlocks: Long,
+      reorgEvery: Long, reorgDepth: Long, finalityLag: Long, numPartitions: Int)
+
+  def config(o: CaseInsensitiveStringMap): Config = Config(
+    blocksPerTrigger = o.getLong("blocksPerTrigger", 10L),
+    totalBlocks = o.getLong("totalBlocks", 1000L),
+    reorgEvery = o.getLong("reorgEvery", 0L),
+    reorgDepth = o.getLong("reorgDepth", 2L),
+    finalityLag = o.getLong("finalityLag", 12L),
+    numPartitions = o.getInt("numPartitions", 4))
+
+  /** Deterministic message at sequence `seq`: chain state is a pure function
+    * of the sequence number, so any reader (or retry) regenerates the exact
+    * same envelope — the property that makes offset-resume exactly-once. */
+  def messageAt(seq: Long, cfg: Config): InternalRow = {
+    val reorg = cfg.reorgEvery > 0 && seq > 0 && seq % cfg.reorgEvery == 0
+    // block height delivered at seq: heights replay reorgDepth back after
+    // each undo; closed form = seq - (undosBefore * (reorgDepth + 1))
+    val undosBefore = if (cfg.reorgEvery > 0) (seq - 1).max(0) / cfg.reorgEvery else 0L
+    val height = seq - undosBefore * (cfg.reorgDepth + 1)
+    if (reorg) {
+      val lastValid = height - 1 - cfg.reorgDepth
+      new GenericInternalRow(Array[Any](
+        seq, UTF8String.fromString("undo"), null,
+        new GenericInternalRow(Array[Any](lastValid, UTF8String.fromString(s"cursor-$lastValid")))))
+    } else {
+      val fields = new GenericArrayData(Array[Any](
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString("height"), UTF8String.fromString(height.toString),
+          UTF8String.fromString(""))),
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString("fork"), UTF8String.fromString(undosBefore.toString),
+          UTF8String.fromString("")))))
+      val change = new GenericInternalRow(Array[Any](
+        UTF8String.fromString("blocks"), UTF8String.fromString(""),
+        new ArrayBasedMapData(new GenericArrayData(Array.empty[Any]),
+          new GenericArrayData(Array.empty[Any])), fields))
+      val clock = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(s"b$height-f$undosBefore"), height,
+        1672531200000000L + height * 1000000L)) // 2023-01-01 + 1s per block
+      val data = new GenericInternalRow(Array[Any](
+        clock, UTF8String.fromString(s"cursor-$seq"),
+        (height - cfg.finalityLag).max(0), new GenericArrayData(Array[Any](change))))
+      new GenericInternalRow(Array[Any](seq, UTF8String.fromString("data"), data, null))
+    }
+  }
+}
+
+class ChainTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = "graft_chain"
+  override def schema(): StructType = ChainSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new ChainScan(ChainSource.config(options))
+    }
+}
+
+class ChainScan(cfg: ChainSource.Config) extends Scan {
+  override def readSchema(): StructType = ChainSource.schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ChainMicroBatchStream(cfg)
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      ChainMicroBatchStream.partitionRange(0L, cfg.totalBlocks, cfg)
+    override def createReaderFactory(): PartitionReaderFactory = new ChainReaderFactory(cfg)
+  }
+}
+
+/** Offset = count of messages delivered (the cursor). */
+case class ChainOffset(seq: Long) extends Offset {
+  override def json(): String = seq.toString
+}
+
+case class ChainInputPartition(start: Long, end: Long, cfg: ChainSource.Config)
+  extends InputPartition
+
+object ChainMicroBatchStream {
+  def partitionRange(start: Long, end: Long, cfg: ChainSource.Config): Array[InputPartition] = {
+    val n = math.max(1, math.min(cfg.numPartitions.toLong, end - start)).toInt
+    val step = math.ceil((end - start).toDouble / n).toLong
+    (0 until n).map { i =>
+      val s = start + i * step
+      ChainInputPartition(s, math.min(s + step, end), cfg): InputPartition
+    }.filter { case p: ChainInputPartition => p.start < p.end }.toArray
+  }
+}
+
+class ChainMicroBatchStream(cfg: ChainSource.Config)
+    extends MicroBatchStream with SupportsAdmissionControl {
+  override def initialOffset(): Offset = ChainOffset(0L)
+  /** admission control = the maxOffsetsPerTrigger analog: each micro-batch
+    * admits at most blocksPerTrigger messages past the committed cursor —
+    * nothing is skipped, the offset log stays exact. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    ChainOffset(math.min(cfg.totalBlocks,
+      start.asInstanceOf[ChainOffset].seq + cfg.blocksPerTrigger))
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("admission-control latestOffset is used")
+  override def reportLatestOffset(): Offset = ChainOffset(cfg.totalBlocks)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def deserializeOffset(json: String): Offset = ChainOffset(json.toLong)
+  override def commit(end: Offset): Unit = () // nothing external to ack
+  override def stop(): Unit = ()
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    ChainMicroBatchStream.partitionRange(
+      start.asInstanceOf[ChainOffset].seq, end.asInstanceOf[ChainOffset].seq, cfg)
+  override def createReaderFactory(): PartitionReaderFactory = new ChainReaderFactory(cfg)
+}
+
+class ChainReaderFactory(cfg: ChainSource.Config) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ChainInputPartition]
+    new PartitionReader[InternalRow] {
+      private var seq = p.start - 1
+      override def next(): Boolean = { seq += 1; seq < p.end }
+      override def get(): InternalRow = ChainSource.messageAt(seq, p.cfg)
+      override def close(): Unit = ()
+    }
+  }
+}

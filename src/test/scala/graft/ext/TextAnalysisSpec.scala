@@ -50,6 +50,33 @@ class TextAnalysisSpec extends SparkSpec {
       s"expected ${r.getString(0)} got ${r.getString(1)}"))
   }
 
+  test("textStatsFrame (scale path) agrees with the inline column functions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox and the lazy dog"),
+      (2L, ""),
+      (3L, "le chat est sur la table et nous avons une maison dans les montagnes"),
+      (4L, "@@@@ ###")
+    ).toDF("doc_id", "text")
+    val frame = TA.textStatsFrame(docs, "text", "doc_id")
+      .select("id", "n_tokens", "avg_word_len", "stop_ratio", "quality", "lang_guess")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val inline = docs.select(col("doc_id"),
+      TA.tokenCount(col("text")).as("n"),
+      round(TA.meanWordLen(col("text")), 4).as("mwl"),
+      round(TA.stopwordRatio(col("text")), 4).as("sr"),
+      round(TA.qualityScore(col("text")), 4).as("q"),
+      TA.langId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    inline.keys.foreach { id =>
+      assert(frame(id).getLong(1) === inline(id).getInt(1).toLong, s"n_tokens doc $id")
+      assert(frame(id).getDouble(2) === inline(id).getDouble(2), s"avg_word_len doc $id")
+      assert(frame(id).getDouble(3) === inline(id).getDouble(3), s"stop_ratio doc $id")
+      assert(frame(id).getDouble(4) === inline(id).getDouble(4), s"quality doc $id")
+      assert(frame(id).getString(5) === inline(id).getString(5), s"lang doc $id")
+    }
+  }
+
   test("fingerprint: whitespace/case normalization collapses, content differs") {
     import spark.implicits._
     val df = Seq(

@@ -1,0 +1,84 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.BlockMsg
+import graft.streaming.StreamingFinality
+
+class ChainSourceSpec extends SparkSpec {
+
+  private def read(totalBlocks: Long, reorgEvery: Long = 0L, extra: Map[String, String] = Map.empty) = {
+    var r = spark.readStream.format("graft.sources.ChainSource")
+      .option("totalBlocks", totalBlocks)
+      .option("reorgEvery", reorgEvery)
+    extra.foreach { case (k, v) => r = r.option(k, v) }
+    r.load()
+  }
+
+  test("batch read: deterministic envelope stream with reorg undo messages") {
+    val df = spark.read.format("graft.sources.ChainSource")
+      .option("totalBlocks", 25).option("reorgEvery", 10).option("reorgDepth", 2)
+      .load()
+    assert(df.count() === 25)
+    val kinds = df.groupBy("kind").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds("undo") === 2L) // seq 10 and 20
+    assert(kinds("data") === 23L)
+    // redelivered heights carry a new fork id
+    val forked = df.filter(col("data.clock.id").like("%-f1")).count()
+    assert(forked > 0, "post-reorg blocks should have fork-1 ids")
+    // undo points just below the pre-reorg head
+    val undos = df.filter(col("kind") === "undo")
+      .select("seq", "undo.lastValidBlock").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(undos(10L) === 7L)
+    assert(undos(20L) === 14L)
+  }
+
+  test("streaming: admission control paces batches; offsets resume across restart") {
+    val root = Files.createTempDirectory("chainsrc").toString
+    val ckpt = s"$root/ckpt"; val out = s"$root/out"
+
+    def runQuery(): Unit = {
+      val q = read(40, reorgEvery = 0, extra = Map("blocksPerTrigger" -> "7"))
+        .select(col("seq"), col("kind"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    runQuery()
+    val seqs1 = spark.read.parquet(out).select("seq").collect().map(_.getLong(0)).sorted
+    assert(seqs1.toSeq === (0L until 40L), s"all messages delivered exactly once, got ${seqs1.length}")
+    // restart against the same checkpoint: committed offsets mean NO re-delivery
+    runQuery()
+    val seqs2 = spark.read.parquet(out).select("seq").collect().map(_.getLong(0)).sorted
+    assert(seqs2.toSeq === (0L until 40L), "restart must not re-deliver the committed range")
+  }
+
+  test("end-to-end: chain source through finality buffer releases canonical chain only") {
+    import spark.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders.product[BlockMsg]
+    val msgs = read(60, reorgEvery = 15, extra = Map("finalityLag" -> "5")).as[BlockMsg]
+    val ckpt = Files.createTempDirectory("chainfin").toString
+    val q = StreamingFinality.released(msgs)
+      .writeStream.format("memory").queryName("canonical")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val released = spark.table("canonical")
+      .select(col("clock.number"), col("clock.id")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // no height released twice: undone forks must have been dropped in-buffer
+    val byHeight = released.groupBy(_._1)
+    assert(byHeight.values.forall(_.length === 1),
+      s"double-released heights: ${byHeight.filter(_._2.length > 1).keys}")
+    // heights are contiguous from 0
+    val hs = released.map(_._1).sorted
+    assert(hs.headOption.contains(0L))
+    assert(hs.toSeq === (hs.head to hs.last))
+  }
+}
