@@ -37,6 +37,17 @@ object Dedup {
     docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Streaming exact dedup: state-bounded via watermark — duplicates are
+    * dropped while their fingerprint is inside the watermark window, and
+    * state for expired fingerprints is evicted (unbounded corpora can't keep
+    * every fingerprint forever). */
+  def streamingExactDedup(docs: DataFrame, textCol: String, tsCol: String,
+      watermarkDelay: String): DataFrame =
+    docs.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   // ---- MinHash + LSH -------------------------------------------------------
 
   /** Large prime > any 32-bit hash bucket; affine perms stay positive. */

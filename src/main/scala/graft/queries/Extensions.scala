@@ -115,6 +115,28 @@ object Extensions {
       marker.unionAll(pairs).orderBy(col("id1"), col("id2"))
     }),
 
+    // Full reference pipeline in one query: chain source (batch read of the
+    // deterministic generator) -> finality buffer replay -> explode/route/
+    // cast -> per-table row counts. Deterministic; Spark-only (rows-only).
+    "pipeline_e2e_chain" -> ((s, d) => {
+      import org.apache.spark.sql.Encoders
+      implicit val enc = Encoders.product[graft.model.BlockMsg]
+      val msgs = s.read.format("graft.sources.ChainSource")
+        .option("totalBlocks", 200).option("reorgEvery", 20)
+        .option("reorgDepth", 3).option("finalityLag", 8)
+        .load().as[graft.model.BlockMsg]
+      val released = graft.streaming.StreamingFinality.released(msgs)
+      val catalog = Seq(graft.model.ChTable("blocks", Seq(
+        graft.model.ChColumn("height", graft.model.ChType.ChUInt64),
+        graft.model.ChColumn("fork", graft.model.ChType.ChUInt32))))
+      graft.pipeline.ChangePipeline.process(released, catalog)("blocks")
+        .groupBy(col("fork"))
+        .agg(count(lit(1)).as("n_blocks"),
+          min(col("height").cast("long")).as("first_h"),
+          max(col("height").cast("long")).as("last_h"))
+        .orderBy(col("fork"))
+    }),
+
     "multimodal_decode" -> ((s, d) => {
       val feats = Multimodal.extractFeatures(
         Multimodal.mediaDataset(Tables.documents(s, d)))

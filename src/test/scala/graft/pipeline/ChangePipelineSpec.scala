@@ -100,6 +100,22 @@ class ChangePipelineSpec extends SparkSpec {
     assert(r.getAs[String]("big") === "-170141183460469231731687303715884105728")
   }
 
+  test("Date / Decimal / Nullable / LowCardinality lanes (unimplemented in reference)") {
+    import spark.implicits._
+    val catalog = Seq(ChTable("t", Seq(
+      ChColumn("d", ChDate),
+      ChColumn("dec", ChDecimal(10, 3)),
+      ChColumn("n", ChNullable(ChInt32)),
+      ChColumn("lc", ChLowCardinality(ChString)))))
+    val blocks = Seq(block(1L, change("t",
+      "d" -> "2024-02-29", "dec" -> "12345.6789", "n" -> "7", "lc" -> "tag"))).toDS()
+    val r = ChangePipeline.process(blocks, catalog)("t").collect().head
+    assert(r.getAs[java.sql.Date]("d").toString === "2024-02-29")
+    assert(r.getAs[java.math.BigDecimal]("dec").toPlainString === "12345.679") // scale-3 rounding
+    assert(r.getAs[Int]("n") === 7)
+    assert(r.getAs[String]("lc") === "tag")
+  }
+
   test("unsigned lanes reject negatives; permissive mode nulls malformed values") {
     import spark.implicits._
     val catalog = Seq(ChTable("t", Seq(
