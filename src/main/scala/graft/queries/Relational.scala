@@ -47,6 +47,61 @@ object Relational {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // TPC-H Q6: pure scan-side filter + single global agg — the pushdown
+    // showcase (all three predicates reach the parquet scan).
+    "tpch_q6_forecast_revenue" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // TPC-H Q4 shape (fixture has no commitdate; late = shipped >60d after
+    // order): priority counts of orders with a late-shipped lineitem.
+    "tpch_q4_priority_count" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val late = Tables.lineitem(s, d)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > date_add(col("o_orderdate").cast("date"), 60))
+        .select(col("l_orderkey")).distinct()
+      o.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q10: returned-item revenue by customer, top 20.
+    "tpch_q10_returned_items" -> ((s, d) => {
+      val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(sum(rev), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q14 shape: share of revenue from one part-type family —
+    // conditional aggregation over the part join.
+    "tpch_q14_promo_share" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          sum(when(col("p_type").like("ECONOMY%"), rev).otherwise(0.0)) * 100.0 /
+            sum(rev), 4).as("promo_pct"),
+          count(lit(1)).as("n"))
+    }),
+
     "agg_stats_per_group" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy(col("o_orderstatus"), col("o_orderpriority"))
@@ -401,6 +456,44 @@ object Relational {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-06-30 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "tpch_q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "tpch_q4_priority_count" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "tpch_q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem, orders, customer, nation
+        |WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey
+        |  AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "tpch_q14_promo_share" ->
+      """SELECT round(sum(CASE WHEN p_type LIKE 'ECONOMY%'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) * 100.0
+        |  / sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_pct,
+        |  count(*) AS n
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'""".stripMargin,
 
     "agg_stats_per_group" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
