@@ -4,7 +4,7 @@ import java.math.BigInteger
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -29,11 +29,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * `graft.cast.DynamicCast` adds a strict wrapper that raises instead, to
   * mirror the reference's panic).
   *
-  * These are interpreted expressions (CodegenFallback): wide-int columns are
-  * rare sink-boundary values, not hot-path scan columns, so breaking a
-  * whole-stage-codegen span here is acceptable; comparisons/sorts on the
-  * encoded binary stay fully codegen'd because they use built-in BinaryType
-  * ops.
+  * The expressions are codegen'd (static helper calls, nullSafeCodeGen with
+  * explicit result nullability), so wide-int parse/format/arith stays inside
+  * whole-stage-codegen spans; comparisons/sorts on the encoded binary are
+  * built-in BinaryType ops and need nothing custom at all.
   */
 object U256 {
   val Bits = 256
@@ -79,6 +78,34 @@ object U256 {
     out
   }
 
+  // ---- static helpers shared by interpreted eval and generated code ------
+  def fromDecStrOrNull(s: UTF8String, signed: Boolean, bits: Int): Array[Byte] =
+    try {
+      val bi = new BigInteger(s.toString.trim)
+      if (signed) encodeSigned(bi, bits) else encodeUnsigned(bi, bits)
+    } catch { case _: NumberFormatException | _: IllegalArgumentException => null }
+
+  def toDecStrOrNull(b: Array[Byte], signed: Boolean, bits: Int): UTF8String =
+    if (b.length != width(bits)) null
+    else UTF8String.fromString(
+      (if (signed) decodeSigned(b, bits) else decodeUnsigned(b, bits)).toString)
+
+  def arithOrNull(a: Array[Byte], b: Array[Byte], op: String, signed: Boolean,
+      bits: Int): Array[Byte] = {
+    if (a.length != width(bits) || b.length != width(bits)) return null
+    val (x, y) =
+      if (signed) (decodeSigned(a, bits), decodeSigned(b, bits))
+      else (decodeUnsigned(a, bits), decodeUnsigned(b, bits))
+    val z = op match {
+      case "add" => x.add(y)
+      case "sub" => x.subtract(y)
+      case "mul" => x.multiply(y)
+      case _ => return null
+    }
+    try { if (signed) encodeSigned(z, bits) else encodeUnsigned(z, bits) }
+    catch { case _: IllegalArgumentException => null }
+  }
+
   // ---- Column API --------------------------------------------------------
   def u256_from_str(c: Column, signed: Boolean = false, bits: Int = Bits): Column =
     ColumnBridge.column(U256FromDecStr(ColumnBridge.expression(c), signed, bits))
@@ -92,58 +119,48 @@ object U256 {
     ColumnBridge.column(U256Arith(ColumnBridge.expression(a), ColumnBridge.expression(b), "sub", signed, bits))
 }
 
-/** decimal string -> bits/8-byte encoding; NULL on malformed/out-of-range. */
+/** decimal string -> bits/8-byte encoding; NULL on malformed/out-of-range.
+  * Codegen'd via a static helper call so surrounding whole-stage spans stay
+  * intact; result nullability handled explicitly. */
 case class U256FromDecStr(child: Expression, signed: Boolean, bits: Int = U256.Bits)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
-  override def nullSafeEval(v: Any): Any = {
-    try {
-      val s = v.asInstanceOf[UTF8String].toString.trim
-      val bi = new BigInteger(s)
-      if (signed) U256.encodeSigned(bi, bits) else U256.encodeUnsigned(bi, bits)
-    } catch { case _: NumberFormatException | _: IllegalArgumentException => null }
-  }
+  override def nullSafeEval(v: Any): Any =
+    U256.fromDecStrOrNull(v.asInstanceOf[UTF8String], signed, bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.U256.fromDecStrOrNull($c, $signed, $bits);
+      ${ev.isNull} = (${ev.value} == null);""")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** bits/8-byte encoding -> canonical decimal string. */
 case class U256ToDecStr(child: Expression, signed: Boolean, bits: Int = U256.Bits)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
-  override def nullSafeEval(v: Any): Any = {
-    val b = v.asInstanceOf[Array[Byte]]
-    if (b.length != U256.width(bits)) null
-    else {
-      val bi = if (signed) U256.decodeSigned(b, bits) else U256.decodeUnsigned(b, bits)
-      UTF8String.fromString(bi.toString)
-    }
-  }
+  override def nullSafeEval(v: Any): Any =
+    U256.toDecStrOrNull(v.asInstanceOf[Array[Byte]], signed, bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.U256.toDecStrOrNull($c, $signed, $bits);
+      ${ev.isNull} = (${ev.value} == null);""")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** add/sub/mul over encoded wide values; NULL on overflow (permissive). */
 case class U256Arith(left: Expression, right: Expression, op: String, signed: Boolean,
     bits: Int = U256.Bits)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val (a, b) = (l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
-    if (a.length != U256.width(bits) || b.length != U256.width(bits)) return null
-    val (x, y) =
-      if (signed) (U256.decodeSigned(a, bits), U256.decodeSigned(b, bits))
-      else (U256.decodeUnsigned(a, bits), U256.decodeUnsigned(b, bits))
-    val z = op match {
-      case "add" => x.add(y)
-      case "sub" => x.subtract(y)
-      case "mul" => x.multiply(y)
-      case _ => return null
-    }
-    try { if (signed) U256.encodeSigned(z, bits) else U256.encodeUnsigned(z, bits) }
-    catch { case _: IllegalArgumentException => null }
-  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    U256.arithOrNull(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]], op, signed, bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = graft.functions.U256.arithOrNull($a, $b, "$op", $signed, $bits);
+      ${ev.isNull} = (${ev.value} == null);""")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
