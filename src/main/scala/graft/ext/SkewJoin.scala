@@ -1,0 +1,32 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Salting for skewed equi-joins — the manual fallback when AQE's skew-join
+  * split isn't available (e.g. bucketed inputs) or the skew lives in a
+  * broadcast-ineligible dimension.
+  *
+  * Big side: each row gets a deterministic salt in [0, n) hashed from the
+  * whole row, splitting a hot key's rows across n reducer partitions.
+  * Small side: exploded n× (one copy per salt) so every (key, salt) pair
+  * still matches. Join keys become (key, salt); results are identical to
+  * the unsalted join, but the hot key's work spreads over n tasks instead
+  * of one straggler.
+  */
+object SkewJoin {
+
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(salt > 0)
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(salt)).cast("int"))
+    val saltedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedBig.join(saltedSmall,
+      saltedBig(key) === saltedSmall(key) && saltedBig("__salt") === saltedSmall("__salt"),
+      joinType)
+      .drop(saltedSmall(key))
+      .drop("__salt")
+  }
+}

@@ -152,6 +152,46 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Exact interpolated percentiles — Spark percentile == DuckDB
+    // quantile_cont on the same ordered set.
+    "agg_percentiles" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // JSON + map/array function surface over the string-encoded props
+    // payload (the O10 map projection, but via the JSON library).
+    "scalar_json_map_funcs" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("event_id") < 2000)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          from_json(col("props"), lit("map<string,int>")).as("m"))
+        .select(col("event_id"), col("k"),
+          map_keys(col("m")).getItem(0).as("first_key"),
+          element_at(col("m"), "k").as("k_via_map"),
+          size(map_entries(col("m"))).as("n_entries"))
+        .orderBy(col("event_id"))
+    }),
+
+    "scalar_array_funcs" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(col("p_partkey") < 200)
+        .select(col("p_partkey"),
+          split(col("p_name"), " ").as("words"))
+        .select(col("p_partkey"),
+          size(col("words")).as("n_words"),
+          array_join(sort_array(col("words")), "_").as("sorted_joined"),
+          element_at(col("words"), 1).as("first_word"),
+          size(array_distinct(col("words"))).as("n_distinct"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // ---- joins -----------------------------------------------------------
     // TPC-H Q3: customer(filtered) ⋈ orders ⋈ lineitem, top-10 by revenue.
     // Plan shape: broadcast the filtered customer keys; orders⋈lineitem is
@@ -519,6 +559,29 @@ object Relational {
     "agg_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_percentiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "scalar_json_map_funcs" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k,
+        |  'k' AS first_key,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k_via_map,
+        |  1 AS n_entries
+        |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
+
+    "scalar_array_funcs" ->
+      """SELECT p_partkey,
+        |  len(string_split(p_name, ' ')) AS n_words,
+        |  array_to_string(list_sort(string_split(p_name, ' ')), '_') AS sorted_joined,
+        |  string_split(p_name, ' ')[1] AS first_word,
+        |  len(list_distinct(string_split(p_name, ' '))) AS n_distinct
+        |FROM part WHERE p_partkey < 200 ORDER BY p_partkey""".stripMargin,
 
     "tpch_q3_top_orders" ->
       """SELECT o_orderkey,
