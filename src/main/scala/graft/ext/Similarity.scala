@@ -68,6 +68,61 @@ object Similarity {
       .limit(k)
   }
 
+  // ---- IVF (inverted-file) ANN --------------------------------------------
+
+  /** Deterministic coarse quantizer: every `corpus.count/k`-th vector (by
+    * id order) becomes a centroid. k centroids × dim floats live on the
+    * driver/broadcast — tiny. (A k-means refinement would slot in here; the
+    * index/probe machinery is identical.) */
+  def ivfCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int): Seq[(Int, Seq[Double])] = {
+    val n = embeddings.count()
+    val stride = math.max(n / k, 1L)
+    embeddings.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol))
+      .filter(pmod(col(idCol), lit(stride)) === 0)
+      .limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).map(_.toDouble)) }
+      .toSeq
+  }
+
+  /** Assign each vector to its nearest centroid (greatest-cosine argmax as
+    * a when-chain over the broadcast centroid literals — scan-side, no
+    * shuffle). At scale the corpus is written partitioned by `ivf_cell` so
+    * probes prune partitions. */
+  def ivfAssign(embeddings: DataFrame, vecCol: String,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val sims = centroids.map { case (i, c) => (i, cosine(col(vecCol), typedLit(c))) }
+    val best = sims.map(_._2).reduce((a, b) => greatest(a, b))
+    val cell = sims.foldRight(lit(-1)) { case ((i, s), acc) =>
+      when(s === best, i).otherwise(acc)
+    }
+    embeddings.withColumn("ivf_cell", cell)
+  }
+
+  /** IVF top-k: search only the `nprobe` cells whose centroids are nearest
+    * the query — the classic recall/compute dial. */
+  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, nCells: Int = 8, nprobe: Int = 2): DataFrame = {
+    val cents = ivfCentroids(embeddings, idCol, vecCol, nCells)
+    val assigned = ivfAssign(embeddings, vecCol, cents)
+    val qvec = embeddings.filter(col(idCol) === queryId)
+      .select(col(vecCol)).collect().head.getSeq[Float](0).map(_.toDouble)
+    val probeCells = cents
+      .map { case (i, c) =>
+        val dot = qvec.zip(c).map { case (a, b) => a * b }.sum
+        val denom = math.sqrt(qvec.map(x => x * x).sum) * math.sqrt(c.map(x => x * x).sum)
+        (i, dot / denom)
+      }
+      .sortBy(-_._2).take(nprobe).map(_._1)
+    assigned.filter(col("ivf_cell").isin(probeCells: _*))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), round(cosine(col(vecCol), typedLit(qvec)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All pairs above a cosine threshold within an id-bounded slice —
     * embedding-based near-dup detection (quadratic: bound the slice, or go
     * through lshBucket + within-bucket pairs at scale). */

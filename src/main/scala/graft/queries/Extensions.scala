@@ -102,6 +102,11 @@ object Extensions {
         queryId = 0L, k = 10, planes = 4, dim = 64)
     }),
 
+    "sim_ann_ivf_topk" -> ((s, d) => {
+      Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 10, nCells = 8, nprobe = 3)
+    }),
+
     "dedup_minhash_pairs" -> ((s, d) => {
       // union the LSH candidates with a per-doc row so the result is
       // non-empty even when the corpus has no near-dups (rows-only check)

@@ -63,6 +63,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low (exact=$exact approx=$approx)")
   }
 
+  test("IVF top-k: probing more cells raises recall; full probe equals brute force") {
+    val df = vectors().cache()
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val fullProbe = Similarity.ivfTopK(df, "vec_id", "embedding", 0L, 10,
+      nCells = 6, nprobe = 6).collect().map(_.getLong(0)).toSet
+    assert(fullProbe === exact, "probing every cell must reproduce brute force")
+    val narrow = Similarity.ivfTopK(df, "vec_id", "embedding", 0L, 10,
+      nCells = 6, nprobe = 2).collect().map(_.getLong(0)).toSet
+    val recall = (exact & narrow).size.toDouble / exact.size
+    assert(recall >= 0.5, s"nprobe=2 recall $recall too low")
+    assert(narrow.size <= 10)
+  }
+
   test("LSH near-dup pairs are a subset of exact pairs at the same threshold") {
     val df = vectors().cache()
     val exact = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 0.98)
