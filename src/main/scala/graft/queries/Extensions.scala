@@ -73,6 +73,22 @@ object Extensions {
         .orderBy(col("media_id"))
     }),
 
+    // As-of join (composed: tagged union + carry-forward window, one
+    // shuffle) vs DuckDB's NATIVE ASOF JOIN as the oracle.
+    "join_asof_events" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("view_id"),
+          col("value").as("view_value"))
+      graft.ext.AsOfJoin.asofJoin(clicks, views, Seq("user_id"), "c_ts", "v_ts",
+        Seq("view_id", "view_value"), "inner")
+        .select(col("user_id"), col("click_id"), col("view_id"),
+          round(col("view_value"), 4).as("view_value"))
+        .orderBy(col("user_id"), col("click_id"))
+    }),
+
     // ---- sketch-based ops (deterministic; rows-only + spec-verified) -------
     "dedup_minhash_sig" -> ((s, d) => {
       Dedup.minhashSignatures(Tables.documents(s, d), "text", "doc_id", k = 8)
@@ -216,6 +232,14 @@ object Extensions {
         |FROM e a, e b WHERE a.vec_id < b.vec_id
         |  AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
         |ORDER BY id1, id2""".stripMargin,
+
+    "join_asof_events" ->
+      """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+        |  round(v.value, 4) AS view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.user_id, click_id""".stripMargin,
 
     "multimodal_metadata" ->
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS byte_len,
