@@ -73,6 +73,19 @@ object Extensions {
         .orderBy(col("media_id"))
     }),
 
+    // Grid-bucketed range join (equi-join on cells, not nested loop) vs a
+    // plain inequality join in DuckDB.
+    "join_range_bucketed" -> ((s, d) => {
+      import s.implicits._
+      val bands = (0 until 12).map(i => (i, i * 50000.0, (i + 1) * 50000.0))
+        .toDF("band_id", "lo", "hi")
+      graft.ext.RangeJoin.pointInInterval(
+        Tables.orders(s, d), bands, "o_totalprice", "lo", "hi", cell = 50000.0)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("vol"))
+        .orderBy(col("band_id"))
+    }),
+
     // As-of join (composed: tagged union + carry-forward window, one
     // shuffle) vs DuckDB's NATIVE ASOF JOIN as the oracle.
     "join_asof_events" -> ((s, d) => {
@@ -232,6 +245,15 @@ object Extensions {
         |FROM e a, e b WHERE a.vec_id < b.vec_id
         |  AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
         |ORDER BY id1, id2""".stripMargin,
+
+    "join_range_bucketed" -> {
+      val values = (0 until 12)
+        .map(i => s"(${i}, ${i * 50000.0}, ${(i + 1) * 50000.0})").mkString(", ")
+      s"""SELECT band_id, count(*) AS n, round(sum(o_totalprice), 2) AS vol
+         |FROM orders JOIN (VALUES $values) AS bands(band_id, lo, hi)
+         |  ON o_totalprice >= lo AND o_totalprice <= hi
+         |GROUP BY band_id ORDER BY band_id""".stripMargin
+    },
 
     "join_asof_events" ->
       """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
