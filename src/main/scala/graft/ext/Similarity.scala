@@ -19,14 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** dot(a, b) in double precision — codegen'd custom expression (the
+    * zip_with/aggregate formulation runs interpreted per element). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** one-pass dot + norms, codegen'd; same accumulation order as the
+    * fold-based formulation so results are bit-identical. */
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorOps.cosine_sim(a, b)
 
   /** Exact top-k neighbors of `queryId`'s vector (excluded from results). */
   def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,
@@ -87,18 +88,20 @@ object Similarity {
       .toSeq
   }
 
-  /** Assign each vector to its nearest centroid (greatest-cosine argmax as
-    * a when-chain over the broadcast centroid literals — scan-side, no
-    * shuffle). At scale the corpus is written partitioned by `ivf_cell` so
-    * probes prune partitions. */
-  def ivfAssign(embeddings: DataFrame, vecCol: String,
+  /** Assign each vector to its nearest centroid: broadcast-join the k
+    * centroid rows against the corpus (one codegen'd cosine per pair, never
+    * recomputed) and take the per-vector argmax with max_by — one
+    * shuffle-free broadcast plus one aggregate. At scale the corpus is
+    * written partitioned by `ivf_cell` so probes prune partitions. */
+  def ivfAssign(embeddings: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Seq[Double])]): DataFrame = {
-    val sims = centroids.map { case (i, c) => (i, cosine(col(vecCol), typedLit(c))) }
-    val best = sims.map(_._2).reduce((a, b) => greatest(a, b))
-    val cell = sims.foldRight(lit(-1)) { case ((i, s), acc) =>
-      when(s === best, i).otherwise(acc)
-    }
-    embeddings.withColumn("ivf_cell", cell)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = centroids.toDF("__cent_id", "__cvec")
+    embeddings.join(broadcast(cents))
+      .withColumn("__sim", cosine(col(vecCol), col("__cvec")))
+      .groupBy(col(idCol), col(vecCol))
+      .agg(max_by(col("__cent_id"), col("__sim")).as("ivf_cell"))
   }
 
   /** IVF top-k: search only the `nprobe` cells whose centroids are nearest
@@ -106,7 +109,7 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, nCells: Int = 8, nprobe: Int = 2): DataFrame = {
     val cents = ivfCentroids(embeddings, idCol, vecCol, nCells)
-    val assigned = ivfAssign(embeddings, vecCol, cents)
+    val assigned = ivfAssign(embeddings, idCol, vecCol, cents)
     val qvec = embeddings.filter(col(idCol) === queryId)
       .select(col(vecCol)).collect().head.getSeq[Float](0).map(_.toDouble)
     val probeCells = cents
