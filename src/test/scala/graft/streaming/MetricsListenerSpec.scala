@@ -1,0 +1,32 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+class MetricsListenerSpec extends SparkSpec {
+
+  test("listener records per-batch input rows and duration") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val listener = new MetricsListener()
+    spark.streams.addListener(listener)
+    try {
+      val input = MemoryStream[Int]
+      val q = input.toDS().toDF("v").writeStream
+        .format("memory").queryName("metrics_out").outputMode("append").start()
+      input.addData(1 to 10: _*)
+      q.processAllAvailable()
+      input.addData(11 to 13: _*)
+      q.processAllAvailable()
+      q.stop()
+      // listener delivery is async; allow it to drain
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.recent.map(_.numInputRows).sum < 13 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val batches = listener.recent.filter(_.numInputRows > 0)
+      assert(batches.map(_.numInputRows).sum === 13)
+      assert(batches.forall(_.durationMs >= 0))
+    } finally spark.streams.removeListener(listener)
+  }
+}
