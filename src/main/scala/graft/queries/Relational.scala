@@ -308,6 +308,51 @@ object Relational {
         .orderBy(col("band"))
     }),
 
+    // PIVOT: order counts per status spread across priority columns.
+    "agg_pivot" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .select(col("o_orderstatus"),
+          coalesce(col("1-URGENT"), lit(0L)).as("p1"),
+          coalesce(col("2-HIGH"), lit(0L)).as("p2"),
+          coalesce(col("3-MEDIUM"), lit(0L)).as("p3"),
+          coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("p4"),
+          coalesce(col("5-LOW"), lit(0L)).as("p5"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // ordered string aggregation per group
+    "agg_string_agg" -> ((s, d) => {
+      Tables.nation(s, d)
+        .groupBy(col("n_regionkey"))
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"))
+        .orderBy(col("n_regionkey"))
+    }),
+
+    // explode/unnest: one row per word of p_name with its position
+    "scalar_explode_unnest" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(col("p_partkey") < 100)
+        .select(col("p_partkey"), posexplode(split(col("p_name"), " ")).as(Seq("pos", "word")))
+        .orderBy(col("p_partkey"), col("pos"))
+    }),
+
+    "scalar_string_funcs2" -> ((s, d) => {
+      Tables.customer(s, d)
+        .filter(col("c_custkey") < 300)
+        .select(col("c_custkey"),
+          initcap(lower(col("c_mktsegment"))).as("seg_cap"),
+          reverse(col("c_name")).as("rev_name"),
+          translate(col("c_mktsegment"), "AEIOU", "aeiou").as("trans"),
+          levenshtein(col("c_mktsegment"), lit("BUILDING")).as("lev"),
+          repeat(lit("ab"), 3).as("rep"),
+          left(col("c_name"), lit(8)).as("l8"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // ---- window functions --------------------------------------------------
     "window_rank_dense_topn" -> ((s, d) => {
       val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
@@ -654,6 +699,36 @@ object Relational {
         |  ('high',300000.0,1e18)) AS bands(band,lo,hi)
         |ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+        |  count(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+        |  count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+        |  count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+        |  count(*) FILTER (o_orderpriority = '5-LOW') AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_string_agg" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "scalar_explode_unnest" ->
+      """WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS parts
+        |           FROM part WHERE p_partkey < 100)
+        |SELECT p_partkey, unnest(range(len(parts))) AS pos, unnest(parts) AS word
+        |FROM w ORDER BY p_partkey, pos""".stripMargin,
+
+    "scalar_string_funcs2" ->
+      """SELECT c_custkey,
+        |  -- initcap of a single lowercased word == ucfirst
+        |  upper(substring(lower(c_mktsegment), 1, 1)) || substring(lower(c_mktsegment), 2) AS seg_cap,
+        |  reverse(c_name) AS rev_name,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS trans,
+        |  levenshtein(c_mktsegment, 'BUILDING') AS lev,
+        |  repeat('ab', 3) AS rep,
+        |  left(c_name, 8) AS l8
+        |FROM customer WHERE c_custkey < 300 ORDER BY c_custkey""".stripMargin,
 
     "window_rank_dense_topn" ->
       """SELECT c_nationkey, rn, rnk, drnk, c_custkey, round(c_acctbal,2) AS bal
