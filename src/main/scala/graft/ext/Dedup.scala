@@ -131,15 +131,19 @@ object Dedup {
   /** (id, sig, band, band_hash) — one row per band per doc; the LSH key
     * stream, built on the scale-path signatures. */
   def lshBands(docs: DataFrame, textCol: String, idCol: String,
-      bands: Int = 8, rows: Int = 4): DataFrame = {
-    minhashSignatures(docs, textCol, idCol, k = bands * rows)
-      .select(col("id"), col("sig"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"), xxhash64(array_join(
-            transform(slice(col("sig"), b * rows + lit(1), lit(rows)), x => x.cast("string")), ","))
-            .as("band_hash")))).as("bh"))
+      bands: Int = 8, rows: Int = 4): DataFrame =
+    lshBandsFromSigs(minhashSignatures(docs, textCol, idCol, k = bands * rows), bands, rows)
+
+  /** Band stream from an (id, sig) frame — lets callers compute (or load)
+    * signatures once; at 100 TB the signature table is materialized to
+    * storage exactly like this. */
+  def lshBandsFromSigs(sigs: DataFrame, bands: Int = 8, rows: Int = 4): DataFrame =
+    sigs.select(col("id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"), xxhash64(array_join(
+          transform(slice(col("sig"), b * rows + lit(1), lit(rows)), x => x.cast("string")), ","))
+          .as("band_hash")))).as("bh"))
       .select(col("id"), col("sig"), col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
-  }
 
   /** Candidate near-dup pairs from band collisions, verified by signature
     * agreement ≥ `threshold` (the MinHash Jaccard estimate).
@@ -154,8 +158,19 @@ object Dedup {
     *    better; dropping it is the standard LSH skew guard. */
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       bands: Int = 8, rows: Int = 4, threshold: Double = 0.5,
+      maxBucket: Int = 100): DataFrame =
+    minhashNearDupsFromSigs(
+      minhashSignatures(docs, textCol, idCol, k = bands * rows),
+      bands, rows, threshold, maxBucket)
+
+  /** Near-dup pairs from a precomputed (id, sig) frame. Callers that can
+    * afford it should materialize `sigs` first (localCheckpoint / persisted
+    * table): every stage below reuses it, so the signature pipeline runs
+    * once instead of once per consumer. */
+  def minhashNearDupsFromSigs(sigs: DataFrame,
+      bands: Int = 8, rows: Int = 4, threshold: Double = 0.5,
       maxBucket: Int = 100): DataFrame = {
-    val b = lshBands(docs, textCol, idCol, bands, rows)
+    val b = lshBandsFromSigs(sigs, bands, rows)
       .select(col("id"), col("band"), col("band_hash"))
     val sizes = b.groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("sz"))
@@ -167,7 +182,6 @@ object Dedup {
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"))
       .distinct()
-    val sigs = minhashSignatures(docs, textCol, idCol, k = bands * rows)
     pairs
       .join(sigs.select(col("id").as("id1"), col("sig").as("sig1")), "id1")
       .join(sigs.select(col("id").as("id2"), col("sig").as("sig2")), "id2")

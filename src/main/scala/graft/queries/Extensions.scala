@@ -137,9 +137,13 @@ object Extensions {
     }),
 
     "dedup_minhash_pairs" -> ((s, d) => {
+      // signatures materialized once (localCheckpoint); banding, bucket
+      // sizing, pairing, and verification all reuse them
+      val sigs = Dedup.minhashSignatures(Tables.documents(s, d), "text", "doc_id",
+        k = 32).localCheckpoint()
       // union the LSH candidates with a per-doc row so the result is
       // non-empty even when the corpus has no near-dups (rows-only check)
-      val pairs = Dedup.minhashNearDups(Tables.documents(s, d), "text", "doc_id",
+      val pairs = Dedup.minhashNearDupsFromSigs(sigs,
         bands = 8, rows = 4, threshold = 0.5)
         .select(col("id1"), col("id2"), col("est_jaccard"))
       val marker = Tables.documents(s, d).groupBy()
