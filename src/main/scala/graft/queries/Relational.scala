@@ -516,6 +516,26 @@ object Relational {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    "subq_not_in_uncorrelated" -> ((s, d) => {
+      Tables.supplier(s, d).createOrReplaceTempView("v_supplier2")
+      Tables.nation(s, d).createOrReplaceTempView("v_nation2")
+      s.sql(
+        """SELECT s_suppkey, s_name FROM v_supplier2
+          |WHERE s_nationkey NOT IN (SELECT n_nationkey FROM v_nation2 WHERE n_regionkey < 2)
+          |ORDER BY s_suppkey""".stripMargin)
+    }),
+
+    "agg_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders_gs")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+          |       coalesce(o_orderpriority, 'ALL') AS pr,
+          |       count(*) AS n, round(sum(o_totalprice), 2) AS vol
+          |FROM v_orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY st, pr""".stripMargin)
+    }),
+
     "subq_correlated_exists" -> ((s, d) => {
       Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
       Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
@@ -842,6 +862,19 @@ object Relational {
       """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
         |WHERE o_totalprice > (SELECT 1.5 * avg(o_totalprice) FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "subq_not_in_uncorrelated" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey < 2)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+        |       coalesce(o_orderpriority, 'ALL') AS pr,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS vol
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY st, pr""".stripMargin,
 
     "subq_correlated_exists" ->
       """SELECT s_suppkey, s_name FROM supplier
