@@ -16,7 +16,8 @@ import graft.model.{ChColumn, ChTable, ChType}
   *    corrupting positional encoding — `table_info.rs:80-81`);
   *  - malformed value → NULL in permissive mode (default) with a strict mode
   *    that raises instead, mirroring the reference's `unwrap()` panic;
-  *  - unsigned types reject negative input (reference `parse::<uN>` errors);
+  *  - unsigned types reject out-of-range input on both ends — negatives and
+  *    values above the uN max (reference `parse::<uN>` errors on both);
   *  - Date / Nullable / LowCardinality / Decimal are supported (reference
   *    `unimplemented!`).
   *
@@ -48,11 +49,13 @@ object DynamicCast {
   def cast(raw: Column, t: ChType): Column = t match {
     case ChString => raw
     case ChFixedString(n) => FixedString.fixed_string_encode(raw, n)
-    // unsigned lanes: next-wider signed Spark type + reject negatives
-    case ChUInt8 => nonNegative(raw.try_cast("short"))
-    case ChUInt16 => nonNegative(raw.try_cast("int"))
-    case ChUInt32 => nonNegative(raw.try_cast("long"))
-    case ChUInt64 => nonNegative(raw.try_cast("decimal(20,0)"))
+    // unsigned lanes: next-wider signed Spark type, bounded to the uN range
+    // (reference parse::<uN>() rejects both negatives and overflow)
+    case ChUInt8 => bounded(raw.try_cast("short"), lit(255))
+    case ChUInt16 => bounded(raw.try_cast("int"), lit(65535))
+    case ChUInt32 => bounded(raw.try_cast("long"), lit(4294967295L))
+    case ChUInt64 =>
+      bounded(raw.try_cast("decimal(20,0)"), lit(BigDecimal("18446744073709551615")))
     // 128/256-bit: canonical decimal string, validated+normalized by a
     // roundtrip through the order-preserving fixed-width encoding
     case ChUInt128 => wide(raw, signed = false, bits = 128)
@@ -77,7 +80,7 @@ object DynamicCast {
   private def wide(raw: Column, signed: Boolean, bits: Int): Column =
     U256.u256_to_str(U256.u256_from_str(raw, signed, bits), signed, bits)
 
-  private def nonNegative(c: Column): Column = when(c >= 0, c)
+  private def bounded(c: Column, max: Column): Column = when(c.between(lit(0), max), c)
 
   /** Full typed projection of a fields-map column to `table`'s schema, in the
     * reference's canonical order (columns sorted by name, SURVEY §1.3). */

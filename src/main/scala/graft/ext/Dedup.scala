@@ -200,9 +200,15 @@ object Dedup {
   /** doc → 64-bit simhash of its canonical tokens. */
   def simhash(text: Column): Column = SimHash.simhash64(TextAnalysis.tokens(text))
 
-  /** Near-dup pairs by simhash: LSH over 4 16-bit bands of the fingerprint
-    * (a pair within Hamming ≤ maxHamming almost surely agrees on ≥1 band),
-    * then exact bit_count verification. */
+  /** Near-dup pairs by simhash: LSH over 4 16-bit bands of the fingerprint,
+    * then exact bit_count verification.
+    *
+    * Recall guarantee: by pigeonhole, a pair agrees on ≥1 band only when
+    * Hamming ≤ bands-1 = 3. For maxHamming in (3, 6] the bucketing is
+    * best-effort — ~58% of uniformly-placed 6-bit diffs leave some band
+    * untouched and are found, ~42% spread across all 4 bands and are missed.
+    * Callers needing guaranteed recall at maxHamming > 3 should band wider
+    * (e.g. 8 8-bit bands guarantee ≥1 band agreement for Hamming ≤ 7). */
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 6): DataFrame = {
     val withSig = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))

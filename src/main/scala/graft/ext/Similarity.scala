@@ -104,26 +104,64 @@ object Similarity {
       .agg(max_by(col("__cent_id"), col("__sim")).as("ivf_cell"))
   }
 
-  /** IVF top-k: search only the `nprobe` cells whose centroids are nearest
-    * the query — the classic recall/compute dial. */
-  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-      queryId: Long, k: Int, nCells: Int = 8, nprobe: Int = 2): DataFrame = {
+  /** A built IVF index: k centroids (driver-side, tiny) + the corpus with
+    * its `ivf_cell` assignment. Build once, persist with [[ivfWrite]], probe
+    * many times — index construction never runs inside a query. */
+  final case class IvfIndex(centroids: Seq[(Int, Seq[Double])], assigned: DataFrame)
+
+  /** Build the IVF index: centroid selection + one broadcast-join assignment
+    * pass over the corpus. */
+  def ivfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 8): IvfIndex = {
     val cents = ivfCentroids(embeddings, idCol, vecCol, nCells)
-    val assigned = ivfAssign(embeddings, idCol, vecCol, cents)
-    val qvec = embeddings.filter(col(idCol) === queryId)
-      .select(col(vecCol)).collect().head.getSeq[Float](0).map(_.toDouble)
-    val probeCells = cents
-      .map { case (i, c) =>
-        val dot = qvec.zip(c).map { case (a, b) => a * b }.sum
-        val denom = math.sqrt(qvec.map(x => x * x).sum) * math.sqrt(c.map(x => x * x).sum)
-        (i, dot / denom)
-      }
-      .sortBy(-_._2).take(nprobe).map(_._1)
-    assigned.filter(col("ivf_cell").isin(probeCells: _*))
-      .filter(col(idCol) =!= queryId)
+    IvfIndex(cents, ivfAssign(embeddings, idCol, vecCol, cents))
+  }
+
+  /** Persist the assignment partitioned by `ivf_cell`: a probe that filters
+    * on cells becomes a partition-PRUNED scan (only nprobe/nCells of the
+    * data is read — the on-disk layout IS the index). */
+  def ivfWrite(index: IvfIndex, path: String): Unit =
+    index.assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+
+  /** The `nprobe` cells whose centroids are nearest `qvec` — pure driver-side
+    * math over k centroid rows. Stable order: similarity desc, cell id asc. */
+  def ivfProbeCells(centroids: Seq[(Int, Seq[Double])], qvec: Seq[Double],
+      nprobe: Int): Seq[Int] =
+    centroids.map { case (i, c) =>
+      val dot = qvec.zip(c).map { case (a, b) => a * b }.sum
+      val denom = math.sqrt(qvec.map(x => x * x).sum) * math.sqrt(c.map(x => x * x).sum)
+      (i, dot / denom)
+    }.sortBy { case (i, sim) => (-sim, i) }.take(nprobe).map(_._1)
+
+  /** Probe a (pre-built, possibly re-read-from-parquet) assignment: scan only
+    * the probe cells, cosine top-k. `assigned` needs columns idCol, vecCol,
+    * ivf_cell. */
+  def ivfProbe(assigned: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      idCol: String, vecCol: String, qvec: Seq[Double], k: Int,
+      nprobe: Int = 2, excludeId: Option[Long] = None): DataFrame = {
+    val cells = ivfProbeCells(centroids, qvec, nprobe)
+    val base = assigned.filter(col("ivf_cell").isin(cells: _*))
+    excludeId.fold(base)(id => base.filter(col(idCol) =!= id))
       .select(col(idCol), round(cosine(col(vecCol), typedLit(qvec)), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
+  }
+
+  /** The query vector for `queryId` (bounded 1-row collect). */
+  def queryVector(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long): Seq[Double] =
+    embeddings.filter(col(idCol) === queryId)
+      .select(col(vecCol)).collect().head.getSeq[Float](0).map(_.toDouble)
+
+  /** IVF top-k convenience: build + probe in one call. For repeated probes
+    * (the production shape) build with [[ivfIndex]] / persist with
+    * [[ivfWrite]] and call [[ivfProbe]] against the pruned scan instead. */
+  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, nCells: Int = 8, nprobe: Int = 2): DataFrame = {
+    val index = ivfIndex(embeddings, idCol, vecCol, nCells)
+    val qvec = queryVector(embeddings, idCol, vecCol, queryId)
+    ivfProbe(index.assigned, index.centroids, idCol, vecCol, qvec, k, nprobe,
+      excludeId = Some(queryId))
   }
 
   /** All pairs above a cosine threshold within an id-bounded slice —

@@ -19,6 +19,11 @@ object SkewJoin {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int,
       joinType: String = "inner"): DataFrame = {
     require(salt > 0)
+    // Only join types where every output row is witnessed by a big-side row
+    // are salting-safe: with right/full outer, an unmatched small-side row
+    // exists `salt` times and would surface as `salt` null-padded duplicates.
+    require(Set("inner", "left", "left_outer", "leftouter")(joinType),
+      s"saltedJoin supports inner/left joins only, got '$joinType'")
     val saltedBig = big.withColumn("__salt",
       pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(salt)).cast("int"))
     val saltedSmall = small.withColumn("__salt",

@@ -10,13 +10,15 @@ import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
   * deduplication, similarity search, text analysis, multimodal plumbing.
   *
   * Oracle policy: everything whose semantics DuckDB can replicate exactly
-  * (token stats, quality features, md5 fingerprints, exact dedup groups,
-  * n-gram Jaccard, cosine top-k / near-dup pairs, multimodal metadata) is
-  * oracle-checked value-for-value. Hash-sketch internals (MinHash/LSH,
-  * SimHash, hyperplane buckets) have no cross-engine twin, so their queries
-  * return deterministic per-document rows (rows-only check) and their
-  * pair-finding behavior is proven in DedupSpec/SimilaritySpec against
-  * constructed near-duplicates.
+  * (token stats, quality features, language ID, md5 fingerprints, exact dedup
+  * groups, n-gram Jaccard, cosine top-k / near-dup pairs, hyperplane-LSH and
+  * IVF ANN + their recall@10, multimodal metadata) is oracle-checked
+  * value-for-value — the ANN oracles embed the same deterministic hyperplane
+  * constants and replay the bucket/assign/probe math in SQL. Only
+  * Spark-hash-seeded sketches (MinHash/xxhash64 signatures, SimHash) have no
+  * cross-engine twin; those queries return deterministic per-document rows
+  * (rows-only check) and their pair-finding behavior is proven in
+  * DedupSpec/SimilaritySpec against constructed near-duplicates.
   */
 object Extensions {
 
@@ -126,14 +128,51 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // ANN queries are oracle-checked: the hyperplanes/centroid rule are
+    // deterministic, so the oracle SQL embeds the same plane constants and
+    // replays the identical bucket/assign/probe math in DuckDB.
     "sim_ann_lsh_topk" -> ((s, d) => {
       Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, k = 10, planes = 4, dim = 64)
     }),
 
+    // Production IVF shape: build index once, PERSIST partitioned by
+    // ivf_cell, probe as a partition-pruned scan (only nprobe/nCells of the
+    // corpus is read).
     "sim_ann_ivf_topk" -> ((s, d) => {
-      Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        queryId = 0L, k = 10, nCells = 8, nprobe = 3)
+      val emb = Tables.embeddings(s, d)
+      val index = Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 8)
+      val path = System.getProperty("java.io.tmpdir") + "/graft_ivf_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      Similarity.ivfWrite(index, path)
+      val assigned = s.read.parquet(path)
+      val qvec = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
+      Similarity.ivfProbe(assigned, index.centroids, "vec_id", "embedding",
+        qvec, k = 10, nprobe = 3, excludeId = Some(0L))
+    }),
+
+    // Quantified ANN quality: recall@10 of each approximate path against the
+    // brute-force exact top-10, joined in-Spark — deterministic values.
+    "sim_ann_lsh_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+        .select(col("vec_id"))
+      val ann = Similarity.lshTopK(emb, "vec_id", "embedding", 0L, 10,
+        planes = 4, dim = 64).select(col("vec_id"))
+      ann.join(bf, "vec_id").agg(count(lit(1)).as("n_hits"))
+        .select(lit(10).as("k"), col("n_hits"),
+          round(col("n_hits") / 10.0, 4).as("recall"))
+    }),
+
+    "sim_ann_ivf_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+        .select(col("vec_id"))
+      val ann = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
+        nCells = 8, nprobe = 3).select(col("vec_id"))
+      ann.join(bf, "vec_id").agg(count(lit(1)).as("n_hits"))
+        .select(lit(10).as("k"), col("n_hits"),
+          round(col("n_hits") / 10.0, 4).as("recall"))
     }),
 
     "dedup_minhash_pairs" -> ((s, d) => {
@@ -191,13 +230,48 @@ object Extensions {
   private val toks = """list_filter(regexp_split_to_array(lower(text), '\s+'), x -> length(x) > 0)"""
   private val enStops =
     TA.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+  private val frStops =
+    TA.FrenchStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+  private val deStops =
+    TA.GermanStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+  private val esStops =
+    TA.SpanishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  // ANN oracle plumbing: the exact hyperplanes the Spark path uses (fixed
+  // seed), embedded as SQL literals — Double.toString round-trips exactly, and
+  // both engines accumulate dot products sequentially in double, so the sign
+  // bits (buckets) and cosines agree bit-for-bit.
+  private val lshPlanes = Similarity.hyperplanes(64, 4)
+  private def planeLit(p: Seq[Double]): String = p.mkString("[", ", ", "]")
+  private val bucketExpr = lshPlanes.zipWithIndex.map { case (p, i) =>
+    s"(CASE WHEN list_inner_product(v, ${planeLit(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+  }.mkString(" + ")
+  // shared CTE prefix: corpus as DOUBLE[], LSH buckets, the query row
+  private val lshCtes =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+       |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)""".stripMargin
+  // mirrors ivfCentroids/ivfAssign/ivfProbeCells: every stride-th vector by
+  // id is a centroid; argmax-cosine assignment; probe the 3 nearest cells
+  private val ivfCtes =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT greatest(count(*) // 8, 1) AS stride FROM e),
+      |cents AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v AS cv
+      |          FROM e, n WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT 8),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |probe AS (SELECT cid FROM cents, q
+      |          ORDER BY list_cosine_similarity(cv, qv) DESC, cid LIMIT 3),
+      |assign AS (SELECT e.vec_id, e.v,
+      |             arg_max(c.cid, list_cosine_similarity(e.v, c.cv)) AS cell
+      |           FROM e, cents c GROUP BY e.vec_id, e.v)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "text_token_stats" ->
       s"""SELECT doc_id, len($toks) AS n_tokens,
          |  len(list_distinct($toks)) AS n_distinct,
-         |  round(CAST(list_aggregate(list_transform($toks, x -> length(x)), 'sum') AS DOUBLE)
-         |        / len($toks), 4) AS avg_word_len,
+         |  CASE WHEN len($toks) = 0 THEN 0.0
+         |       ELSE round(CAST(list_aggregate(list_transform($toks, x -> length(x)), 'sum') AS DOUBLE)
+         |                  / len($toks), 4) END AS avg_word_len,
          |  length(text) AS n_chars_m
          |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -220,6 +294,35 @@ object Extensions {
          |    + (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)*0.2
          |    + greatest(0.0, 1.0 - punct_ratio*5.0)*0.2, 4) AS quality
          |FROM q ORDER BY doc_id""".stripMargin,
+
+    // Mirrors TextAnalysis.textStatsFrame's language pick exactly: per-language
+    // stopword hit-rate, argmax with ties broken en > fr > de > es (the order
+    // of LangInventories), 'und' when nothing scores, 'zh' when >5% of
+    // codepoints are CJK. RE2 spells Java's \p{script=Han} as \p{Han}.
+    "text_langid" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len($toks)=0 THEN 0.0
+         |         ELSE CAST(len(list_filter($toks, x -> list_contains($enStops, x))) AS DOUBLE)/len($toks) END AS en,
+         |    CASE WHEN len($toks)=0 THEN 0.0
+         |         ELSE CAST(len(list_filter($toks, x -> list_contains($frStops, x))) AS DOUBLE)/len($toks) END AS fr,
+         |    CASE WHEN len($toks)=0 THEN 0.0
+         |         ELSE CAST(len(list_filter($toks, x -> list_contains($deStops, x))) AS DOUBLE)/len($toks) END AS de,
+         |    CASE WHEN len($toks)=0 THEN 0.0
+         |         ELSE CAST(len(list_filter($toks, x -> list_contains($esStops, x))) AS DOUBLE)/len($toks) END AS es,
+         |    CASE WHEN length(text)=0 THEN 0.0
+         |         ELSE CAST(length(regexp_replace(text,
+         |                '[^\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}]', '', 'g')) AS DOUBLE)/length(text) END AS cjk
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN cjk > 0.05 THEN 'zh'
+         |       WHEN en >= fr AND en >= de AND en >= es AND en > 0 THEN 'en'
+         |       WHEN fr >= de AND fr >= es AND fr > 0 THEN 'fr'
+         |       WHEN de >= es AND de > 0 THEN 'de'
+         |       WHEN es > 0 THEN 'es'
+         |       ELSE 'und' END AS lang_guess,
+         |  round(en, 4) AS en_score
+         |FROM s ORDER BY doc_id""".stripMargin,
 
     "dedup_exact_groups" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
@@ -266,6 +369,38 @@ object Extensions {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts
         |ORDER BY c.user_id, click_id""".stripMargin,
+
+    "sim_ann_lsh_topk" ->
+      s"""$lshCtes
+         |SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cos
+         |FROM b, q WHERE bucket = qb AND vec_id != 0
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "sim_ann_ivf_topk" ->
+      s"""$ivfCtes
+         |SELECT a.vec_id, round(list_cosine_similarity(a.v, q.qv), 6) AS cos
+         |FROM assign a, q
+         |WHERE a.cell IN (SELECT cid FROM probe) AND a.vec_id != 0
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "sim_ann_lsh_recall" ->
+      s"""$lshCtes,
+         |ann AS (SELECT vec_id FROM b, q WHERE bucket = qb AND vec_id != 0
+         |        ORDER BY round(list_cosine_similarity(v, qv), 6) DESC, vec_id LIMIT 10),
+         |bf AS (SELECT vec_id FROM e, q WHERE vec_id != 0
+         |       ORDER BY round(list_cosine_similarity(v, qv), 6) DESC, vec_id LIMIT 10)
+         |SELECT 10 AS k, count(*) AS n_hits, round(count(*) / 10.0, 4) AS recall
+         |FROM ann JOIN bf USING (vec_id)""".stripMargin,
+
+    "sim_ann_ivf_recall" ->
+      s"""$ivfCtes,
+         |ann AS (SELECT a.vec_id FROM assign a, q
+         |        WHERE a.cell IN (SELECT cid FROM probe) AND a.vec_id != 0
+         |        ORDER BY round(list_cosine_similarity(a.v, q.qv), 6) DESC, a.vec_id LIMIT 10),
+         |bf AS (SELECT vec_id FROM e, q WHERE vec_id != 0
+         |       ORDER BY round(list_cosine_similarity(v, qv), 6) DESC, vec_id LIMIT 10)
+         |SELECT 10 AS k, count(*) AS n_hits, round(count(*) / 10.0, 4) AS recall
+         |FROM ann JOIN bf USING (vec_id)""".stripMargin,
 
     "multimodal_metadata" ->
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS byte_len,

@@ -829,7 +829,8 @@ object Relational {
     "scalar_math_funcs" ->
       """SELECT l_orderkey, l_linenumber,
         |  abs(l_quantity - 25.0) AS abs_dev,
-        |  floor(l_extendedprice) AS fl, ceil(l_extendedprice) AS ce,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
         |  round(sqrt(l_quantity),6) AS sq,
         |  l_orderkey % 7 AS m7,
         |  l_quantity * l_quantity AS sqr,

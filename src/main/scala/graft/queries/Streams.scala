@@ -49,6 +49,25 @@ object Streams {
           unix_timestamp(col("session_window.start")).as("sess_start"),
           col("n"), col("sum_v"))
         .orderBy(col("user_id"), col("sess_start"))
+    }),
+
+    // stream-stream join shape (StreamJoinSpec runs the same plan under
+    // readStream + watermarks): views attributed to clicks on the same user
+    // within the following 5 minutes. Equi-key user_id carries the shuffle;
+    // the time-range bound is the state-retention condition in stream mode.
+    "stream_join_attrib" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+      clicks.join(views,
+        col("user_id") === col("v_user_id") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 5 MINUTES"))
+        .select(col("user_id"), col("click_id"), col("view_id"))
+        .orderBy(col("user_id"), col("click_id"), col("view_id"))
     })
   )
 
@@ -82,6 +101,15 @@ object Streams {
         |      FROM o)
         |SELECT user_id, CAST(floor(min(t) / 1e6) AS BIGINT) AS sess_start,
         |       count(*) AS n, round(sum(value),2) AS sum_v
-        |FROM g GROUP BY user_id, grp ORDER BY user_id, sess_start""".stripMargin
+        |FROM g GROUP BY user_id, grp ORDER BY user_id, sess_start""".stripMargin,
+
+    "stream_join_attrib" ->
+      """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id
+        | AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+        | AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
+        |ORDER BY c.user_id, click_id, view_id""".stripMargin
   )
 }

@@ -127,6 +127,30 @@ class ChangePipelineSpec extends SparkSpec {
     assert(r.getAs[Double]("f") === 1.5)
   }
 
+  test("unsigned lanes reject overflow above the uN max (parse::<uN> parity)") {
+    import spark.implicits._
+    val catalog = Seq(ChTable("t", Seq(
+      ChColumn("u8", ChUInt8), ChColumn("u16", ChUInt16),
+      ChColumn("u32", ChUInt32), ChColumn("u64", ChUInt64))))
+    // one row at each max (kept), one row just above (nulled)
+    val blocks = Seq(
+      block(1L, change("t", "u8" -> "255", "u16" -> "65535",
+        "u32" -> "4294967295", "u64" -> "18446744073709551615")),
+      block(2L, change("t", "u8" -> "256", "u16" -> "65536",
+        "u32" -> "4294967296", "u64" -> "18446744073709551616"))).toDS()
+    val rows = ChangePipeline.process(blocks, catalog)("t")
+      .orderBy(col("block_num")).collect()
+    val atMax = rows(0)
+    assert(atMax.getAs[Short]("u8") === 255)
+    assert(atMax.getAs[Int]("u16") === 65535)
+    assert(atMax.getAs[Long]("u32") === 4294967295L)
+    assert(atMax.getAs[java.math.BigDecimal]("u64").toPlainString === "18446744073709551615")
+    val over = rows(1)
+    Seq("u8", "u16", "u32", "u64").foreach { c =>
+      assert(over.isNullAt(over.fieldIndex(c)), s"$c should overflow to NULL")
+    }
+  }
+
   test("strict mode raises on malformed value (reference panic parity)") {
     import spark.implicits._
     val catalog = Seq(ChTable("t", Seq(ChColumn("n", ChInt32))))
