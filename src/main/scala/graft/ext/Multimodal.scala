@@ -4,11 +4,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video travel as opaque BINARY
-  * content plus a typed metadata struct. The Spark-side machinery — schema,
-  * partitioning, batched per-partition processing, feature schema — is real
-  * and tested; the actual codec step is a clearly marked DETERMINISTIC STUB
-  * (`decodeStub`) because no image/audio libraries exist in this
-  * environment. Swapping the stub for a real decoder changes one function.
+  * content plus a typed metadata struct.
+  *
+  * The IMAGE lane is real: deterministic synthetic PNGs are encoded and
+  * decoded with the stdlib `javax.imageio` codec (lossless round-trip,
+  * oracle-checkable dimensions and channel means). For audio/video — where
+  * no library exists in this environment — the batched machinery is the same
+  * but the codec step is a clearly marked DETERMINISTIC STUB (`decodeStub`);
+  * swapping it for a real decoder changes one function.
   *
   * Scale: content bytes never hit the driver; decode runs as mapPartitions
   * with bounded-size batches (the shape a vectorized/batched decoder wants),
@@ -75,5 +78,77 @@ object Multimodal {
   def mediaDataset(docs: DataFrame): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
     mediaFromDocuments(docs).as[MediaRow]
+  }
+
+  // ---- real PNG lane (javax.imageio — stdlib, runs on executors) -----------
+
+  /** PNG payload row (content generated executor-side, never on the driver). */
+  final case class PngRow(media_id: Long, content: Array[Byte], width: Int, height: Int)
+
+  /** Decoded per-image statistics. PNG is lossless, so for the deterministic
+    * fixture every value has a closed form the DuckDB oracle recomputes
+    * independently: mean_r/mean_g are the constant fill channels, mean_b is
+    * the scanline gradient's (height-1)/2. */
+  final case class PngStats(media_id: Long, byte_len: Int, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Deterministic synthetic image: R = id%256 and G = (id*7+31)%256 constant,
+    * B = scanline index (a vertical gradient). Encoded with the stdlib PNG
+    * writer — a REAL codec round-trip, not a byte stub. */
+  def pngEncode(mediaId: Long, width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val r = (mediaId % 256).toInt
+    val g = ((mediaId * 7 + 31) % 256).toInt
+    var y = 0
+    while (y < height) {
+      val rgb = (r << 16) | (g << 8) | (y % 256)
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real decode: parse the PNG, read back dimensions and per-channel means. */
+  def pngDecodeStats(mediaId: Long, bytes: Array[Byte]): PngStats = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val w = img.getWidth; val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    PngStats(mediaId, bytes.length, w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+  }
+
+  /** Fixture: one small PNG per document, sized from n_chars. Generation and
+    * decode both run inside mapPartitions — bytes stay distributed. */
+  def pngMedia(docs: DataFrame): Dataset[PngRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"),
+      (col("n_chars") % 64 + 1).cast("int").as("w"),
+      (col("n_chars") % 48 + 1).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h) => PngRow(id, pngEncode(id, w, h), w, h) })
+  }
+
+  /** Batched per-partition PNG decode — same batch shape as
+    * [[extractFeatures]], with the stub swapped for the real codec. */
+  def decodePngFeatures(media: Dataset[PngRow], batchSize: Int = 64): Dataset[PngStats] = {
+    implicit val enc = Encoders.product[PngStats]
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map(m => pngDecodeStats(m.media_id, m.content)))
+    }
   }
 }

@@ -214,7 +214,21 @@ object Extensions {
         .orderBy(col("fork"))
     }),
 
+    // REAL codec round-trip: synthetic PNGs encoded + decoded with
+    // javax.imageio on executors; dims and channel means have closed forms
+    // the oracle recomputes from the generation rule (PNG is lossless).
     "multimodal_decode" -> ((s, d) => {
+      Multimodal.decodePngFeatures(
+        Multimodal.pngMedia(Tables.documents(s, d))).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy(col("media_id"))
+    }),
+
+    // The batched feature-extraction machinery for formats with no JVM codec
+    // (audio/video): real schema/batching, deterministic stub codec,
+    // rows-only check.
+    "multimodal_features" -> ((s, d) => {
       val feats = Multimodal.extractFeatures(
         Multimodal.mediaDataset(Tables.documents(s, d)))
       feats.toDF()
@@ -408,6 +422,17 @@ object Extensions {
         |       ELSE 'webp' END AS format,
         |  CAST(n_chars % 640 + 1 AS INT) AS width,
         |  CAST(n_chars % 480 + 1 AS INT) AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // closed forms of the PNG fixture: constant R/G fills and the vertical
+    // gradient's mean (height-1)/2 — exact in double for these magnitudes
+    "multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(n_chars % 64 + 1 AS INT) AS width,
+        |  CAST(n_chars % 48 + 1 AS INT) AS height,
+        |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+        |  CAST((doc_id * 7 + 31) % 256 AS DOUBLE) AS mean_g,
+        |  CAST(n_chars % 48 AS DOUBLE) / 2.0 AS mean_b
         |FROM documents ORDER BY media_id""".stripMargin
   )
 }

@@ -117,6 +117,32 @@ object RefShapes {
           col("l_shipdate").cast("date").cast("string").as("c_date_str"),
           unix_timestamp(col("l_shipdate")).as("c_epoch_s"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // O8: protobuf DatabaseChanges decode (reference src/loader.rs:127-130).
+    // Events are first serialized to real wire-format payloads (fixture
+    // role: real payloads arrive already encoded), then decoded with the
+    // codegen'd wire decoder and projected back to typed columns. The DuckDB
+    // oracle computes the expected output straight from events — the byte
+    // layout itself is pinned by ProtoWireSpec's golden vectors.
+    "pipe_o8_decode" -> ((s, d) => {
+      import graft.functions.ProtoWire
+      val enc = Tables.events(s, d)
+        .filter(col("event_id") < 2000)
+        .select(ProtoWire.pb_encode_change(
+          col("event_type"),
+          col("event_id").cast("string"),
+          col("event_id"),
+          lit(1), // Operation::CREATE
+          map(lit("user_id"), col("user_id").cast("string"))).as("payload"))
+      enc.select(explode(ProtoWire.pb_decode_changes(col("payload"))).as("c"))
+        .select(col("c.table").as("table_name"),
+          col("c.pk").cast("long").as("pk"),
+          col("c.ordinal").as("ordinal"),
+          col("c.operation").as("op"),
+          expr("map_from_entries(transform(c.fields, f -> struct(f.name, f.new_value)))")
+            .getItem("user_id").cast("long").as("user_id"))
+        .orderBy(col("pk"))
     })
   )
 
@@ -167,6 +193,12 @@ object RefShapes {
         |       CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS c_date_str,
         |       CAST(epoch(l_shipdate) AS BIGINT) AS c_epoch_s
         |FROM lineitem WHERE l_orderkey < 500
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "pipe_o8_decode" ->
+      """SELECT event_type AS table_name, CAST(event_id AS BIGINT) AS pk,
+        |       CAST(event_id AS BIGINT) AS ordinal, 1 AS op,
+        |       CAST(user_id AS BIGINT) AS user_id
+        |FROM events WHERE event_id < 2000 ORDER BY pk""".stripMargin
   )
 }

@@ -38,11 +38,14 @@ class MultiTableSink(
     val cached = blocks.cache()
     try {
       val frames = ChangePipeline.process(cached, catalog, strict)
+      // ONE aggregation decides which tables this batch touches, instead of
+      // an isEmpty job per catalog table (O(tables) launches on a wide
+      // catalog); then each present table runs exactly one write job.
+      val present = cached.toDF()
+        .select(explode(col("changes.table")).as("t"))
+        .distinct().collect().map(_.getString(0)).toSet
       frames.foreach { case (table, df) =>
-        val rows = df.cache()
-        try {
-          if (!rows.isEmpty) rows.write.mode("append").parquet(dataPath(table))
-        } finally rows.unpersist()
+        if (present(table)) df.write.mode("append").parquet(dataPath(table))
       }
       // cursor last — only after every table committed (reference ordering)
       val top = cached

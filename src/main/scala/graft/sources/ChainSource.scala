@@ -43,8 +43,20 @@ import org.apache.spark.unsafe.types.UTF8String
   *     .option("reorgEvery", 50)         // undo message cadence (0 = never)
   *     .option("reorgDepth", 3)
   *     .option("finalityLag", 12)
+  *     .option("token", "…")             // O2: bearer token (env wins)
+  *     .option("requireAuth", true)      // synthetic server demands a token
+  *     .option("failEvery", 50)          // O3: transient fault injection
+  *     .option("maxRetries", 5)
   *     .load()                           // schema = BlockMsg
   * }}}
+  *
+  * Auth (O2) + resilience (O3): the resolved token (env
+  * `SUBSTREAMS_API_TOKEN` over the `token` option, reference
+  * `src/main.rs:128-131`) is checked on every fetch like the per-request
+  * `authorization` header (`src/substreams.rs:56-71`); a missing token under
+  * `requireAuth` raises `Unauthenticated`, which [[Backoff]] treats as fatal
+  * (no retry). Transient fetch errors (injectable via `failEvery`) retry on
+  * the exponential 10 ms → 45 s schedule with reset-on-success.
   */
 class ChainSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = ChainSource.schema
@@ -79,7 +91,14 @@ object ChainSource {
       StructField("lastValidCursor", StringType))), nullable = true)))
 
   final case class Config(blocksPerTrigger: Long, totalBlocks: Long,
-      reorgEvery: Long, reorgDepth: Long, finalityLag: Long, numPartitions: Int)
+      reorgEvery: Long, reorgDepth: Long, finalityLag: Long, numPartitions: Int,
+      token: String, requireAuth: Boolean, failEvery: Long, maxRetries: Int)
+
+  /** O2 parity: the env token wins over the option, like the reference's
+    * SUBSTREAMS_API_TOKEN over the CLI flag (`src/main.rs:128-131`); the
+    * resolved token is injected per request (`src/substreams.rs:56-71`). */
+  def resolveToken(o: CaseInsensitiveStringMap): String =
+    sys.env.getOrElse("SUBSTREAMS_API_TOKEN", o.getOrDefault("token", ""))
 
   def config(o: CaseInsensitiveStringMap): Config = Config(
     blocksPerTrigger = o.getLong("blocksPerTrigger", 10L),
@@ -87,7 +106,14 @@ object ChainSource {
     reorgEvery = o.getLong("reorgEvery", 0L),
     reorgDepth = o.getLong("reorgDepth", 2L),
     finalityLag = o.getLong("finalityLag", 12L),
-    numPartitions = o.getInt("numPartitions", 4))
+    numPartitions = o.getInt("numPartitions", 4),
+    token = resolveToken(o),
+    // the synthetic server's stance: demand a bearer token like the real one
+    requireAuth = o.getBoolean("requireAuth", false),
+    // fault injection: first fetch of every failEvery-th message throws a
+    // transient error, exercising the O3 retry path (0 = never)
+    failEvery = o.getLong("failEvery", 0L),
+    maxRetries = o.getInt("maxRetries", 5))
 
   /** Deterministic message at sequence `seq`: chain state is a pure function
     * of the sequence number, so any reader (or retry) regenerates the exact
@@ -189,13 +215,39 @@ class ChainMicroBatchStream(cfg: ChainSource.Config)
   override def createReaderFactory(): PartitionReaderFactory = new ChainReaderFactory(cfg)
 }
 
+/** Signals the reference's fatal `Unauthenticated` gRPC status — [[Backoff]]
+  * treats it as non-retryable (`src/substreams_stream.rs:116-118`). */
+final class UnauthenticatedException(msg: String) extends RuntimeException(msg)
+
 class ChainReaderFactory(cfg: ChainSource.Config) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ChainInputPartition]
     new PartitionReader[InternalRow] {
       private var seq = p.start - 1
-      override def next(): Boolean = { seq += 1; seq < p.end }
-      override def get(): InternalRow = ChainSource.messageAt(seq, p.cfg)
+      private var current: InternalRow = _
+      // transient faults fire once per seq (first attempt), so a retried
+      // fetch succeeds — the reconnect-and-resume shape of O3
+      private val failedOnce = scala.collection.mutable.Set.empty[Long]
+
+      private def fetch(s: Long): InternalRow = {
+        if (p.cfg.requireAuth && p.cfg.token.isEmpty)
+          throw new UnauthenticatedException(
+            "missing bearer token (set the token option or SUBSTREAMS_API_TOKEN)")
+        if (p.cfg.failEvery > 0 && s > 0 && s % p.cfg.failEvery == 0 && failedOnce.add(s))
+          throw new java.io.IOException(s"transient chain error at seq $s")
+        ChainSource.messageAt(s, p.cfg)
+      }
+
+      override def next(): Boolean = {
+        seq += 1
+        if (seq >= p.end) false
+        else {
+          current = Backoff.retry(p.cfg.maxRetries,
+            isFatal = _.isInstanceOf[UnauthenticatedException])(() => fetch(seq))
+          true
+        }
+      }
+      override def get(): InternalRow = current
       override def close(): Unit = ()
     }
   }

@@ -3,8 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.model.{BlockMsg, ChTable}
-import graft.sink.MultiTableSink
+import graft.model.{BlockMsg, BlockScoped, ChTable}
+import graft.sink.{JdbcMultiTableSink, MultiTableSink}
 
 /** End-to-end wiring of the streaming load path (reference run-loop,
   * `src/main.rs:194-235`):
@@ -21,21 +21,39 @@ import graft.sink.MultiTableSink
   */
 object GraftStream {
 
+  /** Generic wiring: any sink honoring the `(releasedBlocks, batchId)`
+    * contract — parquet ([[MultiTableSink]]) and JDBC
+    * ([[JdbcMultiTableSink]]) both plug in here. */
+  def startWith(msgs: Dataset[BlockMsg], checkpointDir: String)(
+      writeBatch: (Dataset[BlockScoped], Long) => Unit): StreamingQuery =
+    StreamingFinality.released(msgs)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(writeBatch)
+      .start()
+
   def start(
       msgs: Dataset[BlockMsg],
       catalog: Seq[ChTable],
       outDir: String,
       checkpointDir: String,
       cursorId: String,
-      strict: Boolean = false): StreamingQuery = {
-    val sink = new MultiTableSink(catalog, outDir, cursorId, strict)
-    StreamingFinality.released(msgs)
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch(sink.writeBatch _)
-      .start()
-  }
+      strict: Boolean = false): StreamingQuery =
+    startWith(msgs, checkpointDir)(
+      new MultiTableSink(catalog, outDir, cursorId, strict).writeBatch)
+
+  /** Stream into a JDBC database with replace-on-PK idempotent writes. */
+  def startJdbc(
+      msgs: Dataset[BlockMsg],
+      catalog: Seq[ChTable],
+      url: String,
+      checkpointDir: String,
+      cursorId: String,
+      pkCols: Map[String, Seq[String]] = Map.empty,
+      strict: Boolean = false): StreamingQuery =
+    startWith(msgs, checkpointDir)(
+      new JdbcMultiTableSink(catalog, url, cursorId, pkCols, strict = strict).writeBatch)
 
   /** Streaming file source of BlockMsg parquet rows — the fixture stand-in
     * for the gRPC connector (SURVEY §7.1 source a). One file per trigger

@@ -59,6 +59,34 @@ class ChainSourceSpec extends SparkSpec {
     assert(seqs2.toSeq === (0L until 40L), "restart must not re-deliver the committed range")
   }
 
+  test("O3: transient faults are retried on the backoff schedule; nothing is lost") {
+    val df = spark.read.format("graft.sources.ChainSource")
+      .option("totalBlocks", 30).option("failEvery", 7).option("maxRetries", 3)
+      .load()
+    // every 7th fetch throws once; retry must regenerate the identical message
+    assert(df.count() === 30)
+    assert(df.select("seq").collect().map(_.getLong(0)).sorted.toSeq === (0L until 30L))
+  }
+
+  test("O2: missing token under requireAuth is fatal — no retry, query aborts") {
+    val df = spark.read.format("graft.sources.ChainSource")
+      .option("totalBlocks", 5).option("requireAuth", "true")
+      .load()
+    val e = intercept[Exception] { df.count() }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(_.isInstanceOf[Backoff.FatalException]),
+      s"expected fatal-auth short circuit, got $e")
+    assert(chain(e).exists(_.isInstanceOf[UnauthenticatedException]))
+  }
+
+  test("O2: a provided bearer token satisfies requireAuth") {
+    val df = spark.read.format("graft.sources.ChainSource")
+      .option("totalBlocks", 5).option("requireAuth", "true").option("token", "tok-123")
+      .load()
+    assert(df.count() === 5)
+  }
+
   test("end-to-end: chain source through finality buffer releases canonical chain only") {
     import spark.implicits._
     implicit val enc = org.apache.spark.sql.Encoders.product[BlockMsg]
