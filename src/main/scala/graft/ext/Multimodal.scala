@@ -100,13 +100,14 @@ object Multimodal {
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val r = (mediaId % 256).toInt
     val g = ((mediaId * 7 + 31) % 256).toInt
+    val px = new Array[Int](width * height)
     var y = 0
     while (y < height) {
       val rgb = (r << 16) | (g << 8) | (y % 256)
-      var x = 0
-      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      java.util.Arrays.fill(px, y * width, (y + 1) * width, rgb)
       y += 1
     }
+    img.setRGB(0, 0, width, height, px, 0, width) // one bulk transfer
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
@@ -116,16 +117,13 @@ object Multimodal {
   def pngDecodeStats(mediaId: Long, bytes: Array[Byte]): PngStats = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     val w = img.getWidth; val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w) // one bulk transfer
     var sr = 0L; var sg = 0L; var sb = 0L
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val p = img.getRGB(x, y)
-        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-        x += 1
-      }
-      y += 1
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+      i += 1
     }
     val n = w.toLong * h
     PngStats(mediaId, bytes.length, w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
