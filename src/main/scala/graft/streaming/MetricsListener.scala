@@ -12,11 +12,27 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
   * rows/duration/state metrics; this listener records them (bounded ring)
   * and logs one line per batch, instead of hand-rolled per-row logging that
   * would serialize the hot path.
+  *
+  * Output format is env-switched like the reference's `LogConfig`
+  * (`src/logging.rs:22-42`): under an orchestrator (`K_SERVICE` or
+  * `KUBERNETES_SERVICE_HOST` set) batches log as structured JSON
+  * (the Stackdriver-layer analog); otherwise as a human-readable line.
   */
-class MetricsListener(keep: Int = 100) extends StreamingQueryListener {
+class MetricsListener(keep: Int = 100,
+    env: String => Option[String] = sys.env.get) extends StreamingQueryListener {
+  import MetricsListener.BatchMetric
 
-  final case class BatchMetric(batchId: Long, numInputRows: Long,
-      processedRowsPerSecond: Double, durationMs: Long)
+  /** prod = structured logging, matching LogConfig::new's detection. */
+  val structured: Boolean =
+    env("K_SERVICE").isDefined || env("KUBERNETES_SERVICE_HOST").isDefined
+
+  def formatLine(m: BatchMetric): String =
+    if (structured)
+      s"""{"batch":${m.batchId},"rows":${m.numInputRows},""" +
+        s""""rows_per_sec":${m.processedRowsPerSecond},"duration_ms":${m.durationMs}}"""
+    else
+      f"batch ${m.batchId}: ${m.numInputRows} rows, " +
+        f"${m.processedRowsPerSecond}%.1f rows/s, ${m.durationMs} ms"
 
   private val ring = new ConcurrentLinkedQueue[BatchMetric]()
 
@@ -33,7 +49,13 @@ class MetricsListener(keep: Int = 100) extends StreamingQueryListener {
       Option(p.durationMs.get("triggerExecution")).map(_.longValue()).getOrElse(0L))
     ring.add(m)
     while (ring.size() > keep) ring.poll()
+    println(formatLine(m))
   }
 
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+}
+
+object MetricsListener {
+  final case class BatchMetric(batchId: Long, numInputRows: Long,
+      processedRowsPerSecond: Double, durationMs: Long)
 }

@@ -29,4 +29,15 @@ class MetricsListenerSpec extends SparkSpec {
       assert(batches.forall(_.durationMs >= 0))
     } finally spark.streams.removeListener(listener)
   }
+
+  test("log format is env-switched like the reference LogConfig") {
+    val m = MetricsListener.BatchMetric(7L, 100L, 2500.0, 40L)
+    val dev = new MetricsListener(env = _ => None)
+    assert(!dev.structured)
+    assert(dev.formatLine(m) === "batch 7: 100 rows, 2500.0 rows/s, 40 ms")
+    val prod = new MetricsListener(env = k => Option.when(k == "K_SERVICE")("svc"))
+    assert(prod.structured)
+    assert(prod.formatLine(m) ===
+      """{"batch":7,"rows":100,"rows_per_sec":2500.0,"duration_ms":40}""")
+  }
 }
