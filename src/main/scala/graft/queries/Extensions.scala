@@ -46,6 +46,42 @@ object Extensions {
         .select(col("fp"), col("survivor_id"), col("n_dups"))
     }),
 
+    // ---- training-pipeline compositions (oracle-checked) -------------------
+
+    // Deterministic shuffle + token-budget sharding, the pre-training layout
+    // step: docs ordered by a seeded md5 key WITHIN 256 hash strata (the
+    // window is partitioned, so the sort parallelizes across strata — no
+    // global single-partition window), then packed greedily into shards of
+    // ~2048 tokens by cumulative token count.
+    "train_shuffle_shard" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val key = md5(concat(lit("shuf:"), col("doc_id").cast("string")).cast("binary"))
+      val toks = TA.tokenCount(col("text")).cast("long")
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), key.as("k"), substring(key, 1, 2).as("stratum"),
+          toks.as("n_tokens"))
+      val w = Window.partitionBy(col("stratum")).orderBy(col("k"))
+      base
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("stratum"),
+          floor((col("cum") - col("n_tokens")) / 2048).cast("long").as("shard"),
+          col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // End-to-end quality filter: keep only exact-dedup survivors whose
+    // composite quality clears the bar — the canonical select-what-to-train-on
+    // pipeline (fingerprint dedup ∘ quality score), one shuffle each side.
+    "train_quality_filter" -> ((s, d) => {
+      val stats = TA.textStatsFrame(Tables.documents(s, d), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("quality"), col("n_tokens"))
+      val survivors = Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id")
+        .select(col("survivor_id").as("doc_id"))
+      stats.join(survivors, "doc_id")
+        .filter(col("quality") >= 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // exact pairwise n-gram Jaccard on a bounded slice (quadratic by nature)
     "dedup_ngram_jaccard" -> ((s, d) => {
       Dedup.ngramJaccardPairs(
@@ -342,6 +378,40 @@ object Extensions {
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
         |  min(doc_id) AS survivor_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY survivor_id""".stripMargin,
+
+    "train_shuffle_shard" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k,
+         |    substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 2) AS stratum,
+         |    CAST(len($toks) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT doc_id, stratum,
+         |  CAST(floor((sum(n_tokens) OVER (PARTITION BY stratum ORDER BY k)
+         |              - n_tokens) / 2048.0) AS BIGINT) AS shard,
+         |  n_tokens
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "train_quality_filter" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(text)=0 THEN 0.0
+         |         ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)/length(text) END AS punct_ratio,
+         |    CASE WHEN len($toks)=0 THEN 0.0
+         |         ELSE CAST(len(list_filter($toks, x -> list_contains($enStops, x))) AS DOUBLE)/len($toks) END AS stop_ratio,
+         |    CASE WHEN len($toks)=0 THEN 0.0
+         |         ELSE CAST(list_aggregate(list_transform($toks, x -> length(x)), 'sum') AS DOUBLE)/len($toks) END AS mwl,
+         |    length(text) AS n_len, CAST(len($toks) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |q AS (SELECT doc_id, n_tokens,
+         |        round(least(n_len/500.0, 1.0)*0.3 + least(stop_ratio*4.0, 1.0)*0.3
+         |          + (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)*0.2
+         |          + greatest(0.0, 1.0 - punct_ratio*5.0)*0.2, 4) AS quality
+         |      FROM f),
+         |s AS (SELECT min(doc_id) AS doc_id FROM documents
+         |      GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
+         |SELECT q.doc_id, quality, n_tokens FROM q JOIN s USING (doc_id)
+         |WHERE quality >= 0.5 ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH w AS (SELECT doc_id, list_distinct($toks) AS words FROM documents WHERE doc_id < 60)
