@@ -152,6 +152,22 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ...but the sketch's ACCURACY is oracle-checkable: the within-5%-of-exact
+    // verdict is deterministic (HLL is deterministic for fixed input), and the
+    // oracle recomputes the exact side independently.
+    "agg_approx_distinct_check" -> ((s, d) => {
+      // rsd 2% sketch, 10% acceptance band = a 5-sigma margin: the verdict is
+      // effectively guaranteed true at every scale factor, and the oracle
+      // still independently verifies the exact side
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx"),
+          count_distinct(col("l_orderkey")).as("exact"))
+        .select(col("l_returnflag"), col("exact"),
+          (abs(col("approx") - col("exact")) <= col("exact") * 0.10).as("within_10pct"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Exact interpolated percentiles — Spark percentile == DuckDB
     // quantile_cont on the same ordered set.
     "agg_percentiles" -> ((s, d) => {
@@ -306,6 +322,20 @@ object Relational {
         .groupBy(col("band"))
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("volume"))
         .orderBy(col("band"))
+    }),
+
+    // Salted skew join: identical RESULT to the plain equi-join (the oracle
+    // proves it), but the hot key's rows spread across `salt` reducer
+    // partitions — the manual straggler fix when AQE skew-split can't apply.
+    "join_skew_salted" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("k"), col("l_quantity"))
+      val small = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("k"), col("s_name"))
+      graft.ext.SkewJoin.saltedJoin(big, small, "k", salt = 8)
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("s_name"))
     }),
 
     // PIVOT: order counts per status spread across priority columns.
@@ -719,6 +749,16 @@ object Relational {
         |  ('high',300000.0,1e18)) AS bands(band,lo,hi)
         |ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+
+    "join_skew_salted" ->
+      """SELECT s_name, count(*) AS n, round(sum(l_quantity),2) AS qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
+
+    "agg_approx_distinct_check" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact,
+        |  true AS within_10pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_pivot" ->
       """SELECT o_orderstatus,

@@ -92,7 +92,8 @@ object ChainSource {
 
   final case class Config(blocksPerTrigger: Long, totalBlocks: Long,
       reorgEvery: Long, reorgDepth: Long, finalityLag: Long, numPartitions: Int,
-      token: String, requireAuth: Boolean, failEvery: Long, maxRetries: Int)
+      token: String, requireAuth: Boolean, failEvery: Long, maxRetries: Int,
+      connectTimeoutMs: Long, keepaliveMs: Long)
 
   /** O2 parity: the env token wins over the option, like the reference's
     * SUBSTREAMS_API_TOKEN over the CLI flag (`src/main.rs:128-131`); the
@@ -113,7 +114,13 @@ object ChainSource {
     // fault injection: first fetch of every failEvery-th message throws a
     // transient error, exercising the O3 retry path (0 = never)
     failEvery = o.getLong("failEvery", 0L),
-    maxRetries = o.getInt("maxRetries", 5))
+    maxRetries = o.getInt("maxRetries", 5),
+    // transport knobs, part of the connector contract so a real gRPC channel
+    // drops in without an option-surface change; defaults mirror the
+    // reference's channel (connect_timeout 10 s, tcp_keepalive 30 s,
+    // src/substreams.rs:40-41). The synthetic generator has nothing to time out.
+    connectTimeoutMs = o.getLong("connectTimeoutMs", 10000L),
+    keepaliveMs = o.getLong("keepaliveMs", 30000L))
 
   /** Deterministic message at sequence `seq`: chain state is a pure function
     * of the sequence number, so any reader (or retry) regenerates the exact
