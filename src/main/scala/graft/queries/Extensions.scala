@@ -164,6 +164,43 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // MinHash ACCURACY, exact-checked: on a bounded slice, the k=32
+    // signature-agreement estimate must land within 0.35 (≈4σ) of the true
+    // 3-gram shingle-set Jaccard. The oracle recomputes the exact Jaccard
+    // independently; the estimator is deterministic, so the verdict is too.
+    "dedup_minhash_accuracy" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
+      val sh = docs.select(col("doc_id").as("id"),
+        array_distinct(Dedup.shingles(col("text"), 3)).as("sh"))
+      val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", k = 32)
+      val pairs = sh.select(col("id").as("id1"), col("sh").as("sh1"))
+        .crossJoin(sh.select(col("id").as("id2"), col("sh").as("sh2")))
+        .filter(col("id1") < col("id2"))
+        .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+        .withColumn("j",
+          col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
+        .filter(col("j") >= 0.3)
+      pairs
+        .join(sigs.select(col("id").as("id1"), col("sig").as("sig1")), "id1")
+        .join(sigs.select(col("id").as("id2"), col("sig").as("sig2")), "id2")
+        .select(col("id1"), col("id2"), round(col("j"), 6).as("jaccard"),
+          (abs(Dedup.sigAgreement(col("sig1"), col("sig2")) - col("j")) <= 0.35)
+            .as("within_tol"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // SimHash normalization invariance, exact-checked per document: the
+    // fingerprint is a pure function of the canonical tokens, so case and
+    // surrounding whitespace must not move a single bit.
+    "dedup_simhash_invariance" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          (Dedup.simhash(col("text")) ===
+            Dedup.simhash(upper(concat(lit("  "), col("text"), lit("  ")))))
+            .as("normalization_invariant"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ANN queries are oracle-checked: the hyperplanes/centroid rule are
     // deterministic, so the oracle SQL embeds the same plane constants and
     // replays the identical bucket/assign/probe math in DuckDB.
@@ -378,6 +415,29 @@ object Extensions {
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
         |  min(doc_id) AS survivor_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY survivor_id""".stripMargin,
+
+    // exact 3-gram shingle-set Jaccard, recomputed independently (the Spark
+    // side's estimate must land within the ±0.35 band -> verdict column)
+    "dedup_minhash_accuracy" ->
+      s"""WITH s AS (
+         |  SELECT doc_id AS id,
+         |    CASE WHEN len($toks) >= 3
+         |         THEN list_distinct(list_transform(range(1, len($toks) - 1),
+         |                i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]))
+         |         ELSE [array_to_string($toks, ' ')] END AS sh
+         |  FROM documents WHERE doc_id < 60)
+         |SELECT a.id AS id1, b.id AS id2,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard,
+         |  true AS within_tol
+         |FROM s a, s b WHERE a.id < b.id
+         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3
+         |ORDER BY id1, id2""".stripMargin,
+
+    "dedup_simhash_invariance" ->
+      """SELECT doc_id, true AS normalization_invariant
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "train_shuffle_shard" ->
       s"""WITH b AS (
