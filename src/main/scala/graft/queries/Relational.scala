@@ -324,6 +324,39 @@ object Relational {
         .orderBy(col("band"))
     }),
 
+    // ---- file-format round trips: the engine's CSV/JSON source+sink lanes.
+    // Write a typed subset out, read it back with an explicit schema, and
+    // aggregate — the oracle computes the same aggregate straight from the
+    // parquet original, so a lossy round trip (typing, quoting, nulls)
+    // would hash-mismatch.
+    "source_csv_roundtrip" -> ((s, d) => {
+      val path = System.getProperty("java.io.tmpdir") + "/graft_csv_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      Tables.orders(s, d).filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.mode("overwrite").option("header", "true").csv(path)
+      s.read.option("header", "true")
+        .schema("o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+        .csv(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("vol"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    "source_json_roundtrip" -> ((s, d) => {
+      val path = System.getProperty("java.io.tmpdir") + "/graft_json_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      Tables.events(s, d).filter(col("event_id") < 5000)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").json(path)
+      s.read
+        .schema("event_id LONG, event_type STRING, value DOUBLE")
+        .json(path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+        .orderBy(col("event_type"))
+    }),
+
     // Salted skew join: identical RESULT to the plain equi-join (the oracle
     // proves it), but the hot key's rows spread across `salt` reducer
     // partitions — the manual straggler fix when AQE skew-split can't apply.
@@ -754,6 +787,16 @@ object Relational {
       """SELECT s_name, count(*) AS n, round(sum(l_quantity),2) AS qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+
+    "source_csv_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice),2) AS vol
+        |FROM orders WHERE o_orderkey < 1000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "source_json_roundtrip" ->
+      """SELECT event_type, count(*) AS n, round(sum(value),2) AS sum_v
+        |FROM events WHERE event_id < 5000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "agg_approx_distinct_check" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact,
