@@ -22,7 +22,9 @@ object SkewJoin {
     // Only join types where every output row is witnessed by a big-side row
     // are salting-safe: with right/full outer, an unmatched small-side row
     // exists `salt` times and would surface as `salt` null-padded duplicates.
-    require(Set("inner", "left", "left_outer", "leftouter")(joinType),
+    // Normalized like Spark's own JoinType parsing (case/underscore-blind).
+    require(Set("inner", "left", "leftouter")(
+      joinType.toLowerCase(java.util.Locale.ROOT).replace("_", "")),
       s"saltedJoin supports inner/left joins only, got '$joinType'")
     val saltedBig = big.withColumn("__salt",
       pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(salt)).cast("int"))

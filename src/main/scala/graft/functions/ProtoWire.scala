@@ -93,7 +93,9 @@ object ProtoWire {
       throw Malformed
     }
     def bytes(n: Int): (Int, Int) = {
-      if (n < 0 || pos + n > end) throw Malformed
+      // `n > end - pos` (not `pos + n > end`): a hostile length varint near
+      // Int.MaxValue would overflow the addition and slip past the guard
+      if (n < 0 || n > end - pos) throw Malformed
       val r = (pos, pos + n); pos += n; r
     }
     def skip(wireType: Int): Unit = wireType match {

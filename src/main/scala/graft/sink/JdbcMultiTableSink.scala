@@ -7,7 +7,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.model.{BlockScoped, ChTable, CursorRow}
-import graft.pipeline.ChangePipeline
 
 /** JDBC variant of the per-table micro-batch sink (operator O13) — the
   * database-loading role the reference fills with per-table ClickHouse
@@ -46,31 +45,13 @@ class JdbcMultiTableSink(
 
   @transient @volatile private var schemaReady = false
 
-  /** foreachBatch body: write every table's typed rows, then the cursor. */
-  def writeBatch(blocks: Dataset[BlockScoped], batchId: Long): Unit = {
-    if (blocks.isEmpty) return
-    val cached = blocks.cache()
-    try {
-      val frames = ChangePipeline.process(cached, catalog, strict)
-      ensureSchema(frames)
-      // ONE job decides which tables this batch touches (vs an isEmpty scan
-      // per catalog table)
-      val present = cached.toDF()
-        .select(explode(col("changes.table")).as("t"))
-        .distinct().collect().map(_.getString(0)).toSet
-      frames.foreach { case (table, df) =>
-        if (present(table)) writeTable(table, df)
-      }
-      // cursor last — only after every table committed (reference ordering)
-      val top = cached
-        .select(col("clock.number").as("block_num"), col("clock.id").as("block_id"), col("cursor"))
-        .orderBy(desc("block_num")).limit(1).collect()
-      top.headOption.foreach { r =>
-        persistCursor(CursorRow(cursorId, r.getAs[String]("cursor"),
-          r.getAs[Long]("block_num"), r.getAs[String]("block_id")))
-      }
-    } finally cached.unpersist()
-  }
+  /** foreachBatch body: write every table's typed rows, then the cursor
+    * (batch shape shared with the parquet sink via [[SinkBatch]]). */
+  def writeBatch(blocks: Dataset[BlockScoped], batchId: Long): Unit =
+    SinkBatch.run(blocks, catalog, strict, onFrames = ensureSchema)(writeTable) {
+      (cursor, blockNum, blockId) =>
+        persistCursor(CursorRow(cursorId, cursor, blockNum, blockId))
+    }
 
   /** Replace-on-PK write. The PK here is a GROUP key (a block can carry many
     * rows): all rows sharing a PK are deleted once, then re-inserted. Two
@@ -154,6 +135,12 @@ class JdbcMultiTableSink(
           frames.foreach { case (table, df) =>
             createIfAbsent(conn, table,
               df.schema.fields.map(f => s"${q(f.name)} ${ddlType(f.dataType)}").mkString(", "))
+            // the replace-on-PK deletes must be point lookups, not table
+            // scans that grow with accumulated rows (PK is a GROUP key with
+            // duplicates, so an index — not a PRIMARY KEY constraint)
+            val pk = pkCols.getOrElse(table, Seq("block_num"))
+            execIgnoringExists(conn,
+              s"CREATE INDEX ${q(s"ix_${table}_pk")} ON ${q(table)} (${pk.map(q).mkString(", ")})")
           }
           ensureCursorTable(conn)
         }
@@ -167,9 +154,12 @@ class JdbcMultiTableSink(
          |${q("block_num")} BIGINT, ${q("block_id")} VARCHAR(256)""".stripMargin)
 
   private def createIfAbsent(conn: Connection, table: String, columnsDdl: String): Unit =
+    execIgnoringExists(conn, s"CREATE TABLE ${q(table)} ($columnsDdl)")
+
+  private def execIgnoringExists(conn: Connection, ddl: String): Unit =
     try {
       val st = conn.createStatement()
-      st.executeUpdate(s"CREATE TABLE ${q(table)} ($columnsDdl)")
+      st.executeUpdate(ddl)
       st.close()
     } catch {
       // Derby: X0Y32 = object already exists; other engines use IF NOT EXISTS

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.{BlockScoped, ChTable, CursorRow}
-import graft.pipeline.ChangePipeline
 
 /** Per-micro-batch multi-table sink + cursor persistence (operators O13/O14)
   * and cursor recovery (O15).
@@ -31,32 +30,15 @@ class MultiTableSink(
   def dataPath(table: String): String = s"$outDir/data/$table"
   def cursorPath: String = s"$outDir/cursors"
 
-  /** foreachBatch body: write every table's typed rows, then the cursor. */
+  /** foreachBatch body: write every table's typed rows, then the cursor
+    * (batch shape shared with the JDBC sink via [[SinkBatch]]). */
   def writeBatch(blocks: Dataset[BlockScoped], batchId: Long): Unit = {
-    if (blocks.isEmpty) return
     val spark = blocks.sparkSession
-    val cached = blocks.cache()
-    try {
-      val frames = ChangePipeline.process(cached, catalog, strict)
-      // ONE aggregation decides which tables this batch touches, instead of
-      // an isEmpty job per catalog table (O(tables) launches on a wide
-      // catalog); then each present table runs exactly one write job.
-      val present = cached.toDF()
-        .select(explode(col("changes.table")).as("t"))
-        .distinct().collect().map(_.getString(0)).toSet
-      frames.foreach { case (table, df) =>
-        if (present(table)) df.write.mode("append").parquet(dataPath(table))
-      }
-      // cursor last — only after every table committed (reference ordering)
-      val top = cached
-        .select(col("clock.number").as("block_num"), col("clock.id").as("block_id"), col("cursor"))
-        .orderBy(desc("block_num")).limit(1).collect()
-      top.headOption.foreach { r =>
-        persistCursor(spark,
-          CursorRow(cursorId, r.getAs[String]("cursor"), r.getAs[Long]("block_num"),
-            r.getAs[String]("block_id")))
-      }
-    } finally cached.unpersist()
+    SinkBatch.run(blocks, catalog, strict)(
+      (table, df) => df.write.mode("append").parquet(dataPath(table))) {
+      (cursor, blockNum, blockId) =>
+        persistCursor(spark, CursorRow(cursorId, cursor, blockNum, blockId))
+    }
   }
 
   def persistCursor(spark: SparkSession, row: CursorRow): Unit = {

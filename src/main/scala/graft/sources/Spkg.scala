@@ -121,7 +121,8 @@ object Spkg {
       throw new IllegalArgumentException("varint overflow")
     }
     def bytes(n: Int): (Int, Int) = {
-      if (n < 0 || pos + n > end) throw new IllegalArgumentException("truncated spkg")
+      // overflow-safe form: pos + n could wrap negative for hostile lengths
+      if (n < 0 || n > end - pos) throw new IllegalArgumentException("truncated spkg")
       val r = (pos, pos + n); pos += n; r
     }
     def skip(wireType: Int): Unit = wireType match {

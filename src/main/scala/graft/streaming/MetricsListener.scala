@@ -26,13 +26,19 @@ class MetricsListener(keep: Int = 100,
   val structured: Boolean =
     env("K_SERVICE").isDefined || env("KUBERNETES_SERVICE_HOST").isDefined
 
-  def formatLine(m: BatchMetric): String =
+  def formatLine(m: BatchMetric): String = {
+    // Spark reports NaN/Infinity rates for 0-row/0-ms triggers; neither is a
+    // valid JSON token, so the structured lane emits null for them
+    val rate =
+      if (java.lang.Double.isFinite(m.processedRowsPerSecond)) m.processedRowsPerSecond.toString
+      else "null"
     if (structured)
       s"""{"batch":${m.batchId},"rows":${m.numInputRows},""" +
-        s""""rows_per_sec":${m.processedRowsPerSecond},"duration_ms":${m.durationMs}}"""
+        s""""rows_per_sec":$rate,"duration_ms":${m.durationMs}}"""
     else
       f"batch ${m.batchId}: ${m.numInputRows} rows, " +
         f"${m.processedRowsPerSecond}%.1f rows/s, ${m.durationMs} ms"
+  }
 
   private val ring = new ConcurrentLinkedQueue[BatchMetric]()
 

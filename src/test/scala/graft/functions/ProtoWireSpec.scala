@@ -91,6 +91,21 @@ class ProtoWireSpec extends SparkSpec {
     assert(ok.length === 1 && ok.head.getString(0) === "test")
   }
 
+  test("hostile length varint near Int.MaxValue decodes to NULL, not a crash") {
+    import spark.implicits._
+    // field 1, length 0x7FFFFFFF: pos + n would overflow Int if the bounds
+    // check were written as an addition
+    val hostile = hex("0a ffffffff07")
+    val out = Seq(Tuple1(hostile)).toDF("payload")
+      .select(ProtoWire.pb_decode_changes(col("payload")).as("cs"))
+      .collect().head
+    assert(out.isNullAt(0))
+    // Spkg documents IllegalArgumentException for the same corruption
+    intercept[IllegalArgumentException] {
+      graft.sources.Spkg.decodePackage(hex("32 ffffffff07"))
+    }
+  }
+
   test("end-to-end from bytes: decode -> ChangePipeline matches test_process_data") {
     import spark.implicits._
     val payload = hex(goldenChange1) ++ hex(goldenChange2)

@@ -69,6 +69,10 @@ class ChainSourceSpec extends SparkSpec {
   }
 
   test("O2: missing token under requireAuth is fatal — no retry, query aborts") {
+    // env wins over the option (reference parity), so an exported token
+    // would legitimately satisfy requireAuth — skip rather than misreport
+    assume(!sys.env.contains("SUBSTREAMS_API_TOKEN"),
+      "SUBSTREAMS_API_TOKEN exported in this shell; missing-token case not testable")
     val df = spark.read.format("graft.sources.ChainSource")
       .option("totalBlocks", 5).option("requireAuth", "true")
       .load()

@@ -39,5 +39,9 @@ class MetricsListenerSpec extends SparkSpec {
     assert(prod.structured)
     assert(prod.formatLine(m) ===
       """{"batch":7,"rows":100,"rows_per_sec":2500.0,"duration_ms":40}""")
+    // Spark reports NaN rates on 0-row triggers; NaN is not valid JSON
+    val nan = MetricsListener.BatchMetric(8L, 0L, Double.NaN, 0L)
+    assert(prod.formatLine(nan) ===
+      """{"batch":8,"rows":0,"rows_per_sec":null,"duration_ms":0}""")
   }
 }
