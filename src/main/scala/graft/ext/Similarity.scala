@@ -117,11 +117,32 @@ object Similarity {
     IvfIndex(cents, ivfAssign(embeddings, idCol, vecCol, cents))
   }
 
-  /** Persist the assignment partitioned by `ivf_cell`: a probe that filters
-    * on cells becomes a partition-PRUNED scan (only nprobe/nCells of the
-    * data is read — the on-disk layout IS the index). */
-  def ivfWrite(index: IvfIndex, path: String): Unit =
-    index.assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+  /** Persist the index: the assignment partitioned by `ivf_cell` (a probe
+    * that filters on cells becomes a partition-PRUNED scan — the on-disk
+    * layout IS the index) plus the k centroid rows, so a later session can
+    * probe without touching the corpus at all. */
+  def ivfWrite(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite").partitionBy("ivf_cell")
+      .parquet(s"$path/assigned")
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.toDF("cid", "cvec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Reload a persisted index (probe-only sessions; k centroid rows is the
+    * only driver-side data). */
+  def ivfRead(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getAs[Int]("cid"), r.getSeq[Double](r.fieldIndex("cvec"))))
+      .sortBy(_._1).toSeq
+    IvfIndex(cents, spark.read.parquet(s"$path/assigned"))
+  }
+
+  /** True when `path` holds a completely-written index. */
+  def ivfIndexExists(path: String): Boolean =
+    new java.io.File(s"$path/assigned/_SUCCESS").exists() &&
+      new java.io.File(s"$path/centroids/_SUCCESS").exists()
 
   /** The `nprobe` cells whose centroids are nearest `qvec` — pure driver-side
     * math over k centroid rows. Stable order: similarity desc, cell id asc. */

@@ -77,6 +77,25 @@ class SimilaritySpec extends SparkSpec {
     assert(narrow.size <= 10)
   }
 
+  test("persisted IVF index round-trips and probes identically to a fresh build") {
+    val df = vectors().cache()
+    val path = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/idx"
+    assert(!Similarity.ivfIndexExists(path))
+    val built = Similarity.ivfIndex(df, "vec_id", "embedding", nCells = 6)
+    Similarity.ivfWrite(built, path)
+    assert(Similarity.ivfIndexExists(path))
+    val loaded = Similarity.ivfRead(spark, path)
+    assert(loaded.centroids === built.centroids, "centroids must survive persistence")
+    val q = Similarity.queryVector(df, "vec_id", "embedding", 0L)
+    val fresh = Similarity.ivfProbe(built.assigned, built.centroids,
+      "vec_id", "embedding", q, k = 10, nprobe = 2, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val reloaded = Similarity.ivfProbe(loaded.assigned, loaded.centroids,
+      "vec_id", "embedding", q, k = 10, nprobe = 2, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(reloaded === fresh, "probe over the persisted index must match the fresh build")
+  }
+
   test("LSH near-dup pairs are a subset of exact pairs at the same threshold") {
     val df = vectors().cache()
     val exact = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 0.98)
