@@ -158,11 +158,16 @@ object Relational {
     "agg_approx_distinct_check" -> ((s, d) => {
       // rsd 2% sketch, 10% acceptance band = a 5-sigma margin: the verdict is
       // effectively guaranteed true at every scale factor, and the oracle
-      // still independently verifies the exact side
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx"),
-          count_distinct(col("l_orderkey")).as("exact"))
+      // still independently verifies the exact side.
+      // The two aggregates run as separate scans joined on the 3-row key:
+      // mixing distinct and non-distinct aggregates in one agg makes Catalyst
+      // Expand (duplicate) every input row, 2x-ing the scan for nothing.
+      val li = Tables.lineitem(s, d)
+      val approx = li.groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(count_distinct(col("l_orderkey")).as("exact"))
+      approx.join(exact, "l_returnflag")
         .select(col("l_returnflag"), col("exact"),
           (abs(col("approx") - col("exact")) <= col("exact") * 0.10).as("within_10pct"))
         .orderBy(col("l_returnflag"))
