@@ -330,6 +330,9 @@ object Extensions {
   private val esStops =
     TA.SpanishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  // Spark-parity rounding for division-derived score columns (see OracleSql)
+  private def sparkRound(expr: String, n: Int): String = OracleSql.sparkRound(expr, n)
+
   // ANN oracle plumbing: the exact hyperplanes the Spark path uses (fixed
   // seed), embedded as SQL literals — Double.toString round-trips exactly, and
   // both engines accumulate dot products sequentially in double, so the sign
@@ -363,8 +366,7 @@ object Extensions {
       s"""SELECT doc_id, len($toks) AS n_tokens,
          |  len(list_distinct($toks)) AS n_distinct,
          |  CASE WHEN len($toks) = 0 THEN 0.0
-         |       ELSE round(CAST(list_aggregate(list_transform($toks, x -> length(x)), 'sum') AS DOUBLE)
-         |                  / len($toks), 4) END AS avg_word_len,
+         |       ELSE ${sparkRound(s"CAST(list_aggregate(list_transform($toks, x -> length(x)), 'sum') AS DOUBLE) / len($toks)", 4)} END AS avg_word_len,
          |  length(text) AS n_chars_m
          |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -381,11 +383,13 @@ object Extensions {
          |         ELSE CAST(list_aggregate(list_transform($toks, x -> length(x)), 'sum') AS DOUBLE)/len($toks) END AS mwl,
          |    length(text) AS n_len
          |  FROM documents)
-         |SELECT doc_id, round(punct_ratio,4) AS punct_ratio, round(upper_ratio,4) AS upper_ratio,
-         |  round(stop_ratio,4) AS stop_ratio,
-         |  round(least(n_len/500.0, 1.0)*0.3 + least(stop_ratio*4.0, 1.0)*0.3
-         |    + (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)*0.2
-         |    + greatest(0.0, 1.0 - punct_ratio*5.0)*0.2, 4) AS quality
+         |SELECT doc_id, ${sparkRound("punct_ratio", 4)} AS punct_ratio,
+         |  ${sparkRound("upper_ratio", 4)} AS upper_ratio,
+         |  ${sparkRound("stop_ratio", 4)} AS stop_ratio,
+         |  ${sparkRound(
+              """least(n_len/500.0, 1.0)*0.3 + least(stop_ratio*4.0, 1.0)*0.3
+                |    + (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)*0.2
+                |    + greatest(0.0, 1.0 - punct_ratio*5.0)*0.2""".stripMargin, 4)} AS quality
          |FROM q ORDER BY doc_id""".stripMargin,
 
     // Mirrors TextAnalysis.textStatsFrame's language pick exactly: per-language
@@ -414,7 +418,7 @@ object Extensions {
          |       WHEN de >= es AND de > 0 THEN 'de'
          |       WHEN es > 0 THEN 'es'
          |       ELSE 'und' END AS lang_guess,
-         |  round(en, 4) AS en_score
+         |  ${sparkRound("en", 4)} AS en_score
          |FROM s ORDER BY doc_id""".stripMargin,
 
     "dedup_exact_groups" ->
@@ -433,8 +437,9 @@ object Extensions {
          |         ELSE [array_to_string($toks, ' ')] END AS sh
          |  FROM documents WHERE doc_id < 60)
          |SELECT a.id AS id1, b.id AS id2,
-         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard,
+         |  ${sparkRound(
+              "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))",
+              6)} AS jaccard,
          |  true AS within_tol
          |FROM s a, s b WHERE a.id < b.id
          |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -470,9 +475,10 @@ object Extensions {
          |    length(text) AS n_len, CAST(len($toks) AS BIGINT) AS n_tokens
          |  FROM documents),
          |q AS (SELECT doc_id, n_tokens,
-         |        round(least(n_len/500.0, 1.0)*0.3 + least(stop_ratio*4.0, 1.0)*0.3
-         |          + (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)*0.2
-         |          + greatest(0.0, 1.0 - punct_ratio*5.0)*0.2, 4) AS quality
+         |        ${sparkRound(
+                    """least(n_len/500.0, 1.0)*0.3 + least(stop_ratio*4.0, 1.0)*0.3
+                      |          + (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)*0.2
+                      |          + greatest(0.0, 1.0 - punct_ratio*5.0)*0.2""".stripMargin, 4)} AS quality
          |      FROM f),
          |s AS (SELECT min(doc_id) AS doc_id FROM documents
          |      GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
@@ -482,26 +488,29 @@ object Extensions {
     "dedup_ngram_jaccard" ->
       s"""WITH w AS (SELECT doc_id, list_distinct($toks) AS words FROM documents WHERE doc_id < 60)
          |SELECT a.doc_id AS id1, b.doc_id AS id2,
-         |  round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
-         |        / len(list_distinct(list_concat(a.words, b.words))), 6) AS jaccard
+         |  ${sparkRound(
+              "CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) / len(list_distinct(list_concat(a.words, b.words)))",
+              6)} AS jaccard
          |FROM w a, w b WHERE a.doc_id < b.doc_id
          |  AND CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
          |      / len(list_distinct(list_concat(a.words, b.words))) >= 0.5
          |ORDER BY id1, id2""".stripMargin,
 
     "sim_cosine_topk" ->
-      """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-        |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
-        |FROM embeddings WHERE vec_id != 0
-        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+      s"""SELECT vec_id, ${sparkRound(
+            """list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+              |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))""".stripMargin,
+            6)} AS cos
+         |FROM embeddings WHERE vec_id != 0
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
     "sim_embedding_neardup" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 100)
-        |SELECT a.vec_id AS id1, b.vec_id AS id2,
-        |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
-        |FROM e a, e b WHERE a.vec_id < b.vec_id
-        |  AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
-        |ORDER BY id1, id2""".stripMargin,
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 100)
+         |SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |  ${sparkRound("list_cosine_similarity(a.v, b.v)", 6)} AS cos
+         |FROM e a, e b WHERE a.vec_id < b.vec_id
+         |  AND ${sparkRound("list_cosine_similarity(a.v, b.v)", 6)} >= 0.3
+         |ORDER BY id1, id2""".stripMargin,
 
     "join_range_bucketed" -> {
       val values = (0 until 12)
@@ -513,22 +522,22 @@ object Extensions {
     },
 
     "join_asof_events" ->
-      """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
-        |  round(v.value, 4) AS view_value
-        |FROM (SELECT * FROM events WHERE event_type = 'click') c
-        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
-        |  ON c.user_id = v.user_id AND c.ts >= v.ts
-        |ORDER BY c.user_id, click_id""".stripMargin,
+      s"""SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+         |  ${sparkRound("v.value", 4)} AS view_value
+         |FROM (SELECT * FROM events WHERE event_type = 'click') c
+         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+         |  ON c.user_id = v.user_id AND c.ts >= v.ts
+         |ORDER BY c.user_id, click_id""".stripMargin,
 
     "sim_ann_lsh_topk" ->
       s"""$lshCtes
-         |SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cos
+         |SELECT vec_id, ${sparkRound("list_cosine_similarity(v, qv)", 6)} AS cos
          |FROM b, q WHERE bucket = qb AND vec_id != 0
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
     "sim_ann_ivf_topk" ->
       s"""$ivfCtes
-         |SELECT a.vec_id, round(list_cosine_similarity(a.v, q.qv), 6) AS cos
+         |SELECT a.vec_id, ${sparkRound("list_cosine_similarity(a.v, q.qv)", 6)} AS cos
          |FROM assign a, q
          |WHERE a.cell IN (SELECT cid FROM probe) AND a.vec_id != 0
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
@@ -536,9 +545,9 @@ object Extensions {
     "sim_ann_lsh_recall" ->
       s"""$lshCtes,
          |ann AS (SELECT vec_id FROM b, q WHERE bucket = qb AND vec_id != 0
-         |        ORDER BY round(list_cosine_similarity(v, qv), 6) DESC, vec_id LIMIT 10),
+         |        ORDER BY ${sparkRound("list_cosine_similarity(v, qv)", 6)} DESC, vec_id LIMIT 10),
          |bf AS (SELECT vec_id FROM e, q WHERE vec_id != 0
-         |       ORDER BY round(list_cosine_similarity(v, qv), 6) DESC, vec_id LIMIT 10)
+         |       ORDER BY ${sparkRound("list_cosine_similarity(v, qv)", 6)} DESC, vec_id LIMIT 10)
          |SELECT 10 AS k, count(*) AS n_hits, round(count(*) / 10.0, 4) AS recall
          |FROM ann JOIN bf USING (vec_id)""".stripMargin,
 
@@ -546,9 +555,9 @@ object Extensions {
       s"""$ivfCtes,
          |ann AS (SELECT a.vec_id FROM assign a, q
          |        WHERE a.cell IN (SELECT cid FROM probe) AND a.vec_id != 0
-         |        ORDER BY round(list_cosine_similarity(a.v, q.qv), 6) DESC, a.vec_id LIMIT 10),
+         |        ORDER BY ${sparkRound("list_cosine_similarity(a.v, q.qv)", 6)} DESC, a.vec_id LIMIT 10),
          |bf AS (SELECT vec_id FROM e, q WHERE vec_id != 0
-         |       ORDER BY round(list_cosine_similarity(v, qv), 6) DESC, vec_id LIMIT 10)
+         |       ORDER BY ${sparkRound("list_cosine_similarity(v, qv)", 6)} DESC, vec_id LIMIT 10)
          |SELECT 10 AS k, count(*) AS n_hits, round(count(*) / 10.0, 4) AS recall
          |FROM ann JOIN bf USING (vec_id)""".stripMargin,
 

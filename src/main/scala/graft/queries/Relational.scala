@@ -762,14 +762,15 @@ object Relational {
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "tpch_q14_promo_share" ->
-      """SELECT round(sum(CASE WHEN p_type LIKE 'ECONOMY%'
-        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) * 100.0
-        |  / sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_pct,
-        |  count(*) AS n
-        |FROM lineitem, part
-        |WHERE l_partkey = p_partkey
-        |  AND l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
-        |  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'""".stripMargin,
+      s"""SELECT ${OracleSql.sparkRound(
+            """sum(CASE WHEN p_type LIKE 'ECONOMY%'
+              |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) * 100.0
+              |  / sum(l_extendedprice * (1.0 - l_discount))""".stripMargin, 4)} AS promo_pct,
+         |  count(*) AS n
+         |FROM lineitem, part
+         |WHERE l_partkey = p_partkey
+         |  AND l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+         |  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'""".stripMargin,
 
     "tpch_q7_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -786,11 +787,12 @@ object Relational {
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "tpch_q8_market_share" ->
-      """SELECT year(o_orderdate) AS o_year,
-        |  round(sum(CASE WHEN n2.n_name = 'NATION_3'
-        |              THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
-        |        / sum(l_extendedprice * (1.0 - l_discount)), 6) AS mkt_share
-        |FROM lineitem
+      s"""SELECT year(o_orderdate) AS o_year,
+         |  ${OracleSql.sparkRound(
+              """sum(CASE WHEN n2.n_name = 'NATION_3'
+                |              THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+                |        / sum(l_extendedprice * (1.0 - l_discount))""".stripMargin, 6)} AS mkt_share
+         |FROM lineitem
         |JOIN part     ON l_partkey = p_partkey
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN orders   ON l_orderkey = o_orderkey
