@@ -255,6 +255,25 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    // approx_percentile accuracy verdict, same pattern as the HLL check:
+    // 1% rank-accuracy sketch, generous value band, exact side recomputed
+    // by the oracle (quantile_cont == Spark exact percentile).
+    "agg_approx_quantile_check" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val approx = o.agg(expr(
+        "approx_percentile(o_totalprice, array(0.5, 0.9), 10000)").as("ap"))
+      val exact = o.agg(expr(
+        "percentile(o_totalprice, array(0.5D, 0.9D))").as("ex"))
+      approx.join(exact)
+        .select(
+          round(element_at(col("ex"), 1), 2).as("p50_exact"),
+          round(element_at(col("ex"), 2), 2).as("p90_exact"),
+          (abs(element_at(col("ap"), 1) - element_at(col("ex"), 1)) <=
+            element_at(col("ex"), 1) * 0.05).as("p50_close"),
+          (abs(element_at(col("ap"), 2) - element_at(col("ex"), 2)) <=
+            element_at(col("ex"), 2) * 0.05).as("p90_close"))
+    }),
+
     // ...but the sketch's ACCURACY is oracle-checkable: the within-5%-of-exact
     // verdict is deterministic (HLL is deterministic for fixed input), and the
     // oracle recomputes the exact side independently.
@@ -978,6 +997,12 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact,
         |  true AS within_10pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_approx_quantile_check" ->
+      """SELECT round(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
+        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90_exact,
+        |  true AS p50_close, true AS p90_close
+        |FROM orders""".stripMargin,
 
     "agg_pivot" ->
       """SELECT o_orderstatus,

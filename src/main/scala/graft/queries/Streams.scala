@@ -51,6 +51,21 @@ object Streams {
         .orderBy(col("user_id"), col("sess_start"))
     }),
 
+    // Deterministic batch twin of the streaming dedup path
+    // (Dedup.streamingExactDedup / dropDuplicatesWithinWatermark, covered in
+    // StreamingDedupSpec): the FIRST event per (user, type) by event time,
+    // event_id as the tiebreak so the survivor is well-defined in both
+    // engines. One shuffle on the dedup key.
+    "stream_dedup_first" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(struct(col("ts"), col("event_id"))).as("w"))
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("w.ts")).as("first_ts"),
+          col("w.event_id").as("first_event_id"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // stream-stream join shape (StreamJoinSpec runs the same plan under
     // readStream + watermarks): views attributed to clicks on the same user
     // within the following 5 minutes. Equi-key user_id carries the shuffle;
@@ -102,6 +117,15 @@ object Streams {
         |SELECT user_id, CAST(floor(min(t) / 1e6) AS BIGINT) AS sess_start,
         |       count(*) AS n, round(sum(value),2) AS sum_v
         |FROM g GROUP BY user_id, grp ORDER BY user_id, sess_start""".stripMargin,
+
+    "stream_dedup_first" ->
+      """SELECT user_id, event_type,
+        |  CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 1e6) AS BIGINT) AS first_ts,
+        |  event_id AS first_event_id
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
 
     "stream_join_attrib" ->
       """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id
