@@ -210,14 +210,17 @@ object Extensions {
     }),
 
     // Production IVF shape: build + PERSIST the index once per corpus
-    // (partitioned by ivf_cell), then every probe — including repeat runs of
-    // this query — is a partition-pruned scan of nprobe/nCells of the data,
-    // never a rebuild. (The fixture dirs are immutable; a mutable corpus
-    // would key the path by snapshot version.)
+    // snapshot (partitioned by ivf_cell), then every probe — including
+    // repeat runs of this query — is a partition-pruned scan of
+    // nprobe/nCells of the data, never a rebuild. The cache key includes
+    // the source file's size+mtime, so a regenerated corpus (e.g. a rebuilt
+    // scale fixture) gets a fresh index instead of stale cells.
     "sim_ann_ivf_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      val src = new java.io.File(d + "/embeddings.parquet")
+      val snapshot = s"${src.length}_${src.lastModified}"
       val path = System.getProperty("java.io.tmpdir") + "/graft_ivf_" +
-        d.replaceAll("[^A-Za-z0-9]", "_")
+        (d + "_" + snapshot).replaceAll("[^A-Za-z0-9]", "_")
       val index =
         if (Similarity.ivfIndexExists(path)) Similarity.ivfRead(s, path)
         else {

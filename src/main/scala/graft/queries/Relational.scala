@@ -255,16 +255,15 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
-    // approx_percentile accuracy verdict, same pattern as the HLL check:
-    // 1% rank-accuracy sketch, generous value band, exact side recomputed
-    // by the oracle (quantile_cont == Spark exact percentile).
+    // approx_percentile accuracy verdict (the HLL check's sibling): rank-
+    // accuracy sketch, generous value band, exact side recomputed by the
+    // oracle (quantile_cont == Spark exact percentile). One agg, one scan —
+    // the HLL check's two-scan split exists only for its DISTINCT/non-
+    // distinct Expand problem, which plain percentile aggregates don't have.
     "agg_approx_quantile_check" -> ((s, d) => {
-      val o = Tables.orders(s, d)
-      val approx = o.agg(expr(
-        "approx_percentile(o_totalprice, array(0.5, 0.9), 10000)").as("ap"))
-      val exact = o.agg(expr(
-        "percentile(o_totalprice, array(0.5D, 0.9D))").as("ex"))
-      approx.join(exact)
+      Tables.orders(s, d)
+        .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9), 10000)").as("ap"),
+          expr("percentile(o_totalprice, array(0.5D, 0.9D))").as("ex"))
         .select(
           round(element_at(col("ex"), 1), 2).as("p50_exact"),
           round(element_at(col("ex"), 2), 2).as("p90_exact"),
@@ -999,10 +998,10 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_approx_quantile_check" ->
-      """SELECT round(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
-        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90_exact,
-        |  true AS p50_close, true AS p90_close
-        |FROM orders""".stripMargin,
+      s"""SELECT ${OracleSql.sparkRound("quantile_cont(o_totalprice, 0.5)", 2)} AS p50_exact,
+         |  ${OracleSql.sparkRound("quantile_cont(o_totalprice, 0.9)", 2)} AS p90_exact,
+         |  true AS p50_close, true AS p90_close
+         |FROM orders""".stripMargin,
 
     "agg_pivot" ->
       """SELECT o_orderstatus,

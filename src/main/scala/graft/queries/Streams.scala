@@ -118,12 +118,17 @@ object Streams {
         |       count(*) AS n, round(sum(value),2) AS sum_v
         |FROM g GROUP BY user_id, grp ORDER BY user_id, sess_start""".stripMargin,
 
+    // NOTE the CAST in the ORDER BY: Spark's min(struct(ts, event_id))
+    // compares the µs-truncated ts, so the oracle must truncate BEFORE
+    // ordering too or a same-microsecond pair could tiebreak differently
+    // (DuckDB reads the raw column at ns precision).
     "stream_dedup_first" ->
       """SELECT user_id, event_type,
         |  CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 1e6) AS BIGINT) AS first_ts,
         |  event_id AS first_event_id
         |FROM (SELECT *, row_number() OVER (
-        |        PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |        PARTITION BY user_id, event_type
+        |        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
         |      FROM events)
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
 
