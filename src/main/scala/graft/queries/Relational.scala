@@ -205,6 +205,184 @@ object Relational {
         .orderBy(col("c_nationkey"))
     }),
 
+    // TPC-H Q2 shape: min-cost supplier per part. The fixture has no
+    // partsupp table, so the part↔supplier relation is derived from
+    // lineitem (DISTINCT pairs) and supply cost stands in as s_acctbal —
+    // the correlated-min-per-group structure is the point. At scale the
+    // derived pair set is one distinct-shuffle on (partkey, suppkey);
+    // the min side reuses the same grouped frame (self-join on the key).
+    "tpch_q2_min_cost_supplier" -> ((s, d) => {
+      val ps = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .distinct()
+      val eurSupp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val cand = Tables.part(s, d).filter(col("p_size") === 15)
+        .join(ps, col("p_partkey") === col("ps_partkey"))
+        .join(broadcast(eurSupp), col("ps_suppkey") === col("s_suppkey"))
+      val minCost = cand.groupBy(col("p_partkey").as("mc_pk"))
+        .agg(min(col("s_acctbal")).as("min_bal"))
+      cand.join(minCost,
+          col("p_partkey") === col("mc_pk") && col("s_acctbal") === col("min_bal"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+    }),
+
+    // TPC-H Q9 shape: profit by supplier nation and year. Supply cost
+    // stands in as 0.6×p_retailprice (no partsupp in the fixture).
+    "tpch_q9_product_profit" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_name").like("%red%")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(rev - col("p_retailprice") * lit(0.6) * col("l_quantity")), 2)
+          .as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q11 shape: parts whose stock value inside one nation exceeds a
+    // fraction of that nation's total — group-having against a scalar
+    // subquery. Value stands in as shipped_quantity × p_retailprice.
+    "tpch_q11_important_stock" -> ((s, d) => {
+      val natSupp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_5")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val vals = Tables.lineitem(s, d)
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_partkey"))
+        .agg(sum(col("l_quantity") * col("p_retailprice")).as("value"))
+      val total = vals.agg(sum(col("value")).as("tot"))
+      vals.join(broadcast(total))
+        .filter(col("value") > col("tot") * lit(0.01))
+        .select(col("p_partkey"), round(col("value"), 2).as("value"))
+        .orderBy(col("value").desc, col("p_partkey"))
+    }),
+
+    // TPC-H Q12 shape: late-shipment line counts split by order priority.
+    // l_returnflag stands in for the ship mode the reduced schema lacks;
+    // "late" is shipdate > orderdate + 90 days.
+    "tpch_q12_late_priority" -> ((s, d) => {
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > date_add(col("o_orderdate").cast("date"), 90))
+        .groupBy(col("l_returnflag").as("mode"))
+        .agg(count(when(high, 1)).as("high_line_count"),
+          count(when(!high, 1)).as("low_line_count"))
+        .orderBy(col("mode"))
+    }),
+
+    // TPC-H Q15: top supplier by quarterly revenue — aggregate view + max
+    // scalar subquery + equality join back. Revenue is rounded before the
+    // max/compare so both engines agree on ties to the cent.
+    "tpch_q15_top_supplier" -> ((s, d) => {
+      val revBySupp = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(rev), 2).as("total_revenue"))
+      val maxRev = revBySupp.agg(max(col("total_revenue")).as("mx"))
+      revBySupp.join(broadcast(maxRev)).filter(col("total_revenue") === col("mx"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q16 shape: distinct supplier count per part attribute triple,
+    // excluding one brand/type/size slice and "complaint" suppliers
+    // (negative balance stands in for the comment filter).
+    "tpch_q16_supplier_parts" -> ((s, d) => {
+      val ps = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val badSupp = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+      ps.join(Tables.part(s, d).filter(col("p_brand") =!= "Brand#13" &&
+            !col("p_type").like("MEDIUM%") &&
+            col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // TPC-H Q17: revenue lost to small-quantity orders — correlated
+    // per-part average quantity. The brand slice is broadcast and the
+    // per-part average is computed over the (pre-filtered) same frame, so
+    // the fact table is scanned once and shuffled once on partkey.
+    "tpch_q17_small_qty_revenue" -> ((s, d) => {
+      val bparts = Tables.part(s, d).filter(col("p_brand") === "Brand#3")
+        .select(col("p_partkey"))
+      val lb = Tables.lineitem(s, d)
+        .join(broadcast(bparts), col("l_partkey") === col("p_partkey"))
+      val avgQty = lb.groupBy(col("p_partkey").as("aq_pk"))
+        .agg(avg(col("l_quantity")).as("aq"))
+      lb.join(broadcast(avgQty), col("p_partkey") === col("aq_pk"))
+        .filter(col("l_quantity") < lit(0.5) * col("aq"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+          count(lit(1)).as("n"))
+    }),
+
+    // TPC-H Q20 shape: suppliers of 'small%' parts whose June-1997 shipped
+    // quantity for some part exceeds half that pair's all-time quantity
+    // (availability stand-in) — nested semi-join chain, region-scoped.
+    "tpch_q20_excess_supply" -> ((s, d) => {
+      val in97 = col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-07-01").cast("timestamp")
+      val byPair = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("qty_total"),
+          sum(when(in97, col("l_quantity")).otherwise(0.0)).as("qty_win"))
+      val smallParts = Tables.part(s, d).filter(col("p_name").like("small%"))
+        .select(col("p_partkey"))
+      val excess = byPair
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .filter(col("qty_win") > lit(0.5) * col("qty_total"))
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, d)
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_name"), col("n_name"))
+        .orderBy(col("s_name"))
+    }),
+
+    // TPC-H Q21: suppliers who alone held up multi-supplier finished
+    // orders — the double-correlated EXISTS / NOT EXISTS pattern ("late"
+    // adapted to shipdate > orderdate + 60, as in q4). Left declarative in
+    // SQL so Catalyst rewrites both existentials into semi/anti joins.
+    "tpch_q21_waiting_supplier" -> ((s, d) => {
+      Tables.supplier(s, d).createOrReplaceTempView("v_q21_supplier")
+      Tables.lineitem(s, d).createOrReplaceTempView("v_q21_lineitem")
+      Tables.orders(s, d).createOrReplaceTempView("v_q21_orders")
+      s.sql(
+        """SELECT s_name, count(*) AS numwait
+          |FROM v_q21_supplier, v_q21_lineitem l1, v_q21_orders
+          |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          |  AND o_orderstatus = 'F'
+          |  AND l1.l_shipdate > date_add(CAST(o_orderdate AS DATE), 60)
+          |  AND EXISTS (SELECT 1 FROM v_q21_lineitem l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM v_q21_lineitem l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_shipdate > date_add(CAST(o_orderdate AS DATE), 60))
+          |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
+    }),
+
     "agg_stats_per_group" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy(col("o_orderstatus"), col("o_orderpriority"))
@@ -856,6 +1034,126 @@ object Relational {
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "tpch_q2_min_cost_supplier" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        |            FROM lineitem)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+        |FROM part, ps, supplier, nation, region
+        |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey AND p_size = 15
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND s_acctbal = (SELECT min(s_acctbal)
+        |                   FROM ps ps2, supplier, nation, region
+        |                   WHERE ps2.ps_partkey = p_partkey
+        |                     AND s_suppkey = ps2.ps_suppkey
+        |                     AND s_nationkey = n_nationkey
+        |                     AND n_regionkey = r_regionkey AND r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin,
+
+    "tpch_q9_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)
+        |            - p_retailprice * 0.6 * l_quantity), 2) AS profit
+        |FROM lineitem
+        |JOIN part     ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "tpch_q11_important_stock" ->
+      """WITH vals AS (
+        |  SELECT l_partkey AS p_partkey, sum(l_quantity * p_retailprice) AS value
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = part.p_partkey
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier JOIN nation
+        |                      ON s_nationkey = n_nationkey
+        |                      WHERE n_name = 'NATION_5')
+        |  GROUP BY 1)
+        |SELECT p_partkey, round(value, 2) AS value FROM vals
+        |WHERE value > (SELECT sum(value) FROM vals) * 0.01
+        |ORDER BY value DESC, p_partkey""".stripMargin,
+
+    "tpch_q12_late_priority" ->
+      """SELECT l_returnflag AS mode,
+        |  count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |             THEN 1 END) AS high_line_count,
+        |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |             THEN 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "tpch_q15_top_supplier" ->
+      """WITH srev AS (
+        |  SELECT l_suppkey,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM srev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM srev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "tpch_q16_supplier_parts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        |      FROM lineitem) ps
+        |JOIN part ON ps_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'MEDIUM%'
+        |  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+        |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                         WHERE s_acctbal < 0.0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "tpch_q17_small_qty_revenue" ->
+      s"""SELECT ${OracleSql.sparkRound(
+            "sum(l_extendedprice) / 7.0", 2)} AS avg_yearly, count(*) AS n
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_brand = 'Brand#3'
+         |  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+         |                    WHERE l2.l_partkey = part.p_partkey)""".stripMargin,
+
+    "tpch_q20_excess_supply" ->
+      """WITH pair AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty_total,
+        |    sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+        |              AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+        |             THEN l_quantity ELSE 0.0 END) AS qty_win
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM pair
+        |    WHERE qty_win > 0.5 * qty_total
+        |      AND l_partkey IN (SELECT p_partkey FROM part
+        |                        WHERE p_name LIKE 'small%'))
+        |ORDER BY s_name""".stripMargin,
+
+    "tpch_q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
 
     "agg_stats_per_group" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
