@@ -173,4 +173,49 @@ object TextAnalysis {
       when(col("cjk") > 0.05, "zh").otherwise(pick).as("lang_guess"),
       round(stopEn, 4).as("en_score"))
   }
+
+  /** Gopher-style repetition signals (Rae et al. 2021, §A1.1 analogs over a
+    * flat token stream): per document, the duplicate-word fraction
+    * (1 − distinct/total), the top-word fraction (most frequent word's share
+    * of all tokens) and the top-bigram fraction. High values flag boilerplate
+    * and degenerate repetition that pre-training filters drop.
+    *
+    * Scale shape: one explode of the token pipeline, one exchange on id
+    * (the bigram lead() window); both the word-count and bigram-count
+    * aggregates consume that same exchange (ReuseExchange caches its
+    * output), so the document scan runs once. All aggregates are codegen'd
+    * with map-side combine; no HOF is referenced twice.
+    */
+  def repetitionFrame(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol).as("id"),
+      posexplode_outer(tokens(col(textCol)))).toDF("id", "pos", "w")
+    // lead() over token position builds bigrams without a second HOF pass
+    val base = tok.withColumn("nxt",
+      lead(col("w"), 1).over(Window.partitionBy(col("id")).orderBy(col("pos"))))
+    val wordAgg = base.filter(col("w").isNotNull)
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(max(col("c")).as("top_w"), sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"))
+    val biAgg = base.filter(col("w").isNotNull && col("nxt").isNotNull)
+      .select(col("id"), concat(col("w"), lit(" "), col("nxt")).as("b"))
+      .groupBy(col("id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(max(col("c")).as("top_b"), sum(col("c")).as("n_bigrams"))
+    def frac(num: Column, den: Column): Column =
+      when(coalesce(den, lit(0L)) === 0, 0.0)
+        .otherwise(num.cast("double") / den)
+    docs.select(col(idCol).as("id"))
+      .join(wordAgg, Seq("id"), "left")
+      .join(biAgg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        round(frac(col("n_tokens") - col("n_distinct"), col("n_tokens")), 4)
+          .as("dup_word_frac"),
+        round(frac(col("top_w"), col("n_tokens")), 4).as("top_word_frac"),
+        round(frac(col("top_b"), col("n_bigrams")), 4).as("top_bigram_frac"))
+  }
 }

@@ -69,6 +69,41 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style repetition signals: dup-word / top-word / top-bigram
+    // fractions per document (the boilerplate detectors pre-training
+    // filters key on). One explode, one exchange, codegen'd aggregates.
+    "text_repetition" -> ((s, d) => {
+      TA.repetitionFrame(Tables.documents(s, d), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_distinct"),
+          col("dup_word_frac"), col("top_word_frac"), col("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic train/valid/test assignment from an md5 threshold on
+    // the seeded doc key — reproducible across runs/engines, no shuffle at
+    // all (pure projection; the split travels with the row).
+    "train_split_hash" -> ((s, d) => {
+      val bucket = substring(
+        md5(concat(lit("split:"), col("doc_id").cast("string")).cast("binary")), 1, 2)
+      Tables.documents(s, d)
+        .select(col("doc_id"), bucket.as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < "e6", "train")
+            .when(col("bucket") < "f3", "valid")
+            .otherwise("test"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Global vocabulary head: top-100 words by corpus frequency with a
+    // deterministic tie-break — explode + hash-agg + TakeOrderedAndProject
+    // (no full sort at scale).
+    "text_vocab_topk" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(TA.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(100)
+    }),
+
     // End-to-end quality filter: keep only exact-dedup survivors whose
     // composite quality clears the bar — the canonical select-what-to-train-on
     // pipeline (fingerprint dedup ∘ quality score), one shuffle each side.
@@ -465,6 +500,52 @@ object Extensions {
          |              - n_tokens) / 2048.0) AS BIGINT) AS shard,
          |  n_tokens
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest($toks) AS w, unnest(range(len($toks))) AS pos
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, w,
+         |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+         |  FROM t),
+         |wc AS (SELECT doc_id, w, count(*) AS c FROM b GROUP BY 1, 2),
+         |wa AS (SELECT doc_id, max(c) AS top_w, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |              count(*) AS n_distinct FROM wc GROUP BY 1),
+         |bc AS (SELECT doc_id, w || ' ' || nxt AS big, count(*) AS c
+         |       FROM b WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |ba AS (SELECT doc_id, max(c) AS top_b, CAST(sum(c) AS BIGINT) AS n_bigrams
+         |       FROM bc GROUP BY 1)
+         |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+         |  coalesce(n_distinct, 0) AS n_distinct,
+         |  CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
+         |       ELSE ${sparkRound("(n_tokens - n_distinct) / CAST(n_tokens AS DOUBLE)", 4)}
+         |  END AS dup_word_frac,
+         |  CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
+         |       ELSE ${sparkRound("top_w / CAST(n_tokens AS DOUBLE)", 4)}
+         |  END AS top_word_frac,
+         |  CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0.0
+         |       ELSE ${sparkRound("top_b / CAST(n_bigrams AS DOUBLE)", 4)}
+         |  END AS top_bigram_frac
+         |FROM documents d
+         |LEFT JOIN wa ON d.doc_id = wa.doc_id
+         |LEFT JOIN ba ON d.doc_id = ba.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "train_split_hash" ->
+      """SELECT doc_id,
+        |  substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+        |  CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+        |         THEN 'train'
+        |       WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
+        |         THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_vocab_topk" ->
+      s"""SELECT w, count(*) AS n
+         |FROM (SELECT unnest($toks) AS w FROM documents)
+         |GROUP BY 1 ORDER BY n DESC, w LIMIT 100""".stripMargin,
 
     "train_quality_filter" ->
       s"""WITH f AS (

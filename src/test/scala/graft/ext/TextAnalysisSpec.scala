@@ -77,6 +77,27 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("repetition signals on constructed docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a b"),          // 4 toks, 2 distinct; top word a=3; bigrams: "a a"×2, "a b" → top 2/3
+      (2L, "x y z"),            // no repetition at all
+      (3L, "go go go go"),      // fully degenerate
+      (4L, "")                  // empty → all zeros
+    ).toDF("doc_id", "text")
+    val m = TA.repetitionFrame(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getLong(1) === 4 && m(1L).getLong(2) === 2)
+    assert(m(1L).getDouble(3) === 0.5)      // dup_word_frac
+    assert(m(1L).getDouble(4) === 0.75)     // top_word_frac
+    assert(m(1L).getDouble(5) === 0.6667)   // top_bigram_frac 2/3
+    assert(m(2L).getDouble(3) === 0.0 && m(2L).getDouble(4) === 0.3333)
+    assert(m(3L).getDouble(3) === 0.75 && m(3L).getDouble(4) === 1.0 &&
+      m(3L).getDouble(5) === 1.0)
+    assert(m(4L).getLong(1) === 0 && m(4L).getDouble(3) === 0.0 &&
+      m(4L).getDouble(5) === 0.0)
+  }
+
   test("fingerprint: whitespace/case normalization collapses, content differs") {
     import spark.implicits._
     val df = Seq(
