@@ -220,13 +220,16 @@ object Relational {
         .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
           col("n_regionkey") === col("r_regionkey"))
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      // single pass: the correlated min is a window over partkey, so the
+      // derived-pair distinct and the joins run ONCE (a self-join form
+      // re-computes the whole subtree twice — 18 scans vs 9 in the plan)
       val cand = Tables.part(s, d).filter(col("p_size") === 15)
         .join(ps, col("p_partkey") === col("ps_partkey"))
         .join(broadcast(eurSupp), col("ps_suppkey") === col("s_suppkey"))
-      val minCost = cand.groupBy(col("p_partkey").as("mc_pk"))
-        .agg(min(col("s_acctbal")).as("min_bal"))
-      cand.join(minCost,
-          col("p_partkey") === col("mc_pk") && col("s_acctbal") === col("min_bal"))
+      cand
+        .withColumn("min_bal",
+          min(col("s_acctbal")).over(Window.partitionBy(col("p_partkey"))))
+        .filter(col("s_acctbal") === col("min_bal"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
           col("p_partkey"), col("p_name"))
         .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
@@ -260,8 +263,11 @@ object Relational {
         .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_partkey"))
         .agg(sum(col("l_quantity") * col("p_retailprice")).as("value"))
-      val total = vals.agg(sum(col("value")).as("tot"))
-      vals.join(broadcast(total))
+      // scalar total as an unpartitioned window over the ALREADY-AGGREGATED
+      // per-part frame (|parts| rows): one pass over lineitem instead of the
+      // two a scalar-subquery self-join would plan
+      vals
+        .withColumn("tot", sum(col("value")).over(Window.partitionBy()))
         .filter(col("value") > col("tot") * lit(0.01))
         .select(col("p_partkey"), round(col("value"), 2).as("value"))
         .orderBy(col("value").desc, col("p_partkey"))
@@ -292,8 +298,11 @@ object Relational {
           col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey"))
         .agg(round(sum(rev), 2).as("total_revenue"))
-      val maxRev = revBySupp.agg(max(col("total_revenue")).as("mx"))
-      revBySupp.join(broadcast(maxRev)).filter(col("total_revenue") === col("mx"))
+      // max as an unpartitioned window over the |suppliers|-row agg frame:
+      // lineitem is scanned/aggregated once, not twice
+      revBySupp
+        .withColumn("mx", max(col("total_revenue")).over(Window.partitionBy()))
+        .filter(col("total_revenue") === col("mx"))
         .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
         .orderBy(col("s_suppkey"))
@@ -303,11 +312,13 @@ object Relational {
     // excluding one brand/type/size slice and "complaint" suppliers
     // (negative balance stands in for the comment filter).
     "tpch_q16_supplier_parts" -> ((s, d) => {
-      val ps = Tables.lineitem(s, d)
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      // no pre-distinct of (part, supp): the count-DISTINCT aggregate dedups
+      // pairs itself, so lineitem shuffles once on the distinct keys instead
+      // of once for a distinct and again for the regroup
       val badSupp = Tables.supplier(s, d)
         .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
-      ps.join(Tables.part(s, d).filter(col("p_brand") =!= "Brand#13" &&
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_brand") =!= "Brand#13" &&
             !col("p_type").like("MEDIUM%") &&
             col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)),
           col("l_partkey") === col("p_partkey"))
@@ -322,13 +333,14 @@ object Relational {
     // per-part average is computed over the (pre-filtered) same frame, so
     // the fact table is scanned once and shuffled once on partkey.
     "tpch_q17_small_qty_revenue" -> ((s, d) => {
+      // correlated per-part average as a window over partkey: the brand
+      // slice of lineitem is scanned once and shuffled once
       val bparts = Tables.part(s, d).filter(col("p_brand") === "Brand#3")
         .select(col("p_partkey"))
-      val lb = Tables.lineitem(s, d)
+      Tables.lineitem(s, d)
         .join(broadcast(bparts), col("l_partkey") === col("p_partkey"))
-      val avgQty = lb.groupBy(col("p_partkey").as("aq_pk"))
-        .agg(avg(col("l_quantity")).as("aq"))
-      lb.join(broadcast(avgQty), col("p_partkey") === col("aq_pk"))
+        .withColumn("aq",
+          avg(col("l_quantity")).over(Window.partitionBy(col("p_partkey"))))
         .filter(col("l_quantity") < lit(0.5) * col("aq"))
         .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
           count(lit(1)).as("n"))
