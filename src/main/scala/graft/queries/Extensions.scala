@@ -138,6 +138,33 @@ object Extensions {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // Symmetric int8 vector quantization (the embedding-compression step
+    // before ANN indexing at scale: 4x smaller, cache-resident codes).
+    // Per vector: the scale (127/max|x|), the mean squared reconstruction
+    // error, and how many lanes saturate. floor(x+0.5) is used instead of
+    // round() because both engines evaluate it exactly on the binary double
+    // (Spark's round stringifies first); every HOF is referenced once.
+    "sim_quantize_int8" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .withColumn("mx", aggregate(col("embedding"), lit(0.0),
+          (acc, x) => greatest(acc, abs(x))))
+        .filter(col("mx") > 0.0)
+        .withColumn("scale", lit(127.0) / col("mx"))
+        .withColumn("sq_err", aggregate(col("embedding"), lit(0.0),
+          (acc, x) => {
+            // explicit multiply, not pow(): e*e is a single correctly-rounded
+            // op in both engines, so the error sums match bit-for-bit
+            val e = x - floor(x * col("scale") + 0.5) / col("scale")
+            acc + e * e
+          }))
+        .withColumn("n_sat", size(filter(col("embedding"),
+          x => abs(floor(x * col("scale") + 0.5)) >= 127)).cast("long"))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          round(col("sq_err") / size(col("embedding")), 10).as("mse"),
+          col("n_sat"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- multimodal metadata plumbing (oracle-checked) ---------------------
     "multimodal_metadata" -> ((s, d) => {
       Multimodal.mediaFromDocuments(Tables.documents(s, d))
@@ -531,6 +558,28 @@ object Extensions {
          |LEFT JOIN wa ON d.doc_id = wa.doc_id
          |LEFT JOIN ba ON d.doc_id = ba.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "sim_quantize_int8" ->
+      // the parquet column is FLOAT[]; widen to DOUBLE[] first or DuckDB
+      // keeps the whole pipeline in float32 while Spark's aggregate promotes
+      // per-element (float bits → double) — emb below matches Spark exactly
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+         |    list_aggregate(list_transform(embedding,
+         |      x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+         |  FROM embeddings)
+         |SELECT vec_id,
+         |  ${sparkRound("127.0 / mx", 6)} AS scale,
+         |  ${sparkRound(
+              """list_aggregate(list_transform(emb,
+                |      x -> (x - floor(x * (127.0 / mx) + 0.5) / (127.0 / mx))
+                |         * (x - floor(x * (127.0 / mx) + 0.5) / (127.0 / mx))), 'sum')
+                |    / len(emb)""".stripMargin, 10)} AS mse,
+         |  CAST(len(list_filter(emb,
+         |    x -> abs(floor(x * (127.0 / mx) + 0.5)) >= 127)) AS BIGINT) AS n_sat
+         |FROM q WHERE mx > 0.0
+         |ORDER BY vec_id""".stripMargin,
 
     "train_split_hash" ->
       """SELECT doc_id,

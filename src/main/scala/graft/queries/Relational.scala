@@ -659,6 +659,25 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Hive-partitioned parquet sink + partition-PRUNED read — the layout
+    // lever at 100 TB: the lang filter is satisfied by directory listing
+    // (PartitionFilters), so the scan never opens non-en files. The oracle
+    // computes the same aggregate from the unpartitioned original, proving
+    // the partitioned write/read is lossless; PartitionPruningSpec asserts
+    // the pruning itself.
+    "source_partitioned_pruning" -> ((s, d) => {
+      val path = System.getProperty("java.io.tmpdir") + "/graft_part_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").partitionBy("lang").parquet(path)
+      s.read.parquet(path)
+        .filter(col("lang") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("source"))
+    }),
+
     "source_json_roundtrip" -> ((s, d) => {
       val path = System.getProperty("java.io.tmpdir") + "/graft_json_" +
         d.replaceAll("[^A-Za-z0-9]", "_")
@@ -1237,6 +1256,11 @@ object Relational {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "source_partitioned_pruning" ->
+      """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "join_inner" ->
       """SELECT n_nationkey, n_name, r_name FROM nation
