@@ -46,7 +46,14 @@ object Explain {
           val shj = count("ShuffledHashJoin")
           val topk = count("TakeOrderedAndProject")
           val exch = count("Exchange")
-          val wsc = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
+          // the tree string drops "*(n)" markers on some AQE-final plans;
+          // the formatted rendering's "codegen id : n" tags are reliable,
+          // so count codegen spans there
+          val fmt = qe.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          val wsc = Seq(
+            "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size,
+            "codegen id : (\\d+)".r.findAllMatchIn(fmt).map(_.group(1)).toSet.size).max
           val readSchemas = "ReadSchema: struct<([^>]*)>".r
             .findAllMatchIn(plan).map(_.group(1).split(",").length).toSeq
           println(f"$name%-28s scans=$scans pushed=$pushed cols=${readSchemas.mkString("/")}%-12s " +
