@@ -242,4 +242,51 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  // ---- clustering ----------------------------------------------------------
+
+  /** Connected components over an undirected near-dup edge list — the step
+    * that turns pairwise matches (MinHash/SimHash/cosine) into dedup GROUPS.
+    * Returns (id, component) where component = min node id reachable; the
+    * component id doubles as the canonical survivor.
+    *
+    * Min-label propagation: every node starts labeled with itself; each
+    * round takes the min label over the 1-hop neighborhood; fixpoint when no
+    * label changes. Each round is one equi-join + one aggregate on node id
+    * (both codegen'd, shuffles on the same key), with `localCheckpoint()`
+    * cutting the lineage so plan size stays constant across rounds.
+    * Rounds needed = graph diameter — near-dup clusters are shallow (dups of
+    * a doc are dups of each other), so a handful in practice; `maxIter`
+    * bounds pathological chains and the method fails loudly rather than
+    * returning a half-converged labeling. Driver-side per round: ONE count
+    * (the convergence check), never edge data.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges
+      .select(col("id1").cast("long").as("a"), col("id2").cast("long").as("b"))
+      .union(edges
+        .select(col("id2").cast("long").as("a"), col("id1").cast("long").as("b")))
+      .distinct().localCheckpoint()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("b_id"), col("label").as("b_label")),
+          col("b") === col("b_id"))
+        .groupBy(col("a")).agg(min(col("b_label")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, labels("id") === nbrMin("a"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next_label"))
+        .localCheckpoint()
+      changed = next.filter(col("next_label") < col("label")).count()
+      labels = next.select(col("id"), col("next_label").as("label"))
+      iter += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds — graph diameter exceeds maxIter")
+    labels
+  }
 }

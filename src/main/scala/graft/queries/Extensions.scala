@@ -138,6 +138,19 @@ object Extensions {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // Near-dup CLUSTERING: pairwise matches → connected components → one
+    // canonical survivor (min id) per group. Edges here are the exact
+    // cosine pairs on the bounded slice so DuckDB can replay them; the
+    // operator itself takes any edge list (MinHash/SimHash pairs at scale).
+    "dedup_cluster_components" -> ((s, d) => {
+      val edges = Similarity.cosineNearDupPairs(
+        Tables.embeddings(s, d).filter(col("vec_id") < 100), "vec_id", "embedding",
+        threshold = 0.3)
+      Dedup.connectedComponents(edges.select(col("id1"), col("id2")))
+        .select(col("id").as("vec_id"), col("label").as("component"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Symmetric int8 vector quantization (the embedding-compression step
     // before ANN indexing at scale: 4x smaller, cache-resident codes).
     // Per vector: the scale (127/max|x|), the mean squared reconstruction
@@ -558,6 +571,23 @@ object Extensions {
          |LEFT JOIN wa ON d.doc_id = wa.doc_id
          |LEFT JOIN ba ON d.doc_id = ba.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "dedup_cluster_components" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < 100),
+         |nd AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM e a, e b WHERE a.vec_id < b.vec_id
+         |    AND ${sparkRound("list_cosine_similarity(a.v, b.v)", 6)} >= 0.3),
+         |sym AS (SELECT id1 AS a, id2 AS b FROM nd
+         |        UNION SELECT id2, id1 FROM nd),
+         |reach(a, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+         |  UNION
+         |  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.a)
+         |SELECT a AS vec_id, CAST(min(r) AS BIGINT) AS component
+         |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin,
 
     "sim_quantize_int8" ->
       // the parquet column is FLOAT[]; widen to DOUBLE[] first or DuckDB

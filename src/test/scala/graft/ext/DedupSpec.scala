@@ -81,4 +81,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs((2L, 3L)) > 0.8)
     assert(!pairs.contains((0L, 4L)))
   }
+
+  test("connected components: chain, triangle, pair, transitive min labels") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4), triangle 10-11-12, isolated pair 20-21
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)
+    ).toDF("id1", "id2")
+    val comp = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(comp(_) === 1L), s"chain: $comp")
+    assert(Seq(10L, 11L, 12L).forall(comp(_) === 10L))
+    assert(comp(20L) === 20L && comp(21L) === 20L)
+    assert(comp.size === 10)
+    // edge direction must not matter
+    val rev = Dedup.connectedComponents(
+      edges.select(col("id2").as("id1"), col("id1").as("id2"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rev === comp)
+  }
 }
