@@ -104,6 +104,27 @@ object Extensions {
         .orderBy(col("n").desc, col("w")).limit(100)
     }),
 
+    // Shard-level packing stats on top of train_shuffle_shard: docs and
+    // token fill per (stratum, shard) against the 2048-token budget — the
+    // check that the packing step produced trainable, evenly-filled shards.
+    // Same one window pass; the stats are a second aggregate on its output.
+    "train_pack_stats" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val key = md5(concat(lit("shuf:"), col("doc_id").cast("string")).cast("binary"))
+      val toks = TA.tokenCount(col("text")).cast("long")
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), key.as("k"), substring(key, 1, 2).as("stratum"),
+          toks.as("n_tokens"))
+      val w = Window.partitionBy(col("stratum")).orderBy(col("k"))
+      base
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("shard", floor((col("cum") - col("n_tokens")) / 2048).cast("long"))
+        .groupBy(col("stratum"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"))
+        .withColumn("fill", round(col("shard_tokens").cast("double") / 2048.0, 4))
+        .orderBy(col("stratum"), col("shard"))
+    }),
+
     // End-to-end quality filter: keep only exact-dedup survivors whose
     // composite quality clears the bar — the canonical select-what-to-train-on
     // pipeline (fingerprint dedup ∘ quality score), one shuffle each side.
@@ -540,6 +561,24 @@ object Extensions {
          |              - n_tokens) / 2048.0) AS BIGINT) AS shard,
          |  n_tokens
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    "train_pack_stats" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k,
+         |    substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 2) AS stratum,
+         |    CAST(len($toks) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |s AS (
+         |  SELECT stratum,
+         |    CAST(floor((sum(n_tokens) OVER (PARTITION BY stratum ORDER BY k)
+         |                - n_tokens) / 2048.0) AS BIGINT) AS shard,
+         |    n_tokens
+         |  FROM b)
+         |SELECT stratum, shard, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+         |  ${OracleSql.sparkRound("CAST(sum(n_tokens) AS DOUBLE) / 2048.0", 4)} AS fill
+         |FROM s GROUP BY 1, 2 ORDER BY stratum, shard""".stripMargin,
 
     "text_repetition" ->
       s"""WITH t AS (
