@@ -141,6 +141,25 @@ object Multimodal {
       .mapPartitions(_.map { case (id, w, h) => PngRow(id, pngEncode(id, w, h), w, h) })
   }
 
+  /** Media fixture cache: the synthetic PNGs depend only on the source
+    * documents parquet, so encode once per fixture snapshot and let every
+    * decode run read the persisted binary column. Production media arrives
+    * already stored — re-encoding per query would charge the DECODE
+    * operator for fixture synthesis (PNG write = deflate compression, the
+    * dominant cost). Content-keyed on the source file like the IVF index
+    * cache. */
+  def pngMediaCached(docs: DataFrame, sfDir: String): Dataset[PngRow] = {
+    val spark = docs.sparkSession
+    implicit val enc = Encoders.product[PngRow]
+    val src = new java.io.File(sfDir + "/documents.parquet")
+    val path = System.getProperty("java.io.tmpdir") + "/graft_media_" +
+      (sfDir + "_" + src.length + "_" + src.lastModified)
+        .replaceAll("[^A-Za-z0-9]", "_")
+    if (!new java.io.File(path + "/_SUCCESS").exists())
+      pngMedia(docs).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).as[PngRow]
+  }
+
   /** Batched per-partition PNG decode — same batch shape as
     * [[extractFeatures]], with the stub swapped for the real codec. */
   def decodePngFeatures(media: Dataset[PngRow], batchSize: Int = 64): Dataset[PngStats] = {

@@ -397,7 +397,7 @@ object Extensions {
     // the oracle recomputes from the generation rule (PNG is lossless).
     "multimodal_decode" -> ((s, d) => {
       Multimodal.decodePngFeatures(
-        Multimodal.pngMedia(Tables.documents(s, d))).toDF()
+        Multimodal.pngMediaCached(Tables.documents(s, d), d)).toDF()
         .select(col("media_id"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
         .orderBy(col("media_id"))
