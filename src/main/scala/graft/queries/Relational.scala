@@ -692,6 +692,24 @@ object Relational {
         .orderBy(col("event_type"))
     }),
 
+    // ORC round trip — the third columnar lane (parquet is the native
+    // fixture format): typed write + read + aggregate, oracle-checked
+    // against the parquet original so any type coercion in the ORC
+    // writer/reader would hash-mismatch.
+    "source_orc_roundtrip" -> ((s, d) => {
+      val path = System.getProperty("java.io.tmpdir") + "/graft_orc_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      Tables.lineitem(s, d).filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"))
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"),
+          round(sum(col("l_extendedprice")), 2).as("price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Salted skew join: identical RESULT to the plain equi-join (the oracle
     // proves it), but the hot key's rows spread across `salt` reducer
     // partitions — the manual straggler fix when AQE skew-split can't apply.
@@ -1325,6 +1343,12 @@ object Relational {
       """SELECT event_type, count(*) AS n, round(sum(value),2) AS sum_v
         |FROM events WHERE event_id < 5000
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "source_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty,
+        |  round(sum(l_extendedprice), 2) AS price
+        |FROM lineitem WHERE l_orderkey < 2000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_approx_distinct_check" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact,
