@@ -23,13 +23,19 @@ object Bench {
         catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal per-query times keep the full line compact (the driver
+    // captures a bounded output tail; a 4 KB line risks truncation)
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     // -1.0 marks a failed query; exclude the sentinel from the wall total and
     // surface the failure count instead of silently shrinking the aggregate.
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failures = results.count(_._2 < 0)
     println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}""")
+    // short summary LAST: even if the long line overflows the captured
+    // tail, this complete record (same metric contract, no per-query map)
+    // lands inside it and stays parseable
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
