@@ -263,12 +263,16 @@ object Relational {
         .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_partkey"))
         .agg(sum(col("l_quantity") * col("p_retailprice")).as("value"))
-      // scalar total as an unpartitioned window over the ALREADY-AGGREGATED
-      // per-part frame (|parts| rows): one pass over lineitem instead of the
-      // two a scalar-subquery self-join would plan
-      vals
-        .withColumn("tot", sum(col("value")).over(Window.partitionBy()))
-        .filter(col("value") > col("tot") * lit(0.01))
+      // one pass over lineitem: materialize the per-part frame once
+      // (localCheckpoint), then the scalar threshold is a distributed
+      // aggregate broadcast back — no self-join re-scan, and no
+      // unpartitioned window funneling the |parts|-sized frame through a
+      // single task. The bar is 2.5x the MEAN part value: scale-free (a
+      // fixed fraction of the total empties as |parts| grows — TPC-H
+      // scales its q11 fraction by 1/SF for the same reason).
+      val v = vals.localCheckpoint()
+      v.join(broadcast(v.agg((avg(col("value")) * 2.5).as("thr"))))
+        .filter(col("value") > col("thr"))
         .select(col("p_partkey"), round(col("value"), 2).as("value"))
         .orderBy(col("value").desc, col("p_partkey"))
     }),
@@ -298,10 +302,11 @@ object Relational {
           col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey"))
         .agg(round(sum(rev), 2).as("total_revenue"))
-      // max as an unpartitioned window over the |suppliers|-row agg frame:
-      // lineitem is scanned/aggregated once, not twice
-      revBySupp
-        .withColumn("mx", max(col("total_revenue")).over(Window.partitionBy()))
+      // one lineitem pass: checkpoint the |suppliers|-row agg frame, take
+      // the max as a distributed aggregate, broadcast it back (an
+      // unpartitioned window would single-task the whole frame at scale)
+      val r = revBySupp.localCheckpoint()
+      r.join(broadcast(r.agg(max(col("total_revenue")).as("mx"))))
         .filter(col("total_revenue") === col("mx"))
         .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
@@ -1122,7 +1127,7 @@ object Relational {
         |                      WHERE n_name = 'NATION_5')
         |  GROUP BY 1)
         |SELECT p_partkey, round(value, 2) AS value FROM vals
-        |WHERE value > (SELECT sum(value) FROM vals) * 0.01
+        |WHERE value > (SELECT 2.5 * avg(value) FROM vals)
         |ORDER BY value DESC, p_partkey""".stripMargin,
 
     "tpch_q12_late_priority" ->
