@@ -275,7 +275,11 @@ object Extensions {
         .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
         .withColumn("j",
           col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
-        .filter(col("j") >= 0.3)
+        .filter(col("j") >= 0.01)  // fixture has no high-J pairs in the
+        // slice (max true J ~0.03): the check asserts the estimator stays
+        // within tolerance on real low-similarity pairs instead of passing
+        // vacuously on an empty set; DedupSpec covers high-J accuracy on
+        // constructed near-dups
       pairs
         .join(sigs.select(col("id").as("id1"), col("sig").as("sig1")), "id1")
         .join(sigs.select(col("id").as("id2"), col("sig").as("sig2")), "id2")
@@ -542,7 +546,7 @@ object Extensions {
          |  true AS within_tol
          |FROM s a, s b WHERE a.id < b.id
          |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3
+         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.01
          |ORDER BY id1, id2""".stripMargin,
 
     "dedup_simhash_invariance" ->

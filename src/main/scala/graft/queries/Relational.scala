@@ -192,14 +192,20 @@ object Relational {
 
     // TPC-H Q22 shape: rich-but-inactive customers — scalar subquery
     // (positive-balance average) + anti join, grouped by nation in place of
-    // the phone country code the reduced schema lacks.
+    // the phone country code the reduced schema lacks. "Inactive" = no
+    // order since 2000-01-01: in this fixture every rich customer has SOME
+    // order, so the original no-orders-ever form returned zero rows at
+    // every scale — a vacuous gate. The anti join's right side is the
+    // date-filtered orders scan (filter pushed below the join).
     "tpch_q22_inactive_rich" -> ((s, d) => {
       val cust = Tables.customer(s, d)
       val avgBal = cust.filter(col("c_acctbal") > 0.0)
         .agg(avg(col("c_acctbal")).as("ab"))
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
       cust.join(broadcast(avgBal))
         .filter(col("c_acctbal") > col("ab"))
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
         .orderBy(col("c_nationkey"))
@@ -1086,7 +1092,8 @@ object Relational {
         |  round(sum(c_acctbal), 2) AS totacctbal
         |FROM customer
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
-        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "tpch_q2_min_cost_supplier" ->
