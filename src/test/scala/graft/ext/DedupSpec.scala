@@ -82,6 +82,19 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((0L, 4L)))
   }
 
+  test("e2e dedup pipeline: minhash pairs -> components -> known clusters") {
+    // the production path at scale: banded-LSH candidate pairs feed the
+    // clustering; docs 0/1/2/3 are one near-dup family, 4 and 5 are not
+    val edges = Dedup.minhashNearDups(corpus(), "text", "doc_id",
+      threshold = 0.5)
+    val comp = Dedup.connectedComponents(edges.select(col("id1"), col("id2")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(0L, 1L, 2L, 3L).forall(comp.get(_).contains(0L)),
+      s"near-dup family should cluster under survivor 0: $comp")
+    assert(!comp.contains(4L) && !comp.contains(5L),
+      "unrelated docs must not enter any cluster")
+  }
+
   test("connected components: chain, triangle, pair, transitive min labels") {
     import spark.implicits._
     // chain 1-2-3-4-5 (diameter 4), triangle 10-11-12, isolated pair 20-21
