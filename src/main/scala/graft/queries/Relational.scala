@@ -406,6 +406,23 @@ object Relational {
           |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
     }),
 
+    // MODE with a deterministic tie-break (count desc, then value) — the
+    // built-in mode() is tie-unstable across engines, so the rank form is
+    // the cross-engine-safe way to ask "most common value per group". The
+    // window runs over the tiny post-aggregate frame, not the fact table.
+    "agg_mode_deterministic" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("o_orderstatus"))
+            .orderBy(col("n").desc, col("o_orderpriority"))))
+        .filter(col("rk") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+          col("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "agg_stats_per_group" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy(col("o_orderstatus"), col("o_orderpriority"))
@@ -1215,6 +1232,14 @@ object Relational {
         |                    AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.l_shipdate > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY)
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+
+    "agg_mode_deterministic" ->
+      """SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |                       ORDER BY count(*) DESC, o_orderpriority) AS rk
+        |  FROM orders GROUP BY 1, 2)
+        |WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin,
 
     "agg_stats_per_group" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
