@@ -24,9 +24,12 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     // 3-decimal per-query times keep the full line compact (the driver
-    // captures a bounded output tail; a 4 KB line risks truncation)
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
-      .mkString("{", ",", "}")
+    // captures a bounded output tail; a 4 KB line risks truncation).
+    // Locale.ROOT: the f-interpolator would use the default locale and
+    // emit comma decimals (invalid JSON) on e.g. de_DE JVMs.
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    }.mkString("{", ",", "}")
     // -1.0 marks a failed query; exclude the sentinel from the wall total and
     // surface the failure count instead of silently shrinking the aggregate.
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

@@ -267,8 +267,9 @@ object Dedup {
       .union(edges
         .select(col("id2").cast("long").as("a"), col("id1").cast("long").as("b")))
       .distinct().localCheckpoint()
-    var labels = sym.select(col("a").as("id")).distinct()
+    var prevCkpt = sym.select(col("a").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
+    var labels = prevCkpt
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -282,9 +283,15 @@ object Dedup {
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next_label"))
         .localCheckpoint()
       changed = next.filter(col("next_label") < col("label")).count()
+      // next is materialized; the previous round's checkpoint blocks are
+      // dead — free them now instead of waiting for driver GC (25 retained
+      // copies of the labels frame would evict useful cache on big graphs)
+      prevCkpt.unpersist()
+      prevCkpt = next
       labels = next.select(col("id"), col("next_label").as("label"))
       iter += 1
     }
+    sym.unpersist()
     require(changed == 0,
       s"connectedComponents did not converge in $maxIter rounds — graph diameter exceeds maxIter")
     labels

@@ -148,12 +148,19 @@ object Multimodal {
     * operator for fixture synthesis (PNG write = deflate compression, the
     * dominant cost). Content-keyed on the source file like the IVF index
     * cache. */
+  /** Bump when [[pngMedia]]/[[pngEncode]] generation rules change — part of
+    * the cache key, so stale fixtures from an older rule are never served. */
+  private val mediaCacheVersion = "v1"
+
   def pngMediaCached(docs: DataFrame, sfDir: String): Dataset[PngRow] = {
     val spark = docs.sparkSession
     implicit val enc = Encoders.product[PngRow]
+    // NOTE: `docs` must be the FULL documents frame of `sfDir` — the cache
+    // is keyed on the source file (+ generation-rule version), not on the
+    // frame, so a filtered input would still be served the whole corpus.
     val src = new java.io.File(sfDir + "/documents.parquet")
     val path = System.getProperty("java.io.tmpdir") + "/graft_media_" +
-      (sfDir + "_" + src.length + "_" + src.lastModified)
+      (sfDir + "_" + src.length + "_" + src.lastModified + "_" + mediaCacheVersion)
         .replaceAll("[^A-Za-z0-9]", "_")
     if (!new java.io.File(path + "/_SUCCESS").exists())
       pngMedia(docs).write.mode("overwrite").parquet(path)

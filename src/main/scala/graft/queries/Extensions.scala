@@ -54,18 +54,8 @@ object Extensions {
     // global single-partition window), then packed greedily into shards of
     // ~2048 tokens by cumulative token count.
     "train_shuffle_shard" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val key = md5(concat(lit("shuf:"), col("doc_id").cast("string")).cast("binary"))
-      val toks = TA.tokenCount(col("text")).cast("long")
-      val base = Tables.documents(s, d)
-        .select(col("doc_id"), key.as("k"), substring(key, 1, 2).as("stratum"),
-          toks.as("n_tokens"))
-      val w = Window.partitionBy(col("stratum")).orderBy(col("k"))
-      base
-        .withColumn("cum", sum(col("n_tokens")).over(w))
-        .select(col("doc_id"), col("stratum"),
-          floor((col("cum") - col("n_tokens")) / 2048).cast("long").as("shard"),
-          col("n_tokens"))
+      shuffleShardFrame(s, d)
+        .select(col("doc_id"), col("stratum"), col("shard"), col("n_tokens"))
         .orderBy(col("doc_id"))
     }),
 
@@ -109,19 +99,11 @@ object Extensions {
     // check that the packing step produced trainable, evenly-filled shards.
     // Same one window pass; the stats are a second aggregate on its output.
     "train_pack_stats" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val key = md5(concat(lit("shuf:"), col("doc_id").cast("string")).cast("binary"))
-      val toks = TA.tokenCount(col("text")).cast("long")
-      val base = Tables.documents(s, d)
-        .select(col("doc_id"), key.as("k"), substring(key, 1, 2).as("stratum"),
-          toks.as("n_tokens"))
-      val w = Window.partitionBy(col("stratum")).orderBy(col("k"))
-      base
-        .withColumn("cum", sum(col("n_tokens")).over(w))
-        .withColumn("shard", floor((col("cum") - col("n_tokens")) / 2048).cast("long"))
+      shuffleShardFrame(s, d)
         .groupBy(col("stratum"), col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"))
-        .withColumn("fill", round(col("shard_tokens").cast("double") / 2048.0, 4))
+        .withColumn("fill",
+          round(col("shard_tokens").cast("double") / shardBudget, 4))
         .orderBy(col("stratum"), col("shard"))
     }),
 
@@ -419,6 +401,27 @@ object Extensions {
         .orderBy(col("media_id"))
     })
   )
+
+  /** Token budget per training shard — shared by the sharding query and its
+    * packing-stats audit so the two can never drift apart. */
+  private val shardBudget = 2048
+
+  /** Shared base for the shuffle-shard queries: seeded md5 shuffle key, 256
+    * hash strata, token counts, and the greedy cumulative-sum shard
+    * assignment (window per stratum, so the sort parallelizes across
+    * strata — no global single-partition window). */
+  private def shuffleShardFrame(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(lit("shuf:"), col("doc_id").cast("string")).cast("binary"))
+    val toks = TA.tokenCount(col("text")).cast("long")
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), key.as("k"), substring(key, 1, 2).as("stratum"),
+        toks.as("n_tokens"))
+    val w = Window.partitionBy(col("stratum")).orderBy(col("k"))
+    base.withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("shard",
+        floor((col("cum") - col("n_tokens")) / shardBudget).cast("long"))
+  }
 
   // DuckDB mirrors. Tokenization both sides: lowercase, split \s+, drop
   // empty. DuckDB md5() hashes the UTF-8 string exactly like Spark's

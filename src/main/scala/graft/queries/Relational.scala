@@ -264,11 +264,14 @@ object Relational {
         .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_5")),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"))
+      // value is rounded to cents BEFORE the threshold compare (q15's
+      // discipline): both engines then filter identical doubles, instead of
+      // accumulation-order-sensitive raw sums racing the cutoff
       val vals = Tables.lineitem(s, d)
         .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
         .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_partkey"))
-        .agg(sum(col("l_quantity") * col("p_retailprice")).as("value"))
+        .agg(round(sum(col("l_quantity") * col("p_retailprice")), 2).as("value"))
       // one pass over lineitem: materialize the per-part frame once
       // (localCheckpoint), then the scalar threshold is a distributed
       // aggregate broadcast back — no self-join re-scan, and no
@@ -277,9 +280,9 @@ object Relational {
       // fixed fraction of the total empties as |parts| grows — TPC-H
       // scales its q11 fraction by 1/SF for the same reason).
       val v = vals.localCheckpoint()
-      v.join(broadcast(v.agg((avg(col("value")) * 2.5).as("thr"))))
+      v.join(broadcast(v.agg(round(avg(col("value")) * 2.5, 2).as("thr"))))
         .filter(col("value") > col("thr"))
-        .select(col("p_partkey"), round(col("value"), 2).as("value"))
+        .select(col("p_partkey"), col("value"))
         .orderBy(col("value").desc, col("p_partkey"))
     }),
 
@@ -1142,17 +1145,18 @@ object Relational {
         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
 
     "tpch_q11_important_stock" ->
-      """WITH vals AS (
-        |  SELECT l_partkey AS p_partkey, sum(l_quantity * p_retailprice) AS value
-        |  FROM lineitem
-        |  JOIN part ON l_partkey = part.p_partkey
-        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier JOIN nation
-        |                      ON s_nationkey = n_nationkey
-        |                      WHERE n_name = 'NATION_5')
-        |  GROUP BY 1)
-        |SELECT p_partkey, round(value, 2) AS value FROM vals
-        |WHERE value > (SELECT 2.5 * avg(value) FROM vals)
-        |ORDER BY value DESC, p_partkey""".stripMargin,
+      s"""WITH vals AS (
+         |  SELECT l_partkey AS p_partkey,
+         |    round(sum(l_quantity * p_retailprice), 2) AS value
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = part.p_partkey
+         |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier JOIN nation
+         |                      ON s_nationkey = n_nationkey
+         |                      WHERE n_name = 'NATION_5')
+         |  GROUP BY 1)
+         |SELECT p_partkey, value FROM vals
+         |WHERE value > (SELECT ${OracleSql.sparkRound("2.5 * avg(value)", 2)} FROM vals)
+         |ORDER BY value DESC, p_partkey""".stripMargin,
 
     "tpch_q12_late_priority" ->
       """SELECT l_returnflag AS mode,
