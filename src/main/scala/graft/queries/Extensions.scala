@@ -52,7 +52,7 @@ object Extensions {
     // step: docs ordered by a seeded md5 key WITHIN 256 hash strata (the
     // window is partitioned, so the sort parallelizes across strata — no
     // global single-partition window), then packed greedily into shards of
-    // ~2048 tokens by cumulative token count.
+    // ~shardBudget tokens by cumulative token count.
     "train_shuffle_shard" -> ((s, d) => {
       shuffleShardFrame(s, d)
         .select(col("doc_id"), col("stratum"), col("shard"), col("n_tokens"))
@@ -95,7 +95,7 @@ object Extensions {
     }),
 
     // Shard-level packing stats on top of train_shuffle_shard: docs and
-    // token fill per (stratum, shard) against the 2048-token budget — the
+    // token fill per (stratum, shard) against the shardBudget-token budget
     // check that the packing step produced trainable, evenly-filled shards.
     // Same one window pass; the stats are a second aggregate on its output.
     "train_pack_stats" -> ((s, d) => {
@@ -565,7 +565,7 @@ object Extensions {
          |  FROM documents)
          |SELECT doc_id, stratum,
          |  CAST(floor((sum(n_tokens) OVER (PARTITION BY stratum ORDER BY k)
-         |              - n_tokens) / 2048.0) AS BIGINT) AS shard,
+         |              - n_tokens) / $shardBudget.0) AS BIGINT) AS shard,
          |  n_tokens
          |FROM b ORDER BY doc_id""".stripMargin,
 
@@ -579,12 +579,12 @@ object Extensions {
          |s AS (
          |  SELECT stratum,
          |    CAST(floor((sum(n_tokens) OVER (PARTITION BY stratum ORDER BY k)
-         |                - n_tokens) / 2048.0) AS BIGINT) AS shard,
+         |                - n_tokens) / $shardBudget.0) AS BIGINT) AS shard,
          |    n_tokens
          |  FROM b)
          |SELECT stratum, shard, count(*) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
-         |  ${OracleSql.sparkRound("CAST(sum(n_tokens) AS DOUBLE) / 2048.0", 4)} AS fill
+         |  ${OracleSql.sparkRound(s"CAST(sum(n_tokens) AS DOUBLE) / $shardBudget.0", 4)} AS fill
          |FROM s GROUP BY 1, 2 ORDER BY stratum, shard""".stripMargin,
 
     "text_repetition" ->

@@ -279,9 +279,17 @@ object Relational {
       // single task. The bar is 2.5x the MEAN part value: scale-free (a
       // fixed fraction of the total empties as |parts| grows — TPC-H
       // scales its q11 fraction by 1/SF for the same reason).
-      val v = vals.localCheckpoint()
-      v.join(broadcast(v.agg(round(avg(col("value")) * 2.5, 2).as("thr"))))
-        .filter(col("value") > col("thr"))
+      // The compare runs in integer cents: `value` is already 2-dp, so
+      // floor(value*100+0.5) is exact, and `cents*10*n > sum(cents)*25`
+      // (i.e. value > 2.5*mean) is pure integer arithmetic — no double
+      // mean whose last-ulp could straddle the strict `>` differently per
+      // engine. decimal(38,0) keeps the products overflow-safe at any SF.
+      val v = vals
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("decimal(38,0)"))
+        .localCheckpoint()
+      v.join(broadcast(v.agg(sum(col("cents")).cast("decimal(38,0)").as("sum_c"),
+          count(lit(1)).cast("decimal(38,0)").as("n"))))
+        .filter(col("cents") * 10 * col("n") > col("sum_c") * 25)
         .select(col("p_partkey"), col("value"))
         .orderBy(col("value").desc, col("p_partkey"))
     }),
@@ -1153,9 +1161,14 @@ object Relational {
          |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier JOIN nation
          |                      ON s_nationkey = n_nationkey
          |                      WHERE n_name = 'NATION_5')
-         |  GROUP BY 1)
-         |SELECT p_partkey, value FROM vals
-         |WHERE value > (SELECT ${OracleSql.sparkRound("2.5 * avg(value)", 2)} FROM vals)
+         |  GROUP BY 1),
+         |c AS (
+         |  SELECT p_partkey, value,
+         |    CAST(floor(value * 100 + 0.5) AS HUGEINT) AS cents
+         |  FROM vals),
+         |t AS (SELECT sum(cents) AS sum_c, count(*) AS n FROM c)
+         |SELECT p_partkey, value FROM c, t
+         |WHERE cents * 10 * n > sum_c * 25
          |ORDER BY value DESC, p_partkey""".stripMargin,
 
     "tpch_q12_late_priority" ->
