@@ -294,6 +294,12 @@ object Dedup {
     sym.unpersist()
     require(changed == 0,
       s"connectedComponents did not converge in $maxIter rounds — graph diameter exceeds maxIter")
-    labels
+    // Ownership: hand the caller ONE fresh checkpoint and free the loop's
+    // last round, so repeated calls never accumulate internal block-sets.
+    // The returned frame's blocks belong to the caller — `.unpersist()` it
+    // when done (the spec asserts the storage-block accounting).
+    val owned = labels.localCheckpoint()
+    prevCkpt.unpersist()
+    owned
   }
 }

@@ -162,8 +162,25 @@ object Multimodal {
     val path = System.getProperty("java.io.tmpdir") + "/graft_media_" +
       (sfDir + "_" + src.length + "_" + src.lastModified + "_" + mediaCacheVersion)
         .replaceAll("[^A-Za-z0-9]", "_")
-    if (!new java.io.File(path + "/_SUCCESS").exists())
-      pngMedia(docs).write.mode("overwrite").parquet(path)
+    // Atomic publish: write to a writer-unique temp dir, then rename into the
+    // keyed location. A concurrent reader either sees the complete snapshot
+    // or nothing — never a partial directory racing the _SUCCESS check. If
+    // another writer won the rename, discard ours and read theirs.
+    if (!new java.io.File(path + "/_SUCCESS").exists()) {
+      val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString
+      pngMedia(docs).write.mode("overwrite").parquet(tmp)
+      try
+        java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+          java.nio.file.Paths.get(path), java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.AccessDeniedException |
+             _: java.nio.file.FileSystemException =>
+          // lost the publish race — the winner's snapshot is equivalent
+          // (same content key); clean up our temp copy
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+    }
     spark.read.parquet(path).as[PngRow]
   }
 

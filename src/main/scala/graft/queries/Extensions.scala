@@ -358,7 +358,9 @@ object Extensions {
 
     // Full reference pipeline in one query: chain source (batch read of the
     // deterministic generator) -> finality buffer replay -> explode/route/
-    // cast -> per-table row counts. Deterministic; Spark-only (rows-only).
+    // cast -> per-table row counts. Deterministic; the oracle replays the
+    // generator arithmetic + FinalityBuffer fold as a DuckDB recursive CTE
+    // (exact check — see the oracles map).
     "pipeline_e2e_chain" -> ((s, d) => {
       import org.apache.spark.sql.Encoders
       implicit val enc = Encoders.product[graft.model.BlockMsg]
@@ -787,6 +789,64 @@ object Extensions {
         |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
         |  CAST((doc_id * 7 + 31) % 256 AS DOUBLE) AS mean_g,
         |  CAST(n_chars % 48 AS DOUBLE) / 2.0 AS mean_b
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // Independent replay of the whole flagship pipeline: the chain generator
+    // (ChainSource.messageAt closed forms, totalBlocks=200 reorgEvery=20
+    // reorgDepth=3 finalityLag=8) and the FinalityBuffer fold
+    // (state/FinalityBuffer.scala onBlock/onUndo, capacity 12) re-derived as
+    // a DuckDB recursive CTE over (buffer, released) list state — one
+    // iteration per seq. Buffer heights are monotone between undos (each
+    // append is head+1; undo truncation preserves the prefix), so
+    // "lastIndexWhere(h <= fb)" drains exactly the list_filter prefix and
+    // "truncate at the == match" is the <= filter guarded by an existence
+    // check (the reference's miss-is-a-no-op lane). The capacity-overflow
+    // drain (len >= 12) is replayed too, though lag 8 keeps the buffer at
+    // 8 deep so it never fires on this parameterization. Blocks still
+    // buffered at seq 199 are never released — same as the stream end.
+    "pipeline_e2e_chain" ->
+      """WITH RECURSIVE fold AS (
+        |  SELECT CAST(-1 AS BIGINT) AS seq,
+        |         CAST([] AS STRUCT(h BIGINT, f BIGINT)[]) AS buf,
+        |         CAST([] AS STRUCT(h BIGINT, f BIGINT)[]) AS rel
+        |  UNION ALL
+        |  SELECT step.n, step.buf2, step.rel2
+        |  FROM fold, LATERAL (
+        |    SELECT n,
+        |      CASE WHEN is_undo THEN
+        |        CASE WHEN len(list_filter(buf, x -> x.h = lv)) > 0
+        |             THEN list_filter(buf, x -> x.h <= lv) ELSE buf END
+        |      ELSE CASE WHEN h <= fb THEN kept
+        |                ELSE list_append(kept, {'h': h, 'f': undos}) END
+        |      END AS buf2,
+        |      CASE WHEN is_undo THEN rel
+        |      ELSE CASE WHEN h <= fb THEN rel || dr || [{'h': h, 'f': undos}]
+        |                ELSE rel || dr END
+        |      END AS rel2
+        |    FROM (
+        |      SELECT n, is_undo, undos, h, fb, lv,
+        |             buf[1:drain] AS dr, buf[drain+1:] AS kept
+        |      FROM (
+        |        SELECT n, is_undo, undos, h, fb, lv,
+        |          CASE WHEN npre > 0 THEN npre
+        |               WHEN len(buf) >= 12 THEN len(buf) - 11
+        |               ELSE 0 END AS drain
+        |        FROM (
+        |          SELECT n, is_undo, undos, h,
+        |                 greatest(h - 8, 0) AS fb, h - 4 AS lv,
+        |                 len(list_filter(buf, x -> x.h <= greatest(h - 8, 0))) AS npre
+        |          FROM (SELECT seq + 1 AS n,
+        |                       (seq + 1) % 20 = 0 AND seq + 1 > 0 AS is_undo,
+        |                       CASE WHEN seq + 1 > 0 THEN seq // 20 ELSE 0 END AS undos) t0,
+        |               LATERAL (SELECT t0.n - t0.undos * 4 AS h) t1
+        |        ) t2
+        |      ) t3
+        |    ) t4
+        |  ) step
+        |  WHERE fold.seq < 199
+        |)
+        |SELECT x.f AS fork, count(*) AS n_blocks, min(x.h) AS first_h, max(x.h) AS last_h
+        |FROM (SELECT unnest(rel) AS x FROM fold WHERE seq = 199)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -265,8 +265,10 @@ object Relational {
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"))
       // value is rounded to cents BEFORE the threshold compare (q15's
-      // discipline): both engines then filter identical doubles, instead of
-      // accumulation-order-sensitive raw sums racing the cutoff
+      // discipline): the rounded value is converted to integer cents
+      // (decimal/HUGEINT) and both engines filter with exact integer
+      // arithmetic, instead of accumulation-order-sensitive raw sums
+      // racing the cutoff
       val vals = Tables.lineitem(s, d)
         .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
         .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
