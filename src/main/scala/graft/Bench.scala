@@ -20,7 +20,10 @@ object Bench {
     // runs, reporting the MEDIAN. Single-run walls on a shared box vary up to
     // 7x with no code change (r3->r4 q8/q9), so round-over-round comparisons
     // need the median and the warm-up to mean anything.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // tolerate a malformed env value (fall back to the default) rather than
+    // aborting the whole bench run on a NumberFormatException
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(3).max(1)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
@@ -37,22 +40,37 @@ object Bench {
         catch { case _: Throwable => Seq.empty }
       name -> (if (timed.nonEmpty) median(timed) else -1.0)
     }
-    // 3-decimal per-query times keep the full line compact (the driver
-    // captures a bounded output tail; a 4 KB line risks truncation).
+    // Output contract (all consumers key on these metric names):
+    //  - "queries_chunk" lines: the per-query median map, split into chunks of
+    //    ~15 queries so every line stays well under the driver's bounded
+    //    output tail (one 115-entry line lost the first half of the alphabet
+    //    to truncation in round 5). `chunk`/`n_chunks` let a consumer verify
+    //    it saw the whole map.
+    //  - ONE "total_summary" record LAST: the wall total, complete and
+    //    parseable even if earlier lines scrolled out of the captured tail.
+    //    (Renamed from "total" in round 5 so a by-metric aggregator can't
+    //    double-count the wall against the old long per-query record.)
+    // The full map is also written to BENCH_DETAIL.json in the repo root, so
+    // round-over-round per-query tracking never depends on stdout capture.
     // Locale.ROOT: the f-interpolator would use the default locale and
     // emit comma decimals (invalid JSON) on e.g. de_DE JVMs.
-    val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    }.mkString("{", ",", "}")
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // -1.0 marks a failed query; exclude the sentinel from the wall total and
     // surface the failure count instead of silently shrinking the aggregate.
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failures = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
-    // short summary LAST under a DISTINCT metric name (a consumer
-    // aggregating by metric must not double-count the wall total): even if
-    // the long line overflows the captured tail, this complete record lands
-    // inside it and stays parseable
+    val chunks = results.grouped(15).toSeq
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val qs = chunk.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      println(s"""{"metric":"queries_chunk","chunk":${i + 1},"n_chunks":${chunks.size},"reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
+    }
+    val allQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    scala.util.Try {
+      val detail =
+        s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"reps":$reps,"queries":$allQs,"sf":"$sfDir"}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     println(s"""{"metric":"total_summary","value":$total,"unit":"sec","failures":$failures,"reps":$reps,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }

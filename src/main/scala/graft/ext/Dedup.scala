@@ -245,6 +245,19 @@ object Dedup {
 
   // ---- clustering ----------------------------------------------------------
 
+  /** Free the storage blocks behind a `localCheckpoint()`ed frame.
+    *
+    * `Dataset.unpersist()` is NOT enough: it only clears CacheManager entries
+    * (created by `.persist()`/`.cache()`), while a local checkpoint persists
+    * its RDD directly at the RDD level — so `df.unpersist()` on a checkpointed
+    * frame silently leaves every block behind (verified on Spark 4.1.2; the
+    * DedupSpec storage-accounting test pins it). This drops the blocks at the
+    * RDD level via the plan's `LogicalRDD` leaves. */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** Connected components over an undirected near-dup edge list — the step
     * that turns pairwise matches (MinHash/SimHash/cosine) into dedup GROUPS.
     * Returns (id, component) where component = min node id reachable; the
@@ -285,21 +298,29 @@ object Dedup {
       changed = next.filter(col("next_label") < col("label")).count()
       // next is materialized; the previous round's checkpoint blocks are
       // dead — free them now instead of waiting for driver GC (25 retained
-      // copies of the labels frame would evict useful cache on big graphs)
-      prevCkpt.unpersist()
+      // copies of the labels frame would evict useful cache on big graphs).
+      // Must go through unpersistCheckpoint: Dataset.unpersist() is a no-op
+      // on localCheckpoint blocks (see its scaladoc).
+      unpersistCheckpoint(prevCkpt)
       prevCkpt = next
       labels = next.select(col("id"), col("next_label").as("label"))
       iter += 1
     }
-    sym.unpersist()
+    unpersistCheckpoint(sym)
     require(changed == 0,
       s"connectedComponents did not converge in $maxIter rounds — graph diameter exceeds maxIter")
     // Ownership: hand the caller ONE fresh checkpoint and free the loop's
-    // last round, so repeated calls never accumulate internal block-sets.
-    // The returned frame's blocks belong to the caller — `.unpersist()` it
-    // when done (the spec asserts the storage-block accounting).
+    // last round, so repeated calls never accumulate INTERNAL block-sets —
+    // each call leaves exactly the one caller-owned checkpoint behind
+    // (localCheckpoint is eager by default, so `owned` is materialized
+    // BEFORE prevCkpt's blocks are dropped; a lazy checkpoint here would
+    // recompute from freed blocks). Those blocks are freed only when the
+    // caller passes the returned frame to [[unpersistCheckpoint]] after
+    // consuming it. DedupSpec("connected components storage accounting")
+    // pins both facts: exactly 1 net new persistent RDD per call, and
+    // readability after the loop's own unpersists.
     val owned = labels.localCheckpoint()
-    prevCkpt.unpersist()
+    unpersistCheckpoint(prevCkpt)
     owned
   }
 }

@@ -152,36 +152,81 @@ object Multimodal {
     * the cache key, so stale fixtures from an older rule are never served. */
   private val mediaCacheVersion = "v1"
 
+  /** Content-keyed cache location for `sfDir`'s media fixture (shared with
+    * the specs so they can stage stale/orphan states at the real location). */
+  private[graft] def mediaCachePath(sfDir: String): String = {
+    val src = new java.io.File(sfDir + "/documents.parquet")
+    System.getProperty("java.io.tmpdir") + "/graft_media_" +
+      (sfDir + "_" + src.length + "_" + src.lastModified + "_" + mediaCacheVersion)
+        .replaceAll("[^A-Za-z0-9]", "_")
+  }
+
   def pngMediaCached(docs: DataFrame, sfDir: String): Dataset[PngRow] = {
     val spark = docs.sparkSession
     implicit val enc = Encoders.product[PngRow]
     // NOTE: `docs` must be the FULL documents frame of `sfDir` — the cache
     // is keyed on the source file (+ generation-rule version), not on the
     // frame, so a filtered input would still be served the whole corpus.
-    val src = new java.io.File(sfDir + "/documents.parquet")
-    val path = System.getProperty("java.io.tmpdir") + "/graft_media_" +
-      (sfDir + "_" + src.length + "_" + src.lastModified + "_" + mediaCacheVersion)
-        .replaceAll("[^A-Za-z0-9]", "_")
+    val path = mediaCachePath(sfDir)
     // Atomic publish: write to a writer-unique temp dir, then rename into the
     // keyed location. A concurrent reader either sees the complete snapshot
     // or nothing — never a partial directory racing the _SUCCESS check. If
-    // another writer won the rename, discard ours and read theirs.
+    // another writer won the rename, discard ours and read theirs; if the
+    // target exists but is INCOMPLETE (no _SUCCESS — a crashed pre-atomic
+    // writer left it), repair it with our complete copy.
     if (!new java.io.File(path + "/_SUCCESS").exists()) {
+      sweepOrphanTmpDirs(path)
       val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString
       pngMedia(docs).write.mode("overwrite").parquet(tmp)
-      try
-        java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-          java.nio.file.Paths.get(path), java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.AccessDeniedException |
-             _: java.nio.file.FileSystemException =>
-          // lost the publish race — the winner's snapshot is equivalent
-          // (same content key); clean up our temp copy
-          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-      }
+      publishSnapshot(tmp, path)
     }
     spark.read.parquet(path).as[PngRow]
+  }
+
+  /** Atomically rename a complete `tmp` snapshot to `path`.
+    *
+    * Failure taxonomy (the move only fails when `path` already exists):
+    *  - `path` has `_SUCCESS`: a concurrent writer won the race with an
+    *    equivalent snapshot (same content key) — discard ours;
+    *  - `path` has NO `_SUCCESS`: a stale PARTIAL directory (a writer that
+    *    crashed mid-write before the publish was atomic). Left alone it
+    *    would be served forever, so delete it and retry the move once. The
+    *    delete+move window is not atomic — a reader in that instant sees a
+    *    missing dir and fails transiently rather than reading partial data,
+    *    and a concurrent repairer's own complete copy winning instead is
+    *    equally correct. */
+  private def publishSnapshot(tmp: String, path: String): Unit = {
+    def move(): Unit =
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+        java.nio.file.Paths.get(path), java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    def complete = new java.io.File(path + "/_SUCCESS").exists()
+    try move()
+    catch {
+      // FileAlreadyExistsException and DirectoryNotEmptyException are both
+      // FileSystemExceptions — which one POSIX rename throws here varies
+      case _: java.nio.file.FileSystemException if complete =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      case _: java.nio.file.FileSystemException =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+        try move()
+        catch {
+          case _: java.nio.file.FileSystemException if complete =>
+            // a concurrent repairer republished between our delete and move
+            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+        }
+    }
+  }
+
+  /** Delete `.tmp-*` siblings abandoned by crashed writers. Only dirs idle
+    * for over an hour — an in-flight writer's temp dir is younger. */
+  private def sweepOrphanTmpDirs(path: String): Unit = {
+    val dir = new java.io.File(path).getParentFile
+    val prefix = new java.io.File(path).getName + ".tmp-"
+    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.getName.startsWith(prefix) && f.isDirectory && f.lastModified < cutoff)
+        scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(f))
+    }
   }
 
   /** Batched per-partition PNG decode — same batch shape as

@@ -115,4 +115,47 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rev === comp)
   }
+
+  test("connected components storage accounting: 1 caller-owned block-set per call, freed on unpersistCheckpoint") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    // chain with diameter 4 forces several propagation rounds, so the loop
+    // creates (and must free) several internal checkpoints per call
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)).toDF("id1", "id2")
+
+    // Assert on RDD-id SETS, not map sizes: Spark's ContextCleaner
+    // asynchronously unpersists checkpoints whose frames were GC'd (e.g.
+    // earlier tests' results), so absolute counts are racy — but ids WE
+    // added can only be removed by our own unpersist while still referenced.
+    val before = sc.getPersistentRDDs.keySet
+    val r1 = Dedup.connectedComponents(edges)
+    val added1 = sc.getPersistentRDDs.keySet -- before
+    assert(added1.size === 1,
+      "one call must leave exactly its one caller-owned checkpoint " +
+        "(the loop's internal sym/round checkpoints must all be freed)")
+    // the returned frame stays readable AFTER the loop unpersisted its last
+    // round — this only holds because localCheckpoint() is eager (the owned
+    // copy materializes before its parent blocks are dropped)
+    val comp1 = r1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(comp1(_) === 1L) && comp1(10L) === 10L)
+
+    val r2 = Dedup.connectedComponents(edges)
+    val added2 = sc.getPersistentRDDs.keySet -- before -- added1
+    assert(added2.size === 1,
+      "repeated calls accumulate only their own returned checkpoints")
+    assert(r2.count() === 7)
+
+    // Dataset.unpersist() is a documented no-op for localCheckpoint blocks —
+    // pin that (if Spark ever starts honoring it, the helper is redundant)
+    r1.unpersist(blocking = true)
+    assert((sc.getPersistentRDDs.keySet & added1) === added1,
+      "Dataset.unpersist must not free localCheckpoint blocks (expected Spark behavior)")
+
+    Dedup.unpersistCheckpoint(r1)
+    Dedup.unpersistCheckpoint(r2)
+    assert((sc.getPersistentRDDs.keySet & (added1 ++ added2)).isEmpty,
+      "unpersistCheckpoint must free the caller-owned checkpoints")
+    // (no re-read: a localCheckpoint's lineage is truncated, so a freed
+    // frame is dead by design — the contract is free-after-consumption)
+  }
 }

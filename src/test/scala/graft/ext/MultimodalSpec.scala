@@ -63,4 +63,70 @@ class MultimodalSpec extends SparkSpec {
       assert(f.frames_sampled === (f.byte_len + 15) / 16)
     }
   }
+
+  /** Fresh fixture dir (fresh cache key): copy the sf0.001 documents parquet
+    * into a new temp dir, so each test run exercises a cold cache. */
+  private def freshFixtureDir(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_spec_").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      java.nio.file.Paths.get(dir + "/documents.parquet"))
+    dir
+  }
+
+  private def tmpSiblings(path: String): Seq[java.io.File] = {
+    val f = new java.io.File(path)
+    Option(f.getParentFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(f.getName + ".tmp-")).toSeq
+  }
+
+  test("media cache publish: two concurrent writers land one complete snapshot") {
+    val dir = freshFixtureDir()
+    val docs = Tables.documents(spark, dir)
+    val expected = docs.count()
+    val path = Multimodal.mediaCachePath(dir)
+    assert(!new java.io.File(path).exists())
+
+    // both threads race the full encode+publish; neither may observe a
+    // partial directory or crash on the loser's rename
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val runs = Seq.fill(2)(Future(Multimodal.pngMediaCached(docs, dir).count()))
+    val counts = Await.result(Future.sequence(runs), 5.minutes)
+    assert(counts === Seq(expected, expected))
+
+    assert(new java.io.File(path + "/_SUCCESS").exists(), "published snapshot must be complete")
+    assert(tmpSiblings(path).isEmpty, "the losing writer must clean up its temp dir")
+    // a follow-up call is a pure cache read of the same complete snapshot
+    assert(Multimodal.pngMediaCached(docs, dir).count() === expected)
+  }
+
+  test("media cache publish: stale partial target (no _SUCCESS) is repaired, orphan tmp dirs swept") {
+    val dir = freshFixtureDir()
+    val docs = Tables.documents(spark, dir)
+    val path = Multimodal.mediaCachePath(dir)
+
+    // simulate a pre-atomic writer that crashed mid-write: a target dir with
+    // data but no _SUCCESS marker
+    new java.io.File(path).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(path + "/part-stale.parquet"),
+      "not parquet".getBytes)
+    // plus an orphan temp dir from a crashed writer, backdated past the sweep
+    // cutoff, and a YOUNG one that must survive (could be an in-flight writer)
+    val orphan = new java.io.File(path + ".tmp-orphan")
+    orphan.mkdirs()
+    orphan.setLastModified(System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+    val inflight = new java.io.File(path + ".tmp-inflight")
+    inflight.mkdirs()
+
+    val n = Multimodal.pngMediaCached(docs, dir).count()
+    assert(n === docs.count(), "repair must serve the complete fresh snapshot")
+    assert(new java.io.File(path + "/_SUCCESS").exists(), "stale partial dir must be replaced")
+    assert(!new java.io.File(path + "/part-stale.parquet").exists(),
+      "stale partial contents must be gone")
+    assert(!orphan.exists(), "backdated orphan tmp dir must be swept")
+    assert(inflight.exists(), "young tmp dir must survive the sweep")
+    org.apache.commons.io.FileUtils.deleteDirectory(inflight)
+  }
 }
