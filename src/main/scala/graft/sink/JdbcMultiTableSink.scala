@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.model.{BlockScoped, ChTable, CursorRow}
+import graft.model.{BlockScoped, ChTable, ChType, CursorRow}
 
 /** JDBC variant of the per-table micro-batch sink (operator O13) — the
   * database-loading role the reference fills with per-table ClickHouse
@@ -17,13 +17,16 @@ import graft.model.{BlockScoped, ChTable, CursorRow}
   * block's changes per table, write data, THEN the cursor row
   * (write-last ordering, `src/loader.rs:111-175`).
   *
-  * Delivery: foreachBatch is at-least-once on retry, so data writes are
-  * idempotent REPLACE-on-PK — each partition deletes its PK range and
-  * re-inserts in one transaction (batched, `batchSize` rows per round trip).
-  * A re-delivered batch overwrites itself instead of duplicating; with
-  * Spark's checkpoint preventing cross-restart re-delivery this yields
-  * exactly-once-EFFECTIVE output, strictly stronger than the reference's
-  * at-least-once inserts.
+  * Engine specifics live in [[SqlDialect]]. With the default [[DerbyDialect]]
+  * (and any engine with transactional point DELETEs), delivery is
+  * replace-on-PK — each partition deletes its PK range and re-inserts in one
+  * transaction (batched, `batchSize` rows per round trip), so a re-delivered
+  * batch overwrites itself instead of duplicating; with Spark's checkpoint
+  * preventing cross-restart re-delivery this yields exactly-once-EFFECTIVE
+  * output, strictly stronger than the reference's at-least-once inserts.
+  * With [[ClickHouseDialect]] the sink issues plain batched INSERTs
+  * (at-least-once on retry — DELETE is an async mutation there), matching
+  * the reference's own delivery contract.
   *
   * Scale: writes run on the executors (one connection per partition per
   * table, like the reference's per-table async inserters); only the cursor
@@ -37,13 +40,16 @@ class JdbcMultiTableSink(
     pkCols: Map[String, Seq[String]] = Map.empty,
     batchSize: Int = 1000,
     isolation: Int = Connection.TRANSACTION_READ_COMMITTED,
-    strict: Boolean = false) extends Serializable {
+    strict: Boolean = false,
+    dialect: SqlDialect = DerbyDialect) extends Serializable {
 
   import JdbcMultiTableSink._
 
   val cursorTable = "graft_cursors"
 
   @transient @volatile private var schemaReady = false
+
+  private def q(ident: String): String = dialect.quote(ident)
 
   /** foreachBatch body: write every table's typed rows, then the cursor
     * (batch shape shared with the parquet sink via [[SinkBatch]]). */
@@ -53,16 +59,19 @@ class JdbcMultiTableSink(
         persistCursor(CursorRow(cursorId, cursor, blockNum, blockId))
     }
 
-  /** Replace-on-PK write. The PK here is a GROUP key (a block can carry many
-    * rows): all rows sharing a PK are deleted once, then re-inserted. Two
-    * invariants make that idempotent under retry:
+  /** Replace-on-PK write (dialects with `supportsDeleteOnPk`). The PK here
+    * is a GROUP key (a block can carry many rows): all rows sharing a PK are
+    * deleted once, then re-inserted. Two invariants make that idempotent
+    * under retry:
     *  - rows are repartitioned by PK, so a group lives in exactly one task
     *    and another task's delete can never remove its inserts;
     *  - within a task each PK is deleted only on first encounter, so a group
     *    spanning several `batchSize` chunks isn't wiped by its own later
     *    chunks. A retried task re-deletes its groups and re-inserts them.
     * The repartition is one narrow-ish shuffle per table per micro-batch —
-    * the price of exactly-once-effective output on an append-only protocol. */
+    * the price of exactly-once-effective output on an append-only protocol.
+    * Insert-only dialects skip the delete lane (at-least-once, like the
+    * reference) but keep the same batching and partitioning. */
   private def writeTable(table: String, df: DataFrame): Unit = {
     val schema = df.schema
     val pk = pkCols.getOrElse(table, Seq("block_num"))
@@ -72,20 +81,21 @@ class JdbcMultiTableSink(
     val insertSql = s"""INSERT INTO ${q(table)} (${cols.map(q).mkString(", ")})
                        |VALUES (${cols.map(_ => "?").mkString(", ")})""".stripMargin
     val sqlCodes = schema.fields.map(f => sqlTypeCode(f.dataType))
-    val (jdbcUrl, batch, iso) = (url, batchSize, isolation)
+    val (jdbcUrl, batch, iso, dia) = (url, batchSize, isolation, dialect)
     df.repartition(pk.map(col): _*).foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
         val conn = DriverManager.getConnection(jdbcUrl)
         try {
+          dia.initConnection(conn)
           conn.setAutoCommit(false)
           conn.setTransactionIsolation(iso)
-          val del = conn.prepareStatement(deleteSql)
+          val del = if (dia.supportsDeleteOnPk) conn.prepareStatement(deleteSql) else null
           val ins = conn.prepareStatement(insertSql)
           val seen = scala.collection.mutable.HashSet.empty[Seq[Any]]
           rows.grouped(batch).foreach { chunk =>
             var deletes = 0
             chunk.foreach { row =>
-              if (seen.add(pkIdx.map(row.get))) {
+              if (del != null && seen.add(pkIdx.map(row.get))) {
                 pkIdx.zipWithIndex.foreach { case (ci, pi) =>
                   setParam(del, pi + 1, sqlCodes(ci), row, ci)
                 }
@@ -115,11 +125,11 @@ class JdbcMultiTableSink(
 
   /** O15: latest cursor for this id (`src/main.rs:299-310`). */
   def loadCursor(spark: SparkSession): Option[CursorRow] = withConnection { conn =>
-    ensureCursorTable(conn)
+    execIgnoringExists(conn, cursorDdl)
     val ps = conn.prepareStatement(
       s"""SELECT ${Seq("cursor", "block_num", "block_id").map(q).mkString(", ")}
          |FROM ${q(cursorTable)} WHERE ${q("id")} = ?
-         |ORDER BY ${q("block_num")} DESC FETCH FIRST 1 ROWS ONLY""".stripMargin)
+         |ORDER BY ${q("block_num")} DESC ${dialect.limitOneClause}""".stripMargin)
     ps.setString(1, cursorId)
     val rs = ps.executeQuery()
     if (rs.next()) Some(CursorRow(cursorId, rs.getString(1), rs.getLong(2), rs.getString(3)))
@@ -128,33 +138,38 @@ class JdbcMultiTableSink(
 
   // ---- DDL (driver-side, once) --------------------------------------------
 
+  private lazy val chTypesByTable: Map[String, Map[String, ChType]] =
+    catalog.map(t => t.name -> t.columns.map(c => c.name -> c.chType).toMap).toMap
+
+  /** Every DDL statement the sink will issue for these frame schemas — a
+    * pure function of (catalog, dialect, pkCols), so the spec can pin the
+    * generated ClickHouse/Derby DDL without a live server. Catalog-declared
+    * ChTypes take precedence over the frame's Spark type, giving native-type
+    * engines an exact round-trip. */
+  def ddlStatements(schemas: Map[String, StructType]): Seq[String] = {
+    val tables = schemas.toSeq.sortBy(_._1).flatMap { case (table, schema) =>
+      val chTypes = chTypesByTable.getOrElse(table, Map.empty)
+      val cols = schema.fields.toSeq.map(f =>
+        f.name -> dialect.columnType(chTypes.get(f.name), f.dataType))
+      val pk = pkCols.getOrElse(table, Seq("block_num"))
+      dialect.createTableSql(table, cols, pk) +: dialect.postCreateSql(table, pk)
+    }
+    tables :+ cursorDdl
+  }
+
+  private def cursorDdl: String =
+    dialect.createTableSql(cursorTable, dialect.cursorColumns, Seq("id", "block_num"))
+
   private def ensureSchema(frames: Map[String, DataFrame]): Unit =
     if (!schemaReady) synchronized {
       if (!schemaReady) {
         withConnection { conn =>
-          frames.foreach { case (table, df) =>
-            createIfAbsent(conn, table,
-              df.schema.fields.map(f => s"${q(f.name)} ${ddlType(f.dataType)}").mkString(", "))
-            // the replace-on-PK deletes must be point lookups, not table
-            // scans that grow with accumulated rows (PK is a GROUP key with
-            // duplicates, so an index — not a PRIMARY KEY constraint)
-            val pk = pkCols.getOrElse(table, Seq("block_num"))
-            execIgnoringExists(conn,
-              s"CREATE INDEX ${q(s"ix_${table}_pk")} ON ${q(table)} (${pk.map(q).mkString(", ")})")
-          }
-          ensureCursorTable(conn)
+          ddlStatements(frames.map { case (t, df) => t -> df.schema })
+            .foreach(execIgnoringExists(conn, _))
         }
         schemaReady = true
       }
     }
-
-  private def ensureCursorTable(conn: Connection): Unit =
-    createIfAbsent(conn, cursorTable,
-      s"""${q("id")} VARCHAR(256), ${q("cursor")} VARCHAR(1024),
-         |${q("block_num")} BIGINT, ${q("block_id")} VARCHAR(256)""".stripMargin)
-
-  private def createIfAbsent(conn: Connection, table: String, columnsDdl: String): Unit =
-    execIgnoringExists(conn, s"CREATE TABLE ${q(table)} ($columnsDdl)")
 
   private def execIgnoringExists(conn: Connection, ddl: String): Unit =
     try {
@@ -162,34 +177,26 @@ class JdbcMultiTableSink(
       st.executeUpdate(ddl)
       st.close()
     } catch {
-      // Derby: X0Y32 = object already exists; other engines use IF NOT EXISTS
-      case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+      case e: java.sql.SQLException if dialect.ignorableCreateError(e) => ()
     }
 
   private def withConnection[A](f: Connection => A): A = {
     val conn = DriverManager.getConnection(url)
-    try f(conn) finally conn.close()
+    try {
+      dialect.initConnection(conn)
+      f(conn)
+    } finally conn.close()
   }
 }
 
 object JdbcMultiTableSink {
 
-  /** Quote an identifier — `cursor` is a reserved word in most dialects. */
-  def q(ident: String): String = "\"" + ident + "\""
+  /** Quote an identifier — `cursor` is a reserved word in most dialects.
+    * (Kept for callers; instance methods quote through their dialect.) */
+  def q(ident: String): String = DerbyDialect.quote(ident)
 
   /** Spark type → portable DDL type (Derby-compatible subset). */
-  def ddlType(dt: DataType): String = dt match {
-    case LongType => "BIGINT"
-    case IntegerType => "INTEGER"
-    case ShortType | ByteType => "SMALLINT"
-    case DoubleType => "DOUBLE"
-    case FloatType => "REAL"
-    case BooleanType => "BOOLEAN"
-    case d: DecimalType => s"DECIMAL(${math.min(d.precision, 31)},${d.scale})"
-    case TimestampType => "TIMESTAMP"
-    case DateType => "DATE"
-    case _ => "VARCHAR(4000)"
-  }
+  def ddlType(dt: DataType): String = DerbyDialect.columnType(None, dt)
 
   def sqlTypeCode(dt: DataType): Int = dt match {
     case LongType => Types.BIGINT
