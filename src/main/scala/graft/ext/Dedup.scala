@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   *  - exact dedup is one hash-aggregate on a 128-bit fingerprint: map-side
   *    partial aggregation, single shuffle on the fingerprint;
   *  - MinHash signatures are computed scan-side in one codegen'd pass (no
-  *    shuffle, no UDF: shingle → xxhash64 → k affine min-hashes as column
-  *    algebra); only the b banded keys shuffle, so the join that finds
+  *    shuffle, no UDF: shingle → FNV-1a → k affine min-hashes as column
+  *    algebra — FNV so the signatures are engine-portable and the oracle
+  *    can replay them, see [[graft.functions.Fnv]]); only the b banded
+  *    keys shuffle, so the join that finds
   *    candidates is equi-join on (band, band_hash) — never an all-pairs
   *    product. Pair verification (signature agreement) happens only inside
   *    buckets;
@@ -69,11 +71,13 @@ object Dedup {
   }
 
   /** Shingle hashes, reduced mod p so the affine maps downstream never
-    * overflow a long (ANSI-safe). (Benchmarked against hashing token tuples
-    * via multi-arg xxhash64 + element_at — the string build wins: fewer
-    * interpreted-lambda invocations per shingle.) */
+    * overflow a long (ANSI-safe). FNV-1a rather than xxhash64 so signature
+    * tables stay portable across engines (the DuckDB oracle replays the
+    * identical hash; see [[graft.functions.Fnv]]). (Benchmarked against
+    * hashing token tuples via multi-arg hashes + element_at — the string
+    * build wins: fewer interpreted-lambda invocations per shingle.) */
   def shingleHashes(text: Column, n: Int = 3): Column =
-    transform(shingles(text, n), s => pmod(xxhash64(s), lit(Prime)))
+    transform(shingles(text, n), s => pmod(graft.functions.Fnv.fnv1a64(s), lit(Prime)))
 
   /** k-wide MinHash signature (ARRAY<BIGINT>) as inline column algebra.
     *
@@ -119,7 +123,7 @@ object Dedup {
       .withColumn("shingle", concat_ws(" ", (col("t") +: leadCols): _*))
       .filter(lastLead.isNotNull ||
         (col("ntok") < shingleN && col("pos") <= 0) || col("pos").isNull)
-      .withColumn("h", pmod(xxhash64(col("shingle")), lit(Prime)))
+      .withColumn("h", pmod(graft.functions.Fnv.fnv1a64(col("shingle")), lit(Prime)))
     val aggs = minhashParams(k).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(Prime))).as(s"_m$i")
     }

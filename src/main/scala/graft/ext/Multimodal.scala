@@ -6,11 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video travel as opaque BINARY
   * content plus a typed metadata struct.
   *
-  * The IMAGE lane is real: deterministic synthetic PNGs are encoded and
-  * decoded with the stdlib `javax.imageio` codec (lossless round-trip,
-  * oracle-checkable dimensions and channel means). For audio/video — where
-  * no library exists in this environment — the batched machinery is the same
-  * but the codec step is a clearly marked DETERMINISTIC STUB (`decodeStub`);
+  * The IMAGE lanes are real: deterministic synthetic PNGs AND JPEGs are
+  * encoded and decoded with the stdlib `javax.imageio` codecs. PNG is
+  * lossless, so dimensions and channel means have closed forms the oracle
+  * recomputes exactly; JPEG is lossy, so its lane checks exact dimensions
+  * plus channel means within a measured quantization tolerance (solid-color
+  * fixtures keep the DCT error to the DC coefficient — max observed
+  * deviation 3.0/255 per channel). For audio/video — where no library
+  * exists in this environment — the batched machinery is the same but the
+  * codec step is a clearly marked DETERMINISTIC STUB (`decodeStub`);
   * swapping it for a real decoder changes one function.
   *
   * Scale: content bytes never hit the driver; decode runs as mapPartitions
@@ -113,7 +117,9 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Real decode: parse the PNG, read back dimensions and per-channel means. */
+  /** Real decode: parse the image, read back dimensions and per-channel
+    * means. `ImageIO.read` sniffs the container, so this serves the JPEG
+    * lane too (the `Png` prefix is historical). */
   def pngDecodeStats(mediaId: Long, bytes: Array[Byte]): PngStats = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     val w = img.getWidth; val h = img.getHeight
@@ -141,6 +147,38 @@ object Multimodal {
       .mapPartitions(_.map { case (id, w, h) => PngRow(id, pngEncode(id, w, h), w, h) })
   }
 
+  // ---- real JPEG lane (javax.imageio — the LOSSY codec path) ---------------
+
+  /** Deterministic solid-color image (R = id%256, G = (id*7+31)%256,
+    * B = (id*13+7)%256) through the stdlib JPEG writer. Solid fills keep the
+    * lossy error down to DC-coefficient quantization + YCbCr rounding:
+    * measured max channel-mean deviation over both fixtures is 3.0/255, so
+    * the round-trip check uses tolerance 4.0. Dimensions survive exactly. */
+  def jpegEncode(mediaId: Long, width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = ((mediaId % 256).toInt << 16) |
+      (((mediaId * 7 + 31) % 256).toInt << 8) | ((mediaId * 13 + 7) % 256).toInt
+    val px = new Array[Int](width * height)
+    java.util.Arrays.fill(px, rgb)
+    img.setRGB(0, 0, width, height, px, 0, width)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Fixture: one small JPEG per document, same sizing rule as [[pngMedia]].
+    * Reuses [[PngRow]] — the payload-row shape is format-agnostic. */
+  def jpegMedia(docs: DataFrame): Dataset[PngRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"),
+      (col("n_chars") % 64 + 1).cast("int").as("w"),
+      (col("n_chars") % 48 + 1).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h) => PngRow(id, jpegEncode(id, w, h), w, h) })
+  }
+
   /** Media fixture cache: the synthetic PNGs depend only on the source
     * documents parquet, so encode once per fixture snapshot and let every
     * decode run read the persisted binary column. Production media arrives
@@ -152,22 +190,30 @@ object Multimodal {
     * the cache key, so stale fixtures from an older rule are never served. */
   private val mediaCacheVersion = "v1"
 
-  /** Content-keyed cache location for `sfDir`'s media fixture (shared with
-    * the specs so they can stage stale/orphan states at the real location). */
-  private[graft] def mediaCachePath(sfDir: String): String = {
+  /** Content-keyed cache location for `sfDir`'s media fixture of the given
+    * kind (shared with the specs so they can stage stale/orphan states at
+    * the real location). */
+  private[graft] def mediaCachePath(sfDir: String, kind: String = "png"): String = {
     val src = new java.io.File(sfDir + "/documents.parquet")
     System.getProperty("java.io.tmpdir") + "/graft_media_" +
-      (sfDir + "_" + src.length + "_" + src.lastModified + "_" + mediaCacheVersion)
+      (sfDir + "_" + src.length + "_" + src.lastModified + "_" + kind + "_" + mediaCacheVersion)
         .replaceAll("[^A-Za-z0-9]", "_")
   }
 
-  def pngMediaCached(docs: DataFrame, sfDir: String): Dataset[PngRow] = {
+  def pngMediaCached(docs: DataFrame, sfDir: String): Dataset[PngRow] =
+    mediaCached(docs, sfDir, "png", pngMedia)
+
+  def jpegMediaCached(docs: DataFrame, sfDir: String): Dataset[PngRow] =
+    mediaCached(docs, sfDir, "jpeg", jpegMedia)
+
+  private def mediaCached(docs: DataFrame, sfDir: String, kind: String,
+      gen: DataFrame => Dataset[PngRow]): Dataset[PngRow] = {
     val spark = docs.sparkSession
     implicit val enc = Encoders.product[PngRow]
     // NOTE: `docs` must be the FULL documents frame of `sfDir` — the cache
     // is keyed on the source file (+ generation-rule version), not on the
     // frame, so a filtered input would still be served the whole corpus.
-    val path = mediaCachePath(sfDir)
+    val path = mediaCachePath(sfDir, kind)
     // Atomic publish: write to a writer-unique temp dir, then rename into the
     // keyed location. A concurrent reader either sees the complete snapshot
     // or nothing — never a partial directory racing the _SUCCESS check. If
@@ -177,7 +223,7 @@ object Multimodal {
     if (!new java.io.File(path + "/_SUCCESS").exists()) {
       sweepOrphanTmpDirs(path)
       val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString
-      pngMedia(docs).write.mode("overwrite").parquet(tmp)
+      gen(docs).write.mode("overwrite").parquet(tmp)
       publishSnapshot(tmp, path)
     }
     spark.read.parquet(path).as[PngRow]

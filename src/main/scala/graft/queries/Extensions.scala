@@ -12,13 +12,16 @@ import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
   * Oracle policy: everything whose semantics DuckDB can replicate exactly
   * (token stats, quality features, language ID, md5 fingerprints, exact dedup
   * groups, n-gram Jaccard, cosine top-k / near-dup pairs, hyperplane-LSH and
-  * IVF ANN + their recall@10, multimodal metadata) is oracle-checked
-  * value-for-value — the ANN oracles embed the same deterministic hyperplane
-  * constants and replay the bucket/assign/probe math in SQL. Only
-  * Spark-hash-seeded sketches (MinHash/xxhash64 signatures, SimHash) have no
-  * cross-engine twin; those queries return deterministic per-document rows
-  * (rows-only check) and their pair-finding behavior is proven in
-  * DedupSpec/SimilaritySpec against constructed near-duplicates.
+  * IVF ANN + their recall@10, multimodal metadata, and the FNV-1a-based
+  * sketches: MinHash signatures, LSH pair-finding, SimHash) is
+  * oracle-checked value-for-value — the ANN oracles embed the same
+  * deterministic hyperplane constants and replay the bucket/assign/probe
+  * math in SQL, and the sketch oracles replay the FNV-1a byte loop +
+  * affine permutations + banding in SQL (the hash basis is FNV-1a rather
+  * than xxhash64 precisely so this replay is possible; see
+  * [[graft.functions.Fnv]]). The only remaining rows-only entries are
+  * engine-internal sketches (HLL) and the stub-codec multimodal lane, each
+  * with an exact-checked sibling.
   */
 object Extensions {
 
@@ -218,7 +221,7 @@ object Extensions {
         .orderBy(col("user_id"), col("click_id"))
     }),
 
-    // ---- sketch-based ops (deterministic; rows-only + spec-verified) -------
+    // ---- sketch-based ops (FNV-1a basis; oracle-replayed exactly) ----------
     "dedup_minhash_sig" -> ((s, d) => {
       Dedup.minhashSignatures(Tables.documents(s, d), "text", "doc_id", k = 8)
         .select(col("id").as("doc_id"), col("sig").getItem(0).as("h0"),
@@ -344,8 +347,9 @@ object Extensions {
       // sizing, pairing, and verification all reuse them
       val sigs = Dedup.minhashSignatures(Tables.documents(s, d), "text", "doc_id",
         k = 32).localCheckpoint()
-      // union the LSH candidates with a per-doc row so the result is
-      // non-empty even when the corpus has no near-dups (rows-only check)
+      // union the LSH candidates with a marker row so the result is
+      // non-empty even when the corpus has no near-dups; the oracle
+      // replays the marker too
       val pairs = Dedup.minhashNearDupsFromSigs(sigs,
         bands = 8, rows = 4, threshold = 0.5)
         .select(col("id1"), col("id2"), col("est_jaccard"))
@@ -388,6 +392,23 @@ object Extensions {
         Multimodal.pngMediaCached(Tables.documents(s, d), d)).toDF()
         .select(col("media_id"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy(col("media_id"))
+    }),
+
+    // LOSSY codec round-trip, exact-checked: synthetic solid-color JPEGs
+    // through the real javax.imageio encoder + decoder. Dimensions survive
+    // JPEG exactly (oracle recomputes them from the generation rule); the
+    // channel means must land within the measured DC-quantization band
+    // (max observed deviation 3.0, asserted at 4.0) — so the booleans the
+    // oracle pins as `true` fail on any channel swap, gradient bug, or
+    // codec regression.
+    "multimodal_jpeg_roundtrip" -> ((s, d) => {
+      Multimodal.decodePngFeatures(
+        Multimodal.jpegMediaCached(Tables.documents(s, d), d)).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          (abs(col("mean_r") - col("media_id") % 256) <= 4.0).as("r_ok"),
+          (abs(col("mean_g") - (col("media_id") * 7 + 31) % 256) <= 4.0).as("g_ok"),
+          (abs(col("mean_b") - (col("media_id") * 13 + 7) % 256) <= 4.0).as("b_ok"))
         .orderBy(col("media_id"))
     }),
 
@@ -468,6 +489,39 @@ object Extensions {
       |assign AS (SELECT e.vec_id, e.v,
       |             arg_max(c.cid, list_cosine_similarity(e.v, c.cv)) AS cell
       |           FROM e, cents c GROUP BY e.vec_id, e.v)""".stripMargin
+
+  // Sketch oracle plumbing: the MinHash/SimHash hash basis is FNV-1a
+  // (functions/Fnv.scala) precisely so DuckDB can replay it. The SQL walks
+  // the UTF-8 bytes as hex pairs and folds the xor/multiply loop in HUGEINT
+  // mod 2^64 — byte-for-byte the Scala loop in SimHash.fnv1a (the byte only
+  // touches the low 8 bits, so the xor is done on `% 256` in BIGINT).
+  private def fnvSql(expr: String): String =
+    s"""list_reduce(
+       |  [14695981039346656037::HUGEINT] || list_transform(
+       |    range(1, octet_length(encode($expr)) + 1),
+       |    i -> ('0x' || substr(hex(encode($expr)), 2*i - 1, 2))::BIGINT::HUGEINT),
+       |  (a, b) -> ((a - a % 256 + xor((a % 256)::BIGINT, b::BIGINT)::HUGEINT)
+       |             * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)""".stripMargin
+  /** unsigned 64-bit HUGEINT -> the signed BIGINT Spark's LongType holds */
+  private def signed64(expr: String): String =
+    s"(CASE WHEN ($expr) >= 9223372036854775808::HUGEINT THEN ($expr) - 18446744073709551616::HUGEINT ELSE ($expr) END)::BIGINT"
+  /** Spark pmod(x, 2^31-1) on a signed 64-bit value */
+  private def pmodPrime(expr: String): String =
+    s"((($expr) % 2147483647) + 2147483647) % 2147483647"
+  /** Word 3-gram shingles of `tk` — mirrors Dedup.minhashSignatures: full
+    * n-grams for >= 3 tokens, else the whole token string once ("" for
+    * empty docs). */
+  private val shingleSql =
+    """CASE WHEN len(tk) >= 3
+      |     THEN list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+      |     ELSE [array_to_string(tk, ' ')] END""".stripMargin
+  /** Shared CTE prefix doc_id -> per-shingle hash h (the EXACT constants the
+    * Spark path derives from Dedup.minhashParams' fixed seed are embedded by
+    * the callers below). */
+  private val minhashHashCtes =
+    s"""WITH docs AS (SELECT doc_id, $toks AS tk FROM documents),
+       |shg AS (SELECT doc_id, unnest($shingleSql) AS s FROM docs),
+       |hh AS (SELECT doc_id, ${pmodPrime(signed64(fnvSql("s")))} AS h FROM shg)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "text_token_stats" ->
@@ -557,6 +611,67 @@ object Extensions {
     "dedup_simhash_invariance" ->
       """SELECT doc_id, true AS normalization_invariant
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // MinHash k=8 signature lanes replayed exactly: FNV-1a shingle hashes +
+    // the same affine permutation constants (interpolated from the fixed
+    // seed, so the two sides can never drift).
+    "dedup_minhash_sig" -> {
+      val lanes = Dedup.minhashParams(8).zipWithIndex.map { case ((a, b), i) =>
+        s"min((h * $a + $b) % 2147483647) AS m$i" }.mkString(", ")
+      s"""$minhashHashCtes,
+         |sigs AS (SELECT doc_id, $lanes FROM hh GROUP BY doc_id)
+         |SELECT doc_id, m0 AS h0, m1 AS h1, m7 AS h7 FROM sigs ORDER BY doc_id""".stripMargin
+    },
+
+    // Full LSH pair-finding replay: k=32 signatures, 8 bands of 4 rows
+    // (bucket key = the raw signature slice — Spark buckets on a hash of
+    // it, which only merges buckets on a 64-bit collision), bucket-size
+    // guard 2..100, signature-agreement estimate >= 0.5 after Spark-parity
+    // rounding, plus the non-empty marker row (-1, n_docs, 0.0).
+    "dedup_minhash_pairs" -> {
+      val sigList = Dedup.minhashParams(32)
+        .map { case (a, b) => s"min((h * $a + $b) % 2147483647)" }
+        .mkString("[", ", ", "]")
+      s"""$minhashHashCtes,
+         |sigs AS (SELECT doc_id, $sigList AS sig FROM hh GROUP BY doc_id),
+         |bands AS (SELECT doc_id, sig, b, sig[4*b + 1 : 4*b + 4] AS key
+         |          FROM sigs, range(8) r(b)),
+         |sizes AS (SELECT b, key FROM bands GROUP BY b, key
+         |          HAVING count(*) BETWEEN 2 AND 100),
+         |cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+         |         FROM bands l JOIN sizes z ON l.b = z.b AND l.key = z.key
+         |         JOIN bands r ON r.b = z.b AND r.key = z.key
+         |         WHERE l.doc_id < r.doc_id),
+         |est AS (SELECT c.id1, c.id2,
+         |          ${sparkRound("CAST(len(list_filter(range(1, 33), i -> s1.sig[i] = s2.sig[i])) AS DOUBLE) / 32.0", 6)} AS est_jaccard
+         |        FROM cand c JOIN sigs s1 ON s1.doc_id = c.id1
+         |        JOIN sigs s2 ON s2.doc_id = c.id2),
+         |pairs AS (SELECT id1, id2, est_jaccard FROM est WHERE est_jaccard >= 0.5),
+         |marker AS (SELECT CAST(-1 AS BIGINT) AS id1, CAST(count(*) AS BIGINT) AS id2,
+         |                  CAST(0.0 AS DOUBLE) AS est_jaccard FROM documents)
+         |SELECT * FROM (SELECT * FROM marker UNION ALL SELECT * FROM pairs)
+         |ORDER BY id1, id2""".stripMargin
+    },
+
+    // SimHash replayed exactly: FNV-1a token hashes, 64 +1/-1 bit votes,
+    // sign -> bit, then Spark's conv(...,10,16) = DuckDB hex() on the signed
+    // value (both print two's-complement uppercase without leading zeros).
+    // Docs with no tokens have no vote rows -> coalesce to simhash 0, like
+    // SimHash.compute on an empty array.
+    "dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |h AS (SELECT doc_id, ${fnvSql("tok")} AS h FROM t),
+         |bits AS (SELECT doc_id, b,
+         |           sum(CASE WHEN (h // (1::HUGEINT << b)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |         FROM h, range(64) r(b) GROUP BY 1, 2),
+         |u AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS uv
+         |      FROM bits GROUP BY 1),
+         |s AS (SELECT d.doc_id, ${signed64("coalesce(u.uv, 0::HUGEINT)")} AS sh
+         |      FROM documents d LEFT JOIN u USING (doc_id)),
+         |s0 AS (SELECT sh AS sh0 FROM s WHERE doc_id = 0)
+         |SELECT s.doc_id, hex(s.sh) AS simhash_hex,
+         |  CAST(bit_count(xor(s.sh, s0.sh0)) AS INT) AS hamming_to_0
+         |FROM s, s0 ORDER BY s.doc_id""".stripMargin,
 
     "train_shuffle_shard" ->
       s"""WITH b AS (
@@ -778,6 +893,16 @@ object Extensions {
         |       ELSE 'webp' END AS format,
         |  CAST(n_chars % 640 + 1 AS INT) AS width,
         |  CAST(n_chars % 480 + 1 AS INT) AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // JPEG round-trip: dims have closed forms (lossy JPEG still preserves
+    // dimensions exactly); the tolerance booleans are pinned true — any
+    // channel swap or codec regression on the Spark side flips them.
+    "multimodal_jpeg_roundtrip" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(n_chars % 64 + 1 AS INT) AS width,
+        |  CAST(n_chars % 48 + 1 AS INT) AS height,
+        |  true AS r_ok, true AS g_ok, true AS b_ok
         |FROM documents ORDER BY media_id""".stripMargin,
 
     // closed forms of the PNG fixture: constant R/G fills and the vertical

@@ -52,6 +52,39 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("jpeg lane: real lossy round-trip — exact dims, means inside the DC band") {
+    // local codec check: real JPEG magic, exact dims, bounded channel error
+    val bytes = Multimodal.jpegEncode(mediaId = 42L, width = 13, height = 7)
+    assert(bytes.take(2).toSeq === Seq(0xff.toByte, 0xd8.toByte),
+      "payload must be a real JPEG (SOI marker)")
+    val st = Multimodal.pngDecodeStats(42L, bytes)
+    assert((st.width, st.height) === (13, 7), "JPEG preserves dimensions exactly")
+    assert(math.abs(st.mean_r - 42.0) <= 4.0)
+    assert(math.abs(st.mean_g - (42 * 7 + 31) % 256.0) <= 4.0)
+    assert(math.abs(st.mean_b - (42 * 13 + 7) % 256.0) <= 4.0)
+
+    // channel-swap sentinel: an id whose three fills are far apart — a
+    // swapped channel would miss by far more than the tolerance
+    val far = Multimodal.pngDecodeStats(10L,
+      Multimodal.jpegEncode(mediaId = 10L, width = 16, height = 16))
+    assert(math.abs(far.mean_r - 10.0) <= 4.0)     // r=10, g=101, b=137
+    assert(math.abs(far.mean_g - 101.0) <= 4.0)
+    assert(math.abs(far.mean_b - 137.0) <= 4.0)
+
+    // distributed: every fixture image round-trips within tolerance
+    val stats = Multimodal.decodePngFeatures(
+      Multimodal.jpegMedia(Tables.documents(spark, "/root/testdata/sf0.001")))
+      .collect()
+    assert(stats.nonEmpty)
+    stats.foreach { s =>
+      assert(math.abs(s.mean_r - (s.media_id % 256).toDouble) <= 4.0,
+        s"media ${s.media_id} mean_r ${s.mean_r}")
+      assert(math.abs(s.mean_g - ((s.media_id * 7 + 31) % 256).toDouble) <= 4.0)
+      assert(math.abs(s.mean_b - ((s.media_id * 13 + 7) % 256).toDouble) <= 4.0)
+      assert(s.byte_len > 2)
+    }
+  }
+
   test("extractFeatures: distributed batched decode with stable output schema") {
     val media = Multimodal.mediaDataset(Tables.documents(spark, "/root/testdata/sf0.001"))
     val feats = Multimodal.extractFeatures(media, frameStride = 16, batchSize = 8)

@@ -1,0 +1,43 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FnvSpec extends SparkSpec {
+
+  /** Published FNV-1a 64 reference vectors (unsigned, from the FNV spec's
+    * parameters: offset 0xcbf29ce484222325, prime 0x100000001b3). The DuckDB
+    * oracle replays this exact byte loop in SQL — if these pins move, every
+    * sketch oracle moves with them. */
+  private val pins = Seq(
+    "" -> java.lang.Long.parseUnsignedLong("14695981039346656037"),
+    "hello" -> java.lang.Long.parseUnsignedLong("11831194018420276491"),
+    "a" -> java.lang.Long.parseUnsignedLong("12638187200555641996"))
+
+  test("fnv1a64: pinned reference values, direct and through codegen") {
+    import spark.implicits._
+    pins.foreach { case (s, expect) =>
+      assert(graft.ext.SimHash.fnv1a(s.getBytes("UTF-8")) === expect,
+        s"direct fnv1a($s)")
+    }
+    // through the Expression (whole-stage codegen path)
+    val rows = pins.map(_._1).toDF("s")
+      .select(col("s"), Fnv.fnv1a64(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    pins.foreach { case (s, expect) => assert(rows(s) === expect, s"column fnv1a($s)") }
+  }
+
+  test("fnv1a64: multi-byte UTF-8 hashes the bytes, not the codepoints") {
+    import spark.implicits._
+    val s = "héllo 世界"
+    val viaCol = Seq(s).toDF("s").select(Fnv.fnv1a64(col("s"))).head().getLong(0)
+    assert(viaCol === graft.ext.SimHash.fnv1a(s.getBytes("UTF-8")))
+    assert(viaCol !== graft.ext.SimHash.fnv1a(s.map(_.toByte).toArray))
+  }
+
+  test("fnv1a64: null in, null out") {
+    import spark.implicits._
+    val r = Seq[Option[String]](None).toDF("s").select(Fnv.fnv1a64(col("s"))).head()
+    assert(r.isNullAt(0))
+  }
+}
