@@ -47,8 +47,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *     .option("requireAuth", true)      // synthetic server demands a token
   *     .option("failEvery", 50)          // O3: transient fault injection
   *     .option("maxRetries", 5)
+  *     .option("fetcherClass", "…")      // O1: swap in a real transport
   *     .load()                           // schema = BlockMsg
   * }}}
+  *
+  * Transport seam: per-partition message fetch goes through [[BlockFetcher]]
+  * — the synthetic generator is one implementation; a real substreams gRPC
+  * client is another, selected by the `fetcherClass` option and built
+  * executor-side from this same Config (token, connectTimeoutMs,
+  * keepaliveMs). Nothing else in the source changes.
   *
   * Auth (O2) + resilience (O3): the resolved token (env
   * `SUBSTREAMS_API_TOKEN` over the `token` option, reference
@@ -93,7 +100,7 @@ object ChainSource {
   final case class Config(blocksPerTrigger: Long, totalBlocks: Long,
       reorgEvery: Long, reorgDepth: Long, finalityLag: Long, numPartitions: Int,
       token: String, requireAuth: Boolean, failEvery: Long, maxRetries: Int,
-      connectTimeoutMs: Long, keepaliveMs: Long)
+      connectTimeoutMs: Long, keepaliveMs: Long, fetcherClass: String)
 
   /** O2 parity: the env token wins over the option, like the reference's
     * SUBSTREAMS_API_TOKEN over the CLI flag (`src/main.rs:128-131`); the
@@ -120,7 +127,11 @@ object ChainSource {
     // reference's channel (connect_timeout 10 s, tcp_keepalive 30 s,
     // src/substreams.rs:40-41). The synthetic generator has nothing to time out.
     connectTimeoutMs = o.getLong("connectTimeoutMs", 10000L),
-    keepaliveMs = o.getLong("keepaliveMs", 30000L))
+    keepaliveMs = o.getLong("keepaliveMs", 30000L),
+    // transport seam (O1): fully-qualified BlockFetcher implementation,
+    // instantiated reflectively ON THE EXECUTOR with this Config — a real
+    // substreams gRPC client drops in via this one option, no code change
+    fetcherClass = o.getOrDefault("fetcherClass", ""))
 
   /** Deterministic message at sequence `seq`: chain state is a pure function
     * of the sequence number, so any reader (or retry) regenerates the exact
@@ -232,30 +243,21 @@ class ChainReaderFactory(cfg: ChainSource.Config) extends PartitionReaderFactory
     new PartitionReader[InternalRow] {
       private var seq = p.start - 1
       private var current: InternalRow = _
-      // transient faults fire once per seq (first attempt), so a retried
-      // fetch succeeds — the reconnect-and-resume shape of O3
-      private val failedOnce = scala.collection.mutable.Set.empty[Long]
-
-      private def fetch(s: Long): InternalRow = {
-        if (p.cfg.requireAuth && p.cfg.token.isEmpty)
-          throw new UnauthenticatedException(
-            "missing bearer token (set the token option or SUBSTREAMS_API_TOKEN)")
-        if (p.cfg.failEvery > 0 && s > 0 && s % p.cfg.failEvery == 0 && failedOnce.add(s))
-          throw new java.io.IOException(s"transient chain error at seq $s")
-        ChainSource.messageAt(s, p.cfg)
-      }
+      // the transport seam: synthetic generator by default, a real gRPC
+      // client via the fetcherClass option — instantiated HERE, executor-side
+      private val fetcher = BlockFetcher.create(p.cfg)
 
       override def next(): Boolean = {
         seq += 1
         if (seq >= p.end) false
         else {
           current = Backoff.retry(p.cfg.maxRetries,
-            isFatal = _.isInstanceOf[UnauthenticatedException])(() => fetch(seq))
+            isFatal = _.isInstanceOf[UnauthenticatedException])(() => fetcher.fetch(seq))
           true
         }
       }
       override def get(): InternalRow = current
-      override def close(): Unit = ()
+      override def close(): Unit = fetcher.close()
     }
   }
 }

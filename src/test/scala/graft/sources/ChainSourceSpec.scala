@@ -91,6 +91,22 @@ class ChainSourceSpec extends SparkSpec {
     assert(df.count() === 5)
   }
 
+  test("O1 transport seam: a custom BlockFetcher class drops in via one option") {
+    CountingTestFetcher.reset()
+    val df = spark.read.format("graft.sources.ChainSource")
+      .option("totalBlocks", 12).option("numPartitions", 3)
+      .option("fetcherClass", "graft.sources.CountingTestFetcher")
+      .load()
+    assert(df.count() === 12)
+    assert(CountingTestFetcher.created.get() === 3, "one fetcher per partition reader")
+    assert(CountingTestFetcher.fetches.get() === 12, "every seq goes through the seam")
+    assert(CountingTestFetcher.closes.get() === 3, "channel released per partition")
+    // the default (no option) routes through the synthetic implementation
+    assert(BlockFetcher.create(ChainSource.config(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of())))
+      .isInstanceOf[SyntheticBlockFetcher])
+  }
+
   test("end-to-end: chain source through finality buffer releases canonical chain only") {
     import spark.implicits._
     implicit val enc = org.apache.spark.sql.Encoders.product[BlockMsg]
@@ -113,4 +129,25 @@ class ChainSourceSpec extends SparkSpec {
     assert(hs.headOption.contains(0L))
     assert(hs.toSeq === (hs.head to hs.last))
   }
+}
+
+/** Reflectively-loaded test transport: counts lifecycle events and delegates
+  * to the synthetic generator — proves a custom `fetcherClass` (the real
+  * gRPC client's seat) is a drop-in with no code change. Top-level class:
+  * [[BlockFetcher.create]] needs the single-Config constructor. */
+class CountingTestFetcher(cfg: ChainSource.Config) extends BlockFetcher {
+  CountingTestFetcher.created.incrementAndGet()
+  private val inner = new SyntheticBlockFetcher(cfg)
+  override def fetch(seq: Long): org.apache.spark.sql.catalyst.InternalRow = {
+    CountingTestFetcher.fetches.incrementAndGet()
+    inner.fetch(seq)
+  }
+  override def close(): Unit = { CountingTestFetcher.closes.incrementAndGet(); () }
+}
+
+object CountingTestFetcher {
+  val created = new java.util.concurrent.atomic.AtomicInteger
+  val fetches = new java.util.concurrent.atomic.AtomicInteger
+  val closes = new java.util.concurrent.atomic.AtomicInteger
+  def reset(): Unit = { created.set(0); fetches.set(0); closes.set(0) }
 }
