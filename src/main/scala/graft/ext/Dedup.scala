@@ -230,6 +230,35 @@ object Dedup {
       .select(col("id1"), col("id2"), col("hamming"))
   }
 
+  // ---- train/eval decontamination ------------------------------------------
+
+  /** Flags training documents that share ANY word n-gram with the eval set —
+    * the standard n-gram decontamination pass a pre-training pipeline runs
+    * before benchmark evaluation. Returns (id, n_shared) for contaminated
+    * training docs: n_shared = distinct shared n-gram count (severity).
+    *
+    * Scale shape: the eval side reduces to a DISTINCT set of 64-bit FNV-1a
+    * n-gram hashes (eval sets are benchmark-sized — thousands of docs — so
+    * the hash set broadcasts); the training corpus streams through one
+    * explode + broadcast semi-ish join + per-doc aggregate. No shuffle
+    * touches eval×train pairs, and the train side shuffles once, on doc id.
+    * The FNV basis keeps the whole pass replayable by the DuckDB oracle
+    * (and by any other engine auditing the decontamination).
+    *
+    * Shingle semantics follow [[shingles]]: docs shorter than n tokens
+    * contribute their whole token string — a short eval doc still
+    * decontaminates its exact copies. */
+  def contamination(train: DataFrame, eval: DataFrame, textCol: String,
+      idCol: String, n: Int = 5): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df.select(col(idCol).as("id"),
+      explode(array_distinct(shingles(col(textCol), n))).as("g"))
+      .select(col("id"), graft.functions.Fnv.fnv1a64(col("g")).as("h"))
+    val evalHashes = grams(eval).select(col("h")).distinct()
+    grams(train).join(broadcast(evalHashes), Seq("h"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared")) // grams() already dedups per doc
+  }
+
   // ---- exact n-gram Jaccard (quadratic; small slices / verification) -------
 
   /** Pairwise word-set Jaccard over a (small) doc set. */

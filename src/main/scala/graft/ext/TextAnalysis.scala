@@ -70,6 +70,40 @@ object TextAnalysis {
   def fingerprint64(text: Column): Column =
     xxhash64(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  // ---- PII scrubbing -------------------------------------------------------
+
+  /** Redaction patterns, written to mean the SAME THING in Java regex
+    * (Spark) and RE2 (DuckDB): no lookaround, no backreferences, no
+    * possessive quantifiers — so the oracle replays the scrub verbatim. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+\\d{1,3}[- ]\\d{3}[- ]\\d{3,4}[- ]\\d{3,4}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Replace emails / international-format phone numbers / IPv4 addresses
+    * with typed placeholder tokens — the standard pre-training redaction
+    * pass. Pure column algebra (three codegen'd regexp_replace), so it runs
+    * scan-side with zero shuffles at any scale. Email first (its local part
+    * may contain dot-digit runs the IP pattern would bite into), phone
+    * before IP (dashes keep them disjoint, but the order makes it explicit). */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  /** Per-doc PII hit counts, for redaction-rate monitoring. Each count is
+    * taken on the text as [[piiScrub]] sees it at that stage (emails on the
+    * raw text, phones after email redaction, IPs after both), so the counts
+    * are exactly the number of replacements the scrub performs. */
+  def piiCounts(text: Column): (Column, Column, Column) = {
+    val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, PhoneRe, "<PHONE>")
+    (regexp_count(text, lit(EmailRe)),
+     regexp_count(afterEmail, lit(PhoneRe)),
+     regexp_count(afterPhone, lit(Ipv4Re)))
+  }
+
   // ---- language identification -------------------------------------------
 
   /** Tiny embedded stopword inventories; enough signal for a coarse

@@ -123,6 +123,39 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // Train/eval n-gram decontamination: eval set = every 97th doc, train =
+    // the rest; a train doc is contaminated when it shares any distinct
+    // 5-gram with eval. Eval hashes broadcast; train streams through one
+    // explode + semi-join + per-doc count. FNV basis -> the oracle replays
+    // the full pass (shingles, hash, join, count) in SQL.
+    "train_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contamination(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "text", "doc_id", n = 5)
+        .select(col("id").as("doc_id"), col("n_shared"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII redaction pass: deterministic synthetic PII (email/phone/IPv4
+    // derived from doc_id) is appended to each doc, then counted and
+    // scrubbed; the oracle re-runs the identical regexes in DuckDB and
+    // md5-fingerprints the scrubbed text, so a single changed character
+    // anywhere in the redaction output fails the row.
+    "text_pii_scrub" -> ((s, d) => {
+      val injected = concat(col("text"),
+        lit(" contact: user"), col("doc_id").cast("string"),
+        lit("@example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit("-0199 at 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))
+      val (ne, np, ni) = TA.piiCounts(injected)
+      Tables.documents(s, d).select(col("doc_id"),
+        ne.as("n_emails"), np.as("n_phones"), ni.as("n_ips"),
+        md5(TA.piiScrub(injected).cast("binary")).as("scrub_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // exact pairwise n-gram Jaccard on a bounded slice (quadratic by nature)
     "dedup_ngram_jaccard" -> ((s, d) => {
       Dedup.ngramJaccardPairs(
@@ -508,13 +541,17 @@ object Extensions {
   /** Spark pmod(x, 2^31-1) on a signed 64-bit value */
   private def pmodPrime(expr: String): String =
     s"((($expr) % 2147483647) + 2147483647) % 2147483647"
-  /** Word 3-gram shingles of `tk` — mirrors Dedup.minhashSignatures: full
-    * n-grams for >= 3 tokens, else the whole token string once ("" for
+  /** Word n-gram shingles of `tk` — mirrors Dedup.shingles/minhashSignatures:
+    * full n-grams for >= n tokens, else the whole token string once ("" for
     * empty docs). */
-  private val shingleSql =
-    """CASE WHEN len(tk) >= 3
-      |     THEN list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
-      |     ELSE [array_to_string(tk, ' ')] END""".stripMargin
+  private def shingleSqlN(n: Int): String = {
+    val gram = (0 until n).map(j => if (j == 0) "tk[i]" else s"tk[i+$j]")
+      .mkString(" || ' ' || ")
+    s"""CASE WHEN len(tk) >= $n
+       |     THEN list_transform(range(1, len(tk) - ${n - 2}), i -> $gram)
+       |     ELSE [array_to_string(tk, ' ')] END""".stripMargin
+  }
+  private val shingleSql = shingleSqlN(3)
   /** Shared CTE prefix doc_id -> per-shingle hash h (the EXACT constants the
     * Spark path derives from Dedup.minhashParams' fixed seed are embedded by
     * the callers below). */
@@ -611,6 +648,42 @@ object Extensions {
     "dedup_simhash_invariance" ->
       """SELECT doc_id, true AS normalization_invariant
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Decontamination replay: same 5-gram shingles, same FNV-1a hashes,
+    // same distinct-per-doc + eval-set join + per-doc count.
+    "train_decontaminate" ->
+      s"""WITH docs AS (SELECT doc_id, $toks AS tk FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(${shingleSqlN(5)})) AS s FROM docs),
+         |h AS (SELECT doc_id, ${signed64(fnvSql("s"))} AS h FROM g),
+         |ev AS (SELECT DISTINCT h FROM h WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id, h FROM h WHERE doc_id % 97 <> 0)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM tr JOIN ev USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // PII scrub replay: identical regexes (written to the Java-regex /
+    // RE2 common subset), identical replacement order (email, then phone,
+    // then IP — counts taken on the text each stage sees), md5 fingerprint
+    // of the fully scrubbed text.
+    "text_pii_scrub" -> {
+      val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      val phone = """\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]\d{3,4}"""
+      val ip = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+      s"""WITH inj AS (SELECT doc_id,
+         |    text || ' contact: user' || CAST(doc_id AS VARCHAR) ||
+         |    '@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         |    '-0199 at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+         |  FROM documents),
+         |st AS (SELECT doc_id, t,
+         |    regexp_replace(t, '$email', '<EMAIL>', 'g') AS t1 FROM inj),
+         |st2 AS (SELECT doc_id, t, t1,
+         |    regexp_replace(t1, '$phone', '<PHONE>', 'g') AS t2 FROM st)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$email')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t1, '$phone')) AS INT) AS n_phones,
+         |  CAST(len(regexp_extract_all(t2, '$ip')) AS INT) AS n_ips,
+         |  md5(regexp_replace(t2, '$ip', '<IP>', 'g')) AS scrub_fp
+         |FROM st2 ORDER BY doc_id""".stripMargin
+    },
 
     // MinHash k=8 signature lanes replayed exactly: FNV-1a shingle hashes +
     // the same affine permutation constants (interpolated from the fixed

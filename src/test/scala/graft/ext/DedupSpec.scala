@@ -158,4 +158,21 @@ class DedupSpec extends SparkSpec {
     // (no re-read: a localCheckpoint's lineage is truncated, so a freed
     // frame is dead by design — the contract is free-after-consumption)
   }
+
+  test("contamination: shared 5-gram flags a train doc; disjoint and short docs behave") {
+    import spark.implicits._
+    val eval = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"), // 5-grams
+      (101L, "tiny doc")                             // < n tokens: whole-string gram
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix alpha beta gamma delta epsilon suffix"), // shares 1 distinct 5-gram
+      (2L, "completely different words with no overlap at all"),
+      (3L, "tiny doc"),                                     // exact short copy of eval 101
+      (4L, "beta gamma delta epsilon zeta and alpha beta gamma delta epsilon") // shares 2
+    ).toDF("doc_id", "text")
+    val got = Dedup.contamination(train, eval, "text", "doc_id", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 3L -> 1L, 4L -> 2L), s"got $got")
+  }
 }

@@ -111,4 +111,32 @@ class TextAnalysisSpec extends SparkSpec {
     // md5 well-known value sanity: md5("hello world")
     assert(m("b") === "5eb63bbbe01eeed093cb22bb8f5acdc3")
   }
+
+  test("PII scrub: emails, phones, IPv4 redacted; counts match replacements") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      ("reach me at jane.doe+spam@corp.example.org thanks", 1, 0, 0),
+      ("call +1-555-0123-0199 or +44-207-946-0958 now", 0, 2, 0),
+      ("server 192.168.0.1 and 10.20.30.40 are down", 0, 0, 2),
+      ("a@b.co from 1.2.3.4 dial +1-555-010-0100", 1, 1, 1),
+      ("no pii here, just text 12345", 0, 0, 0)).toDF("text", "e", "p", "i")
+    val (ne, np, ni) = TextAnalysis.piiCounts(col("text"))
+    val out = docs.select(col("e"), col("p"), col("i"),
+      ne.as("ne"), np.as("np"), ni.as("ni"),
+      TextAnalysis.piiScrub(col("text")).as("scrubbed")).collect()
+    out.foreach { r =>
+      assert(r.getAs[Int]("ne") === r.getAs[Int]("e"), s"emails in: $r")
+      assert(r.getAs[Int]("np") === r.getAs[Int]("p"), s"phones in: $r")
+      assert(r.getAs[Int]("ni") === r.getAs[Int]("i"), s"ips in: $r")
+    }
+    // nothing redactable survives the scrub
+    val rescan = docs.select(TextAnalysis.piiScrub(col("text")).as("text"))
+    val (ne2, np2, ni2) = TextAnalysis.piiCounts(col("text"))
+    val residue = rescan.select((ne2 + np2 + ni2).as("n")).agg(sum("n")).head().getLong(0)
+    assert(residue === 0L, "scrubbed text must contain no remaining PII matches")
+    // placeholders present
+    val s = out.map(_.getAs[String]("scrubbed")).mkString(" ")
+    assert(s.contains("<EMAIL>") && s.contains("<PHONE>") && s.contains("<IP>"))
+  }
 }
