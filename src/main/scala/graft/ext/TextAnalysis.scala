@@ -70,6 +70,24 @@ object TextAnalysis {
   def fingerprint64(text: Column): Column =
     xxhash64(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  // ---- boilerplate detection -----------------------------------------------
+
+  /** Corpus-level boilerplate detector: the k most DOCUMENT-frequent word
+    * n-grams (each doc votes once per distinct n-gram), the standard input
+    * to a boilerplate-removal pass — navigation chrome, license headers and
+    * template text show up as n-grams with anomalous document frequency.
+    *
+    * Scale shape: one explode of per-doc-distinct shingles, one count
+    * aggregate (map-side combined), and a TakeOrderedAndProject for the
+    * top-k — no global sort, no second shuffle. Ties break on the n-gram
+    * text so the top-k is total-ordered and deterministic. */
+  def topNgramsByDocFreq(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      n: Int = 5, k: Int = 20): org.apache.spark.sql.DataFrame =
+    docs.select(explode(array_distinct(Dedup.shingles(col(textCol), n))).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("ngram"))
+      .limit(k)
+
   // ---- PII scrubbing -------------------------------------------------------
 
   /** Redaction patterns, written to mean the SAME THING in Java regex

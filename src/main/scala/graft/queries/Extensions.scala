@@ -156,6 +156,12 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus-level boilerplate n-grams: top-20 5-grams by document
+    // frequency (one vote per doc per distinct gram), TakeOrdered top-k.
+    "text_boilerplate_ngrams" -> ((s, d) => {
+      TA.topNgramsByDocFreq(Tables.documents(s, d), "text", n = 5, k = 20)
+    }),
+
     // exact pairwise n-gram Jaccard on a bounded slice (quadratic by nature)
     "dedup_ngram_jaccard" -> ((s, d) => {
       Dedup.ngramJaccardPairs(
@@ -684,6 +690,14 @@ object Extensions {
          |  md5(regexp_replace(t2, '$ip', '<IP>', 'g')) AS scrub_fp
          |FROM st2 ORDER BY doc_id""".stripMargin
     },
+
+    // Boilerplate top-k: same per-doc-distinct 5-gram stream, doc-frequency
+    // count, total-ordered (df DESC, ngram) top-20.
+    "text_boilerplate_ngrams" ->
+      s"""WITH docs AS (SELECT doc_id, $toks AS tk FROM documents),
+         |g AS (SELECT unnest(list_distinct(${shingleSqlN(5)})) AS ngram FROM docs)
+         |SELECT ngram, CAST(count(*) AS BIGINT) AS doc_freq
+         |FROM g GROUP BY ngram ORDER BY doc_freq DESC, ngram LIMIT 20""".stripMargin,
 
     // MinHash k=8 signature lanes replayed exactly: FNV-1a shingle hashes +
     // the same affine permutation constants (interpolated from the fixed

@@ -112,6 +112,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m("b") === "5eb63bbbe01eeed093cb22bb8f5acdc3")
   }
 
+  test("boilerplate n-grams: doc frequency counts each doc once, ties break on text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val boiler = "all rights reserved by example corp"
+    val docs = Seq(
+      (1L, s"unique alpha words here $boiler"),
+      (2L, s"$boiler and other content follows now"),
+      (3L, s"totally different body $boiler trailing words"),
+      // repeated gram INSIDE one doc must still count once for that doc
+      (4L, s"spam spam spam spam spam spam spam spam spam spam")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.topNgramsByDocFreq(docs, "text", n = 5, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.head._2 === 3L, s"boilerplate gram must lead: ${top.toSeq}")
+    assert(top.head._1.contains("rights reserved"), s"got ${top.toSeq}")
+    // doc 4's self-repeated gram counts once
+    val spam = TextAnalysis.topNgramsByDocFreq(docs, "text", n = 5, k = 100)
+      .filter(col("ngram") === "spam spam spam spam spam").collect()
+    assert(spam.length === 1 && spam(0).getLong(1) === 1L)
+  }
+
   test("PII scrub: emails, phones, IPv4 redacted; counts match replacements") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
