@@ -107,22 +107,7 @@ object Dedup {
     * (concat_ws skips the null leads); empty docs hash "". */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 32, shingleN: Int = 3): DataFrame = {
-    require(shingleN >= 1)
-    val toks = docs.select(col(idCol).as("id"),
-      posexplode_outer(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "t")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("pos"))
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-    val withLeads = (1 until shingleN).foldLeft(toks) { (df, j) =>
-      df.withColumn(s"_l$j", lead(col("t"), j).over(w))
-    }
-    val leadCols = (1 until shingleN).map(j => col(s"_l$j"))
-    val lastLead = if (leadCols.nonEmpty) leadCols.last else col("t")
-    val sh = withLeads
-      .withColumn("ntok", count(col("t")).over(wAll))
-      .withColumn("shingle", concat_ws(" ", (col("t") +: leadCols): _*))
-      .filter(lastLead.isNotNull ||
-        (col("ntok") < shingleN && col("pos") <= 0) || col("pos").isNull)
+    val sh = shingleFrame(docs, textCol, idCol, shingleN)
       .withColumn("h", pmod(graft.functions.Fnv.fnv1a64(col("shingle")), lit(Prime)))
     val aggs = minhashParams(k).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(Prime))).as(s"_m$i")
@@ -130,6 +115,34 @@ object Dedup {
     sh.groupBy(col("id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
+  }
+
+  /** The codegen'd shingle stream every shingle consumer shares: posexplode
+    * the tokens once, build each n-gram from window `lead`s over (doc,
+    * position) — no interpreted array lambdas anywhere (Spark 4 higher-order
+    * functions are interpreted, ~6x slower on this path at sf0.1). Returns
+    * (id, shingle) with [[shingles]] semantics: full-width n-grams for docs
+    * with >= n tokens, the whole token string once for shorter docs, "" for
+    * empty docs. The window's hash partitioning on id is reused by any
+    * downstream per-id aggregate, so consumers pay ONE shuffle to here. */
+  def shingleFrame(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    require(n >= 1)
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode_outer(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "t")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    val withLeads = (1 until n).foldLeft(toks) { (df, j) =>
+      df.withColumn(s"_l$j", lead(col("t"), j).over(w))
+    }
+    val leadCols = (1 until n).map(j => col(s"_l$j"))
+    val lastLead = if (leadCols.nonEmpty) leadCols.last else col("t")
+    withLeads
+      .withColumn("ntok", count(col("t")).over(wAll))
+      .withColumn("shingle", concat_ws(" ", (col("t") +: leadCols): _*))
+      .filter(lastLead.isNotNull ||
+        (col("ntok") < n && col("pos") <= 0) || col("pos").isNull)
+      .select(col("id"), col("shingle"))
   }
 
   /** (id, sig, band, band_hash) — one row per band per doc; the LSH key
@@ -250,9 +263,9 @@ object Dedup {
     * decontaminates its exact copies. */
   def contamination(train: DataFrame, eval: DataFrame, textCol: String,
       idCol: String, n: Int = 5): DataFrame = {
-    def grams(df: DataFrame): DataFrame = df.select(col(idCol).as("id"),
-      explode(array_distinct(shingles(col(textCol), n))).as("g"))
-      .select(col("id"), graft.functions.Fnv.fnv1a64(col("g")).as("h"))
+    def grams(df: DataFrame): DataFrame = shingleFrame(df, textCol, idCol, n)
+      .select(col("id"), graft.functions.Fnv.fnv1a64(col("shingle")).as("h"))
+      .distinct() // one vote per (doc, gram)
     val evalHashes = grams(eval).select(col("h")).distinct()
     grams(train).join(broadcast(evalHashes), Seq("h"))
       .groupBy(col("id"))

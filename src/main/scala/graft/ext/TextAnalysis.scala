@@ -82,8 +82,9 @@ object TextAnalysis {
     * top-k — no global sort, no second shuffle. Ties break on the n-gram
     * text so the top-k is total-ordered and deterministic. */
   def topNgramsByDocFreq(docs: org.apache.spark.sql.DataFrame, textCol: String,
-      n: Int = 5, k: Int = 20): org.apache.spark.sql.DataFrame =
-    docs.select(explode(array_distinct(Dedup.shingles(col(textCol), n))).as("ngram"))
+      idCol: String, n: Int = 5, k: Int = 20): org.apache.spark.sql.DataFrame =
+    Dedup.shingleFrame(docs, textCol, idCol, n)
+      .select(col("id"), col("shingle").as("ngram")).distinct() // 1 vote/doc
       .groupBy(col("ngram")).agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("ngram"))
       .limit(k)

@@ -159,7 +159,7 @@ object Extensions {
     // Corpus-level boilerplate n-grams: top-20 5-grams by document
     // frequency (one vote per doc per distinct gram), TakeOrdered top-k.
     "text_boilerplate_ngrams" -> ((s, d) => {
-      TA.topNgramsByDocFreq(Tables.documents(s, d), "text", n = 5, k = 20)
+      TA.topNgramsByDocFreq(Tables.documents(s, d), "text", "doc_id", n = 5, k = 20)
     }),
 
     // exact pairwise n-gram Jaccard on a bounded slice (quadratic by nature)

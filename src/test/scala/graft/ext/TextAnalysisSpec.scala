@@ -123,12 +123,12 @@ class TextAnalysisSpec extends SparkSpec {
       // repeated gram INSIDE one doc must still count once for that doc
       (4L, s"spam spam spam spam spam spam spam spam spam spam")
     ).toDF("doc_id", "text")
-    val top = TextAnalysis.topNgramsByDocFreq(docs, "text", n = 5, k = 3)
+    val top = TextAnalysis.topNgramsByDocFreq(docs, "text", "doc_id", n = 5, k = 3)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(top.head._2 === 3L, s"boilerplate gram must lead: ${top.toSeq}")
     assert(top.head._1.contains("rights reserved"), s"got ${top.toSeq}")
     // doc 4's self-repeated gram counts once
-    val spam = TextAnalysis.topNgramsByDocFreq(docs, "text", n = 5, k = 100)
+    val spam = TextAnalysis.topNgramsByDocFreq(docs, "text", "doc_id", n = 5, k = 100)
       .filter(col("ngram") === "spam spam spam spam spam").collect()
     assert(spam.length === 1 && spam(0).getLong(1) === 1L)
   }
