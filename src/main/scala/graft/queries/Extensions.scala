@@ -156,6 +156,26 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // The WHOLE near-dup dedup pipeline in one query — what a production
+    // corpus-dedup job actually runs: signatures (materialized once) ->
+    // banded LSH pairs -> connected components -> min-id survivor per
+    // cluster; docs outside any cluster keep themselves. Oracle replays
+    // every stage (FNV shingle hashes through a recursive-CTE closure).
+    "dedup_neardup_survivors" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", k = 32)
+        .localCheckpoint()
+      val pairs = Dedup.minhashNearDupsFromSigs(sigs,
+        bands = 8, rows = 4, threshold = 0.5)
+      val comps = Dedup.connectedComponents(pairs.select(col("id1"), col("id2")))
+      docs.select(col("doc_id"))
+        .join(comps.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("component"),
+          (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus-level boilerplate n-grams: top-20 5-grams by document
     // frequency (one vote per doc per distinct gram), TakeOrdered top-k.
     "text_boilerplate_ngrams" -> ((s, d) => {
@@ -566,6 +586,29 @@ object Extensions {
        |shg AS (SELECT doc_id, unnest($shingleSql) AS s FROM docs),
        |hh AS (SELECT doc_id, ${pmodPrime(signed64(fnvSql("s")))} AS h FROM shg)""".stripMargin
 
+  /** The minhash LSH pair replay, shared by the pairs oracle and the
+    * end-to-end survivors oracle: -> `pairs(id1, id2, est_jaccard)`. */
+  private lazy val minhashPairsCtes = {
+    val sigList = Dedup.minhashParams(32)
+      .map { case (a, b) => s"min((h * $a + $b) % 2147483647)" }
+      .mkString("[", ", ", "]")
+    s"""$minhashHashCtes,
+       |sigs AS (SELECT doc_id, $sigList AS sig FROM hh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, sig, b, sig[4*b + 1 : 4*b + 4] AS key
+       |          FROM sigs, range(8) r(b)),
+       |sizes AS (SELECT b, key FROM bands GROUP BY b, key
+       |          HAVING count(*) BETWEEN 2 AND 100),
+       |cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+       |         FROM bands l JOIN sizes z ON l.b = z.b AND l.key = z.key
+       |         JOIN bands r ON r.b = z.b AND r.key = z.key
+       |         WHERE l.doc_id < r.doc_id),
+       |est AS (SELECT c.id1, c.id2,
+       |          ${sparkRound("CAST(len(list_filter(range(1, 33), i -> s1.sig[i] = s2.sig[i])) AS DOUBLE) / 32.0", 6)} AS est_jaccard
+       |        FROM cand c JOIN sigs s1 ON s1.doc_id = c.id1
+       |        JOIN sigs s2 ON s2.doc_id = c.id2),
+       |pairs AS (SELECT id1, id2, est_jaccard FROM est WHERE est_jaccard >= 0.5)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "text_token_stats" ->
       s"""SELECT doc_id, len($toks) AS n_tokens,
@@ -715,30 +758,29 @@ object Extensions {
     // it, which only merges buckets on a 64-bit collision), bucket-size
     // guard 2..100, signature-agreement estimate >= 0.5 after Spark-parity
     // rounding, plus the non-empty marker row (-1, n_docs, 0.0).
-    "dedup_minhash_pairs" -> {
-      val sigList = Dedup.minhashParams(32)
-        .map { case (a, b) => s"min((h * $a + $b) % 2147483647)" }
-        .mkString("[", ", ", "]")
-      s"""$minhashHashCtes,
-         |sigs AS (SELECT doc_id, $sigList AS sig FROM hh GROUP BY doc_id),
-         |bands AS (SELECT doc_id, sig, b, sig[4*b + 1 : 4*b + 4] AS key
-         |          FROM sigs, range(8) r(b)),
-         |sizes AS (SELECT b, key FROM bands GROUP BY b, key
-         |          HAVING count(*) BETWEEN 2 AND 100),
-         |cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
-         |         FROM bands l JOIN sizes z ON l.b = z.b AND l.key = z.key
-         |         JOIN bands r ON r.b = z.b AND r.key = z.key
-         |         WHERE l.doc_id < r.doc_id),
-         |est AS (SELECT c.id1, c.id2,
-         |          ${sparkRound("CAST(len(list_filter(range(1, 33), i -> s1.sig[i] = s2.sig[i])) AS DOUBLE) / 32.0", 6)} AS est_jaccard
-         |        FROM cand c JOIN sigs s1 ON s1.doc_id = c.id1
-         |        JOIN sigs s2 ON s2.doc_id = c.id2),
-         |pairs AS (SELECT id1, id2, est_jaccard FROM est WHERE est_jaccard >= 0.5),
+    "dedup_minhash_pairs" ->
+      s"""$minhashPairsCtes,
          |marker AS (SELECT CAST(-1 AS BIGINT) AS id1, CAST(count(*) AS BIGINT) AS id2,
          |                  CAST(0.0 AS DOUBLE) AS est_jaccard FROM documents)
          |SELECT * FROM (SELECT * FROM marker UNION ALL SELECT * FROM pairs)
-         |ORDER BY id1, id2""".stripMargin
-    },
+         |ORDER BY id1, id2""".stripMargin,
+
+    // The whole near-dup pipeline replayed in one oracle: LSH pairs (the
+    // CTE block above), a recursive-CTE transitive closure for connected
+    // components, min-id survivor election, and every untouched doc kept.
+    "dedup_neardup_survivors" ->
+      s"""${minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |sym AS (SELECT id1 AS a, id2 AS b FROM pairs
+         |        UNION SELECT id2, id1 FROM pairs),
+         |reach(a, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+         |  UNION
+         |  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.a),
+         |comp AS (SELECT a, min(r) AS label FROM reach GROUP BY a)
+         |SELECT d.doc_id, CAST(coalesce(comp.label, d.doc_id) AS BIGINT) AS component,
+         |  coalesce(comp.label, d.doc_id) = d.doc_id AS kept
+         |FROM documents d LEFT JOIN comp ON comp.a = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // SimHash replayed exactly: FNV-1a token hashes, 64 +1/-1 bit votes,
     // sign -> bit, then Spark's conv(...,10,16) = DuckDB hex() on the signed
