@@ -1,0 +1,62 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ranked retrieval over the corpus: BM25 for a fixed bag-of-words query.
+  * A training-data pipeline uses this shape for quality-targeted mixing
+  * (retrieve-then-upsample) and for building eval slices; it is also the
+  * reference scoring function any search surface on the engine starts from.
+  */
+object Ranking {
+
+  /** BM25 top-k: score every document against `queryTerms` and return the
+    * k best as (id, score), ordered by (score DESC, id).
+    *
+    * Scale shape (the interesting part at 100 TB):
+    *  - term frequencies shuffle ONLY rows whose token is in the query —
+    *    the `isin` filter cuts the exploded token stream to at most
+    *    |query| rows per document before any exchange;
+    *  - document lengths are a pure projection over the scan (token count
+    *    per doc), never an explode;
+    *  - document frequencies and the corpus globals (N, avgdl) reduce to
+    *    broadcast-size frames;
+    *  - the per-term partial scores aggregate into one column per query
+    *    term, and the final score is a FIXED-ORDER sum of those columns —
+    *    float addition order never depends on row arrival order, which is
+    *    what keeps the result replayable bit-for-bit by the oracle;
+    *  - top-k plans as TakeOrderedAndProject (no global sort).
+    *
+    * Scores are rounded Spark-style at 4 decimals: `ln` differs from
+    * DuckDB's libm by 1 ulp on rare inputs, and the rounding absorbs it
+    * (the established convention for division-derived score columns). */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      k: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      "query terms must be non-empty and distinct")
+    val dl = docs.select(col(idCol).as("id"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
+    val g = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val tf = docs.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .filter(col("t").isin(queryTerms: _*))
+      .groupBy(col("id"), col("t")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df")) // tf keys are distinct (id, t)
+    val part = tf.join(broadcast(df), "t")
+      .join(dl, "id")
+      .crossJoin(broadcast(g))
+      .withColumn("idf", log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("part", col("idf") * (col("tf") * (k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+    val termSums = queryTerms.map(t =>
+      sum(when(col("t") === t, col("part"))).as(s"s_$t"))
+    part.groupBy(col("id"))
+      .agg(termSums.head, termSums.tail: _*)
+      .withColumn("score",
+        round(queryTerms.map(t => coalesce(col(s"s_$t"), lit(0.0))).reduce(_ + _), 4))
+      .select(col("id"), col("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+}

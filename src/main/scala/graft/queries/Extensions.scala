@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.ext.{Dedup, Multimodal, Ranking, Similarity, TextAnalysis => TA}
 
 /** Training-data-pipeline extension surface over documents/embeddings:
   * deduplication, similarity search, text analysis, multimodal plumbing.
@@ -174,6 +174,15 @@ object Extensions {
           coalesce(col("label"), col("doc_id")).as("component"),
           (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("kept"))
         .orderBy(col("doc_id"))
+    }),
+
+    // BM25 ranked retrieval for a fixed 3-term query: tf shuffles only
+    // query-term rows, dl is a pure projection, df/globals broadcast,
+    // fixed-order score sum, TakeOrdered top-k.
+    "rank_bm25_topk" -> ((s, d) => {
+      Ranking.bm25TopK(Tables.documents(s, d), "text", "doc_id",
+        Seq("spark", "window", "join"), k = 20)
+        .select(col("id").as("doc_id"), col("score"))
     }),
 
     // Corpus-level boilerplate n-grams: top-20 5-grams by document
@@ -732,6 +741,29 @@ object Extensions {
          |  CAST(len(regexp_extract_all(t2, '$ip')) AS INT) AS n_ips,
          |  md5(regexp_replace(t2, '$ip', '<IP>', 'g')) AS scrub_fp
          |FROM st2 ORDER BY doc_id""".stripMargin
+    },
+
+    // BM25 replay: identical formula with identical association order
+    // (k1=1.2, b=0.75 folded to the same literals), the same fixed-order
+    // per-term sum, and Spark-parity rounding absorbing the 1-ulp ln()
+    // difference between libm and the JVM.
+    "rank_bm25_topk" -> {
+      val terms = Seq("spark", "window", "join")
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      val scoreSum = terms.map(t =>
+        s"coalesce(sum(CASE WHEN t = '$t' THEN part END), 0)").mkString(" + ")
+      s"""WITH dl AS (SELECT doc_id AS id, CAST(len($toks) AS BIGINT) AS dl FROM documents),
+         |g AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         |tk AS (SELECT doc_id AS id, unnest($toks) AS t FROM documents),
+         |tf AS (SELECT id, t, count(*) AS tf FROM tk WHERE t IN ($inList) GROUP BY id, t),
+         |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+         |p AS (SELECT tf.id, tf.t,
+         |        ln((g.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |          * (tf.tf * ${1.2 + 1}) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / g.avgdl)) AS part
+         |      FROM tf JOIN df USING (t) JOIN dl USING (id), g)
+         |SELECT id AS doc_id, ${sparkRound(scoreSum, 4)} AS score
+         |FROM p GROUP BY id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
     },
 
     // Boilerplate top-k: same per-doc-distinct 5-gram stream, doc-frequency
