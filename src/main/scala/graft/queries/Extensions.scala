@@ -480,15 +480,19 @@ object Extensions {
         .orderBy(col("media_id"))
     }),
 
-    // The batched feature-extraction machinery for formats with no JVM codec
-    // (audio/video): real schema/batching, deterministic stub codec,
-    // rows-only check.
+    // The batched feature-extraction machinery for formats with no JVM
+    // codec (audio/video): real schema/batching; the stand-in codec is
+    // pure byte math, so even this lane is value-exact against the oracle
+    // (which folds the same bytes with the same float32 arithmetic).
     "multimodal_features" -> ((s, d) => {
       val feats = Multimodal.extractFeatures(
         Multimodal.mediaDataset(Tables.documents(s, d)))
       feats.toDF()
         .select(col("media_id"), col("byte_len"), col("frames_sampled"),
-          round(element_at(col("features"), 1), 4).as("f0"))
+          // widen to double BEFORE rounding: round(float, 4) stays FLOAT,
+          // and 0.3549f re-widened is 0.35490000247… — not the oracle's
+          // double 0.3549 (the float->double widening itself is exact)
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
         .orderBy(col("media_id"))
     })
   )
@@ -1055,6 +1059,29 @@ object Extensions {
         |  CAST(n_chars % 640 + 1 AS INT) AS width,
         |  CAST(n_chars % 480 + 1 AS INT) AS height
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // The batched feature-extraction machinery, value-exact: the stand-in
+    // codec is pure byte math (out[i%8] += byte/255 in FLOAT, scaled), so
+    // the oracle folds the same UTF-8 bytes with the same IEEE float32
+    // arithmetic via list_reduce over REAL — accumulation order and all.
+    // frames_sampled = ceil(len/16) (stride-16 sampling), byte_len exact.
+    "multimodal_features" -> {
+      val f0Fold =
+        """CASE WHEN octet_length(e) = 0 THEN CAST(0.0 AS REAL)
+          |    ELSE CAST(list_reduce(
+          |      [CAST(0.0 AS REAL)] || list_transform(
+          |          list_filter(range(1, octet_length(e) + 1), i -> (i - 1) % 8 = 0),
+          |          i -> CAST(CAST(('0x' || substr(hex(e), 2*i - 1, 2))::BIGINT AS REAL)
+          |               / CAST(255.0 AS REAL) AS REAL)),
+          |      (a, x) -> CAST(a + x AS REAL))
+          |      / CAST(octet_length(e) AS REAL) * CAST(8.0 AS REAL) AS REAL) END""".stripMargin
+      s"""WITH b AS (SELECT doc_id, encode(text) AS e FROM documents),
+         |f AS (SELECT doc_id, octet_length(e) AS n, $f0Fold AS f0 FROM b)
+         |SELECT doc_id AS media_id, CAST(n AS INT) AS byte_len,
+         |  CAST((n + 15) // 16 AS INT) AS frames_sampled,
+         |  ${sparkRound("CAST(f0 AS DOUBLE)", 4)} AS f0
+         |FROM f ORDER BY media_id""".stripMargin
+    },
 
     // JPEG round-trip: dims have closed forms (lossy JPEG still preserves
     // dimensions exactly); the tolerance booleans are pinned true — any
