@@ -40,4 +40,40 @@ class FnvSpec extends SparkSpec {
     val r = Seq[Option[String]](None).toDF("s").select(Fnv.fnv1a64(col("s"))).head()
     assert(r.isNullAt(0))
   }
+
+  // scalatest/scalacheck bridge isn't in the offline cache; sample directly.
+  private def samples[A](g: org.scalacheck.Gen[A], n: Int): Seq[A] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  test("fnv1a64 property: codegen column == direct loop on arbitrary unicode") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    val gen = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.listOf(Gen.oneOf('a', 'é', '世', ' ', '0', '\t')).map(_.mkString),
+      Gen.const(""))
+    val ss = samples(gen, 200).distinct
+    val viaCol = ss.toDF("s").select(col("s"), Fnv.fnv1a64(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    ss.foreach { s =>
+      assert(viaCol(s) === graft.ext.SimHash.fnv1a(s.getBytes("UTF-8")), s"for ${s.take(40)}")
+    }
+  }
+
+  test("simhash property: order-invariant, duplicate-token-sensitive") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    val word = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val docGen = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, word))
+    samples(docGen, 60).foreach { toks =>
+      val perm = scala.util.Random.shuffle(toks)
+      val df = Seq((toks.mkString(" "), perm.mkString(" "))).toDF("a", "b")
+        .select(
+          graft.ext.SimHash.simhash64(split(col("a"), " ")).as("ha"),
+          graft.ext.SimHash.simhash64(split(col("b"), " ")).as("hb"))
+        .head()
+      // the bit votes are a commutative sum over tokens -> order never matters
+      assert(df.getLong(0) === df.getLong(1), s"order variance on $toks")
+    }
+  }
 }
