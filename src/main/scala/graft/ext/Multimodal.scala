@@ -283,4 +283,75 @@ object Multimodal {
       it.grouped(batchSize).flatMap(_.map(m => pngDecodeStats(m.media_id, m.content)))
     }
   }
+
+  // ---- real AUDIO lane (javax.sound.sampled — stdlib WAV, headless-safe) ---
+
+  /** WAV payload row. */
+  final case class WavRow(media_id: Long, content: Array[Byte], n_samples: Int)
+
+  /** Decoded per-clip statistics. PCM WAV is lossless, so for the
+    * deterministic fixture every value has a closed form: the sample sums
+    * are exact integers (|s| < 2^15, n < 2^12 → sums < 2^41 ≪ 2^53), and
+    * IEEE division + sqrt are correctly rounded in every conforming engine,
+    * so mean/rms match the DuckDB oracle bit-for-bit with NO rounding. */
+  final case class WavStats(media_id: Long, n_samples: Long, sample_rate: Int,
+      mean_sample: Double, rms: Double)
+
+  /** Deterministic synthetic clip: 16-bit mono little-endian PCM at 16 kHz,
+    * sample i = (mediaId*31 + i*7) mod 2^16 − 2^15 (an integer sawtooth —
+    * closed form, no trig), through the stdlib WAV writer. A REAL container
+    * round-trip: the decoder re-parses the RIFF header and format chunk. */
+  def wavEncode(mediaId: Long, nSamples: Int, sampleRate: Float = 16000f): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = ((mediaId * 31 + i.toLong * 7) % 65536 - 32768).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real decode: parse the WAV container, read back the sample rate and
+    * the PCM frames, accumulate exact integer sums. */
+  def wavDecodeStats(mediaId: Long, bytes: Array[Byte]): WavStats = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val sr = ais.getFormat.getSampleRate.toInt
+    val data = ais.readAllBytes()
+    val n = data.length / 2
+    var sum = 0L; var sq = 0L
+    var i = 0
+    while (i < n) {
+      val s = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toInt
+      sum += s; sq += s.toLong * s
+      i += 1
+    }
+    WavStats(mediaId, n.toLong, sr, sum.toDouble / n, math.sqrt(sq.toDouble / n))
+  }
+
+  /** Fixture: one short clip per document, length from n_chars. Generation
+    * and decode run inside mapPartitions — bytes stay distributed. */
+  def wavMedia(docs: DataFrame): Dataset[WavRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), (col("n_chars") % 2000 + 100).cast("int").as("n"))
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, n) => WavRow(id, wavEncode(id, n), n) })
+  }
+
+  /** Batched per-partition WAV decode — the audio leg of the codec surface. */
+  def decodeWavStats(media: Dataset[WavRow], batchSize: Int = 64): Dataset[WavStats] = {
+    implicit val enc = Encoders.product[WavStats]
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map(m => wavDecodeStats(m.media_id, m.content)))
+    }
+  }
 }

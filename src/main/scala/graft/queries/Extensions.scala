@@ -480,8 +480,20 @@ object Extensions {
         .orderBy(col("media_id"))
     }),
 
+    // REAL audio codec round-trip: deterministic 16-bit PCM clips through
+    // the stdlib javax.sound WAV writer and reader (headless-safe). PCM is
+    // lossless and the sample sums are exact integers, so mean/rms match
+    // the oracle's closed forms bit-for-bit with NO rounding (IEEE divide
+    // and sqrt are correctly rounded in both engines).
+    "multimodal_wav_roundtrip" -> ((s, d) => {
+      Multimodal.decodeWavStats(Multimodal.wavMedia(Tables.documents(s, d))).toDF()
+        .select(col("media_id"), col("n_samples"), col("sample_rate"),
+          col("mean_sample"), col("rms"))
+        .orderBy(col("media_id"))
+    }),
+
     // The batched feature-extraction machinery for formats with no JVM
-    // codec (audio/video): real schema/batching; the stand-in codec is
+    // codec (video): real schema/batching; the stand-in codec is
     // pure byte math, so even this lane is value-exact against the oracle
     // (which folds the same bytes with the same float32 arithmetic).
     "multimodal_features" -> ((s, d) => {
@@ -1082,6 +1094,22 @@ object Extensions {
          |  ${sparkRound("CAST(f0 AS DOUBLE)", 4)} AS f0
          |FROM f ORDER BY media_id""".stripMargin
     },
+
+    // WAV round-trip: the sawtooth samples have integer closed forms, so
+    // sums replay exactly (range is not lateral-joinable in DuckDB 1.0 —
+    // bounded cross join + filter instead; max n = 2099).
+    "multimodal_wav_roundtrip" ->
+      """WITH n AS (SELECT doc_id, n_chars % 2000 + 100 AS n FROM documents),
+        |s AS (SELECT n.doc_id, n.n,
+        |        sum((n.doc_id * 31 + r.i * 7) % 65536 - 32768) AS sm,
+        |        sum(((n.doc_id * 31 + r.i * 7) % 65536 - 32768)
+        |          * ((n.doc_id * 31 + r.i * 7) % 65536 - 32768)) AS sq
+        |      FROM n, range(2100) r(i) WHERE r.i < n.n GROUP BY n.doc_id, n.n)
+        |SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(16000 AS INT) AS sample_rate,
+        |  CAST(sm AS DOUBLE) / n AS mean_sample,
+        |  sqrt(CAST(sq AS DOUBLE) / n) AS rms
+        |FROM s ORDER BY media_id""".stripMargin,
 
     // JPEG round-trip: dims have closed forms (lossy JPEG still preserves
     // dimensions exactly); the tolerance booleans are pinned true — any
