@@ -28,7 +28,12 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Per query keep ALL `reps` timings, not just the median: a 2x median
+    // swing whose min bands overlap round-over-round is self-evidently box
+    // noise, while a regression shifts the whole band. (VERDICT r6: three
+    // straight rounds re-litigated noise-vs-regression because the non-median
+    // reps were measured and then discarded.)
+    val samples = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink: full computation of every output column (count() would let
       // Catalyst prune unreferenced projections and under-report the work)
       def run(): Double = {
@@ -38,6 +43,9 @@ object Bench {
       }
       val timed = try { run(); Seq.fill(reps)(run()) }
         catch { case _: Throwable => Seq.empty }
+      name -> timed
+    }
+    val results = samples.map { case (name, timed) =>
       name -> (if (timed.nonEmpty) median(timed) else -1.0)
     }
     // Output contract (all consumers key on these metric names):
@@ -59,19 +67,31 @@ object Bench {
     // surface the failure count instead of silently shrinking the aggregate.
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failures = results.count(_._2 < 0)
-    val chunks = results.grouped(15).toSeq
+    // Noise bands: [min, median, max] of the `reps` timed runs per query, so
+    // a consumer can tell noise (overlapping min bands) from regression
+    // (shifted band) from ONE run's record. The total's band sums the
+    // per-query extrema — a conservative envelope of the wall spread.
+    def band(timed: Seq[Double]): String =
+      if (timed.isEmpty) "[-1,-1,-1]"
+      else s"[${fmt(timed.min)},${fmt(median(timed))},${fmt(timed.max)}]"
+    val totalMin = samples.collect { case (_, t) if t.nonEmpty => t.min }.sum
+    val totalMax = samples.collect { case (_, t) if t.nonEmpty => t.max }.sum
+    val chunks = samples.grouped(15).toSeq
     chunks.zipWithIndex.foreach { case (chunk, i) =>
-      val qs = chunk.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-      println(s"""{"metric":"queries_chunk","chunk":${i + 1},"n_chunks":${chunks.size},"reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
+      val qs = chunk.map { case (k, t) =>
+        "\"" + k + "\":" + fmt(if (t.nonEmpty) median(t) else -1.0) }.mkString("{", ",", "}")
+      val bs = chunk.map { case (k, t) => "\"" + k + "\":" + band(t) }.mkString("{", ",", "}")
+      println(s"""{"metric":"queries_chunk","chunk":${i + 1},"n_chunks":${chunks.size},"reps":$reps,"queries":$qs,"bands":$bs,"sf":"$sfDir"}""")
     }
     val allQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val allBands = samples.map { case (k, t) => "\"" + k + "\":" + band(t) }.mkString("{", ",", "}")
     scala.util.Try {
       val detail =
-        s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"reps":$reps,"queries":$allQs,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","min":${fmt(totalMin)},"max":${fmt(totalMax)},"failures":$failures,"reps":$reps,"queries":$allQs,"bands":$allBands,"sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
-    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","failures":$failures,"reps":$reps,"n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","min":${fmt(totalMin)},"max":${fmt(totalMax)},"failures":$failures,"reps":$reps,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

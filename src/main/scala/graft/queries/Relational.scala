@@ -397,26 +397,40 @@ object Relational {
 
     // TPC-H Q21: suppliers who alone held up multi-supplier finished
     // orders — the double-correlated EXISTS / NOT EXISTS pattern ("late"
-    // adapted to shipdate > orderdate + 60, as in q4). Left declarative in
-    // SQL so Catalyst rewrites both existentials into semi/anti joins.
+    // adapted to shipdate > orderdate + 60, as in q4). Decorrelated into a
+    // SINGLE pass over lineitem (the naive form scans the fact 3×): join
+    // the fact once to the F-orders keys, then one per-order aggregate
+    // computes all three existential facts at once —
+    //   num_supp      ≥ 2  ⇔  EXISTS l2 (another supplier on the order)
+    //   num_late_supp = 1  ⇔  NOT EXISTS l3 (no OTHER late supplier; l1's
+    //                         own supplier is late, so the late-set is
+    //                         exactly {l1.l_suppkey})
+    //   late_rows          =  count(*) contribution (every late lineitem
+    //                         row of the unique late supplier is an l1)
+    // The oracle keeps the declarative EXISTS form; this is the same
+    // technique already used for q2/q11/q15/q17.
     "tpch_q21_waiting_supplier" -> ((s, d) => {
-      Tables.supplier(s, d).createOrReplaceTempView("v_q21_supplier")
-      Tables.lineitem(s, d).createOrReplaceTempView("v_q21_lineitem")
-      Tables.orders(s, d).createOrReplaceTempView("v_q21_orders")
-      s.sql(
-        """SELECT s_name, count(*) AS numwait
-          |FROM v_q21_supplier, v_q21_lineitem l1, v_q21_orders
-          |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
-          |  AND o_orderstatus = 'F'
-          |  AND l1.l_shipdate > date_add(CAST(o_orderdate AS DATE), 60)
-          |  AND EXISTS (SELECT 1 FROM v_q21_lineitem l2
-          |              WHERE l2.l_orderkey = l1.l_orderkey
-          |                AND l2.l_suppkey <> l1.l_suppkey)
-          |  AND NOT EXISTS (SELECT 1 FROM v_q21_lineitem l3
-          |                  WHERE l3.l_orderkey = l1.l_orderkey
-          |                    AND l3.l_suppkey <> l1.l_suppkey
-          |                    AND l3.l_shipdate > date_add(CAST(o_orderdate AS DATE), 60))
-          |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
+      val fOrders = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val late = col("l_shipdate") >
+        date_add(col("o_orderdate").cast("date"), 60).cast("timestamp")
+      val perOrder = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("num_supp"),
+          countDistinct(when(late, col("l_suppkey"))).as("num_late_supp"),
+          max(when(late, col("l_suppkey"))).as("late_supp"),
+          sum(when(late, lit(1L)).otherwise(lit(0L))).as("late_rows"))
+        .filter(col("num_supp") >= 2 && col("num_late_supp") === 1)
+      broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name")))
+        .join(perOrder, col("s_suppkey") === col("late_supp"))
+        .groupBy(col("s_name"))
+        .agg(sum(col("late_rows")).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
     }),
 
     // MODE with a deterministic tie-break (count desc, then value) — the
