@@ -304,6 +304,23 @@ object Dedup {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
 
+  private val lastGen =
+    new java.util.concurrent.atomic.AtomicReference[Map[String, Seq[DataFrame]]](Map.empty)
+
+  /** One-generation checkpoint rotation for query builders that RETURN a
+    * lazy frame depending on `localCheckpoint()`ed intermediates: the
+    * caller cannot free those on return (the handed-back plan still reads
+    * their blocks), but it CAN free the ones from its own previous
+    * invocation — nobody re-executes an old result frame once a new one has
+    * been requested under the same key. Repeated invocations (bench reps,
+    * verify reruns) therefore retain at most ONE generation of blocks
+    * instead of accumulating without bound. Keys namespace independent
+    * queries so one query's rotation never frees another's live frames. */
+  def rotateCheckpoints(key: String, frames: DataFrame*): Unit = {
+    val prev = lastGen.getAndUpdate(m => m.updated(key, frames.toSeq))
+    prev.getOrElse(key, Nil).foreach(unpersistCheckpoint)
+  }
+
   /** Connected components over an undirected near-dup edge list — the step
     * that turns pairwise matches (MinHash/SimHash/cosine) into dedup GROUPS.
     * Returns (id, component) where component = min node id reachable; the

@@ -153,7 +153,11 @@ object Multimodal {
     * B = (id*13+7)%256) through the stdlib JPEG writer. Solid fills keep the
     * lossy error down to DC-coefficient quantization + YCbCr rounding:
     * measured max channel-mean deviation over both fixtures is 3.0/255, so
-    * the round-trip check uses tolerance 4.0. Dimensions survive exactly. */
+    * the round-trip check uses tolerance 4.0. Dimensions survive exactly.
+    * The writer quality is PINNED to 0.75 via an explicit ImageWriteParam —
+    * the ±4.0 band is calibrated against this setting, and relying on the
+    * JRE's implicit default would let a JDK/encoder change shift the DC
+    * quantization error past the band environment-dependently. */
   def jpegEncode(mediaId: Long, width: Int, height: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -163,7 +167,15 @@ object Multimodal {
     java.util.Arrays.fill(px, rgb)
     img.setRGB(0, 0, width, height, px, 0, width)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.75f)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { writer.dispose(); ios.close() }
     bos.toByteArray
   }
 
@@ -186,9 +198,10 @@ object Multimodal {
     * operator for fixture synthesis (PNG write = deflate compression, the
     * dominant cost). Content-keyed on the source file like the IVF index
     * cache. */
-  /** Bump when [[pngMedia]]/[[pngEncode]] generation rules change — part of
-    * the cache key, so stale fixtures from an older rule are never served. */
-  private val mediaCacheVersion = "v1"
+  /** Bump when the media generation rules change (any encoder: png/jpeg/
+    * wav) — part of the cache key, so stale fixtures from an older rule are
+    * never served. v2: JPEG quality pinned to an explicit 0.75. */
+  private val mediaCacheVersion = "v2"
 
   /** Content-keyed cache location for `sfDir`'s media fixture of the given
     * kind (shared with the specs so they can stage stale/orphan states at

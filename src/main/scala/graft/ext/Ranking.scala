@@ -35,6 +35,12 @@ object Ranking {
       k: Int = 20): DataFrame = {
     require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
       "query terms must be non-empty and distinct")
+    // tokenizer-alphabet guard: terms outside [a-z0-9]+ can never match a
+    // token (TextAnalysis.tokens lowercases to this alphabet), and unescaped
+    // exotic terms would break the oracle's SQL literal interpolation
+    require(queryTerms.forall(_.matches("[a-z0-9]+")),
+      s"query terms must match [a-z0-9]+ (the tokenizer alphabet); got: " +
+        queryTerms.filterNot(_.matches("[a-z0-9]+")).mkString(", "))
     val dl = docs.select(col(idCol).as("id"),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
     val g = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
@@ -49,12 +55,15 @@ object Ranking {
       .withColumn("idf", log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .withColumn("part", col("idf") * (col("tf") * (k1 + 1)) /
         (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
-    val termSums = queryTerms.map(t =>
-      sum(when(col("t") === t, col("part"))).as(s"s_$t"))
+    // per-term columns are keyed by INDEX (s_0, s_1, ...), never by the term
+    // text — a term containing '.', space, or backtick would otherwise parse
+    // as struct access / fail resolution
+    val termSums = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("t") === t, col("part"))).as(s"s_$i") }
     part.groupBy(col("id"))
       .agg(termSums.head, termSums.tail: _*)
       .withColumn("score",
-        round(queryTerms.map(t => coalesce(col(s"s_$t"), lit(0.0))).reduce(_ + _), 4))
+        round(queryTerms.indices.map(i => coalesce(col(s"s_$i"), lit(0.0))).reduce(_ + _), 4))
       .select(col("id"), col("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(k)

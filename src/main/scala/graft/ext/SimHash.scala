@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.graftbridge.{ColumnBridge, ExpectsStringArrayInput}
 import org.apache.spark.sql.types.{DataType, LongType}
 
 /** 64-bit SimHash over a token array: every token hashes to 64 bits; each
@@ -65,8 +65,9 @@ object SimHash {
     org.apache.spark.sql.functions.bit_count(a.bitwiseXOR(b))
 }
 
-/** tokens ARRAY<STRING> -> LONG simhash */
-case class SimHash64(child: Expression) extends UnaryExpression {
+/** tokens ARRAY<STRING> -> LONG simhash; wrong-typed children are rejected
+  * at analysis time (ExpectsStringArrayInput), not as a runtime cast failure. */
+case class SimHash64(child: Expression) extends UnaryExpression with ExpectsStringArrayInput {
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any = SimHash.compute(v.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.graftbridge.{ColumnBridge, ExpectsStringInput}
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -26,16 +26,49 @@ object Fnv {
   /** static helper the generated code calls */
   def compute(s: UTF8String): Long = graft.ext.SimHash.fnv1a(s.getBytes)
 
+  /** murmur3's public fmix64 finalizer. FNV-1a alone is the right basis for
+    * equality-style sketches (MinHash/SimHash compare hashes for equality,
+    * where FNV's structure is harmless), but BIT-SLICING the hash — HLL's
+    * register index from some bits, rank from others — needs avalanche in
+    * every output bit, which FNV lacks on short/sequential keys (high bits
+    * barely move; low bits come out under-dispersed, i.e. MORE even than
+    * random). The three xor-shift/multiply rounds fix both, and stay
+    * SQL-replayable: xor + 32-bit-split multiply mod 2^64 in HUGEINT. */
+  def fmix64(h0: Long): Long = {
+    var h = h0
+    h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL
+    h ^= (h >>> 29); h *= 0xc4ceb9fe1a85ec53L
+    h ^ (h >>> 32)
+  }
+
+  /** static helper the generated code calls */
+  def computeMixed(s: UTF8String): Long = fmix64(compute(s))
+
   /** STRING column -> 64-bit FNV-1a of its UTF-8 bytes (signed long). */
   def fnv1a64(c: Column): Column =
     ColumnBridge.column(Fnv1a64(ColumnBridge.expression(c)))
+
+  /** STRING column -> fmix64(FNV-1a): full-avalanche 64-bit hash for
+    * bit-slicing consumers (HLL). */
+  def fnv1a64mixed(c: Column): Column =
+    ColumnBridge.column(FnvMix64(ColumnBridge.expression(c)))
 }
 
-/** string -> LONG FNV-1a hash */
-case class Fnv1a64(child: Expression) extends UnaryExpression {
+/** string -> LONG FNV-1a hash; non-STRING children are rejected at analysis
+  * time (ExpectsStringInput), not as a codegen/ClassCastException at runtime. */
+case class Fnv1a64(child: Expression) extends UnaryExpression with ExpectsStringInput {
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any = Fnv.compute(v.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Fnv.compute($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** string -> LONG fmix64(FNV-1a) full-avalanche hash */
+case class FnvMix64(child: Expression) extends UnaryExpression with ExpectsStringInput {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = Fnv.computeMixed(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Fnv.computeMixed($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

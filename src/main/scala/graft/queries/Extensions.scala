@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Ranking, Similarity, TextAnalysis => TA}
+import graft.ext.{Dedup, Hll, Multimodal, Ranking, Similarity, TextAnalysis => TA}
 
 /** Training-data-pipeline extension surface over documents/embeddings:
   * deduplication, similarity search, text analysis, multimodal plumbing.
@@ -168,6 +168,10 @@ object Extensions {
       val pairs = Dedup.minhashNearDupsFromSigs(sigs,
         bands = 8, rows = 4, threshold = 0.5)
       val comps = Dedup.connectedComponents(pairs.select(col("id1"), col("id2")))
+      // the returned lazy frame reads sigs'/comps' checkpoint blocks, so
+      // they can't be freed here — rotate: free the PREVIOUS invocation's
+      // generation (bench reps would otherwise accumulate blocks unbounded)
+      Dedup.rotateCheckpoints("dedup_neardup_survivors", sigs, comps)
       docs.select(col("doc_id"))
         .join(comps.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -220,7 +224,9 @@ object Extensions {
       val edges = Similarity.cosineNearDupPairs(
         Tables.embeddings(s, d).filter(col("vec_id") < 100), "vec_id", "embedding",
         threshold = 0.3)
-      Dedup.connectedComponents(edges.select(col("id1"), col("id2")))
+      val comps = Dedup.connectedComponents(edges.select(col("id1"), col("id2")))
+      Dedup.rotateCheckpoints("dedup_cluster_components", comps)
+      comps
         .select(col("id").as("vec_id"), col("label").as("component"))
         .orderBy(col("vec_id"))
     }),
@@ -290,6 +296,19 @@ object Extensions {
     }),
 
     // ---- sketch-based ops (FNV-1a basis; oracle-replayed exactly) ----------
+    // Portable HLL over the corpus vocabulary: the FNV-1a-based
+    // approx-distinct whose registers, scaled harmonic sum, and estimate the
+    // oracle replays exactly (retires the engine-internal
+    // approx_count_distinct's rows-only status — that query stays as the
+    // built-in plan-quality witness). n_exact rides along in the same pass
+    // (per-register distincts sum to the global: a value hashes to ONE
+    // register), so the row also exact-checks the estimate's error.
+    "agg_approx_distinct_portable" -> ((s, d) => {
+      Hll.approxDistinct(
+        Tables.documents(s, d).select(explode(TA.tokens(col("text"))).as("tok")),
+        "tok", p = 8)
+    }),
+
     "dedup_minhash_sig" -> ((s, d) => {
       Dedup.minhashSignatures(Tables.documents(s, d), "text", "doc_id", k = 8)
         .select(col("id").as("doc_id"), col("sig").getItem(0).as("h0"),
@@ -415,6 +434,7 @@ object Extensions {
       // sizing, pairing, and verification all reuse them
       val sigs = Dedup.minhashSignatures(Tables.documents(s, d), "text", "doc_id",
         k = 32).localCheckpoint()
+      Dedup.rotateCheckpoints("dedup_minhash_pairs", sigs)
       // union the LSH candidates with a marker row so the result is
       // non-empty even when the corpus has no near-dups; the oracle
       // replays the marker too
@@ -586,6 +606,26 @@ object Extensions {
        |    i -> ('0x' || substr(hex(encode($expr)), 2*i - 1, 2))::BIGINT::HUGEINT),
        |  (a, b) -> ((a - a % 256 + xor((a % 256)::BIGINT, b::BIGINT)::HUGEINT)
        |             * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)""".stripMargin
+  /** (a * c) mod 2^64 where `a` is an unsigned-64 HUGEINT expression and `c`
+    * a 64-bit constant — the constant is split at 32 bits so no intermediate
+    * exceeds int128 (a*c directly would need 128+ bits for c ~ 2^64). */
+  private def mulMod64Sql(a: String, c: Long): String = {
+    val c1 = java.lang.Long.divideUnsigned(c, 1L << 32)
+    val c0 = c & 0xffffffffL
+    s"""((($a) * $c0::HUGEINT
+       |  + (((($a) % 4294967296::HUGEINT) * $c1::HUGEINT) % 4294967296::HUGEINT)
+       |    * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)""".stripMargin
+  }
+  /** murmur3 fmix64 over an unsigned-64 HUGEINT column `h`, as a chain of
+    * CTE stages (each xor-shift references its input twice — a column ref,
+    * never a re-inlined subtree). Mirrors [[graft.functions.Fnv.fmix64]];
+    * verified value-for-value against the JVM on random 64-bit inputs. */
+  private def fmixStages(src: String, keyCol: String): String =
+    s"""x1 AS (SELECT $keyCol, xor(h, h // (1::HUGEINT << 33)) AS h FROM $src),
+       |x2 AS (SELECT $keyCol, ${mulMod64Sql("h", 0xff51afd7ed558ccdL)} AS h FROM x1),
+       |x3 AS (SELECT $keyCol, xor(h, h // (1::HUGEINT << 29)) AS h FROM x2),
+       |x4 AS (SELECT $keyCol, ${mulMod64Sql("h", 0xc4ceb9fe1a85ec53L)} AS h FROM x3),
+       |hh AS (SELECT $keyCol, xor(h, h // (1::HUGEINT << 32)) AS hu FROM x4)""".stripMargin
   /** unsigned 64-bit HUGEINT -> the signed BIGINT Spark's LongType holds */
   private def signed64(expr: String): String =
     s"(CASE WHEN ($expr) >= 9223372036854775808::HUGEINT THEN ($expr) - 18446744073709551616::HUGEINT ELSE ($expr) END)::BIGINT"
@@ -789,6 +829,43 @@ object Extensions {
          |g AS (SELECT unnest(list_distinct(${shingleSqlN(5)})) AS ngram FROM docs)
          |SELECT ngram, CAST(count(*) AS BIGINT) AS doc_freq
          |FROM g GROUP BY ngram ORDER BY doc_freq DESC, ngram LIMIT 20""".stripMargin,
+
+    // Portable HLL replayed end-to-end: fmix64(FNV-1a) token hash (unsigned
+    // HUGEINT form; the finalizer as chained xor/split-multiply CTE stages),
+    // register index = top 8 bits, rank = 57 - bin-length of the low
+    // 56 bits (bin() string length, NEVER log2 — double conversion can round
+    // a 56-bit value across a power-of-two boundary), per-register max-rank,
+    // the harmonic sum as exact scaled integers, and the estimate as one
+    // IEEE division by the shared numerator literal. The small-range ln()
+    // branch is absorbed by Spark-parity rounding.
+    "agg_approx_distinct_portable" -> {
+      val num = Hll.numerator(8) // α·m²·2^57, same literal the Spark side divides
+      s"""WITH t AS (SELECT unnest($toks) AS tok FROM documents),
+         |h0 AS (SELECT tok, ${fnvSql("tok")} AS h FROM t),
+         |${fmixStages("h0", "tok")},
+         |rk AS (SELECT tok, hu // (1::HUGEINT << 56) AS idx,
+         |         CASE WHEN hu % (1::HUGEINT << 56) = 0 THEN 57
+         |              ELSE 57 - length(bin(hu % (1::HUGEINT << 56))) END AS rank
+         |       FROM hh),
+         |regs AS (SELECT idx, max(rank) AS r, count(DISTINCT tok) AS nd
+         |         FROM rk GROUP BY idx),
+         |a AS (SELECT count(*) AS m_used,
+         |        sum(1::HUGEINT << (57 - r)) AS s_used,
+         |        CAST(sum(nd) AS BIGINT) AS n_exact FROM regs),
+         |f AS (SELECT CAST(256 AS INT) AS m,
+         |        CAST(256 - m_used AS BIGINT) AS v_empty,
+         |        s_used + (256 - m_used)::HUGEINT * (1::HUGEINT << 57) AS z_scaled,
+         |        n_exact FROM a),
+         |e AS (SELECT m, v_empty, CAST(z_scaled AS VARCHAR) AS z_scaled,
+         |        ${sparkRound(
+               s"""CASE WHEN $num / CAST(z_scaled AS DOUBLE) <= 640.0 AND v_empty > 0
+                  |             THEN 256.0 * ln(256.0 / v_empty)
+                  |             ELSE $num / CAST(z_scaled AS DOUBLE) END""".stripMargin, 4)} AS est_hll,
+         |        n_exact FROM f)
+         |SELECT m, v_empty, z_scaled, est_hll, n_exact,
+         |  ${sparkRound("(est_hll - n_exact) / CAST(n_exact AS DOUBLE)", 4)} AS rel_err
+         |FROM e""".stripMargin
+    },
 
     // MinHash k=8 signature lanes replayed exactly: FNV-1a shingle hashes +
     // the same affine permutation constants (interpolated from the fixed

@@ -162,8 +162,18 @@ object ClickHouseDialect {
   /** Build a dialect from a ClickHouse JDBC URL, treating every query pair
     * as a session setting — the reference applies URL pairs the same way
     * (`main.rs:273-275`). `jdbc:clickhouse://host:8123/db?async_insert=1`
-    * → `SET async_insert = 1` on each connection. */
+    * → `SET async_insert = 1` on each connection. Pairs are URL-decoded
+    * (a `%2C`-escaped list value must reach `SET` as a literal comma, not
+    * the escape), and a malformed escape fails LOUDLY here rather than
+    * surfacing as a cryptic ClickHouse `SET` parse error at first commit. */
   def fromUrl(url: String): ClickHouseDialect = {
+    def dec(s: String, role: String): String =
+      try java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+      catch {
+        case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            s"malformed %-escape in ClickHouse URL $role '$s' (url: $url)", e)
+      }
     val qIdx = url.indexOf('?')
     if (qIdx < 0) ClickHouseDialect()
     else {
@@ -171,8 +181,8 @@ object ClickHouseDialect {
         .filter(_.nonEmpty)
         .map { p =>
           p.split("=", 2) match {
-            case Array(k, v) => k -> v
-            case Array(k) => k -> "1"
+            case Array(k, v) => dec(k, "key") -> dec(v, "value")
+            case Array(k) => dec(k, "key") -> "1"
           }
         }
       ClickHouseDialect(sessionSettings = pairs.toMap)

@@ -159,6 +159,35 @@ class DedupSpec extends SparkSpec {
     // frame is dead by design — the contract is free-after-consumption)
   }
 
+  test("rotateCheckpoints frees only the SAME KEY's previous generation") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    def ckpt() = Seq(1L, 2L).toDF("v").localCheckpoint()
+    val gen1 = ckpt()
+    val gen1Ids = sc.getPersistentRDDs.keySet -- before
+    Dedup.rotateCheckpoints("rotspec_a", gen1)
+    assert((sc.getPersistentRDDs.keySet & gen1Ids) === gen1Ids,
+      "registering a generation must not free it")
+    val other = ckpt()
+    val otherIds = sc.getPersistentRDDs.keySet -- before -- gen1Ids
+    Dedup.rotateCheckpoints("rotspec_b", other) // different key
+    assert((sc.getPersistentRDDs.keySet & gen1Ids) === gen1Ids,
+      "another key's rotation must not free this key's live generation")
+    val gen2 = ckpt()
+    Dedup.rotateCheckpoints("rotspec_a", gen2)
+    // async unpersist: poll briefly for the old generation's blocks to drop
+    val deadline = System.nanoTime() + 5e9.toLong
+    while ((sc.getPersistentRDDs.keySet & gen1Ids).nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert((sc.getPersistentRDDs.keySet & gen1Ids).isEmpty,
+      "same-key rotation must free the previous generation")
+    assert(gen2.count() === 2, "the new generation stays readable")
+    // cleanup
+    Dedup.rotateCheckpoints("rotspec_a")
+    Dedup.rotateCheckpoints("rotspec_b")
+  }
+
   test("contamination: shared 5-gram flags a train doc; disjoint and short docs behave") {
     import spark.implicits._
     val eval = Seq(

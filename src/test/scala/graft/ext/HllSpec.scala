@@ -1,0 +1,65 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class HllSpec extends SparkSpec {
+
+  private def est(n: Int, p: Int = 8): (Double, Long) = {
+    import spark.implicits._
+    val df = (0 until n).map(i => s"value_$i").toDF("v")
+    val row = Hll.approxDistinct(df, "v", p).head()
+    (row.getAs[Double]("est_hll"), row.getAs[Long]("n_exact"))
+  }
+
+  test("estimate lands within HLL's error envelope across cardinalities") {
+    // standard error for m=256 is 1.04/sqrt(256) = 6.5%; assert 4 sigma so
+    // the test never flakes while a broken register/rank path (errors of
+    // 2-10x) still fails decisively
+    Seq(50, 500, 5000, 50000).foreach { n =>
+      val (e, exact) = est(n)
+      assert(exact === n)
+      assert(math.abs(e - n) / n <= 0.26, s"n=$n est=$e off by >4 sigma")
+    }
+  }
+
+  test("duplicates do not move the estimate (hash collapses them)") {
+    import spark.implicits._
+    val once = (0 until 1000).map(i => s"v$i")
+    val dup = once ++ once ++ once
+    val a = Hll.approxDistinct(once.toDF("v"), "v").head()
+    val b = Hll.approxDistinct(dup.toDF("v"), "v").head()
+    assert(a.getAs[Double]("est_hll") === b.getAs[Double]("est_hll"))
+    assert(a.getAs[String]("z_scaled") === b.getAs[String]("z_scaled"))
+    assert(b.getAs[Long]("n_exact") === 1000L)
+  }
+
+  test("small-range branch: tiny cardinalities use linear counting") {
+    // with n << m most registers are empty -> E_raw <= 2.5m and v_empty > 0
+    // forces the m*ln(m/V) branch; linear counting is very accurate there
+    Seq(1, 5, 20).foreach { n =>
+      val (e, exact) = est(n)
+      assert(exact === n)
+      assert(math.abs(e - n) <= math.max(1.0, 0.05 * n),
+        s"linear counting should be near-exact at n=$n, got $e")
+    }
+  }
+
+  test("n_exact rides the same pass: per-register distincts sum globally") {
+    import spark.implicits._
+    // values chosen adversarially equal-ish: many duplicates across registers
+    val vals = (0 until 300).map(i => s"k${i % 97}")
+    val row = Hll.approxDistinct(vals.toDF("v"), "v").head()
+    assert(row.getAs[Long]("n_exact") === 97L)
+  }
+
+  test("non-string input columns are hashed via their cast string form") {
+    import spark.implicits._
+    val longs = (0L until 1000L).toDF("v")
+    val strs = (0L until 1000L).map(_.toString).toDF("v")
+    val a = Hll.approxDistinct(longs, "v").head()
+    val b = Hll.approxDistinct(strs, "v").head()
+    assert(a.getAs[String]("z_scaled") === b.getAs[String]("z_scaled"),
+      "LONG 42 and STRING '42' must land in identical registers")
+  }
+}

@@ -76,4 +76,35 @@ class FnvSpec extends SparkSpec {
       assert(df.getLong(0) === df.getLong(1), s"order variance on $toks")
     }
   }
+
+  test("fmix64: pinned murmur3-finalizer vectors, direct and through codegen") {
+    import spark.implicits._
+    // independently computed (and cross-checked against the DuckDB replay)
+    val mixPins = Seq(
+      0L -> 0L,
+      1L -> 6866073966979089171L,
+      0xcbf29ce484222325L -> java.lang.Long.parseUnsignedLong("17654655229998161022"))
+    mixPins.foreach { case (in, out) => assert(Fnv.fmix64(in) === out, s"fmix64($in)") }
+    // the column path: fnv1a64mixed = fmix64 ∘ fnv1a (fnv1a("") is the FNV
+    // offset basis, so the empty string exercises the third pin)
+    val viaCol = Seq("").toDF("s").select(Fnv.fnv1a64mixed(col("s"))).head().getLong(0)
+    assert(viaCol === Fnv.fmix64(graft.ext.SimHash.fnv1a(Array.empty[Byte])))
+  }
+
+  test("wrong input types are rejected at ANALYSIS time, not runtime codegen") {
+    import spark.implicits._
+    // fnv1a64 over a LONG column: ExpectsInputTypes must fail the plan in
+    // analysis (AnalysisException), never as a ClassCastException mid-query
+    val longs = Seq(1L, 2L).toDF("v")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      longs.select(Fnv.fnv1a64(col("v"))).collect()
+    }
+    assert(e1.getMessage.toLowerCase.contains("type"))
+    // simhash64 over a plain STRING (not ARRAY<STRING>)
+    val strs = Seq("a b").toDF("s")
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      strs.select(graft.ext.SimHash.simhash64(col("s"))).collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("type"))
+  }
 }

@@ -96,6 +96,19 @@ class ClickHouseDialectSpec extends AnyFunSuite {
     assert(ClickHouseDialect.fromUrl("jdbc:clickhouse://ch:8123/db").initStatements.isEmpty)
   }
 
+  test("URL pairs are %-decoded; malformed escapes fail loudly at parse time") {
+    // %2C must land in SET as a literal comma, %20 as a space
+    val d = ClickHouseDialect.fromUrl(
+      "jdbc:clickhouse://ch:8123/db?format_csv_delimiter=%2C&a%20key=v")
+    assert(d.sessionSettings === Map("format_csv_delimiter" -> ",", "a key" -> "v"))
+    // a truncated escape raises here, not as a ClickHouse SET parse error
+    // at the first commit
+    val e = intercept[IllegalArgumentException] {
+      ClickHouseDialect.fromUrl("jdbc:clickhouse://ch:8123/db?bad=%2")
+    }
+    assert(e.getMessage.contains("malformed"))
+  }
+
   test("delivery contract: insert-only (no DELETE mutations), engine overridable") {
     assert(!ClickHouseDialect().supportsDeleteOnPk,
       "ClickHouse DELETE is an async mutation — the sink must not use the replace-on-PK lane")
