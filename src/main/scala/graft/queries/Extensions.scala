@@ -512,6 +512,18 @@ object Extensions {
         .orderBy(col("media_id"))
     }),
 
+    // REAL multi-frame (video-shaped) codec round-trip: deterministic 2-6
+    // frame animated GIFs through the stdlib sequence writer, decoded with
+    // every 2nd frame sampled (keyframe-seek access pattern). GIF palettes
+    // hold solid fills exactly, so each sampled frame's channel means are
+    // the generation rule's closed forms bit-for-bit — no tolerance needed,
+    // unlike JPEG.
+    "multimodal_gif_frames" -> ((s, d) => {
+      Multimodal.decodeGifFrames(
+        Multimodal.gifMedia(Tables.documents(s, d)), stride = 2).toDF()
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // The batched feature-extraction machinery for formats with no JVM
     // codec (video): real schema/batching; the stand-in codec is
     // pure byte math, so even this lane is value-exact against the oracle
@@ -1187,6 +1199,23 @@ object Extensions {
         |  CAST(sm AS DOUBLE) / n AS mean_sample,
         |  sqrt(CAST(sq AS DOUBLE) / n) AS rms
         |FROM s ORDER BY media_id""".stripMargin,
+
+    // GIF multi-frame round-trip: sampled frame indexes from the stride-2
+    // rule, per-frame solid-fill means from the generation closed forms
+    // (lossless palette round-trip -> exact integer-valued doubles).
+    "multimodal_gif_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(doc_id % 5 + 2 AS INT) AS n_frames,
+        |    CAST(n_chars % 32 + 1 AS INT) AS width,
+        |    CAST(n_chars % 24 + 1 AS INT) AS height,
+        |    unnest(range(0, doc_id % 5 + 2, 2)) AS fi
+        |  FROM documents)
+        |SELECT doc_id AS media_id, CAST(fi AS INT) AS frame_idx, n_frames,
+        |  width, height,
+        |  CAST((doc_id + 17 * fi) % 256 AS DOUBLE) AS mean_r,
+        |  CAST((doc_id * 7 + 31 + 11 * fi) % 256 AS DOUBLE) AS mean_g,
+        |  CAST((doc_id * 13 + 7 + 29 * fi) % 256 AS DOUBLE) AS mean_b
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
 
     // JPEG round-trip: dims have closed forms (lossy JPEG still preserves
     // dimensions exactly); the tolerance booleans are pinned true — any

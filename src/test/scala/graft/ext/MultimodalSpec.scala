@@ -114,6 +114,42 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("gif lane: real multi-frame container — frame count, sampling, exact fills") {
+    // local codec check: GIF89a magic, all frames present, per-frame fills
+    val bytes = Multimodal.gifEncode(mediaId = 9L, width = 6, height = 4, nFrames = 5)
+    assert(new String(bytes.take(6), "US-ASCII") === "GIF89a",
+      "payload must be a real animated-GIF container")
+    val all = Multimodal.gifDecodeFrameStats(9L, bytes, stride = 1)
+    assert(all.map(_.frame_idx) === Seq(0, 1, 2, 3, 4), "stride 1 reads every frame")
+    assert(all.forall(_.n_frames === 5))
+    all.foreach { f =>
+      assert(f.width === 6 && f.height === 4)
+      assert(f.mean_r === ((9L + 17L * f.frame_idx) % 256).toDouble, s"r frame ${f.frame_idx}")
+      assert(f.mean_g === ((9L * 7 + 31 + 11L * f.frame_idx) % 256).toDouble)
+      assert(f.mean_b === ((9L * 13 + 7 + 29L * f.frame_idx) % 256).toDouble)
+    }
+    // sampling: stride 2 takes frames 0,2,4 — real frame access, not bytes
+    assert(Multimodal.gifDecodeFrameStats(9L, bytes, stride = 2)
+      .map(_.frame_idx) === Seq(0, 2, 4))
+
+    // distributed: fixture animations round-trip their closed forms
+    val stats = Multimodal.decodeGifFrames(
+      Multimodal.gifMedia(Tables.documents(spark, "/root/testdata/sf0.001")),
+      stride = 2).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { f =>
+      assert(f.n_frames === (f.media_id % 5 + 2).toInt, s"frames for ${f.media_id}")
+      assert(f.frame_idx % 2 === 0)
+      assert(f.mean_r === ((f.media_id + 17L * f.frame_idx) % 256).toDouble,
+        s"fill for ${f.media_id}/${f.frame_idx}")
+    }
+    // every doc contributes ceil(n_frames/2) sampled frames
+    val perDoc = stats.groupBy(_.media_id)
+    perDoc.foreach { case (id, fs) =>
+      assert(fs.length === (fs.head.n_frames + 1) / 2, s"sampled count for $id")
+    }
+  }
+
   test("extractFeatures: distributed batched decode with stable output schema") {
     val media = Multimodal.mediaDataset(Tables.documents(spark, "/root/testdata/sf0.001"))
     val feats = Multimodal.extractFeatures(media, frameStride = 16, batchSize = 8)
