@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
+
+/** Plan-regression pinning for the most expensive queries: the structural
+  * properties that made them fast (single fact scan, broadcast join shapes,
+  * TakeOrdered instead of global sort, pushdown reaching the scan) are
+  * asserted here so a plan regression fails CI instead of surfacing as a
+  * bench mystery rounds later (VERDICT r6 #5). Counts are of the FINAL
+  * adaptive plan — PLANS.md's raw numbers double everything because the AQE
+  * tree string prints initial+final.
+  */
+class ExplainSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  /** every node of the final adaptive plan, descending into query stages
+    * and subqueries; reused exchanges are NOT descended (their subtree
+    * executes once at the original site — counting it again would claim a
+    * scan that never re-runs) */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val here = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => q +: allNodes(q.plan)
+      case _: ReusedExchangeExec => Seq(p)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    here ++ p.subqueries.flatMap(allNodes)
+  }
+
+  private def audit(df: DataFrame): Seq[SparkPlan] = {
+    df.collect() // materialize so AQE finalizes THIS plan
+    allNodes(df.queryExecution.executedPlan)
+  }
+
+  /** file scans whose first output column carries the table's prefix */
+  private def scansOf(nodes: Seq[SparkPlan], prefix: String): Seq[FileSourceScanExec] =
+    nodes.collect {
+      case s: FileSourceScanExec if s.output.headOption.exists(_.name.startsWith(prefix)) => s
+    }
+
+  private def run(name: String): Seq[SparkPlan] =
+    audit(SparkEntry.queries(name)(spark, d))
+
+  test("tpch_q21: ONE lineitem scan (the r6 rewrite), broadcast joins, top-k") {
+    val nodes = run("tpch_q21_waiting_supplier")
+    assert(scansOf(nodes, "l_").size === 1,
+      "q21 must read lineitem exactly once — the 3-scan EXISTS form is the regression this pins")
+    assert(scansOf(nodes, "o_").size === 1 && scansOf(nodes, "s_").size === 1)
+    assert(nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) === 0)
+    assert(nodes.count(_.isInstanceOf[CartesianProductExec]) === 0)
+    assert(nodes.count(_.isInstanceOf[TakeOrderedAndProjectExec]) === 1,
+      "ORDER BY + LIMIT must plan as TakeOrderedAndProject, not a global sort")
+  }
+
+  test("tpch_q2: single-pass window form — one scan per table, all-broadcast joins") {
+    val nodes = run("tpch_q2_min_cost_supplier")
+    // the fixture has no partsupp; this q2 adaptation pairs over lineitem
+    Seq("p_", "l_", "s_", "n_", "r_").foreach { t =>
+      assert(scansOf(nodes, t).size === 1, s"q2 must scan table '$t' exactly once")
+    }
+    assert(nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) === 0)
+    assert(nodes.count(_.isInstanceOf[SortMergeJoinExec]) === 0,
+      "every q2 join side is dimension-small — all joins must broadcast")
+    assert(nodes.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 3)
+    // pushdown reaches the region scan (r_name = 'EUROPE')
+    val regionScan = scansOf(nodes, "r_").head
+    assert(regionScan.metadata.get("PushedFilters").exists(_.contains("r_name")),
+      "the region filter must push into the parquet scan")
+  }
+
+  test("tpch_q20: one scan each, broadcast semi/anti shapes, no nested loops") {
+    // sf0.001 yields ZERO q20 rows and AQE folds the whole plan to
+    // EmptyRelationExec — audit at sf0.01 where the plan is real
+    val nodes = audit(SparkEntry.queries("tpch_q20_excess_supply")(spark, "/root/testdata/sf0.01"))
+    assert(scansOf(nodes, "l_").size === 1, "q20 reads lineitem once (pair-aggregate form)")
+    assert(scansOf(nodes, "p_").size === 1 && scansOf(nodes, "s_").size === 1)
+    assert(nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) === 0)
+    assert(nodes.count(_.isInstanceOf[CartesianProductExec]) === 0)
+  }
+
+  test("dedup_neardup_survivors: signatures checkpointed once — a single documents scan") {
+    val nodes = run("dedup_neardup_survivors")
+    assert(scansOf(nodes, "doc_").size === 1,
+      "banding/pairs/components must reuse the checkpointed signature RDD, " +
+        "never re-derive signatures from a second documents scan")
+    assert(nodes.count(_.isInstanceOf[CartesianProductExec]) === 0,
+      "near-dup pairing must stay banded (LSH equi-join), never all-pairs")
+    assert(nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) === 0)
+  }
+
+  test("dedup_minhash_pairs: banded equi-join, bounded documents scans, no all-pairs") {
+    val nodes = run("dedup_minhash_pairs")
+    // one scan feeds the checkpointed signatures; the non-empty marker row
+    // legitimately counts documents once more
+    assert(scansOf(nodes, "doc_").size <= 2)
+    assert(nodes.count(_.isInstanceOf[CartesianProductExec]) === 0)
+    assert(nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) === 0)
+  }
+}
