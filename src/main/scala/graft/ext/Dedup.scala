@@ -243,6 +243,100 @@ object Dedup {
       .select(col("id1"), col("id2"), col("hamming"))
   }
 
+  // ---- incremental near-dup dedup against a persisted signature store ------
+
+  /** Write the corpus signature STORE: the banded LSH stream persisted
+    * partitioned by (band, sig_bucket) where sig_bucket = pmod(band_hash,
+    * nBuckets). A delta probe filters on its own (band, bucket) pairs, so
+    * the store scan is partition-PRUNED — the on-disk layout IS the index,
+    * same doctrine as [[Similarity.ivfWrite]]. Real pipelines dedup each
+    * NEW batch of documents against the accumulated corpus this way: the
+    * corpus is signed once and appended to, never re-signed. */
+  def signatureStoreWrite(docs: DataFrame, textCol: String, idCol: String,
+      path: String, bands: Int = 8, rows: Int = 4, nBuckets: Int = 64,
+      append: Boolean = false): Unit =
+    lshBandsFromSigs(minhashSignatures(docs, textCol, idCol, k = bands * rows),
+      bands, rows)
+      .withColumn("sig_bucket", pmod(col("band_hash"), lit(nBuckets.toLong)))
+      .write.mode(if (append) "append" else "overwrite")
+      .partitionBy("band", "sig_bucket").parquet(path)
+
+  def signatureStoreExists(path: String): Boolean =
+    new java.io.File(s"$path/_SUCCESS").exists()
+
+  /** Dedup a DELTA of new documents against a persisted signature store.
+    *
+    * One row per delta doc: (id, kept, cluster, matched_id, est_jaccard) —
+    * a doc whose signature agrees ≥ `threshold` with any store doc is
+    * dropped and assigned the smallest matching store id as its cluster
+    * (deterministic survivor election against the existing corpus);
+    * unmatched docs keep themselves. Surviving docs' signatures are what a
+    * pipeline then appends to the store (`signatureStoreWrite(append)`).
+    *
+    * Scale shape:
+    *  - the delta is signed ONCE (shared shingle path, one shuffle);
+    *  - the store scan is partition-pruned to the delta's (band, bucket)
+    *    pairs — bounded by bands × nBuckets (a driver-side list of at most
+    *    a few hundred literals, like IVF's probe cells), so a small delta
+    *    reads a small fraction of a 100 TB store;
+    *  - the probe is a banded equi-join on (band, band_hash), with the
+    *    standard `maxBucket` guard counted on the STORE side;
+    *  - signatures join back per candidate pair only (wide arrays never
+    *    ride the candidate shuffle), exactly like the batch operator. */
+  def incrementalNearDups(delta: DataFrame, textCol: String, idCol: String,
+      storePath: String, bands: Int = 8, rows: Int = 4, threshold: Double = 0.5,
+      nBuckets: Int = 64, maxBucket: Int = 100): DataFrame = {
+    val spark = delta.sparkSession
+    val dsigs = minhashSignatures(delta, textCol, idCol, k = bands * rows)
+      .localCheckpoint()
+    rotateCheckpoints(s"incrementalNearDups:$storePath", dsigs)
+    val dbands = lshBandsFromSigs(dsigs, bands, rows)
+      .withColumn("sig_bucket", pmod(col("band_hash"), lit(nBuckets.toLong)))
+      .select(col("id").as("d_id"), col("band"), col("band_hash"), col("sig_bucket"))
+    // bounded driver-side probe list (≤ bands × nBuckets rows) -> literal
+    // partition predicate the store scan prunes on
+    val probedParts = dbands.select(col("band"), col("sig_bucket")).distinct()
+      .collect().map(r => (r.getAs[Int]("band"), r.getAs[Long]("sig_bucket")))
+    val store = spark.read.parquet(storePath)
+    // one isin-predicate per band (≤ `bands` OR terms, each with ≤ nBuckets
+    // literals): partition-prunes like per-pair equality but without the
+    // 512-deep boolean chain a naive reduce builds (a left-deep || tree at
+    // that depth overflows the column-conversion stack)
+    val prunedStore =
+      if (probedParts.isEmpty) store.limit(0)
+      else store.filter(probedParts.groupBy(_._1).toSeq.sortBy(_._1).map {
+        case (b, pairs) =>
+          col("band") === b && col("sig_bucket").isin(pairs.map(_._2): _*)
+      }.reduce(_ || _))
+    val sband = prunedStore
+      .select(col("id").as("s_id"), col("band"), col("band_hash"))
+    // skew guard on the STORE side: a degenerate bucket (thousands of
+    // near-identical corpus docs) explodes the probe join; exact dedup owns
+    // those clusters
+    val okBuckets = sband.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("sz")).filter(col("sz") <= maxBucket)
+      .select(col("band"), col("band_hash"))
+    val cand = dbands.join(okBuckets, Seq("band", "band_hash"))
+      .join(sband, Seq("band", "band_hash"))
+      .select(col("d_id"), col("s_id")).distinct()
+    val storeSigs = prunedStore.select(col("id").as("s_id"), col("sig").as("s_sig"))
+      .dropDuplicates("s_id")
+    val verified = cand
+      .join(dsigs.select(col("id").as("d_id"), col("sig").as("d_sig")), "d_id")
+      .join(storeSigs, "s_id")
+      .withColumn("est_jaccard", round(sigAgreement(col("d_sig"), col("s_sig")), 6))
+      .filter(col("est_jaccard") >= threshold)
+    val best = verified.groupBy(col("d_id"))
+      .agg(min(col("s_id")).as("matched_id"),
+        min_by(col("est_jaccard"), col("s_id")).as("est_jaccard"))
+    delta.select(col(idCol).as("id"))
+      .join(best, col("id") === col("d_id"), "left")
+      .select(col("id"),
+        col("matched_id").isNull.as("kept"),
+        coalesce(col("matched_id"), col("id")).as("cluster"),
+        col("matched_id"), col("est_jaccard"))
+  }
+
   // ---- train/eval decontamination ------------------------------------------
 
   /** Flags training documents that share ANY word n-gram with the eval set —

@@ -180,6 +180,28 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // INCREMENTAL near-dup dedup — the production shape: the corpus (even
+    // doc_ids) is signed once into a persisted signature store partitioned
+    // by (band, sig_bucket); the delta (odd doc_ids) signs itself once and
+    // probes the store via partition-pruned banded equi-join, emitting
+    // keep/drop + cluster assignment per new doc. The store is cached
+    // content-keyed like the IVF index — repeat runs never re-sign the
+    // corpus. Oracle replays both generations end-to-end.
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val src = new java.io.File(d + "/documents.parquet")
+      val path = System.getProperty("java.io.tmpdir") + "/graft_sigstore_" +
+        (d + s"_${src.length}_${src.lastModified}_even_v1").replaceAll("[^A-Za-z0-9]", "_")
+      if (!Dedup.signatureStoreExists(path))
+        Dedup.signatureStoreWrite(docs.filter(col("doc_id") % 2 === 0),
+          "text", "doc_id", path)
+      Dedup.incrementalNearDups(docs.filter(col("doc_id") % 2 === 1),
+        "text", "doc_id", path)
+        .select(col("id").as("doc_id"), col("kept"), col("cluster"),
+          col("matched_id"), col("est_jaccard"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BM25 ranked retrieval for a fixed 3-term query: tf shuffles only
     // query-term rows, dl is a pure projection, df/globals broadcast,
     // fixed-order score sum, TakeOrdered top-k.
@@ -901,6 +923,40 @@ object Extensions {
          |                  CAST(0.0 AS DOUBLE) AS est_jaccard FROM documents)
          |SELECT * FROM (SELECT * FROM marker UNION ALL SELECT * FROM pairs)
          |ORDER BY id1, id2""".stripMargin,
+
+    // Incremental dedup replayed end-to-end: signatures for BOTH
+    // generations, store = even doc_ids / delta = odd, store-side bucket
+    // guard, banded delta->store join, agreement >= 0.5 verification, and
+    // min-store-id assignment (arg_min mirrors Spark's min_by tiebreak on
+    // the unique s_id).
+    "dedup_incremental" -> {
+      val sigList = Dedup.minhashParams(32)
+        .map { case (a, b) => s"min((h * $a + $b) % 2147483647)" }
+        .mkString("[", ", ", "]")
+      s"""$minhashHashCtes,
+         |sigs AS (SELECT doc_id, $sigList AS sig FROM hh GROUP BY doc_id),
+         |sb AS (SELECT doc_id, sig, b, sig[4*b + 1 : 4*b + 4] AS key
+         |       FROM sigs, range(8) r(b) WHERE doc_id % 2 = 0),
+         |db AS (SELECT doc_id, sig, b, sig[4*b + 1 : 4*b + 4] AS key
+         |       FROM sigs, range(8) r(b) WHERE doc_id % 2 = 1),
+         |ok AS (SELECT b, key FROM sb GROUP BY b, key HAVING count(*) <= 100),
+         |cand AS (SELECT DISTINCT d.doc_id AS d_id, s.doc_id AS s_id
+         |         FROM db d JOIN ok z ON d.b = z.b AND d.key = z.key
+         |         JOIN sb s ON s.b = z.b AND s.key = z.key),
+         |est AS (SELECT c.d_id, c.s_id,
+         |          ${sparkRound("CAST(len(list_filter(range(1, 33), i -> s1.sig[i] = s2.sig[i])) AS DOUBLE) / 32.0", 6)} AS e
+         |        FROM cand c JOIN sigs s1 ON s1.doc_id = c.d_id
+         |        JOIN sigs s2 ON s2.doc_id = c.s_id),
+         |best AS (SELECT d_id, min(s_id) AS matched_id,
+         |           arg_min(e, s_id) AS est_jaccard
+         |         FROM est WHERE e >= 0.5 GROUP BY d_id)
+         |SELECT dd.doc_id, best.matched_id IS NULL AS kept,
+         |  coalesce(best.matched_id, dd.doc_id) AS cluster,
+         |  best.matched_id, best.est_jaccard
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) dd
+         |LEFT JOIN best ON best.d_id = dd.doc_id
+         |ORDER BY dd.doc_id""".stripMargin
+    },
 
     // The whole near-dup pipeline replayed in one oracle: LSH pairs (the
     // CTE block above), a recursive-CTE transitive closure for connected

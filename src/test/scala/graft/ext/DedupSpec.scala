@@ -159,6 +159,45 @@ class DedupSpec extends SparkSpec {
     // frame is dead by design — the contract is free-after-consumption)
   }
 
+  test("incremental near-dup: delta vs store, store update, pruned probe") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft_sigstore_spec").toString + "/store"
+    val textA = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val textB = "completely different content about distributed query engines and shuffles"
+    val textC = "a third unique document discussing audio codecs and palette quantization"
+    // generation 1: the corpus (ids 2, 4) -> persisted signature store
+    Dedup.signatureStoreWrite(
+      Seq((2L, textA), (4L, textB)).toDF("doc_id", "text"), "text", "doc_id", store)
+    assert(Dedup.signatureStoreExists(store))
+
+    // generation 2: one exact near-dup of doc 2, one novel doc
+    val delta2 = Seq((101L, textA), (103L, textC)).toDF("doc_id", "text")
+    val r2 = Dedup.incrementalNearDups(delta2, "text", "doc_id", store)
+    // the store probe must be a partition-pruned scan, not a full read
+    val storeScans = r2.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.output.exists(_.name == "band_hash") => s
+    }
+    assert(storeScans.nonEmpty && storeScans.forall(_.partitionFilters.nonEmpty),
+      "the store scan must carry partition filters on (band, sig_bucket)")
+    val by2 = r2.collect().map(r => r.getLong(0) ->
+      (r.getBoolean(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(by2(101L) === ((false, 2L, Some(2L))), "identical text must match store doc 2")
+    assert(by2(103L) === ((true, 103L, None)), "novel doc keeps itself")
+
+    // store update: append the survivor's signatures; generation 3 dups of
+    // it must now be caught against the UPDATED store
+    Dedup.signatureStoreWrite(delta2.filter($"doc_id" === 103L), "text", "doc_id",
+      store, append = true)
+    val r3 = Dedup.incrementalNearDups(
+      Seq((201L, textC)).toDF("doc_id", "text"), "text", "doc_id", store)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(r3(201L) === ((false, 103L)),
+      "a dup of a generation-2 survivor must match the appended store entry")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(store).getParentFile)
+  }
+
   test("rotateCheckpoints frees only the SAME KEY's previous generation") {
     import spark.implicits._
     val sc = spark.sparkContext
