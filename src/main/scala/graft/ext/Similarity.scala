@@ -71,10 +71,9 @@ object Similarity {
 
   // ---- IVF (inverted-file) ANN --------------------------------------------
 
-  /** Deterministic coarse quantizer: every `corpus.count/k`-th vector (by
-    * id order) becomes a centroid. k centroids × dim floats live on the
-    * driver/broadcast — tiny. (A k-means refinement would slot in here; the
-    * index/probe machinery is identical.) */
+  /** Deterministic coarse quantizer SEED: every `corpus.count/k`-th vector
+    * (by id order) becomes a centroid. k centroids × dim floats live on the
+    * driver/broadcast — tiny. [[ivfRefine]] then runs Lloyd rounds on top. */
   def ivfCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
       k: Int): Seq[(Int, Seq[Double])] = {
     val n = embeddings.count()
@@ -109,11 +108,52 @@ object Similarity {
     * many times — index construction never runs inside a query. */
   final case class IvfIndex(centroids: Seq[(Int, Seq[Double])], assigned: DataFrame)
 
-  /** Build the IVF index: centroid selection + one broadcast-join assignment
-    * pass over the corpus. */
+  /** Mean-quantization scale for [[ivfRefine]]: dimension sums are
+    * accumulated as exact `round(x·2^20)` longs, so the per-cell mean is
+    * order-independent (long addition commutes) and replayable in any
+    * engine — a raw double `avg` would depend on partition arrival order
+    * and could never be oracle-checked. 2^20 keeps ~1e-6 precision, far
+    * below what a coarse quantizer needs. */
+  private val RefineScale = 1L << 20
+
+  /** Deterministic Lloyd refinement: `iters` rounds of assign → per-cell
+    * element-wise mean. Each round is one broadcast-join assignment pass
+    * over the corpus plus one (cell, dim) aggregate — the collect is k·dim
+    * rows (bounded, like the centroid pick itself). Cells that lose all
+    * members keep their previous centroid. Stride-picked seeds are fine on
+    * uniform fixtures but under-represent clustered real data; 2-3 Lloyd
+    * rounds move the centroids to the mass. */
+  def ivfRefine(embeddings: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Int, Seq[Double])], iters: Int = 2): Seq[(Int, Seq[Double])] = {
+    var cs = cents
+    for (_ <- 0 until iters) {
+      val byCell = ivfAssign(embeddings, idCol, vecCol, cs)
+        .select(col("ivf_cell"),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
+        .groupBy(col("ivf_cell"), col("d"))
+        .agg(sum(round(col("x") * RefineScale).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getAs[Int]("ivf_cell"))
+      cs = cs.map { case (cid, oldv) =>
+        byCell.get(cid) match {
+          case Some(rows) =>
+            (cid, rows.map(r => (r.getAs[Int]("d"),
+              r.getAs[Long]("s").toDouble / r.getAs[Long]("n") / RefineScale))
+              .sortBy(_._1).map(_._2).toSeq)
+          case None => (cid, oldv)
+        }
+      }
+    }
+    cs
+  }
+
+  /** Build the IVF index: centroid selection + `refineIters` Lloyd rounds +
+    * one broadcast-join assignment pass over the corpus. */
   def ivfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
-      nCells: Int = 8): IvfIndex = {
-    val cents = ivfCentroids(embeddings, idCol, vecCol, nCells)
+      nCells: Int = 8, refineIters: Int = 2): IvfIndex = {
+    val cents = ivfRefine(embeddings, idCol, vecCol,
+      ivfCentroids(embeddings, idCol, vecCol, nCells), refineIters)
     IvfIndex(cents, ivfAssign(embeddings, idCol, vecCol, cents))
   }
 

@@ -412,7 +412,9 @@ object Extensions {
     "sim_ann_ivf_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val src = new java.io.File(d + "/embeddings.parquet")
-      val snapshot = s"${src.length}_${src.lastModified}"
+      // "lloyd2" versions the cache key: the r7 centroid-refinement change
+      // would otherwise be served a stale stride-seed index
+      val snapshot = s"${src.length}_${src.lastModified}_lloyd2"
       val path = System.getProperty("java.io.tmpdir") + "/graft_ivf_" +
         (d + "_" + snapshot).replaceAll("[^A-Za-z0-9]", "_")
       val index =
@@ -614,19 +616,38 @@ object Extensions {
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
        |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)""".stripMargin
-  // mirrors ivfCentroids/ivfAssign/ivfProbeCells: every stride-th vector by
-  // id is a centroid; argmax-cosine assignment; probe the 3 nearest cells
+  // mirrors ivfCentroids/ivfRefine/ivfAssign/ivfProbeCells: every stride-th
+  // vector by id seeds a centroid; TWO deterministic Lloyd rounds move each
+  // centroid to its members' element-wise mean (accumulated as exact
+  // round(x·2^20) longs, so the mean is order-independent and the double
+  // division replays bit-for-bit); empty cells keep their previous
+  // centroid; then argmax-cosine assignment and a 3-nearest-cell probe.
+  private def lloydRound(i: Int): String = {
+    val (prev, a, m, g, next) = (s"c${i - 1}", s"a$i", s"m$i", s"g$i", s"c$i")
+    s"""$a AS (SELECT e.vec_id, e.v,
+       |        arg_max(c.cid, list_cosine_similarity(e.v, c.cv)) AS cell
+       |      FROM e, $prev c GROUP BY e.vec_id, e.v),
+       |$m AS (SELECT cell, d, sum(CAST(round(v[d+1] * 1048576.0) AS BIGINT)) AS s,
+       |        count(*) AS cnt
+       |      FROM $a, range(64) r(d) GROUP BY cell, d),
+       |$g AS (SELECT cell, list(CAST(s AS DOUBLE) / cnt / 1048576.0 ORDER BY d) AS cv
+       |      FROM $m GROUP BY cell),
+       |$next AS (SELECT p.cid, coalesce($g.cv, p.cv) AS cv
+       |      FROM $prev p LEFT JOIN $g ON $g.cell = p.cid)""".stripMargin
+  }
   private val ivfCtes =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |n AS (SELECT greatest(count(*) // 8, 1) AS stride FROM e),
-      |cents AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v AS cv
+      |c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v AS cv
       |          FROM e, n WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT 8),
+      |${lloydRound(1)},
+      |${lloydRound(2)},
       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-      |probe AS (SELECT cid FROM cents, q
+      |probe AS (SELECT cid FROM c2, q
       |          ORDER BY list_cosine_similarity(cv, qv) DESC, cid LIMIT 3),
       |assign AS (SELECT e.vec_id, e.v,
       |             arg_max(c.cid, list_cosine_similarity(e.v, c.cv)) AS cell
-      |           FROM e, cents c GROUP BY e.vec_id, e.v)""".stripMargin
+      |           FROM e, c2 c GROUP BY e.vec_id, e.v)""".stripMargin
 
   // Sketch oracle plumbing: the MinHash/SimHash hash basis is FNV-1a
   // (functions/Fnv.scala) precisely so DuckDB can replay it. The SQL walks

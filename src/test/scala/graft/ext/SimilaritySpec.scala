@@ -77,6 +77,47 @@ class SimilaritySpec extends SparkSpec {
     assert(narrow.size <= 10)
   }
 
+  test("Lloyd refinement: centroids move to cluster mass, recall never drops, deterministic") {
+    val df = vectors().cache()
+    val seeds = Similarity.ivfCentroids(df, "vec_id", "embedding", 3)
+    val refined = Similarity.ivfRefine(df, "vec_id", "embedding", seeds, iters = 2)
+    assert(refined.map(_._1) === seeds.map(_._1), "cell ids are stable")
+    assert(refined !== seeds, "two Lloyd rounds must move stride seeds on clustered data")
+    // determinism: the quantized-mean formulation is order-independent
+    val again = Similarity.ivfRefine(
+      df.repartition(7), "vec_id", "embedding", seeds, iters = 2)
+    assert(again === refined, "refinement must not depend on partitioning")
+
+    // recall at nprobe=1 on 3 tight clusters: refined centroids sit ON the
+    // clusters, so the query's own cell holds its whole cluster
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    def recallWith(cents: Seq[(Int, Seq[Double])]): Double = {
+      val assigned = Similarity.ivfAssign(df, "vec_id", "embedding", cents)
+      val q = Similarity.queryVector(df, "vec_id", "embedding", 0L)
+      val got = Similarity.ivfProbe(assigned, cents, "vec_id", "embedding",
+        q, k = 10, nprobe = 1, excludeId = Some(0L))
+        .collect().map(_.getLong(0)).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val (rSeed, rRefined) = (recallWith(seeds), recallWith(refined))
+    assert(rRefined >= rSeed,
+      s"refined recall $rRefined must not drop below seed recall $rSeed")
+    assert(rRefined >= 0.9, s"refined nprobe=1 recall on tight clusters: $rRefined")
+
+    // empty-cell fallback: more cells than distinct directions leaves some
+    // cells memberless — they must keep their previous centroid, not NaN out
+    val tiny = {
+      import spark.implicits._
+      (0 until 4).map(i => (i.toLong, Seq.fill(dim)(if (i == 0) 1f else -1f)))
+        .toDF("vec_id", "embedding")
+    }
+    val tinySeeds = Similarity.ivfCentroids(tiny, "vec_id", "embedding", 4)
+    val tinyRefined = Similarity.ivfRefine(tiny, "vec_id", "embedding", tinySeeds, iters = 2)
+    assert(tinyRefined.forall(_._2.forall(x => !x.isNaN)),
+      "empty cells must fall back to their previous centroid")
+  }
+
   test("persisted IVF index round-trips and probes identically to a fresh build") {
     val df = vectors().cache()
     val path = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/idx"
