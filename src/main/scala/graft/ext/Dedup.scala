@@ -306,7 +306,7 @@ object Dedup {
       if (probedParts.isEmpty) store.limit(0)
       else store.filter(probedParts.groupBy(_._1).toSeq.sortBy(_._1).map {
         case (b, pairs) =>
-          col("band") === b && col("sig_bucket").isin(pairs.map(_._2): _*)
+          col("band") === b && col("sig_bucket").isin(pairs.toSeq.map(_._2): _*)
       }.reduce(_ || _))
     val sband = prunedStore
       .select(col("id").as("s_id"), col("band"), col("band_hash"))
