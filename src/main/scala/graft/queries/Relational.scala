@@ -779,6 +779,23 @@ object Relational {
         .orderBy(col("s_name"))
     }),
 
+    // Runtime Bloom pre-filter ahead of a shuffle join: the dimension's key
+    // set becomes a 2^18-bit filter (built distributed, only 4 KB of words
+    // reach the driver) applied to the fact side BEFORE the exchange — most
+    // non-matching lineitem rows never shuffle. Result-identical to the
+    // plain join (no false negatives), so the oracle IS the plain join.
+    "join_bloom_prefilter" -> ((s, d) => {
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+      graft.ext.BloomJoin.prefilteredJoin(
+          Tables.lineitem(s, d), dim, "l_orderkey", "o_orderkey")
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("o_year"))
+    }),
+
     // PIVOT: order counts per status spread across priority columns.
     "agg_pivot" -> ((s, d) => {
       Tables.orders(s, d)
@@ -1403,6 +1420,16 @@ object Relational {
       """SELECT s_name, count(*) AS n, round(sum(l_quantity),2) AS qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+
+    // The Bloom pre-filter is semantics-transparent: the oracle is the
+    // PLAIN join — any false negative in the filter would show up here as
+    // a missing row.
+    "join_bloom_prefilter" ->
+      """SELECT year(o_orderdate) AS o_year, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)),2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "source_csv_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice),2) AS vol

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graftbridge
 
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, LongType, StringType}
 
 /** Analysis-time input-type contracts for custom expressions.
   *
@@ -19,4 +19,8 @@ trait ExpectsStringInput extends ExpectsInputTypes { self: Expression =>
 
 trait ExpectsStringArrayInput extends ExpectsInputTypes { self: Expression =>
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+}
+
+trait ExpectsLongInput extends ExpectsInputTypes { self: Expression =>
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
 }
