@@ -33,7 +33,11 @@ object Bench {
     // noise, while a regression shifts the whole band. (VERDICT r6: three
     // straight rounds re-litigated noise-vs-regression because the non-median
     // reps were measured and then discarded.)
-    val samples = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional args(0): only bench queries whose name starts with the given
+    // prefix — local iteration on one operator without the full sweep.
+    val prefix = args.headOption.getOrElse("")
+    val samples = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(_._1.startsWith(prefix)).map { case (name, fn) =>
       // noop sink: full computation of every output column (count() would let
       // Catalyst prune unreferenced projections and under-report the work)
       def run(): Double = {
@@ -85,7 +89,9 @@ object Bench {
     }
     val allQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val allBands = samples.map { case (k, t) => "\"" + k + "\":" + band(t) }.mkString("{", ",", "}")
-    scala.util.Try {
+    // A prefix-filtered run is a local iteration aid — never let it replace
+    // the full-inventory record the judge reads.
+    if (prefix.isEmpty) scala.util.Try {
       val detail =
         s"""{"metric":"total","value":$total,"unit":"sec","min":${fmt(totalMin)},"max":${fmt(totalMax)},"failures":$failures,"reps":$reps,"queries":$allQs,"bands":$allBands,"sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),

@@ -167,7 +167,7 @@ object Multimodal {
     java.util.Arrays.fill(px, rgb)
     img.setRGB(0, 0, width, height, px, 0, width)
     val bos = new java.io.ByteArrayOutputStream()
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val writer = jpegWriterSpi.createWriterInstance()
     val param = writer.getDefaultWriteParam
     param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     param.setCompressionQuality(0.75f)
@@ -199,9 +199,21 @@ object Multimodal {
     * dominant cost). Content-keyed on the source file like the IVF index
     * cache. */
   /** Bump when the media generation rules change (any encoder: png/jpeg/
-    * wav) — part of the cache key, so stale fixtures from an older rule are
-    * never served. v2: JPEG quality pinned to an explicit 0.75. */
+    * wav/gif) — part of the cache key, so stale fixtures from an older rule
+    * are never served. v2: JPEG quality pinned to an explicit 0.75. */
   private val mediaCacheVersion = "v2"
+
+  // ImageIO's getImageWritersByFormatName/getImageReadersByFormatName scan
+  // the service registry on every call — measurable when encoding/decoding
+  // thousands of small payloads per partition. Resolve each format's
+  // provider ONCE per JVM and instantiate per call: writer/reader instances
+  // are stateful and not thread-safe, but providers are stateless factories.
+  private lazy val jpegWriterSpi =
+    javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next().getOriginatingProvider
+  private lazy val gifWriterSpi =
+    javax.imageio.ImageIO.getImageWritersByFormatName("gif").next().getOriginatingProvider
+  private lazy val gifReaderSpi =
+    javax.imageio.ImageIO.getImageReadersByFormatName("gif").next().getOriginatingProvider
 
   /** Content-keyed cache location for `sfDir`'s media fixture of the given
     * kind (shared with the specs so they can stage stale/orphan states at
@@ -219,10 +231,17 @@ object Multimodal {
   def jpegMediaCached(docs: DataFrame, sfDir: String): Dataset[PngRow] =
     mediaCached(docs, sfDir, "jpeg", jpegMedia)
 
-  private def mediaCached(docs: DataFrame, sfDir: String, kind: String,
-      gen: DataFrame => Dataset[PngRow]): Dataset[PngRow] = {
+  def gifMediaCached(docs: DataFrame, sfDir: String): Dataset[GifRow] =
+    mediaCached(docs, sfDir, "gif", gifMedia)
+
+  def wavMediaCached(docs: DataFrame, sfDir: String): Dataset[WavRow] =
+    mediaCached(docs, sfDir, "wav", wavMedia)
+
+  private def mediaCached[T <: Product: scala.reflect.runtime.universe.TypeTag](
+      docs: DataFrame, sfDir: String, kind: String,
+      gen: DataFrame => Dataset[T]): Dataset[T] = {
     val spark = docs.sparkSession
-    implicit val enc = Encoders.product[PngRow]
+    implicit val enc = Encoders.product[T]
     // NOTE: `docs` must be the FULL documents frame of `sfDir` — the cache
     // is keyed on the source file (+ generation-rule version), not on the
     // frame, so a filtered input would still be served the whole corpus.
@@ -239,7 +258,7 @@ object Multimodal {
       gen(docs).write.mode("overwrite").parquet(tmp)
       publishSnapshot(tmp, path)
     }
-    spark.read.parquet(path).as[PngRow]
+    spark.read.parquet(path).as[T]
   }
 
   /** Atomically rename a complete `tmp` snapshot to `path`.
@@ -389,7 +408,7 @@ object Multimodal {
     * true multi-image GIF via the sequence API (prepareWriteSequence /
     * writeToSequence), not k concatenated files. */
   def gifEncode(mediaId: Long, width: Int, height: Int, nFrames: Int): Array[Byte] = {
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val writer = gifWriterSpi.createWriterInstance()
     val bos = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
     try {
@@ -420,7 +439,7 @@ object Multimodal {
   def gifDecodeFrameStats(mediaId: Long, bytes: Array[Byte],
       stride: Int): Seq[GifFrameStats] = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
-    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val reader = gifReaderSpi.createReaderInstance()
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {

@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic stratified sampling for training-corpus rebalancing.
+  *
+  * The common move: a web corpus is 80% one language (or one source), and
+  * the training mix calls for downsampling the head stratum while keeping
+  * the tail whole. Both operators here are pure column algebra over a
+  * seeded md5 draw — no RNG state, no `rand()`: the same (seed, key) always
+  * lands on the same side, so a re-run, a retry after executor loss, or
+  * another engine replaying the pipeline selects the SAME sample. That
+  * reproducibility is what makes sampling auditable at 100 TB: the sampled
+  * corpus is a deterministic function of the input, not of the cluster's
+  * task scheduling.
+  *
+  * Rate granularity is 1/65536 (16 bits of the draw) — a hex-string
+  * comparison, same convention as the train/valid/test split, so any engine
+  * with md5 replays the decision byte-for-byte.
+  */
+object Sampling {
+
+  /** 16-bit draw in [0, 65536) as a 4-hex-char string, from md5(seed||key). */
+  private[ext] def draw(seed: String, key: Column): Column =
+    substring(md5(concat(lit(seed + ":"), key.cast("string")).cast("binary")), 1, 4)
+
+  private[ext] def thresholdHex(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    val t = math.floor(rate * 65536).toLong
+    // rate 1.0 must keep EVERY row: 'g' sorts above every hex digit, so
+    // `draw < 'g'` is always true ('ffff' would drop the 1/65536 top draw)
+    if (t >= 65536) "g" else f"$t%04x"
+  }
+
+  /** Keep each row of stratum s with probability ~rates(s) (granularity
+    * 1/65536), deterministically in (seed, keyCol). Strata missing from
+    * `rates` fall back to `defaultRate`. Zero shuffles: the decision is a
+    * per-row projection + filter, and pushes into the scan stage.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0,
+      seed: String = "strat"): DataFrame = {
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(lit(thresholdHex(defaultRate))) {
+      case (acc, (stratum, rate)) =>
+        when(col(stratumCol) === stratum, lit(thresholdHex(rate))).otherwise(acc)
+    }
+    df.filter(draw(seed, col(keyCol)) < thr)
+  }
+
+  /** Exactly min(k, |stratum|) rows per stratum, chosen by the seeded draw
+    * (ties broken by the key, so selection is total-ordered and unique).
+    * One shuffle on the stratum column — the per-stratum top-k is a window,
+    * not a global sort.
+    */
+  def stratifiedFixedK(df: DataFrame, stratumCol: String, keyCol: String,
+      k: Int, seed: String = "strat"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(draw(seed, col(keyCol)), col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+}

@@ -87,6 +87,44 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // Z-order (Morton) layout audit: interleave two dimensions into one
+    // clustering key and show per-key-range locality — each zb bucket
+    // bounds a tight (x, y) rectangle, which is exactly what parquet
+    // min/max stats need to prune scans on BOTH dimensions. The interleave
+    // is shift/mask column algebra, replayed bit-for-bit by the oracle.
+    "layout_zorder" -> ((s, d) => {
+      val e = Tables.events(s, d).select(
+        floor(col("value")).cast("long").as("x"),
+        hour(col("ts")).cast("long").as("y"))
+      e.withColumn("zb", shiftright(graft.ext.Layout.zValue2(col("x"), col("y")), 10))
+        .groupBy(col("zb"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy(col("zb"))
+    }),
+
+    // Stratified rate-based sampling: downsample the head language, keep
+    // the tail whole — the corpus-rebalancing move. Decision = seeded md5
+    // threshold per stratum: deterministic, engine-replayable, zero
+    // shuffles (projection + filter, pushed into the scan stage).
+    "train_stratified_sample" -> ((s, d) => {
+      graft.ext.Sampling.stratifiedSample(Tables.documents(s, d), "lang", "doc_id",
+          Map("en" -> 0.25, "zh" -> 0.5))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Stratified fixed-size sampling: exactly min(k,|stratum|) docs per
+    // language, chosen by the seeded draw with the key as tiebreaker —
+    // a deterministic "reservoir" (one window over the stratum shuffle,
+    // no global sort).
+    "train_sample_per_lang" -> ((s, d) => {
+      graft.ext.Sampling.stratifiedFixedK(Tables.documents(s, d), "lang", "doc_id", 40)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Global vocabulary head: top-100 words by corpus frequency with a
     // deterministic tie-break — explode + hash-agg + TakeOrderedAndProject
     // (no full sort at scale).
@@ -530,7 +568,7 @@ object Extensions {
     // the oracle's closed forms bit-for-bit with NO rounding (IEEE divide
     // and sqrt are correctly rounded in both engines).
     "multimodal_wav_roundtrip" -> ((s, d) => {
-      Multimodal.decodeWavStats(Multimodal.wavMedia(Tables.documents(s, d))).toDF()
+      Multimodal.decodeWavStats(Multimodal.wavMediaCached(Tables.documents(s, d), d)).toDF()
         .select(col("media_id"), col("n_samples"), col("sample_rate"),
           col("mean_sample"), col("rms"))
         .orderBy(col("media_id"))
@@ -544,7 +582,7 @@ object Extensions {
     // unlike JPEG.
     "multimodal_gif_frames" -> ((s, d) => {
       Multimodal.decodeGifFrames(
-        Multimodal.gifMedia(Tables.documents(s, d)), stride = 2).toDF()
+        Multimodal.gifMediaCached(Tables.documents(s, d), d), stride = 2).toDF()
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
@@ -1126,6 +1164,40 @@ object Extensions {
         |         THEN 'valid'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The four magic masks are 0x00FF00FF / 0x0F0F0F0F / 0x33333333 /
+    // 0x55555555 in decimal; the CTE chain replays Layout.spreadBits16
+    // stage by stage.
+    "layout_zorder" ->
+      """WITH pts AS (SELECT CAST(floor(value) AS BIGINT) AS x,
+        |                    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS y FROM events),
+        |s1 AS (SELECT x, y, ((x | (x << 8)) & 16711935) AS xa,
+        |                    ((y | (y << 8)) & 16711935) AS ya FROM pts),
+        |s2 AS (SELECT x, y, ((xa | (xa << 4)) & 252645135) AS xb,
+        |                    ((ya | (ya << 4)) & 252645135) AS yb FROM s1),
+        |s3 AS (SELECT x, y, ((xb | (xb << 2)) & 858993459) AS xc,
+        |                    ((yb | (yb << 2)) & 858993459) AS yc FROM s2),
+        |s4 AS (SELECT x, y, ((xc | (xc << 1)) & 1431655765) AS xs,
+        |                    ((yc | (yc << 1)) & 1431655765) AS ys FROM s3)
+        |SELECT (xs | (ys << 1)) >> 10 AS zb, count(*) AS n,
+        |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+        |FROM s4 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // rates: en 0.25 -> '4000', zh 0.5 -> '8000', default 1.0 -> 'g'
+    // (sorts above every hex digit = keep all; 'ffff' would drop the top
+    // draw). Thresholds replicate Sampling.thresholdHex exactly.
+    "train_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE WHEN lang = 'en' THEN '4000'
+        |       WHEN lang = 'zh' THEN '8000' ELSE 'g' END
+        |ORDER BY doc_id""".stripMargin,
+
+    "train_sample_per_lang" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 4), doc_id) AS rk
+        |  FROM documents) WHERE rk <= 40 ORDER BY doc_id""".stripMargin,
 
     "text_vocab_topk" ->
       s"""SELECT w, count(*) AS n
