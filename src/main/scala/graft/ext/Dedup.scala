@@ -125,7 +125,15 @@ object Dedup {
     * with >= n tokens, the whole token string once for shorter docs, "" for
     * empty docs. The window's hash partitioning on id is reused by any
     * downstream per-id aggregate, so consumers pay ONE shuffle to here. */
-  def shingleFrame(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+  def shingleFrame(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    shingleFramePos(docs, textCol, idCol, n).select(col("id"), col("shingle"))
+
+  /** [[shingleFrame]] with the span geometry kept: (id, ntok, pos, shingle)
+    * where `pos` is the 0-based start token of the span (0 for a short
+    * doc's whole-string shingle, null for an empty doc) and `ntok` the
+    * doc's token count — what position-aware consumers (substring-coverage
+    * dedup) need to map spans back onto token intervals. */
+  def shingleFramePos(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     require(n >= 1)
     val toks = docs.select(col(idCol).as("id"),
       posexplode_outer(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "t")))
@@ -142,7 +150,52 @@ object Dedup {
       .withColumn("shingle", concat_ws(" ", (col("t") +: leadCols): _*))
       .filter(lastLead.isNotNull ||
         (col("ntok") < n && col("pos") <= 0) || col("pos").isNull)
-      .select(col("id"), col("shingle"))
+      .select(col("id"), col("ntok"), col("pos"), col("shingle"))
+  }
+
+  /** Exact substring-duplication coverage — the ExactSubstr shape of Lee
+    * et al., "Deduplicating Training Data Makes Language Models Better"
+    * (ACL 2022), re-expressed for a distributed engine: a token position is
+    * DUPLICATED when some n-token span covering it occurs at least
+    * `minCount` times in the whole corpus (within- and cross-document
+    * occurrences both count). Returns one row per doc:
+    * (id, n_tokens, n_dup_tokens, dup_frac) — the per-doc fraction of
+    * tokens inside duplicated spans, the signal used to clip or drop
+    * boilerplate-heavy documents.
+    *
+    * The paper's suffix array is a single-machine structure; span-granular
+    * counting distributes: count span-hash occurrences globally (one
+    * hash-agg, map-side combined), semi-join the span stream against the
+    * duplicated hashes (the dup set is collision-sized — AQE broadcasts
+    * it), then union each doc's covered intervals as DISTINCT (id, pos)
+    * rows — bounded by total token count, not span count. Hashes are
+    * FNV-1a mod P like every sketch here, so the whole decision replays in
+    * the oracle; a P-collision merging two distinct spans is ~2^-31 and
+    * replays identically on both sides.
+    *
+    * Docs shorter than n tokens participate via their whole-token-string
+    * shingle (an exact-dup check at full coverage); empty docs report
+    * (0, 0, 0.0). */
+  def substringCoverage(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 5, minCount: Int = 2): DataFrame = {
+    require(minCount >= 2, s"minCount < 2 would mark every span duplicated, got $minCount")
+    val sh = shingleFramePos(docs, textCol, idCol, n)
+      .filter(col("pos").isNotNull) // empty docs have no coverable positions
+      .withColumn("h", pmod(graft.functions.Fnv.fnv1a64(col("shingle")), lit(Prime)))
+    val dup = sh.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minCount).select(col("h"))
+    val width = when(col("ntok") >= n, lit(n)).otherwise(col("ntok"))
+    val covered = sh.join(dup, Seq("h"), "left_semi")
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + width - 1)).as("cp"))
+      .distinct()
+      .groupBy(col("id")).agg(count(lit(1)).as("n_dup_tokens"))
+    docs.select(col(idCol).as("id"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(covered, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+      .withColumn("dup_frac", when(col("n_tokens") === 0, lit(0.0))
+        .otherwise(round(col("n_dup_tokens").cast("double") / col("n_tokens"), 6)))
   }
 
   /** (id, sig, band, band_hash) — one row per band per doc; the LSH key

@@ -255,6 +255,32 @@ object Extensions {
       TA.topNgramsByDocFreq(Tables.documents(s, d), "text", "doc_id", n = 5, k = 20)
     }),
 
+    // Lee et al.'s ExactSubstr signal, span-granular: per-doc fraction of
+    // token positions covered by a 5-token span occurring >= 2 times in the
+    // corpus. One global span-hash agg + a semi-join back + per-doc
+    // interval union as distinct positions — no suffix array, nothing
+    // quadratic, every doc reported (untouched docs at 0.0).
+    "dedup_substring_coverage" -> ((s, d) => {
+      Dedup.substringCoverage(Tables.documents(s, d), "text", "doc_id", n = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Count-Min heavy hitters: exact top-20 tokens as the witness, their
+    // CMS point estimates beside the truth. The sketch is d*w = 1024
+    // counters REGARDLESS of corpus size (mergeable, map-side combined);
+    // over_count >= 0 always — CMS error is one-sided by construction.
+    "text_cms_heavy_hitters" -> ((s, d) => {
+      val toksDf = Tables.documents(s, d)
+        .select(explode(TA.tokens(col("text"))).as("w"))
+      val sk = graft.ext.Cms.sketch(toksDf, "w", d = 4, w = 256)
+      val cand = toksDf.groupBy(col("w")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("w")).limit(20)
+      graft.ext.Cms.estimate(sk, cand, "w", d = 4, w = 256)
+        .withColumn("over_count", col("n_est") - col("n_exact"))
+        .orderBy(col("w"))
+    }),
+
     // exact pairwise n-gram Jaccard on a bounded slice (quadratic by nature)
     "dedup_ngram_jaccard" -> ((s, d) => {
       Dedup.ngramJaccardPairs(
@@ -922,6 +948,65 @@ object Extensions {
          |g AS (SELECT unnest(list_distinct(${shingleSqlN(5)})) AS ngram FROM docs)
          |SELECT ngram, CAST(count(*) AS BIGINT) AS doc_freq
          |FROM g GROUP BY ngram ORDER BY doc_freq DESC, ngram LIMIT 20""".stripMargin,
+
+    // Substring-duplication coverage replayed end-to-end: positioned
+    // 5-token spans (whole-string shingle for short docs, like
+    // Dedup.shingleFramePos), FNV span hashes mod P, the >= 2 occurrence
+    // set, per-doc interval union as DISTINCT (doc, pos + offset), and the
+    // coverage fraction with Spark-parity rounding.
+    "dedup_substring_coverage" ->
+      s"""WITH docs AS (SELECT doc_id, $toks AS tk FROM documents),
+         |starts AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
+         |           FROM docs WHERE len(tk) >= 5),
+         |shg AS (
+         |  SELECT doc_id, i - 1 AS pos, 5 AS width,
+         |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] AS s
+         |  FROM starts
+         |  UNION ALL
+         |  SELECT doc_id, 0, len(tk), array_to_string(tk, ' ')
+         |  FROM docs WHERE len(tk) BETWEEN 1 AND 4),
+         |hh AS (SELECT doc_id, pos, width, ${pmodPrime(signed64(fnvSql("s")))} AS h FROM shg),
+         |dup AS (SELECT h FROM hh GROUP BY h HAVING count(*) >= 2),
+         |cov AS (SELECT DISTINCT doc_id, cp FROM (
+         |        SELECT doc_id, pos + unnest(range(0, width)) AS cp
+         |        FROM hh JOIN dup USING (h))),
+         |percov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_tokens
+         |           FROM cov GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(d.tk) AS BIGINT) AS n_tokens,
+         |  coalesce(p.n_dup_tokens, 0) AS n_dup_tokens,
+         |  CASE WHEN len(d.tk) = 0 THEN 0.0
+         |       ELSE ${sparkRound("coalesce(p.n_dup_tokens, 0)::DOUBLE / len(d.tk)", 6)}
+         |  END AS dup_frac
+         |FROM docs d LEFT JOIN percov p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // Count-Min heavy hitters replayed cell-for-cell: FNV token hash mod P,
+    // the 4 affine rows (constants interpolated from the fixed seed) into
+    // 256 buckets, the counter grid, the exact top-20 witness, and the min
+    // over each candidate's 4 counters.
+    "text_cms_heavy_hitters" -> {
+      val P = 2147483647L
+      val arms = graft.ext.Cms.cmsParams(4).zipWithIndex
+      val cellArms = arms.map { case ((a, b), j) =>
+        s"SELECT ((h * $a + $b) % $P) % 256 AS bucket, $j AS row FROM hh"
+      }.mkString("\n  UNION ALL ")
+      val candArms = arms.map { case ((a, b), j) =>
+        s"SELECT w, n_exact, $j AS row, ((h * $a + $b) % $P) % 256 AS bucket FROM exact"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH tk AS (SELECT unnest($toks) AS w FROM documents),
+         |hh AS (SELECT w, ${pmodPrime(signed64(fnvSql("w")))} AS h FROM tk),
+         |cells AS (
+         |  $cellArms),
+         |sk AS (SELECT row, bucket, count(*) AS cnt FROM cells GROUP BY row, bucket),
+         |exact AS (SELECT w, min(h) AS h, CAST(count(*) AS BIGINT) AS n_exact
+         |          FROM hh GROUP BY w ORDER BY n_exact DESC, w LIMIT 20),
+         |cand AS (
+         |  $candArms),
+         |est AS (SELECT w, n_exact, min(coalesce(cnt, 0)) AS n_est
+         |        FROM cand LEFT JOIN sk USING (row, bucket) GROUP BY w, n_exact)
+         |SELECT w, n_exact, n_est, n_est - n_exact AS over_count
+         |FROM est ORDER BY w""".stripMargin
+    },
 
     // Portable HLL replayed end-to-end: fmix64(FNV-1a) token hash (unsigned
     // HUGEINT form; the finalizer as chained xor/split-multiply CTE stages),
