@@ -179,9 +179,17 @@ object Dedup {
   def substringCoverage(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 5, minCount: Int = 2): DataFrame = {
     require(minCount >= 2, s"minCount < 2 would mark every span duplicated, got $minCount")
+    // The positioned span stream feeds BOTH the global occurrence count and
+    // the join-back probe; materialize it once (without the checkpoint the
+    // whole shingle window replays per consumer — measured 6 scans of the
+    // source and 12 exchanges in the audit). Rotated under the operator key
+    // per the storage contract at [[rotateCheckpoints]].
     val sh = shingleFramePos(docs, textCol, idCol, n)
       .filter(col("pos").isNotNull) // empty docs have no coverable positions
       .withColumn("h", pmod(graft.functions.Fnv.fnv1a64(col("shingle")), lit(Prime)))
+      .select(col("id"), col("ntok"), col("pos"), col("h"))
+      .localCheckpoint()
+    rotateCheckpoints("Dedup.substringCoverage", sh)
     val dup = sh.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= minCount).select(col("h"))
     val width = when(col("ntok") >= n, lit(n)).otherwise(col("ntok"))
