@@ -63,4 +63,15 @@ object Sampling {
       .filter(col("__rk") <= k)
       .drop("__rk")
   }
+
+  /** Deterministic ~90/5/5 train/valid/test assignment from the first md5
+    * byte of the seeded draw on `key` ("e6" = 230/256 ≈ 89.8% train,
+    * "f3" = 243/256 fences the next ≈ 5.1% as valid). Pure column algebra —
+    * and the LEAKAGE-SAFE form passes the near-dup CLUSTER id as `key`, so
+    * a near-duplicate of a training document can never land in eval. */
+  def hashSplit(key: Column, seed: String = "split"): Column = {
+    val bucket = substring(
+      md5(concat(lit(seed + ":"), key.cast("string")).cast("binary")), 1, 2)
+    when(bucket < "e6", "train").when(bucket < "f3", "valid").otherwise("test")
+  }
 }

@@ -80,10 +80,7 @@ object Extensions {
         md5(concat(lit("split:"), col("doc_id").cast("string")).cast("binary")), 1, 2)
       Tables.documents(s, d)
         .select(col("doc_id"), bucket.as("bucket"))
-        .withColumn("split",
-          when(col("bucket") < "e6", "train")
-            .when(col("bucket") < "f3", "valid")
-            .otherwise("test"))
+        .withColumn("split", graft.ext.Sampling.hashSplit(col("doc_id")))
         .orderBy(col("doc_id"))
     }),
 
@@ -215,6 +212,27 @@ object Extensions {
         .select(col("doc_id"),
           coalesce(col("label"), col("doc_id")).as("component"),
           (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // LEAKAGE-SAFE train/valid/test split: hash the near-dup CLUSTER id,
+    // not the doc id — with a doc-id split, a near-duplicate of a training
+    // document lands in eval ~10% of the time and the benchmark is
+    // contaminated. Same LSH pairs -> connected components as the survivor
+    // election; singletons hash their own id (identical to the plain split
+    // for unique docs).
+    "train_split_by_cluster" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", k = 32)
+        .localCheckpoint()
+      val pairs = Dedup.minhashNearDupsFromSigs(sigs,
+        bands = 8, rows = 4, threshold = 0.5)
+      val comps = Dedup.connectedComponents(pairs.select(col("id1"), col("id2")))
+      Dedup.rotateCheckpoints("train_split_by_cluster", sigs, comps)
+      docs.select(col("doc_id"))
+        .join(comps.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+        .withColumn("split", graft.ext.Sampling.hashSplit(col("cluster_id")))
         .orderBy(col("doc_id"))
     }),
 
@@ -1118,6 +1136,26 @@ object Extensions {
          |  coalesce(comp.label, d.doc_id) = d.doc_id AS kept
          |FROM documents d LEFT JOIN comp ON comp.a = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Cluster-keyed split: the survivors' transitive closure feeding the
+    // same md5 fences as train_split_hash, keyed on the cluster id.
+    "train_split_by_cluster" ->
+      s"""${minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |sym AS (SELECT id1 AS a, id2 AS b FROM pairs
+         |        UNION SELECT id2, id1 FROM pairs),
+         |reach(a, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+         |  UNION
+         |  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.a),
+         |comp AS (SELECT a, min(r) AS label FROM reach GROUP BY a),
+         |cl AS (SELECT d.doc_id,
+         |         CAST(coalesce(comp.label, d.doc_id) AS BIGINT) AS cluster_id
+         |       FROM documents d LEFT JOIN comp ON comp.a = d.doc_id)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+         |       WHEN substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 2) < 'f3' THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM cl ORDER BY doc_id""".stripMargin,
 
     // SimHash replayed exactly: FNV-1a token hashes, 64 +1/-1 bit votes,
     // sign -> bit, then Spark's conv(...,10,16) = DuckDB hex() on the signed
