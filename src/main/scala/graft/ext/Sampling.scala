@@ -64,6 +64,21 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Per-row weighted (importance) sampling: keep each row with probability
+    * ~`rate` (a COLUMN in [0,1], clamped; granularity 1/65536),
+    * deterministically in (seed, key) — the quality-weighted downsampling
+    * move, where keep probability follows a per-document score instead of a
+    * per-stratum constant. Zero shuffles: threshold hex is per-row
+    * arithmetic (Spark hex() is uppercase — lower() it to compare against
+    * the md5 draw), and rate >= 1 takes the 'g' keep-all sentinel. */
+  def weightedSample(df: DataFrame, rate: Column, keyCol: String,
+      seed: String = "strat"): DataFrame = {
+    val clamped = greatest(lit(0.0), least(lit(1.0), rate))
+    val thr = when(clamped >= 1.0, lit("g")).otherwise(
+      lower(lpad(hex(floor(clamped * 65536).cast("long")), 4, "0")))
+    df.filter(draw(seed, col(keyCol)) < thr)
+  }
+
   /** Deterministic ~90/5/5 train/valid/test assignment from the first md5
     * byte of the seeded draw on `key` ("e6" = 230/256 ≈ 89.8% train,
     * "f3" = 243/256 fences the next ≈ 5.1% as valid). Pure column algebra —

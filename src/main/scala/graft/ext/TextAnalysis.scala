@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines: token
@@ -27,6 +27,38 @@ object TextAnalysis {
   def subwordCount(text: Column): Column =
     size(filter(split(lower(text), "(?<=[^a-z0-9])|(?=[^a-z0-9])"),
       t => t.rlike("[a-z0-9]|\\p{Punct}")))
+
+  /** Sliding token-window chunking — the context-window prep step: split
+    * each doc into `chunkSize`-token windows advancing by
+    * `chunkSize - overlap` tokens, the last window short if the doc runs
+    * out. Docs shorter than a window become one chunk; empty docs produce
+    * none. Returns (id, chunk_idx, n_chunk_tokens, chunk_md5).
+    *
+    * Pure column algebra over one tokenize + one generate (no window
+    * function, no shuffle — chunk geometry is per-row arithmetic), so at
+    * 100 TB chunking is scan-speed. The md5 fingerprint makes every chunk's
+    * CONTENT verifiable cross-engine without shipping the text. */
+  def chunkFrame(docs: DataFrame, textCol: String, idCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0,
+      s"need chunkSize > overlap >= 0, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val nChunks = when(col("__ntok") <= 0, lit(0)).otherwise(
+      greatest(lit(1L), ceil((col("__ntok") - lit(overlap)).cast("double") / stride)))
+    docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__tk"))
+      .withColumn("__ntok", size(col("__tk")))
+      .withColumn("__nc", nChunks)
+      .filter(col("__nc") > 0)
+      .select(col("id"), col("__tk"),
+        explode(sequence(lit(0L), col("__nc") - 1)).as("chunk_idx"))
+      .select(col("id"), col("chunk_idx"),
+        slice(col("__tk"), (col("chunk_idx") * stride + 1).cast("int"), lit(chunkSize))
+          .as("__chunk"))
+      .select(col("id"), col("chunk_idx"),
+        size(col("__chunk")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("__chunk")).cast("binary")).as("chunk_md5"))
+  }
 
   /** Per-document quality features (ratios in [0,1]). */
   def punctRatio(text: Column): Column =

@@ -122,6 +122,28 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-row weighted (importance) sampling: keep probability follows the
+    // document's length score instead of a stratum constant — the
+    // quality-weighted downsampling move. Still zero shuffles and still
+    // deterministic in (seed, doc_id).
+    "train_weighted_sample" -> ((s, d) => {
+      graft.ext.Sampling.weightedSample(Tables.documents(s, d),
+          col("n_chars").cast("double") / 500.0, "doc_id")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sliding token-window chunking (32-token windows, 8-token overlap):
+    // the context-window prep step. Chunk geometry is per-row arithmetic
+    // fused into the scan — no shuffle — and each chunk's md5 makes the
+    // content cross-engine checkable without shipping text.
+    "text_chunk_windows" -> ((s, d) => {
+      TA.chunkFrame(Tables.documents(s, d), "text", "doc_id",
+          chunkSize = 32, overlap = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // Global vocabulary head: top-100 words by corpus frequency with a
     // deterministic tie-break — explode + hash-agg + TakeOrderedAndProject
     // (no full sort at scale).
@@ -1321,6 +1343,35 @@ object Extensions {
         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
         |    ORDER BY substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 4), doc_id) AS rk
         |  FROM documents) WHERE rk <= 40 ORDER BY doc_id""".stripMargin,
+
+    // Per-row threshold hex replicated exactly: clamp, floor(rate*65536),
+    // 4-digit lower-case hex, 'g' sentinel at rate >= 1.
+    "train_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE WHEN greatest(0.0, least(1.0, n_chars::DOUBLE / 500.0)) >= 1.0 THEN 'g'
+        |       ELSE lpad(lower(hex(CAST(floor(
+        |         greatest(0.0, least(1.0, n_chars::DOUBLE / 500.0)) * 65536) AS BIGINT))), 4, '0')
+        |  END
+        |ORDER BY doc_id""".stripMargin,
+
+    // Chunk geometry replayed: nc = max(1, ceil((ntok-8)/24)) for non-empty
+    // docs, 1-based inclusive list slices (both engines clamp at the end),
+    // md5 of the space-joined window.
+    "text_chunk_windows" ->
+      s"""WITH docs AS (SELECT doc_id, $toks AS tk FROM documents),
+         |n AS (SELECT doc_id, tk,
+         |        CASE WHEN len(tk) <= 0 THEN 0
+         |             ELSE greatest(1, CAST(ceil((len(tk) - 8)::DOUBLE / 24) AS BIGINT))
+         |        END AS nc
+         |      FROM docs),
+         |c AS (SELECT doc_id, tk, unnest(range(0, nc)) AS chunk_idx FROM n WHERE nc > 0),
+         |s AS (SELECT doc_id, chunk_idx,
+         |        tk[CAST(chunk_idx*24 + 1 AS INT) : CAST(chunk_idx*24 + 32 AS INT)] AS ch
+         |      FROM c)
+         |SELECT doc_id, chunk_idx, CAST(len(ch) AS BIGINT) AS n_chunk_tokens,
+         |  md5(array_to_string(ch, ' ')) AS chunk_md5
+         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "text_vocab_topk" ->
       s"""SELECT w, count(*) AS n

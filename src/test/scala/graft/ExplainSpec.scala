@@ -101,4 +101,24 @@ class ExplainSpec extends SparkSpec {
     assert(nodes.count(_.isInstanceOf[CartesianProductExec]) === 0)
     assert(nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) === 0)
   }
+
+  test("dedup_substring_coverage: span stream checkpointed once — a single documents scan") {
+    val nodes = run("dedup_substring_coverage")
+    // ONE scan feeds the checkpointed span stream; the per-doc token-count
+    // projection legitimately reads documents once more
+    assert(scansOf(nodes, "doc_").size <= 2,
+      "the occurrence count and the join-back probe must both read the " +
+        "checkpointed span stream, never replay the shingle window")
+    assert(nodes.count(_.isInstanceOf[CartesianProductExec]) === 0)
+    assert(nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) === 0)
+  }
+
+  test("train_split_by_cluster: single documents scan beyond the checkpointed chain") {
+    val nodes = run("train_split_by_cluster")
+    assert(scansOf(nodes, "doc_").size === 1,
+      "signatures/pairs/components must reuse the checkpointed signature " +
+        "RDD; only the final doc_id projection reads documents")
+    assert(nodes.count(_.isInstanceOf[CartesianProductExec]) === 0)
+    assert(nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) === 0)
+  }
 }

@@ -59,4 +59,27 @@ class SamplingSpec extends SparkSpec {
     val sampled = Sampling.stratifiedFixedK(corpus, "lang", "id", 100000)
     assert(sampled.count() === corpus.count())
   }
+
+  test("weighted: per-row rates land near target, deterministic, clamped") {
+    // weight ramps 0 -> 1 across ids: overall keep fraction ~= mean ~= 0.5
+    val weighted = corpus.withColumn("w", col("id").cast("double") / 4000.0)
+    val kept = Sampling.weightedSample(weighted, col("w"), "id")
+    val again = Sampling.weightedSample(weighted, col("w"), "id")
+    assert(kept.collect().toSet === again.collect().toSet, "not deterministic")
+    val n = kept.count()
+    // sum of independent Bernoulli(w_i), mean 2000, sd ~= sqrt(sum w(1-w)) ~= 26
+    assert(math.abs(n - 2000L) < 150, s"kept $n of 4000 at mean weight 0.5")
+    // low ids (w < 0.05) mostly dropped, high ids (w > 0.95) mostly kept
+    val lowKept = kept.filter(col("id") <= 200).count()
+    val highKept = kept.filter(col("id") > 3800).count()
+    assert(lowKept < 25, s"low-weight rows over-sampled: $lowKept of 200")
+    assert(highKept > 175, s"high-weight rows under-sampled: $highKept of 200")
+  }
+
+  test("weighted: rate >= 1 keeps every row, rate <= 0 keeps none") {
+    val all = Sampling.weightedSample(corpus.withColumn("w", lit(5.0)), col("w"), "id")
+    assert(all.count() === corpus.count(), "rate >= 1 must keep the top draw too")
+    val none = Sampling.weightedSample(corpus.withColumn("w", lit(-1.0)), col("w"), "id")
+    assert(none.count() === 0)
+  }
 }

@@ -160,4 +160,44 @@ class TextAnalysisSpec extends SparkSpec {
     val s = out.map(_.getAs[String]("scrubbed")).mkString(" ")
     assert(s.contains("<EMAIL>") && s.contains("<PHONE>") && s.contains("<IP>"))
   }
+
+  test("chunkFrame: window geometry, overlap content, short and empty docs") {
+    import spark.implicits._
+    // 10 tokens, chunkSize 4, overlap 1 -> stride 3 -> ceil(9/3) = 3 chunks
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      (2L, "a b"), // short: one whole-doc chunk
+      (3L, "")     // empty: no chunks
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkFrame(docs, "text", "doc_id", chunkSize = 4, overlap = 1)
+      .orderBy("id", "chunk_idx")
+      .collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc(1L).length === 3)
+    assert(!byDoc.contains(3L), "empty docs must produce no chunks")
+    // doc 1 windows: [t0..t3], [t3..t6], [t6..t9] — adjacent chunks share
+    // exactly the 1-token overlap; verify via the md5 of the expected text
+    val expected = Seq("t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9")
+    val md5s = docs.sparkSession.range(1).select(
+      expected.map(e => md5(lit(e).cast("binary")).as(e)): _*).head()
+    byDoc(1L).zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(2) === 4L, s"chunk $i width")
+      assert(r.getString(3) === md5s.getString(i), s"chunk $i content")
+    }
+    assert(byDoc(2L).map(r => (r.getLong(1), r.getLong(2))).toSeq === Seq((0L, 2L)),
+      "short doc: a single short chunk at index 0")
+  }
+
+  test("chunkFrame: every token is covered and consecutive chunks overlap") {
+    import spark.implicits._
+    val docs = Seq((1L, (0 until 53).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkFrame(docs, "text", "doc_id", chunkSize = 16, overlap = 4)
+      .orderBy("chunk_idx").collect()
+    // stride 12: ceil((53-4)/12) = 5 chunks; last starts at 48, width 5
+    assert(out.length === 5)
+    assert(out.last.getLong(2) === 5L)
+    val widths = out.map(_.getLong(2))
+    // total tokens counted with overlap = 53 + 4 overlaps * 4 shared tokens
+    assert(widths.sum === 53L + 4 * 4)
+  }
 }
