@@ -60,6 +60,55 @@ object TextAnalysis {
         md5(concat_ws(" ", col("__chunk")).cast("binary")).as("chunk_md5"))
   }
 
+  /** Statistical language-model quality score: per doc, the average add-one
+    * smoothed conditional bigram probability
+    * (c(w1,w2) + 1) / (c(w1·) + V) under the corpus's own bigram model —
+    * the KenLM-style "does this text look like the corpus" filter signal
+    * (low score = unusual token sequences = noisy doc). Smoothing matters:
+    * the UNSMOOTHED MLE gives a never-seen-prefix bigram probability 1
+    * (its prefix only ever precedes that token), scoring gibberish as
+    * perfectly typical. V = continuation vocabulary (distinct second
+    * tokens). Returns (id, n_bigrams, avg_cond_prob); docs with < 2 tokens
+    * score (0, 0.0).
+    *
+    * Deliberately the RATIONAL form, not log-perplexity: every conditional
+    * is an IEEE division of two integer counts (bit-identical in any
+    * engine), each is quantized to 9 decimals and summed as exact DECIMAL
+    * terms, so the whole score replays cross-engine — a log formulation
+    * would be replayable only up to libm's ulp. Ranking behavior matches
+    * (both are monotone quality signals).
+    *
+    * Scale: the bigram stream is checkpointed once and feeds four
+    * consumers (bigram counts, prefix counts, V, the per-doc join); the
+    * count tables are vocabulary-bounded hash-aggs with map-side combine,
+    * V is a broadcast 1-row frame, and the joins are hash equi-joins on
+    * the bigram/prefix key — everything linear, nothing all-pairs. */
+  def bigramLmScores(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val bg = Dedup.shingleFramePos(docs, textCol, idCol, 2)
+      .filter(col("ntok") >= 2) // whole-string shingles of short docs are not bigrams
+      .select(col("id"), col("shingle").as("b"),
+        substring_index(col("shingle"), " ", 1).as("w1"),
+        substring_index(col("shingle"), " ", -1).as("w2"))
+      .localCheckpoint()
+    Dedup.rotateCheckpoints("TextAnalysis.bigramLmScores", bg)
+    val cbg = bg.groupBy(col("b")).agg(count(lit(1)).as("c2"))
+    val cw1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vRow = bg.agg(count_distinct(col("w2")).as("v"))
+    val sc = bg.join(cbg, "b").join(cw1, "w1")
+      .crossJoin(broadcast(vRow)) // 1-row global, broadcast attachment
+      .select(col("id"),
+        round((col("c2") + 1).cast("double") / (col("c1") + col("v")), 9)
+          .cast("decimal(38,9)").as("r"))
+    val ag = sc.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("r")).as("s"))
+    docs.select(col(idCol).as("id"))
+      .join(ag, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("s").isNull, lit(0.0))
+          .otherwise(round(col("s").cast("double") / col("n_bigrams"), 6))
+          .as("avg_cond_prob"))
+  }
+
   /** Per-document quality features (ratios in [0,1]). */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, 0.0)

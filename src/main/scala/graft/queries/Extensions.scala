@@ -144,6 +144,16 @@ object Extensions {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // Statistical LM quality score: average conditional bigram probability
+    // under the corpus's own MLE model — the KenLM-filter signal, in the
+    // rational form whose every term is an IEEE division of integer counts
+    // (exactly replayable; a log form would be libm-ulp-bound).
+    "text_bigram_lm_score" -> ((s, d) => {
+      TA.bigramLmScores(Tables.documents(s, d), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Global vocabulary head: top-100 words by corpus frequency with a
     // deterministic tie-break — explode + hash-agg + TakeOrderedAndProject
     // (no full sort at scale).
@@ -1354,6 +1364,32 @@ object Extensions {
         |         greatest(0.0, least(1.0, n_chars::DOUBLE / 500.0)) * 65536) AS BIGINT))), 4, '0')
         |  END
         |ORDER BY doc_id""".stripMargin,
+
+    // Bigram LM replayed exactly: positioned bigrams, corpus bigram/prefix
+    // counts, the continuation vocabulary V, each add-one conditional
+    // (c2+1)/(c1+V) as the IEEE double both engines compute, Spark-rounded
+    // to 9 decimals and summed as exact DECIMAL terms
+    // (association-order-free), then one division + Spark-parity rounding.
+    "text_bigram_lm_score" ->
+      s"""WITH docs AS (SELECT doc_id, $toks AS tk FROM documents),
+         |bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2,
+         |         tk[i] || ' ' || tk[i+1] AS b
+         |       FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+         |             FROM docs WHERE len(tk) >= 2)),
+         |cbg AS (SELECT b, count(*) AS c2 FROM bg GROUP BY b),
+         |cw1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+         |vv AS (SELECT count(DISTINCT w2) AS v FROM bg),
+         |sc AS (SELECT doc_id,
+         |         CAST(${sparkRound("(c2 + 1)::DOUBLE / (c1 + v)", 9)} AS DECIMAL(38,9)) AS r
+         |       FROM bg JOIN cbg USING (b) JOIN cw1 USING (w1) CROSS JOIN vv),
+         |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |         CAST(sum(r) AS DOUBLE) AS s, count(*) AS n
+         |       FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(ag.n_bigrams, 0) AS n_bigrams,
+         |  CASE WHEN ag.doc_id IS NULL THEN 0.0
+         |       ELSE ${sparkRound("ag.s / ag.n", 6)} END AS avg_cond_prob
+         |FROM documents d LEFT JOIN ag ON ag.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // Chunk geometry replayed: nc = max(1, ceil((ntok-8)/24)) for non-empty
     // docs, 1-based inclusive list slices (both engines clamp at the end),

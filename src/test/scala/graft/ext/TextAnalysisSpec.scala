@@ -161,6 +161,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(s.contains("<EMAIL>") && s.contains("<PHONE>") && s.contains("<IP>"))
   }
 
+  test("bigramLmScores: hand-computed add-one conditionals, short docs score 0") {
+    import spark.implicits._
+    val docs = Seq(
+      // c(a b)=2, c(a c)=1, c(a.)=3, V = |{b, c}| = 2
+      (1L, "a b"), (2L, "a b"), (3L, "a c"),
+      (4L, "solo"), (5L, "")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.bigramLmScores(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map { case (id, n, p) => id -> ((n, p)) }.toMap
+    assert(m(1L) === ((1L, 0.6)), "p(b|a) = (2+1)/(3+2)")
+    assert(m(2L) === ((1L, 0.6)))
+    assert(m(3L) === ((1L, 0.4)), "p(c|a) = (1+1)/(3+2)")
+    assert(m(4L) === ((0L, 0.0)), "one token -> no bigrams")
+    assert(m(5L) === ((0L, 0.0)), "empty doc")
+  }
+
+  test("bigramLmScores: replicated docs outscore a gibberish outlier") {
+    import spark.implicits._
+    val common = "the quick brown fox jumps over the lazy dog"
+    val docs = ((1L to 8L).map(i => (i, common)) :+
+      (9L, "zxq wvu tsr qpo nml")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScores(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map { case (id, _, p) => id -> p }.toMap
+    // smoothing is the point: unsmoothed MLE would give the outlier's
+    // never-repeated bigrams probability 1.0 and call gibberish typical
+    assert(out(1L) > 0.4, s"replicated text must look typical, got ${out(1L)}")
+    assert(out(9L) < 0.2, s"gibberish must look atypical, got ${out(9L)}")
+    assert(out(9L) < out(1L))
+  }
+
   test("chunkFrame: window geometry, overlap content, short and empty docs") {
     import spark.implicits._
     // 10 tokens, chunkSize 4, overlap 1 -> stride 3 -> ceil(9/3) = 3 chunks
