@@ -79,6 +79,29 @@ object Sampling {
     df.filter(draw(seed, col(keyCol)) < thr)
   }
 
+  /** Rebalance toward a UNIFORM stratum mixture — the "balance the
+    * languages" move, with the rates computed FROM THE DATA instead of
+    * hand-picked: stratum s gets keep-rate min(1, (N/k)/n_s) (N = corpus
+    * size, k = number of strata), so over-represented strata are
+    * downsampled toward the equal share and under-represented strata are
+    * kept whole. Rates ride as a broadcast stratum-count frame joined back
+    * to the rows — nothing is collected — and the keep/drop decision is the
+    * same deterministic seeded-md5 draw as every sampler here, so the
+    * rebalanced corpus is a pure function of the input. Two passes over
+    * `df` (the tiny count aggregate, then the sampling scan). */
+  def rebalanceUniform(df: DataFrame, stratumCol: String, keyCol: String,
+      seed: String = "strat"): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n_src"))
+    val globals = df.agg(count(lit(1)).as("__n_tot"),
+      count_distinct(col(stratumCol)).as("__k"))
+    val rates = counts.crossJoin(broadcast(globals)) // 1-row global attachment
+      .select(col(stratumCol),
+        least(lit(1.0), col("__n_tot").cast("double") / col("__k") / col("__n_src"))
+          .as("__rate"))
+    weightedSample(df.join(broadcast(rates), stratumCol), col("__rate"), keyCol, seed)
+      .select(df.columns.map(col): _*)
+  }
+
   /** Deterministic ~90/5/5 train/valid/test assignment from the first md5
     * byte of the seeded draw on `key` ("e6" = 230/256 ≈ 89.8% train,
     * "f3" = 243/256 fences the next ≈ 5.1% as valid). Pure column algebra —

@@ -122,6 +122,22 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // Mixture rebalancing with DATA-DERIVED rates: each language gets
+    // keep-rate min(1, equal-share/current-share), so the dominant language
+    // is downsampled toward uniform and the tail is kept whole. Reports
+    // per-language before/after counts — the mixture-control loop in one
+    // query.
+    "train_mixture_rebalance" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val kept = graft.ext.Sampling.rebalanceUniform(docs, "lang", "doc_id")
+      val before = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
+      val after = kept.groupBy(col("lang")).agg(count(lit(1)).as("n_after"))
+      before.join(after, Seq("lang"), "left")
+        .select(col("lang"), col("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"))
+        .orderBy(col("lang"))
+    }),
+
     // Per-row weighted (importance) sampling: keep probability follows the
     // document's length score instead of a stratum constant — the
     // quality-weighted downsampling move. Still zero shuffles and still
@@ -1353,6 +1369,24 @@ object Extensions {
         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
         |    ORDER BY substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 4), doc_id) AS rk
         |  FROM documents) WHERE rk <= 40 ORDER BY doc_id""".stripMargin,
+
+    // Rebalance replayed end-to-end: stratum counts, the (N/k)/n_s rate in
+    // the same IEEE division order, the weightedSample clamp + hex fences,
+    // then before/after counts.
+    "train_mixture_rebalance" ->
+      """WITH nb AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY lang),
+        |g AS (SELECT count(*) AS n_tot, count(DISTINCT lang) AS k FROM documents),
+        |r AS (SELECT lang, least(1.0, (n_tot::DOUBLE / k) / n_before) AS rate
+        |      FROM nb CROSS JOIN g),
+        |kept AS (SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+        |  WHERE substr(md5('strat:' || CAST(d.doc_id AS VARCHAR)), 1, 4) <
+        |    CASE WHEN greatest(0.0, least(1.0, rate)) >= 1.0 THEN 'g'
+        |         ELSE lpad(lower(hex(CAST(floor(
+        |           greatest(0.0, least(1.0, rate)) * 65536) AS BIGINT))), 4, '0')
+        |    END),
+        |na AS (SELECT lang, count(*) AS n_after FROM kept GROUP BY lang)
+        |SELECT nb.lang, nb.n_before, coalesce(na.n_after, 0) AS n_after
+        |FROM nb LEFT JOIN na USING (lang) ORDER BY nb.lang""".stripMargin,
 
     // Per-row threshold hex replicated exactly: clamp, floor(rate*65536),
     // 4-digit lower-case hex, 'g' sentinel at rate >= 1.

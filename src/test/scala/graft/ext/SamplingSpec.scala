@@ -76,6 +76,21 @@ class SamplingSpec extends SparkSpec {
     assert(highKept > 175, s"high-weight rows under-sampled: $highKept of 200")
   }
 
+  test("rebalanceUniform: head stratum downsampled to the equal share, tail kept whole") {
+    // corpus: 2800 en / 800 de / 400 zh, k=3 -> equal share 1333.3
+    val kept = Sampling.rebalanceUniform(corpus, "lang", "id")
+    val after = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(after("de") === 800L, "under-represented strata must be kept whole")
+    assert(after("zh") === 400L)
+    // en rate = 1333.3/2800 = 0.476: binomial sd ~= 26, allow 5 sd
+    assert(math.abs(after("en") - 1333L) < 135,
+      s"en must land near the equal share, got ${after("en")}")
+    // determinism and schema preservation
+    val again = Sampling.rebalanceUniform(corpus, "lang", "id")
+    assert(kept.columns.toSeq === corpus.columns.toSeq)
+    assert(kept.collect().toSet === again.collect().toSet)
+  }
+
   test("weighted: rate >= 1 keeps every row, rate <= 0 keeps none") {
     val all = Sampling.weightedSample(corpus.withColumn("w", lit(5.0)), col("w"), "id")
     assert(all.count() === corpus.count(), "rate >= 1 must keep the top draw too")
