@@ -1,0 +1,128 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch event-stream analytics: sessionization, ordered funnels, cohort
+  * retention. The batch complements of the streaming window queries
+  * (`queries/Streams.scala`) — the shapes every clickstream/telemetry
+  * pipeline runs over its event log before the data ever reaches training.
+  *
+  * All three operate on the raw NANOSECOND long timestamp (`ts_ns`), so
+  * every comparison, gap, and bucket is exact integer arithmetic — no
+  * float time, no engine-specific timestamp truncation — and any SQL
+  * engine replays the decisions bit-for-bit.
+  *
+  * Scale notes (100 TB event log):
+  *  - `sessionize` is ONE shuffle: both window functions (the lag and the
+  *    running sum) share the same partitioning (user) and ordering
+  *    (ts, id), so Catalyst plans a single exchange + sort and evaluates
+  *    both in one `Window` operator pass.
+  *  - `funnelSteps` filters the log to the step types FIRST (pushed to the
+  *    scan), then does one user-keyed aggregate per step; the per-user
+  *    "reached step k" frames are bounded by |users|, tiny next to the
+  *    log, and every join is on the same user key so AQE reuses the
+  *    partitioning (or broadcasts when the survivor set shrinks enough).
+  *  - `retention` reduces the log to distinct (user, day) pairs in its
+  *    first aggregate — everything after operates on that much smaller
+  *    frame.
+  */
+object EventAnalytics {
+
+  /** Gap-based sessionization: a new session starts when the user's gap
+    * since their previous event exceeds `gapNs`. Adds `session_idx`
+    * (1-based per user, in time order). Ties in `tsCol` are broken by
+    * `idCol` so the numbering is total-ordered and deterministic.
+    */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, gapNs: Long): DataFrame = {
+    require(gapNs > 0, s"gapNs must be positive, got $gapNs")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val prev = lag(col(tsCol), 1).over(w)
+    val isNew = when(prev.isNull || col(tsCol) - prev > gapNs, 1L).otherwise(0L)
+    events.withColumn("session_idx",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-session rollup over `sessionize` output: event count, exact
+    * integer start/end/duration in `tsCol`'s unit, distinct event types.
+    * Same user-keyed partitioning as the sessionize window, so the
+    * aggregate reuses the exchange.
+    */
+  def sessionStats(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, gapNs: Long): DataFrame =
+    sessionize(events, userCol, tsCol, idCol, gapNs)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("start_ts"),
+        max(col(tsCol)).as("end_ts"),
+        (max(col(tsCol)) - min(col(tsCol))).as("duration"),
+        count_distinct(col(typeCol)).as("n_types"))
+
+  /** Strict ordered funnel: for each user, the time of their FIRST
+    * `steps(0)` event anchors the funnel; step k counts only if some
+    * `steps(k)` event falls strictly after the user's step k-1 time and
+    * within `windowNs` of the anchor. Returns one per-user row with each
+    * step's entry time (`t0..t{n-1}`, null once the user drops out).
+    */
+  def funnelSteps(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], windowNs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(windowNs > 0, s"windowNs must be positive, got $windowNs")
+    // one pass to the step types only — this predicate pushes into the scan
+    val stepEvents = events.filter(col(typeCol).isin(steps.map(lit): _*))
+      .select(col(userCol), col(tsCol), col(typeCol))
+    val anchor = stepEvents.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t0"))
+    steps.zipWithIndex.tail.foldLeft(anchor) { case (reached, (step, k)) =>
+      val hit = stepEvents.filter(col(typeCol) === step)
+        .join(reached, userCol)
+        .filter(col(tsCol) > col(s"t${k - 1}") && col(tsCol) <= col("t0") + windowNs)
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"t$k"))
+        .select(col(userCol), col(s"t$k"))
+      reached.join(hit, Seq(userCol), "left")
+    }
+  }
+
+  /** Funnel summary: users reaching each step, plus conversion relative to
+    * the step-1 population (6-decimal double, Spark/DuckDB round-parity
+    * left to the caller's rounding convention — counts here are exact).
+    */
+  def funnelCounts(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], windowNs: Long): DataFrame = {
+    val perUser = funnelSteps(events, userCol, tsCol, typeCol, steps, windowNs)
+    val counts = perUser.agg(
+      count(lit(1)).as("n_step0"),
+      steps.indices.tail.map(k => count(col(s"t$k")).as(s"n_step$k")): _*)
+    val rows = steps.zipWithIndex.map { case (step, k) =>
+      struct(lit(k).cast("int").as("step_idx"), lit(step).as("step"),
+        col(s"n_step$k").as("n_users"))
+    }
+    counts.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.step_idx"), col("r.step"), col("r.n_users"))
+  }
+
+  /** Day-offset cohort retention: cohort = the user's first active day
+    * (exact `ts div 86400e9` epoch-day from the nanos long); for every
+    * (cohort_day, day_offset) pair, how many of that cohort's users were
+    * active. First reduces the log to distinct (user, day).
+    */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+      ticksPerDay: Long = 86400L * 1000000000L): DataFrame = {
+    // `div`, not `/`: Column./ on longs is DOUBLE division, and an ns
+    // timestamp (~1.7e18) exceeds double's exact-integer range, so day
+    // boundaries could misround. Integer div is exact (and matches
+    // DuckDB's `//` for the positive epoch).
+    val active = events
+      .select(col(userCol), expr(s"$tsCol div ${ticksPerDay}L").as("day"))
+      .distinct()
+    val cohort = active.groupBy(col(userCol)).agg(min(col("day")).as("cohort_day"))
+    val sizes = cohort.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_n"))
+    active.join(cohort, userCol)
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count_distinct(col(userCol)).as("n_active"))
+      .join(sizes, "cohort_day")
+  }
+}

@@ -447,6 +447,46 @@ object Extensions {
         .orderBy(col("user_id"), col("click_id"))
     }),
 
+    // ---- batch event analytics (exact integer time algebra) ---------------
+    // Gap-based sessionization (30-min gap) rolled up to per-session stats:
+    // one shuffle on user_id shared by the lag window, the running-sum
+    // window, and the final aggregate. Runs on the µs truncation of the
+    // nanos long (`div 1000` = DuckDB's read-time truncation) so the
+    // session bounds are replayable outside the JVM.
+    "events_sessionize" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+      graft.ext.EventAnalytics.sessionStats(
+        ev, "user_id", "ts_us", "event_id", "event_type",
+        gapNs = 1800L * 1000000L)
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
+
+    // Strict ordered funnel signup -> view -> click -> purchase within 72 h
+    // of the user's first signup: per-step user counts plus conversion from
+    // the anchor population.
+    "events_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+      val c = graft.ext.EventAnalytics.funnelCounts(
+        ev, "user_id", "ts_us", "event_type",
+        Seq("signup", "view", "click", "purchase"), windowNs = 72L * 3600L * 1000000L)
+      val anchor = first(when(col("step_idx") === 0, col("n_users")), ignoreNulls = true)
+      c.crossJoin(broadcast(c.agg(anchor.as("n0"))))
+        .select(col("step_idx"), col("step"), col("n_users"),
+          round(col("n_users").cast("double") / col("n0"), 6).as("conversion"))
+        .orderBy(col("step_idx"))
+    }),
+
+    // Day-offset cohort retention over the first 30 days: cohort = first
+    // active epoch-day, exact integer day buckets from the nanos long.
+    "events_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+      graft.ext.EventAnalytics.retention(ev, "user_id", "ts_us",
+        ticksPerDay = 86400L * 1000000L)
+        .select(col("cohort_day"), col("day_offset"), col("n_active"), col("cohort_n"),
+          round(col("n_active").cast("double") / col("cohort_n"), 6).as("retained"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     // ---- sketch-based ops (FNV-1a basis; oracle-replayed exactly) ----------
     // Portable HLL over the corpus vocabulary: the FNV-1a-based
     // approx-distinct whose registers, scaled harmonic sum, and estimate the
@@ -1513,6 +1553,70 @@ object Extensions {
          |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
          |  ON c.user_id = v.user_id AND c.ts >= v.ts
          |ORDER BY c.user_id, click_id""".stripMargin,
+
+    // Sessionization replayed on the exact µs long (epoch_us = Spark's
+    // `ts_ns div 1000` under DuckDB's read-time truncation): same lag /
+    // gap / running-sum windows, same (ts, event_id) tie-break, exact
+    // integer session bounds.
+    "events_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type
+        |           FROM events),
+        |s AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+        |                       OR tus - lag(tus) OVER w > 1800000000
+        |                     THEN 1 ELSE 0 END AS nw
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |x AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |      FROM s)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(tus) AS start_ts, max(tus) AS end_ts,
+        |  max(tus) - min(tus) AS duration,
+        |  count(DISTINCT event_type) AS n_types
+        |FROM x GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    // Funnel replayed step by step: anchor = first signup, each step's
+    // first qualifying time strictly after the previous step and within
+    // the 72 h anchor window; counts are exact, conversion Spark-rounded.
+    "events_funnel" ->
+      s"""WITH s0 AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+         |            WHERE event_type = 'signup' GROUP BY user_id),
+         |s1 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t1
+         |       FROM events e JOIN s0 USING (user_id)
+         |       WHERE e.event_type = 'view' AND epoch_us(e.ts) > t0
+         |         AND epoch_us(e.ts) <= t0 + 259200000000 GROUP BY e.user_id),
+         |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+         |       FROM events e JOIN s1 USING (user_id) JOIN s0 USING (user_id)
+         |       WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1
+         |         AND epoch_us(e.ts) <= t0 + 259200000000 GROUP BY e.user_id),
+         |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+         |       FROM events e JOIN s2 USING (user_id) JOIN s0 USING (user_id)
+         |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2
+         |         AND epoch_us(e.ts) <= t0 + 259200000000 GROUP BY e.user_id),
+         |n AS (SELECT 0 AS step_idx, 'signup' AS step,
+         |        (SELECT count(*) FROM s0) AS n_users
+         |      UNION ALL SELECT 1, 'view', (SELECT count(*) FROM s1)
+         |      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+         |      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+         |SELECT step_idx, step, n_users,
+         |  ${sparkRound("n_users::DOUBLE / (SELECT count(*) FROM s0)", 6)} AS conversion
+         |FROM n ORDER BY step_idx""".stripMargin,
+
+    // Cohort retention replayed: distinct (user, epoch-day) with integer
+    // `//` day division (= Spark's `div` on the positive epoch), cohort =
+    // min day, exact counts, Spark-rounded retained share.
+    "events_retention" ->
+      s"""WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+         |           FROM events),
+         |c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id),
+         |z AS (SELECT cohort_day, count(*) AS cohort_n FROM c GROUP BY cohort_day),
+         |r AS (SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+         |        count(DISTINCT a.user_id) AS n_active
+         |      FROM a JOIN c USING (user_id) GROUP BY 1, 2)
+         |SELECT r.cohort_day, r.day_offset, r.n_active, z.cohort_n,
+         |  ${sparkRound("r.n_active::DOUBLE / z.cohort_n", 6)} AS retained
+         |FROM r JOIN z USING (cohort_day)
+         |ORDER BY cohort_day, day_offset""".stripMargin,
 
     "sim_ann_lsh_topk" ->
       s"""$lshCtes

@@ -1,0 +1,83 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // hand-built log: user 1 has two sessions (gap 100 between them with
+  // gapNs=50), user 2 one single-event session; ids break the ts tie.
+  private lazy val log = Seq(
+    (1L, 1L, 10L, "view"), (2L, 1L, 30L, "click"), (3L, 1L, 60L, "view"),
+    (4L, 1L, 200L, "purchase"), (5L, 2L, 10L, "view"),
+    (6L, 2L, 10L, "click") // same ts as id 5 — tie broken by id
+  ).toDF("event_id", "user_id", "ts_ns", "event_type")
+
+  test("sessionize: gap splits sessions, numbering is per-user and 1-based") {
+    val s = EventAnalytics.sessionize(log, "user_id", "ts_ns", "event_id", 50L)
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    assert(s === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 1L, 6L -> 1L))
+  }
+
+  test("sessionStats: exact ns bounds and distinct-type counts") {
+    val st = EventAnalytics
+      .sessionStats(log, "user_id", "ts_ns", "event_id", "event_type", 50L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(st === Set(
+      (1L, 1L, 3L, 10L, 60L, 50L, 2L),   // view+click+view
+      (1L, 2L, 1L, 200L, 200L, 0L, 1L),
+      (2L, 1L, 2L, 10L, 10L, 0L, 2L)))
+  }
+
+  test("funnel: strict order within the anchor window, drop-outs carry null") {
+    // user 1 completes view->click->purchase; user 2 has click at the SAME
+    // ts as view (not strictly after -> drops at step 1)
+    val f = EventAnalytics.funnelSteps(log, "user_id", "ts_ns", "event_type",
+      Seq("view", "click", "purchase"), 1000L)
+      .orderBy("user_id")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSeq
+    assert(f === Seq((1L, 10L, Some(30L), Some(200L)), (2L, 10L, None, None)))
+    // tight window: purchase at 200 > 10+100 falls outside
+    val tight = EventAnalytics.funnelSteps(log, "user_id", "ts_ns", "event_type",
+      Seq("view", "click", "purchase"), 100L)
+      .filter($"user_id" === 1L)
+      .as[(Long, Long, Option[Long], Option[Long])].collect().head
+    assert(tight === ((1L, 10L, Some(30L), None)))
+  }
+
+  test("funnelCounts: one row per step with monotone user counts") {
+    val c = EventAnalytics.funnelCounts(log, "user_id", "ts_ns", "event_type",
+      Seq("view", "click", "purchase"), 1000L)
+      .orderBy("step_idx").as[(Int, String, Long)].collect().toSeq
+    assert(c === Seq((0, "view", 2L), (1, "click", 1L), (2, "purchase", 1L)))
+  }
+
+  test("retention: cohort from first active day, exact day offsets") {
+    val dayNs = 86400L * 1000000000L
+    val days = Seq(
+      (1L, 0L), (1L, 0L), (1L, 1L), (1L, 3L), // user 1: cohort day 0
+      (2L, 1L), (2L, 3L) // user 2: cohort day 1
+    ).zipWithIndex.map { case ((u, d), i) =>
+      (i.toLong, u, d * dayNs + 17L, "view")
+    }.toDF("event_id", "user_id", "ts_ns", "event_type")
+    val r = EventAnalytics.retention(days, "user_id", "ts_ns")
+      .select("cohort_day", "day_offset", "n_active", "cohort_n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(r === Set(
+      (0L, 0L, 1L, 1L), (0L, 1L, 1L, 1L), (0L, 3L, 1L, 1L),
+      (1L, 0L, 1L, 1L), (1L, 2L, 1L, 1L)))
+  }
+
+  test("sessionize plans ONE exchange for both window functions") {
+    val plan = EventAnalytics.sessionize(log, "user_id", "ts_ns", "event_id", 50L)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"lag + running sum must share one shuffle:\n$plan")
+    // the two Window ops keep different frames (lag [-1,-1] vs running sum
+    // [unbounded, current]) so they can't fuse, but the second must reuse
+    // the first's partitioning AND ordering: exactly one Sort in the plan.
+    val sorts = "\\bSort \\[".r.findAllIn(plan).length
+    assert(sorts <= 1, s"second window must reuse the sort order:\n$plan")
+  }
+}
