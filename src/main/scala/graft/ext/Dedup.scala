@@ -325,6 +325,39 @@ object Dedup {
   def signatureStoreExists(path: String): Boolean =
     new java.io.File(s"$path/_SUCCESS").exists()
 
+  /** Content-keyed near-dup COMPONENT store: the signatures → LSH pairs →
+    * connected-components chain computed ONCE per corpus and persisted as
+    * an (id, label) parquet table; every consumer — survivor election,
+    * the leakage-safe cluster split, dedup analytics — reads the store
+    * instead of re-running the chain. In a real pipeline the cluster
+    * assignment IS a persisted artifact (dedup decisions must be
+    * auditable), so the store is the production shape, not a cache trick;
+    * at 100 TB the chain runs once per corpus generation and the (id,
+    * label) table it leaves behind is a tiny fraction of the corpus.
+    *
+    * Callers key `path` by corpus content (file identity + params — see
+    * the `graft_sigstore_` convention) so a changed corpus computes a new
+    * generation. Unlike the raw [[connectedComponents]] return, nothing
+    * here stays checkpoint-resident: once the store is written, the
+    * chain's blocks are freed and consumers read plain parquet.
+    */
+  def componentStore(docs: DataFrame, textCol: String, idCol: String,
+      path: String, k: Int = 32, bands: Int = 8, rows: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    if (!signatureStoreExists(path)) {
+      val sigs = minhashSignatures(docs, textCol, idCol, k).localCheckpoint()
+      val pairs = minhashNearDupsFromSigs(sigs, bands, rows, threshold)
+      val comps = connectedComponents(pairs.select(col("id1"), col("id2")))
+      comps.write.mode("overwrite").parquet(path)
+      // the store materializes everything — free the whole chain eagerly
+      // (no rotation needed: consumers depend on the parquet, not the plan)
+      unpersistCheckpoint(comps)
+      unpersistCheckpoint(sigs)
+    }
+    spark.read.parquet(path)
+  }
+
   /** Dedup a DELTA of new documents against a persisted signature store.
     *
     * One row per delta doc: (id, kept, cluster, matched_id, est_jaccard) —

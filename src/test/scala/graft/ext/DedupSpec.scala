@@ -243,4 +243,28 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 1L, 3L -> 1L, 4L -> 2L), s"got $got")
   }
+
+  test("componentStore: computes once, rereads from parquet, leaves no checkpoint blocks") {
+    val sc = spark.sparkContext
+    val path = java.nio.file.Files.createTempDirectory("graft_compstore_spec")
+      .toString + "/store"
+    val before = sc.getPersistentRDDs.keySet
+    val r1 = Dedup.componentStore(corpus(), "text", "doc_id", path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // unlike raw connectedComponents, the store path frees the WHOLE chain:
+    // consumers depend on the parquet, not on resident blocks
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      "store build must free the sigs + components checkpoints")
+    assert(Seq(0L, 1L, 2L, 3L).forall(r1.get(_).contains(0L)),
+      s"near-dup family should cluster under survivor 0: $r1")
+    // second call must be a pure parquet read (same result, no recompute):
+    // poison the store dir's mtime-independent content check by verifying
+    // _SUCCESS short-circuits — a recompute would need the docs frame, so
+    // pass one with a different schema and rely on the read path not to
+    // touch it
+    val poisoned = corpus().limit(0)
+    val r2 = Dedup.componentStore(poisoned, "text", "doc_id", path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 === r1, "existing store must be reread, not recomputed")
+  }
 }
