@@ -25,15 +25,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark reads as
-    * LONG nanos under `spark.sql.legacy.parquet.nanosAsLong`. Expose both
-    * the raw nanos (`ts_ns`) and a derived µs-precision TimestampType `ts`
-    * (floor division — matches DuckDB's `CAST(ts AS TIMESTAMP)` truncation).
+  /** events.parquet has shipped `ts` two ways across driver generations:
+    * TIMESTAMP(NANOS) (read as LONG nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and plain µs TIMESTAMP
+    * (isAdjustedToUTC=false, which Spark 4 reads as TIMESTAMP_NTZ).
+    * Normalize both to the same layout every consumer already uses:
+    * (event_id, ts_ns LONG, user_id, event_type, value, props,
+    * ts TIMESTAMP) — `ts` µs-precision session-zone TimestampType
+    * (UTC everywhere here, so the NTZ cast is value-preserving and
+    * matches DuckDB's naive-timestamp reading of the same file).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
-    raw.withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        raw.select(col("event_id"),
+          expr("unix_micros(cast(ts as timestamp)) * 1000").as("ts_ns"),
+          col("user_id"), col("event_type"), col("value"), col("props"),
+          col("ts").cast("timestamp").as("ts"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -12,8 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); Spark has no ns timestamp
-      // type, so read as LONG nanos (Tables.events derives a µs column).
+      // Older testdata generations wrote events.ts as TIMESTAMP(NANOS);
+      // Spark has no ns timestamp type, so read those as LONG nanos
+      // (Tables.events normalizes either generation). No-op on µs data.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -104,6 +104,65 @@ object EventAnalytics {
       .select(col("r.step_idx"), col("r.step"), col("r.n_users"))
   }
 
+  /** Slowly-changing-dimension type-2 history from a change log: per key,
+    * order changes by (ts, id), keep only rows where the tracked attribute
+    * CHANGES (null-safe comparison — a null attribute is a value, not a
+    * wildcard), and emit validity intervals
+    * (key, attr, effective_from, effective_to, is_current) with
+    * `effective_to` = the next version's start (null while current).
+    *
+    * This is the batch complement of the streaming latest-wins merge
+    * (`pipeline/ChangePipeline.scala` O10/O11): the CDC shapes the
+    * reference's ETL emits (`src/loader.rs` change sets) flattened into
+    * the audit-history table a warehouse keeps. One exchange: the
+    * change-detection lag, the version-boundary filter, and the
+    * effective_to lead all run over the same key partitioning (the filter
+    * preserves distribution, so the second Window reuses the exchange and
+    * only re-sorts).
+    */
+  def scd2(changes: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      attrCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val boundaries = changes
+      .select(col(keyCol), col(tsCol), col(idCol), col(attrCol))
+      .withColumn("prev_attr", lag(col(attrCol), 1).over(w))
+      .withColumn("is_first", row_number().over(w) === 1)
+      .filter(col("is_first") || !(col(attrCol) <=> col("prev_attr")))
+    boundaries
+      .withColumn("effective_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col(attrCol),
+        col(tsCol).as("effective_from"), col("effective_to"),
+        col("effective_to").isNull.as("is_current"))
+  }
+
+  /** Top-k length-`n` event-type paths within sessions: sessionize, then
+    * per-event forward n-grams of event types that do NOT cross a session
+    * boundary, counted corpus-wide. The n-gram window runs over the SAME
+    * user partitioning as the sessionize windows (session containment is
+    * enforced by comparing `lead(session_idx)`, not by re-partitioning on
+    * (user, session)), so the whole operator is one exchange plus a
+    * TakeOrdered top-k — no global sort, and the counted frame is bounded
+    * by the event count at any corpus size.
+    */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, gapNs: Long, n: Int = 3,
+      k: Int = 20): DataFrame = {
+    require(n >= 2, s"a path needs at least 2 steps, got $n")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val sessioned = sessionize(events, userCol, tsCol, idCol, gapNs)
+    val steps = (0 until n).map(i =>
+      if (i == 0) col(typeCol) else lead(col(typeCol), i).over(w))
+    val sameSession = (1 until n).map(i =>
+      lead(col("session_idx"), i).over(w) === col("session_idx"))
+      .reduce(_ && _)
+    sessioned
+      .withColumn("path", when(sameSession, concat_ws(">", steps: _*)))
+      .filter(col("path").isNotNull)
+      .groupBy(col("path")).agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("path"))
+      .limit(k)
+  }
+
   /** Day-offset cohort retention: cohort = the user's first active day
     * (exact `ts div 86400e9` epoch-day from the nanos long); for every
     * (cohort_day, day_offset) pair, how many of that cohort's users were

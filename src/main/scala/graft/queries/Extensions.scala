@@ -477,6 +477,27 @@ object Extensions {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // SCD2 history: the event log read as a CDC change stream keyed by
+    // user, event_type as the tracked attribute — consecutive duplicate
+    // values collapse into one version, each version carries its exact µs
+    // validity interval. One exchange for all three windows.
+    "events_scd2_history" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+      graft.ext.EventAnalytics.scd2(ev, "user_id", "ts_us", "event_id", "event_type")
+        .select(col("user_id"), col("event_type"),
+          col("effective_from"), col("effective_to"), col("is_current"))
+        .orderBy(col("user_id"), col("effective_from"))
+    }),
+
+    // Top-20 3-step in-session paths: session containment enforced inside
+    // the user-partitioned n-gram window (no per-session re-partition),
+    // counted corpus-wide, deterministic (count desc, path) top-k.
+    "events_top_paths" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+      graft.ext.EventAnalytics.topPaths(ev, "user_id", "ts_us", "event_id",
+        "event_type", gapNs = 1800L * 1000000L, n = 3, k = 20)
+    }),
+
     // ---- sketch-based ops (FNV-1a basis; oracle-replayed exactly) ----------
     // Portable HLL over the corpus vocabulary: the FNV-1a-based
     // approx-distinct whose registers, scaled harmonic sum, and estimate the
@@ -1602,6 +1623,44 @@ object Extensions {
          |SELECT step_idx, step, n_users,
          |  ${sparkRound("n_users::DOUBLE / (SELECT count(*) FROM s0)", 6)} AS conversion
          |FROM n ORDER BY step_idx""".stripMargin,
+
+    // SCD2 replayed: same (ts, event_id) ordering, version boundaries via
+    // IS DISTINCT FROM (= Spark's null-safe <=> negated), effective_to =
+    // next boundary's start over the same window.
+    "events_scd2_history" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+        |           FROM events),
+        |b AS (SELECT *, lag(event_type) OVER w AS prev, row_number() OVER w AS rn
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |v AS (SELECT user_id, event_type, tus, event_id FROM b
+        |      WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+        |SELECT user_id, event_type, tus AS effective_from,
+        |  lead(tus) OVER w2 AS effective_to,
+        |  lead(tus) OVER w2 IS NULL AS is_current
+        |FROM v WINDOW w2 AS (PARTITION BY user_id ORDER BY tus, event_id)
+        |ORDER BY user_id, effective_from""".stripMargin,
+
+    // Top paths replayed: the sessionize CTE, then forward 3-grams gated
+    // on both leads staying in the same session (which also guarantees the
+    // leads are non-null, so || concatenation never sees a NULL).
+    "events_top_paths" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type
+        |           FROM events),
+        |s AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+        |                       OR tus - lag(tus) OVER w > 1800000000
+        |                     THEN 1 ELSE 0 END AS nw
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |x AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |      FROM s),
+        |p AS (SELECT event_type || '>' || lead(event_type, 1) OVER w2
+        |             || '>' || lead(event_type, 2) OVER w2 AS path,
+        |        CASE WHEN lead(session_idx, 1) OVER w2 = session_idx
+        |              AND lead(session_idx, 2) OVER w2 = session_idx
+        |             THEN 1 ELSE 0 END AS ok
+        |      FROM x WINDOW w2 AS (PARTITION BY user_id ORDER BY tus, event_id))
+        |SELECT path, count(*) AS n_occ FROM p WHERE ok = 1
+        |GROUP BY path ORDER BY n_occ DESC, path LIMIT 20""".stripMargin,
 
     // Cohort retention replayed: distinct (user, epoch-day) with integer
     // `//` day division (= Spark's `div` on the positive epoch), cohort =

@@ -69,6 +69,59 @@ class EventAnalyticsSpec extends SparkSpec {
       (1L, 0L, 1L, 1L), (1L, 2L, 1L, 1L)))
   }
 
+  test("scd2: consecutive duplicates collapse, intervals abut, null-safe change detection") {
+    // user 1: view(10), view(30) [dup collapses], click(60), null(80),
+    // null(90) [dup null collapses], view(120); user 2: single version
+    val changes = Seq(
+      (1L, 1L, 10L, Some("view")), (2L, 1L, 30L, Some("view")),
+      (3L, 1L, 60L, Some("click")), (4L, 1L, 80L, None),
+      (5L, 1L, 90L, None), (6L, 1L, 120L, Some("view")),
+      (7L, 2L, 5L, Some("signup"))
+    ).toDF("event_id", "user_id", "ts_ns", "attr")
+    val h = EventAnalytics.scd2(changes, "user_id", "ts_ns", "event_id", "attr")
+      .orderBy("user_id", "effective_from")
+      .as[(Long, Option[String], Long, Option[Long], Boolean)].collect().toSeq
+    assert(h === Seq(
+      (1L, Some("view"), 10L, Some(60L), false),
+      (1L, Some("click"), 60L, Some(80L), false),
+      (1L, None, 80L, Some(120L), false),
+      (1L, Some("view"), 120L, None, true),
+      (2L, Some("signup"), 5L, None, true)))
+  }
+
+  test("scd2 plans ONE exchange for the lag, filter, and lead windows") {
+    val changes = log.withColumnRenamed("event_type", "attr")
+    val plan = EventAnalytics.scd2(changes, "user_id", "ts_ns", "event_id", "attr")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"boundary lag and effective_to lead must share one shuffle:\n$plan")
+  }
+
+  test("topPaths: session boundaries gate n-grams, ties break by path") {
+    // user 1 session 1: view>click>view (one 3-path); session 2 alone;
+    // user 2's 2-event session is too short for a 3-path
+    val p = EventAnalytics.topPaths(log, "user_id", "ts_ns", "event_id",
+      "event_type", gapNs = 50L, n = 3, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(p === Seq(("view>click>view", 1L)))
+    // with the gap wide enough to merge user 1's sessions the purchase joins
+    val wide = EventAnalytics.topPaths(log, "user_id", "ts_ns", "event_id",
+      "event_type", gapNs = 1000L, n = 3, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(wide === Seq(("click>view>purchase", 1L), ("view>click>view", 1L)))
+  }
+
+  test("topPaths plans one exchange and no global sort before the top-k") {
+    val plan = EventAnalytics.topPaths(log, "user_id", "ts_ns", "event_id",
+      "event_type", gapNs = 50L, n = 3, k = 10)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // one user-keyed exchange for the windows + the aggregate's path
+    // exchange; the top-k itself must be TakeOrderedAndProject
+    assert(exchanges <= 2, s"expected user + path exchanges only:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
+  }
+
   test("sessionize plans ONE exchange for both window functions") {
     val plan = EventAnalytics.sessionize(log, "user_id", "ts_ns", "event_id", 50L)
       .queryExecution.executedPlan.toString
