@@ -20,10 +20,9 @@ import org.apache.spark.sql.functions._
   *    (ts, id), so Catalyst plans a single exchange + sort and evaluates
   *    both in one `Window` operator pass.
   *  - `funnelSteps` filters the log to the step types FIRST (pushed to the
-  *    scan), then does one user-keyed aggregate per step; the per-user
-  *    "reached step k" frames are bounded by |users|, tiny next to the
-  *    log, and every join is on the same user key so AQE reuses the
-  *    partitioning (or broadcasts when the survivor set shrinks enough).
+  *    scan), then ONE user-keyed aggregate folds each user's time-sorted
+  *    step events through the step vector — one exchange total, no joins,
+  *    and per-user state bounded by that user's step-event count.
   *  - `retention` reduces the log to distinct (user, day) pairs in its
   *    first aggregate — everything after operates on that much smaller
   *    frame.
@@ -66,24 +65,58 @@ object EventAnalytics {
     * `steps(k)` event falls strictly after the user's step k-1 time and
     * within `windowNs` of the anchor. Returns one per-user row with each
     * step's entry time (`t0..t{n-1}`, null once the user drops out).
+    *
+    * ONE pass, ONE shuffle: the log is filtered to the step types (the
+    * predicate pushes into the scan), then a single user-keyed aggregate
+    * sorts each user's step events by time and folds them left-to-right
+    * through the step vector with `functions.aggregate` — step k's slot
+    * fills at the first event matching `steps(k)` that is strictly after
+    * slot k-1 and inside the anchor window. The earlier join-per-step
+    * formulation re-embedded the whole upstream plan ~2^(k-1) times for a
+    * k-step funnel; this form's cost is one exchange plus a per-user sort
+    * of that user's step events, at any k. Tie handling is identical to
+    * the min()-per-step reading: a candidate at exactly the previous
+    * step's time fails the strict `>` whichever side of the tie it sorts
+    * on, so the within-tie sort order never changes the result.
     */
   def funnelSteps(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String], windowNs: Long): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(windowNs > 0, s"windowNs must be positive, got $windowNs")
-    // one pass to the step types only — this predicate pushes into the scan
+    val n = steps.length
+    val tsType = events.select(col(tsCol)).schema.head.dataType
+    // one pass to the step types only — this predicate pushes into the
+    // scan. `m` is the per-step match vector (NOT a single index: a type
+    // appearing twice in `steps` must be able to fill both slots).
     val stepEvents = events.filter(col(typeCol).isin(steps.map(lit): _*))
-      .select(col(userCol), col(tsCol), col(typeCol))
-    val anchor = stepEvents.filter(col(typeCol) === steps.head)
-      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t0"))
-    steps.zipWithIndex.tail.foldLeft(anchor) { case (reached, (step, k)) =>
-      val hit = stepEvents.filter(col(typeCol) === step)
-        .join(reached, userCol)
-        .filter(col(tsCol) > col(s"t${k - 1}") && col(tsCol) <= col("t0") + windowNs)
-        .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"t$k"))
-        .select(col(userCol), col(s"t$k"))
-      reached.join(hit, Seq(userCol), "left")
-    }
+      .select(col(userCol),
+        struct(col(tsCol).as("ts"),
+          array(steps.map(s => col(typeCol) === s): _*).as("m")).as("ev"))
+    // Fold one user's time-sorted events through the step-time vector.
+    // All reads go against the PREVIOUS accumulator (transform builds a
+    // new array), which is exactly the strict-order semantics: an event
+    // can never satisfy a step whose predecessor it just filled itself.
+    val merge = (acc: Column, e: Column) =>
+      transform(acc, (t, i) => {
+        val ts = e.getField("ts")
+        val matches = element_at(e.getField("m"), i + lit(1))
+        val anchor = element_at(acc, lit(1))
+        val prev = element_at(acc, i) // element_at is 1-based: slot i-1
+        when(t.isNotNull, t)
+          .when(i === lit(0), when(matches, ts))
+          .otherwise(when(matches && prev.isNotNull && ts > prev &&
+            ts <= anchor + lit(windowNs), ts))
+      })
+    val init = array_repeat(lit(null).cast(tsType), n)
+    stepEvents.groupBy(col(userCol))
+      .agg(
+        aggregate(sort_array(collect_list(col("ev"))), init, merge).as("tk"),
+        // anchor population = users with ANY steps(0) event (even one
+        // with a null ts), matching the min()-per-step formulation
+        max(element_at(col("ev").getField("m"), 1)).as("has_anchor"))
+      .filter(col("has_anchor"))
+      .select(col(userCol) +:
+        (0 until n).map(i => element_at(col("tk"), i + 1).as(s"t$i")): _*)
   }
 
   /** Funnel summary: users reaching each step, plus conversion relative to
@@ -155,8 +188,14 @@ object EventAnalytics {
     val sameSession = (1 until n).map(i =>
       lead(col("session_idx"), i).over(w) === col("session_idx"))
       .reduce(_ && _)
+    // `concat`, not `concat_ws`: concat_ws SKIPS null arguments, so a
+    // 3-gram with a null middle type would silently collapse to "a>b";
+    // concat null-propagates, the isNotNull filter drops it, and the SQL
+    // replay's `||` (which also null-propagates + an IS NOT NULL guard)
+    // agrees bit-for-bit.
+    val pathExpr = concat(steps.flatMap(s => Seq(lit(">"), s)).tail: _*)
     sessioned
-      .withColumn("path", when(sameSession, concat_ws(">", steps: _*)))
+      .withColumn("path", when(sameSession, pathExpr))
       .filter(col("path").isNotNull)
       .groupBy(col("path")).agg(count(lit(1)).as("n_occ"))
       .orderBy(col("n_occ").desc, col("path"))

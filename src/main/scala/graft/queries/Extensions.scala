@@ -1587,8 +1587,8 @@ object Extensions {
         |                       OR tus - lag(tus) OVER w > 1800000000
         |                     THEN 1 ELSE 0 END AS nw
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
-        |x AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY tus, event_id
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |x AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
         |      FROM s)
         |SELECT user_id, session_idx, count(*) AS n_events,
         |  min(tus) AS start_ts, max(tus) AS end_ts,
@@ -1641,8 +1641,10 @@ object Extensions {
         |ORDER BY user_id, effective_from""".stripMargin,
 
     // Top paths replayed: the sessionize CTE, then forward 3-grams gated
-    // on both leads staying in the same session (which also guarantees the
-    // leads are non-null, so || concatenation never sees a NULL).
+    // on both leads staying in the same session. A NULL event_type inside
+    // a session would NULL-propagate through `||` exactly like Spark's
+    // `concat`; both engines then drop NULL paths explicitly (Spark's
+    // isNotNull filter / the IS NOT NULL guard here).
     "events_top_paths" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type
         |           FROM events),
@@ -1659,7 +1661,8 @@ object Extensions {
         |              AND lead(session_idx, 2) OVER w2 = session_idx
         |             THEN 1 ELSE 0 END AS ok
         |      FROM x WINDOW w2 AS (PARTITION BY user_id ORDER BY tus, event_id))
-        |SELECT path, count(*) AS n_occ FROM p WHERE ok = 1
+        |SELECT path, count(*) AS n_occ FROM p
+        |WHERE ok = 1 AND path IS NOT NULL
         |GROUP BY path ORDER BY n_occ DESC, path LIMIT 20""".stripMargin,
 
     // Cohort retention replayed: distinct (user, epoch-day) with integer

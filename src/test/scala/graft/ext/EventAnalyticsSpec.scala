@@ -112,14 +112,32 @@ class EventAnalyticsSpec extends SparkSpec {
   }
 
   test("topPaths plans one exchange and no global sort before the top-k") {
+    // k must stay BELOW the log's row count: with k >= maxRows (here the
+    // 6-row LocalTableScan), the optimizer's EliminateLimits proves the
+    // limit redundant and strips it, so Limit(Sort) no longer matches and
+    // a (harmless, <= k rows) global sort plans instead. That is purely a
+    // tiny-data artifact — at any real size maxRows is unknown and the
+    // TakeOrderedAndProject pattern below is what plans.
     val plan = EventAnalytics.topPaths(log, "user_id", "ts_ns", "event_id",
-      "event_type", gapNs = 50L, n = 3, k = 10)
+      "event_type", gapNs = 50L, n = 3, k = 3)
       .queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     // one user-keyed exchange for the windows + the aggregate's path
     // exchange; the top-k itself must be TakeOrderedAndProject
     assert(exchanges <= 2, s"expected user + path exchanges only:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
+  }
+
+  test("funnelSteps plans ONE exchange and scans the log ONCE at any step count") {
+    // the round-7 join-per-step form re-embedded the upstream plan
+    // ~2^(k-1) times; the fold form must keep one scan + one shuffle
+    val plan = EventAnalytics.funnelSteps(log, "user_id", "ts_ns", "event_type",
+      Seq("view", "click", "purchase"), 1000L)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"funnel must be one user-keyed shuffle:\n$plan")
+    val scans = "LocalTableScan".r.findAllIn(plan).length
+    assert(scans == 1, s"funnel must scan the event log exactly once:\n$plan")
   }
 
   test("sessionize plans ONE exchange for both window functions") {
