@@ -15,6 +15,28 @@ object Bench {
     // Warm the JVM/codegen/file-listing paths so the first timed query
     // isn't charged session startup.
     Tables.names.foreach(t => Tables.load(spark, sfDir, t).count())
+    // Cross-run calibration (VERDICT r7): driver-vs-builder totals diverged
+    // 2.1x on identical code for four straight rounds because nothing in the
+    // record measured the BOX. Two markers, taken before and after the
+    // sweep: (a) a fixed reference probe — scan+sum lineitem's quantity
+    // column, the simplest shuffle-free aggregate, so its time moves with
+    // machine load and nothing else; (b) /proc/loadavg. A consumer compares
+    // two records' probes and divides the load factor out instead of
+    // re-litigating noise-vs-regression.
+    def calibProbe(): Double = {
+      import org.apache.spark.sql.functions.sum
+      val t0 = System.nanoTime()
+      Tables.load(spark, sfDir, "lineitem").agg(sum("l_quantity")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def loadavg(): String =
+      scala.util.Try(java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).trim.split(" ").take(3).mkString(" "))
+        .getOrElse("unavailable")
+    def fmtD(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    calibProbe() // untimed warm-up, same methodology as the queries
+    val calibStart = Seq.fill(3)(calibProbe()).sorted.apply(1)
+    val loadStart = loadavg()
     // Reproducible methodology (VERDICT r4): per query, one untimed warm-up
     // pass (file listing, codegen compile, broadcast build) then `reps` timed
     // runs, reporting the MEDIAN. Single-run walls on a shared box vary up to
@@ -93,11 +115,13 @@ object Bench {
     // the full-inventory record the judge reads.
     if (prefix.isEmpty) scala.util.Try {
       val detail =
-        s"""{"metric":"total","value":$total,"unit":"sec","min":${fmt(totalMin)},"max":${fmt(totalMax)},"failures":$failures,"reps":$reps,"queries":$allQs,"bands":$allBands,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","min":${fmt(totalMin)},"max":${fmt(totalMax)},"failures":$failures,"reps":$reps,"calib_ref_start_sec":${fmtD(calibStart)},"loadavg_start":"$loadStart","queries":$allQs,"bands":$allBands,"sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
-    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","min":${fmt(totalMin)},"max":${fmt(totalMax)},"failures":$failures,"reps":$reps,"n_queries":${results.size},"sf":"$sfDir"}""")
+    val calibEnd = Seq.fill(3)(calibProbe()).sorted.apply(1)
+    val calib = s""""calib_ref_sec":{"start":${fmtD(calibStart)},"end":${fmtD(calibEnd)}},"loadavg":{"start":"$loadStart","end":"${loadavg()}"}"""
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","min":${fmt(totalMin)},"max":${fmt(totalMax)},"failures":$failures,"reps":$reps,"n_queries":${results.size},$calib,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

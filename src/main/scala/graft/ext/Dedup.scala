@@ -312,15 +312,56 @@ object Dedup {
     * the store scan is partition-PRUNED — the on-disk layout IS the index,
     * same doctrine as [[Similarity.ivfWrite]]. Real pipelines dedup each
     * NEW batch of documents against the accumulated corpus this way: the
-    * corpus is signed once and appended to, never re-signed. */
+    * corpus is signed once and appended to, never re-signed.
+    *
+    * `nBuckets = 0` (the default) sizes the layout to the corpus: target
+    * ~[[SigStoreDocsPerBucket]] docs per (band, bucket) partition, clamped
+    * to [1, `maxBuckets`]. A fixed bucket count is wrong at BOTH ends —
+    * 512 partition dirs for a few hundred docs is pure small-file
+    * overhead (reading the store then costs more in file opens than in
+    * rows), while one bucket at corpus scale loses the pruning. The
+    * chosen count is persisted in a `_graft_store_meta.json` sidecar so
+    * appends and probes always bucket with the STORE's modulus, never the
+    * caller's. The banded stream is also repartitioned by the layout key
+    * before the write: each (band, bucket) dir gets ONE file instead of
+    * one per upstream task. */
   def signatureStoreWrite(docs: DataFrame, textCol: String, idCol: String,
-      path: String, bands: Int = 8, rows: Int = 4, nBuckets: Int = 64,
-      append: Boolean = false): Unit =
+      path: String, bands: Int = 8, rows: Int = 4, nBuckets: Int = 0,
+      maxBuckets: Int = 64, append: Boolean = false): Unit = {
+    val chosen =
+      if (append) readStoreBuckets(path).getOrElse(if (nBuckets > 0) nBuckets else maxBuckets)
+      else if (nBuckets > 0) nBuckets
+      else {
+        val n = docs.count() // metadata/one-column count, not a text scan
+        math.min(maxBuckets.toLong, math.max(1L, n / SigStoreDocsPerBucket)).toInt
+      }
     lshBandsFromSigs(minhashSignatures(docs, textCol, idCol, k = bands * rows),
       bands, rows)
-      .withColumn("sig_bucket", pmod(col("band_hash"), lit(nBuckets.toLong)))
+      .withColumn("sig_bucket", pmod(col("band_hash"), lit(chosen.toLong)))
+      .repartition(col("band"), col("sig_bucket"))
       .write.mode(if (append) "append" else "overwrite")
       .partitionBy("band", "sig_bucket").parquet(path)
+    if (!append)
+      java.nio.file.Files.writeString(storeMetaPath(path),
+        s"""{"nBuckets": $chosen, "bands": $bands, "rows": $rows}""")
+  }
+
+  /** Layout target: store docs per (band, sig_bucket) partition. Small
+    * enough that a pruned probe skips real data, large enough that a
+    * partition is a healthy parquet file, not a 4 KB stub. */
+  val SigStoreDocsPerBucket = 4096L
+
+  private def storeMetaPath(path: String) =
+    java.nio.file.Paths.get(path, "_graft_store_meta.json")
+
+  /** The store's persisted bucket modulus (None for stores written before
+    * the sidecar existed — callers fall back to their parameter). */
+  def readStoreBuckets(path: String): Option[Int] =
+    if (java.nio.file.Files.exists(storeMetaPath(path)))
+      "\"nBuckets\"\\s*:\\s*(\\d+)".r
+        .findFirstMatchIn(java.nio.file.Files.readString(storeMetaPath(path)))
+        .map(_.group(1).toInt)
+    else None
 
   def signatureStoreExists(path: String): Boolean =
     new java.io.File(s"$path/_SUCCESS").exists()
@@ -381,11 +422,14 @@ object Dedup {
       storePath: String, bands: Int = 8, rows: Int = 4, threshold: Double = 0.5,
       nBuckets: Int = 64, maxBucket: Int = 100): DataFrame = {
     val spark = delta.sparkSession
+    // the probe must bucket with the STORE's modulus — the sidecar wins
+    // over the parameter whenever the store recorded one
+    val storeBuckets = readStoreBuckets(storePath).getOrElse(nBuckets)
     val dsigs = minhashSignatures(delta, textCol, idCol, k = bands * rows)
       .localCheckpoint()
     rotateCheckpoints(s"incrementalNearDups:$storePath", dsigs)
     val dbands = lshBandsFromSigs(dsigs, bands, rows)
-      .withColumn("sig_bucket", pmod(col("band_hash"), lit(nBuckets.toLong)))
+      .withColumn("sig_bucket", pmod(col("band_hash"), lit(storeBuckets.toLong)))
       .select(col("id").as("d_id"), col("band"), col("band_hash"), col("sig_bucket"))
     // bounded driver-side probe list (≤ bands × nBuckets rows) -> literal
     // partition predicate the store scan prunes on

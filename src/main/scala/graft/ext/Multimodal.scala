@@ -118,10 +118,12 @@ object Multimodal {
   }
 
   /** Real decode: parse the image, read back dimensions and per-channel
-    * means. `ImageIO.read` sniffs the container, so this serves the JPEG
-    * lane too (the `Png` prefix is historical). */
+    * means. Serves the JPEG lane too (the `Png` prefix is historical):
+    * [[readImage]] sniffs the two magic bytes itself and goes straight to
+    * the pre-resolved reader provider, instead of `ImageIO.read`'s
+    * per-call registry walk over a wrapped stream. */
   def pngDecodeStats(mediaId: Long, bytes: Array[Byte]): PngStats = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val img = readImage(bytes)
     val w = img.getWidth; val h = img.getHeight
     val px = img.getRGB(0, 0, w, h, null, 0, w) // one bulk transfer
     var sr = 0L; var sg = 0L; var sb = 0L
@@ -214,6 +216,31 @@ object Multimodal {
     javax.imageio.ImageIO.getImageWritersByFormatName("gif").next().getOriginatingProvider
   private lazy val gifReaderSpi =
     javax.imageio.ImageIO.getImageReadersByFormatName("gif").next().getOriginatingProvider
+  private lazy val pngReaderSpi =
+    javax.imageio.ImageIO.getImageReadersByFormatName("png").next().getOriginatingProvider
+  private lazy val jpegReaderSpi =
+    javax.imageio.ImageIO.getImageReadersByFormatName("jpg").next().getOriginatingProvider
+
+  /** Decode via the pre-resolved provider for the two fixture formats
+    * (sniffed from the magic bytes — PNG `P`, JPEG `FF D8`); anything
+    * else falls back to `ImageIO.read`'s full registry scan. */
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val spi =
+      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte)
+        pngReaderSpi
+      else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+        jpegReaderSpi
+      else null
+    if (spi == null)
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    else {
+      val reader = spi.createReaderInstance()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try { reader.setInput(iis, true, true); reader.read(0) }
+      finally { reader.dispose(); iis.close() }
+    }
+  }
 
   /** Content-keyed cache location for `sfDir`'s media fixture of the given
     * kind (shared with the specs so they can stage stale/orphan states at

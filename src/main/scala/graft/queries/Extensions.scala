@@ -285,7 +285,10 @@ object Extensions {
       val docs = Tables.documents(s, d)
       val src = new java.io.File(d + "/documents.parquet")
       val path = System.getProperty("java.io.tmpdir") + "/graft_sigstore_" +
-        (d + s"_${src.length}_${src.lastModified}_even_v1").replaceAll("[^A-Za-z0-9]", "_")
+        // v2: adaptive (band, sig_bucket) layout + meta sidecar — a v1
+        // store (fixed 512 partitions, no sidecar) still probes correctly
+        // but pays small-file overhead, so key a fresh generation
+        (d + s"_${src.length}_${src.lastModified}_even_v2").replaceAll("[^A-Za-z0-9]", "_")
       if (!Dedup.signatureStoreExists(path))
         Dedup.signatureStoreWrite(docs.filter(col("doc_id") % 2 === 0),
           "text", "doc_id", path)

@@ -376,18 +376,24 @@ object Relational {
     "tpch_q20_excess_supply" -> ((s, d) => {
       val in97 = col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-07-01").cast("timestamp")
+      val smallParts = Tables.part(s, d).filter(col("p_name").like("small%"))
+        .select(col("p_partkey"))
+      // the small-parts semi-join runs BELOW the pair aggregate (Catalyst
+      // won't push a join under an agg itself): the partkey predicate is
+      // independent of the per-pair sums, so filtering first is identical —
+      // and the big (partkey, suppkey) shuffle carries only the small-parts
+      // slice of the fact instead of all of it
       val byPair = Tables.lineitem(s, d)
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(sum(col("l_quantity")).as("qty_total"),
           sum(when(in97, col("l_quantity")).otherwise(0.0)).as("qty_win"))
-      val smallParts = Tables.part(s, d).filter(col("p_name").like("small%"))
-        .select(col("p_partkey"))
       val excess = byPair
-        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
         .filter(col("qty_win") > lit(0.5) * col("qty_total"))
         .select(col("l_suppkey")).distinct()
       Tables.supplier(s, d)
-        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        // bounded by |supplier| — broadcast the key set, don't shuffle it
+        .join(broadcast(excess), col("s_suppkey") === col("l_suppkey"), "left_semi")
         .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
           col("n_regionkey") === col("r_regionkey"))

@@ -169,6 +169,12 @@ class DedupSpec extends SparkSpec {
     Dedup.signatureStoreWrite(
       Seq((2L, textA), (4L, textB)).toDF("doc_id", "text"), "text", "doc_id", store)
     assert(Dedup.signatureStoreExists(store))
+    // adaptive layout: 2 docs is nowhere near a bucket's worth, so the
+    // store collapses to ONE bucket per band and records it in the sidecar
+    assert(Dedup.readStoreBuckets(store) === Some(1))
+    val partDirs = new java.io.File(store).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("band="))
+    assert(partDirs.length <= 8, "one dir per band at tiny corpus size")
 
     // generation 2: one exact near-dup of doc 2, one novel doc
     val delta2 = Seq((101L, textA), (103L, textC)).toDF("doc_id", "text")
@@ -189,6 +195,8 @@ class DedupSpec extends SparkSpec {
     // it must now be caught against the UPDATED store
     Dedup.signatureStoreWrite(delta2.filter($"doc_id" === 103L), "text", "doc_id",
       store, append = true)
+    assert(Dedup.readStoreBuckets(store) === Some(1),
+      "append must keep the store's recorded bucket modulus")
     val r3 = Dedup.incrementalNearDups(
       Seq((201L, textC)).toDF("doc_id", "text"), "text", "doc_id", store)
       .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
