@@ -42,10 +42,12 @@ object Tables {
         raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       case _ =>
-        raw.select(col("event_id"),
-          expr("unix_micros(cast(ts as timestamp)) * 1000").as("ts_ns"),
-          col("user_id"), col("event_type"), col("value"), col("props"),
-          col("ts").cast("timestamp").as("ts"))
+        // derive, don't enumerate: withColumn preserves whatever other
+        // columns a future file generation carries (the LONG branch is
+        // already generic; a hardcoded 6-column select here silently
+        // dropped additions and threw on renames)
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

@@ -165,7 +165,11 @@ object EventAnalytics {
       .withColumn("effective_to", lead(col(tsCol), 1).over(w))
       .select(col(keyCol), col(attrCol),
         col(tsCol).as("effective_from"), col("effective_to"),
-        col("effective_to").isNull.as("is_current"))
+        col("effective_to").isNull.as("is_current"),
+        // the boundary row's id: an audit pointer back to the change that
+        // opened the version, and the tie-break that keeps output order
+        // total when two versions share one truncated timestamp
+        col(idCol).as("version_id"))
   }
 
   /** Top-k length-`n` event-type paths within sessions: sessionize, then

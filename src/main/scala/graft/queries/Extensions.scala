@@ -459,13 +459,23 @@ object Extensions {
     // the anchor population.
     "events_funnel" -> ((s, d) => {
       val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
-      val c = graft.ext.EventAnalytics.funnelCounts(
-        ev, "user_id", "ts_us", "event_type",
-        Seq("signup", "view", "click", "purchase"), windowNs = 72L * 3600L * 1000000L)
-      val anchor = first(when(col("step_idx") === 0, col("n_users")), ignoreNulls = true)
-      c.crossJoin(broadcast(c.agg(anchor.as("n0"))))
-        .select(col("step_idx"), col("step"), col("n_users"),
-          round(col("n_users").cast("double") / col("n0"), 6).as("conversion"))
+      val steps = Seq("signup", "view", "click", "purchase")
+      // every step's count lands in ONE global-aggregate row, so the
+      // anchor-relative conversion is plain column math BEFORE the explode
+      // — no self-crossjoin re-running the funnel for the denominator
+      val perUser = graft.ext.EventAnalytics.funnelSteps(
+        ev, "user_id", "ts_us", "event_type", steps,
+        windowNs = 72L * 3600L * 1000000L)
+      val counts = perUser.agg(count(lit(1)).as("n0"),
+        steps.indices.tail.map(k => count(col(s"t$k")).as(s"n$k")): _*)
+      val rows = steps.zipWithIndex.map { case (step, k) =>
+        struct(lit(k).cast("int").as("step_idx"), lit(step).as("step"),
+          col(s"n$k").as("n_users"),
+          round(col(s"n$k").cast("double") / col("n0"), 6).as("conversion"))
+      }
+      counts.select(explode(array(rows: _*)).as("r"))
+        .select(col("r.step_idx"), col("r.step"), col("r.n_users"),
+          col("r.conversion"))
         .orderBy(col("step_idx"))
     }),
 
@@ -488,8 +498,11 @@ object Extensions {
       val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
       graft.ext.EventAnalytics.scd2(ev, "user_id", "ts_us", "event_id", "event_type")
         .select(col("user_id"), col("event_type"),
-          col("effective_from"), col("effective_to"), col("is_current"))
-        .orderBy(col("user_id"), col("effective_from"))
+          col("effective_from"), col("effective_to"), col("is_current"),
+          col("version_id"))
+        // version_id makes the sort total even when two version boundaries
+        // share one µs-truncated timestamp (latent flap before)
+        .orderBy(col("user_id"), col("effective_from"), col("version_id"))
     }),
 
     // Top-20 3-step in-session paths: session containment enforced inside
@@ -499,6 +512,33 @@ object Extensions {
       val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
       graft.ext.EventAnalytics.topPaths(ev, "user_id", "ts_us", "event_id",
         "event_type", gapNs = 1800L * 1000000L, n = 3, k = 20)
+    }),
+
+    // The two event lanes COMPOSED: sessionize (30-min gap), then the
+    // strict ordered funnel view -> click -> purchase anchored PER SESSION
+    // (key = user#session). Same one-aggregate fold as the user funnel —
+    // the composite key just rides the existing user-keyed shuffle.
+    "events_funnel_by_session" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+      val steps = Seq("view", "click", "purchase")
+      val sess = graft.ext.EventAnalytics.sessionize(
+        ev, "user_id", "ts_us", "event_id", gapNs = 1800L * 1000000L)
+        .withColumn("sess_key",
+          concat_ws("#", col("user_id"), col("session_idx")))
+      val perSess = graft.ext.EventAnalytics.funnelSteps(
+        sess, "sess_key", "ts_us", "event_type", steps,
+        windowNs = 72L * 3600L * 1000000L)
+      val counts = perSess.agg(count(lit(1)).as("n0"),
+        steps.indices.tail.map(k => count(col(s"t$k")).as(s"n$k")): _*)
+      val rows = steps.zipWithIndex.map { case (step, k) =>
+        struct(lit(k).cast("int").as("step_idx"), lit(step).as("step"),
+          col(s"n$k").as("n_sessions"),
+          round(col(s"n$k").cast("double") / col("n0"), 6).as("conversion"))
+      }
+      counts.select(explode(array(rows: _*)).as("r"))
+        .select(col("r.step_idx"), col("r.step"), col("r.n_sessions"),
+          col("r.conversion"))
+        .orderBy(col("step_idx"))
     }),
 
     // ---- sketch-based ops (FNV-1a basis; oracle-replayed exactly) ----------
@@ -1639,9 +1679,10 @@ object Extensions {
         |      WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
         |SELECT user_id, event_type, tus AS effective_from,
         |  lead(tus) OVER w2 AS effective_to,
-        |  lead(tus) OVER w2 IS NULL AS is_current
+        |  lead(tus) OVER w2 IS NULL AS is_current,
+        |  event_id AS version_id
         |FROM v WINDOW w2 AS (PARTITION BY user_id ORDER BY tus, event_id)
-        |ORDER BY user_id, effective_from""".stripMargin,
+        |ORDER BY user_id, effective_from, version_id""".stripMargin,
 
     // Top paths replayed: the sessionize CTE, then forward 3-grams gated
     // on both leads staying in the same session. A NULL event_type inside
@@ -1667,6 +1708,39 @@ object Extensions {
         |SELECT path, count(*) AS n_occ FROM p
         |WHERE ok = 1 AND path IS NOT NULL
         |GROUP BY path ORDER BY n_occ DESC, path LIMIT 20""".stripMargin,
+
+    // Session-anchored funnel replayed: the sessionize CTEs, then the
+    // step-by-step min-time chain grouped by (user, session) — each step
+    // strictly after the previous step's time and within 72 h of the
+    // session's first 'view'.
+    "events_funnel_by_session" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type
+         |           FROM events),
+         |s AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+         |                       OR tus - lag(tus) OVER w > 1800000000
+         |                     THEN 1 ELSE 0 END AS nw
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         |x AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         |      FROM s),
+         |s0 AS (SELECT user_id, session_idx, min(tus) AS t0 FROM x
+         |       WHERE event_type = 'view' GROUP BY user_id, session_idx),
+         |s1 AS (SELECT x.user_id, x.session_idx, min(x.tus) AS t1
+         |       FROM x JOIN s0 USING (user_id, session_idx)
+         |       WHERE x.event_type = 'click' AND x.tus > t0
+         |         AND x.tus <= t0 + 259200000000 GROUP BY x.user_id, x.session_idx),
+         |s2 AS (SELECT x.user_id, x.session_idx, min(x.tus) AS t2
+         |       FROM x JOIN s1 USING (user_id, session_idx)
+         |       JOIN s0 USING (user_id, session_idx)
+         |       WHERE x.event_type = 'purchase' AND x.tus > t1
+         |         AND x.tus <= t0 + 259200000000 GROUP BY x.user_id, x.session_idx),
+         |n AS (SELECT 0 AS step_idx, 'view' AS step,
+         |        (SELECT count(*) FROM s0) AS n_sessions
+         |      UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+         |      UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2))
+         |SELECT step_idx, step, n_sessions,
+         |  ${sparkRound("n_sessions::DOUBLE / (SELECT count(*) FROM s0)", 6)} AS conversion
+         |FROM n ORDER BY step_idx""".stripMargin,
 
     // Cohort retention replayed: distinct (user, epoch-day) with integer
     // `//` day division (= Spark's `div` on the positive epoch), cohort =

@@ -46,6 +46,24 @@ class ExplainSpec extends SparkSpec {
   private def run(name: String): Seq[SparkPlan] =
     audit(SparkEntry.queries(name)(spark, d))
 
+  /** scans of a given source FILE — column-prefix matching breaks when
+    * pruning drops the id column (e.g. the funnel reads only user/ts/type),
+    * so match the relation's root path instead */
+  private def fileScans(nodes: Seq[SparkPlan], file: String): Seq[FileSourceScanExec] =
+    nodes.collect {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains(file)) => s
+    }
+
+  /** hash-partitioned shuffles in the final plan (range exchanges from a
+    * deterministic output ORDER BY are counted separately by callers) */
+  private def hashExchanges(nodes: Seq[SparkPlan]): Int =
+    nodes.count {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+      case _ => false
+    }
+
   test("tpch_q21: ONE lineitem scan (the r6 rewrite), broadcast joins, top-k") {
     val nodes = run("tpch_q21_waiting_supplier")
     assert(scansOf(nodes, "l_").size === 1,
@@ -111,6 +129,38 @@ class ExplainSpec extends SparkSpec {
         "checkpointed span stream, never replay the shingle window")
     assert(nodes.count(_.isInstanceOf[CartesianProductExec]) === 0)
     assert(nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) === 0)
+  }
+
+  test("events_sessionize: one events scan, ONE hash exchange for windows + rollup") {
+    val nodes = run("events_sessionize")
+    assert(fileScans(nodes, "events.parquet").size === 1, "sessionize reads the log once")
+    assert(hashExchanges(nodes) <= 1,
+      "the lag window, running-sum window, and per-session rollup must all " +
+        "reuse the single user-keyed shuffle")
+  }
+
+  test("events_scd2_history: one events scan, ONE hash exchange for lag/filter/lead") {
+    val nodes = run("events_scd2_history")
+    assert(fileScans(nodes, "events.parquet").size === 1)
+    assert(hashExchanges(nodes) <= 1)
+  }
+
+  test("events_funnel: one events scan, no self-join for the conversion denominator") {
+    val nodes = run("events_funnel")
+    assert(fileScans(nodes, "events.parquet").size === 1,
+      "the fold-form funnel plus single-row conversion math must read the log once")
+    assert(hashExchanges(nodes) <= 1, "one user-keyed shuffle; the global " +
+      "count rollup is a SinglePartition exchange, not a hash one")
+    assert(nodes.count(_.isInstanceOf[CartesianProductExec]) === 0)
+    assert(nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) === 0)
+  }
+
+  test("events_top_paths: top-k plans TakeOrderedAndProject, never a global sort") {
+    val nodes = run("events_top_paths")
+    assert(fileScans(nodes, "events.parquet").size === 1)
+    assert(hashExchanges(nodes) <= 2, "user exchange for the windows + path exchange for the count")
+    assert(nodes.count(_.isInstanceOf[TakeOrderedAndProjectExec]) === 1,
+      "the corpus-wide path count must TakeOrdered its top-k")
   }
 
   test("train_split_by_cluster: single documents scan beyond the checkpointed chain") {

@@ -80,13 +80,13 @@ class EventAnalyticsSpec extends SparkSpec {
     ).toDF("event_id", "user_id", "ts_ns", "attr")
     val h = EventAnalytics.scd2(changes, "user_id", "ts_ns", "event_id", "attr")
       .orderBy("user_id", "effective_from")
-      .as[(Long, Option[String], Long, Option[Long], Boolean)].collect().toSeq
+      .as[(Long, Option[String], Long, Option[Long], Boolean, Long)].collect().toSeq
     assert(h === Seq(
-      (1L, Some("view"), 10L, Some(60L), false),
-      (1L, Some("click"), 60L, Some(80L), false),
-      (1L, None, 80L, Some(120L), false),
-      (1L, Some("view"), 120L, None, true),
-      (2L, Some("signup"), 5L, None, true)))
+      (1L, Some("view"), 10L, Some(60L), false, 1L),
+      (1L, Some("click"), 60L, Some(80L), false, 3L),
+      (1L, None, 80L, Some(120L), false, 4L),
+      (1L, Some("view"), 120L, None, true, 6L),
+      (2L, Some("signup"), 5L, None, true, 7L)))
   }
 
   test("scd2 plans ONE exchange for the lag, filter, and lead windows") {
