@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ext.EventAnalytics
+
+/** Custom-state streaming sessionization: append-mode exactly-once session
+  * emission (gap close inline, watermark close via event-time timeout),
+  * bit-for-bit parity with the batch sessionStats on the same events. */
+class StreamingSessionizeSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2023-01-01 10:$minute%02d:00")
+  private val gapUs = 10L * 60L * 1000000L // 10 minutes
+
+  private def runStream(batches: Seq[Seq[(Long, Timestamp, Long, String)]],
+      name: String): Map[(Long, Long), (Long, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String)]
+    val out = StreamingSessionize.sessions(
+      input.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+      gapUs, watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    spark.table(name)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+  }
+
+  test("sessions close on gap inline and on watermark timeout; numbering is sequential") {
+    // user 1: events at 10:00, 10:05 (one session), then 10:30 (gap > 10 min
+    // -> session 2); user 2: single event at 10:02
+    val sessions = runStream(Seq(
+      Seq((1L, ts(0), 1L, "view"), (1L, ts(5), 2L, "click"), (2L, ts(2), 3L, "view")),
+      // 10:30 closes user 1's first session INLINE (gap exceeded) and opens
+      // session 2; watermark advances to 10:30
+      Seq((1L, ts(30), 4L, "purchase")),
+      // sentinel far-future event (user 99) pushes the watermark past every
+      // open session's end + gap -> timeouts fire for users 1 and 2
+      Seq((99L, ts(59), 9L, "view"))
+    ), "sess_out")
+
+    def us(m: Int): Long = ts(m).getTime * 1000L
+    assert(sessions((1L, 1L)) === ((2L, us(0), us(5), us(5) - us(0), 2L)))
+    assert(sessions((1L, 2L)) === ((1L, us(30), us(30), 0L, 1L)))
+    assert(sessions((2L, 1L)) === ((1L, us(2), us(2), 0L, 1L)))
+    // user 99's session is still open (nothing advanced the watermark past
+    // it) — append mode must NOT have emitted it
+    assert(!sessions.keySet.exists(_._1 == 99L))
+  }
+
+  test("streaming sessions match batch sessionStats bit-for-bit once closed") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, ts(0), 1L, "view"), (1L, ts(5), 2L, "click"), (1L, ts(9), 3L, "view"),
+      (1L, ts(25), 4L, "purchase"), (1L, ts(31), 5L, "view"),
+      (2L, ts(2), 6L, "view"), (2L, ts(2), 7L, "click"), // ts tie -> one session
+      (3L, ts(40), 8L, "signup"))
+    val streamed = runStream(Seq(rows, Seq((99L, ts(59), 99L, "view"))), "sess_parity")
+
+    val batch = EventAnalytics.sessionStats(
+      rows.toDF("user_id", "ts", "event_id", "event_type")
+        .withColumn("ts_us", unix_micros(col("ts"))),
+      "user_id", "ts_us", "event_id", "event_type", gapUs)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+
+    assert(streamed === batch,
+      "every closed streaming session must equal the batch rollup row")
+  }
+}
