@@ -83,6 +83,60 @@ object TextAnalysis {
     * count tables are vocabulary-bounded hash-aggs with map-side combine,
     * V is a broadcast 1-row frame, and the joins are hash equi-joins on
     * the bigram/prefix key — everything linear, nothing all-pairs. */
+  /** Token-level CONTENT-DEFINED chunking (the rolling-hash cut rule of
+    * CDC dedup systems, applied at token granularity): a chunk boundary
+    * falls AFTER every token whose rolling 2-token window — `"prev tok"`
+    * (just `tok` at position 0) — FNV-1a-hashes to ≡ 0 (mod `meanTokens`).
+    * Chunk lengths are geometric with mean ~`meanTokens`, and — the point
+    * of CDC — boundaries are a function of LOCAL CONTENT alone: insert or
+    * delete a paragraph and every other chunk's identity survives, where
+    * fixed-stride windows ([[chunkFrame]]) shift globally. Chunk hashes
+    * are therefore corpus-wide dedup keys: shared boilerplate lands in
+    * identical chunks whatever document offset it sits at. (The window is
+    * 2 tokens, not 1, so the boundary density holds even on a corpus with
+    * a tiny vocabulary — a single-token rule degenerates to "is this one
+    * of the k boundary WORDS", and a small word list may contain none.)
+    *
+    * Returns one row per chunk: (id, chunk_idx, start_tok, n_toks,
+    * chunk_md5). Empty docs produce no rows. Scale: one explode + one
+    * doc-keyed window pass (lag + running sum share the partitioning and
+    * order) + one aggregate — the same shuffle the other per-doc token
+    * operators pay; nothing global.
+    *
+    * `meanTokens` must be a power of two: the boundary test masks the
+    * hash's low bits (pmod on 2^k = the low k bits), keeping the rule
+    * replayable in any engine with 64-bit integers.
+    */
+  def cdcChunks(docs: DataFrame, textCol: String, idCol: String,
+      meanTokens: Int = 16): DataFrame = {
+    require(meanTokens > 0 && (meanTokens & (meanTokens - 1)) == 0,
+      s"meanTokens must be a positive power of two, got $meanTokens")
+    import org.apache.spark.sql.expressions.Window
+    val toked = docs
+      .select(col(idCol).as("id"), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val wOrd = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val w = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("tok"), 1).over(wOrd)
+    val windowText =
+      when(prev.isNull, col("tok")).otherwise(concat_ws(" ", prev, col("tok")))
+    val bnd = when(pmod(graft.functions.Fnv.fnv1a64(windowText),
+      lit(meanTokens.toLong)) === 0L, 1L).otherwise(0L)
+    toked
+      .withColumn("__b", bnd)
+      // a boundary token CLOSES its chunk: chunk index = boundaries seen
+      // strictly before this token = running sum minus the token's own flag
+      .withColumn("chunk_idx", sum(col("__b")).over(w) - col("__b"))
+      .groupBy(col("id"), col("chunk_idx"))
+      .agg(
+        min(col("pos")).cast("long").as("start_tok"),
+        count(lit(1)).as("n_toks"),
+        // order within the group is (pos); sort_array on the struct keys
+        // by pos first, so the joined text is the original token order
+        md5(concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok"))).cast("binary")).as("chunk_md5"))
+  }
+
   def bigramLmScores(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val bg = Dedup.shingleFramePos(docs, textCol, idCol, 2)
       .filter(col("ntok") >= 2) // whole-string shingles of short docs are not bigrams

@@ -160,6 +160,29 @@ object Extensions {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // Content-defined chunking (rolling-hash cut rule at token
+    // granularity): boundaries from the token's FNV-1a low bits, so chunk
+    // identity survives insertions/deletions that shift every fixed-stride
+    // window. Mean chunk ~16 tokens.
+    "text_cdc_chunks" -> ((s, d) => {
+      TA.cdcChunks(Tables.documents(s, d), "text", "doc_id", meanTokens = 16)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // Chunk-level duplication over the CDC chunks — the dedup payoff:
+    // shared boilerplate lands in identical chunks at ANY document offset.
+    // Top-50 repeated chunk hashes by occurrence (TakeOrdered, no global
+    // sort); n_docs distinguishes cross-doc boilerplate from within-doc
+    // repetition.
+    "dedup_cdc_shared" -> ((s, d) => {
+      TA.cdcChunks(Tables.documents(s, d), "text", "doc_id", meanTokens = 16)
+        .groupBy(col("chunk_md5"))
+        .agg(count(lit(1)).as("n_occ"), count_distinct(col("id")).as("n_docs"))
+        .filter(col("n_occ") > 1)
+        .orderBy(col("n_occ").desc, col("chunk_md5")).limit(50)
+    }),
+
     // Statistical LM quality score: average conditional bigram probability
     // under the corpus's own MLE model — the KenLM-filter signal, in the
     // rational form whose every term is an IEEE division of integer counts
@@ -936,6 +959,32 @@ object Extensions {
   /** Shared CTE prefix doc_id -> per-shingle hash h (the EXACT constants the
     * Spark path derives from Dedup.minhashParams' fixed seed are embedded by
     * the callers below). */
+  /** CDC chunk replay, shared by the per-chunk and duplication oracles:
+    * -> `ch(doc_id, chunk_idx, start_tok, n_toks, chunk_md5)`. The boundary
+    * rule is the signed-pmod-16 of the same FNV-1a fold the sketch oracles
+    * replay, over the rolling 2-token window ("prev tok", just "tok" at
+    * position 0); chunk text re-joins tokens in position order. */
+  private lazy val cdcChunkCtes =
+    s"""WITH docs AS (SELECT doc_id, $toks AS tk FROM documents),
+       |t AS (SELECT doc_id, unnest(tk) AS tok,
+       |        generate_subscripts(tk, 1) - 1 AS pos FROM docs),
+       |tw AS (SELECT doc_id, pos, tok,
+       |         CASE WHEN lag(tok) OVER w IS NULL THEN tok
+       |              ELSE lag(tok) OVER w || ' ' || tok END AS wt
+       |       FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |hb AS (SELECT doc_id, pos, tok,
+       |         CASE WHEN (((${signed64(fnvSql("wt"))} % 16) + 16) % 16) = 0
+       |              THEN 1 ELSE 0 END AS b
+       |       FROM tw),
+       |cx AS (SELECT *, CAST(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - b
+       |         AS BIGINT) AS chunk_idx
+       |       FROM hb),
+       |ch AS (SELECT doc_id, chunk_idx, CAST(min(pos) AS BIGINT) AS start_tok,
+       |         count(*) AS n_toks,
+       |         md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+       |       FROM cx GROUP BY doc_id, chunk_idx)""".stripMargin
+
   private val minhashHashCtes =
     s"""WITH docs AS (SELECT doc_id, $toks AS tk FROM documents),
        |shg AS (SELECT doc_id, unnest($shingleSql) AS s FROM docs),
@@ -1547,6 +1596,24 @@ object Extensions {
          |SELECT doc_id, chunk_idx, CAST(len(ch) AS BIGINT) AS n_chunk_tokens,
          |  md5(array_to_string(ch, ' ')) AS chunk_md5
          |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // CDC chunking replayed: per-token FNV-1a (the hex-pair byte fold),
+    // boundary = signed pmod 16 == 0, chunk index = boundaries strictly
+    // before the token (running sum minus own flag, CAST — HUGEINT),
+    // per-chunk md5 of the pos-ordered join.
+    "text_cdc_chunks" ->
+      s"""$cdcChunkCtes
+         |SELECT doc_id, chunk_idx, start_tok, n_toks, chunk_md5
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Chunk-duplication payoff replayed over the same CTEs: repeated chunk
+    // hashes, occurrences + distinct docs, deterministic top-50.
+    "dedup_cdc_shared" ->
+      s"""$cdcChunkCtes
+         |SELECT chunk_md5, count(*) AS n_occ,
+         |  count(DISTINCT doc_id) AS n_docs
+         |FROM ch GROUP BY chunk_md5 HAVING count(*) > 1
+         |ORDER BY n_occ DESC, chunk_md5 LIMIT 50""".stripMargin,
 
     "text_vocab_topk" ->
       s"""SELECT w, count(*) AS n

@@ -230,4 +230,45 @@ class TextAnalysisSpec extends SparkSpec {
     // total tokens counted with overlap = 53 + 4 overlaps * 4 shared tokens
     assert(widths.sum === 53L + 4 * 4)
   }
+
+  test("cdcChunks: geometry is a partition of the token stream") {
+    import spark.implicits._
+    val text = (0 until 200).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.cdcChunks(docs, "text", "doc_id", meanTokens = 16)
+      .orderBy("chunk_idx").collect()
+    assert(out.forall(_.getLong(0) === 1L), "empty doc must produce no chunks")
+    // chunks tile the stream: indexes 0..n-1, starts contiguous, counts sum
+    assert(out.map(_.getLong(1)).toSeq === out.indices.map(_.toLong))
+    assert(out.map(_.getLong(3)).sum === 200L)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) === a.getLong(2) + a.getLong(3), "starts abut")
+    case _ => }
+  }
+
+  test("cdcChunks: chunk identity survives a prefix insertion (the CDC property)") {
+    import spark.implicits._
+    val words = (0 until 300).map(i => s"tok$i")
+    // pick a prefix whose insertion creates NO new boundary: neither the
+    // lone "[prefix]" window nor the "[prefix tok0]" pair may cut (and the
+    // original "[tok0]" head window must not cut either, else the two docs'
+    // first boundaries misalign by construction)
+    def cuts(s: String): Boolean = spark.range(1).select(
+      pmod(graft.functions.Fnv.fnv1a64(lit(s)), lit(16L)) === 0L).head().getBoolean(0)
+    assert(!cuts("tok0"), "fixture head token must not be a boundary")
+    val prefix = Seq("alpha", "beta", "gamma", "delta")
+      .find(w => !cuts(w) && !cuts(s"$w tok0")).get
+    val docs = Seq(
+      (1L, words.mkString(" ")),
+      (2L, (prefix +: words).mkString(" "))).toDF("doc_id", "text")
+    val chunks = TextAnalysis.cdcChunks(docs, "text", "doc_id", meanTokens = 16)
+      .orderBy("id", "chunk_idx").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(4)).toSeq).toMap
+    assert(chunks(1L).size === chunks(2L).size)
+    assert(chunks(1L).head !== chunks(2L).head,
+      "the first chunk absorbs the inserted token")
+    assert(chunks(1L).tail === chunks(2L).tail,
+      "every chunk after the first boundary must be identical — fixed-stride " +
+        "windows would shift globally here")
+  }
 }
