@@ -47,6 +47,26 @@ object Similarity {
     Seq.fill(planes)(Seq.fill(dim)(r.nextGaussian()))
   }
 
+  /** Johnson–Lindenstrauss random projection: deterministic seeded
+    * Gaussian planes (the same machinery the LSH buckets use) map `dim`-d
+    * embeddings to `outDim` components `y_j = dot(v, plane_j) / sqrt(k)`,
+    * the scaling under which E[‖y‖²] = ‖x‖² and pairwise distances are
+    * preserved within (1 ± ε) w.h.p. for k = O(log n / ε²) — the standard
+    * dimensionality-reduction step before ANN indexing (4-8x fewer
+    * multiply-adds per distance at recall cost bounded by ε). Pure
+    * per-row projection: zero shuffles, fuses into the scan, and any
+    * engine replays it from the plane literals (sequential IEEE dot
+    * products, like the LSH bucket oracle). */
+  def randomProject(embeddings: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, dim: Int = 64, seed: Long = 11L): DataFrame = {
+    val ps = hyperplanes(dim, outDim, seed)
+    val scale = math.sqrt(outDim.toDouble)
+    val comps = ps.zipWithIndex.map { case (p, j) =>
+      (dot(col(vecCol), typedLit(p)) / scale).as(s"y$j")
+    }
+    embeddings.select(col(idCol) +: comps: _*)
+  }
+
   /** LSH bucket id = the integer of sign(dot(v, plane_i)) bits. */
   def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>

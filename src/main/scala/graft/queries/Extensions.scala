@@ -399,6 +399,22 @@ object Extensions {
         .orderBy(col("vec_id"))
     }),
 
+    // Johnson–Lindenstrauss random projection 64-d -> 8-d (the dim-
+    // reduction step before ANN indexing): deterministic seeded Gaussian
+    // planes, y_j = dot(v, plane_j)/sqrt(8). Pure projection, zero
+    // shuffles; first two components + the squared projected norm are
+    // exact-replayed from the plane literals (sequential IEEE arithmetic
+    // both engines).
+    "sim_random_projection" -> ((s, d) => {
+      val proj = Similarity.randomProject(
+        Tables.embeddings(s, d), "vec_id", "embedding", outDim = 8)
+      val ny2 = (0 until 8).map(j => col(s"y$j") * col(s"y$j")).reduce(_ + _)
+      proj.select(col("vec_id"),
+        round(col("y0"), 6).as("y0"), round(col("y1"), 6).as("y1"),
+        round(ny2, 6).as("ny2"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Symmetric int8 vector quantization (the embedding-compression step
     // before ANN indexing at scale: 4x smaller, cache-resident codes).
     // Per vector: the scale (127/max|x|), the mean squared reconstruction
@@ -1457,6 +1473,26 @@ object Extensions {
          |  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.a)
          |SELECT a AS vec_id, CAST(min(r) AS BIGINT) AS component
          |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin,
+
+    // JL projection replayed from the plane literals: list_inner_product
+    // accumulates sequentially in double exactly like the codegen'd dot
+    // expression (the lshCtes parity), /sqrt(8) as the exact
+    // Double.toString literal, squared norm in the same left-assoc order.
+    "sim_random_projection" -> {
+      val ps = Similarity.hyperplanes(64, 8, seed = 11L)
+      val scale = math.sqrt(8.0)
+      val ys = ps.zipWithIndex.map { case (p, j) =>
+        s"list_inner_product(v, ${planeLit(p)}) / $scale AS y$j"
+      }.mkString(",\n|    ")
+      val ny2 = (0 until 8).map(j => s"y$j*y$j").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (SELECT vec_id,
+         |    $ys
+         |  FROM e)
+         |SELECT vec_id, ${sparkRound("y0", 6)} AS y0, ${sparkRound("y1", 6)} AS y1,
+         |  ${sparkRound(ny2, 6)} AS ny2
+         |FROM p ORDER BY vec_id""".stripMargin
+    },
 
     "sim_quantize_int8" ->
       // the parquet column is FLOAT[]; widen to DOUBLE[] first or DuckDB

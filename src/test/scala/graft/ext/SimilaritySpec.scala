@@ -137,6 +137,28 @@ class SimilaritySpec extends SparkSpec {
     assert(reloaded === fresh, "probe over the persisted index must match the fresh build")
   }
 
+  test("randomProject: JL norm preservation within the k-determined envelope") {
+    val df = vectors()
+    // project 16-d -> 8-d with the scaled-Gaussian planes: E[|y|^2] = |x|^2,
+    // relative deviation ~ 1/sqrt(k). Assert a loose 3-sigma-ish envelope
+    // per vector and a tight one for the mean over the fixture.
+    val proj = Similarity.randomProject(df, "vec_id", "embedding", outDim = 8, dim = dim)
+    val ny2 = (0 until 8).map(j => col(s"y$j") * col(s"y$j")).reduce(_ + _)
+    val nx2 = Similarity.dot(col("embedding"), col("embedding"))
+    val ratios = proj
+      .join(df.select(col("vec_id"), nx2.as("nx2")), "vec_id")
+      .select((ny2 / col("nx2")).as("r")).collect().map(_.getDouble(0))
+    assert(ratios.forall(r => r > 0.1 && r < 4.0),
+      s"per-vector norm ratio out of envelope: min=${ratios.min} max=${ratios.max}")
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.7 && mean < 1.4, s"mean norm ratio $mean should hug 1")
+    // determinism: same seed, same planes, identical output
+    val again = Similarity.randomProject(df, "vec_id", "embedding", outDim = 8, dim = dim)
+      .orderBy("vec_id").collect()
+    assert(Similarity.randomProject(df, "vec_id", "embedding", outDim = 8, dim = dim)
+      .orderBy("vec_id").collect() === again)
+  }
+
   test("LSH near-dup pairs are a subset of exact pairs at the same threshold") {
     val df = vectors().cache()
     val exact = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 0.98)
