@@ -46,6 +46,57 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(tight === ((1L, 10L, Some(30L), None)))
   }
 
+  test("funnelSteps property: fold form equals the sequential per-user reference") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    // direct sequential semantics: t0 = min ts of step-0 events; t_k = min
+    // ts of step-k events strictly after t_{k-1} and within W of t0
+    def reference(log: Seq[(Long, Long, String)], steps: Seq[String],
+        w: Long): Map[Long, Seq[Option[Long]]] =
+      log.groupBy(_._1).flatMap { case (u, evs) =>
+        val first = evs.filter(_._3 == steps.head).map(_._2)
+        if (first.isEmpty) None
+        else {
+          val t0 = first.min
+          val ts = steps.tail.scanLeft(Option(t0)) { (prev, step) =>
+            prev.flatMap { p =>
+              val cand = evs.filter(e => e._3 == step && e._2 > p && e._2 <= t0 + w)
+                .map(_._2)
+              if (cand.isEmpty) None else Some(cand.min)
+            }
+          }
+          Some(u -> ts)
+        }
+      }
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      Iterator.continually(g.sample).flatten.take(n).toSeq
+    val genEvent = for {
+      u <- Gen.choose(1L, 6L)
+      t <- Gen.choose(0L, 50L) // small range forces heavy ts ties
+      ty <- Gen.oneOf("a", "b", "c", "d", "e")
+    } yield (u, t, ty)
+    val stepSets = Seq(Seq("a", "b", "c"), Seq("b", "a"),
+      Seq("a", "b", "a"), // duplicate step type: one event can't fill both
+      Seq("c"))
+    (1 to 4).foreach { round =>
+      val log = samples(genEvent, 120)
+      val df = log.zipWithIndex
+        .map { case ((u, t, ty), i) => (i.toLong, u, t, ty) }
+        .toDF("event_id", "user_id", "ts_ns", "event_type")
+      stepSets.foreach { steps =>
+        val w = 20L
+        val got = EventAnalytics
+          .funnelSteps(df, "user_id", "ts_ns", "event_type", steps, w)
+          .collect().map { r =>
+            r.getLong(0) -> steps.indices.map(k =>
+              if (r.isNullAt(k + 1)) None else Some(r.getLong(k + 1)))
+          }.toMap
+        val want = reference(log, steps, w)
+        assert(got === want, s"round $round steps=$steps")
+      }
+    }
+  }
+
   test("funnelCounts: one row per step with monotone user counts") {
     val c = EventAnalytics.funnelCounts(log, "user_id", "ts_ns", "event_type",
       Seq("view", "click", "purchase"), 1000L)
