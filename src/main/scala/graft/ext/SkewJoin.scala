@@ -36,4 +36,28 @@ object SkewJoin {
       .drop(saltedSmall(key))
       .drop("__salt")
   }
+
+  /** Key-skew diagnostics — the measurement that DECIDES whether a join
+    * needs [[saltedJoin]] (or a bigger AQE skew threshold) before anyone
+    * pays for a straggler: per-key row counts for the `k` heaviest keys,
+    * each with its share of all rows and its skew factor (count / mean
+    * count per key — the straggler multiplier a plain hash partition
+    * would hand that key's reducer).
+    *
+    * Scale: ONE map-side-combined count aggregate over the input; the
+    * global (n_rows, n_keys) frame is a 1-row aggregate OF THE COUNTS
+    * (not a second input scan) attached by broadcast; the top-k is
+    * TakeOrdered. Nothing global-sorts, nothing re-reads.
+    */
+  def keySkew(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val globals = counts.agg(sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(globals))
+      .select(col(keyCol), col("cnt"), col("n_keys"),
+        round(col("cnt").cast("double") / col("n_rows"), 6).as("share"),
+        round(col("cnt").cast("double") * col("n_keys") / col("n_rows"), 4)
+          .as("skew"))
+      .orderBy(col("cnt").desc, col(keyCol)).limit(k)
+  }
 }

@@ -399,6 +399,15 @@ object Extensions {
         .orderBy(col("vec_id"))
     }),
 
+    // Key-skew diagnostics over the event log's user key: the measurement
+    // that decides whether a join needs salting (share + straggler
+    // multiplier per heavy key). One count aggregate, 1-row broadcast
+    // globals computed FROM the counts (exchange-reused, not a second
+    // scan), TakeOrdered top-20.
+    "diag_key_skew" -> ((s, d) => {
+      graft.ext.SkewJoin.keySkew(Tables.events(s, d), "user_id", k = 20)
+    }),
+
     // Johnson–Lindenstrauss random projection 64-d -> 8-d (the dim-
     // reduction step before ANN indexing): deterministic seeded Gaussian
     // planes, y_j = dot(v, plane_j)/sqrt(8). Pure projection, zero
@@ -1473,6 +1482,18 @@ object Extensions {
          |  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.a)
          |SELECT a AS vec_id, CAST(min(r) AS BIGINT) AS component
          |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin,
+
+    // Skew diagnostics replayed: per-key counts, 1-row globals, share and
+    // straggler multiplier with Spark-parity rounding, top-20.
+    "diag_key_skew" ->
+      s"""WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+         |g AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |        count(*) AS n_keys FROM c)
+         |SELECT user_id, cnt, n_keys,
+         |  ${sparkRound("cnt::DOUBLE / n_rows", 6)} AS share,
+         |  ${sparkRound("cnt::DOUBLE * n_keys / n_rows", 4)} AS skew
+         |FROM c, g
+         |ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin,
 
     // JL projection replayed from the plane literals: list_inner_product
     // accumulates sequentially in double exactly like the codegen'd dot

@@ -23,6 +23,30 @@ class SkewJoinSpec extends SparkSpec {
     assert(b.toSeq === a.toSeq)
   }
 
+  test("keySkew: shares and straggler multipliers, top-k order, one input scan") {
+    import spark.implicits._
+    // 3 keys: 60 / 30 / 10 rows -> mean 100/3; skew(60) = 60/(100/3) = 1.8
+    val rows = Seq.fill(60)(1L) ++ Seq.fill(30)(2L) ++ Seq.fill(10)(3L)
+    val df = rows.zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "v")
+    val out = SkewJoin.keySkew(df, "k", k = 2).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L), "top-k by count desc")
+    assert(out.head.getLong(1) === 60L)
+    assert(out.head.getLong(2) === 3L)
+    assert(out.head.getDouble(3) === 0.6)
+    assert(out.head.getDouble(4) === 1.8)
+    assert(out(1).getDouble(4) === 0.9)
+    // the globals frame must be computed FROM the counts via exchange
+    // reuse, not a second scan of the input
+    val q = SkewJoin.keySkew(df, "k", k = 2)
+    q.collect()
+    // the AQE tree string prints final AND initial plans — audit only the
+    // finalized segment, where the globals side must be a ReusedExchange
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("LocalTableScan".r.findAllIn(plan).length === 1,
+      s"globals must reuse the counts exchange, not re-scan the input:\n$plan")
+    assert(plan.contains("ReusedExchange"), s"expected exchange reuse:\n$plan")
+  }
+
   test("salt spreads a hot key across partitions") {
     import spark.implicits._
     val big = Seq.fill(1000)((42L, "x")).toDF("k", "v")
