@@ -55,6 +55,51 @@ object Hll {
     alpha * m * m * math.pow(2.0, 65 - p)
   }
 
+  /** The mergeable sketch state: (idx, r) register frame of `valueCol`
+    * (cast to string, fmix64(FNV-1a) hashed) — ≤ 2^p rows after the
+    * map-side max, whatever the input size. */
+  def registers(values: DataFrame, valueCol: String, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val maxRank = 64 - p + 1
+    val h: Column = Fnv.fnv1a64mixed(col(valueCol).cast("string"))
+    val idx = shiftrightunsigned(h, 64 - p)
+    val w = h.bitwiseAND(lit((1L << (64 - p)) - 1))
+    val rank = when(w === 0, lit(maxRank))
+      .otherwise(lit(maxRank) - length(bin(w)))
+    values.select(idx.as("idx"), rank.as("rank"))
+      .groupBy(col("idx")).agg(max(col("rank")).as("r"))
+  }
+
+  /** Sketch merge = register-wise max — the property every distributed /
+    * multi-set HLL use rests on: registers(A ∪ B) ≡ merge(registers(A),
+    * registers(B)), exactly (pinned in HllSpec). */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.union(b).groupBy(col("idx")).agg(max(col("r")).as("r"))
+
+  /** One-row (est_hll) estimate from a register frame — the same scaled
+    * harmonic mean + linear-counting branch as [[approxDistinct]], rounded
+    * to 4 (replayable: integer registers in, one double division + one
+    * log, both correctly rounded). */
+  def estimate(regs: DataFrame, p: Int = 8): DataFrame = {
+    val m = 1 << p
+    val maxRank = 64 - p + 1
+    regs
+      .agg(count(lit(1)).as("m_used"),
+        sum(expr(s"CAST(shiftleft(CAST(1 AS BIGINT), $maxRank - r) AS DECIMAL(38,0))"))
+          .as("s_used"))
+      .select((lit(m.toLong) - col("m_used")).as("v_empty"),
+        (col("s_used") +
+          (lit(m.toLong).cast("decimal(38,0)") - col("m_used").cast("decimal(38,0)")) *
+            lit(1L << maxRank).cast("decimal(38,0)")).as("z_scaled"))
+      .select(round(
+        when(
+          lit(numerator(p)) / col("z_scaled").cast("double") <= lit(2.5 * m) &&
+            col("v_empty") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v_empty").cast("double")))
+          .otherwise(lit(numerator(p)) / col("z_scaled").cast("double")),
+        4).as("est_hll"))
+  }
+
   /** One-row frame: (m, v_empty, z_scaled STRING, est_hll, n_exact,
     * rel_err) for the distinct count of `valueCol` (cast to string and
     * FNV-1a hashed; duplicates collapse by construction).

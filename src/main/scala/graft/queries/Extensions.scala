@@ -408,6 +408,29 @@ object Extensions {
       graft.ext.SkewJoin.keySkew(Tables.events(s, d), "user_id", k = 20)
     }),
 
+    // Join-cardinality estimation from MERGED HLL sketches — the planning
+    // diagnostic: |keys(orders) ∩ keys(customer)| estimated by
+    // inclusion-exclusion over three register-frame estimates (the union
+    // sketch is a register-wise max — no rescan of either input), with the
+    // exact distinct-key overlap as the witness column.
+    "diag_join_cardinality" -> ((s, d) => {
+      val oKeys = Tables.orders(s, d).select(col("o_custkey").as("k"))
+      val cKeys = Tables.customer(s, d).select(col("c_custkey").as("k"))
+      val ra = Hll.registers(oKeys, "k")
+      val rb = Hll.registers(cKeys, "k")
+      val estA = Hll.estimate(ra).select(col("est_hll").as("ndv_orders"))
+      val estB = Hll.estimate(rb).select(col("est_hll").as("ndv_customer"))
+      val estU = Hll.estimate(Hll.merge(ra, rb)).select(col("est_hll").as("ndv_union"))
+      val exact = oKeys.distinct().join(cKeys.distinct(), "k")
+        .agg(count(lit(1)).as("n_exact_common"))
+      estA.crossJoin(broadcast(estB)).crossJoin(broadcast(estU))
+        .crossJoin(broadcast(exact))
+        .select(col("ndv_orders"), col("ndv_customer"), col("ndv_union"),
+          round(col("ndv_orders") + col("ndv_customer") - col("ndv_union"), 4)
+            .as("est_common"),
+          col("n_exact_common"))
+    }),
+
     // Johnson–Lindenstrauss random projection 64-d -> 8-d (the dim-
     // reduction step before ANN indexing): deterministic seeded Gaussian
     // planes, y_j = dot(v, plane_j)/sqrt(8). Pure projection, zero
@@ -1482,6 +1505,51 @@ object Extensions {
          |  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.a)
          |SELECT a AS vec_id, CAST(min(r) AS BIGINT) AS component
          |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin,
+
+    // Join-cardinality replayed: both sides' fmix64(FNV-1a) register
+    // frames, the union as a register-wise max over the concatenation,
+    // three estimate chains sharing the same rounding, inclusion-exclusion
+    // from the ROUNDED components, and the exact witness.
+    "diag_join_cardinality" -> {
+      val num = Hll.numerator(8)
+      def side(pre: String, keyExpr: String, from: String): String =
+        s"""${pre}h0 AS (SELECT ${fnvSql(keyExpr)} AS h FROM $from),
+           |${pre}x1 AS (SELECT xor(h, h // (1::HUGEINT << 33)) AS h FROM ${pre}h0),
+           |${pre}x2 AS (SELECT ${mulMod64Sql("h", 0xff51afd7ed558ccdL)} AS h FROM ${pre}x1),
+           |${pre}x3 AS (SELECT xor(h, h // (1::HUGEINT << 29)) AS h FROM ${pre}x2),
+           |${pre}x4 AS (SELECT ${mulMod64Sql("h", 0xc4ceb9fe1a85ec53L)} AS h FROM ${pre}x3),
+           |${pre}hh AS (SELECT xor(h, h // (1::HUGEINT << 32)) AS hu FROM ${pre}x4),
+           |${pre}regs AS (SELECT hu // (1::HUGEINT << 56) AS idx,
+           |    max(CASE WHEN hu % (1::HUGEINT << 56) = 0 THEN 57
+           |             ELSE 57 - length(bin(hu % (1::HUGEINT << 56))) END) AS r
+           |  FROM ${pre}hh GROUP BY 1)""".stripMargin
+      def est(pre: String, regsRef: String): String =
+        s"""${pre}a AS (SELECT count(*) AS m_used,
+           |    sum(1::HUGEINT << (57 - r)) AS s_used FROM $regsRef),
+           |${pre}f AS (SELECT CAST(256 - m_used AS BIGINT) AS v_empty,
+           |    s_used + (256 - m_used)::HUGEINT * (1::HUGEINT << 57) AS z_scaled
+           |  FROM ${pre}a),
+           |${pre}e AS (SELECT ${sparkRound(
+                s"""CASE WHEN $num / CAST(z_scaled AS DOUBLE) <= 640.0 AND v_empty > 0
+                   |         THEN 256.0 * ln(256.0 / v_empty)
+                   |         ELSE $num / CAST(z_scaled AS DOUBLE) END""".stripMargin, 4)} AS est
+           |  FROM ${pre}f)""".stripMargin
+      s"""WITH ${side("o", "CAST(o_custkey AS VARCHAR)", "orders")},
+         |${side("c", "CAST(c_custkey AS VARCHAR)", "customer")},
+         |uregs AS (SELECT idx, max(r) AS r FROM
+         |  (SELECT * FROM oregs UNION ALL SELECT * FROM cregs) GROUP BY idx),
+         |${est("eo", "oregs")},
+         |${est("ec", "cregs")},
+         |${est("eu", "uregs")},
+         |x AS (SELECT count(*) AS n_exact_common FROM
+         |  (SELECT DISTINCT o_custkey AS k FROM orders) a JOIN
+         |  (SELECT DISTINCT c_custkey AS k FROM customer) b USING (k))
+         |SELECT eoe.est AS ndv_orders, ece.est AS ndv_customer,
+         |  eue.est AS ndv_union,
+         |  ${sparkRound("eoe.est + ece.est - eue.est", 4)} AS est_common,
+         |  n_exact_common
+         |FROM eoe, ece, eue, x""".stripMargin
+    },
 
     // Skew diagnostics replayed: per-key counts, 1-row globals, share and
     // straggler multiplier with Spark-parity rounding, top-20.

@@ -62,4 +62,24 @@ class HllSpec extends SparkSpec {
     assert(a.getAs[String]("z_scaled") === b.getAs[String]("z_scaled"),
       "LONG 42 and STRING '42' must land in identical registers")
   }
+
+  test("merge is exactly the union's sketch; inclusion-exclusion brackets the overlap") {
+    import spark.implicits._
+    val a = (0L until 800L).toDF("v")          // 0..799
+    val b = (500L until 1500L).toDF("v")       // 500..1499, overlap 300
+    val ra = Hll.registers(a, "v")
+    val rb = Hll.registers(b, "v")
+    def regMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the identity every distributed HLL rests on: registers(A ∪ B) ==
+    // merge(registers(A), registers(B)), register for register
+    assert(regMap(Hll.merge(ra, rb)) === regMap(Hll.registers(a.union(b), "v")))
+    val estA = Hll.estimate(ra).head().getDouble(0)
+    val estB = Hll.estimate(rb).head().getDouble(0)
+    val estU = Hll.estimate(Hll.merge(ra, rb)).head().getDouble(0)
+    val common = estA + estB - estU
+    // p=8 → ~6.5% per estimate; allow a generous compounded envelope
+    assert(common > 100 && common < 500,
+      s"inclusion-exclusion estimate $common should bracket the true 300")
+  }
 }
