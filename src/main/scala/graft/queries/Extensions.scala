@@ -408,6 +408,15 @@ object Extensions {
       graft.ext.SkewJoin.keySkew(Tables.events(s, d), "user_id", k = 20)
     }),
 
+    // One-pass multi-column profile (ANALYZE-shaped): per column of
+    // lineitem, rows / nulls / exact NDV / portable-HLL NDV from a single
+    // scan — melt + one two-level aggregate bounded by k·2^p groups.
+    "diag_profile" -> ((s, d) => {
+      graft.ext.Profile.profile(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"))
+        .orderBy(col("col_name"))
+    }),
+
     // Join-cardinality estimation from MERGED HLL sketches — the planning
     // diagnostic: |keys(orders) ∩ keys(customer)| estimated by
     // inclusion-exclusion over three register-frame estimates (the union
@@ -1505,6 +1514,47 @@ object Extensions {
          |  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.a)
          |SELECT a AS vec_id, CAST(min(r) AS BIGINT) AS component
          |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin,
+
+    // Profile replayed: melt via UNION ALL, the same fmix64(FNV-1a)
+    // register chain keyed by (c, v) — null values null-propagate through
+    // the hash into a null register excluded from the estimate — then the
+    // grouped two-level rollup and per-row estimate branch.
+    "diag_profile" -> {
+      val num = Hll.numerator(8)
+      val meltCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_returnflag", "l_linestatus")
+      val melt = meltCols.map(c =>
+        s"SELECT '$c' AS c, CAST($c AS VARCHAR) AS v FROM lineitem")
+        .mkString("\n|  UNION ALL ")
+      s"""WITH mlt AS (
+         |  $melt),
+         |h0 AS (SELECT c, v, ${fnvSql("v")} AS h FROM mlt),
+         |${fmixStages("h0", "c, v")},
+         |rk AS (SELECT c, v, hu // (1::HUGEINT << 56) AS idx,
+         |         CASE WHEN hu % (1::HUGEINT << 56) = 0 THEN 57
+         |              ELSE 57 - length(bin(hu % (1::HUGEINT << 56))) END AS rank
+         |       FROM hh),
+         |regs AS (SELECT c, idx, max(rank) AS r, count(DISTINCT v) AS nd,
+         |           count(*) AS cnt, count(v) AS nn
+         |         FROM rk GROUP BY c, idx),
+         |a AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |        CAST(sum(cnt) - sum(nn) AS BIGINT) AS n_null,
+         |        CAST(sum(nd) AS BIGINT) AS ndv_exact,
+         |        count(CASE WHEN idx IS NOT NULL THEN 1 END) AS m_used,
+         |        coalesce(sum(CASE WHEN idx IS NOT NULL
+         |          THEN 1::HUGEINT << (57 - r) END), 0::HUGEINT) AS s_used
+         |      FROM regs GROUP BY c),
+         |f AS (SELECT c, n_rows, n_null, ndv_exact,
+         |        CAST(256 - m_used AS BIGINT) AS v_empty,
+         |        s_used + (256 - m_used)::HUGEINT * (1::HUGEINT << 57) AS z_scaled
+         |      FROM a)
+         |SELECT c AS col_name, n_rows, n_null, ndv_exact,
+         |  ${sparkRound(
+            s"""CASE WHEN $num / CAST(z_scaled AS DOUBLE) <= 640.0 AND v_empty > 0
+               |         THEN 256.0 * ln(256.0 / v_empty)
+               |         ELSE $num / CAST(z_scaled AS DOUBLE) END""".stripMargin, 4)} AS ndv_est
+         |FROM f ORDER BY col_name""".stripMargin
+    },
 
     // Join-cardinality replayed: both sides' fmix64(FNV-1a) register
     // frames, the union as a register-wise max over the concatenation,
