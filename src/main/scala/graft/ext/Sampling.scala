@@ -102,6 +102,43 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Temperature-flattened mixture sampling — the multilingual α-sampling
+    * move (target share q_s ∝ p_s^α, α = 0.5): head strata are tempered
+    * toward, but not all the way to, uniform, which is how multilingual
+    * corpora are actually mixed (uniform starves the head; natural
+    * starves the tail). Rates realize the target mixture with MAXIMAL
+    * retention: t = min_s n_s/q_s, rate_s = t·q_s/n_s — the stratum
+    * binding the mixture keeps every row.
+    *
+    * One scan: stratum counts aggregate once and every global (total,
+    * weight sum, t) is a whole-frame window over the k-row counts frame
+    * (single-partition by construction — k strata, not data). The weight
+    * sum crosses engines order-free: each sqrt weight is quantized to 9
+    * decimals and summed as exact DECIMAL terms (the bigram-LM
+    * convention). α is FIXED at 0.5 because sqrt is correctly rounded in
+    * every IEEE libm — the one temperature that replays bit-for-bit; a
+    * general pow is only 1-ulp and would drift cross-engine. The keep
+    * decision is the same seeded-md5 fence as every sampler here. */
+  def temperatureSampleHalf(df: DataFrame, stratumCol: String, keyCol: String,
+      seed: String = "strat"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+    val rates = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__n_tot", sum(col("__n")).over(wAll))
+      .withColumn("__w",
+        round(sqrt(col("__n").cast("double") / col("__n_tot")), 9)
+          .cast("decimal(38,9)"))
+      .withColumn("__S", sum(col("__w")).over(wAll))
+      .withColumn("__q", col("__w").cast("double") / col("__S").cast("double"))
+      .withColumn("__ratio", col("__n").cast("double") / col("__q"))
+      .withColumn("__t", min(col("__ratio")).over(wAll))
+      .select(col(stratumCol),
+        least(lit(1.0), col("__t") * col("__q") / col("__n").cast("double"))
+          .as("__rate"))
+    weightedSample(df.join(broadcast(rates), stratumCol), col("__rate"), keyCol, seed)
+      .select(df.columns.map(col): _*)
+  }
+
   /** Deterministic ~90/5/5 train/valid/test assignment from the first md5
     * byte of the seeded draw on `key` ("e6" = 230/256 ≈ 89.8% train,
     * "f3" = 243/256 fences the next ≈ 5.1% as valid). Pure column algebra —

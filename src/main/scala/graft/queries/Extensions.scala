@@ -138,6 +138,22 @@ object Extensions {
         .orderBy(col("lang"))
     }),
 
+    // Temperature (α = 0.5) mixture sampling: target share ∝ sqrt(natural
+    // share) — tempered toward uniform, not all the way (the multilingual
+    // mixing practice); the binding stratum keeps every row, the head is
+    // downsampled to realize the target exactly. Before/after counts per
+    // language.
+    "train_temperature_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val kept = graft.ext.Sampling.temperatureSampleHalf(docs, "lang", "doc_id")
+      val before = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
+      val after = kept.groupBy(col("lang")).agg(count(lit(1)).as("n_after"))
+      before.join(after, Seq("lang"), "left")
+        .select(col("lang"), col("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"))
+        .orderBy(col("lang"))
+    }),
+
     // Per-row weighted (importance) sampling: keep probability follows the
     // document's length score instead of a stratum constant — the
     // quality-weighted downsampling move. Still zero shuffles and still
@@ -1716,6 +1732,31 @@ object Extensions {
         |na AS (SELECT lang, count(*) AS n_after FROM kept GROUP BY lang)
         |SELECT nb.lang, nb.n_before, coalesce(na.n_after, 0) AS n_after
         |FROM nb LEFT JOIN na USING (lang) ORDER BY nb.lang""".stripMargin,
+
+    // Temperature sampling replayed: stratum counts, 9-decimal sqrt
+    // weights summed as exact DECIMALs (order-free), target shares, the
+    // binding ratio t, the (t·q)/n rate in the same association order,
+    // then the weightedSample fences and before/after counts.
+    "train_temperature_sample" ->
+      s"""WITH nb AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |w AS (SELECT lang, n, CAST(sum(n) OVER () AS BIGINT) AS n_tot FROM nb),
+         |x AS (SELECT lang, n,
+         |        CAST(${sparkRound("sqrt(n::DOUBLE / n_tot)", 9)} AS DECIMAL(38,9)) AS w9
+         |      FROM w),
+         |y AS (SELECT lang, n,
+         |        CAST(w9 AS DOUBLE) / CAST(sum(w9) OVER () AS DOUBLE) AS q
+         |      FROM x),
+         |z AS (SELECT lang, n, q, min(n::DOUBLE / q) OVER () AS t FROM y),
+         |r AS (SELECT lang, least(1.0, t * q / n::DOUBLE) AS rate FROM z),
+         |kept AS (SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+         |  WHERE substr(md5('strat:' || CAST(d.doc_id AS VARCHAR)), 1, 4) <
+         |    CASE WHEN greatest(0.0, least(1.0, rate)) >= 1.0 THEN 'g'
+         |         ELSE lpad(lower(hex(CAST(floor(
+         |           greatest(0.0, least(1.0, rate)) * 65536) AS BIGINT))), 4, '0')
+         |    END),
+         |na AS (SELECT lang, count(*) AS n_after FROM kept GROUP BY lang)
+         |SELECT nb.lang, nb.n AS n_before, coalesce(na.n_after, 0) AS n_after
+         |FROM nb LEFT JOIN na USING (lang) ORDER BY nb.lang""".stripMargin,
 
     // Per-row threshold hex replicated exactly: clamp, floor(rate*65536),
     // 4-digit lower-case hex, 'g' sentinel at rate >= 1.

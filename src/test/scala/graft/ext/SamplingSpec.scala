@@ -91,6 +91,39 @@ class SamplingSpec extends SparkSpec {
     assert(kept.collect().toSet === again.collect().toSet)
   }
 
+  test("temperatureSampleHalf: rates match the closed form, binding stratum kept whole") {
+    import spark.implicits._
+    // 64 a / 16 b / 4 c: w = sqrt(n/84) -> q = (4, 2, 1)/7; t = min n/q = 28
+    // -> rates (28*q_s)/n_s = (0.25, 0.5, 1.0)
+    val df = (Seq.fill(64)("a") ++ Seq.fill(16)("b") ++ Seq.fill(4)("c"))
+      .zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("id", "lang")
+    val kept = Sampling.temperatureSampleHalf(df, "lang", "id")
+    // the derivation is the interesting part: mirror the exact IEEE chain
+    // (sqrt -> 9-decimal HALF_UP quantization -> decimal sum -> double
+    // divisions in the same order) and the kept SET must equal the same
+    // seeded fence applied with those rates
+    val n = Map("a" -> 64.0, "b" -> 16.0, "c" -> 4.0)
+    val w9 = n.view.mapValues(v =>
+      BigDecimal(math.sqrt(v / 84.0))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)).toMap
+    val s9 = w9.values.sum
+    val q = w9.map { case (k, w) => k -> w.toDouble / s9.toDouble }
+    val t = q.map { case (k, qk) => n(k) / qk }.min
+    val rates = q.map { case (k, qk) => k -> math.min(1.0, t * qk / n(k)) }
+    // closed form: q = (4, 2, 1)/7, t = 28 -> rates ~ (0.25, 0.5, 1.0)
+    assert(math.abs(rates("a") - 0.25) < 1e-9)
+    assert(math.abs(rates("b") - 0.5) < 1e-9)
+    assert(rates("c") > 1.0 - 1e-9)
+    val literal = Sampling.weightedSample(
+      df.withColumn("__r",
+        when($"lang" === "a", rates("a")).when($"lang" === "b", rates("b"))
+          .otherwise(rates("c"))),
+      org.apache.spark.sql.functions.col("__r"), "id")
+      .select("id", "lang")
+    assert(kept.collect().toSet === literal.collect().toSet)
+    assert(kept.columns.toSeq === df.columns.toSeq)
+  }
+
   test("weighted: rate >= 1 keeps every row, rate <= 0 keeps none") {
     val all = Sampling.weightedSample(corpus.withColumn("w", lit(5.0)), col("w"), "id")
     assert(all.count() === corpus.count(), "rate >= 1 must keep the top draw too")
