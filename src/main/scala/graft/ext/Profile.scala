@@ -29,6 +29,30 @@ import graft.functions.Fnv
   */
 object Profile {
 
+  /** Equi-WIDTH histogram of a numeric column: bucket = floor((v − lo) /
+    * width) clamped to [0, buckets), with per-bucket count and observed
+    * min/max. TWO passes and no global sort — the 1-row (lo, hi) frame
+    * broadcasts back onto the scan. (The equi-DEPTH variant needs a total
+    * order: fine on an ANALYZE sample, a single-partition ntile sort on
+    * the full table — deliberately not offered at this layer.) Nulls are
+    * excluded, like every SQL aggregate here. A constant column collapses
+    * to one bucket 0. */
+  def equiWidthHistogram(df: DataFrame, valueCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val g = df.agg(min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi"))
+    df.filter(col(valueCol).isNotNull)
+      .crossJoin(broadcast(g))
+      .withColumn("bucket",
+        when(col("__hi") === col("__lo"), lit(0)).otherwise(
+          least(lit(buckets - 1),
+            floor((col(valueCol) - col("__lo")) /
+              ((col("__hi") - col("__lo")) / buckets)))).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
+
   def profile(df: DataFrame, cols: Seq[String], p: Int = 8): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")

@@ -433,6 +433,16 @@ object Extensions {
         .orderBy(col("col_name"))
     }),
 
+    // Equi-width histogram of lineitem's price column — the distribution
+    // statistic beside diag_profile's NDVs: two passes, no global sort
+    // (the equi-depth variant needs a total order — an ANALYZE-sample
+    // tool, not a full-table operator).
+    "diag_histogram" -> ((s, d) => {
+      graft.ext.Profile.equiWidthHistogram(
+        Tables.lineitem(s, d), "l_extendedprice", buckets = 10)
+        .orderBy(col("bucket"))
+    }),
+
     // Join-cardinality estimation from MERGED HLL sketches — the planning
     // diagnostic: |keys(orders) ∩ keys(customer)| estimated by
     // inclusion-exclusion over three register-frame estimates (the union
@@ -1530,6 +1540,18 @@ object Extensions {
          |  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.a)
          |SELECT a AS vec_id, CAST(min(r) AS BIGINT) AS component
          |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin,
+
+    // Histogram replayed: same IEEE bucket arithmetic ((v-lo)/((hi-lo)/10)
+    // floored and clamped), same null exclusion.
+    "diag_histogram" ->
+      """WITH g AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |           FROM lineitem)
+        |SELECT CAST(CASE WHEN hi = lo THEN 0
+        |         ELSE least(9, floor((l_extendedprice - lo) / ((hi - lo) / 10)))
+        |       END AS INT) AS bucket,
+        |  count(*) AS n, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |FROM lineitem, g WHERE l_extendedprice IS NOT NULL
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // Profile replayed: melt via UNION ALL, the same fmix64(FNV-1a)
     // register chain keyed by (c, v) — null values null-propagate through

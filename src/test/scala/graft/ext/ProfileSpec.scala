@@ -19,6 +19,23 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(s.getDouble(4) - 2.0) < 1.0, s"s est ${s.getDouble(4)}")
   }
 
+  test("equiWidthHistogram: clamped buckets, exact counts, null exclusion, constant column") {
+    val df = (Seq(0.0, 1.0, 5.0, 9.9, 10.0) ++ Seq.fill(3)(2.5))
+      .map(Option(_)).appended(Option.empty[Double]).toDF("v")
+    val out = Profile.equiWidthHistogram(df, "v", buckets = 10)
+      .orderBy("bucket").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // width 1.0 over [0,10]: 0.0->b0, 1.0->b1, 2.5 x3 ->b2, 5.0->b5,
+    // 9.9->b9, 10.0 clamps into b9; the null row is excluded
+    assert(out(0) === ((1L, 0.0, 0.0)))
+    assert(out(2) === ((3L, 2.5, 2.5)))
+    assert(out(9) === ((2L, 9.9, 10.0)), "the max value clamps into the last bucket")
+    assert(out.values.map(_._1).sum === 8L)
+    val const = Profile.equiWidthHistogram(Seq(7.0, 7.0).toDF("v"), "v")
+      .collect().head
+    assert((const.getInt(0), const.getLong(1)) === ((0, 2L)))
+  }
+
   test("profile of an all-null column: zero NDV, null-register only") {
     val df = Seq(Option.empty[String], Option.empty[String]).toDF("s")
     val out = Profile.profile(df, Seq("s")).collect().head
