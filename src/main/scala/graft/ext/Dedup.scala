@@ -341,7 +341,11 @@ object Dedup {
       .repartition(col("band"), col("sig_bucket"))
       .write.mode(if (append) "append" else "overwrite")
       .partitionBy("band", "sig_bucket").parquet(path)
-    if (!append)
+    // write the sidecar whenever the store doesn't have one yet — including
+    // a store FIRST CREATED via append=true: without it a later probe with
+    // a different nBuckets parameter would bucket with the wrong modulus
+    // and silently miss near-duplicates
+    if (!append || !java.nio.file.Files.exists(storeMetaPath(path)))
       java.nio.file.Files.writeString(storeMetaPath(path),
         s"""{"nBuckets": $chosen, "bands": $bands, "rows": $rows}""")
   }

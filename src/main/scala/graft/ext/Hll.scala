@@ -67,6 +67,10 @@ object Hll {
     val rank = when(w === 0, lit(maxRank))
       .otherwise(lit(maxRank) - length(bin(w)))
     values.select(idx.as("idx"), rank.as("rank"))
+      // NULL values hash to NULL and must not occupy a register: an
+      // (idx=null, r=null) row would count in m_used but add nothing to
+      // s_used, shrinking v_empty/z_scaled and inflating the estimate
+      .where(col("idx").isNotNull)
       .groupBy(col("idx")).agg(max(col("rank")).as("r"))
   }
 
@@ -121,6 +125,7 @@ object Hll {
     val regs = values
       .select(idx.as("idx"), rank.as("rank"),
         col(valueCol).cast("string").as("v"))
+      .where(col("idx").isNotNull) // NULLs don't count (COUNT DISTINCT semantics)
       .groupBy(col("idx"))
       .agg(max(col("rank")).as("r"), countDistinct(col("v")).as("nd"))
     regs

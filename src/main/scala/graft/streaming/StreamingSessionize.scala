@@ -87,18 +87,25 @@ object StreamingSessionize {
       if (!st.open)
         st = SessState(st.nextIdx, open = true, e.ts_us, e.ts_us, 1L,
           Set(e.event_type))
-      else if (e.ts_us - st.end > gapUs) {
+      else if (e.ts_us > st.end && e.ts_us - st.end > gapUs) {
         out += emit(user, st)
         st = SessState(st.nextIdx + 1, open = true, e.ts_us, e.ts_us, 1L,
           Set(e.event_type))
       } else
-        st = st.copy(end = e.ts_us, n = st.n + 1,
+        // out-of-order but on-time (under the watermark delay): an event
+        // with ts_us < end merges without regressing the bounds; one with
+        // ts_us < start extends the session backwards — min/max keeps the
+        // stats identical to the batch window over the same sorted events
+        st = st.copy(start = math.min(st.start, e.ts_us),
+          end = math.max(st.end, e.ts_us), n = st.n + 1,
           types = st.types + e.event_type)
     }
     state.update(st)
     if (st.open)
-      // fire strictly after end + gap (ms granularity: +1 rounds up)
-      state.setTimeoutTimestamp(st.end / 1000L + gapUs / 1000L + 1L)
+      // fire strictly after end + gap: floor the µs sum ONCE, then +1 ms
+      // rounds up — flooring each term separately could fire up to 1 ms
+      // early when the sub-ms remainders of end and gap sum to >= 1 ms
+      state.setTimeoutTimestamp((st.end + gapUs) / 1000L + 1L)
     out.result().iterator
   }
 }

@@ -206,6 +206,26 @@ class DedupSpec extends SparkSpec {
       new java.io.File(store).getParentFile)
   }
 
+  test("a store FIRST CREATED via append=true still records its bucket modulus") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft_sigstore_app").toString + "/store"
+    Dedup.signatureStoreWrite(
+      Seq((1L, "some document text to sign and store for probing later"))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", store, nBuckets = 7, append = true)
+    assert(Dedup.readStoreBuckets(store) === Some(7),
+      "append-create must write the sidecar so later probes with a " +
+        "different nBuckets parameter still bucket with the store's modulus")
+    // second append must NOT overwrite the recorded modulus
+    Dedup.signatureStoreWrite(
+      Seq((2L, "another distinct document appended to the same store"))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", store, nBuckets = 13, append = true)
+    assert(Dedup.readStoreBuckets(store) === Some(7))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(store).getParentFile)
+  }
+
   test("rotateCheckpoints frees only the SAME KEY's previous generation") {
     import spark.implicits._
     val sc = spark.sparkContext

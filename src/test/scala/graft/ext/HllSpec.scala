@@ -34,6 +34,22 @@ class HllSpec extends SparkSpec {
     assert(b.getAs[Long]("n_exact") === 1000L)
   }
 
+  test("NULL values occupy no register and do not move the estimate") {
+    import spark.implicits._
+    val clean = (0 until 500).map(i => Option(s"v$i"))
+    val dirty = clean ++ Seq.fill(50)(Option.empty[String])
+    def regMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(regMap(Hll.registers(dirty.toDF("v"), "v")) ===
+      regMap(Hll.registers(clean.toDF("v"), "v")),
+      "a null input must not create an (idx=null) register row")
+    val a = Hll.approxDistinct(clean.toDF("v"), "v").head()
+    val b = Hll.approxDistinct(dirty.toDF("v"), "v").head()
+    assert(a.getAs[String]("z_scaled") === b.getAs[String]("z_scaled"))
+    assert(b.getAs[Long]("n_exact") === 500L,
+      "COUNT DISTINCT semantics: NULLs are not counted")
+  }
+
   test("small-range branch: tiny cardinalities use linear counting") {
     // with n << m most registers are empty -> E_raw <= 2.5m and v_empty > 0
     // forces the m*ln(m/V) branch; linear counting is very accurate there

@@ -17,13 +17,14 @@ class StreamingSessionizeSpec extends SparkSpec {
   private val gapUs = 10L * 60L * 1000000L // 10 minutes
 
   private def runStream(batches: Seq[Seq[(Long, Timestamp, Long, String)]],
-      name: String): Map[(Long, Long), (Long, Long, Long, Long, Long)] = {
+      name: String, watermarkDelay: String = "0 seconds")
+      : Map[(Long, Long), (Long, Long, Long, Long, Long)] = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String)]
     val out = StreamingSessionize.sessions(
       input.toDF().toDF("user_id", "ts", "event_id", "event_type"),
-      gapUs, watermarkDelay = "0 seconds")
+      gapUs, watermarkDelay)
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
@@ -53,6 +54,31 @@ class StreamingSessionizeSpec extends SparkSpec {
     // user 99's session is still open (nothing advanced the watermark past
     // it) — append mode must NOT have emitted it
     assert(!sessions.keySet.exists(_._1 == 99L))
+  }
+
+  test("out-of-order on-time events merge without regressing session bounds") {
+    import spark.implicits._
+    // batch 1 delivers 10:05 first; batch 2 delivers 10:00 and 10:03 LATE
+    // but on time under the 10-minute watermark delay (watermark after
+    // batch 1 is 09:55) — they must extend start backwards and leave end
+    // alone, and the timeout must still fire at end + gap, not earlier
+    val streamed = runStream(Seq(
+      Seq((1L, ts(5), 2L, "click")),
+      Seq((1L, ts(0), 1L, "view"), (1L, ts(3), 3L, "view")),
+      Seq((99L, ts(59), 99L, "view"))
+    ), "sess_ooo", watermarkDelay = "10 minutes")
+
+    def us(m: Int): Long = ts(m).getTime * 1000L
+    assert(streamed((1L, 1L)) === ((3L, us(0), us(5), us(5) - us(0), 2L)))
+
+    val batch = EventAnalytics.sessionStats(
+      Seq((1L, ts(0), 1L, "view"), (1L, ts(3), 3L, "view"), (1L, ts(5), 2L, "click"))
+        .toDF("user_id", "ts", "event_id", "event_type")
+        .withColumn("ts_us", unix_micros(col("ts"))),
+      "user_id", "ts_us", "event_id", "event_type", gapUs)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(streamed((1L, 1L)) === batch((1L, 1L)))
   }
 
   test("streaming sessions match batch sessionStats bit-for-bit once closed") {
