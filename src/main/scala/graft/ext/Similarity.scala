@@ -143,8 +143,21 @@ object Similarity {
     * members keep their previous centroid. Stride-picked seeds are fine on
     * uniform fixtures but under-represent clustered real data; 2-3 Lloyd
     * rounds move the centroids to the mass. */
+  /** Hard cap on nCells×dim for [[ivfRefine]]'s per-round collect (~32 MB
+    * of packed longs at the cap). The collect is bounded by construction —
+    * k·dim rows, never corpus-sized — and this guard makes the bound an
+    * invariant instead of a convention: a caller who wants more cells than
+    * this shards the refinement (or accepts the seed centroids), it cannot
+    * silently pull an unbounded frame onto the driver. */
+  val MaxRefineCells: Long = 1L << 22
+
   def ivfRefine(embeddings: DataFrame, idCol: String, vecCol: String,
       cents: Seq[(Int, Seq[Double])], iters: Int = 2): Seq[(Int, Seq[Double])] = {
+    require(cents.isEmpty ||
+      cents.size.toLong * cents.head._2.size <= MaxRefineCells,
+      s"ivfRefine collects nCells x dim = ${cents.size} x " +
+        s"${cents.head._2.size} centroid rows per round, over the " +
+        s"$MaxRefineCells driver cap — shard the refinement instead")
     var cs = cents
     for (_ <- 0 until iters) {
       val byCell = ivfAssign(embeddings, idCol, vecCol, cs)
@@ -270,5 +283,39 @@ object Similarity {
       .withColumn("cos", round(cosine(col("v1"), col("v2")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos")).distinct()
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embeddings into IVF cells, then drop
+    * near-semantic duplicates WITHIN each cell — a vector is dropped iff a
+    * smaller-id vector in the same cell has rounded cosine ≥ `threshold`,
+    * and its survivor is the smallest such id (deterministic election, the
+    * same min-id rule [[graft.ext.Dedup.incrementalNearDups]] uses).
+    *
+    * One row per vector: (id, ivf_cell, kept, survivor_id).
+    *
+    * Scale: pair comparison is confined to a cell (the per-cell self-join
+    * key is `ivf_cell`) — never all-pairs global. Cell population is
+    * corpus/nCells on average, so at 100 TB `nCells` grows with the corpus
+    * to keep cells bounded (SemDeDup runs k ~ 0.1% of n) and total work
+    * stays ~n·cellSize, linear for bounded cells. Election is greedy
+    * min-id, not connected components: one join + one aggregate, no
+    * iteration — the documented SemDeDup trade (a kept doc may still be
+    * within threshold of another kept doc's dropped neighbor). */
+  def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 8, threshold: Double = 0.4, refineIters: Int = 2): DataFrame = {
+    val index = ivfIndex(embeddings, idCol, vecCol, nCells, refineIters)
+    val a = index.assigned.select(col("ivf_cell"), col(idCol).as("id"),
+      col(vecCol).as("v"))
+    val b = a.select(col("ivf_cell"), col("id").as("id2"), col("v").as("v2"))
+    val dropped = a.join(b, Seq("ivf_cell")).filter(col("id") < col("id2"))
+      .withColumn("cos", round(cosine(col("v"), col("v2")), 6))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("ivf_cell"), col("id2"))
+      .agg(min(col("id")).as("survivor"))
+    a.select(col("ivf_cell"), col("id"))
+      .join(dropped.select(col("id2").as("id"), col("survivor")), Seq("id"), "left")
+      .select(col("id"), col("ivf_cell"), col("survivor").isNull.as("kept"),
+        coalesce(col("survivor"), col("id")).as("survivor_id"))
   }
 }

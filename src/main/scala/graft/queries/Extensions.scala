@@ -400,6 +400,21 @@ object Extensions {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // SemDeDup-style SEMANTIC dedup: IVF-cluster the embeddings, then drop
+    // vectors whose rounded cosine to a smaller-id vector IN THE SAME CELL
+    // is >= 0.4 (min-id survivor election). Pairing is per-cell only —
+    // at 100 TB nCells grows with the corpus so cells stay bounded and
+    // total work is ~n·cellSize, never global all-pairs. The oracle
+    // replays the full chain: stride seeds, two exact Lloyd rounds,
+    // argmax-cosine assignment, per-cell pairs, election.
+    "dedup_semantic" -> ((s, d) => {
+      Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+          nCells = 8, threshold = 0.4)
+        .select(col("id").as("vec_id"), col("ivf_cell"), col("kept"),
+          col("survivor_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Near-dup CLUSTERING: pairwise matches → connected components → one
     // canonical survivor (min id) per group. Edges here are the exact
     // cosine pairs on the bounded slice so DuckDB can replay them; the
@@ -440,6 +455,17 @@ object Extensions {
     "diag_histogram" -> ((s, d) => {
       graft.ext.Profile.equiWidthHistogram(
         Tables.lineitem(s, d), "l_extendedprice", buckets = 10)
+        .orderBy(col("bucket"))
+    }),
+
+    // Equi-DEPTH histogram (quantile buckets) of the order totals — the
+    // other half of the ANALYZE pair beside diag_histogram's equi-width:
+    // ntile over the (value, id) total order, count + [lo, hi] per tile.
+    // Exact full-table form here (modest input); at 100 TB the operator's
+    // sampleRate fence bounds the sorted rows first.
+    "diag_histogram_depth" -> ((s, d) => {
+      graft.ext.Profile.equiDepthHistogram(
+        Tables.orders(s, d), "o_totalprice", "o_orderkey", buckets = 12)
         .orderBy(col("bucket"))
     }),
 
@@ -1553,6 +1579,15 @@ object Extensions {
         |FROM lineitem, g WHERE l_extendedprice IS NOT NULL
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
 
+    // Equi-depth replayed: the standard ntile remainder rule over the
+    // same (value, id) total order is engine-identical
+    "diag_histogram_depth" ->
+      """WITH t AS (SELECT o_totalprice AS v, o_orderkey AS id FROM orders
+        |           WHERE o_totalprice IS NOT NULL),
+        |b AS (SELECT v, CAST(ntile(12) OVER (ORDER BY v, id) AS INT) AS bucket FROM t)
+        |SELECT bucket, count(*) AS n, min(v) AS lo, max(v) AS hi
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     // Profile replayed: melt via UNION ALL, the same fmix64(FNV-1a)
     // register chain keyed by (c, v) — null values null-propagate through
     // the hash into a null register excluded from the estimate — then the
@@ -2075,6 +2110,22 @@ object Extensions {
          |FROM assign a, q
          |WHERE a.cell IN (SELECT cid FROM probe) AND a.vec_id != 0
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    // semantic dedup replay: same ivfCtes chain (seeds, 2 Lloyd rounds,
+    // argmax assignment), then per-cell smaller-id pairs over the rounded
+    // cosine and the min-id election
+    "dedup_semantic" ->
+      s"""$ivfCtes,
+         |p AS (SELECT a2.vec_id AS id2, min(a1.vec_id) AS survivor
+         |      FROM assign a1 JOIN assign a2
+         |        ON a1.cell = a2.cell AND a1.vec_id < a2.vec_id
+         |      WHERE ${sparkRound("list_cosine_similarity(a1.v, a2.v)", 6)} >= 0.4
+         |      GROUP BY a2.vec_id)
+         |SELECT a.vec_id, CAST(a.cell AS INT) AS ivf_cell,
+         |  p.survivor IS NULL AS kept,
+         |  coalesce(p.survivor, a.vec_id) AS survivor_id
+         |FROM assign a LEFT JOIN p ON p.id2 = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
 
     "sim_ann_lsh_recall" ->
       s"""$lshCtes,

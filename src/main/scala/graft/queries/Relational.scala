@@ -802,6 +802,26 @@ object Relational {
         .orderBy(col("o_year"))
     }),
 
+    // BUCKETED fact-fact join: orders and lineitem persisted once as
+    // bucketBy(8, orderkey).sortBy(orderkey) twins, then joined with ZERO
+    // exchange and zero sort on the join key — the shuffle moved to ingest
+    // (the one join class broadcast can't fix; layout IS the index, like
+    // the signature store and the IVF cells). The merge hint keeps the
+    // plan the bucketed SMJ even where stats would pick broadcast; the
+    // layout is semantics-transparent, so the oracle is the PLAIN join.
+    // Zero-exchange is pinned in ExplainSpec.
+    "join_bucketed_smj" -> ((s, d) => {
+      val l = graft.ext.BucketedLayout.table(s, d, "lineitem", "l_orderkey")
+      val o = graft.ext.BucketedLayout.table(s, d, "orders", "o_orderkey")
+      l.hint("merge")
+        .join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // PIVOT: order counts per status spread across priority columns.
     "agg_pivot" -> ((s, d) => {
       Tables.orders(s, d)
@@ -1436,6 +1456,15 @@ object Relational {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // layout is semantics-transparent: the oracle is the plain join — a
+    // bucketing bug (row lost to the wrong bucket, dropped during the
+    // bucketed write) shows up here as a row/hash mismatch
+    "join_bucketed_smj" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)),2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "source_csv_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice),2) AS vol

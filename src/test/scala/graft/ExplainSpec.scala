@@ -101,6 +101,37 @@ class ExplainSpec extends SparkSpec {
     assert(nodes.count(_.isInstanceOf[CartesianProductExec]) === 0)
   }
 
+  test("join_bucketed_smj: zero exchange AND zero sort on the join keys") {
+    val nodes = run("join_bucketed_smj")
+    assert(nodes.count(_.isInstanceOf[SortMergeJoinExec]) === 1,
+      "the bucketed fact-fact join must plan as a sort-merge join")
+    // the layout IS the index: no shuffle may repartition on either join
+    // key (the groupBy's o_orderstatus exchange and the ORDER BY range
+    // exchange are the only legitimate movements)
+    val joinKeyExchanges = nodes.count {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.outputPartitioning match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            h.expressions.exists(_.references.exists(a =>
+              a.name == "l_orderkey" || a.name == "o_orderkey"))
+          case _ => false
+        }
+      case _ => false
+    }
+    assert(joinKeyExchanges === 0,
+      "bucketBy moved the join shuffle to ingest — none may remain at read")
+    // one file per bucket (the pre-write repartition) => bucket-sorted reads
+    // satisfy the SMJ ordering with no SortExec below the join
+    val sortsOnJoinKeys = nodes.count {
+      case srt: org.apache.spark.sql.execution.SortExec =>
+        srt.sortOrder.exists(_.references.exists(a =>
+          a.name == "l_orderkey" || a.name == "o_orderkey"))
+      case _ => false
+    }
+    assert(sortsOnJoinKeys === 0,
+      "sortBy buckets with one file each must eliminate the SMJ's sorts")
+  }
+
   test("dedup_neardup_survivors: signatures checkpointed once — a single documents scan") {
     val nodes = run("dedup_neardup_survivors")
     assert(scansOf(nodes, "doc_").size === 1,

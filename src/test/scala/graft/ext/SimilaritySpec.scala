@@ -159,6 +159,46 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("vec_id").collect() === again)
   }
 
+  test("semanticDedup: per-cell min-id election, kept/survivor invariants") {
+    val df = vectors().cache()
+    val out = Similarity.semanticDedup(df, "vec_id", "embedding",
+      nCells = 3, threshold = 0.98)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getBoolean(2), r.getLong(3)))).toMap
+    assert(out.size === 90, "exactly one verdict row per vector")
+    // survivors point at themselves; dropped rows point at a SMALLER kept-
+    // or-dropped id in the SAME cell whose cosine clears the threshold
+    val exact = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.foreach { case (id, (cell, kept, surv)) =>
+      if (kept) assert(surv === id)
+      else {
+        assert(surv < id, s"survivor $surv must be the smaller id (doc $id)")
+        assert(out(surv)._1 === cell, "election never crosses cells")
+        assert(exact.contains((surv, id)),
+          s"($surv, $id) elected but not an exact near-dup pair")
+      }
+    }
+    // clustered fixture at sigma=0.1: some duplicates must be found
+    assert(out.values.exists(!_._2), "tight clusters must yield dropped rows")
+    // determinism
+    val again = Similarity.semanticDedup(df, "vec_id", "embedding",
+      nCells = 3, threshold = 0.98)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getBoolean(2), r.getLong(3)))).toMap
+    assert(again === out)
+  }
+
+  test("ivfRefine: the nCells x dim driver collect is capped, not unbounded") {
+    val df = vectors()
+    val tooMany = (0 until 70000).map(i => (i, Seq.fill(64)(0.5))).toSeq
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfRefine(df, "vec_id", "embedding", tooMany)
+    }
+    assert(e.getMessage.contains("driver cap"),
+      "ivfRefine must refuse a collect larger than MaxRefineCells")
+  }
+
   test("LSH near-dup pairs are a subset of exact pairs at the same threshold") {
     val df = vectors().cache()
     val exact = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 0.98)
