@@ -32,11 +32,10 @@ object Profile {
   /** Equi-WIDTH histogram of a numeric column: bucket = floor((v − lo) /
     * width) clamped to [0, buckets), with per-bucket count and observed
     * min/max. TWO passes and no global sort — the 1-row (lo, hi) frame
-    * broadcasts back onto the scan. (The equi-DEPTH variant needs a total
-    * order: fine on an ANALYZE sample, a single-partition ntile sort on
-    * the full table — deliberately not offered at this layer.) Nulls are
-    * excluded, like every SQL aggregate here. A constant column collapses
-    * to one bucket 0. */
+    * broadcasts back onto the scan. (The equi-DEPTH variant,
+    * [[equiDepthHistogram]], needs a total order — see its sampling
+    * contract.) Nulls are excluded, like every SQL aggregate here. A
+    * constant column collapses to one bucket 0. */
   def equiWidthHistogram(df: DataFrame, valueCol: String,
       buckets: Int = 10): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
@@ -53,7 +52,47 @@ object Profile {
         min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
   }
 
-  def profile(df: DataFrame, cols: Seq[String], p: Int = 8): DataFrame = {
+  /** Equi-DEPTH histogram of a numeric column: `buckets` quantile groups
+    * of (near-)equal population via `ntile` over the (value, id) total
+    * order, reporting each group's count and [lo, hi] boundary — the
+    * ANALYZE statistic planners build range predicates and sort-merge
+    * splits from. The unique `idCol` tiebreaker makes the tiling a pure
+    * function of the data (standard ntile remainder rule: the first
+    * n mod k tiles take one extra row — identical in every SQL engine, so
+    * the whole frame replays value-for-value).
+    *
+    * Scale contract: a total order cannot be sharded, so the ordered
+    * window IS single-partition. That is correct usage at ANALYZE scale —
+    * pass `sampleRate < 1` to bound the sorted row count first (the same
+    * deterministic seeded-md5 fence as [[Sampling.stratifiedSample]], a
+    * zero-shuffle scan-side filter that an independent engine replays
+    * exactly); boundaries from a t-row sample are within O(1/sqrt(t)) of
+    * the true quantiles, which is what a planner statistic needs. The
+    * full-table exact form (`sampleRate = 1`) is for modest inputs. */
+  def equiDepthHistogram(df: DataFrame, valueCol: String, idCol: String,
+      buckets: Int = 10, sampleRate: Double = 1.0,
+      seed: String = "depth"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val bounded =
+      if (sampleRate >= 1.0) df
+      else Sampling.weightedSample(df, lit(sampleRate), idCol, seed)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(valueCol), col(idCol))
+    bounded.filter(col(valueCol).isNotNull)
+      .withColumn("bucket", ntile(buckets).over(w))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
+
+  /** `exact = false` is the 100 TB mode: the per-register
+    * `countDistinct(v)` leg is dropped, so the map-side partial no longer
+    * tracks the distinct value set per (col, register) group — the shuffle
+    * stays k·2^p rows but each row shrinks from a value set to three
+    * counters, and `ndv_exact` comes back NULL (same schema, HLL-only
+    * estimates). The 10× delta is recorded in PLANS.md. */
+  def profile(df: DataFrame, cols: Seq[String], p: Int = 8,
+      exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val m = 1 << p
@@ -67,11 +106,14 @@ object Profile {
     val w = h.bitwiseAND(lit((1L << (64 - p)) - 1))
     val rank = when(w === 0, lit(maxRank))
       .otherwise(lit(maxRank) - length(bin(w)))
+    val ndLeg =
+      if (exact) countDistinct(col("v")).as("nd")
+      else max(lit(null).cast("long")).as("nd")
     val perReg = melted
       .select(col("c"), col("v"), idx.as("idx"), rank.as("rank"))
       .groupBy(col("c"), col("idx"))
       .agg(max(col("rank")).as("r"),
-        countDistinct(col("v")).as("nd"),
+        ndLeg,
         count(lit(1)).as("cnt"),
         count(col("v")).as("nn"))
     val live = col("idx").isNotNull
@@ -80,7 +122,7 @@ object Profile {
       .agg(
         sum(col("cnt")).as("n_rows"),
         (sum(col("cnt")) - sum(col("nn"))).as("n_null"),
-        sum(col("nd")).as("ndv_exact"),
+        (if (exact) sum(col("nd")) else max(lit(null).cast("long"))).as("ndv_exact"),
         count(when(live, lit(1))).as("m_used"),
         sum(when(live,
           expr(s"CAST(shiftleft(CAST(1 AS BIGINT), $maxRank - r) AS DECIMAL(38,0))")))

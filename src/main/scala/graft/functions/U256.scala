@@ -4,6 +4,7 @@ import java.math.BigInteger
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
@@ -117,6 +118,59 @@ object U256 {
     ColumnBridge.column(U256Arith(ColumnBridge.expression(a), ColumnBridge.expression(b), "mul", signed, bits))
   def u256_sub(a: Column, b: Column, signed: Boolean = false, bits: Int = Bits): Column =
     ColumnBridge.column(U256Arith(ColumnBridge.expression(a), ColumnBridge.expression(b), "sub", signed, bits))
+  def u256_sum(c: Column, signed: Boolean = false, bits: Int = Bits): Column =
+    ColumnBridge.column(
+      U256Sum(ColumnBridge.expression(c), signed, bits).toAggregateExpression())
+
+  // ---- U256Sum helpers (residue arithmetic over the encoded bytes) -------
+
+  /** running-sum buffer: 1 seen-flag byte + bits/8 unsigned residue bytes */
+  def sumZero(bits: Int): Array[Byte] = new Array[Byte](1 + width(bits))
+
+  /** fold one encoded value (offset-binary when signed) into the buffer,
+    * wrapping mod 2^bits — ClickHouse sum semantics over wide ints
+    * (native wrap-around adds), deliberately unlike the permissive-NULL
+    * scalar [[arithOrNull]]: a distributed fold cannot usefully
+    * null-propagate a transient overflow. */
+  def sumUpdate(buf: Array[Byte], v: Array[Byte], signed: Boolean,
+      bits: Int): Array[Byte] = {
+    if (v.length != width(bits)) return buf // malformed input rows are skipped
+    val x = if (signed) decodeSigned(v, bits) else decodeUnsigned(v, bits)
+    addResidue(buf, x, bits)
+  }
+
+  /** merge two buffers: residues add mod 2^bits, seen-flags OR */
+  def sumMerge(a: Array[Byte], b: Array[Byte], bits: Int): Array[Byte] = {
+    if (b(0) == 0) return a
+    val r = addResidue(a, new BigInteger(1, java.util.Arrays.copyOfRange(b, 1, b.length)), bits)
+    r(0) = 1; r
+  }
+
+  private def addResidue(buf: Array[Byte], x: BigInteger, bits: Int): Array[Byte] = {
+    val cur = new BigInteger(1, java.util.Arrays.copyOfRange(buf, 1, buf.length))
+    val next = cur.add(x.mod(BigInteger.ONE.shiftLeft(bits)))
+      .mod(BigInteger.ONE.shiftLeft(bits))
+    val out = sumZero(bits)
+    out(0) = 1
+    val enc = toFixed(next, width(bits))
+    System.arraycopy(enc, 0, out, 1, enc.length)
+    out
+  }
+
+  /** SQL semantics: NULL for an empty group; otherwise the residue read as
+    * unsigned (or two's-complement when signed) re-encoded in the
+    * order-preserving column encoding. */
+  def sumEval(buf: Array[Byte], signed: Boolean, bits: Int): Array[Byte] = {
+    if (buf(0) == 0) return null
+    val residue = new BigInteger(1, java.util.Arrays.copyOfRange(buf, 1, buf.length))
+    if (!signed) encodeUnsigned(residue, bits)
+    else {
+      val v = if (residue.testBit(bits - 1))
+        residue.subtract(BigInteger.ONE.shiftLeft(bits))
+      else residue
+      encodeSigned(v, bits)
+    }
+  }
 }
 
 /** decimal string -> bits/8-byte encoding; NULL on malformed/out-of-range.
@@ -163,4 +217,37 @@ case class U256Arith(left: Expression, right: Expression, op: String, signed: Bo
       ${ev.isNull} = (${ev.value} == null);""")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** SUM over encoded wide ints — a [[TypedImperativeAggregate]] whose buffer
+  * is the running residue mod 2^bits (1 seen-flag byte + bits/8 bytes), so
+  * partial aggregation, map-side combine, and buffer serialization are all
+  * fixed-width byte copies. Wraps on overflow (ClickHouse wide-int sum
+  * semantics — see [[U256.sumUpdate]]); NULL for an empty group (SQL SUM).
+  * Closes SURVEY §7.4's "aggregation over wide ints" gap: ORDER BY / joins
+  * were already free on the encoding, now the fold is too. */
+case class U256Sum(child: Expression, signed: Boolean = false,
+    bits: Int = U256.Bits,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def createAggregationBuffer(): Array[Byte] = U256.sumZero(bits)
+  override def update(buf: Array[Byte], input: org.apache.spark.sql.catalyst.InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v == null) buf else U256.sumUpdate(buf, v.asInstanceOf[Array[Byte]], signed, bits)
+  }
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    U256.sumMerge(a, b, bits)
+  override def eval(buf: Array[Byte]): Any = U256.sumEval(buf, signed, bits)
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  override def withNewMutableAggBufferOffset(o: Int): U256Sum =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): U256Sum =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
 }

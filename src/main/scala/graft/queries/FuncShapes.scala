@@ -40,6 +40,26 @@ object FuncShapes {
           U256.u256_to_str(col("sum256")).as("val"))
     }),
 
+    // u256 SUM (TypedImperativeAggregate over the 32-byte encoding): per-
+    // orderstatus group sums of values built past 2^64 (orderkey·2^60 +
+    // 12345), formatted back to decimal strings. Values are sized so the
+    // true sums stay inside HUGEINT — equality proves the distributed
+    // wrap-fold (partials, map-side combine, merge) computes the exact
+    // big-integer sum; the wrap branch itself is spec-pinned driver-side.
+    "func_u256_sum" -> ((s, d) => {
+      val v = U256.u256_from_str(
+        (col("o_orderkey").cast("decimal(38,0)") *
+          lit("1152921504606846976").cast("decimal(38,0)") +
+          lit(12345).cast("decimal(38,0)")).cast("string"))
+      Tables.orders(s, d)
+        .select(col("o_orderstatus"), v.as("v256"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), U256.u256_sum(col("v256")).as("s256"))
+        .select(col("o_orderstatus"), col("n"),
+          U256.u256_to_str(col("s256")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // FixedString(10): encode truncates/zero-pads to exactly 10 bytes; decode
     // strips the padding. For ASCII inputs decode∘encode == 10-char prefix.
     "func_fixed_string" -> ((s, d) => {
@@ -62,6 +82,12 @@ object FuncShapes {
 
     "func_fixed_string" ->
       """SELECT p_partkey, substring(p_name, 1, 10) AS fs10, 16 AS enc_len
-        |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin
+        |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin,
+
+    "func_u256_sum" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_orderkey AS HUGEINT) * 1152921504606846976 + 12345)
+        |    AS VARCHAR) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

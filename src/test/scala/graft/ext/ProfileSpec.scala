@@ -36,6 +36,45 @@ class ProfileSpec extends SparkSpec {
     assert((const.getInt(0), const.getLong(1)) === ((0, 2L)))
   }
 
+  test("equiDepthHistogram: exact ntile boundaries, remainder rule, sampling fence") {
+    // 10 values into 4 tiles: first 10%4=2 tiles take 3 rows, rest 2
+    val df = (1 to 10).map(i => (i.toLong, i * 10.0)).toDF("id", "v")
+    val out = Profile.equiDepthHistogram(df, "v", "id", buckets = 4)
+      .orderBy("bucket").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+    assert(out.toSeq === Seq(
+      1 -> ((3L, 10.0, 30.0)), 2 -> ((3L, 40.0, 60.0)),
+      3 -> ((2L, 70.0, 80.0)), 4 -> ((2L, 90.0, 100.0))))
+    // the sampled form is a deterministic subset: tile populations sum to
+    // the fence's keep count, and repeat runs are identical
+    val big = (1 to 2000).map(i => (i.toLong, (i * 37 % 1000).toDouble))
+      .toDF("id", "v")
+    val a = Profile.equiDepthHistogram(big, "v", "id", buckets = 8, sampleRate = 0.25)
+      .orderBy("bucket").collect()
+    val b = Profile.equiDepthHistogram(big, "v", "id", buckets = 8, sampleRate = 0.25)
+      .orderBy("bucket").collect()
+    assert(a.toSeq === b.toSeq, "seeded fence must be deterministic")
+    val kept = a.map(_.getLong(1)).sum
+    assert(kept > 300 && kept < 700, s"~25% fence kept $kept of 2000")
+  }
+
+  test("profile(exact = false): NDV leg dropped, same schema, HLL estimate intact") {
+    val df = (1 to 500).map(i => (i.toLong, s"v${i % 97}")).toDF("id", "s")
+    val fast = Profile.profile(df, Seq("id", "s"), exact = false)
+      .orderBy("col_name").collect()
+    val full = Profile.profile(df, Seq("id", "s"))
+      .orderBy("col_name").collect()
+    assert(fast.map(_.schema.fieldNames.toSeq).head ===
+      full.map(_.schema.fieldNames.toSeq).head, "schema must not change")
+    fast.zip(full).foreach { case (f, e) =>
+      assert(f.isNullAt(3), "ndv_exact must be NULL in scale mode")
+      assert(!e.isNullAt(3))
+      assert((f.getLong(1), f.getLong(2)) === ((e.getLong(1), e.getLong(2))))
+      assert(f.getDouble(4) === e.getDouble(4),
+        "the HLL estimate must be identical with or without the exact leg")
+    }
+  }
+
   test("profile of an all-null column: zero NDV, null-register only") {
     val df = Seq(Option.empty[String], Option.empty[String]).toDF("s")
     val out = Profile.profile(df, Seq("s")).collect().head

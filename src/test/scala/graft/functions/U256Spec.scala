@@ -114,4 +114,48 @@ class U256Spec extends SparkSpec {
       .select(u256_mul(u256_from_str(col("a")), u256_from_str(col("b"))).as("prod"))
     assert(df.collect().head.isNullAt(0))
   }
+
+  test("u256_sum: exact big-integer group sums across partitions") {
+    import spark.implicits._
+    val big = BigInteger.ONE.shiftLeft(200) // far past any native type
+    val rows = (1 to 500).map(i =>
+      (i % 3, big.add(BigInteger.valueOf(i)).toString))
+    val out = rows.toDF("g", "v").repartition(8)
+      .select(col("g"), u256_from_str(col("v")).as("v256"))
+      .groupBy(col("g")).agg(u256_to_str(u256_sum(col("v256"))).as("total"))
+      .collect().map(r => r.getInt(0) -> new BigInteger(r.getString(1))).toMap
+    val expect = rows.groupBy(_._1).view.mapValues(
+      _.map(t => new BigInteger(t._2)).reduce(_ add _)).toMap
+    assert(out === expect,
+      "the distributed fold (partials + merge) must equal the exact sum")
+  }
+
+  test("u256_sum: wraps mod 2^256 on overflow (ClickHouse semantics), NULL for empty/null-only") {
+    import spark.implicits._
+    val out = Seq(UMax.toString, "5")
+      .toDF("v").select(u256_from_str(col("v")).as("v256"))
+      .agg(u256_to_str(u256_sum(col("v256"))).as("total"))
+      .collect().head.getString(0)
+    assert(new BigInteger(out) === BigInteger.valueOf(4),
+      "UMax + 5 must wrap to 4 mod 2^256")
+    val empty = Seq(Option.empty[String]).toDF("v")
+      .select(u256_from_str(col("v")).as("v256"))
+      .agg(u256_sum(col("v256")).as("total"))
+      .collect().head
+    assert(empty.isNullAt(0), "SQL SUM of no values is NULL")
+  }
+
+  test("u256_sum: signed values wrap in two's complement and sum exactly in range") {
+    import spark.implicits._
+    val out = Seq("-100", "40", "-5")
+      .toDF("v").select(u256_from_str(col("v"), signed = true).as("v256"))
+      .agg(u256_to_str(u256_sum(col("v256"), signed = true), signed = true).as("total"))
+      .collect().head.getString(0)
+    assert(out === "-65")
+    val wrapped = Seq(IMax.toString, "1")
+      .toDF("v").select(u256_from_str(col("v"), signed = true).as("v256"))
+      .agg(u256_to_str(u256_sum(col("v256"), signed = true), signed = true).as("total"))
+      .collect().head.getString(0)
+    assert(new BigInteger(wrapped) === IMin, "IMax + 1 wraps to IMin")
+  }
 }
