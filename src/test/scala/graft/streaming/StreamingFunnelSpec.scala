@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ext.EventAnalytics
+
+/** Streaming ordered funnel: buffered close-out at anchor+window, unanchored
+  * GC, and bit-for-bit parity with the batch funnelSteps fold. */
+class StreamingFunnelSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2023-01-01 10:$minute%02d:00")
+  private def us(minute: Int): Long = ts(minute).getTime * 1000L
+  private val steps = Seq("signup", "view", "purchase")
+  private val windowUs = 20L * 60L * 1000000L // 20 minutes
+
+  private def runStream(batches: Seq[Seq[(Long, Timestamp, String)]],
+      name: String, watermarkDelay: String = "0 seconds"): Map[Long, Seq[Any]] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingFunnel.funnel(
+      input.toDF().toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "event_type", steps, windowUs, watermarkDelay)
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    spark.table(name).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+  }
+
+  private def runBatch(rows: Seq[(Long, Timestamp, String)]): Map[Long, Seq[Any]] = {
+    import spark.implicits._
+    EventAnalytics.funnelSteps(
+      rows.toDF("user_id", "ts", "event_type")
+        .withColumn("ts_us", unix_micros(col("ts"))),
+      "user_id", "ts_us", "event_type", steps, windowUs)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+  }
+
+  test("funnel closes at anchor+window; strict order and window enforced; unanchored users emit nothing") {
+    val rows = Seq(
+      // user 1 completes in order inside the window
+      (1L, ts(0), "signup"), (1L, ts(5), "view"), (1L, ts(10), "purchase"),
+      // user 2: purchase BEFORE view -> t2 stays null (strict order)
+      (2L, ts(0), "signup"), (2L, ts(6), "purchase"), (2L, ts(8), "view"),
+      // user 3: view outside the 20-min anchor window -> t1 null
+      (3L, ts(0), "signup"), (3L, ts(25), "view"),
+      // user 4: never signs up -> no row at all
+      (4L, ts(2), "view"), (4L, ts(3), "purchase"))
+    val streamed = runStream(Seq(rows, Seq((99L, ts(59), "signup"))), "funnel_base")
+    assert(streamed(1L) === Seq(us(0), us(5), us(10)))
+    assert(streamed(2L) === Seq(us(0), us(8), null))
+    assert(streamed(3L) === Seq(us(0), null, null))
+    assert(!streamed.contains(4L), "anchor-less users never emit")
+    assert(!streamed.contains(99L), "the sentinel's own window is still open")
+    val batch = runBatch(rows)
+    assert(streamed === batch, "closed funnels must equal the batch rows")
+  }
+
+  test("out-of-order on-time events replay into the correct fold order") {
+    // the view at 10:03 arrives a batch AFTER the purchase at 10:07 —
+    // buffering + sorted close-out must still fill view before purchase
+    val rows = Seq(
+      (1L, ts(0), "signup"), (1L, ts(7), "purchase"), (1L, ts(3), "view"))
+    val streamed = runStream(Seq(
+      Seq(rows(0), rows(1)), Seq(rows(2)), Seq((99L, ts(59), "signup"))),
+      "funnel_ooo", watermarkDelay = "15 minutes")
+    assert(streamed(1L) === Seq(us(0), us(3), us(7)),
+      "the late view must slot in ahead of the already-seen purchase")
+    assert(streamed === streamed.keySet.map(k => k -> runBatch(rows)(k)).toMap)
+  }
+
+  test("a LATE anchor (on-time under the delay) re-anchors the funnel") {
+    // the signup at 10:02 arrives after the view at 10:05 was buffered;
+    // parity requires the anchor to move back to 10:02
+    val rows = Seq((1L, ts(5), "view"), (1L, ts(2), "signup"))
+    val streamed = runStream(Seq(
+      Seq(rows(0)), Seq(rows(1)), Seq((99L, ts(59), "signup"))),
+      "funnel_late_anchor", watermarkDelay = "15 minutes")
+    assert(streamed(1L) === Seq(us(2), us(5), null))
+    assert(streamed(1L) === runBatch(rows)(1L))
+  }
+}
