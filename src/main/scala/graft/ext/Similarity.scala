@@ -203,6 +203,23 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Append a DELTA of new vectors to a persisted index WITHOUT a rebuild —
+    * the [[graft.ext.Dedup.incrementalNearDups]] move for ANN: the delta is
+    * assigned against the STORED centroids (one broadcast pass over the
+    * delta only) and appended into the existing `ivf_cell` partition
+    * layout, so probes over the grown index stay partition-pruned and are
+    * EXACTLY what a fresh assignment of the full corpus under the same
+    * centroids would produce (pinned in SimilaritySpec). Centroids drift
+    * as the corpus grows — like the signature store, a corpus generation
+    * re-learns them on its own schedule; appends between generations never
+    * rescan the corpus. */
+  def ivfAppend(spark: org.apache.spark.sql.SparkSession, path: String,
+      delta: DataFrame, idCol: String, vecCol: String): Unit = {
+    val cents = ivfRead(spark, path).centroids
+    ivfAssign(delta, idCol, vecCol, cents)
+      .write.mode("append").partitionBy("ivf_cell").parquet(s"$path/assigned")
+  }
+
   /** Reload a persisted index (probe-only sessions; k centroid rows is the
     * only driver-side data). */
   def ivfRead(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {

@@ -785,6 +785,32 @@ object Extensions {
         qvec, k = 10, nprobe = 3, excludeId = Some(0L))
     }),
 
+    // INCREMENTAL index growth — the production ANN shape beside
+    // dedup_incremental: the base corpus (even vec_ids) builds + persists
+    // the index once; the delta (odd vec_ids) is assigned against the
+    // STORED centroids and appended into the ivf_cell partitions, no
+    // rebuild, no corpus rescan. The probe then runs over the grown index
+    // exactly as if the full corpus had been assigned under the base
+    // centroids — which is what the oracle replays.
+    "sim_ann_ivf_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val src = new java.io.File(d + "/embeddings.parquet")
+      val snapshot = s"${src.length}_${src.lastModified}_inc1"
+      val path = System.getProperty("java.io.tmpdir") + "/graft_ivf_" +
+        (d + "_" + snapshot).replaceAll("[^A-Za-z0-9]", "_")
+      if (!Similarity.ivfIndexExists(path)) {
+        val built = Similarity.ivfIndex(
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", nCells = 8)
+        Similarity.ivfWrite(built, path)
+        Similarity.ivfAppend(s, path,
+          emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      }
+      val index = Similarity.ivfRead(s, path)
+      val qvec = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
+      Similarity.ivfProbe(index.assigned, index.centroids, "vec_id", "embedding",
+        qvec, k = 10, nprobe = 3, excludeId = Some(0L))
+    }),
+
     // Quantified ANN quality: recall@10 of each approximate path against the
     // brute-force exact top-10, joined in-Spark — deterministic values.
     "sim_ann_lsh_recall" -> ((s, d) => {
@@ -989,11 +1015,11 @@ object Extensions {
   // round(x·2^20) longs, so the mean is order-independent and the double
   // division replays bit-for-bit); empty cells keep their previous
   // centroid; then argmax-cosine assignment and a 3-nearest-cell probe.
-  private def lloydRound(i: Int): String = {
+  private def lloydRound(i: Int, src: String = "e"): String = {
     val (prev, a, m, g, next) = (s"c${i - 1}", s"a$i", s"m$i", s"g$i", s"c$i")
     s"""$a AS (SELECT e.vec_id, e.v,
        |        arg_max(c.cid, list_cosine_similarity(e.v, c.cv)) AS cell
-       |      FROM e, $prev c GROUP BY e.vec_id, e.v),
+       |      FROM $src e, $prev c GROUP BY e.vec_id, e.v),
        |$m AS (SELECT cell, d, sum(CAST(round(v[d+1] * 1048576.0) AS BIGINT)) AS s,
        |        count(*) AS cnt
        |      FROM $a, range(64) r(d) GROUP BY cell, d),
@@ -1009,6 +1035,24 @@ object Extensions {
       |          FROM e, n WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT 8),
       |${lloydRound(1)},
       |${lloydRound(2)},
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |probe AS (SELECT cid FROM c2, q
+      |          ORDER BY list_cosine_similarity(cv, qv) DESC, cid LIMIT 3),
+      |assign AS (SELECT e.vec_id, e.v,
+      |             arg_max(c.cid, list_cosine_similarity(e.v, c.cv)) AS cell
+      |           FROM e, c2 c GROUP BY e.vec_id, e.v)""".stripMargin
+
+  // incremental-index replay: centroids learned on the EVEN-id base corpus
+  // only (seed stride + both Lloyd rounds over `ev`), assignment over the
+  // FULL corpus — exactly base build + delta append under stored centroids
+  private val ivfIncCtes =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ev AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+      |n AS (SELECT greatest(count(*) // 8, 1) AS stride FROM ev),
+      |c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v AS cv
+      |          FROM ev, n WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT 8),
+      |${lloydRound(1, "ev")},
+      |${lloydRound(2, "ev")},
       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
       |probe AS (SELECT cid FROM c2, q
       |          ORDER BY list_cosine_similarity(cv, qv) DESC, cid LIMIT 3),
@@ -2126,6 +2170,13 @@ object Extensions {
          |  coalesce(p.survivor, a.vec_id) AS survivor_id
          |FROM assign a LEFT JOIN p ON p.id2 = a.vec_id
          |ORDER BY a.vec_id""".stripMargin,
+
+    "sim_ann_ivf_incremental" ->
+      s"""$ivfIncCtes
+         |SELECT a.vec_id, ${sparkRound("list_cosine_similarity(a.v, q.qv)", 6)} AS cos
+         |FROM assign a, q
+         |WHERE a.cell IN (SELECT cid FROM probe) AND a.vec_id != 0
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
     "sim_ann_lsh_recall" ->
       s"""$lshCtes,

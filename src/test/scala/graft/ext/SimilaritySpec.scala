@@ -159,6 +159,34 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("vec_id").collect() === again)
   }
 
+  test("ivfAppend: delta-grown index probes exactly like full assignment under stored centroids") {
+    val df = vectors().cache()
+    val base = df.filter(col("vec_id") % 2 === 0)
+    val delta = df.filter(col("vec_id") % 2 === 1)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString + "/idx"
+    Similarity.ivfWrite(Similarity.ivfIndex(base, "vec_id", "embedding", nCells = 3), path)
+    Similarity.ivfAppend(spark, path, delta, "vec_id", "embedding")
+    val grown = Similarity.ivfRead(spark, path)
+    assert(grown.assigned.count() === 90, "append must not drop or duplicate rows")
+    // the grown layout must equal a one-shot assignment of the FULL corpus
+    // under the SAME (stored) centroids, cell for cell...
+    val oneShot = Similarity.ivfAssign(df, "vec_id", "embedding", grown.centroids)
+      .select(col("vec_id"), col("ivf_cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val stored = grown.assigned.select(col("vec_id"), col("ivf_cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(stored === oneShot)
+    // ...and so must the probe results
+    val qvec = Similarity.queryVector(df, "vec_id", "embedding", 0L)
+    def probeRows(assigned: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfProbe(assigned, grown.centroids, "vec_id", "embedding",
+        qvec, k = 5, nprobe = 2, excludeId = Some(0L)).collect().map(_.toSeq).toSeq
+    assert(probeRows(grown.assigned) ===
+      probeRows(Similarity.ivfAssign(df, "vec_id", "embedding", grown.centroids)))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(path).getParentFile)
+  }
+
   test("semanticDedup: per-cell min-id election, kept/survivor invariants") {
     val df = vectors().cache()
     val out = Similarity.semanticDedup(df, "vec_id", "embedding",
