@@ -720,6 +720,26 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Avro container-file round-trip via the Hadoop Avro formats (no
+    // spark-avro connector in this distribution — see sources/AvroTable):
+    // write a 4-column slice, read it back under the same reader schema,
+    // aggregate. The oracle computes the aggregate from the original
+    // table, so any row/value lost or mangled by the codec fails the hash.
+    "source_avro_roundtrip" -> ((s, d) => {
+      val path = System.getProperty("java.io.tmpdir") + "/graft_avro_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      val slice = Tables.orders(s, d).filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      graft.sources.AvroTable.write(slice, path)
+      graft.sources.AvroTable.read(s, path,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, o_totalprice DOUBLE"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("vol"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Hive-partitioned parquet sink + partition-PRUNED read — the layout
     // lever at 100 TB: the lang filter is satisfied by directory listing
     // (PartitionFilters), so the scan never opens non-en files. The oracle
@@ -1467,6 +1487,11 @@ object Relational {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "source_csv_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice),2) AS vol
+        |FROM orders WHERE o_orderkey < 1000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "source_avro_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice),2) AS vol
         |FROM orders WHERE o_orderkey < 1000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
