@@ -448,6 +448,17 @@ object Extensions {
         .orderBy(col("col_name"))
     }),
 
+    // The 100 TB ANALYZE mode: no exact-NDV leg, so the per-register
+    // partial carries three counters instead of a distinct value set —
+    // same k·2^p-bounded shuffle rows, far lighter map side. Benched
+    // beside diag_profile every round; the 10x delta lives in PLANS.md.
+    "diag_profile_fast" -> ((s, d) => {
+      graft.ext.Profile.profile(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"),
+        exact = false)
+        .orderBy(col("col_name"))
+    }),
+
     // Equi-width histogram of lineitem's price column — the distribution
     // statistic beside diag_profile's NDVs: two passes, no global sort
     // (the equi-depth variant needs a total order — an ANALYZE-sample
@@ -1166,6 +1177,51 @@ object Extensions {
        |pairs AS (SELECT id1, id2, est_jaccard FROM est WHERE est_jaccard >= 0.5)""".stripMargin
   }
 
+  /** diag_profile replay, shared by both modes: melt via UNION ALL, the
+    * same fmix64(FNV-1a) register chain keyed by (c, v) — null values
+    * null-propagate through the hash into a null register excluded from
+    * the estimate — then the grouped two-level rollup and per-row estimate
+    * branch. `exact = false` swaps the count(DISTINCT v) leg for NULL,
+    * mirroring Profile.profile's scale mode. */
+  private def profileOracleSql(exact: Boolean): String = {
+    val num = Hll.numerator(8)
+    val meltCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_returnflag", "l_linestatus")
+    val melt = meltCols.map(c =>
+      s"SELECT '$c' AS c, CAST($c AS VARCHAR) AS v FROM lineitem")
+      .mkString("\n|  UNION ALL ")
+    val ndLeg = if (exact) "count(DISTINCT v)" else "CAST(NULL AS BIGINT)"
+    val ndRollup = if (exact) "CAST(sum(nd) AS BIGINT)" else "CAST(NULL AS BIGINT)"
+    s"""WITH mlt AS (
+       |  $melt),
+       |h0 AS (SELECT c, v, ${fnvSql("v")} AS h FROM mlt),
+       |${fmixStages("h0", "c, v")},
+       |rk AS (SELECT c, v, hu // (1::HUGEINT << 56) AS idx,
+       |         CASE WHEN hu % (1::HUGEINT << 56) = 0 THEN 57
+       |              ELSE 57 - length(bin(hu % (1::HUGEINT << 56))) END AS rank
+       |       FROM hh),
+       |regs AS (SELECT c, idx, max(rank) AS r, $ndLeg AS nd,
+       |           count(*) AS cnt, count(v) AS nn
+       |         FROM rk GROUP BY c, idx),
+       |a AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS n_rows,
+       |        CAST(sum(cnt) - sum(nn) AS BIGINT) AS n_null,
+       |        $ndRollup AS ndv_exact,
+       |        count(CASE WHEN idx IS NOT NULL THEN 1 END) AS m_used,
+       |        coalesce(sum(CASE WHEN idx IS NOT NULL
+       |          THEN 1::HUGEINT << (57 - r) END), 0::HUGEINT) AS s_used
+       |      FROM regs GROUP BY c),
+       |f AS (SELECT c, n_rows, n_null, ndv_exact,
+       |        CAST(256 - m_used AS BIGINT) AS v_empty,
+       |        s_used + (256 - m_used)::HUGEINT * (1::HUGEINT << 57) AS z_scaled
+       |      FROM a)
+       |SELECT c AS col_name, n_rows, n_null, ndv_exact,
+       |  ${sparkRound(
+          s"""CASE WHEN $num / CAST(z_scaled AS DOUBLE) <= 640.0 AND v_empty > 0
+             |         THEN 256.0 * ln(256.0 / v_empty)
+             |         ELSE $num / CAST(z_scaled AS DOUBLE) END""".stripMargin, 4)} AS ndv_est
+       |FROM f ORDER BY col_name""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "text_token_stats" ->
       s"""SELECT doc_id, len($toks) AS n_tokens,
@@ -1636,42 +1692,10 @@ object Extensions {
     // register chain keyed by (c, v) — null values null-propagate through
     // the hash into a null register excluded from the estimate — then the
     // grouped two-level rollup and per-row estimate branch.
-    "diag_profile" -> {
-      val num = Hll.numerator(8)
-      val meltCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
-        "l_returnflag", "l_linestatus")
-      val melt = meltCols.map(c =>
-        s"SELECT '$c' AS c, CAST($c AS VARCHAR) AS v FROM lineitem")
-        .mkString("\n|  UNION ALL ")
-      s"""WITH mlt AS (
-         |  $melt),
-         |h0 AS (SELECT c, v, ${fnvSql("v")} AS h FROM mlt),
-         |${fmixStages("h0", "c, v")},
-         |rk AS (SELECT c, v, hu // (1::HUGEINT << 56) AS idx,
-         |         CASE WHEN hu % (1::HUGEINT << 56) = 0 THEN 57
-         |              ELSE 57 - length(bin(hu % (1::HUGEINT << 56))) END AS rank
-         |       FROM hh),
-         |regs AS (SELECT c, idx, max(rank) AS r, count(DISTINCT v) AS nd,
-         |           count(*) AS cnt, count(v) AS nn
-         |         FROM rk GROUP BY c, idx),
-         |a AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS n_rows,
-         |        CAST(sum(cnt) - sum(nn) AS BIGINT) AS n_null,
-         |        CAST(sum(nd) AS BIGINT) AS ndv_exact,
-         |        count(CASE WHEN idx IS NOT NULL THEN 1 END) AS m_used,
-         |        coalesce(sum(CASE WHEN idx IS NOT NULL
-         |          THEN 1::HUGEINT << (57 - r) END), 0::HUGEINT) AS s_used
-         |      FROM regs GROUP BY c),
-         |f AS (SELECT c, n_rows, n_null, ndv_exact,
-         |        CAST(256 - m_used AS BIGINT) AS v_empty,
-         |        s_used + (256 - m_used)::HUGEINT * (1::HUGEINT << 57) AS z_scaled
-         |      FROM a)
-         |SELECT c AS col_name, n_rows, n_null, ndv_exact,
-         |  ${sparkRound(
-            s"""CASE WHEN $num / CAST(z_scaled AS DOUBLE) <= 640.0 AND v_empty > 0
-               |         THEN 256.0 * ln(256.0 / v_empty)
-               |         ELSE $num / CAST(z_scaled AS DOUBLE) END""".stripMargin, 4)} AS ndv_est
-         |FROM f ORDER BY col_name""".stripMargin
-    },
+    "diag_profile" -> profileOracleSql(exact = true),
+
+    // scale mode: same chain, the exact-NDV leg replaced by NULL
+    "diag_profile_fast" -> profileOracleSql(exact = false),
 
     // Join-cardinality replayed: both sides' fmix64(FNV-1a) register
     // frames, the union as a register-wise max over the concatenation,
