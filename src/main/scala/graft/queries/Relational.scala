@@ -1059,6 +1059,55 @@ object Relational {
           |ORDER BY s_suppkey""".stripMargin)
     }),
 
+    // WITH RECURSIVE (Spark 4 native): a data-independent date spine
+    // generated by the recursion, LEFT-joined to orders — the canonical
+    // gap-filling calendar shape reporting pipelines need (a plain GROUP
+    // BY silently drops zero-order days). The recursion is driver-free:
+    // Catalyst unrolls it into iterative union steps.
+    "sql_recursive_date_spine" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders_rec")
+      s.sql(
+        """WITH RECURSIVE days(day) AS (
+          |  SELECT DATE '1995-01-01'
+          |  UNION ALL SELECT day + INTERVAL 1 DAY FROM days
+          |  WHERE day < DATE '1995-02-28'
+          |)
+          |SELECT CAST(day AS STRING) AS day, count(o_orderkey) AS n,
+          |  round(coalesce(sum(o_totalprice), 0.0), 2) AS vol
+          |FROM days LEFT JOIN v_orders_rec ON CAST(o_orderdate AS DATE) = day
+          |GROUP BY day ORDER BY day""".stripMargin)
+    }),
+
+    // LATERAL correlated subquery: per-region top-2 nations — the
+    // "top-N per group" shape as SQL (the DataFrame twin is the ranked
+    // window in window_rank_dense_topn); Catalyst decorrelates the
+    // lateral into a ranked join, no per-row re-execution.
+    "sql_lateral_topn" -> ((s, d) => {
+      Tables.region(s, d).createOrReplaceTempView("v_region_lat")
+      Tables.nation(s, d).createOrReplaceTempView("v_nation_lat")
+      s.sql(
+        """SELECT r.r_name, l.n_name FROM v_region_lat r,
+          |LATERAL (SELECT n_name FROM v_nation_lat
+          |         WHERE n_regionkey = r.r_regionkey
+          |         ORDER BY n_name LIMIT 2) l
+          |ORDER BY r_name, n_name""".stripMargin)
+    }),
+
+    // UNPIVOT (melt): the wide one-row stats frame to (k, v) pairs —
+    // the inverse of agg_pivot, closing the reshape pair.
+    "agg_unpivot" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders_up")
+      s.sql(
+        """SELECT k, v FROM (
+          |  SELECT round(sum(o_totalprice), 2) AS total,
+          |         round(avg(o_totalprice), 2) AS mean,
+          |         round(max(o_totalprice), 2) AS top,
+          |         CAST(count(*) AS DOUBLE) AS n
+          |  FROM v_orders_up)
+          |UNPIVOT (v FOR k IN (total, mean, top, n))
+          |ORDER BY k""".stripMargin)
+    }),
+
     "agg_grouping_sets" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("v_orders_gs")
       s.sql(
@@ -1495,6 +1544,34 @@ object Relational {
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice),2) AS vol
         |FROM orders WHERE o_orderkey < 1000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "sql_recursive_date_spine" ->
+      """WITH RECURSIVE days(day) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL SELECT day + INTERVAL 1 DAY FROM days
+        |  WHERE day < DATE '1995-02-28'
+        |)
+        |SELECT CAST(day AS VARCHAR) AS day, count(o_orderkey) AS n,
+        |  round(coalesce(sum(o_totalprice), 0.0), 2) AS vol
+        |FROM days LEFT JOIN orders ON CAST(o_orderdate AS DATE) = day
+        |GROUP BY day ORDER BY day""".stripMargin,
+
+    "sql_lateral_topn" ->
+      """SELECT r.r_name, l.n_name FROM region r,
+        |LATERAL (SELECT n_name FROM nation
+        |         WHERE n_regionkey = r.r_regionkey
+        |         ORDER BY n_name LIMIT 2) l
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "agg_unpivot" ->
+      """SELECT k, v FROM (
+        |  SELECT round(sum(o_totalprice), 2) AS total,
+        |         round(avg(o_totalprice), 2) AS mean,
+        |         round(max(o_totalprice), 2) AS top,
+        |         CAST(count(*) AS DOUBLE) AS n
+        |  FROM orders)
+        |UNPIVOT (v FOR k IN (total, mean, top, n))
+        |ORDER BY k""".stripMargin,
 
     "source_json_roundtrip" ->
       """SELECT event_type, count(*) AS n, round(sum(value),2) AS sum_v
