@@ -302,6 +302,115 @@ object Similarity {
       .select(col("id1"), col("id2"), col("cos")).distinct()
   }
 
+  // ---- Product quantization (PQ) ------------------------------------------
+
+  /** Squared L2 distance between two equal-length double arrays as a
+    * SEQUENTIAL left-to-right fold — (a[i]-b[i])² accumulated in index
+    * order, so the IEEE result is order-pinned and an independent engine
+    * replays it bit-for-bit (the multimodal f0-fold discipline). HOFs are
+    * interpreted in Spark 4 — fine here: PQ distance frames are
+    * (corpus × m × k) rows of 8-element folds, never the raw-dim hot path
+    * (that reduction is the point of PQ). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0),
+      (acc, x) => acc + x)
+
+  /** The (id, sub, sv) sub-vector stream: each vector split into `m`
+    * contiguous dim/m-wide slices — a zero-shuffle projection. */
+  def pqSubFrame(embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sd = dim / m
+    val subs = array((0 until m).map(s0 =>
+      struct(lit(s0).as("sub"),
+        slice(col(vecCol).cast("array<double>"), s0 * sd + 1, sd).as("sv"))): _*)
+    embeddings.select(col(idCol).as("id"), explode(subs).as("e"))
+      .select(col("id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+  }
+
+  /** Deterministic per-subspace code assignment under `codebook`
+    * ((sub, cid) -> centroid): min squared-L2, ties to the smallest cid —
+    * realized as min-distance then min-cid-at-that-distance (two bounded
+    * aggregates; no engine-dependent arg_min tie behavior anywhere).
+    * Returns (id, sub, code). */
+  def pqAssign(subFrame: DataFrame, codebook: Seq[((Int, Int), Seq[Double])]): DataFrame = {
+    val spark = subFrame.sparkSession
+    import spark.implicits._
+    val cb = codebook.map { case ((s0, c0), v) => (s0, c0, v) }
+      .toDF("sub", "cid", "cv")
+    val dists = subFrame.join(broadcast(cb), Seq("sub"))
+      .select(col("id"), col("sub"), col("cid"), l2sq(col("sv"), col("cv")).as("d2"))
+    val md = dists.groupBy(col("id"), col("sub")).agg(min(col("d2")).as("md"))
+    dists.join(md, Seq("id", "sub")).filter(col("d2") === col("md"))
+      .groupBy(col("id"), col("sub")).agg(min(col("cid")).as("code"))
+  }
+
+  /** Train the PQ codebook: per subspace, `k` codewords seeded by the same
+    * stride rule as [[ivfCentroids]] (every corpus/k-th vector by id) and
+    * refined with `iters` deterministic Lloyd rounds — per-cell means
+    * accumulated as exact `round(x·2^20)` longs (the [[ivfRefine]]
+    * discipline), so the whole codebook is a pure, engine-replayable
+    * function of the corpus. All m subspaces train in the SAME passes
+    * (one assignment join + one (sub, cid, d) aggregate per round); the
+    * per-round collect is m·k·(dim/m) = k·dim values — bounded like
+    * [[MaxRefineCells]], never corpus-sized. */
+  def pqTrain(embeddings: DataFrame, idCol: String, vecCol: String,
+      dim: Int = 64, m: Int = 8, k: Int = 16, iters: Int = 2): Seq[((Int, Int), Seq[Double])] = {
+    require(k.toLong * dim <= MaxRefineCells, s"k x dim over the driver cap")
+    val sd = dim / m
+    val seeds = ivfCentroids(embeddings, idCol, vecCol, k)
+    var cb: Seq[((Int, Int), Seq[Double])] = for {
+      (cid, v) <- seeds; s0 <- 0 until m
+    } yield ((s0, cid), v.slice(s0 * sd, (s0 + 1) * sd))
+    val subf = pqSubFrame(embeddings, idCol, vecCol, dim, m)
+    for (_ <- 0 until iters) {
+      val byCell = pqAssign(subf, cb)
+        .join(subf, Seq("id", "sub"))
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy(col("sub"), col("code"), col("d"))
+        .agg(sum(round(col("x") * RefineScale).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+        .groupBy(r => (r.getAs[Int]("sub"), r.getAs[Int]("code")))
+      cb = cb.map { case (key, oldv) =>
+        byCell.get(key) match {
+          case Some(rows) =>
+            (key, rows.map(r => (r.getAs[Int]("d"),
+              r.getAs[Long]("s").toDouble / r.getAs[Long]("n") / RefineScale))
+              .sortBy(_._1).map(_._2).toSeq)
+          case None => (key, oldv) // empty cell keeps its previous codeword
+        }
+      }
+    }
+    cb
+  }
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes: the query
+    * is NOT quantized — per (sub, cid) partial distances to the true query
+    * sub-vectors are precomputed (m·k values) and each corpus vector's
+    * estimated distance is the FIXED-ORDER sum of its m looked-up partials
+    * (a pivot to columns + an explicit a0+a1+…, so the IEEE sum is
+    * order-pinned and replayable — a plain SUM over the m rows would be
+    * shuffle-order-dependent). 8 bytes per vector stand in for 256 — the
+    * compressed-corpus scan shape IVF-PQ systems run at memory scale. */
+  def pqAdcTopK(codes: DataFrame, codebook: Seq[((Int, Int), Seq[Double])],
+      qvec: Seq[Double], m: Int, topK: Int, excludeId: Option[Long] = None): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val sd = qvec.length / m
+    val parts = codebook.map { case ((s0, cid), cv) =>
+      val qs = qvec.slice(s0 * sd, (s0 + 1) * sd)
+      val d2 = qs.zip(cv).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+      (s0, cid, d2)
+    }.toDF("sub", "code", "pd")
+    val base = excludeId.fold(codes)(id => codes.filter(col("id") =!= id))
+    val perSub = base.join(broadcast(parts), Seq("sub", "code"))
+      .groupBy(col("id")).pivot("sub", (0 until m).map(Int.box)).agg(first(col("pd")))
+    val est = (0 until m).map(s0 => col(s0.toString)).reduce(_ + _)
+    perSub.select(col("id"), round(est, 6).as("est_d2"))
+      .orderBy(col("est_d2"), col("id")).limit(topK)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embeddings into IVF cells, then drop
     * near-semantic duplicates WITHIN each cell — a vector is dropped iff a

@@ -822,6 +822,42 @@ object Extensions {
         qvec, k = 10, nprobe = 3, excludeId = Some(0L))
     }),
 
+    // PRODUCT QUANTIZATION — the embedding-compression half of IVF-PQ: the
+    // corpus is encoded as m=8 one-byte codes per vector (32x smaller than
+    // the float32 dims), the query stays exact, and top-k runs over
+    // looked-up partial distances (ADC). Codebook training is the same
+    // deterministic stride-seed + exact-long-mean Lloyd discipline as the
+    // IVF index, so every stage replays in SQL.
+    "sim_pq_adc_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16)
+      val codes = Similarity.pqAssign(
+        Similarity.pqSubFrame(emb, "vec_id", "embedding", 64, 8), cb)
+      val qvec = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
+      Similarity.pqAdcTopK(codes, cb, qvec, m = 8, topK = 10, excludeId = Some(0L))
+        .select(col("id").as("vec_id"), col("est_d2"))
+    }),
+
+    // ADC quality: recall@10 of the 8-byte-code scan against the exact
+    // full-dimension L2 top-10 (the same order-pinned fold).
+    "sim_pq_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16)
+      val codes = Similarity.pqAssign(
+        Similarity.pqSubFrame(emb, "vec_id", "embedding", 64, 8), cb)
+      val qvec = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
+      val ann = Similarity.pqAdcTopK(codes, cb, qvec, m = 8, topK = 10,
+        excludeId = Some(0L)).select(col("id").as("vec_id"))
+      val bf = emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          Similarity.l2sq(col("embedding").cast("array<double>"),
+            typedLit(qvec)).as("d2"))
+        .orderBy(col("d2"), col("vec_id")).limit(10).select(col("vec_id"))
+      ann.join(bf, "vec_id").agg(count(lit(1)).as("n_hits"))
+        .select(lit(10).as("k"), col("n_hits"),
+          round(col("n_hits") / 10.0, 4).as("recall"))
+    }),
+
     // Quantified ANN quality: recall@10 of each approximate path against the
     // brute-force exact top-10, joined in-Spark — deterministic values.
     "sim_ann_lsh_recall" -> ((s, d) => {
@@ -1070,6 +1106,74 @@ object Extensions {
       |assign AS (SELECT e.vec_id, e.v,
       |             arg_max(c.cid, list_cosine_similarity(e.v, c.cv)) AS cell
       |           FROM e, c2 c GROUP BY e.vec_id, e.v)""".stripMargin
+
+  /** Sequential squared-L2 fold over `len` elements in index order —
+    * mirrors [[graft.ext.Similarity.l2sq]] (same IEEE association). */
+  private def l2FoldSql(a: String, b: String, len: Int): String =
+    s"""list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, ${len + 1}),
+       |      i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])), (x, y) -> x + y)""".stripMargin
+
+  /** One PQ Lloyd round: assignment under cb{i-1} (min-distance then
+    * min-cid — the deterministic tie rule pqAssign uses), then per
+    * (sub, code, dim) exact-long means. */
+  private def pqRound(i: Int): String = {
+    val (prev, dd, mm, aa, gg, hh, next) =
+      (s"pcb${i - 1}", s"pd$i", s"pm$i", s"pa$i", s"pg$i", s"ph$i", s"pcb$i")
+    s"""$dd AS (SELECT f.vec_id, f.sub, c.cid,
+       |        ${l2FoldSql("f.sv", "c.cv", 8)} AS d2
+       |      FROM subf f JOIN $prev c ON c.sub = f.sub),
+       |$mm AS (SELECT vec_id, sub, min(d2) AS md FROM $dd GROUP BY vec_id, sub),
+       |$aa AS (SELECT d.vec_id, d.sub, min(d.cid) AS code
+       |      FROM $dd d JOIN $mm m ON m.vec_id = d.vec_id AND m.sub = d.sub
+       |        AND d.d2 = m.md GROUP BY d.vec_id, d.sub),
+       |$gg AS (SELECT a.sub, a.code, r.d,
+       |        sum(CAST(round(f.sv[r.d + 1] * 1048576.0) AS BIGINT)) AS s,
+       |        count(*) AS cnt
+       |      FROM $aa a JOIN subf f ON f.vec_id = a.vec_id AND f.sub = a.sub,
+       |        range(8) r(d) GROUP BY a.sub, a.code, r.d),
+       |$hh AS (SELECT sub, code, list(CAST(s AS DOUBLE) / cnt / 1048576.0 ORDER BY d) AS cv
+       |      FROM $gg GROUP BY sub, code),
+       |$next AS (SELECT c.sub, c.cid, coalesce($hh.cv, c.cv) AS cv
+       |      FROM $prev c LEFT JOIN $hh ON $hh.sub = c.sub AND $hh.code = c.cid)""".stripMargin
+  }
+
+  /** PQ replay: stride seeds (16 full vectors) sliced into 8 subspaces,
+    * two Lloyd rounds, final deterministic assignment, then ADC — per
+    * (sub, code) partials to the exact query sub-vectors, summed in FIXED
+    * subspace order via conditional columns (mirrors the Spark pivot). */
+  private val pqCtes =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT greatest(count(*) // 16, 1) AS stride FROM e),
+       |ps0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v
+       |       FROM e, n WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT 16),
+       |pcb0 AS (SELECT r.sub, s.cid, s.v[r.sub * 8 + 1 : r.sub * 8 + 8] AS cv
+       |       FROM ps0 s, range(8) r(sub)),
+       |subf AS (SELECT e.vec_id, r.sub, e.v[r.sub * 8 + 1 : r.sub * 8 + 8] AS sv
+       |       FROM e, range(8) r(sub)),
+       |${pqRound(1)},
+       |${pqRound(2)},
+       |fd AS (SELECT f.vec_id, f.sub, c.cid,
+       |        ${l2FoldSql("f.sv", "c.cv", 8)} AS d2
+       |      FROM subf f JOIN pcb2 c ON c.sub = f.sub),
+       |fm AS (SELECT vec_id, sub, min(d2) AS md FROM fd GROUP BY vec_id, sub),
+       |codes AS (SELECT d.vec_id, d.sub, min(d.cid) AS code
+       |      FROM fd d JOIN fm m ON m.vec_id = d.vec_id AND m.sub = d.sub
+       |        AND d.d2 = m.md GROUP BY d.vec_id, d.sub),
+       |q AS (SELECT v FROM e WHERE vec_id = 0),
+       |qs AS (SELECT r.sub, q.v[r.sub * 8 + 1 : r.sub * 8 + 8] AS sv
+       |      FROM q, range(8) r(sub)),
+       |pp AS (SELECT c.sub, c.cid AS code,
+       |        ${l2FoldSql("qs.sv", "c.cv", 8)} AS pd
+       |      FROM pcb2 c JOIN qs ON qs.sub = c.sub),
+       |adc AS (SELECT cd.vec_id,
+       |        ${(0 until 8).map(s0 =>
+                  s"max(CASE WHEN cd.sub = $s0 THEN p.pd END) AS p$s0")
+                  .mkString(",\n|        ")}
+       |      FROM codes cd JOIN pp p ON p.sub = cd.sub AND p.code = cd.code
+       |      GROUP BY cd.vec_id),
+       |est AS (SELECT vec_id,
+       |        round(${(0 until 8).map(s0 => s"p$s0").mkString(" + ")}, 6) AS est_d2
+       |      FROM adc)""".stripMargin
 
   // Sketch oracle plumbing: the MinHash/SimHash hash basis is FNV-1a
   // (functions/Fnv.scala) precisely so DuckDB can replay it. The SQL walks
@@ -2194,6 +2298,20 @@ object Extensions {
          |  coalesce(p.survivor, a.vec_id) AS survivor_id
          |FROM assign a LEFT JOIN p ON p.id2 = a.vec_id
          |ORDER BY a.vec_id""".stripMargin,
+
+    "sim_pq_adc_topk" ->
+      s"""$pqCtes
+         |SELECT vec_id, est_d2 FROM est WHERE vec_id != 0
+         |ORDER BY est_d2, vec_id LIMIT 10""".stripMargin,
+
+    "sim_pq_recall" ->
+      s"""$pqCtes,
+         |ann AS (SELECT vec_id FROM est WHERE vec_id != 0
+         |        ORDER BY est_d2, vec_id LIMIT 10),
+         |bf AS (SELECT e.vec_id, ${l2FoldSql("e.v", "q.v", 64)} AS d2
+         |       FROM e, q WHERE vec_id != 0 ORDER BY d2, vec_id LIMIT 10)
+         |SELECT 10 AS k, count(*) AS n_hits, round(count(*) / 10.0, 4) AS recall
+         |FROM ann JOIN bf USING (vec_id)""".stripMargin,
 
     "sim_ann_ivf_incremental" ->
       s"""$ivfIncCtes

@@ -159,6 +159,37 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("vec_id").collect() === again)
   }
 
+  test("PQ: codebook shape, deterministic codes, high ADC recall on clustered data") {
+    val df = vectors().cache() // dim=16, 3 tight clusters
+    val (m, k) = (4, 8)
+    val cb = Similarity.pqTrain(df, "vec_id", "embedding", dim = dim, m = m, k = k)
+    assert(cb.size === m * k, "one codeword per (sub, cid)")
+    assert(cb.forall(_._2.size === dim / m))
+    val codes = Similarity.pqAssign(
+      Similarity.pqSubFrame(df, "vec_id", "embedding", dim, m), cb)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(codes.size === 90 * m, "exactly one code per (vector, subspace)")
+    assert(codes.values.forall(c => c >= 0 && c < k))
+    // determinism end-to-end
+    val cb2 = Similarity.pqTrain(df, "vec_id", "embedding", dim = dim, m = m, k = k)
+    assert(cb2 === cb)
+    // ADC recall vs the exact full-dim L2 top-10 for query vector 0 —
+    // clustered data is where PQ earns its 32x compression
+    val qvec = Similarity.queryVector(df, "vec_id", "embedding", 0L)
+    val ann = Similarity.pqAdcTopK(
+      Similarity.pqAssign(Similarity.pqSubFrame(df, "vec_id", "embedding", dim, m), cb),
+      cb, qvec, m = m, topK = 10, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    val bf = df.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        Similarity.l2sq(col("embedding").cast("array<double>"),
+          typedLit(qvec)).as("d2"))
+      .orderBy(col("d2"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (ann & bf).size / 10.0
+    assert(recall >= 0.5, s"ADC recall@10 on tight clusters was only $recall")
+  }
+
   test("ivfAppend: delta-grown index probes exactly like full assignment under stored centroids") {
     val df = vectors().cache()
     val base = df.filter(col("vec_id") % 2 === 0)
