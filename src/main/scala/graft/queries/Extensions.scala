@@ -778,22 +778,31 @@ object Extensions {
     // scale fixture) gets a fresh index instead of stale cells.
     "sim_ann_ivf_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val src = new java.io.File(d + "/embeddings.parquet")
-      // "lloyd2" versions the cache key: the r7 centroid-refinement change
-      // would otherwise be served a stale stride-seed index
-      val snapshot = s"${src.length}_${src.lastModified}_lloyd2"
-      val path = System.getProperty("java.io.tmpdir") + "/graft_ivf_" +
-        (d + "_" + snapshot).replaceAll("[^A-Za-z0-9]", "_")
-      val index =
-        if (Similarity.ivfIndexExists(path)) Similarity.ivfRead(s, path)
-        else {
-          val built = Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 8)
-          Similarity.ivfWrite(built, path)
-          Similarity.ivfRead(s, path)
-        }
+      val index = cachedIvfIndex(s, d, emb)
       val qvec = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
       Similarity.ivfProbe(index.assigned, index.centroids, "vec_id", "embedding",
         qvec, k = 10, nprobe = 3, excludeId = Some(0L))
+    }),
+
+    // IVF-PQ — the two halves composed into the production ANN shape:
+    // the IVF layout prunes the search to nprobe cells (a partition-pruned
+    // scan of the persisted index), and WITHIN those cells distance runs
+    // over the 8-byte PQ codes via ADC instead of the raw 64 floats. At
+    // 100 TB this is cells-on-disk + codes-in-memory: the scan touches
+    // nprobe/nCells of the corpus and 1/32 of the bytes.
+    "sim_ivfpq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val index = cachedIvfIndex(s, d, emb)
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16)
+      val codes = Similarity.pqAssign(
+        Similarity.pqSubFrame(emb, "vec_id", "embedding", 64, 8), cb)
+      val qvec = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
+      val cells = Similarity.ivfProbeCells(index.centroids, qvec, nprobe = 3)
+      val inCells = index.assigned.filter(col("ivf_cell").isin(cells: _*))
+        .select(col("vec_id").as("id"))
+      Similarity.pqAdcTopK(codes.join(inCells, "id"), cb, qvec, m = 8,
+        topK = 10, excludeId = Some(0L))
+        .select(col("id").as("vec_id"), col("est_d2"))
     }),
 
     // INCREMENTAL index growth — the production ANN shape beside
@@ -1107,6 +1116,24 @@ object Extensions {
       |             arg_max(c.cid, list_cosine_similarity(e.v, c.cv)) AS cell
       |           FROM e, c2 c GROUP BY e.vec_id, e.v)""".stripMargin
 
+  /** The per-corpus-snapshot persisted IVF index (nCells = 8, two Lloyd
+    * rounds), built on first use and partition-pruned ever after. "lloyd2"
+    * versions the cache key: the r7 centroid-refinement change would
+    * otherwise be served a stale stride-seed index. */
+  private def cachedIvfIndex(s: SparkSession, d: String,
+      emb: DataFrame): Similarity.IvfIndex = {
+    val src = new java.io.File(d + "/embeddings.parquet")
+    val snapshot = s"${src.length}_${src.lastModified}_lloyd2"
+    val path = System.getProperty("java.io.tmpdir") + "/graft_ivf_" +
+      (d + "_" + snapshot).replaceAll("[^A-Za-z0-9]", "_")
+    if (Similarity.ivfIndexExists(path)) Similarity.ivfRead(s, path)
+    else {
+      val built = Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 8)
+      Similarity.ivfWrite(built, path)
+      Similarity.ivfRead(s, path)
+    }
+  }
+
   /** Sequential squared-L2 fold over `len` elements in index order —
     * mirrors [[graft.ext.Similarity.l2sq]] (same IEEE association). */
   private def l2FoldSql(a: String, b: String, len: Int): String =
@@ -1137,15 +1164,16 @@ object Extensions {
        |      FROM $prev c LEFT JOIN $hh ON $hh.sub = c.sub AND $hh.code = c.cid)""".stripMargin
   }
 
-  /** PQ replay: stride seeds (16 full vectors) sliced into 8 subspaces,
-    * two Lloyd rounds, final deterministic assignment, then ADC — per
-    * (sub, code) partials to the exact query sub-vectors, summed in FIXED
-    * subspace order via conditional columns (mirrors the Spark pivot). */
-  private val pqCtes =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |n AS (SELECT greatest(count(*) // 16, 1) AS stride FROM e),
+  /** PQ replay chain (no leading WITH/e — composable beside ivfCtes):
+    * stride seeds (16 full vectors) sliced into 8 subspaces, two Lloyd
+    * rounds, final deterministic assignment, then ADC — per (sub, code)
+    * partials to the exact query sub-vectors, summed in FIXED subspace
+    * order via conditional columns (mirrors the Spark pivot). Own names
+    * (pn/qq/…) so the ivf chain's n/q never collide. */
+  private val pqChainCtes =
+    s"""pn AS (SELECT greatest(count(*) // 16, 1) AS stride FROM e),
        |ps0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v
-       |       FROM e, n WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT 16),
+       |       FROM e, pn WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT 16),
        |pcb0 AS (SELECT r.sub, s.cid, s.v[r.sub * 8 + 1 : r.sub * 8 + 8] AS cv
        |       FROM ps0 s, range(8) r(sub)),
        |subf AS (SELECT e.vec_id, r.sub, e.v[r.sub * 8 + 1 : r.sub * 8 + 8] AS sv
@@ -1159,9 +1187,9 @@ object Extensions {
        |codes AS (SELECT d.vec_id, d.sub, min(d.cid) AS code
        |      FROM fd d JOIN fm m ON m.vec_id = d.vec_id AND m.sub = d.sub
        |        AND d.d2 = m.md GROUP BY d.vec_id, d.sub),
-       |q AS (SELECT v FROM e WHERE vec_id = 0),
-       |qs AS (SELECT r.sub, q.v[r.sub * 8 + 1 : r.sub * 8 + 8] AS sv
-       |      FROM q, range(8) r(sub)),
+       |qq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |qs AS (SELECT r.sub, qq.qv[r.sub * 8 + 1 : r.sub * 8 + 8] AS sv
+       |      FROM qq, range(8) r(sub)),
        |pp AS (SELECT c.sub, c.cid AS code,
        |        ${l2FoldSql("qs.sv", "c.cv", 8)} AS pd
        |      FROM pcb2 c JOIN qs ON qs.sub = c.sub),
@@ -1174,6 +1202,10 @@ object Extensions {
        |est AS (SELECT vec_id,
        |        round(${(0 until 8).map(s0 => s"p$s0").mkString(" + ")}, 6) AS est_d2
        |      FROM adc)""".stripMargin
+
+  private val pqCtes =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$pqChainCtes""".stripMargin
 
   // Sketch oracle plumbing: the MinHash/SimHash hash basis is FNV-1a
   // (functions/Fnv.scala) precisely so DuckDB can replay it. The SQL walks
@@ -2299,6 +2331,16 @@ object Extensions {
          |FROM assign a LEFT JOIN p ON p.id2 = a.vec_id
          |ORDER BY a.vec_id""".stripMargin,
 
+    // IVF-PQ: the ivf chain's probe-cell membership restricts the pq
+    // chain's ADC estimates — both replays verbatim, one WHERE clause
+    "sim_ivfpq_topk" ->
+      s"""$ivfCtes,
+         |$pqChainCtes
+         |SELECT vec_id, est_d2 FROM est
+         |WHERE vec_id != 0 AND vec_id IN
+         |  (SELECT vec_id FROM assign WHERE cell IN (SELECT cid FROM probe))
+         |ORDER BY est_d2, vec_id LIMIT 10""".stripMargin,
+
     "sim_pq_adc_topk" ->
       s"""$pqCtes
          |SELECT vec_id, est_d2 FROM est WHERE vec_id != 0
@@ -2308,8 +2350,8 @@ object Extensions {
       s"""$pqCtes,
          |ann AS (SELECT vec_id FROM est WHERE vec_id != 0
          |        ORDER BY est_d2, vec_id LIMIT 10),
-         |bf AS (SELECT e.vec_id, ${l2FoldSql("e.v", "q.v", 64)} AS d2
-         |       FROM e, q WHERE vec_id != 0 ORDER BY d2, vec_id LIMIT 10)
+         |bf AS (SELECT e.vec_id, ${l2FoldSql("e.v", "qq.qv", 64)} AS d2
+         |       FROM e, qq WHERE vec_id != 0 ORDER BY d2, vec_id LIMIT 10)
          |SELECT 10 AS k, count(*) AS n_hits, round(count(*) / 10.0, 4) AS recall
          |FROM ann JOIN bf USING (vec_id)""".stripMargin,
 
