@@ -583,6 +583,23 @@ object Extensions {
         .orderBy(col("user_id"), col("click_id"))
     }),
 
+    // NEAREST as-of (merge_asof direction="nearest"): each click picks
+    // whichever view — latest-before or earliest-after — is closer in
+    // time, exact ties backward; still ONE key shuffle (the reversed
+    // carry reuses the exchange, pinned in AsOfJoinSpec). The oracle
+    // arbitrates DuckDB's two native ASOF directions with the same rule.
+    "join_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+      graft.ext.AsOfJoin.asofJoin(clicks, views, Seq("user_id"), "c_ts", "v_ts",
+        Seq("view_id"), "inner", direction = "nearest")
+        .select(col("user_id"), col("click_id"), col("view_id"))
+        .orderBy(col("user_id"), col("click_id"))
+    }),
+
     // ---- batch event analytics (exact integer time algebra) ---------------
     // Gap-based sessionization (30-min gap) rolled up to per-session stats:
     // one shuffle on user_id shared by the lag window, the running-sum
@@ -2162,6 +2179,25 @@ object Extensions {
          |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
          |  ON c.user_id = v.user_id AND c.ts >= v.ts
          |ORDER BY c.user_id, click_id""".stripMargin,
+
+    "join_asof_nearest" ->
+      """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+        |b AS (SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS cts,
+        |        v.event_id AS b_id, epoch_us(v.ts) AS bts
+        |      FROM c ASOF LEFT JOIN v
+        |        ON c.user_id = v.user_id AND c.ts >= v.ts),
+        |f AS (SELECT c.event_id AS click_id, v.event_id AS f_id, epoch_us(v.ts) AS fts
+        |      FROM c ASOF LEFT JOIN v
+        |        ON c.user_id = v.user_id AND c.ts <= v.ts)
+        |SELECT b.user_id, b.click_id,
+        |  CASE WHEN f_id IS NULL THEN b_id
+        |       WHEN b_id IS NULL THEN f_id
+        |       WHEN abs(cts - fts) < abs(cts - bts) THEN f_id
+        |       ELSE b_id END AS view_id
+        |FROM b JOIN f USING (click_id)
+        |WHERE b_id IS NOT NULL OR f_id IS NOT NULL
+        |ORDER BY user_id, click_id""".stripMargin,
 
     // Sessionization replayed on the exact µs long (epoch_us = Spark's
     // `ts_ns div 1000` under DuckDB's read-time truncation): same lag /

@@ -41,6 +41,54 @@ class AsOfJoinSpec extends SparkSpec {
     assert(leftJ.count() === 2)
   }
 
+  test("forward / nearest directions and the tolerance bound (merge_asof parity)") {
+    import spark.implicits._
+    val l = Seq((1L, ts(5), "a"), (1L, ts(20), "b"), (1L, ts(41), "c"))
+      .toDF("k", "lts", "tag")
+    val r = Seq((1L, ts(4), 40), (1L, ts(7), 70), (1L, ts(30), 300))
+      .toDF("k", "rts", "v")
+    def run(dir: String, tol: Option[Long]) =
+      AsOfJoin.asofJoin(l, r, Seq("k"), "lts", "rts", Seq("v"), "left", dir, tol)
+        .collect().map(row => row.getAs[String]("tag") ->
+          Option(row.get(row.fieldIndex("v"))).map(_.asInstanceOf[Int])).toMap
+    // forward: earliest right AT OR AFTER each left ts
+    assert(run("forward", None) ===
+      Map("a" -> Some(70), "b" -> Some(300), "c" -> None))
+    // nearest: |5-4|=1 < |7-5|=2 -> 40; |20-7|=13 < |30-20|=10? no: 300;
+    // c's only candidate is backward 300
+    assert(run("nearest", None) ===
+      Map("a" -> Some(40), "b" -> Some(300), "c" -> Some(300)))
+    // tolerance prunes far matches (units = µs for timestamp columns)
+    val twoMinUs = 2L * 60L * 1000000L
+    assert(run("backward", Some(twoMinUs)) ===
+      Map("a" -> Some(40), "b" -> None, "c" -> None))
+    assert(run("nearest", Some(twoMinUs)) ===
+      Map("a" -> Some(40), "b" -> None, "c" -> None))
+    // exact-tie arbitration: left at 17 is 10 from the 7 and 13 from 30 ->
+    // backward; left equidistant (ts 18.5 not expressible at minute grain)
+    // -> pin the documented rule with seconds-level rows instead
+    val l2 = Seq((1L, Timestamp.valueOf("2023-01-01 00:10:00"), "mid"))
+      .toDF("k", "lts", "tag")
+    val r2 = Seq((1L, Timestamp.valueOf("2023-01-01 00:09:00"), 1),
+      (1L, Timestamp.valueOf("2023-01-01 00:11:00"), 2)).toDF("k", "rts", "v")
+    val tie = AsOfJoin.asofJoin(l2, r2, Seq("k"), "lts", "rts", Seq("v"),
+      "left", "nearest").collect().head
+    assert(tie.getAs[Int]("v") === 1, "exact nearest ties go BACKWARD")
+  }
+
+  test("nearest adds a sort but NO second exchange (shared key partitioning)") {
+    import spark.implicits._
+    val l = (0L until 200L).map(i => (i % 5, ts((i % 50).toInt), i)).toDF("k", "lts", "lid")
+    val r = (0L until 200L).map(i => (i % 5, ts((i % 47).toInt), i)).toDF("k", "rts", "v")
+    val df = AsOfJoin.asofJoin(l, r, Seq("k"), "lts", "rts", Seq("v"),
+      "left", "nearest")
+    df.collect()
+    val exchanges = df.queryExecution.executedPlan.toString
+      .split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, // initial+final AQE print counts one real exchange twice
+      "both nearest carries must reuse the single key exchange")
+  }
+
   test("matches DuckDB ASOF JOIN semantics on events (spot check)") {
     // clicks join the latest prior view per user; compare a driver-side
     // reference computation on a bounded slice
