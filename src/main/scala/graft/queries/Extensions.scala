@@ -811,11 +811,20 @@ object Extensions {
       val emb = Tables.embeddings(s, d)
       val index = cachedIvfIndex(s, d, emb)
       val (cb, codes) = cachedPq(s, d, emb)
+      // the IVF-PQ layout proper: codes persisted PARTITIONED BY ivf_cell
+      // (once per corpus snapshot), so the probe is a partition-PRUNED
+      // scan of the 8-byte codes — cells-on-disk, codes-in-memory
+      val byCellPath = pqPath(d) + "/codes_by_cell"
+      if (!new java.io.File(s"$byCellPath/_SUCCESS").exists())
+        codes.join(
+            index.assigned.select(col("vec_id").as("id"), col("ivf_cell")), "id")
+          .repartition(col("ivf_cell"))
+          .write.mode("overwrite").partitionBy("ivf_cell").parquet(byCellPath)
       val qvec = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
       val cells = Similarity.ivfProbeCells(index.centroids, qvec, nprobe = 3)
-      val inCells = index.assigned.filter(col("ivf_cell").isin(cells: _*))
-        .select(col("vec_id").as("id"))
-      Similarity.pqAdcTopK(codes.join(inCells, "id"), cb, qvec, m = 8,
+      val pruned = s.read.parquet(byCellPath)
+        .filter(col("ivf_cell").isin(cells: _*))
+      Similarity.pqAdcTopK(pruned, cb, qvec, m = 8,
         topK = 10, excludeId = Some(0L))
         .select(col("id").as("vec_id"), col("est_d2"))
     }),
@@ -1149,12 +1158,16 @@ object Extensions {
     * persisted — the production shape (codebooks are corpus-generation
     * artifacts, like the IVF centroids and the signature store); repeat
     * queries read 8 bytes/vector instead of re-running Lloyd. */
+  private def pqPath(d: String): String = {
+    val src = new java.io.File(d + "/embeddings.parquet")
+    System.getProperty("java.io.tmpdir") + "/graft_pq_" +
+      (d + s"_${src.length}_${src.lastModified}_pq1").replaceAll("[^A-Za-z0-9]", "_")
+  }
+
   private def cachedPq(s: SparkSession, d: String, emb: DataFrame)
       : (Seq[((Int, Int), Seq[Double])], DataFrame) = {
     import s.implicits._
-    val src = new java.io.File(d + "/embeddings.parquet")
-    val path = System.getProperty("java.io.tmpdir") + "/graft_pq_" +
-      (d + s"_${src.length}_${src.lastModified}_pq1").replaceAll("[^A-Za-z0-9]", "_")
+    val path = pqPath(d)
     val done = new java.io.File(s"$path/codes/_SUCCESS").exists() &&
       new java.io.File(s"$path/codebook/_SUCCESS").exists()
     if (!done) {

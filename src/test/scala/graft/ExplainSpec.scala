@@ -132,6 +132,16 @@ class ExplainSpec extends SparkSpec {
       "sortBy buckets with one file each must eliminate the SMJ's sorts")
   }
 
+  test("sim_ivfpq_topk: the code scan is partition-PRUNED to the probe cells") {
+    val nodes = run("sim_ivfpq_topk")
+    val codeScans = nodes.collect {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("codes_by_cell")) => s
+    }
+    assert(codeScans.nonEmpty && codeScans.forall(_.partitionFilters.nonEmpty),
+      "the ivf_cell layout must prune the 8-byte code scan to nprobe cells")
+  }
+
   test("dedup_neardup_survivors: signatures checkpointed once — a single documents scan") {
     val nodes = run("dedup_neardup_survivors")
     assert(scansOf(nodes, "doc_").size === 1,
