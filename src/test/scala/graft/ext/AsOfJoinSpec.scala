@@ -89,6 +89,46 @@ class AsOfJoinSpec extends SparkSpec {
       "both nearest carries must reuse the single key exchange")
   }
 
+  test("randomized: every direction/tolerance agrees with a naive reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814)
+    val l = (0 until 300).map(i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(5000).toLong, i.toLong))
+    val r = (0 until 300).map(i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(5000).toLong, (1000 + i).toLong))
+    // NUMERIC ts columns (long lane): tolerance in the same units
+    val lDf = l.toDF("k", "lts", "lid")
+    // ties among equal rts pick the LAST row in the carry's sort order;
+    // make rts unique per key to keep the reference well-defined
+    val rUniq = r.groupBy(c => (c._1, c._2)).map(_._2.maxBy(_._3)).toSeq
+    val rUniqDf = rUniq.toDF("k", "rts", "v")
+    def naiveU(dir: String, tol: Option[Long]): Map[Long, Option[Long]] =
+      l.map { case (k, lts, lid) =>
+        val cand = rUniq.filter(_._1 == k)
+        def ok(rt: Long) = tol.forall(t => math.abs(lts - rt) <= t)
+        val b = cand.filter(_._2 <= lts).sortBy(-_._2).headOption.filter(c => ok(c._2))
+        val f = cand.filter(_._2 >= lts).sortBy(_._2).headOption.filter(c => ok(c._2))
+        val m = dir match {
+          case "backward" => b
+          case "forward" => f
+          case "nearest" => (b, f) match {
+            case (Some(bb), Some(ff)) =>
+              if (math.abs(lts - ff._2) < math.abs(lts - bb._2)) Some(ff) else Some(bb)
+            case (x, y) => x.orElse(y)
+          }
+        }
+        lid -> m.map(_._3)
+      }.toMap
+    for (dir <- Seq("backward", "forward", "nearest");
+         tol <- Seq(None, Some(100L), Some(1000L))) {
+      val got = AsOfJoin.asofJoin(lDf, rUniqDf, Seq("k"), "lts", "rts",
+        Seq("v"), "left", dir, tol)
+        .collect().map(row => row.getAs[Long]("lid") ->
+          Option(row.get(row.fieldIndex("v"))).map(_.asInstanceOf[Long])).toMap
+      assert(got === naiveU(dir, tol), s"mismatch at dir=$dir tol=$tol")
+    }
+  }
+
   test("matches DuckDB ASOF JOIN semantics on events (spot check)") {
     // clicks join the latest prior view per user; compare a driver-side
     // reference computation on a bounded slice

@@ -76,6 +76,31 @@ class StreamingFunnelSpec extends SparkSpec {
     assert(streamed === streamed.keySet.map(k => k -> runBatch(rows)(k)).toMap)
   }
 
+  test("randomized: the close-out fold equals the batch funnelSteps on shuffled arrival") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(987)
+    val types = steps ++ Seq("noise") // non-step events are filtered upstream
+    val rows = (0 until 400).map { i =>
+      (rnd.nextInt(20).toLong + 1L, ts(rnd.nextInt(58)), types(rnd.nextInt(types.length)))
+    }.filter(_._3 != "noise")
+    // deliver in 3 SHUFFLED batches under a 2-hour delay (every event
+    // stays on time however the shuffle lands), then a far-future
+    // sentinel pushes the watermark past every anchor window
+    val shuffled = rnd.shuffle(rows)
+    val third = (shuffled.length + 2) / 3
+    val far = java.sql.Timestamp.valueOf("2023-01-01 14:00:00")
+    val batches = shuffled.grouped(math.max(third, 1)).toSeq :+
+      Seq((999L, far, "signup"))
+    val streamed = runStream(batches, "funnel_rand", watermarkDelay = "2 hours")
+    val batch = runBatch(rows)
+    batch.foreach { case (u, expect) =>
+      assert(streamed.get(u) === Some(expect), s"user $u diverged from batch")
+    }
+    assert(streamed.size === batch.size + 0, // the sentinel's funnel stays open
+      "exactly the batch's anchored users must have emitted")
+    assert(batch.nonEmpty)
+  }
+
   test("a LATE anchor (on-time under the delay) re-anchors the funnel") {
     // the signup at 10:02 arrives after the view at 10:05 was buffered;
     // parity requires the anchor to move back to 10:02
