@@ -429,9 +429,17 @@ object Similarity {
     * iteration — the documented SemDeDup trade (a kept doc may still be
     * within threshold of another kept doc's dropped neighbor). */
   def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
-      nCells: Int = 8, threshold: Double = 0.4, refineIters: Int = 2): DataFrame = {
-    val index = ivfIndex(embeddings, idCol, vecCol, nCells, refineIters)
-    val a = index.assigned.select(col("ivf_cell"), col(idCol).as("id"),
+      nCells: Int = 8, threshold: Double = 0.4, refineIters: Int = 2): DataFrame =
+    semanticDedupFromAssigned(
+      ivfIndex(embeddings, idCol, vecCol, nCells, refineIters).assigned,
+      idCol, vecCol, threshold)
+
+  /** [[semanticDedup]] over a PRE-BUILT cell assignment (e.g. the persisted
+    * IVF index) — the production shape: clustering is a corpus-generation
+    * artifact, the election re-runs per policy change without re-training. */
+  def semanticDedupFromAssigned(assigned: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    val a = assigned.select(col("ivf_cell"), col(idCol).as("id"),
       col(vecCol).as("v"))
     val b = a.select(col("ivf_cell"), col("id").as("id2"), col("v").as("v2"))
     val dropped = a.join(b, Seq("ivf_cell")).filter(col("id") < col("id2"))

@@ -408,8 +408,13 @@ object Extensions {
     // replays the full chain: stride seeds, two exact Lloyd rounds,
     // argmax-cosine assignment, per-cell pairs, election.
     "dedup_semantic" -> ((s, d) => {
-      Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
-          nCells = 8, threshold = 0.4)
+      // the cached per-snapshot IVF index IS the clustering (same nCells=8
+      // lloyd2 training the oracle replays) — the election runs over the
+      // persisted assignment, never re-training per query
+      val emb = Tables.embeddings(s, d)
+      Similarity.semanticDedupFromAssigned(
+          cachedIvfIndex(s, d, emb).assigned, "vec_id", "embedding",
+          threshold = 0.4)
         .select(col("id").as("vec_id"), col("ivf_cell"), col("kept"),
           col("survivor_id"))
         .orderBy(col("vec_id"))

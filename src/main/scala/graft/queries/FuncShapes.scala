@@ -60,6 +60,26 @@ object FuncShapes {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // u256 MIN/MAX need NOTHING custom: the 32-byte big-endian encoding is
+    // order-preserving under BinaryType's unsigned lexicographic
+    // comparator, so the built-in (codegen'd, map-side-combined) min/max
+    // aggregates are numerically correct as-is — the design dividend of
+    // the encoding, demonstrated per group and checked against HUGEINT.
+    "func_u256_minmax" -> ((s, d) => {
+      val v = U256.u256_from_str(
+        (col("o_orderkey").cast("decimal(38,0)") *
+          lit("1152921504606846976").cast("decimal(38,0)") +
+          lit(12345).cast("decimal(38,0)")).cast("string"))
+      Tables.orders(s, d)
+        .select(col("o_orderstatus"), v.as("v256"))
+        .groupBy(col("o_orderstatus"))
+        .agg(min(col("v256")).as("lo256"), max(col("v256")).as("hi256"))
+        .select(col("o_orderstatus"),
+          U256.u256_to_str(col("lo256")).as("lo"),
+          U256.u256_to_str(col("hi256")).as("hi"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // FixedString(10): encode truncates/zero-pads to exactly 10 bytes; decode
     // strips the padding. For ASCII inputs decode∘encode == 10-char prefix.
     "func_fixed_string" -> ((s, d) => {
@@ -88,6 +108,14 @@ object FuncShapes {
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(o_orderkey AS HUGEINT) * 1152921504606846976 + 12345)
         |    AS VARCHAR) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "func_u256_minmax" ->
+      """SELECT o_orderstatus,
+        |  CAST(min(CAST(o_orderkey AS HUGEINT) * 1152921504606846976 + 12345)
+        |    AS VARCHAR) AS lo,
+        |  CAST(max(CAST(o_orderkey AS HUGEINT) * 1152921504606846976 + 12345)
+        |    AS VARCHAR) AS hi
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }
