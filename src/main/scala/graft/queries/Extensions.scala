@@ -819,7 +819,7 @@ object Extensions {
       // the IVF-PQ layout proper: codes persisted PARTITIONED BY ivf_cell
       // (once per corpus snapshot), so the probe is a partition-PRUNED
       // scan of the 8-byte codes — cells-on-disk, codes-in-memory
-      val byCellPath = pqPath(d) + "/codes_by_cell"
+      val byCellPath = pqPath(d) + "/codes_by_cell_" + IvfVer
       if (!new java.io.File(s"$byCellPath/_SUCCESS").exists())
         codes.join(
             index.assigned.select(col("vec_id").as("id"), col("ivf_cell")), "id")
@@ -843,16 +843,19 @@ object Extensions {
     // centroids — which is what the oracle replays.
     "sim_ann_ivf_incremental" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val src = new java.io.File(d + "/embeddings.parquet")
-      val snapshot = s"${src.length}_${src.lastModified}_inc1"
-      val path = System.getProperty("java.io.tmpdir") + "/graft_ivf_" +
-        (d + "_" + snapshot).replaceAll("[^A-Za-z0-9]", "_")
-      if (!Similarity.ivfIndexExists(path)) {
+      val path = snapPath(d, "graft_ivf_", "inc1")
+      // the build is base-write THEN append: gate on a marker written
+      // AFTER the append, not on ivfWrite's own _SUCCESS files — a crash
+      // between the two must force a rebuild, never serve a base-only
+      // index as complete
+      val completeMarker = java.nio.file.Paths.get(path, "_graft_append_complete")
+      if (!java.nio.file.Files.exists(completeMarker)) {
         val built = Similarity.ivfIndex(
           emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", nCells = 8)
         Similarity.ivfWrite(built, path)
         Similarity.ivfAppend(s, path,
           emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+        java.nio.file.Files.writeString(completeMarker, "ok")
       }
       val index = Similarity.ivfRead(s, path)
       val qvec = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
@@ -1147,10 +1150,7 @@ object Extensions {
     * otherwise be served a stale stride-seed index. */
   private def cachedIvfIndex(s: SparkSession, d: String,
       emb: DataFrame): Similarity.IvfIndex = {
-    val src = new java.io.File(d + "/embeddings.parquet")
-    val snapshot = s"${src.length}_${src.lastModified}_lloyd2"
-    val path = System.getProperty("java.io.tmpdir") + "/graft_ivf_" +
-      (d + "_" + snapshot).replaceAll("[^A-Za-z0-9]", "_")
+    val path = snapPath(d, "graft_ivf_", IvfVer)
     if (Similarity.ivfIndexExists(path)) Similarity.ivfRead(s, path)
     else {
       val built = Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 8)
@@ -1163,11 +1163,22 @@ object Extensions {
     * persisted — the production shape (codebooks are corpus-generation
     * artifacts, like the IVF centroids and the signature store); repeat
     * queries read 8 bytes/vector instead of re-running Lloyd. */
-  private def pqPath(d: String): String = {
+  /** ONE recipe for every per-corpus-snapshot cache path: fixture dir +
+    * source (length, mtime) + a version suffix that callers bump when the
+    * algorithm behind the artifact changes (the r7 'lloyd2' lesson). */
+  private def snapPath(d: String, prefix: String, ver: String): String = {
     val src = new java.io.File(d + "/embeddings.parquet")
-    System.getProperty("java.io.tmpdir") + "/graft_pq_" +
-      (d + s"_${src.length}_${src.lastModified}_pq1").replaceAll("[^A-Za-z0-9]", "_")
+    System.getProperty("java.io.tmpdir") + s"/$prefix" +
+      (d + s"_${src.length}_${src.lastModified}_$ver").replaceAll("[^A-Za-z0-9]", "_")
   }
+
+  /** IVF training version — shared by the index cache AND every derived
+    * artifact (codes_by_cell), so bumping it invalidates them TOGETHER:
+    * a derived layout keyed only on its own version would silently serve
+    * cells from stale centroids. */
+  private val IvfVer = "lloyd2"
+
+  private def pqPath(d: String): String = snapPath(d, "graft_pq_", "pq1")
 
   private def cachedPq(s: SparkSession, d: String, emb: DataFrame)
       : (Seq[((Int, Int), Seq[Double])], DataFrame) = {

@@ -42,9 +42,14 @@ object AvroTable {
         case other => throw new IllegalArgumentException(
           s"unsupported Avro column type $other for field ${f.name}")
       }
-      val sch = if (f.nullable)
-        Schema.createUnion(Schema.create(Schema.Type.NULL), base) else base
-      fs.name(f.name).`type`(sch).withDefault(null)
+      // null is only a legal default for the nullable union — Avro rejects
+      // withDefault(null) on a plain primitive field (AvroTypeException at
+      // write time), so non-nullable fields take noDefault()
+      if (f.nullable)
+        fs.name(f.name)
+          .`type`(Schema.createUnion(Schema.create(Schema.Type.NULL), base))
+          .withDefault(null)
+      else fs.name(f.name).`type`(base).noDefault()
     }.endRecord()
   }
 

@@ -36,8 +36,15 @@ object StreamingFunnel {
       m: Seq[Boolean])
 
   /** anchorUs = min ts of a step-0 event seen so far (MinValue = none);
-    * buf = (ts_us, match-vector) of every buffered step event. */
-  case class FState(anchorUs: Long, buf: List[(Long, Seq[Boolean])])
+    * buf = (ts_us, match-vector) of every buffered step event; done = this
+    * user's funnel row has been emitted — a tombstone, because batch
+    * parity means ONE row per user EVER: batch anchors on the user's first
+    * step-0 event and ignores everything past anchor+window, so a later
+    * step-0 must NOT re-anchor a second streaming row. The tombstone is a
+    * few bytes per emitted user (bounded by user cardinality; a production
+    * deployment would TTL it at its retention horizon). */
+  case class FState(anchorUs: Long, buf: List[(Long, Seq[Boolean])],
+      done: Boolean = false)
 
   /** slots(k) = step-k entry time in µs, Long.MinValue = never reached */
   case class FOut(user_id: Long, slots: Seq[Long])
@@ -95,11 +102,15 @@ object StreamingFunnel {
       state: GroupState[FState]): Iterator[FOut] = {
     if (state.hasTimedOut) {
       val st = state.get
-      state.remove() // closed funnels hold no state
-      return if (st.anchorUs == NoTs) Iterator.empty
-      else Iterator.single(FOut(user, fold(n, windowUs, st.buf)))
+      return if (st.anchorUs == NoTs) { state.remove(); Iterator.empty }
+      else {
+        // keep the tombstone; drop the buffer (the row is final)
+        state.update(FState(st.anchorUs, Nil, done = true))
+        Iterator.single(FOut(user, fold(n, windowUs, st.buf)))
+      }
     }
     var st = state.getOption.getOrElse(FState(NoTs, Nil))
+    if (st.done) { it.foreach(_ => ()); return Iterator.empty }
     it.foreach { e =>
       st = FState(
         if (e.m(0)) math.min(if (st.anchorUs == NoTs) Long.MaxValue else st.anchorUs, e.ts_us)

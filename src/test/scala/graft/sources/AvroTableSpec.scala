@@ -52,6 +52,22 @@ class AvroTableSpec extends SparkSpec {
       new java.io.File(path).getParentFile)
   }
 
+  test("non-nullable columns round-trip (noDefault, not an illegal null default)") {
+    import spark.implicits._
+    // toDF over primitives yields NON-nullable columns — the lane that
+    // crashed when every field took withDefault(null)
+    val df = Seq((1L, 2.5), (3L, 4.5)).toDF("id", "x")
+    assert(!df.schema("id").nullable)
+    val path = java.nio.file.Files.createTempDirectory("graft_avro_nn").toString + "/t"
+    AvroTable.write(df, path)
+    val back = AvroTable.read(spark, path,
+      StructType.fromDDL("id LONG, x DOUBLE")).orderBy("id").collect()
+    assert(back.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((1L, 2.5), (3L, 4.5)))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(path).getParentFile)
+  }
+
   test("unsupported column types are rejected up front") {
     intercept[IllegalArgumentException] {
       AvroTable.avroSchema(StructType.fromDDL("ts TIMESTAMP"))

@@ -76,6 +76,22 @@ class StreamingFunnelSpec extends SparkSpec {
     assert(streamed === streamed.keySet.map(k => k -> runBatch(rows)(k)).toMap)
   }
 
+  test("a second anchor after close-out does NOT re-emit (one row per user, as in batch)") {
+    val streamed = runStream(Seq(
+      Seq((1L, ts(0), "signup"), (1L, ts(5), "view")),
+      Seq((98L, ts(30), "signup")), // watermark 10:30 > 10:00+20min -> user 1 closes
+      Seq((1L, ts(35), "signup")), // late second anchor: must hit the tombstone
+      Seq((99L, ts(59), "signup"))), "funnel_tombstone")
+    assert(streamed(1L) === Seq(us(0), us(5), null))
+    assert(spark.table("funnel_tombstone")
+      .filter(org.apache.spark.sql.functions.col("user_id") === 1L).count() === 1L,
+      "batch emits ONE row per user; the tombstone must swallow re-anchors")
+    val batch = runBatch(Seq(
+      (1L, ts(0), "signup"), (1L, ts(5), "view"), (1L, ts(35), "signup")))
+    assert(streamed(1L) === batch(1L),
+      "the single row must equal batch over the FULL log incl. the late signup")
+  }
+
   test("randomized: the close-out fold equals the batch funnelSteps on shuffled arrival") {
     import spark.implicits._
     val rnd = new scala.util.Random(987)

@@ -81,6 +81,36 @@ class StreamingSessionizeSpec extends SparkSpec {
     assert(streamed((1L, 1L)) === batch((1L, 1L)))
   }
 
+  test("a late bridging event merges sessions an eager close would have split") {
+    // gap 10 min, delay 10 min. 10:20 arrives; then 10:31 (11 min later —
+    // LOOKS like a new session); then 10:25 arrives late but on time and
+    // BRIDGES the two. The watermark-final fold must produce ONE session
+    // [10:20, 10:31] n=3 — the eager-inline-close design emitted
+    // [10:20, 10:20] + [10:25, 10:31] here.
+    val streamed = runStream(Seq(
+      Seq((1L, ts(20), 1L, "view")),
+      Seq((1L, ts(31), 2L, "click")),
+      Seq((1L, ts(25), 3L, "view")),
+      Seq((99L, Timestamp.valueOf("2023-01-01 11:30:00"), 99L, "view"))
+    ), "sess_bridge", watermarkDelay = "10 minutes")
+    def us(m: Int): Long = ts(m).getTime * 1000L
+    assert(streamed((1L, 1L)) === ((3L, us(20), us(31), us(31) - us(20), 2L)))
+    assert(!streamed.keySet.exists(k => k._1 == 1L && k._2 == 2L),
+      "no phantom second session")
+    val batch = EventAnalytics.sessionStats(
+      {
+        import spark.implicits._
+        Seq((1L, ts(20), 1L, "view"), (1L, ts(25), 3L, "view"), (1L, ts(31), 2L, "click"))
+          .toDF("user_id", "ts", "event_id", "event_type")
+          .withColumn("ts_us", unix_micros(col("ts")))
+      },
+      "user_id", "ts_us", "event_id", "event_type", gapUs)
+      .as[(Long, Long, Long, Long, Long, Long, Long)](
+        org.apache.spark.sql.Encoders.product).collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(streamed((1L, 1L)) === batch((1L, 1L)))
+  }
+
   test("streaming sessions match batch sessionStats bit-for-bit once closed") {
     import spark.implicits._
     val rows = Seq(
