@@ -111,6 +111,32 @@ class StreamingSessionizeSpec extends SparkSpec {
     assert(streamed((1L, 1L)) === batch((1L, 1L)))
   }
 
+  test("randomized: shuffled-arrival sessions equal batch once the horizon passes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val rows = (0 until 300).map { i =>
+      (rnd.nextInt(12).toLong + 1L, ts(rnd.nextInt(50)), i.toLong,
+        Seq("view", "click", "purchase")(rnd.nextInt(3)))
+    }
+    // 3 shuffled batches under a 2-hour delay (nothing late), then a
+    // far-future sentinel closes every session
+    val shuffled = rnd.shuffle(rows)
+    val third = (shuffled.length + 2) / 3
+    val far = Timestamp.valueOf("2023-01-01 14:00:00")
+    val streamed = runStream(
+      shuffled.grouped(third).toSeq :+ Seq((999L, far, 999L, "view")),
+      "sess_rand", watermarkDelay = "2 hours")
+    val batch = EventAnalytics.sessionStats(
+      rows.toDF("user_id", "ts", "event_id", "event_type")
+        .withColumn("ts_us", unix_micros(col("ts"))),
+      "user_id", "ts_us", "event_id", "event_type", gapUs)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(streamed === batch,
+      "every session must equal the batch rollup, whatever the arrival order")
+    assert(batch.nonEmpty)
+  }
+
   test("streaming sessions match batch sessionStats bit-for-bit once closed") {
     import spark.implicits._
     val rows = Seq(
