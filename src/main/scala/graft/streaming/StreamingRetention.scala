@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Cohort-retention FACTS as a CUSTOM-STATE streaming operator — the
+  * streaming twin of [[graft.ext.EventAnalytics.retention]]'s first half:
+  * one (user_id, cohort_day, day_offset) row per distinct active day of
+  * each user, exactly once, in append mode. The batch lane's rollup
+  * (n_active per (cohort_day, day_offset), cohort sizes, retained ratio)
+  * is a plain aggregation over these facts — downstream of the operator,
+  * exactly where the batch lane also aggregates — and the parity spec
+  * checks both the fact set and the aggregated rollup.
+  *
+  * Order discipline: a user's cohort is their MINIMUM active day, so a
+  * fact's `day_offset` is only final once no admissible event can lower
+  * the cohort. An event lowering it must carry `ts < cohortDayStart`, and
+  * such an event is only admissible while `watermark < cohortDayStart` —
+  * so facts are held until the watermark reaches the start of the cohort
+  * day (typically one watermark advance), then the backlog flushes and
+  * every later new-day fact emits as it arrives. New days can never
+  * retract (a day is active once ANY event lands on it), so no buffering
+  * beyond the cohort gate is needed.
+  *
+  * State: cohort day + the set of days already emitted — bounded by the
+  * user's active-day count over the retention horizon, NOT by events.
+  */
+object StreamingRetention {
+
+  case class RetEvent(user_id: Long, ts: java.sql.Timestamp, ts_us: Long)
+
+  /** cohortDay = min active day seen (MaxValue = none); pendingDays = days
+    * observed but not yet emitted; emittedDays = facts already out. */
+  case class RetState(cohortDay: Long, pendingDays: Set[Long],
+      emittedDays: Set[Long])
+
+  case class FactOut(user_id: Long, cohort_day: Long, day_offset: Long)
+
+  private val DayUs = 86400L * 1000000L
+  private val NoDay = Long.MaxValue
+
+  def facts(events: DataFrame, userCol: String, tsCol: String,
+      watermarkDelay: String): Dataset[FactOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(userCol).as("user_id"), col(tsCol).as("ts"),
+        unix_micros(col(tsCol)).as("ts_us"))
+      .withWatermark("ts", watermarkDelay)
+      .as[RetEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(process _)
+  }
+
+  private[streaming] def process(user: Long, it: Iterator[RetEvent],
+      state: GroupState[RetState]): Iterator[FactOut] = {
+    var st = state.getOption.getOrElse(RetState(NoDay, Set.empty, Set.empty))
+    if (!state.hasTimedOut)
+      it.foreach { e =>
+        val day = Math.floorDiv(e.ts_us, DayUs)
+        st = RetState(math.min(st.cohortDay, day),
+          if (st.emittedDays.contains(day)) st.pendingDays
+          else st.pendingDays + day,
+          st.emittedDays)
+      }
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val out = Seq.newBuilder[FactOut]
+    if (st.cohortDay != NoDay && wmUs >= st.cohortDay * DayUs) {
+      // cohort final: flush every pending day (sorted for a deterministic
+      // within-batch emission order; the SET is what parity is about)
+      st.pendingDays.toSeq.sorted.foreach { day =>
+        out += FactOut(user, st.cohortDay, day - st.cohortDay)
+      }
+      st = RetState(st.cohortDay, Set.empty, st.emittedDays ++ st.pendingDays)
+    } else if (st.cohortDay != NoDay)
+      // wake when the watermark reaches the cohort day's start
+      state.setTimeoutTimestamp(math.max(
+        st.cohortDay * DayUs / 1000L + 1L,
+        state.getCurrentWatermarkMs() + 1L))
+    state.update(st)
+    out.result().iterator
+  }
+}
