@@ -1159,10 +1159,6 @@ object Extensions {
     }
   }
 
-  /** The per-corpus-snapshot PQ model (codebook + codes), trained once and
-    * persisted — the production shape (codebooks are corpus-generation
-    * artifacts, like the IVF centroids and the signature store); repeat
-    * queries read 8 bytes/vector instead of re-running Lloyd. */
   /** ONE recipe for every per-corpus-snapshot cache path: fixture dir +
     * source (length, mtime) + a version suffix that callers bump when the
     * algorithm behind the artifact changes (the r7 'lloyd2' lesson). */
@@ -1180,19 +1176,26 @@ object Extensions {
 
   private def pqPath(d: String): String = snapPath(d, "graft_pq_", "pq1")
 
+  /** The per-corpus-snapshot PQ model (codebook + codes), trained once and
+    * persisted — the production shape (codebooks are corpus-generation
+    * artifacts, like the IVF centroids and the signature store); repeat
+    * queries read 8 bytes/vector instead of re-running Lloyd. The build
+    * is gated on a marker written AFTER both writes (a crash between them
+    * forces a rebuild; like every snapshot cache here, the writer is
+    * single-JVM — the harness runs Verify/Bench serially). */
   private def cachedPq(s: SparkSession, d: String, emb: DataFrame)
       : (Seq[((Int, Int), Seq[Double])], DataFrame) = {
     import s.implicits._
     val path = pqPath(d)
-    val done = new java.io.File(s"$path/codes/_SUCCESS").exists() &&
-      new java.io.File(s"$path/codebook/_SUCCESS").exists()
-    if (!done) {
+    val marker = java.nio.file.Paths.get(path, "_graft_pq_complete")
+    if (!java.nio.file.Files.exists(marker)) {
       val cb = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16)
       cb.map { case ((s0, c0), v) => (s0, c0, v) }.toDF("sub", "cid", "cv")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
       Similarity.pqAssign(
           Similarity.pqSubFrame(emb, "vec_id", "embedding", 64, 8), cb)
         .write.mode("overwrite").parquet(s"$path/codes")
+      java.nio.file.Files.writeString(marker, "ok")
     }
     val cb = s.read.parquet(s"$path/codebook").collect()
       .map(r => ((r.getAs[Int]("sub"), r.getAs[Int]("cid")),

@@ -23,8 +23,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * retract (a day is active once ANY event lands on it), so no buffering
   * beyond the cohort gate is needed.
   *
-  * State: cohort day + the set of days already emitted — bounded by the
-  * user's active-day count over the retention horizon, NOT by events.
+  * State: cohort day + the set of days already emitted, PRUNED each pass
+  * to the still-receivable window — a day d can only gain events while
+  * the watermark is below the day's end, so once `(d+1)·day ≤ watermark`
+  * its dedup entry can never be consulted again and is dropped. The set
+  * is therefore bounded by the lateness window in days (not stream
+  * lifetime); what remains per departed user is one cohort long (the
+  * [[StreamingFunnel]] tombstone trade — a production deployment would
+  * TTL it at its retention horizon).
   */
 object StreamingRetention {
 
@@ -73,7 +79,10 @@ object StreamingRetention {
       st.pendingDays.toSeq.sorted.foreach { day =>
         out += FactOut(user, st.cohortDay, day - st.cohortDay)
       }
-      st = RetState(st.cohortDay, Set.empty, st.emittedDays ++ st.pendingDays)
+      // keep only dedup entries for days that can still receive events
+      // (day end above the watermark) — the state bound, see class doc
+      st = RetState(st.cohortDay, Set.empty,
+        (st.emittedDays ++ st.pendingDays).filter(d => (d + 1) * DayUs > wmUs))
     } else if (st.cohortDay != NoDay)
       // wake when the watermark reaches the cohort day's start
       state.setTimeoutTimestamp(math.max(
