@@ -655,6 +655,23 @@ object Extensions {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // The retention FACT frame — one (user, cohort_day, day_offset) row
+    // per distinct active day, the granularity the streaming twin
+    // (streaming/StreamingRetention.scala) emits exactly once; the rollup
+    // above is a plain aggregation over this. Distinct-reduce first, then
+    // a broadcastable per-user min — one exchange on user_id.
+    "events_retention_facts" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+      val active = ev
+        .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+        .distinct()
+      val cohort = active.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      active.join(cohort, "user_id")
+        .select(col("user_id"), col("cohort_day"),
+          (col("day") - col("cohort_day")).as("day_offset"))
+        .orderBy(col("user_id"), col("day_offset"))
+    }),
+
     // SCD2 history: the event log read as a CDC change stream keyed by
     // user, event_type as the tracked attribute — consecutive duplicate
     // values collapse into one version, each version carries its exact µs
@@ -2374,6 +2391,14 @@ object Extensions {
          |SELECT step_idx, step, n_sessions,
          |  ${sparkRound("n_sessions::DOUBLE / (SELECT count(*) FROM s0)", 6)} AS conversion
          |FROM n ORDER BY step_idx""".stripMargin,
+
+    "events_retention_facts" ->
+      """WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |           FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id)
+        |SELECT a.user_id, c.cohort_day, a.day - c.cohort_day AS day_offset
+        |FROM a JOIN c USING (user_id)
+        |ORDER BY user_id, day_offset""".stripMargin,
 
     // Cohort retention replayed: distinct (user, epoch-day) with integer
     // `//` day division (= Spark's `div` on the positive epoch), cohort =
