@@ -60,6 +60,26 @@ class StreamingScd2Spec extends SparkSpec {
     assert(!streamed.exists(_._1 == 2L))
   }
 
+  test("randomized: shuffled-arrival closed versions equal the batch history") {
+    val rnd = new scala.util.Random(1337)
+    val rows = (0 until 300).map { i =>
+      (rnd.nextInt(10).toLong + 1L, ts(rnd.nextInt(50)), i.toLong,
+        Seq("bronze", "silver", "gold", "bronze")(rnd.nextInt(4)))
+    }
+    val shuffled = rnd.shuffle(rows)
+    val third = (shuffled.length + 2) / 3
+    val far = Timestamp.valueOf("2023-01-01 14:00:00")
+    val streamed = runStream(
+      shuffled.grouped(third).toSeq :+ Seq((999L, far, 999L, "x")),
+      "scd2_rand", watermarkDelay = "2 hours")
+    // every version CLOSED in batch must stream identically; open versions
+    // (each key's last, incl. the sentinel's only one) stay in state
+    val batch = runBatch(rows)
+    assert(streamed.filterNot(_._1 == 999L) === batch,
+      "closed-version sets must match whatever the arrival order")
+    assert(batch.nonEmpty)
+  }
+
   test("an out-of-order on-time change folds into its (ts, id) slot") {
     // the silver change at 10:04 arrives AFTER the gold change at 10:08
     // was seen; the buffered fold must order silver before gold
