@@ -213,12 +213,17 @@ object EventAnalytics {
     */
   def retention(events: DataFrame, userCol: String, tsCol: String,
       ticksPerDay: Long = 86400L * 1000000000L): DataFrame = {
-    // `div`, not `/`: Column./ on longs is DOUBLE division, and an ns
-    // timestamp (~1.7e18) exceeds double's exact-integer range, so day
-    // boundaries could misround. Integer div is exact (and matches
-    // DuckDB's `//` for the positive epoch).
+    // Integer FLOOR division, not `/` or bare `div`: Column./ on longs is
+    // DOUBLE division (an ns timestamp ~1.7e18 exceeds double's
+    // exact-integer range, so day boundaries could misround), and `div`
+    // truncates toward zero, which diverges from the streaming twin's
+    // Math.floorDiv for pre-1970 timestamps. `(ts - pmod(ts, t)) div t` is
+    // exact floor division on longs — identical to `div` (and DuckDB's
+    // `//`) for the positive epoch, and floorDiv-parity below it.
     val active = events
-      .select(col(userCol), expr(s"$tsCol div ${ticksPerDay}L").as("day"))
+      .select(col(userCol), expr(
+        s"($tsCol - pmod($tsCol, ${ticksPerDay}L)) div ${ticksPerDay}L")
+        .as("day"))
       .distinct()
     val cohort = active.groupBy(col(userCol)).agg(min(col("day")).as("cohort_day"))
     val sizes = cohort.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_n"))

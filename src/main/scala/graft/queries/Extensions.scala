@@ -662,8 +662,12 @@ object Extensions {
     // a broadcastable per-user min — one exchange on user_id.
     "events_retention_facts" -> ((s, d) => {
       val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+      // floor division (== `div` for the positive epoch) so the day
+      // bucketing matches the streaming twin's Math.floorDiv bit-for-bit
+      // even for pre-1970 timestamps
       val active = ev
-        .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+        .select(col("user_id"),
+          expr("(ts_us - pmod(ts_us, 86400000000)) div 86400000000").as("day"))
         .distinct()
       val cohort = active.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
       active.join(cohort, "user_id")

@@ -41,8 +41,8 @@ object StreamingFunnel {
     * parity means ONE row per user EVER: batch anchors on the user's first
     * step-0 event and ignores everything past anchor+window, so a later
     * step-0 must NOT re-anchor a second streaming row. The tombstone is a
-    * few bytes per emitted user (bounded by user cardinality; a production
-    * deployment would TTL it at its retention horizon). */
+    * few bytes per emitted user (bounded by user cardinality); with
+    * `ttlUs` set it is dropped at the retention horizon — see [[funnel]]. */
   case class FState(anchorUs: Long, buf: List[(Long, Seq[Boolean])],
       done: Boolean = false)
 
@@ -53,12 +53,25 @@ object StreamingFunnel {
 
   /** `events` needs (userCol LONG, tsCol TIMESTAMP, typeCol STRING); step
     * times are exact µs. Output schema matches the batch `funnelSteps`:
-    * (userCol, t0 .. t{n-1}) with nulls once the user drops out. */
+    * (userCol, t0 .. t{n-1}) with nulls once the user drops out.
+    *
+    * `ttlUs`: optional retention horizon for the post-emission tombstone.
+    * When set, a user's tombstone is DROPPED once the watermark passes
+    * `anchor + window + ttl` — state truly returns to zero per departed
+    * user (the bounded-state discipline of the reference's BUFFER_LEN=12
+    * ring, `/root/reference/src/loader.rs:24`, applied to keyed state). The
+    * trade, as in any retention-horizon TTL: a step-0 event arriving LATER
+    * than the horizon re-anchors a fresh funnel row for that user, where
+    * batch-over-the-full-log would have ignored it. Parity with batch
+    * therefore holds exactly for logs whose per-user re-activity gap stays
+    * under the horizon; `None` (default) keeps the tombstone forever and
+    * is bit-parity unconditionally. */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String], windowUs: Long,
-      watermarkDelay: String): DataFrame = {
+      watermarkDelay: String, ttlUs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    require(ttlUs.forall(_ > 0), s"ttlUs must be positive, got $ttlUs")
     val spark = events.sparkSession
     import spark.implicits._
     val n = steps.length
@@ -71,7 +84,7 @@ object StreamingFunnel {
       .as[FEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.EventTimeTimeout)(process(n, windowUs) _)
+        GroupStateTimeout.EventTimeTimeout)(process(n, windowUs, ttlUs) _)
     out.select(col("user_id").as(userCol) +:
       (0 until n).map(i => when(element_at(col("slots"), i + 1) =!= NoTs,
         element_at(col("slots"), i + 1)).as(s"t$i")): _*)
@@ -97,20 +110,40 @@ object StreamingFunnel {
     acc
   }
 
-  private[streaming] def process(n: Int, windowUs: Long)(user: Long,
+  /** Arms the tombstone-expiry timeout at `anchor + window + ttl` (clamped
+    * above the watermark — Spark rejects a timeout at or below it). */
+  private def armTtl(state: GroupState[FState], anchorUs: Long,
+      windowUs: Long, ttl: Long): Unit =
+    state.setTimeoutTimestamp(math.max(
+      (anchorUs + windowUs + ttl) / 1000L + 1L,
+      state.getCurrentWatermarkMs() + 1L))
+
+  private[streaming] def process(n: Int, windowUs: Long,
+      ttlUs: Option[Long] = None)(user: Long,
       it: Iterator[FEvent],
       state: GroupState[FState]): Iterator[FOut] = {
     if (state.hasTimedOut) {
       val st = state.get
-      return if (st.anchorUs == NoTs) { state.remove(); Iterator.empty }
-      else {
-        // keep the tombstone; drop the buffer (the row is final)
+      return if (st.anchorUs == NoTs || st.done) {
+        // unanchored GC, or the tombstone's TTL horizon has passed: the
+        // key's state returns to zero
+        state.remove(); Iterator.empty
+      } else {
+        // the row is final: drop the buffer, keep the tombstone — forever
+        // by default, until anchor+window+ttl when a horizon is set
         state.update(FState(st.anchorUs, Nil, done = true))
+        ttlUs.foreach(armTtl(state, st.anchorUs, windowUs, _))
         Iterator.single(FOut(user, fold(n, windowUs, st.buf)))
       }
     }
     var st = state.getOption.getOrElse(FState(NoTs, Nil))
-    if (st.done) { it.foreach(_ => ()); return Iterator.empty }
+    if (st.done) {
+      it.foreach(_ => ())
+      // new data resets any pending timeout (Spark semantics) — re-arm the
+      // TTL so the tombstone still expires
+      ttlUs.foreach(armTtl(state, st.anchorUs, windowUs, _))
+      return Iterator.empty
+    }
     it.foreach { e =>
       st = FState(
         if (e.m(0)) math.min(if (st.anchorUs == NoTs) Long.MaxValue else st.anchorUs, e.ts_us)

@@ -117,6 +117,43 @@ class StreamingFunnelSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("TTL: the tombstone is dropped at the horizon (state returns to zero) and a later anchor re-emits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(s: String): Timestamp = Timestamp.valueOf(s"2023-01-01 $s:00")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingFunnel.funnel(
+      input.toDF().toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "event_type", steps, windowUs, "0 seconds",
+      ttlUs = Some(30L * 60L * 1000000L)) // 30-minute retention horizon
+    val q = out.writeStream.format("memory").queryName("funnel_ttl")
+      .outputMode("append").start()
+    def push(rows: (Long, Timestamp, String)*): Unit = {
+      input.addData(rows: _*); q.processAllAvailable()
+    }
+    def stateRows: Long =
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    push((1L, ts(0), "signup"), (1L, ts(5), "view"))
+    // wm 10:30 closes user 1's window (10:20): row emits, tombstone armed
+    // to expire at 10:00 + 20min + 30min = 10:50
+    push((99L, at("10:30"), "signup"))
+    // wm 11:00 passes BOTH user 1's 10:50 horizon and the sentinel's own
+    // close-out (10:50); the extra push lets the timeout batch run
+    push((99L, at("11:00"), "signup"))
+    push((99L, at("11:01"), "signup"))
+    assert(stateRows === 1L,
+      "only the sentinel's own tombstone may remain: user 1's state must be ZERO")
+    // past the horizon, a fresh anchor is a NEW funnel (re-anchor trade)
+    push((1L, at("11:05"), "signup"))
+    push((99L, at("12:00"), "signup"))
+    q.stop()
+    val rows1 = spark.table("funnel_ttl").filter(col("user_id") === 1L)
+      .collect().map(_.toSeq.tail).toSeq
+    assert(rows1.size === 2, "post-TTL anchor must emit a second row")
+    assert(rows1.contains(Seq(us(0), us(5), null)))
+    assert(rows1.contains(Seq(at("11:05").getTime * 1000L, null, null)))
+  }
+
   test("a LATE anchor (on-time under the delay) re-anchors the funnel") {
     // the signup at 10:02 arrives after the view at 10:05 was buffered;
     // parity requires the anchor to move back to 10:02

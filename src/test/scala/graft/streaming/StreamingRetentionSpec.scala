@@ -76,6 +76,39 @@ class StreamingRetentionSpec extends SparkSpec {
     assert(streamed.toSet === Set((1L, day(0), 0L), (1L, day(0), 2L)))
   }
 
+  test("TTL: departed-user state is dropped at the horizon (returns to zero); a later return re-cohorts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val out = StreamingRetention.facts(
+      input.toDF().toDF("user_id", "ts"), "user_id", "ts", "0 seconds",
+      ttlUs = Some(5L * 86400L * 1000000L)) // 5-day retention horizon
+    val q = out.writeStream.format("memory").queryName("ret_ttl")
+      .outputMode("append").start()
+    def push(rows: (Long, Timestamp)*): Unit = {
+      input.addData(rows: _*); q.processAllAvailable()
+    }
+    def stateRows: Long =
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    push((1L, ts(0, 10))) // user 1 active on day 0 only
+    // wm day 3 finalizes user 1's cohort: fact emits; TTL deadline =
+    // end of day 0 + 5 days = day 6 start
+    push((9L, ts(3, 0)))
+    // wm day 8 passes the deadline; the extra push lets the timeout batch run
+    push((9L, ts(8, 0)))
+    push((9L, ts(8, 1)))
+    assert(stateRows === 1L,
+      "only the still-active sentinel may remain: user 1's state must be ZERO")
+    // a return AFTER the horizon re-cohorts at the return day (the trade)
+    push((1L, ts(10, 5)))
+    push((9L, ts(15, 0)))
+    q.stop()
+    val facts1 = spark.table("ret_ttl").as[(Long, Long, Long)].collect()
+      .filter(_._1 == 1L).toSet
+    assert(facts1 === Set((1L, day(0), 0L), (1L, day(10), 0L)),
+      "pre-horizon fact keeps the old cohort; the post-horizon return is a fresh cohort")
+  }
+
   test("post-cohort new days emit as they arrive (no re-buffering)") {
     val streamed = runStream(Seq(
       Seq((1L, ts(0, 10))),
