@@ -837,22 +837,40 @@ object Extensions {
       val emb = Tables.embeddings(s, d)
       val index = cachedIvfIndex(s, d, emb)
       val (cb, codes) = cachedPq(s, d, emb)
-      // the IVF-PQ layout proper: codes persisted PARTITIONED BY ivf_cell
-      // (once per corpus snapshot), so the probe is a partition-PRUNED
-      // scan of the 8-byte codes — cells-on-disk, codes-in-memory
-      val byCellPath = pqPath(d) + "/codes_by_cell_" + IvfVer
-      if (!new java.io.File(s"$byCellPath/_SUCCESS").exists())
-        codes.join(
-            index.assigned.select(col("vec_id").as("id"), col("ivf_cell")), "id")
-          .repartition(col("ivf_cell"))
-          .write.mode("overwrite").partitionBy("ivf_cell").parquet(byCellPath)
       val qvec = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
       val cells = Similarity.ivfProbeCells(index.centroids, qvec, nprobe = 3)
-      val pruned = s.read.parquet(byCellPath)
+      val pruned = cachedCodesByCell(s, d, index, codes)
         .filter(col("ivf_cell").isin(cells: _*))
       Similarity.pqAdcTopK(pruned, cb, qvec, m = 8,
         topK = 10, excludeId = Some(0L))
         .select(col("id").as("vec_id"), col("est_d2"))
+    }),
+
+    // The COMPLETE production ANN chain: IVF prune → ADC over the 8-byte
+    // codes for a WIDE candidate set (C=100 here; C ~ 50·k in production) →
+    // exact re-rank of just those C candidates against the raw vectors.
+    // ADC quantization error only matters at the top-k boundary, so
+    // re-ranking C ≫ k candidates with exact distances recovers near-exact
+    // recall while the corpus-wide scan still reads only codes. At 100 TB
+    // the exact leg is a broadcast semi-join of C ids against the corpus —
+    // C rows of full vectors, constant cost — and the ADC stage bounds
+    // everything upstream of it. Re-rank recall ≥ ADC-only recall is
+    // pinned in SimilaritySpec.
+    "sim_ivfpq_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val index = cachedIvfIndex(s, d, emb)
+      val (cb, codes) = cachedPq(s, d, emb)
+      val qvec = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
+      val cells = Similarity.ivfProbeCells(index.centroids, qvec, nprobe = 3)
+      val pruned = cachedCodesByCell(s, d, index, codes)
+        .filter(col("ivf_cell").isin(cells: _*))
+      val cand = Similarity.pqAdcTopK(pruned, cb, qvec, m = 8,
+        topK = 100, excludeId = Some(0L)).select(col("id").as("vec_id"))
+      emb.join(broadcast(cand), "vec_id")
+        .select(col("vec_id"),
+          round(Similarity.l2sq(col("embedding").cast("array<double>"),
+            typedLit(qvec)), 6).as("d2"))
+        .orderBy(col("d2"), col("vec_id")).limit(10)
     }),
 
     // INCREMENTAL index growth — the production ANN shape beside
@@ -1196,6 +1214,22 @@ object Extensions {
   private val IvfVer = "lloyd2"
 
   private def pqPath(d: String): String = snapPath(d, "graft_pq_", "pq1")
+
+  /** The IVF-PQ layout proper: the PQ codes persisted PARTITIONED BY
+    * ivf_cell (once per corpus snapshot), so a probe is a partition-PRUNED
+    * scan of the 8-byte codes — cells-on-disk, codes-in-memory. Shared by
+    * sim_ivfpq_topk and sim_ivfpq_rerank; keyed on IvfVer so a centroid
+    * change invalidates it together with the index. */
+  private def cachedCodesByCell(s: SparkSession, d: String,
+      index: Similarity.IvfIndex, codes: DataFrame): DataFrame = {
+    val byCellPath = pqPath(d) + "/codes_by_cell_" + IvfVer
+    if (!new java.io.File(s"$byCellPath/_SUCCESS").exists())
+      codes.join(
+          index.assigned.select(col("vec_id").as("id"), col("ivf_cell")), "id")
+        .repartition(col("ivf_cell"))
+        .write.mode("overwrite").partitionBy("ivf_cell").parquet(byCellPath)
+    s.read.parquet(byCellPath)
+  }
 
   /** The per-corpus-snapshot PQ model (codebook + codes), trained once and
     * persisted — the production shape (codebooks are corpus-generation
@@ -2458,6 +2492,20 @@ object Extensions {
          |WHERE vec_id != 0 AND vec_id IN
          |  (SELECT vec_id FROM assign WHERE cell IN (SELECT cid FROM probe))
          |ORDER BY est_d2, vec_id LIMIT 10""".stripMargin,
+
+    // rerank replay: the ivfpq chain's ADC estimates pick the C=100
+    // candidate set, the final distance is the exact 64-dim order-pinned
+    // fold over the raw vectors — same two stages, one extra CTE
+    "sim_ivfpq_rerank" ->
+      s"""$ivfCtes,
+         |$pqChainCtes,
+         |cand AS (SELECT vec_id FROM est
+         |      WHERE vec_id != 0 AND vec_id IN
+         |        (SELECT vec_id FROM assign WHERE cell IN (SELECT cid FROM probe))
+         |      ORDER BY est_d2, vec_id LIMIT 100)
+         |SELECT e.vec_id, ${sparkRound(l2FoldSql("e.v", "qq.qv", 64), 6)} AS d2
+         |FROM e JOIN cand USING (vec_id), qq
+         |ORDER BY d2, vec_id LIMIT 10""".stripMargin,
 
     "sim_pq_adc_topk" ->
       s"""$pqCtes

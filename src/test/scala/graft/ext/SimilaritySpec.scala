@@ -190,6 +190,40 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"ADC recall@10 on tight clusters was only $recall")
   }
 
+  test("ADC + exact re-rank: recall never drops below ADC-only, and full-C re-rank IS brute force") {
+    val df = vectors().cache() // dim=16, 90 vectors, 3 tight clusters
+    val (m, k) = (4, 8)
+    val cb = Similarity.pqTrain(df, "vec_id", "embedding", dim = dim, m = m, k = k)
+    val codes = Similarity.pqAssign(
+      Similarity.pqSubFrame(df, "vec_id", "embedding", dim, m), cb)
+    val qvec = Similarity.queryVector(df, "vec_id", "embedding", 0L)
+    def rerank(c: Int): Set[Long] = {
+      val cand = Similarity.pqAdcTopK(codes, cb, qvec, m = m, topK = c,
+        excludeId = Some(0L)).select(col("id").as("vec_id"))
+      df.join(broadcast(cand), "vec_id")
+        .select(col("vec_id"),
+          Similarity.l2sq(col("embedding").cast("array<double>"),
+            typedLit(qvec)).as("d2"))
+        .orderBy(col("d2"), col("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
+    }
+    val bf = df.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        Similarity.l2sq(col("embedding").cast("array<double>"),
+          typedLit(qvec)).as("d2"))
+      .orderBy(col("d2"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val adcOnly = Similarity.pqAdcTopK(codes, cb, qvec, m = m, topK = 10,
+      excludeId = Some(0L)).collect().map(_.getLong(0)).toSet
+    val adcRecall = (adcOnly & bf).size / 10.0
+    val rerankRecall = (rerank(30) & bf).size / 10.0
+    assert(rerankRecall >= adcRecall,
+      s"re-rank@C=30 recall $rerankRecall fell below ADC-only $adcRecall")
+    // when C covers every candidate, the exact leg IS brute force — the
+    // approximation vanishes by construction
+    assert(rerank(89) === bf, "full-candidate re-rank must equal exact top-10")
+  }
+
   test("ivfAppend: delta-grown index probes exactly like full assignment under stored centroids") {
     val df = vectors().cache()
     val base = df.filter(col("vec_id") % 2 === 0)
