@@ -195,7 +195,12 @@ object Similarity {
     * layout IS the index) plus the k centroid rows, so a later session can
     * probe without touching the corpus at all. */
   def ivfWrite(index: IvfIndex, path: String): Unit = {
-    index.assigned.write.mode("overwrite").partitionBy("ivf_cell")
+    // repartition on the layout key first (the signatureStoreWrite
+    // discipline): each cell dir gets ONE file per generation instead of
+    // one per upstream task — and [[StoreCompaction.compact]] merges the
+    // per-generation files back to one when appends accrete
+    index.assigned.repartition(col("ivf_cell"))
+      .write.mode("overwrite").partitionBy("ivf_cell")
       .parquet(s"$path/assigned")
     val spark = index.assigned.sparkSession
     import spark.implicits._
@@ -212,11 +217,14 @@ object Similarity {
     * centroids would produce (pinned in SimilaritySpec). Centroids drift
     * as the corpus grows — like the signature store, a corpus generation
     * re-learns them on its own schedule; appends between generations never
-    * rescan the corpus. */
+    * rescan the corpus. Each append leaves one more file per touched cell —
+    * run [[StoreCompaction.compact]] on `path/assigned` once the
+    * per-partition file count crosses the deployment's bound. */
   def ivfAppend(spark: org.apache.spark.sql.SparkSession, path: String,
       delta: DataFrame, idCol: String, vecCol: String): Unit = {
     val cents = ivfRead(spark, path).centroids
     ivfAssign(delta, idCol, vecCol, cents)
+      .repartition(col("ivf_cell"))
       .write.mode("append").partitionBy("ivf_cell").parquet(s"$path/assigned")
   }
 

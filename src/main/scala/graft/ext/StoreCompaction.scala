@@ -1,0 +1,132 @@
+package graft.ext
+
+import java.io.File
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+
+/** Compaction for the append-mode partitioned stores (the IVF `assigned`
+  * layout, the signature store): every `mode("append")` generation leaves
+  * one more file-set per touched partition, and a store that accretes
+  * deltas forever degrades into a small-files problem — the probe's
+  * partition pruning still bounds the BYTES read, but file-open overhead
+  * grows per generation. A compaction pass rewrites exactly the leaf
+  * partitions whose data-file count crossed a bound, leaving the rest of
+  * the store untouched (reference behavior analogue: the ClickHouse
+  * MergeTree engine the reference sinks into, `/root/reference/src/main.rs`
+  * DDL, compacts parts the same way — merge when a partition's part count
+  * grows, never rewrite the table).
+  *
+  * Swap protocol, per partition dir `P` (all renames are same-filesystem
+  * directory moves, i.e. atomic):
+  *   1. write the compacted copy to `root/.compact_tmp_<enc(P)>`
+  *   2. `P` -> `root/.compact_old_<enc(P)>`   (atomic)
+  *   3. tmp -> `P`                            (atomic)
+  *   4. delete the old copy
+  * A crash between any two steps leaves only dot-prefixed siblings (which
+  * Spark's file listing ignores — a concurrent reader can never see a
+  * half-compacted partition as data) plus at most a WINDOW WHERE `P` IS
+  * ABSENT (between 2 and 3). [[recover]] — run automatically at the start
+  * of every [[compact]] — repairs every crash state: a `.compact_old_*`
+  * whose partition is missing is moved back, one whose partition exists is
+  * deleted, and stray `.compact_tmp_*` dirs are dropped. Writers are
+  * single-process per store (the snapshot-cache discipline — the harness
+  * runs serially); a production multi-writer deployment would put the same
+  * rewrite behind a transactional table format's commit protocol instead.
+  */
+object StoreCompaction {
+
+  /** What a [[compact]] pass did: partitions looked at / rewritten, data
+    * file counts before and after. */
+  final case class Report(partitionsScanned: Int, partitionsCompacted: Int,
+      filesBefore: Int, filesAfter: Int)
+
+  private def isData(f: File): Boolean =
+    f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_")
+
+  private def isVisibleDir(f: File): Boolean =
+    f.isDirectory && !f.getName.startsWith(".") && !f.getName.startsWith("_")
+
+  /** Leaf partition dirs = visible dirs that directly contain data files. */
+  private def leafDirs(root: File): Seq[File] = {
+    def walk(d: File): Seq[File] = {
+      val children = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+      val subs = children.filter(isVisibleDir)
+      val here = if (children.exists(isData)) Seq(d) else Nil
+      here ++ subs.flatMap(walk)
+    }
+    Option(root.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(isVisibleDir).flatMap(walk)
+  }
+
+  /** Encode a root-relative partition path into a single path segment
+    * (e.g. `band=3/sig_bucket=5` -> `band=3%2Fsig_bucket=5`). */
+  private def enc(rel: String): String = rel.replace("/", "%2F")
+  private def dec(seg: String): String = seg.replace("%2F", "/")
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+
+  /** Repair any crash residue of a previous [[compact]] run. Idempotent;
+    * safe to call on a store with no residue. */
+  def recover(rootPath: String): Unit = {
+    val root = Paths.get(rootPath)
+    if (!Files.isDirectory(root)) return
+    import scala.jdk.CollectionConverters._
+    val entries = Files.list(root).iterator().asScala.toSeq
+    entries.filter(_.getFileName.toString.startsWith(".compact_old_"))
+      .foreach { old =>
+        val rel = dec(old.getFileName.toString.stripPrefix(".compact_old_"))
+        val part = root.resolve(rel)
+        if (Files.exists(part)) deleteRecursively(old) // swap completed
+        else { // crashed between steps 2 and 3: the old copy is the data
+          Files.createDirectories(part.getParent)
+          Files.move(old, part, StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
+    entries.filter(_.getFileName.toString.startsWith(".compact_tmp_"))
+      .foreach(deleteRecursively) // never data — the old/part copy wins
+  }
+
+  /** Rewrite every leaf partition of the partitioned parquet store at
+    * `rootPath` whose data-file count exceeds `maxFiles`, coalescing it to
+    * `targetFiles` file(s). Partitions at or under the bound are not
+    * touched (steady state: one directory listing, zero I/O). Returns a
+    * [[Report]]; row content is bit-identical before/after (pinned in
+    * StoreCompactionSpec).
+    */
+  def compact(spark: SparkSession, rootPath: String, maxFiles: Int = 4,
+      targetFiles: Int = 1): Report = {
+    require(maxFiles >= 1 && targetFiles >= 1,
+      s"maxFiles=$maxFiles / targetFiles=$targetFiles must be >= 1")
+    recover(rootPath)
+    val root = new File(rootPath)
+    val leaves = leafDirs(root)
+    var compacted = 0
+    var before = 0
+    var after = 0
+    leaves.foreach { dir =>
+      val n = dir.listFiles().count(isData)
+      before += n
+      if (n > maxFiles) {
+        val rel = root.toPath.relativize(dir.toPath).toString
+        val tmp = root.toPath.resolve(s".compact_tmp_${enc(rel)}")
+        val old = root.toPath.resolve(s".compact_old_${enc(rel)}")
+        deleteRecursively(tmp)
+        // the leaf dir holds only data columns (partition values are
+        // dir-encoded), so a plain read/rewrite round-trips it exactly
+        spark.read.parquet(dir.toString).coalesce(targetFiles)
+          .write.mode("overwrite").parquet(tmp.toString)
+        Files.move(dir.toPath, old, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(tmp, dir.toPath, StandardCopyOption.ATOMIC_MOVE)
+        deleteRecursively(old)
+        compacted += 1
+        after += dir.listFiles().count(isData)
+      } else after += n
+    }
+    Report(leaves.size, compacted, before, after)
+  }
+}

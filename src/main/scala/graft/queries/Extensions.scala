@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, Hll, Multimodal, Ranking, Similarity, TextAnalysis => TA}
+import graft.ext.{Dedup, Hll, Multimodal, Ranking, Similarity, StoreCompaction, TextAnalysis => TA}
 
 /** Training-data-pipeline extension surface over documents/embeddings:
   * deduplication, similarity search, text analysis, multimodal plumbing.
@@ -894,6 +894,11 @@ object Extensions {
         Similarity.ivfWrite(built, path)
         Similarity.ivfAppend(s, path,
           emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+        // base + append = 2 files per touched cell: compact back to one
+        // file per cell (probe opens exactly one file per probed cell).
+        // Runs once per corpus snapshot, inside the build gate — repeat
+        // probes never pay it.
+        StoreCompaction.compact(s, s"$path/assigned", maxFiles = 1)
         java.nio.file.Files.writeString(completeMarker, "ok")
       }
       val index = Similarity.ivfRead(s, path)

@@ -1,0 +1,120 @@
+package graft.ext
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Compaction of the append-mode partitioned stores: probe parity pinned
+  * before/after the rewrite, file counts actually drop, steady state is a
+  * no-op, and every crash state of the swap protocol recovers. */
+class StoreCompactionSpec extends SparkSpec {
+
+  private def dataFiles(dir: File): Seq[File] = {
+    def walk(d: File): Seq[File] =
+      Option(d.listFiles()).map(_.toSeq).getOrElse(Nil).flatMap {
+        case f if f.isFile => Seq(f)
+        case f => walk(f)
+      }
+    walk(dir).filter(f =>
+      !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+  }
+
+  private def vectors(n: Int = 60, dim: Int = 8) = {
+    import spark.implicits._
+    val r = new scala.util.Random(42)
+    (0 until n).map { i =>
+      (i.toLong, Array.fill(dim)((r.nextGaussian() + i % 3 * 5).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("IVF store: appends accrete files, compaction merges them, probe results are identical") {
+    val df = vectors().cache()
+    val path = Files.createTempDirectory("graft_compact_ivf").toString + "/idx"
+    Similarity.ivfWrite(
+      Similarity.ivfIndex(df.filter(col("vec_id") % 4 === 0), "vec_id", "embedding", nCells = 3), path)
+    (1 to 3).foreach { g =>
+      Similarity.ivfAppend(spark, path,
+        df.filter(col("vec_id") % 4 === g), "vec_id", "embedding")
+    }
+    val assignedDir = new File(s"$path/assigned")
+    val before = dataFiles(assignedDir).size
+    assert(before > 3, s"4 generations should leave >3 files, saw $before")
+    val index = Similarity.ivfRead(spark, path)
+    val qvec = Similarity.queryVector(df, "vec_id", "embedding", 0L)
+    def probe() = Similarity.ivfProbe(
+      spark.read.parquet(s"$path/assigned"), index.centroids,
+      "vec_id", "embedding", qvec, k = 10, nprobe = 2, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pre = probe()
+    val report = StoreCompaction.compact(spark, s"$path/assigned", maxFiles = 1)
+    assert(report.partitionsCompacted > 0, "something must have been rewritten")
+    assert(report.filesAfter < report.filesBefore)
+    val filesNow = dataFiles(assignedDir)
+    assert(filesNow.size <= report.partitionsScanned,
+      s"expected <=1 data file per cell, saw ${filesNow.size}")
+    assert(probe() === pre, "compaction must not change probe results")
+    // full-store content parity, not just the probe slice
+    assert(spark.read.parquet(s"$path/assigned")
+      .select(col("vec_id")).collect().map(_.getLong(0)).sorted.toSeq ===
+      (0L until 60L).toSeq)
+    // steady state: a second pass finds nothing over the bound
+    val again = StoreCompaction.compact(spark, s"$path/assigned", maxFiles = 1)
+    assert(again.partitionsCompacted === 0, "already-compacted store must be a no-op")
+  }
+
+  test("signature store: append + compact keeps incremental probe results identical") {
+    import spark.implicits._
+    val docs = (0 until 40).map { i =>
+      (i.toLong, s"the quick brown fox ${i % 5} jumps over the lazy dog ${i % 5} again and again")
+    }.toDF("doc_id", "text").cache()
+    val path = Files.createTempDirectory("graft_compact_sig").toString + "/store"
+    Dedup.signatureStoreWrite(docs.filter(col("doc_id") % 4 === 0), "text", "doc_id", path)
+    (1 to 2).foreach { g =>
+      Dedup.signatureStoreWrite(docs.filter(col("doc_id") % 4 === g),
+        "text", "doc_id", path, append = true)
+    }
+    val delta = docs.filter(col("doc_id") % 4 === 3)
+    def probe() = Dedup.incrementalNearDups(delta, "text", "doc_id", path)
+      .orderBy(col("id")).collect().map(_.toSeq).toSeq
+    val pre = probe()
+    val report = StoreCompaction.compact(spark, path, maxFiles = 1)
+    assert(report.partitionsCompacted > 0)
+    assert(probe() === pre, "compaction must not change incremental dedup results")
+  }
+
+  test("recover() repairs every crash state of the swap protocol") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_compact_rec").toString + "/store"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(col("id"))
+      .write.partitionBy("id").parquet(root)
+    val part = Paths.get(root, "id=1")
+    val rows = () => spark.read.parquet(root).collect().map(_.getString(0)).sorted.toSeq
+    val full = rows()
+
+    // crash state A: tmp written, swap never started -> tmp dropped
+    val tmp = Paths.get(root, ".compact_tmp_id=1")
+    Files.createDirectories(tmp)
+    Files.writeString(tmp.resolve("junk"), "x")
+    StoreCompaction.recover(root)
+    assert(!Files.exists(tmp) && rows() === full)
+
+    // crash state B: partition renamed away, new copy not yet moved in ->
+    // the old copy must come back
+    val old = Paths.get(root, ".compact_old_id=1")
+    Files.move(part, old)
+    assert(rows() !== full, "precondition: the partition is really gone")
+    StoreCompaction.recover(root)
+    assert(Files.exists(part) && !Files.exists(old) && rows() === full)
+
+    // crash state C: swap completed but old copy not deleted -> old dropped,
+    // data untouched
+    val oldC = Paths.get(root, ".compact_old_id=2")
+    Files.createDirectories(oldC)
+    Files.writeString(oldC.resolve("stale"), "x")
+    StoreCompaction.recover(root)
+    assert(!Files.exists(oldC) && rows() === full)
+  }
+}
