@@ -22,6 +22,10 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Session invariant (see ext/BucketedLayout.scala): bucketed scans
+      // report their sortBy order, so one-file-per-bucket SMJ joins skip
+      // both the exchange and the sort.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       // wide joins overflow the default 25-field plan-string budget, which
       // silently truncates ReadSchema/codegen markers and garbles the counts
       .config("spark.sql.debug.maxToStringFields", "10000")

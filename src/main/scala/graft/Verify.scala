@@ -21,6 +21,10 @@ object Verify {
       // Spark has no ns timestamp type, so read those as LONG nanos
       // (Tables.events normalizes either generation). No-op on µs data.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Session invariant (see ext/BucketedLayout.scala): bucketed scans
+      // report their sortBy order, so one-file-per-bucket SMJ joins skip
+      // both the exchange and the sort.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

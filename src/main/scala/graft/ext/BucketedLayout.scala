@@ -29,24 +29,47 @@ import graft.Tables
   */
 object BucketedLayout {
 
+  /** The conf that lets bucketed scans report their sortBy order (off by
+    * default since Spark 3.0). With one file per bucket — which the
+    * pre-write repartition guarantees — the SMJ then needs no SortExec.
+    * This is a DECLARED SESSION INVARIANT, set once in every session
+    * builder in this repo (Verify/Bench/Smoke/Explain/SparkSpec), never
+    * flipped mid-session: the setting only affects bucketed-table scans,
+    * but scoping a set/restore around [[ensure]] would be a lie — planning
+    * happens later, at action time, long after ensure() returned. */
+  val SortedScanConf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+
+  /** Content key for a fixture that may be a single parquet FILE or a
+    * DIRECTORY of part files: total data-file length + max mtime over the
+    * files (directory-level length/mtime are filesystem-dependent, and an
+    * in-place part rewrite doesn't always bump the dir mtime). */
+  private def contentKey(src: java.io.File): String =
+    if (src.isDirectory) {
+      val parts = Option(src.listFiles()).map(_.toSeq).getOrElse(Nil)
+        .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      s"${parts.map(_.length).sum}_${parts.map(_.lastModified).foldLeft(0L)(math.max)}"
+    } else s"${src.length}_${src.lastModified}"
+
   /** Ensure a bucketed+sorted managed twin of `dir/table.parquet` exists in
     * this session's catalog and return its table name. Content-keyed on the
-    * source file's (length, mtime) so a regenerated fixture gets a fresh
-    * twin; idempotent per session (the catalog check), and `overwrite`
-    * handles stale warehouse directories left by earlier sessions (the
-    * in-memory catalog does not persist across sessions, the files do).
+    * source's data files (aggregate length + max mtime — see [[contentKey]])
+    * so a regenerated fixture gets a fresh twin; idempotent per session
+    * (the catalog check), and `overwrite` handles stale warehouse
+    * directories left by earlier sessions (the in-memory catalog does not
+    * persist across sessions, the files do). Requires [[SortedScanConf]]
+    * to be set at session build for the zero-sort plan; an unset session
+    * still gets correct results, just with a sort below the join (warned).
     */
   def ensure(s: SparkSession, dir: String, table: String, key: String,
       nBuckets: Int = 8): String = {
-    // report the buckets' sortBy order from the scan (off by default since
-    // Spark 3.0): with one file per bucket the SMJ then needs no SortExec
-    // either — the one-file check this conf pays for is exactly what the
-    // pre-write repartition guarantees. Scoped effect: only bucketed-table
-    // scans consult it.
-    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    if (s.conf.getOption(SortedScanConf).forall(_ != "true"))
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"$SortedScanConf is not set on this session: the " +
+        "bucketed join will keep its exchange-free plan but pay a sort " +
+        "below the SMJ — set it in the session builder (session invariant)")
     val src = new java.io.File(s"$dir/$table.parquet")
     val name = (s"graft_bkt_${table}_${nBuckets}_${key}_" +
-      s"${dir}_${src.length}_${src.lastModified}")
+      s"${dir}_${contentKey(src)}")
       .replaceAll("[^A-Za-z0-9]", "_").toLowerCase
     if (!s.catalog.tableExists(name)) {
       // the in-memory catalog dies with the session but the warehouse files

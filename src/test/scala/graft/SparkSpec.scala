@@ -21,6 +21,9 @@ object SparkSpec {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // session invariant (see ext/BucketedLayout.scala): bucketed scans
+    // report their sortBy order -> zero-sort SMJ on one-file buckets
+    .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
     .getOrCreate()
 }
