@@ -22,7 +22,10 @@ import org.apache.spark.sql.types.TimestampType
   * AsOfJoinSpec). Cost = ONE shuffle of |L|+|R| rows — never the
   * range-explosion of an inequality join, and AQE/skew handling apply as
   * to any window. A right row at exactly leftTs matches in every
-  * direction (side ordering puts right before left on ties).
+  * direction (side ordering puts right before left on ties). Right rows
+  * sharing (key, rightTs) resolve to the lexicographically greatest
+  * payload tuple — a pinned, engine-replayable tie rule, not arrival
+  * order (see `carry`).
   */
 object AsOfJoin {
 
@@ -67,8 +70,17 @@ object AsOfJoin {
     val union = rTagged.unionByName(lTagged)
     val lts = tsLong(col("__ts"), left.schema(leftTs).dataType)
     def carry(back: Boolean): Column = {
+      // tertiary sort on the carried struct itself: among right rows that
+      // SHARE (key, rightTs), `last` then deterministically picks the
+      // lexicographically greatest (mts, payload…) tuple in BOTH carry
+      // directions — without it the peer order is shuffle-dependent and the
+      // matched payload nondeterministic run-to-run. (Struct ordering is
+      // field-wise, so payload columns must be orderable types — true of
+      // every Spark type except MapType; pre-aggregate duplicates if a map
+      // must ride along.)
       val w = Window.partitionBy(keys.map(col): _*)
-        .orderBy(if (back) col("__ts").asc else col("__ts").desc, col("__side").asc)
+        .orderBy(if (back) col("__ts").asc else col("__ts").desc,
+          col("__side").asc, col("__r").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       last(col("__r"), ignoreNulls = true).over(w)
     }

@@ -98,10 +98,11 @@ class AsOfJoinSpec extends SparkSpec {
       (rnd.nextInt(6).toLong, rnd.nextInt(5000).toLong, (1000 + i).toLong))
     // NUMERIC ts columns (long lane): tolerance in the same units
     val lDf = l.toDF("k", "lts", "lid")
-    // ties among equal rts pick the LAST row in the carry's sort order;
-    // make rts unique per key to keep the reference well-defined
+    // the join itself sees the FULL right side, duplicate (k, rts) rows
+    // included; the pinned tie rule (greatest payload tuple wins) makes the
+    // naive reference well-defined as max-v per (k, rts)
+    val rDf = r.toDF("k", "rts", "v")
     val rUniq = r.groupBy(c => (c._1, c._2)).map(_._2.maxBy(_._3)).toSeq
-    val rUniqDf = rUniq.toDF("k", "rts", "v")
     def naiveU(dir: String, tol: Option[Long]): Map[Long, Option[Long]] =
       l.map { case (k, lts, lid) =>
         val cand = rUniq.filter(_._1 == k)
@@ -121,7 +122,7 @@ class AsOfJoinSpec extends SparkSpec {
       }.toMap
     for (dir <- Seq("backward", "forward", "nearest");
          tol <- Seq(None, Some(100L), Some(1000L))) {
-      val got = AsOfJoin.asofJoin(lDf, rUniqDf, Seq("k"), "lts", "rts",
+      val got = AsOfJoin.asofJoin(lDf, rDf, Seq("k"), "lts", "rts",
         Seq("v"), "left", dir, tol)
         .collect().map(row => row.getAs[Long]("lid") ->
           Option(row.get(row.fieldIndex("v"))).map(_.asInstanceOf[Long])).toMap
