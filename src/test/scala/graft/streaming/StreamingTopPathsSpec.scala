@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ext.EventAnalytics
+
+/** Streaming session-bounded path n-grams: exactly-once facts, session
+  * boundaries respected under out-of-order arrival, rollup parity with the
+  * batch topPaths lane, and state that returns to zero by construction. */
+class StreamingTopPathsSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2023-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+  private val gapUs = 5L * 60L * 1000000L // 5-minute session gap
+
+  /** Driver-side reference: sessionize by gap in (ts, id) order, then every
+    * length-n window that stays inside one session. */
+  private def naive(rows: Seq[(Long, Timestamp, Long, String)], n: Int)
+      : Set[(Long, Long, Long, String)] =
+    rows.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val sorted = es.map(e => (e._2.getTime * 1000L, e._3, e._4))
+        .sortBy(x => (x._1, x._2))
+      val sessionIds = sorted.zipWithIndex.scanLeft(0) {
+        case (sid, ((t, _, _), i)) =>
+          if (i > 0 && t - sorted(i - 1)._1 > gapUs) sid + 1 else sid
+      }.tail
+      sorted.zip(sessionIds).sliding(n).filter(_.size == n)
+        .filter(w => w.map(_._2).distinct.size == 1)
+        .map(w => (u, w.head._1._1, w.head._1._2, w.map(_._1._3).mkString(">")))
+    }.toSet
+
+  private def runStream(batches: Seq[Seq[(Long, Timestamp, Long, String)]],
+      name: String, n: Int, watermarkDelay: String = "0 seconds") = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String)]
+    val out = StreamingTopPaths.grams(
+      input.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+      gapUs, n, watermarkDelay)
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    (spark.table(name).as[(Long, Long, Long, String)].collect().toSeq, stateRows)
+  }
+
+  private val rows = Seq(
+    // user 1, session A: v,c,v -> grams v>c, c>v (n=2); v>c>v (n=3)
+    (1L, ts(0), 1L, "view"), (1L, ts(1), 2L, "click"), (1L, ts(3), 3L, "view"),
+    // gap > 5min -> session B: c,c
+    (1L, ts(20), 4L, "click"), (1L, ts(22), 5L, "click"),
+    // user 2, one session: v,c,b,v
+    (2L, ts(2), 6L, "view"), (2L, ts(4), 7L, "click"),
+    (2L, ts(6), 8L, "buy"), (2L, ts(9), 9L, "view"))
+
+  test("facts emit exactly once as grams finalize; set and top-k rollup match batch") {
+    for (n <- Seq(2, 3)) {
+      val (all, _) = runStream(
+        Seq(rows, Seq((99L, ts(120), 999L, "view"))), s"paths_base_$n", n)
+      val streamed = all.filter(_._1 != 99L)
+      assert(streamed.size === streamed.distinct.size, "append-exactly-once")
+      assert(streamed.toSet === naive(rows, n), s"fact set diverged at n=$n")
+      // the batch lane's count+top-k over the SAME events
+      import spark.implicits._
+      val batch = EventAnalytics.topPaths(
+        rows.toDF("user_id", "ts", "event_id", "event_type")
+          .withColumn("ts_us", unix_micros(col("ts"))),
+        "user_id", "ts_us", "event_id", "event_type", gapUs, n, k = 100)
+        .as[(String, Long)].collect().toSet
+      val rollup = streamed.groupBy(_._4)
+        .map { case (p, gs) => (p, gs.size.toLong) }.toSet
+      assert(rollup === batch, s"rollup diverged at n=$n")
+    }
+  }
+
+  test("out-of-order on-time arrival folds into the same grams as batch order") {
+    val rnd = new scala.util.Random(777)
+    val shuffled = rnd.shuffle(rows)
+    val third = (shuffled.length + 2) / 3
+    // the sentinel sits 2h past the fixture PLUS the delay, so the final
+    // watermark still clears every event
+    val batches = shuffled.grouped(third).toSeq :+
+      Seq((99L, ts(300), 999L, "view"))
+    val (all, _) = runStream(batches, "paths_ooo", 3,
+      watermarkDelay = "2 hours")
+    assert(all.filter(_._1 != 99L).toSet === naive(rows, 3))
+  }
+
+  test("a gram never crosses a session boundary even when the gap-side arrives first") {
+    // session B's events arrive before session A's tail: the fold must not
+    // bridge the 17-minute gap between ts(3) and ts(20)
+    val u = rows.filter(_._1 == 1L)
+    val (all, _) = runStream(Seq(
+      Seq(u(3), u(4)), Seq(u(0), u(1), u(2)),
+      Seq((99L, ts(360), 999L, "view"))), "paths_bridge", 2,
+      watermarkDelay = "3 hours")
+    assert(all.filter(_._1 == 1L).map(_._4).sorted ===
+      Seq("click>click", "click>view", "view>click"),
+      "exactly session A's two grams plus session B's one")
+  }
+
+  test("state returns to zero by construction once sessions pass their gap") {
+    // same sentinel key for every watermark push: any other key's state
+    // must be gone at the end — no TTL parameter needed for this operator
+    val (_, stateRows) = runStream(Seq(
+      rows,
+      Seq((99L, ts(60), 901L, "view")),
+      Seq((99L, ts(90), 902L, "view")),
+      Seq((99L, ts(120), 903L, "view"))), "paths_gc", 3)
+    assert(stateRows === 1L,
+      "only the sentinel's own open session may remain")
+  }
+}
