@@ -797,6 +797,30 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    // MERGE-shaped upsert — the relational-lake CDC ingest lane beside the
+    // JDBC replace-on-PK sink (sink/SqlDialect.scala): a deterministic
+    // change batch of UPDATEs (every 10th order re-priced, status 'U') and
+    // INSERTs (every 7th key mirrored negative, status 'I') merges into
+    // the orders snapshot via broadcast-PK anti-join + union — the target
+    // scan never shuffles — and the per-status fingerprint (count, price
+    // volume, key checksum) proves replaced/inserted/carried rows each
+    // landed exactly once. Oracle: the same ANSI anti-join + union MERGE.
+    "merge_upsert_orders" -> ((s, d) => {
+      val tgt = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val upd = tgt.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"))
+      val ins = tgt.filter(col("o_orderkey") % 7 === 0)
+        .select((-col("o_orderkey")).as("o_orderkey"),
+          lit("I").as("o_orderstatus"), col("o_totalprice"))
+      graft.ext.MergeUpsert.merge(tgt, upd.unionByName(ins), Seq("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("vol"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Salted skew join: identical RESULT to the plain equi-join (the oracle
     // proves it), but the hot key's rows spread across `salt` reducer
     // partitions — the manual straggler fix when AQE skew-split can't apply.
@@ -1521,6 +1545,24 @@ object Relational {
       """SELECT s_name, count(*) AS n, round(sum(l_quantity),2) AS qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+
+    // the same ANSI MERGE shape: matched targets drop (anti join), the
+    // change batch appends — update rows replace, insert rows add
+    "merge_upsert_orders" ->
+      """WITH tgt AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |upd AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+        |          o_totalprice + 1000.0 AS o_totalprice
+        |        FROM tgt WHERE o_orderkey % 10 = 0),
+        |ins AS (SELECT -o_orderkey AS o_orderkey, 'I' AS o_orderstatus,
+        |          o_totalprice
+        |        FROM tgt WHERE o_orderkey % 7 = 0),
+        |src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        |merged AS (
+        |  SELECT t.* FROM tgt t ANTI JOIN src s ON t.o_orderkey = s.o_orderkey
+        |  UNION ALL SELECT * FROM src)
+        |SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS vol,
+        |  sum(o_orderkey) AS key_sum
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // The Bloom pre-filter is semantics-transparent: the oracle is the
     // PLAIN join — any false negative in the filter would show up here as
