@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
+
+/** Feed [[Profile]]-derived statistics into the session catalog — ANALYZE
+  * without the second scan, closing the loop from the diagnostics lane to
+  * the optimizer the way a real engine uses ANALYZE output: the CBO reads
+  * `rowCount`/`sizeInBytes` for join-strategy and join-order decisions and
+  * per-column `distinctCount`/`nullCount` for cardinality estimates.
+  *
+  * Why not `ANALYZE TABLE`: it re-scans the table once for row/size stats
+  * and again per column batch. [[Profile.profile]] already computed rows,
+  * null counts, and HLL NDVs in ONE pass (the `diag_profile_fast` shape —
+  * the 100 TB ANALYZE default), so at scale the profile IS the statistics
+  * job and this writer just publishes its result to the catalog.
+  *
+  * Works on catalog tables (the bucketed twins, any `saveAsTable`
+  * artifact). Spark reads the stats at plan time: `sizeInBytes` drives
+  * broadcast-vs-SMJ immediately; `rowCount`/column stats flow into
+  * `optimizedPlan.stats` under `spark.sql.cbo.enabled` (plan pins in
+  * CboStatsSpec).
+  */
+object CboStats {
+
+  /** Total data-file bytes under the table's location (the `sizeInBytes`
+    * every strategy decision keys on). */
+  def tableSizeBytes(s: SparkSession, table: String): Long = {
+    val meta = s.sessionState.catalog.getTableMetadata(TableIdentifier(table))
+    val path = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.getContentSummary(path).getLength
+  }
+
+  /** Publish stats for `table`. `sizeInBytes` defaults to the table's real
+    * on-disk size; `ndv`/`nullCount` become per-column catalog stats. */
+  def feed(s: SparkSession, table: String, rows: Long,
+      ndv: Map[String, Long] = Map.empty,
+      nullCount: Map[String, Long] = Map.empty,
+      sizeInBytes: Option[Long] = None): Unit = {
+    val colStats = (ndv.keySet ++ nullCount.keySet).map { c =>
+      c -> CatalogColumnStat(
+        distinctCount = ndv.get(c).map(BigInt(_)),
+        nullCount = nullCount.get(c).map(BigInt(_)))
+    }.toMap
+    s.sessionState.catalog.alterTableStats(TableIdentifier(table),
+      Some(CatalogStatistics(
+        sizeInBytes = BigInt(sizeInBytes.getOrElse(tableSizeBytes(s, table))),
+        rowCount = Some(BigInt(rows)),
+        colStats = colStats)))
+    // stats live on the resolved relation: drop the cached one so the next
+    // plan re-reads the catalog entry
+    s.catalog.refreshTable(table)
+  }
+
+  /** One profile pass (`exact = false` — the HLL leg only, the scale mode)
+    * over `cols`, published to the catalog. The collect is one row per
+    * profiled column. Returns (rows, ndv, nullCount) as fed. */
+  def feedFromProfile(s: SparkSession, table: String, cols: Seq[String],
+      p: Int = 8): (Long, Map[String, Long], Map[String, Long]) = {
+    val prof = Profile.profile(s.table(table), cols, p, exact = false)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        math.max(1L, math.round(r.getDouble(4)))))
+    val rows = prof.map(_._2).max
+    val ndv = prof.map(x => x._1 -> x._4).toMap
+    val nulls = prof.map(x => x._1 -> x._3).toMap
+    feed(s, table, rows, ndv, nulls)
+    (rows, ndv, nulls)
+  }
+}
