@@ -525,6 +525,66 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** EXACT shingle-set Jaccard self-join via prefix filtering — the scalable
+    * answer to the all-pairs shape above (AllPairs, Bayardo et al. WWW'07;
+    * PPJoin, Xiao et al. WWW'08). Same output contract as
+    * [[ngramJaccardPairs]] (every pair with Jaccard >= `minJaccard`, exact
+    * scores), but candidate generation never crosses the corpus:
+    *
+    *  - order every set by GLOBAL element frequency (df asc, element asc) —
+    *    rarest first; the order just has to be one consistent total order;
+    *  - keep only each set's PREFIX of length `sz - ceil(t*sz) + 1`. Any two
+    *    sets with J >= t share >= ceil(t*max(sz)) elements, so they cannot
+    *    both dodge each other's prefix: the globally-smallest common element
+    *    is inside BOTH prefixes (else a prefix would hold only non-common
+    *    elements and the common count could not reach ceil(t*sz));
+    *  - join prefixes on the element, with the size filter
+    *    `t*szA <= szB <= szA/t` (J >= t bounds the size ratio);
+    *  - verify survivors EXACTLY (intersection over union on the full sets).
+    *
+    * Scale shape at 100 TB: the join key is always one of a set's rarest
+    * elements, so candidate buckets are bounded by the df of rare shingles
+    * (median df = 1 on word-5-gram shingles), not by corpus size. Cost is
+    * O(candidates), and candidates ~ output size + near-misses — when the
+    * OUTPUT is quadratic (a corpus of near-identical docs) no exact
+    * algorithm does better. Three key-partitioned shuffles (df agg, prefix
+    * rank, candidate join), no crossJoin, no driver materialization.
+    *
+    * `minJaccard` must avoid float-boundary products (t*sz exactly at an
+    * integer only when exact in binary, e.g. 0.5/0.25): the prefix-length
+    * ceil is evaluated in double. The default 0.5 is exact. */
+  def jaccardPrefixPairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 5, minJaccard: Double = 0.5): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1], got $minJaccard")
+    val sets = docs.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), n)).as("sh"))
+    val tok = sets.select(col("id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("t"))
+    val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("t"))
+    val pfx = tok.join(dfreq, "t")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= col("sz") - ceil(lit(minJaccard) * col("sz")) + 1)
+      .select(col("id"), col("sz"), col("t"))
+    val cand = pfx.as("a").join(pfx.as("b"),
+        col("a.t") === col("b.t") && col("a.id") < col("b.id") &&
+          col("b.sz") >= lit(minJaccard) * col("a.sz") &&
+          col("a.sz") >= lit(minJaccard) * col("b.sz"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    cand
+      .join(sets.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(sets.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+      .withColumn("inter",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jaccard", col("inter") /
+        (size(col("sh1")) + size(col("sh2")) - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   // ---- clustering ----------------------------------------------------------
 
   /** Free the storage blocks behind a `localCheckpoint()`ed frame.

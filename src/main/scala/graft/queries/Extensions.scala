@@ -387,6 +387,17 @@ object Extensions {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // EXACT Jaccard pairs over the FULL corpus — the scale path for the
+    // bounded slice above: prefix filtering (AllPairs/PPJoin) generates
+    // candidates from a join on each shingle-set's df-rarest prefix, then
+    // verifies exactly. No id bound, no crossJoin. The oracle recomputes
+    // the same exact answer by the simpler share-a-shingle candidate route.
+    "dedup_jaccard_prefix" -> ((s, d) => {
+      Dedup.jaccardPrefixPairs(Tables.documents(s, d), "text", "doc_id",
+        n = 5, minJaccard = 0.5)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // ---- similarity search (oracle-checked) --------------------------------
     "sim_cosine_topk" -> ((s, d) => {
       Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -2258,6 +2269,27 @@ object Extensions {
          |FROM w a, w b WHERE a.doc_id < b.doc_id
          |  AND CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
          |      / len(list_distinct(list_concat(a.words, b.words))) >= 0.5
+         |ORDER BY id1, id2""".stripMargin,
+
+    // Exact-Jaccard replay for the prefix-filter lane, by an INDEPENDENT
+    // candidate route: any pair with J > 0 shares a shingle, so a plain
+    // shingle equi-join bounds the candidates (5-gram shingles are rare —
+    // median df 1), then the same exact intersection/union verification.
+    // Prefix filtering only prunes candidates; both routes are exact, so
+    // the answers must agree row-for-row.
+    "dedup_jaccard_prefix" ->
+      s"""WITH d0 AS (SELECT doc_id, $toks AS tk FROM documents),
+         |w AS (SELECT doc_id, list_distinct(${shingleSqlN(5)}) AS sh FROM d0),
+         |tok AS (SELECT doc_id, unnest(sh) AS t FROM w),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM tok a JOIN tok b USING (t) WHERE a.doc_id < b.doc_id)
+         |SELECT id1, id2,
+         |  ${sparkRound(
+              "CAST(len(list_intersect(wa.sh, wb.sh)) AS DOUBLE) / (len(wa.sh) + len(wb.sh) - len(list_intersect(wa.sh, wb.sh)))",
+              6)} AS jaccard
+         |FROM cand JOIN w wa ON wa.doc_id = id1 JOIN w wb ON wb.doc_id = id2
+         |WHERE CAST(len(list_intersect(wa.sh, wb.sh)) AS DOUBLE)
+         |      / (len(wa.sh) + len(wb.sh) - len(list_intersect(wa.sh, wb.sh))) >= 0.5
          |ORDER BY id1, id2""".stripMargin,
 
     "sim_cosine_topk" ->

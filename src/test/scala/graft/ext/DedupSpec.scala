@@ -82,6 +82,70 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((0L, 4L)))
   }
 
+  /** Brute-force shingle-set Jaccard pairs — the oracle for the prefix
+    * filter: every pair above threshold, exact scores, via crossJoin. */
+  private def bruteShinglePairs(docs: DataFrame, n: Int, t: Double) = {
+    val sets = docs.select(col("doc_id").as("id"),
+      array_distinct(Dedup.shingles(col("text"), n)).as("sh"))
+    sets.select(col("id").as("id1"), col("sh").as("sh1"))
+      .crossJoin(sets.select(col("id").as("id2"), col("sh").as("sh2")))
+      .filter(col("id1") < col("id2"))
+      .withColumn("inter",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jaccard", col("inter") /
+        (size(col("sh1")) + size(col("sh2")) - col("inter")))
+      .filter(col("jaccard") >= t)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
+  test("prefix-filter jaccard == brute force on the spec corpus") {
+    val got = Dedup.jaccardPrefixPairs(corpus(), "text", "doc_id",
+      n = 5, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === bruteShinglePairs(corpus(), 5, 0.5))
+    assert(got.exists { case (a, b, j) => a == 0L && b == 1L && j == 1.0 },
+      "exact dup pair must score 1.0")
+  }
+
+  test("prefix-filter jaccard == brute force on a randomized corpus, several thresholds") {
+    import spark.implicits._
+    // small vocab + planted duplicates/mutations: a mix of high-, mid-, and
+    // zero-overlap pairs so both the filter and the verifier get exercised
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def doc(len: Int) = Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bases = Vector.fill(12)(doc(8 + rnd.nextInt(20)))
+    val docs = (0 until 48).map { i =>
+      val b = bases(rnd.nextInt(bases.size))
+      val mutated = if (i % 3 == 0) b
+      else { // replace one word
+        val w = b.split(" "); w(rnd.nextInt(w.length)) = vocab(rnd.nextInt(vocab.size))
+        w.mkString(" ")
+      }
+      (i.toLong, mutated)
+    }.toDF("doc_id", "text")
+    docs.cache().count()
+    for (t <- Seq(0.25, 0.5, 0.75, 1.0)) {
+      val got = Dedup.jaccardPrefixPairs(docs, "text", "doc_id", n = 3, minJaccard = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === bruteShinglePairs(docs, 3, t), s"mismatch at threshold $t")
+    }
+    docs.unpersist()
+  }
+
+  test("prefix-filter jaccard: short docs collapse to whole-string shingles") {
+    import spark.implicits._
+    // all shorter than n=5 tokens -> each set is ONE whole-string shingle;
+    // Jaccard is 1.0 for identical strings, 0.0 otherwise
+    val docs = Seq((0L, "tiny doc"), (1L, "tiny doc"), (2L, "other"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Dedup.jaccardPrefixPairs(docs, "text", "doc_id", n = 5, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((0L, 1L, 1.0)))
+  }
+
   test("e2e dedup pipeline: minhash pairs -> components -> known clusters") {
     // the production path at scale: banded-LSH candidate pairs feed the
     // clustering; docs 0/1/2/3 are one near-dup family, 4 and 5 are not
