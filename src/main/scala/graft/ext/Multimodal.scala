@@ -300,7 +300,7 @@ object Multimodal {
     *    missing dir and fails transiently rather than reading partial data,
     *    and a concurrent repairer's own complete copy winning instead is
     *    equally correct. */
-  private def publishSnapshot(tmp: String, path: String): Unit = {
+  private[graft] def publishSnapshot(tmp: String, path: String): Unit = {
     def move(): Unit =
       java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
         java.nio.file.Paths.get(path), java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -324,7 +324,7 @@ object Multimodal {
 
   /** Delete `.tmp-*` siblings abandoned by crashed writers. Only dirs idle
     * for over an hour — an in-flight writer's temp dir is younger. */
-  private def sweepOrphanTmpDirs(path: String): Unit = {
+  private[graft] def sweepOrphanTmpDirs(path: String): Unit = {
     val dir = new java.io.File(path).getParentFile
     val prefix = new java.io.File(path).getName + ".tmp-"
     val cutoff = System.currentTimeMillis() - 60L * 60 * 1000

@@ -765,6 +765,19 @@ object Relational {
         .orderBy(col("source"))
     }),
 
+    // Opaque-binary ingestion: the multimodal front door. One UTF-8 file per
+    // document (content-keyed fixture, written on executors), read back with
+    // Spark's binaryFile source (per-file parallelism, listing-stage glob
+    // pruning), reduced to the manifest/checksum row every blob-ingest
+    // pipeline starts with. The oracle recomputes byte length + md5 from
+    // the documents table, so a mangled byte anywhere in write/list/read
+    // hash-mismatches.
+    "source_binary_files" -> ((s, d) => {
+      val dir = graft.ext.BinaryIngest.textFilesCached(Tables.documents(s, d), d)
+      graft.ext.BinaryIngest.binaryDocManifest(s, dir)
+        .orderBy(col("doc_id"))
+    }),
+
     "source_json_roundtrip" -> ((s, d) => {
       val path = System.getProperty("java.io.tmpdir") + "/graft_json_" +
         d.replaceAll("[^A-Za-z0-9]", "_")
@@ -1625,6 +1638,16 @@ object Relational {
       """SELECT event_type, count(*) AS n, round(sum(value),2) AS sum_v
         |FROM events WHERE event_id < 5000
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // byte length + md5 over the SAME UTF-8 encoding the fixture writer
+    // used; DuckDB's md5(VARCHAR) hashes the string's UTF-8 bytes, which is
+    // exactly what the binaryFile scan read back from disk. The > 0 mirrors
+    // the scan's documented zero-byte-file drop (no-op on this corpus).
+    "source_binary_files" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5
+        |FROM documents WHERE doc_id < 500 AND octet_length(encode(text)) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "source_orc_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty,
