@@ -48,6 +48,16 @@ object Ranking {
       explode(TextAnalysis.tokens(col(textCol))).as("t"))
       .filter(col("t").isin(queryTerms: _*))
       .groupBy(col("id"), col("t")).agg(count(lit(1)).as("tf"))
+    scoreTf(tf, dl, g, queryTerms, k1, b, k)
+  }
+
+  /** BM25 scoring from term frequencies — the shared tail of the direct and
+    * indexed paths. `tf` must hold exactly the (id, t, tf) rows for the
+    * query terms (either route produces the same rows, so the two paths are
+    * bit-identical: same inputs, same expression tree, same fixed-order
+    * float sum). */
+  private def scoreTf(tf: DataFrame, dl: DataFrame, g: DataFrame,
+      queryTerms: Seq[String], k1: Double, b: Double, k: Int): DataFrame = {
     val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df")) // tf keys are distinct (id, t)
     val part = tf.join(broadcast(df), "t")
       .join(dl, "id")
@@ -67,5 +77,81 @@ object Ranking {
       .select(col("id"), col("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(k)
+  }
+
+  /** Number of hash buckets the postings store is partitioned into. Small
+    * here (tiny vocab fixture); at corpus scale pick ~1-4k so each bucket's
+    * partition holds one term-group of files. Recorded in the store path, so
+    * changing it versions the store. */
+  val PostingsBuckets = 64
+
+  private def termBucket(t: String): Int = {
+    val h = graft.functions.Fnv.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t))
+    (((h % PostingsBuckets) + PostingsBuckets) % PostingsBuckets).toInt
+  }
+
+  /** Build (once per corpus snapshot) the INVERTED-INDEX store for BM25:
+    *
+    *  - `postings/` — (id, t, tf), hash-PARTITIONED by term bucket
+    *    (`t_bucket = pmod(fnv1a64(t), PostingsBuckets)`): a probe for q
+    *    terms reads |q| buckets by partition pruning and never scans the
+    *    corpus-sized remainder;
+    *  - `doclen/` — (id, dl), the per-document length norm;
+    *  - `globals/` — ONE row (n, avgdl), precomputed at build so the probe
+    *    never aggregates the corpus.
+    *
+    * Same discipline as the IVF/PQ/media caches: content-keyed path, write
+    * to a writer-unique tmp dir, root `_SUCCESS` written after ALL three
+    * sub-writes, atomic rename publish. The ingest-time shuffle (explode +
+    * groupBy + partitionBy) is paid once; every probe after that is a
+    * pruned scan. */
+  def bm25IndexCached(docs: DataFrame, textCol: String, idCol: String,
+      sfDir: String): String = {
+    val src = new java.io.File(sfDir + "/documents.parquet")
+    val path = System.getProperty("java.io.tmpdir") + "/graft_bm25idx_" +
+      (sfDir + s"_${src.length}_${src.lastModified}_b${PostingsBuckets}_v1")
+        .replaceAll("[^A-Za-z0-9]", "_")
+    if (!new java.io.File(path + "/_SUCCESS").exists()) {
+      Multimodal.sweepOrphanTmpDirs(path)
+      val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString
+      val dl = docs.select(col(idCol).as("id"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
+      docs.select(col(idCol).as("id"),
+          explode(TextAnalysis.tokens(col(textCol))).as("t"))
+        .groupBy(col("id"), col("t")).agg(count(lit(1)).as("tf"))
+        .withColumn("t_bucket",
+          pmod(graft.functions.Fnv.fnv1a64(col("t")), lit(PostingsBuckets)))
+        .write.partitionBy("t_bucket").parquet(tmp + "/postings")
+      dl.write.parquet(tmp + "/doclen")
+      dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+        .write.parquet(tmp + "/globals")
+      java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "_SUCCESS"),
+        Array.empty[Byte])
+      Multimodal.publishSnapshot(tmp, path)
+    }
+    path
+  }
+
+  /** BM25 top-k from the persisted inverted index: the probe reads ONLY the
+    * query terms' postings buckets (partition-pruned scan + pushed `t`
+    * filter), takes (n, avgdl) from the one-row globals sidecar, and joins
+    * doc lengths for the candidates. Identical output to [[bm25TopK]] —
+    * both feed the same (id, t, tf) rows into the same scoring tree. */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      k: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      "query terms must be non-empty and distinct")
+    require(queryTerms.forall(_.matches("[a-z0-9]+")),
+      s"query terms must match [a-z0-9]+ (the tokenizer alphabet); got: " +
+        queryTerms.filterNot(_.matches("[a-z0-9]+")).mkString(", "))
+    val buckets = queryTerms.map(termBucket).distinct
+    val tf = spark.read.parquet(storeDir + "/postings")
+      .filter(col("t_bucket").isin(buckets: _*) && col("t").isin(queryTerms: _*))
+      .select(col("id"), col("t"), col("tf"))
+    val dl = spark.read.parquet(storeDir + "/doclen")
+    val g = spark.read.parquet(storeDir + "/globals")
+    scoreTf(tf, dl, g, queryTerms, k1, b, k)
   }
 }

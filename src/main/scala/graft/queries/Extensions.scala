@@ -347,6 +347,16 @@ object Extensions {
         .select(col("id").as("doc_id"), col("score"))
     }),
 
+    // The SAME query over the persisted inverted index: the probe reads
+    // only the query terms' postings buckets (partition-pruned), globals
+    // from the 1-row sidecar, identical scoring tree -> identical output
+    // (and the oracle replays the same math from the raw table).
+    "rank_bm25_indexed" -> ((s, d) => {
+      val store = Ranking.bm25IndexCached(Tables.documents(s, d), "text", "doc_id", d)
+      Ranking.bm25TopKIndexed(s, store, Seq("spark", "window", "join"), k = 20)
+        .select(col("id").as("doc_id"), col("score"))
+    }),
+
     // Corpus-level boilerplate n-grams: top-20 5-grams by document
     // frequency (one vote per doc per distinct gram), TakeOrdered top-k.
     "text_boilerplate_ngrams" -> ((s, d) => {
@@ -1628,6 +1638,27 @@ object Extensions {
     // (k1=1.2, b=0.75 folded to the same literals), the same fixed-order
     // per-term sum, and Spark-parity rounding absorbing the 1-ulp ln()
     // difference between libm and the JVM.
+    "rank_bm25_indexed" -> {
+      // identical replay to rank_bm25_topk: the index is lossless, so the
+      // oracle recomputes straight from the raw documents table
+      val terms = Seq("spark", "window", "join")
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      val scoreSum = terms.map(t =>
+        s"coalesce(sum(CASE WHEN t = '$t' THEN part END), 0)").mkString(" + ")
+      s"""WITH dl AS (SELECT doc_id AS id, CAST(len($toks) AS BIGINT) AS dl FROM documents),
+         |g AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         |tk AS (SELECT doc_id AS id, unnest($toks) AS t FROM documents),
+         |tf AS (SELECT id, t, count(*) AS tf FROM tk WHERE t IN ($inList) GROUP BY id, t),
+         |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+         |p AS (SELECT tf.id, tf.t,
+         |        ln((g.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |          * (tf.tf * ${1.2 + 1}) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / g.avgdl)) AS part
+         |      FROM tf JOIN df USING (t) JOIN dl USING (id), g)
+         |SELECT id AS doc_id, ${sparkRound(scoreSum, 4)} AS score
+         |FROM p GROUP BY id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+
     "rank_bm25_topk" -> {
       val terms = Seq("spark", "window", "join")
       val inList = terms.map(t => s"'$t'").mkString(", ")

@@ -51,4 +51,31 @@ class RankingSpec extends SparkSpec {
     assert(got.length === 7)
     assert(got.toSeq === (1L to 7L), "identical docs tie-break on ascending id")
   }
+
+  test("bm25 indexed: identical output to the direct path; probe is partition-pruned") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark spark"),
+      (2L, "spark join"),
+      (3L, "spark and a lot of other words that make this document much longer than the rest"),
+      (4L, "window"),
+      (5L, "nothing relevant here at all")
+    ).toDF("doc_id", "text")
+    val sfKey = "/tmp/graft-bm25spec-" + java.util.UUID.randomUUID().toString
+    val store = Ranking.bm25IndexCached(docs, "text", "doc_id", sfKey)
+    assert(new java.io.File(store, "_SUCCESS").exists())
+    val terms = Seq("spark", "window", "join")
+    val direct = Ranking.bm25TopK(docs, "text", "doc_id", terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val probe = Ranking.bm25TopKIndexed(spark, store, terms, k = 10)
+    val indexed = probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(indexed === direct, "index route must be bit-identical to direct")
+    // the postings scan must prune to the query terms' buckets: every
+    // t_bucket surviving in PartitionFilters, nothing scanning all buckets
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), "postings scan missing partition filters")
+    assert(plan.contains("t_bucket"), "pruning must key on t_bucket")
+    // idempotent cache: a second build call reuses the published store
+    assert(Ranking.bm25IndexCached(docs, "text", "doc_id", sfKey) === store)
+  }
 }
