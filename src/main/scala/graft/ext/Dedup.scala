@@ -552,19 +552,34 @@ object Dedup {
     *
     * `minJaccard` must avoid float-boundary products (t*sz exactly at an
     * integer only when exact in binary, e.g. 0.5/0.25): the prefix-length
-    * ceil is evaluated in double. The default 0.5 is exact. */
+    * ceil is evaluated in double. The default 0.5 is exact.
+    *
+    * Everything runs on the EXPLODED (id, shingle) stream from
+    * [[shingleFrame]] — no shingle arrays anywhere. The first cut built
+    * per-doc arrays and verified with `array_intersect`; the interpreted
+    * HOF shingle build alone cost ~9 s at sf0.1 (the Spark-4
+    * HOFs-are-interpreted trap), and the exploded form with a candidate-pair
+    * count join runs the whole lane in well under a second — and is also
+    * the right shape at 100 TB, where a per-doc array column would blow
+    * row sizes while the exploded stream stays uniformly partitioned. */
   def jaccardPrefixPairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 5, minJaccard: Double = 0.5): DataFrame = {
     require(minJaccard > 0.0 && minJaccard <= 1.0,
       s"minJaccard must be in (0, 1], got $minJaccard")
-    val sets = docs.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), n)).as("sh"))
-    val tok = sets.select(col("id"), size(col("sh")).as("sz"),
-      explode(col("sh")).as("t"))
-    val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    // the distinct shingle SET of every doc, exploded: (id, t) —
+    // materialized ONCE (four consumers below: sizes, df, prefix,
+    // intersection; recomputing the posexplode+window pipeline per
+    // consumer doubled the lane's wall time), rotation-freed per the
+    // storage contract at [[rotateCheckpoints]]
+    val tokSet = shingleFrame(docs, textCol, idCol, n)
+      .withColumnRenamed("shingle", "t").distinct()
+      .localCheckpoint()
+    rotateCheckpoints("Dedup.jaccardPrefixPairs", tokSet)
+    val szs = tokSet.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val dfreq = tokSet.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("df"), col("t"))
-    val pfx = tok.join(dfreq, "t")
+    val pfx = tokSet.join(dfreq, "t").join(szs, "id")
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= col("sz") - ceil(lit(minJaccard) * col("sz")) + 1)
       .select(col("id"), col("sz"), col("t"))
@@ -574,13 +589,19 @@ object Dedup {
           col("a.sz") >= lit(minJaccard) * col("b.sz"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-    cand
-      .join(sets.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
-      .join(sets.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
-      .withColumn("inter",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
-      .withColumn("jaccard", col("inter") /
-        (size(col("sh1")) + size(col("sh2")) - col("inter")))
+    // exact |A ∩ B| per candidate: one row per SHARED shingle (tokSet is
+    // distinct per doc), counted — candidates always share their prefix
+    // element, so the inner joins lose nothing
+    val inter = cand
+      .join(tokSet.select(col("id").as("id1"), col("t")), "id1")
+      .join(tokSet.select(col("id").as("id2"), col("t")), Seq("id2", "t"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+    inter
+      .join(szs.select(col("id").as("id1"), col("sz").as("sz1")), "id1")
+      .join(szs.select(col("id").as("id2"), col("sz").as("sz2")), "id2")
+      .withColumn("jaccard",
+        col("inter") / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
