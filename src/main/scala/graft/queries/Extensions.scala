@@ -260,6 +260,42 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // END-TO-END training-data pipeline — the composition a real corpus
+    // build runs, as ONE lane: near-dup survivor election (persisted
+    // component store, shared with the survivor/split lanes) -> quality
+    // gate -> train/eval decontamination -> stratified mixture sample ->
+    // per-language corpus stats. Every stage is an operator with its own
+    // triple-green lane; this proves they compose (the oracle replays the
+    // whole chain in one recursive-CTE SQL statement). Scale shape: the
+    // chain reuses the once-per-corpus component store, the eval hash set
+    // broadcasts, quality/sampling are per-row projections — no stage adds
+    // an unbounded structure.
+    "train_e2e_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val comps = Dedup.componentStore(docs, "text", "doc_id", compStorePath(d))
+      val survivors = docs
+        .join(comps.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
+        .filter(coalesce(col("label"), col("doc_id")) === col("doc_id"))
+        .drop("label")
+      val trainPool = survivors.filter(col("doc_id") % 97 =!= 0)
+      val contaminated = Dedup.contamination(trainPool,
+          docs.filter(col("doc_id") % 97 === 0), "text", "doc_id", n = 5)
+        .select(col("id").as("doc_id"))
+      val quality = TA.textStatsFrame(docs, "text", "doc_id")
+        .select(col("id").as("doc_id"), col("quality"), col("n_tokens"))
+        .filter(col("quality") >= 0.5)
+      val clean = trainPool.select(col("doc_id"), col("lang"))
+        .join(quality, "doc_id")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      graft.ext.Sampling.stratifiedSample(clean, "lang", "doc_id",
+          Map("en" -> 0.25, "zh" -> 0.5))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens_total"),
+          round(sum(col("quality")), 2).as("quality_sum"))
+        .orderBy(col("lang"))
+    }),
+
     // PII redaction pass: deterministic synthetic PII (email/phone/IPv4
     // derived from doc_id) is appended to each doc, then counted and
     // scrubbed; the oracle re-runs the identical regexes in DuckDB and
@@ -2290,6 +2326,55 @@ object Extensions {
          |      GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
          |SELECT q.doc_id, quality, n_tokens FROM q JOIN s USING (doc_id)
          |WHERE quality >= 0.5 ORDER BY doc_id""".stripMargin,
+
+    // The whole pipeline replayed in ONE statement: minhash pairs ->
+    // closure -> survivors, 5-gram decontamination, the quality formula,
+    // the stratified md5 fences, then the per-language rollup. Reuses the
+    // shared minhash CTE prefix (which defines docs(doc_id, tk)).
+    "train_e2e_pipeline" ->
+      s"""${minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |sym AS (SELECT id1 AS a, id2 AS b FROM pairs
+         |        UNION SELECT id2, id1 FROM pairs),
+         |reach(a, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+         |  UNION
+         |  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.a),
+         |comp AS (SELECT a, min(r) AS label FROM reach GROUP BY a),
+         |surv AS (SELECT d.doc_id, d.lang FROM documents d
+         |         LEFT JOIN comp ON comp.a = d.doc_id
+         |         WHERE coalesce(comp.label, d.doc_id) = d.doc_id),
+         |g5 AS (SELECT doc_id, unnest(list_distinct(${shingleSqlN(5)})) AS s5 FROM docs),
+         |h5 AS (SELECT doc_id, ${signed64(fnvSql("s5"))} AS h FROM g5),
+         |ev AS (SELECT DISTINCT h FROM h5 WHERE doc_id % 97 = 0),
+         |cont AS (SELECT DISTINCT doc_id FROM h5 JOIN ev USING (h) WHERE doc_id % 97 <> 0),
+         |f AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(text)=0 THEN 0.0
+         |         ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)/length(text) END AS punct_ratio,
+         |    CASE WHEN len($toks)=0 THEN 0.0
+         |         ELSE CAST(len(list_filter($toks, x -> list_contains($enStops, x))) AS DOUBLE)/len($toks) END AS stop_ratio,
+         |    CASE WHEN len($toks)=0 THEN 0.0
+         |         ELSE CAST(list_aggregate(list_transform($toks, x -> length(x)), 'sum') AS DOUBLE)/len($toks) END AS mwl,
+         |    length(text) AS n_len, CAST(len($toks) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |q AS (SELECT doc_id, n_tokens,
+         |        ${sparkRound(
+                    """least(n_len/500.0, 1.0)*0.3 + least(stop_ratio*4.0, 1.0)*0.3
+                      |          + (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)*0.2
+                      |          + greatest(0.0, 1.0 - punct_ratio*5.0)*0.2""".stripMargin, 4)} AS quality
+         |      FROM f),
+         |kept AS (SELECT surv.doc_id, surv.lang, q.quality, q.n_tokens
+         |         FROM surv JOIN q USING (doc_id)
+         |         WHERE surv.doc_id % 97 <> 0
+         |           AND q.quality >= 0.5
+         |           AND surv.doc_id NOT IN (SELECT doc_id FROM cont)
+         |           AND substr(md5('strat:' || CAST(surv.doc_id AS VARCHAR)), 1, 4) <
+         |               CASE WHEN surv.lang = 'en' THEN '4000'
+         |                    WHEN surv.lang = 'zh' THEN '8000' ELSE 'g' END)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+         |  ${sparkRound("sum(quality)", 2)} AS quality_sum
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH w AS (SELECT doc_id, list_distinct($toks) AS words FROM documents WHERE doc_id < 60)
