@@ -137,6 +137,54 @@ object Multimodal {
     PngStats(mediaId, bytes.length, w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
   }
 
+  /** Thumbnail statistics: dims + channel means of the DOWNSAMPLED image. */
+  final case class ThumbStats(media_id: Long, thumb_w: Int, thumb_h: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Real decode + deterministic 2x2 block-average thumbnail — the RESIZE
+    * stage of a multimodal ingest pipeline. The kernel is pinned (sum of
+    * the 4 source pixels per channel, truncating integer /4; a trailing
+    * odd row/column is dropped) rather than delegated to
+    * `Graphics2D.drawImage` scaling, whose sampling is implementation-
+    * defined — a training pipeline needs the SAME thumbnail from every
+    * JRE, and the pinned kernel is what makes the lane oracle-replayable.
+    * Inputs narrower/shorter than 2 px have no 2x2 block: callers filter
+    * them (the lane does, mirrored in its oracle). */
+  def pngThumbStats(mediaId: Long, bytes: Array[Byte]): ThumbStats = {
+    val img = readImage(bytes)
+    val w = img.getWidth; val h = img.getHeight
+    require(w >= 2 && h >= 2, s"no 2x2 block in a ${w}x$h image (media $mediaId)")
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val w2 = w / 2; val h2 = h / 2
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val i = (2 * y) * w + 2 * x
+        val p00 = px(i); val p01 = px(i + 1)
+        val p10 = px(i + w); val p11 = px(i + w + 1)
+        def ch(shift: Int): Int =
+          (((p00 >> shift) & 0xff) + ((p01 >> shift) & 0xff) +
+            ((p10 >> shift) & 0xff) + ((p11 >> shift) & 0xff)) / 4
+        sr += ch(16); sg += ch(8); sb += ch(0)
+        x += 1
+      }
+      y += 1
+    }
+    val n = w2.toLong * h2
+    ThumbStats(mediaId, w2, h2, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+  }
+
+  /** Batched per-partition thumbnailing over the media frame — same batch
+    * shape as [[decodePngFeatures]]; bytes never leave the executors. */
+  def thumbnailFeatures(media: Dataset[PngRow], batchSize: Int = 64): Dataset[ThumbStats] = {
+    implicit val enc = Encoders.product[ThumbStats]
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map(m => pngThumbStats(m.media_id, m.content)))
+    }
+  }
+
   /** Fixture: one small PNG per document, sized from n_chars. Generation and
     * decode both run inside mapPartitions — bytes stay distributed. */
   def pngMedia(docs: DataFrame): Dataset[PngRow] = {

@@ -1074,6 +1074,21 @@ object Extensions {
         .orderBy(col("media_id"))
     }),
 
+    // RESIZE stage over the real decoded raster: 2x2 block-average
+    // thumbnail with a PINNED kernel (not Graphics2D's implementation-
+    // defined scaler), so every dim/mean has a closed form the oracle
+    // recomputes from the generation rule. Images without a 2x2 block
+    // (w or h = 1) are out of the kernel's domain — filtered here AND in
+    // the oracle.
+    "multimodal_resize" -> ((s, d) => {
+      Multimodal.thumbnailFeatures(
+        Multimodal.pngMediaCached(Tables.documents(s, d), d)
+          .filter(col("width") >= 2 && col("height") >= 2)).toDF()
+        .select(col("media_id"), col("thumb_w"), col("thumb_h"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy(col("media_id"))
+    }),
+
     // LOSSY codec round-trip, exact-checked: synthetic solid-color JPEGs
     // through the real javax.imageio encoder + decoder. Dimensions survive
     // JPEG exactly (oracle recomputes them from the generation rule); the
@@ -2784,6 +2799,23 @@ object Extensions {
         |  CAST((doc_id * 7 + 31) % 256 AS DOUBLE) AS mean_g,
         |  CAST(n_chars % 48 AS DOUBLE) / 2.0 AS mean_b
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // Thumbnail closed forms from the pinned 2x2 block-average kernel over
+    // the b=y gradient (h <= 48 < 256): R/G are the solid fills; a block's
+    // blue is trunc((8y+2)/4) = 2y, so the thumbnail's blue mean is
+    // h2 - 1 exactly (the /1-row sum telescopes); dims floor-halve with
+    // the odd trailing row/column dropped. The <2 px filter mirrors the
+    // lane's no-2x2-block domain bound.
+    "multimodal_resize" ->
+      """SELECT doc_id AS media_id,
+        |  CAST((n_chars % 64 + 1) // 2 AS INT) AS thumb_w,
+        |  CAST((n_chars % 48 + 1) // 2 AS INT) AS thumb_h,
+        |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+        |  CAST((doc_id * 7 + 31) % 256 AS DOUBLE) AS mean_g,
+        |  CAST((n_chars % 48 + 1) // 2 - 1 AS DOUBLE) AS mean_b
+        |FROM documents
+        |WHERE n_chars % 64 + 1 >= 2 AND n_chars % 48 + 1 >= 2
+        |ORDER BY media_id""".stripMargin,
 
     // Independent replay of the whole flagship pipeline: the chain generator
     // (ChainSource.messageAt closed forms, totalBlocks=200 reorgEvery=20

@@ -150,6 +150,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("thumbnail kernel: 2x2 block means exact on the gradient, odd edges dropped") {
+    // 9x7 gradient PNG (id=5): thumb 4x3; blue rows are trunc((8y+2)/4)=2y,
+    // so mean_b = h2-1 = 2 exactly; R/G are the solid fills
+    val t = Multimodal.pngThumbStats(5L, Multimodal.pngEncode(5L, 9, 7))
+    assert((t.thumb_w, t.thumb_h) === ((4, 3)))
+    assert(t.mean_r === 5.0 && t.mean_g === (5 * 7 + 31) % 256.0)
+    assert(t.mean_b === 2.0, "gradient block average must telescope to h2-1")
+    // even dims: same closed forms, nothing dropped
+    val e = Multimodal.pngThumbStats(9L, Multimodal.pngEncode(9L, 8, 6))
+    assert((e.thumb_w, e.thumb_h, e.mean_b) === ((4, 3, 2.0)))
+    // no 2x2 block -> out of domain, loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.pngThumbStats(1L, Multimodal.pngEncode(1L, 1, 5))
+    }
+  }
+
   test("extractFeatures: distributed batched decode with stable output schema") {
     val media = Multimodal.mediaDataset(Tables.documents(spark, "/root/testdata/sf0.001"))
     val feats = Multimodal.extractFeatures(media, frameStride = 16, batchSize = 8)
