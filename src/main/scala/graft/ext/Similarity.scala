@@ -283,6 +283,52 @@ object Similarity {
       excludeId = Some(queryId))
   }
 
+  /** Batch kNN JOIN over the IVF layout: for EVERY probe vector, its k
+    * nearest corpus neighbors — the corpus-vs-corpus shape
+    * retrieval-augmentation and embedding-dedup pipelines run, where the
+    * single-query [[ivfProbe]] does not scale past a handful of lookups.
+    *
+    * Fully distributed, no driver-side query vector:
+    *  - each probe picks its `nprobe` nearest centroids with a per-probe
+    *    window over the broadcast centroid frame (k·dim literals — the
+    *    same (-sim, cell) tie order as [[ivfProbeCells]]);
+    *  - probes join candidates on the `ivf_cell` equi-key, so a probe
+    *    scores only nprobe/nCells of the corpus (against the persisted
+    *    layout this is a partition-pruned read);
+    *  - per-probe top-k is a window over the probe's own candidates — no
+    *    global sort, state bounded by candidates-per-probe.
+    *
+    * Returns (query_id, neighbor_id, cos, rk) with rk in [1, k], cosine
+    * rounded 6 (rank ties break on neighbor id). Self-matches excluded. */
+  def ivfKnnJoin(assigned: DataFrame, centroids: Seq[(Int, Seq[Double])],
+      probes: DataFrame, probeIdCol: String, probeVecCol: String,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+    require(k > 0 && nprobe > 0, s"k and nprobe must be positive, got $k, $nprobe")
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val centDf = centroids.toDF("ivf_cell", "centroid")
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("ivf_cell"))
+    val qcells = probes
+      .select(col(probeIdCol).as("query_id"), col(probeVecCol).as("qvec"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("csim", cosine(col("qvec"), col("centroid")))
+      .withColumn("crk", row_number().over(wCell))
+      .filter(col("crk") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("ivf_cell"))
+    val wK = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col(idCol))
+    qcells.join(assigned, "ivf_cell")
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("qvec"), col(vecCol)), 6))
+      .withColumn("rk", row_number().over(wK))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("cos"),
+        col("rk").cast("int").as("rk"))
+  }
+
   /** All pairs above a cosine threshold within an id-bounded slice —
     * embedding-based near-dup detection (quadratic: bound the slice, or go
     * through lshBucket + within-bucket pairs at scale). */

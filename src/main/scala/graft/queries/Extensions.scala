@@ -884,6 +884,21 @@ object Extensions {
         qvec, k = 10, nprobe = 3, excludeId = Some(0L))
     }),
 
+    // Batch kNN JOIN: every 100th vector probes the SAME persisted IVF
+    // layout for its 5 nearest neighbors in one distributed query — the
+    // corpus-vs-corpus retrieval shape (single-query ivfProbe collects the
+    // query vector on the driver; this never does). Per-probe cell choice
+    // and top-k are windows keyed on the probe id, candidates come from
+    // the ivf_cell equi-join.
+    "sim_knn_join" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val index = cachedIvfIndex(s, d, emb)
+      Similarity.ivfKnnJoin(index.assigned, index.centroids,
+        emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, nprobe = 3)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // IVF-PQ — the two halves composed into the production ANN shape:
     // the IVF layout prunes the search to nprobe cells (a partition-pruned
     // scan of the persisted index), and WITHIN those cells distance runs
@@ -2634,6 +2649,29 @@ object Extensions {
          |FROM assign a, q
          |WHERE a.cell IN (SELECT cid FROM probe) AND a.vec_id != 0
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    // kNN-join replay: the same ivfCtes chain, then per-probe cell choice
+    // (row_number over centroid cosine, ties on cid), cell equi-join
+    // candidates, per-probe rank on the rounded cosine with neighbor-id
+    // ties — the window mirror of the Spark lane
+    "sim_knn_join" ->
+      s"""$ivfCtes,
+         |pr AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+         |qc AS (SELECT query_id, qv, cid FROM (
+         |         SELECT p.query_id, p.qv, c.cid,
+         |           row_number() OVER (PARTITION BY p.query_id
+         |             ORDER BY list_cosine_similarity(c.cv, p.qv) DESC, c.cid) AS crk
+         |         FROM pr p, c2 c) WHERE crk <= 3),
+         |cand AS (SELECT qc.query_id, a.vec_id AS neighbor_id,
+         |           ${sparkRound("list_cosine_similarity(qc.qv, a.v)", 6)} AS cos
+         |         FROM qc JOIN assign a ON a.cell = qc.cid
+         |         WHERE a.vec_id != qc.query_id),
+         |rk AS (SELECT query_id, neighbor_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos DESC, neighbor_id) AS INT) AS rk
+         |       FROM cand)
+         |SELECT query_id, neighbor_id, cos, rk FROM rk WHERE rk <= 5
+         |ORDER BY query_id, rk""".stripMargin,
 
     // semantic dedup replay: same ivfCtes chain (seeds, 2 Lloyd rounds,
     // argmax assignment), then per-cell smaller-id pairs over the rounded

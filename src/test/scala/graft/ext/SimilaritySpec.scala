@@ -137,6 +137,28 @@ class SimilaritySpec extends SparkSpec {
     assert(reloaded === fresh, "probe over the persisted index must match the fresh build")
   }
 
+  test("ivfKnnJoin: per-probe results identical to single-query ivfProbe") {
+    val df = vectors()
+    val index = Similarity.ivfIndex(df, "vec_id", "embedding", nCells = 6)
+    val probes = df.filter(col("vec_id") % 10 === 0) // 9 probes
+    val joined = Similarity.ivfKnnJoin(index.assigned, index.centroids,
+        probes, "vec_id", "embedding", "vec_id", "embedding", k = 4, nprobe = 2)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq)
+      .toMap
+    assert(joined.keySet === (0 until 90 by 10).map(_.toLong).toSet)
+    for (q <- joined.keySet) {
+      val qvec = Similarity.queryVector(df, "vec_id", "embedding", q)
+      val single = Similarity.ivfProbe(index.assigned, index.centroids,
+          "vec_id", "embedding", qvec, k = 4, nprobe = 2, excludeId = Some(q))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(joined(q) === single, s"probe $q: batch join != single-query probe")
+    }
+    // ranks are dense 1..k per probe
+    assert(joined.values.forall(_.size == 4))
+  }
+
   test("randomProject: JL norm preservation within the k-determined envelope") {
     val df = vectors()
     // project 16-d -> 8-d with the scaled-Gaussian planes: E[|y|^2] = |x|^2,
