@@ -142,4 +142,36 @@ object Profile {
             .otherwise(lit(Hll.numerator(p)) / col("z_scaled").cast("double")),
           4).as("ndv_est"))
   }
+
+  // ---- data-quality constraint suite ---------------------------------------
+  // The validation gate a pipeline runs before training on (or publishing)
+  // a table: each check reduces a full scan to ONE (n_rows, n_violations)
+  // row, so the whole suite is a union of broadcast-sized frames — cost is
+  // one pass per involved table regardless of corpus size, and every check
+  // is a plain aggregate the oracle replays verbatim.
+
+  /** Row-predicate check: rows where `violation` is true. */
+  def predicateCheck(name: String, df: DataFrame, violation: Column): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"), count_if(violation).as("n_violations"))
+      .select(lit(name).as("check_name"), col("n_rows"), col("n_violations"))
+
+  /** Uniqueness check on a key column: violations = rows − distinct keys
+    * (NULL keys are each their own violation — count_distinct skips them). */
+  def uniqueCheck(name: String, df: DataFrame, keyCol: String): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count_distinct(col(keyCol))).as("n_violations"))
+      .select(lit(name).as("check_name"), col("n_rows"), col("n_violations"))
+
+  /** Referential check: child rows whose key has no parent (left-anti
+    * against the DISTINCT parent keys — dimension-sized, broadcast). */
+  def fkCheck(name: String, child: DataFrame, keyCol: String,
+      parent: DataFrame, parentKeyCol: String): DataFrame = {
+    val orphans = child.join(
+      org.apache.spark.sql.functions.broadcast(
+        parent.select(col(parentKeyCol).as(keyCol)).distinct()),
+      Seq(keyCol), "left_anti")
+    child.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(orphans.agg(count(lit(1)).as("n_violations")))
+      .select(lit(name).as("check_name"), col("n_rows"), col("n_violations"))
+  }
 }

@@ -205,6 +205,36 @@ object TextAnalysis {
   def fingerprint64(text: Column): Column =
     xxhash64(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  // ---- feature hashing -----------------------------------------------------
+
+  /** Hashed TF-IDF vectorizer ("hashing trick"): every token lands in one of
+    * `dims` buckets via the portable FNV-1a hash, term frequency counts per
+    * (doc, bucket), and the weight is tf·ln((N+1)/(df+1)) over the BUCKET's
+    * document frequency — the fixed-width bag-of-words embedding classical
+    * classifiers/cluster passes start from, with no vocabulary to build or
+    * broadcast. Output is the EXPLODED sparse form (id, dim, weight): at
+    * 100 TB a dense array column per doc would carry dims·8 bytes/row even
+    * for short docs, while the sparse stream is bounded by distinct
+    * (doc, bucket) pairs and feeds groupBy/join shapes directly.
+    *
+    * One explode + one (id, dim) aggregate + a broadcast-sized per-dim df
+    * frame; weights rounded 6 (ln parity with the oracle, same convention
+    * as BM25). */
+  def featureHashFrame(docs: DataFrame, textCol: String, idCol: String,
+      dims: Int = 64): DataFrame = {
+    require(dims > 0, s"dims must be positive, got $dims")
+    val n = docs.select(count(lit(1)).as("n"))
+    val tok = docs.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("t"))
+      .withColumn("dim", pmod(graft.functions.Fnv.fnv1a64(col("t")), lit(dims)).cast("int"))
+    val tf = tok.groupBy(col("id"), col("dim")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("dim")).agg(count(lit(1)).as("df")) // tf keys distinct per (id, dim)
+    tf.join(broadcast(df), "dim")
+      .crossJoin(broadcast(n))
+      .select(col("id"), col("dim"),
+        round(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)), 6).as("weight"))
+  }
+
   // ---- boilerplate detection -----------------------------------------------
 
   /** Corpus-level boilerplate detector: the k most DOCUMENT-frequent word

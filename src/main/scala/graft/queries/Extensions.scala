@@ -501,6 +501,41 @@ object Extensions {
       graft.ext.SkewJoin.keySkew(Tables.events(s, d), "user_id", k = 20)
     }),
 
+    // Data-quality constraint suite — the validation gate before a table
+    // is trained on or published: PK uniqueness, FK integrity, range and
+    // not-null/non-empty predicates, each reduced to ONE
+    // (constraint, n_rows, n_violations) row. Union of broadcast-sized
+    // frames; one pass per involved table at any corpus size.
+    "diag_constraints" -> ((s, d) => {
+      val P = graft.ext.Profile
+      val orders = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      P.uniqueCheck("orders.pk_unique", orders, "o_orderkey")
+        .unionAll(P.fkCheck("lineitem.fk_orders", li, "l_orderkey",
+          orders, "o_orderkey"))
+        .unionAll(P.predicateCheck("orders.totalprice_nonneg", orders,
+          col("o_totalprice") < 0 || col("o_totalprice").isNull))
+        .unionAll(P.predicateCheck("lineitem.discount_range", li,
+          col("l_discount") < 0 || col("l_discount") > 1 || col("l_discount").isNull))
+        .unionAll(P.predicateCheck("orders.orderdate_notnull", orders,
+          col("o_orderdate").isNull))
+        .unionAll(P.predicateCheck("documents.text_nonempty",
+          Tables.documents(s, d), length(col("text")) === 0 || col("text").isNull))
+        .orderBy(col("check_name"))
+    }),
+
+    // Hashed TF-IDF vectorizer (feature hashing): fixed-width bag-of-words
+    // embedding with NO vocabulary to build — FNV bucket per token, tf per
+    // (doc, bucket), tf·ln((N+1)/(df+1)) weights, exploded sparse output.
+    // Bounded to a doc slice so the verify payload stays small; the shape
+    // is corpus-linear.
+    "text_feature_hashing" -> ((s, d) => {
+      TA.featureHashFrame(Tables.documents(s, d).filter(col("doc_id") < 100),
+          "text", "doc_id", dims = 64)
+        .select(col("id").as("doc_id"), col("dim"), col("weight"))
+        .orderBy(col("doc_id"), col("dim"))
+    }),
+
     // One-pass multi-column profile (ANALYZE-shaped): per column of
     // lineitem, rows / nulls / exact NDV / portable-HLL NDV from a single
     // scan — melt + one two-level aggregate bounded by k·2^p groups.
@@ -2066,6 +2101,47 @@ object Extensions {
     // register chain keyed by (c, v) — null values null-propagate through
     // the hash into a null register excluded from the estimate — then the
     // grouped two-level rollup and per-row estimate branch.
+    // every check replayed as the same plain aggregates; FK via NOT IN
+    // with explicit NULL handling to match left-anti semantics
+    "diag_constraints" ->
+      """SELECT * FROM (
+        |SELECT 'documents.text_nonempty' AS check_name,
+        |  (SELECT count(*) FROM documents) AS n_rows,
+        |  (SELECT count(*) FROM documents WHERE length(text) = 0 OR text IS NULL) AS n_violations
+        |UNION ALL
+        |SELECT 'lineitem.discount_range', (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_discount < 0 OR l_discount > 1 OR l_discount IS NULL)
+        |UNION ALL
+        |SELECT 'lineitem.fk_orders', (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL
+        |     OR l_orderkey NOT IN (SELECT o_orderkey FROM orders
+        |                           WHERE o_orderkey IS NOT NULL))
+        |UNION ALL
+        |SELECT 'orders.orderdate_notnull', (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders WHERE o_orderdate IS NULL)
+        |UNION ALL
+        |SELECT 'orders.pk_unique', (SELECT count(*) FROM orders),
+        |  (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+        |UNION ALL
+        |SELECT 'orders.totalprice_nonneg', (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders WHERE o_totalprice < 0 OR o_totalprice IS NULL)
+        |) ORDER BY check_name""".stripMargin,
+
+    // feature-hashing replay: same FNV bucket, same tf/df aggregates, the
+    // same tf*ln((N+1)/(df+1)) weight with Spark-parity rounding
+    "text_feature_hashing" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toks) AS t FROM documents WHERE doc_id < 100),
+         |dimt AS (SELECT doc_id,
+         |           CAST(((${signed64(fnvSql("t"))} % 64) + 64) % 64 AS INT) AS dim
+         |         FROM tk),
+         |tf AS (SELECT doc_id, dim, count(*) AS tf FROM dimt GROUP BY doc_id, dim),
+         |dfd AS (SELECT dim, count(*) AS df FROM tf GROUP BY dim),
+         |nn AS (SELECT count(*) AS n FROM documents WHERE doc_id < 100)
+         |SELECT doc_id, dim, ${sparkRound("tf * ln((n + 1.0) / (df + 1.0))", 6)} AS weight
+         |FROM tf JOIN dfd USING (dim), nn
+         |ORDER BY doc_id, dim""".stripMargin,
+
     "diag_profile" -> profileOracleSql(exact = true),
 
     // scale mode: same chain, the exact-NDV leg replaced by NULL

@@ -1,5 +1,7 @@
 package graft.ext
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 class ProfileSpec extends SparkSpec {
@@ -80,5 +82,23 @@ class ProfileSpec extends SparkSpec {
     val out = Profile.profile(df, Seq("s")).collect().head
     assert((out.getLong(1), out.getLong(2), out.getLong(3)) === ((2L, 2L, 0L)))
     assert(out.getDouble(4) === 0.0, "empty sketch must estimate 0")
+  }
+
+  test("constraint suite: uniqueness, FK orphans, predicates count exactly") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq((1L, 5.0), (1L, -2.0), (9L, 1.5), (2L, 0.0))
+      .toDF("fk", "v")
+    val dup = Seq(1L, 1L, 2L).toDF("k")
+    def row(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect().head
+      (r.getString(0), r.getLong(1), r.getLong(2))
+    }
+    assert(row(Profile.uniqueCheck("u", dup, "k")) === (("u", 3L, 1L)))
+    assert(row(Profile.fkCheck("f", child, "fk", parent, "pk")) === (("f", 4L, 1L)),
+      "exactly the fk=9 orphan")
+    assert(row(Profile.predicateCheck("p", child, col("v") < 0)) === (("p", 4L, 1L)))
+    // clean data -> zero violations, n_rows intact
+    assert(row(Profile.uniqueCheck("u2", parent, "pk")) === (("u2", 3L, 0L)))
   }
 }

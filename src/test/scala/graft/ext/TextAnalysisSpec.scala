@@ -271,4 +271,27 @@ class TextAnalysisSpec extends SparkSpec {
       "every chunk after the first boundary must be identical — fixed-stride " +
         "windows would shift globally here")
   }
+
+  test("feature hashing: FNV buckets, tf counts, idf weights replicate driver-side") {
+    import spark.implicits._
+    val docs = Seq((0L, "aa bb aa"), (1L, "bb cc"), (2L, "dd"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.featureHashFrame(docs, "text", "doc_id", dims = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    def bucket(t: String): Int = {
+      val h = graft.functions.Fnv.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      (((h % 8) + 8) % 8).toInt
+    }
+    // driver-side replica: tf per (doc, bucket), df per bucket, n = 3
+    val tf = Seq((0L, "aa", 2), (0L, "bb", 1), (1L, "bb", 1), (1L, "cc", 1), (2L, "dd", 1))
+      .groupBy { case (id, t, _) => (id, bucket(t)) }
+      .view.mapValues(_.map(_._3).sum).toMap
+    val df = tf.keySet.groupBy(_._2).view.mapValues(_.size).toMap
+    val expect = tf.map { case ((id, dim), f) =>
+      (id, dim) -> BigDecimal(f * math.log((3 + 1.0) / (df(dim) + 1.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got === expect)
+  }
 }
