@@ -212,4 +212,32 @@ class ExplainSpec extends SparkSpec {
     assert(nodes.count(_.isInstanceOf[CartesianProductExec]) === 0)
     assert(nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) === 0)
   }
+
+  test("dedup_jaccard_prefix: candidate generation is an equi-join — no all-pairs shape") {
+    val nodes = run("dedup_jaccard_prefix")
+    assert(nodes.count(_.isInstanceOf[CartesianProductExec]) === 0,
+      "prefix filtering must never plan a cross join")
+    assert(nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) === 0)
+    // everything past the checkpoint reads the materialized shingle stream
+    assert(scansOf(nodes, "doc_").size <= 1,
+      "four consumers must share the checkpointed (id, shingle) stream")
+  }
+
+  test("sim_knn_join: candidates come from the cell equi-join, top-k per probe is a window") {
+    val nodes = run("sim_knn_join")
+    assert(nodes.count(_.isInstanceOf[CartesianProductExec]) === 0,
+      "probe x corpus must go through the ivf_cell equi-join")
+    // the probes x centroids cross join is the ONE legitimate BNLJ: 8
+    // centroid rows broadcast against the probe slice
+    assert(nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) <= 1)
+  }
+
+  test("train_e2e_pipeline: composition adds no documents rescans beyond its stages") {
+    val nodes = run("train_e2e_pipeline")
+    assert(nodes.count(_.isInstanceOf[CartesianProductExec]) === 0)
+    // component store read + trainPool + quality + contamination grams:
+    // the composition must not multiply scans beyond the stage inputs
+    assert(scansOf(nodes, "doc_").size <= 4,
+      "stages must reuse the persisted component store, not rebuild the chain")
+  }
 }
