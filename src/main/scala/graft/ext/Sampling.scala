@@ -144,6 +144,53 @@ object Sampling {
     * "f3" = 243/256 fences the next ≈ 5.1% as valid). Pure column algebra —
     * and the LEAKAGE-SAFE form passes the near-dup CLUSTER id as `key`, so
     * a near-duplicate of a training document can never land in eval. */
+  /** Deterministic LEAKAGE-SAFE negative sampling for contrastive training:
+    * k pseudo-random negatives per anchor document, excluding the anchor
+    * itself BY CONSTRUCTION (step ∈ [1, N-1] on the dense id ring) and —
+    * when a near-dup `components` frame is supplied — excluding negatives
+    * from the anchor's near-dup cluster (a "negative" that is a paraphrase
+    * of the anchor is a false negative that poisons the contrastive loss;
+    * same leakage argument as the cluster-keyed split).
+    *
+    * Derivation is pure column algebra over the portable FNV-1a hash
+    * (step = 1 + pmod(fnv("seed:anchor:draw"), N-1), neg = (anchor + step)
+    * mod N): zero shuffles for the draw itself, one broadcast-sized join
+    * per side for the cluster exclusion, engine-replayable end-to-end.
+    * Requires the dense id domain [0, N) (checked — a bounded 1-row agg);
+    * sparse corpora rank first.
+    *
+    * Cluster-excluded draws are DROPPED, not re-drawn (documented: a
+    * re-draw loop is state; droppable draws cost a bounded fraction of k
+    * and keep the operator a projection). Output (anchor_id, draw, neg_id)
+    * with draw in [1, k]. */
+  def negativePairs(docs: DataFrame, idCol: String, k: Int,
+      components: Option[DataFrame] = None, seed: String = "neg"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val stats = docs.agg(count(lit(1)).as("n"), min(col(idCol)).as("mn"),
+      max(col(idCol)).as("mx")).collect().head
+    val n = stats.getLong(0)
+    require(n >= 2, s"need at least 2 documents, got $n")
+    require(stats.getLong(1) == 0L && stats.getLong(2) == n - 1,
+      s"dense id domain [0, $n) required, got [${stats.getLong(1)}, ${stats.getLong(2)}]")
+    val h = graft.functions.Fnv.fnv1a64(
+      concat_ws(":", lit(seed), col("anchor_id"), col("draw")))
+    val draws = docs.select(col(idCol).as("anchor_id"))
+      .withColumn("draw", explode(sequence(lit(1), lit(k))))
+      .withColumn("step", lit(1L) + pmod(h, lit(n - 1)))
+      .withColumn("neg_id", pmod(col("anchor_id") + col("step"), lit(n)))
+      .select(col("anchor_id"), col("draw"), col("neg_id"))
+    components.fold(draws) { c =>
+      val ca = c.select(col("id").as("anchor_id"), col("label").as("__la"))
+      val cb = c.select(col("id").as("neg_id"), col("label").as("__lb"))
+      draws
+        .join(ca, Seq("anchor_id"), "left")
+        .join(cb, Seq("neg_id"), "left")
+        .filter(coalesce(col("__la"), col("anchor_id")) =!=
+          coalesce(col("__lb"), col("neg_id")))
+        .select(col("anchor_id"), col("draw"), col("neg_id"))
+    }
+  }
+
   def hashSplit(key: Column, seed: String = "split"): Column = {
     val bucket = substring(
       md5(concat(lit(seed + ":"), key.cast("string")).cast("binary")), 1, 2)

@@ -260,6 +260,20 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // Leakage-safe negative sampling: 4 deterministic pseudo-random
+    // negatives per anchor on the dense id ring, with negatives from the
+    // anchor's near-dup cluster DROPPED (a paraphrase of the anchor is a
+    // false negative) — reads the same persisted component store as the
+    // survivor/split lanes. Pure column algebra over the portable FNV
+    // draw; zero shuffles beyond the two broadcast cluster joins.
+    "train_negative_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val comps = Dedup.componentStore(docs, "text", "doc_id", compStorePath(d))
+      graft.ext.Sampling.negativePairs(docs, "doc_id", k = 4,
+          components = Some(comps.select(col("id"), col("label"))))
+        .orderBy(col("anchor_id"), col("draw"))
+    }),
+
     // END-TO-END training-data pipeline — the composition a real corpus
     // build runs, as ONE lane: near-dup survivor election (persisted
     // component store, shared with the survivor/split lanes) -> quality
@@ -2432,6 +2446,33 @@ object Extensions {
          |      GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
          |SELECT q.doc_id, quality, n_tokens FROM q JOIN s USING (doc_id)
          |WHERE quality >= 0.5 ORDER BY doc_id""".stripMargin,
+
+    // Negative-pair replay: same FNV step arithmetic on the id ring, same
+    // closure-derived cluster labels for the exclusion
+    "train_negative_pairs" ->
+      s"""${minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |sym AS (SELECT id1 AS a, id2 AS b FROM pairs
+         |        UNION SELECT id2, id1 FROM pairs),
+         |reach(a, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+         |  UNION
+         |  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.a),
+         |comp AS (SELECT a, min(r) AS label FROM reach GROUP BY a),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |dr AS (SELECT doc_id AS anchor_id, CAST(unnest(range(1, 5)) AS INT) AS draw
+         |       FROM documents),
+         |hv AS (SELECT anchor_id, draw,
+         |         ${signed64(fnvSql("'neg:' || CAST(anchor_id AS VARCHAR) || ':' || CAST(draw AS VARCHAR)"))} AS h
+         |       FROM dr),
+         |neg AS (SELECT anchor_id, draw,
+         |          (anchor_id + 1 + ((h % (n - 1)) + (n - 1)) % (n - 1)) % n AS neg_id
+         |        FROM hv, nn)
+         |SELECT neg.anchor_id, neg.draw, neg.neg_id
+         |FROM neg
+         |LEFT JOIN comp c1 ON c1.a = neg.anchor_id
+         |LEFT JOIN comp c2 ON c2.a = neg.neg_id
+         |WHERE coalesce(c1.label, neg.anchor_id) != coalesce(c2.label, neg.neg_id)
+         |ORDER BY anchor_id, draw""".stripMargin,
 
     // The whole pipeline replayed in ONE statement: minhash pairs ->
     // closure -> survivors, 5-gram decontamination, the quality formula,

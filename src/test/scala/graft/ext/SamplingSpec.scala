@@ -130,4 +130,47 @@ class SamplingSpec extends SparkSpec {
     val none = Sampling.weightedSample(corpus.withColumn("w", lit(-1.0)), col("w"), "id")
     assert(none.count() === 0)
   }
+
+  test("negativePairs: ring draws replicate driver-side, never the anchor, dense-id guard") {
+    import spark.implicits._
+    val n = 7
+    val docs = (0L until n).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val got = Sampling.negativePairs(docs, "doc_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got.size === n * 3, "no components -> every draw kept")
+    def fnv(s2: String): Long = graft.functions.Fnv.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s2))
+    got.foreach { case ((a, d), neg) =>
+      val h = fnv(s"neg:$a:$d")
+      val step = 1L + (((h % (n - 1)) % (n - 1)) + (n - 1)) % (n - 1)
+      assert(neg === (a + step) % n, s"draw ($a, $d)")
+      assert(neg !== a, "step in [1, N-1] can never return the anchor")
+      assert(neg >= 0 && neg < n)
+    }
+    // sparse ids refuse loudly
+    intercept[IllegalArgumentException] {
+      Sampling.negativePairs(docs.filter(col("doc_id") =!= 3), "doc_id", k = 2)
+    }
+  }
+
+  test("negativePairs: near-dup cluster exclusion drops in-cluster draws only") {
+    import spark.implicits._
+    val n = 6
+    val docs = (0L until n).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // every doc in ONE cluster -> every negative is in the anchor's cluster
+    val allOne = (0L until n).map(i => (i, 0L)).toDF("id", "label")
+    assert(Sampling.negativePairs(docs, "doc_id", k = 4,
+      components = Some(allOne)).count() === 0)
+    // docs 0/1 clustered: exactly the draws landing on the partner drop
+    val pair = Seq((0L, 0L), (1L, 0L)).toDF("id", "label")
+    val kept = Sampling.negativePairs(docs, "doc_id", k = 4,
+        components = Some(pair))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val all = Sampling.negativePairs(docs, "doc_id", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val dropped = all -- kept
+    assert(dropped.forall { case (a, neg) =>
+      Set(a, neg) === Set(0L, 1L) }, s"only 0<->1 draws may drop: $dropped")
+    assert((all -- dropped) === kept)
+  }
 }
