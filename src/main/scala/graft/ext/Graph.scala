@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge lists — the second graph operator
+  * beside [[Dedup.connectedComponents]]' min-label propagation. On a
+  * training-data pipeline the near-dup graph's centrality ranks boilerplate
+  * hubs (templates/licenses near-duplicated across many sources score
+  * high), feeding removal or downweighting decisions.
+  */
+object Graph {
+
+  /** PageRank over an UNDIRECTED edge list (id1, id2), `iterations` fixed
+    * power-iteration rounds at damping `d`:
+    *
+    *   rank'(v) = (1-d)/N + d * Σ_{u~v} rank(u)/deg(u)
+    *
+    * restricted to nodes with at least one edge (so there are no dangling
+    * nodes — symmetrized edges give every node out-degree = degree).
+    *
+    * Determinism fence: scores are QUANTIZED (round 10 dp) after every
+    * iteration, the same move as the IVF refinement's quantized means — a
+    * float sum's value depends on reduction order, and per-iteration
+    * quantization keeps both engines (and any two cluster runs) on the
+    * same trajectory; neighbor sums are degree-sized, so the pre-rounding
+    * spread (~1e-16·deg) sits far below the 5e-11 rounding boundary.
+    *
+    * Scale shape: per iteration ONE equi-join (edges ⋈ ranks on the
+    * source) and one dst-keyed aggregate — both key-partitioned; ranks are
+    * localCheckpointed each round (rotation-freed by the caller's key) so
+    * the plan does not deepen with iterations. The driver sees one scalar
+    * (the node count). */
+  def pageRank(edges: DataFrame, iterations: Int = 10,
+      damping: Double = 0.85, checkpointKey: String = "Graph.pageRank"): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val sym = edges.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionAll(edges.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val n = deg.count()
+    if (n == 0) { // edgeless graph: empty rank frame, same schema
+      Dedup.rotateCheckpoints(checkpointKey, sym, deg)
+      return sym.select(col("src").as("id"), lit(0.0).as("rank")).limit(0)
+    }
+    var ranks = deg.select(col("src").as("id"), lit(1.0 / n).as("rank"))
+    val kept = Seq.newBuilder[DataFrame]
+    for (_ <- 1 to iterations) {
+      val contribs = sym
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+      ranks = contribs.groupBy(col("id"))
+        .agg(round(lit((1 - damping) / n) + lit(damping) * sum(col("c")), 10)
+          .as("rank"))
+        .localCheckpoint()
+      kept += ranks
+    }
+    Dedup.rotateCheckpoints(checkpointKey, (Seq(sym, deg) ++ kept.result()): _*)
+    ranks.select(col("id"), round(col("rank"), 6).as("rank"))
+  }
+}

@@ -260,6 +260,23 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // PageRank over the near-dup graph (the boilerplate-hub ranking):
+    // 10 fixed power-iteration rounds at d=0.85 over the symmetrized
+    // minhash-LSH edges, scores quantized per iteration (the IVF
+    // refinement's determinism fence) so the trajectory is a pure
+    // function of the graph. One equi-join + one keyed aggregate per
+    // round, checkpoint-rotated.
+    "graph_pagerank" -> ((s, d) => {
+      val sigs = Dedup.minhashSignatures(Tables.documents(s, d), "text", "doc_id",
+        k = 32).localCheckpoint()
+      Dedup.rotateCheckpoints("graph_pagerank_sigs", sigs)
+      val edges = Dedup.minhashNearDupsFromSigs(sigs,
+        bands = 8, rows = 4, threshold = 0.5).select(col("id1"), col("id2"))
+      graft.ext.Graph.pageRank(edges, iterations = 10, damping = 0.85,
+          checkpointKey = "graph_pagerank")
+        .orderBy(col("id"))
+    }),
+
     // Leakage-safe negative sampling: 4 deterministic pseudo-random
     // negatives per anchor on the dense id ring, with negatives from the
     // anchor's near-dup cluster DROPPED (a paraphrase of the anchor is a
@@ -2446,6 +2463,58 @@ object Extensions {
          |      GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
          |SELECT q.doc_id, quality, n_tokens FROM q JOIN s USING (doc_id)
          |WHERE quality >= 0.5 ORDER BY doc_id""".stripMargin,
+
+    // PageRank replay: the SAME pairs CTE, symmetrized, degree counts,
+    // then the 10 rounds unrolled with the identical per-round quantized
+    // arithmetic (double literals, Spark-parity rounding)
+    "graph_pagerank" ->
+      s"""$minhashPairsCtes,
+         |sym AS (SELECT id1 AS a, id2 AS b FROM pairs
+         |        UNION SELECT id2, id1 FROM pairs),
+         |deg AS (SELECT a, count(*) AS deg FROM sym GROUP BY a),
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (SELECT a AS id, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
+         |r1 AS (SELECT s.b AS id,
+         |  ${sparkRound(s"(1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(r.rank / d.deg)", 10)} AS rank
+         |  FROM sym s JOIN r0 r ON r.id = s.a JOIN deg d ON d.a = s.a
+         |  GROUP BY s.b),
+         |r2 AS (SELECT s.b AS id,
+         |  ${sparkRound(s"(1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(r.rank / d.deg)", 10)} AS rank
+         |  FROM sym s JOIN r1 r ON r.id = s.a JOIN deg d ON d.a = s.a
+         |  GROUP BY s.b),
+         |r3 AS (SELECT s.b AS id,
+         |  ${sparkRound(s"(1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(r.rank / d.deg)", 10)} AS rank
+         |  FROM sym s JOIN r2 r ON r.id = s.a JOIN deg d ON d.a = s.a
+         |  GROUP BY s.b),
+         |r4 AS (SELECT s.b AS id,
+         |  ${sparkRound(s"(1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(r.rank / d.deg)", 10)} AS rank
+         |  FROM sym s JOIN r3 r ON r.id = s.a JOIN deg d ON d.a = s.a
+         |  GROUP BY s.b),
+         |r5 AS (SELECT s.b AS id,
+         |  ${sparkRound(s"(1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(r.rank / d.deg)", 10)} AS rank
+         |  FROM sym s JOIN r4 r ON r.id = s.a JOIN deg d ON d.a = s.a
+         |  GROUP BY s.b),
+         |r6 AS (SELECT s.b AS id,
+         |  ${sparkRound(s"(1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(r.rank / d.deg)", 10)} AS rank
+         |  FROM sym s JOIN r5 r ON r.id = s.a JOIN deg d ON d.a = s.a
+         |  GROUP BY s.b),
+         |r7 AS (SELECT s.b AS id,
+         |  ${sparkRound(s"(1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(r.rank / d.deg)", 10)} AS rank
+         |  FROM sym s JOIN r6 r ON r.id = s.a JOIN deg d ON d.a = s.a
+         |  GROUP BY s.b),
+         |r8 AS (SELECT s.b AS id,
+         |  ${sparkRound(s"(1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(r.rank / d.deg)", 10)} AS rank
+         |  FROM sym s JOIN r7 r ON r.id = s.a JOIN deg d ON d.a = s.a
+         |  GROUP BY s.b),
+         |r9 AS (SELECT s.b AS id,
+         |  ${sparkRound(s"(1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(r.rank / d.deg)", 10)} AS rank
+         |  FROM sym s JOIN r8 r ON r.id = s.a JOIN deg d ON d.a = s.a
+         |  GROUP BY s.b),
+         |r10 AS (SELECT s.b AS id,
+         |  ${sparkRound(s"(1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(r.rank / d.deg)", 10)} AS rank
+         |  FROM sym s JOIN r9 r ON r.id = s.a JOIN deg d ON d.a = s.a
+         |  GROUP BY s.b)
+         |SELECT id, ${sparkRound("rank", 6)} AS rank FROM r10 ORDER BY id""".stripMargin,
 
     // Negative-pair replay: same FNV step arithmetic on the id ring, same
     // closure-derived cluster labels for the exclusion
