@@ -28,7 +28,10 @@ object BinaryIngest {
     * dir + rename; `_SUCCESS` marks completeness). Returns the directory.
     *
     * `docs` must be the FULL documents frame of `sfDir` — the cache key is
-    * the source file's identity, not the frame. */
+    * the source file's identity, not the frame. Executor-side writes assume
+    * the fixture directory is visible to every executor (true on local[*]
+    * and on any shared-FS/DFS mount; a real blob store would use its own
+    * writer here — the lane under test is the READ path). */
   def textFilesCached(docs: DataFrame, sfDir: String, maxDocs: Int = 500): String = {
     val path = cachePath(sfDir, maxDocs)
     if (!new java.io.File(path + "/_SUCCESS").exists()) {

@@ -103,7 +103,9 @@ object Ranking {
     *
     * Same discipline as the IVF/PQ/media caches: content-keyed path, write
     * to a writer-unique tmp dir, root `_SUCCESS` written after ALL three
-    * sub-writes, atomic rename publish. The ingest-time shuffle (explode +
+    * sub-writes, atomic rename publish. `docs` must be the FULL corpus
+    * frame of `sfDir` — the cache key is the source file's identity, not
+    * the frame (the mediaCached contract). The ingest-time shuffle (explode +
     * groupBy + partitionBy) is paid once; every probe after that is a
     * pruned scan. */
   def bm25IndexCached(docs: DataFrame, textCol: String, idCol: String,
