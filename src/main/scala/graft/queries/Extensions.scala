@@ -464,6 +464,27 @@ object Extensions {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // Exact EDIT-DISTANCE verification over the LSH candidate pairs: the
+    // banded-minhash candidates (never all-pairs) re-scored with true
+    // Levenshtein - the character-level confirmation pass a dedup pipeline
+    // runs when token-level similarity is not precise enough. Both engines
+    // implement classic Levenshtein, so the score replays exactly.
+    "dedup_edit_distance" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", k = 32)
+        .localCheckpoint()
+      Dedup.rotateCheckpoints("dedup_edit_distance_sigs", sigs)
+      val cand = Dedup.minhashNearDupsFromSigs(sigs,
+        bands = 8, rows = 4, threshold = 0.5).select(col("id1"), col("id2"))
+      cand
+        .join(docs.select(col("doc_id").as("id1"), col("text").as("t1")), "id1")
+        .join(docs.select(col("doc_id").as("id2"), col("text").as("t2")), "id2")
+        .select(col("id1"), col("id2"),
+          levenshtein(col("t1"), col("t2")).as("edit_dist"))
+        .filter(col("edit_dist") <= 64)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // EXACT Jaccard pairs over the FULL corpus — the scale path for the
     // bounded slice above: prefix filtering (AllPairs/PPJoin) generates
     // candidates from a join on each shingle-set's df-rarest prefix, then
@@ -530,6 +551,32 @@ object Extensions {
     // scan), TakeOrdered top-20.
     "diag_key_skew" -> ((s, d) => {
       graft.ext.SkewJoin.keySkew(Tables.events(s, d), "user_id", k = 20)
+    }),
+
+    // ANALYZE-style correlation diagnostics: pairwise sample correlations
+    // over lineitem's numeric columns in ONE aggregate pass. Correlation
+    // is scale-normalized to [-1,1], so the round-6 fence sits far above
+    // float reduction-order noise (covariances are NOT exposed raw for
+    // exactly that reason).
+    "diag_correlation" -> ((s, d) => {
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(corr(col("l_quantity"), col("l_discount")), 6).as("corr_qty_disc"),
+        round(corr(col("l_extendedprice"), col("l_discount")), 6).as("corr_price_disc"))
+    }),
+
+    // Corpus-mixture diagnostics: per-language share + Shannon entropy
+    // terms (nats) - the balance report a mixture-rebalancing loop reads.
+    "diag_mixture_entropy" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tot = docs.agg(count(lit(1)).as("total"))
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(tot))
+        .withColumn("share", col("n_docs").cast("double") / col("total"))
+        .select(col("lang"), col("n_docs"), round(col("share"), 6).as("share"),
+          round(-col("share") * log(col("share")), 6).as("entropy_term"))
+        .orderBy(col("lang"))
     }),
 
     // Data-quality constraint suite — the validation gate before a table
@@ -2602,6 +2649,31 @@ object Extensions {
          |  AND CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
          |      / len(list_distinct(list_concat(a.words, b.words))) >= 0.5
          |ORDER BY id1, id2""".stripMargin,
+
+    // edit-distance replay: same banded candidates, DuckDB's classic
+    // levenshtein (verified identical semantics incl. empty-string edges)
+    "dedup_edit_distance" ->
+      s"""$minhashPairsCtes
+         |SELECT p.id1, p.id2, CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist
+         |FROM pairs p JOIN documents da ON da.doc_id = p.id1
+         |JOIN documents db ON db.doc_id = p.id2
+         |WHERE levenshtein(da.text, db.text) <= 64
+         |ORDER BY id1, id2""".stripMargin,
+
+    "diag_correlation" ->
+      s"""SELECT count(*) AS n_rows,
+         |  ${sparkRound("corr(l_quantity, l_extendedprice)", 6)} AS corr_qty_price,
+         |  ${sparkRound("corr(l_quantity, l_discount)", 6)} AS corr_qty_disc,
+         |  ${sparkRound("corr(l_extendedprice, l_discount)", 6)} AS corr_price_disc
+         |FROM lineitem""".stripMargin,
+
+    "diag_mixture_entropy" ->
+      s"""WITH t AS (SELECT count(*) AS total FROM documents),
+         |g AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+         |SELECT lang, n_docs,
+         |  ${sparkRound("CAST(n_docs AS DOUBLE) / total", 6)} AS share,
+         |  ${sparkRound("-(CAST(n_docs AS DOUBLE) / total) * ln(CAST(n_docs AS DOUBLE) / total)", 6)} AS entropy_term
+         |FROM g, t ORDER BY lang""".stripMargin,
 
     // Exact-Jaccard replay for the prefix-filter lane, by an INDEPENDENT
     // candidate route: any pair with J > 0 shares a shingle, so a plain
