@@ -196,4 +196,53 @@ object Sampling {
       md5(concat(lit(seed + ":"), key.cast("string")).cast("binary")), 1, 2)
     when(bucket < "e6", "train").when(bucket < "f3", "valid").otherwise("test")
   }
+
+  /** Concat-and-chunk sequence packing — the GPT-style pre-training layout:
+    * documents are concatenated in id order into one token stream, and the
+    * stream is cut into fixed `budget`-token context windows. Per document
+    * this emits its global token offset and the first/last window it lands
+    * in (a doc may straddle a window boundary; `packs_spanned` counts how
+    * many windows carry a piece of it).
+    *
+    * The global running offset is the one operation here that looks
+    * inherently serial, so it is computed as a two-phase prefix sum — the
+    * scalable form, never a single-partition global window over the corpus:
+    * phase 1 aggregates per-shard token totals (ids are sharded into
+    * contiguous `shardSize` blocks, so shard order IS id order) and takes a
+    * running sum over that tiny per-shard frame (corpus/shardSize rows —
+    * metadata scale, the only single-partition window); phase 2 is a
+    * within-shard cumulative sum (parallel across shards) plus the
+    * broadcast shard prefix. Requires a dense-ish non-negative id domain
+    * (gaps are fine — only contiguity of the shard blocks matters).
+    *
+    * Empty documents occupy zero tokens: they sit AT their offset,
+    * `pack_first = pack_last = floor(start_off / budget)` and
+    * `packs_spanned = 0`. */
+  def packConcat(docs: DataFrame, idCol: String, nTokens: Column,
+      budget: Long, shardSize: Long = 4096L): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shardSize > 0, s"shardSize must be positive, got $shardSize")
+    val base = docs.select(col(idCol).cast("long").as("id"),
+        nTokens.cast("long").as("n_tokens"))
+      .withColumn("__shard", floor(col("id") / shardSize.toDouble).cast("long"))
+    val wShard = Window.orderBy(col("__shard"))
+    val prefixes = base.groupBy(col("__shard"))
+      .agg(sum(col("n_tokens")).as("__tot"))
+      .withColumn("__prefix", sum(col("__tot")).over(wShard) - col("__tot"))
+      .select(col("__shard"), col("__prefix"))
+    val wIn = Window.partitionBy(col("__shard")).orderBy(col("id"))
+    val b = budget.toDouble
+    base.join(broadcast(prefixes), "__shard")
+      .withColumn("start_off",
+        col("__prefix") + sum(col("n_tokens")).over(wIn) - col("n_tokens"))
+      .withColumn("pack_first", floor(col("start_off") / b).cast("long"))
+      .withColumn("pack_last",
+        floor((col("start_off") + greatest(col("n_tokens"), lit(1L)) - 1) / b)
+          .cast("long"))
+      .withColumn("packs_spanned",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(col("pack_last") - col("pack_first") + 1))
+      .select(col("id"), col("n_tokens"), col("start_off"),
+        col("pack_first"), col("pack_last"), col("packs_spanned"))
+  }
 }

@@ -232,6 +232,22 @@ object Extensions {
         .orderBy(col("stratum"), col("shard"))
     }),
 
+    // Concat-and-chunk sequence packing — the GPT-style pre-training
+    // layout: the corpus concatenated in doc_id order, cut into
+    // 2048-token context windows; per doc its global token offset and the
+    // window span it lands in. The global running offset is a TWO-PHASE
+    // prefix sum (per-shard totals + within-shard window), never a
+    // single-partition global window — the only serial piece is the
+    // corpus/4096-row shard-prefix frame. Oracle replays it as the plain
+    // global window cumsum the two-phase form must equal.
+    "train_pack_concat" -> ((s, d) => {
+      graft.ext.Sampling.packConcat(Tables.documents(s, d), "doc_id",
+          TA.tokenCount(col("text")), budget = 2048L)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("start_off"),
+          col("pack_first"), col("pack_last"), col("packs_spanned"))
+        .orderBy(col("doc_id"))
+    }),
+
     // End-to-end quality filter: keep only exact-dedup survivors whose
     // composite quality clears the bar — the canonical select-what-to-train-on
     // pipeline (fingerprint dedup ∘ quality score), one shuffle each side.
@@ -577,6 +593,80 @@ object Extensions {
         .select(col("lang"), col("n_docs"), round(col("share"), 6).as("share"),
           round(-col("share") * log(col("share")), 6).as("entropy_term"))
         .orderBy(col("lang"))
+    }),
+
+    // Distribution-drift report (PSI): events split into early/late halves
+    // at the midpoint timestamp, `value` binned into 10 fixed equi-width
+    // buckets over the GLOBAL range, per-bin Laplace-smoothed shares and
+    // the PSI term (p−q)·ln(p/q) — the drift gate a data-freshness monitor
+    // sums. One corpus scan + one 1-row globals broadcast + one ≤10-group
+    // aggregate; the 0..9 bin spine keeps empty bins present so the report
+    // shape is fixed.
+    "diag_drift_psi" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull && col("ts_ns").isNotNull)
+      val g = ev.agg(
+        min(col("ts_ns")).as("mn_ts"), max(col("ts_ns")).as("mx_ts"),
+        min(col("value")).as("mn_v"), max(col("value")).as("mx_v"))
+      val binned = ev.crossJoin(broadcast(g))
+        // integer midpoint: ns epochs overflow double-exact range, so the
+        // pivot is mn + (mx−mn) div 2 in LONG arithmetic on both engines
+        .withColumn("__pivot", expr("mn_ts + (mx_ts - mn_ts) div 2"))
+        .withColumn("__w", (col("mx_v") - col("mn_v")) / 10.0)
+        .withColumn("bin",
+          when(col("__w") === 0.0, lit(0L)).otherwise(
+            least(lit(9L),
+              floor((col("value") - col("mn_v")) / col("__w")).cast("long"))))
+        .withColumn("__late", (col("ts_ns") >= col("__pivot")).cast("long"))
+      val counts = binned.groupBy(col("bin")).agg(
+        sum(lit(1L) - col("__late")).as("n_early"),
+        sum(col("__late")).as("n_late"))
+      val spine = s.range(0, 10).toDF("bin")
+      val filled = spine.join(counts, Seq("bin"), "left")
+        .select(col("bin"), coalesce(col("n_early"), lit(0L)).as("n_early"),
+          coalesce(col("n_late"), lit(0L)).as("n_late"))
+      val totals = filled.agg(sum(col("n_early")).as("__te"),
+        sum(col("n_late")).as("__tl"))
+      filled.crossJoin(broadcast(totals))
+        .withColumn("__p",
+          (col("n_early") + 1).cast("double") / (col("__te") + 10))
+        .withColumn("__q",
+          (col("n_late") + 1).cast("double") / (col("__tl") + 10))
+        .select(col("bin"), col("n_early"), col("n_late"),
+          round((col("__p") - col("__q")) * log(col("__p") / col("__q")), 6)
+            .as("psi_term"))
+        .orderBy(col("bin"))
+    }),
+
+    // Robust per-type outlier gate: exact median + MAD (median absolute
+    // deviation) per event_type, rows beyond 3 MADs counted as outliers —
+    // the anomaly screen that survives heavy tails where mean/stddev
+    // z-scores break. Both medians are exact interpolating percentiles
+    // (identical in DuckDB), the two per-type frames broadcast back. At
+    // 100 TB swap `percentile` for `approx_percentile` (the
+    // agg_approx_quantile_check lane pins that estimator's error band);
+    // the exact form here is the oracle-replayable one.
+    "events_anomaly_mad" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("__med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("__adev", abs(col("value") - col("__med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(expr("percentile(__adev, 0.5)").as("__mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(max(col("__med")), 6).as("median_value"),
+          round(max(col("__mad")), 6).as("mad"),
+          // the outlier verdict compares ROUNDED quantities so the
+          // boundary is a discrete 1e-6 grid both engines agree on (an
+          // unrounded float boundary could flip on a last-ulp median
+          // interpolation difference)
+          sum(when(round(col("__adev"), 6) > round(lit(3.0) * col("__mad"), 6),
+            1L).otherwise(0L)).as("n_outliers"))
+        .orderBy(col("event_type"))
     }),
 
     // Data-quality constraint suite — the validation gate before a table
@@ -932,6 +1022,22 @@ object Extensions {
       TA.textStatsFrame(Tables.documents(s, d), "text", "doc_id")
         .select(col("id").as("doc_id"), col("lang_guess"), col("en_score"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Langid EVALUATION against the corpus's labeled `lang` column: the
+    // confusion matrix (actual × predicted doc counts) a classifier-quality
+    // report reads before the mixture weights trust lang_guess. Same
+    // one-explode textStatsFrame scale path as text_langid, plus one
+    // ≤|langs|²-group aggregate.
+    "text_langid_confusion" -> ((s, d) => {
+      val pred = TA.textStatsFrame(Tables.documents(s, d), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("lang_guess"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang").as("lang_actual"))
+        .join(pred, "doc_id")
+        .groupBy(col("lang_actual"), col("lang_guess"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang_actual"), col("lang_guess"))
     }),
 
     // MinHash ACCURACY, exact-checked: on a bounded slice, the k=32
@@ -1622,6 +1728,36 @@ object Extensions {
 
   /** The minhash LSH pair replay, shared by the pairs oracle and the
     * end-to-end survivors oracle: -> `pairs(id1, id2, est_jaccard)`. */
+  /** Langid scoring CTEs (`lid`: doc_id, lang_guess, en) shared by the
+    * text_langid lane and its confusion-matrix evaluation — the DuckDB
+    * mirror of TextAnalysis.textStatsFrame's stopword-argmax pick, tie
+    * broken in en>fr>de>es inventory order exactly like the Scala fold. */
+  private lazy val langidCtes =
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len($toks)=0 THEN 0.0
+       |         ELSE CAST(len(list_filter($toks, x -> list_contains($enStops, x))) AS DOUBLE)/len($toks) END AS en,
+       |    CASE WHEN len($toks)=0 THEN 0.0
+       |         ELSE CAST(len(list_filter($toks, x -> list_contains($frStops, x))) AS DOUBLE)/len($toks) END AS fr,
+       |    CASE WHEN len($toks)=0 THEN 0.0
+       |         ELSE CAST(len(list_filter($toks, x -> list_contains($deStops, x))) AS DOUBLE)/len($toks) END AS de,
+       |    CASE WHEN len($toks)=0 THEN 0.0
+       |         ELSE CAST(len(list_filter($toks, x -> list_contains($esStops, x))) AS DOUBLE)/len($toks) END AS es,
+       |    CASE WHEN length(text)=0 THEN 0.0
+       |         ELSE CAST(length(regexp_replace(text,
+       |                '[^\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}]', '', 'g')) AS DOUBLE)/length(text) END AS cjk
+       |  FROM documents),
+       |lid AS (
+       |  SELECT doc_id,
+       |    CASE WHEN cjk > 0.05 THEN 'zh'
+       |         WHEN en >= fr AND en >= de AND en >= es AND en > 0 THEN 'en'
+       |         WHEN fr >= de AND fr >= es AND fr > 0 THEN 'fr'
+       |         WHEN de >= es AND de > 0 THEN 'de'
+       |         WHEN es > 0 THEN 'es'
+       |         ELSE 'und' END AS lang_guess,
+       |    en
+       |  FROM s)""".stripMargin
+
   private lazy val minhashPairsCtes = {
     val sigList = Dedup.minhashParams(32)
       .map { case (a, b) => s"min((h * $a + $b) % 2147483647)" }
@@ -1724,29 +1860,16 @@ object Extensions {
     // of LangInventories), 'und' when nothing scores, 'zh' when >5% of
     // codepoints are CJK. RE2 spells Java's \p{script=Han} as \p{Han}.
     "text_langid" ->
-      s"""WITH s AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len($toks)=0 THEN 0.0
-         |         ELSE CAST(len(list_filter($toks, x -> list_contains($enStops, x))) AS DOUBLE)/len($toks) END AS en,
-         |    CASE WHEN len($toks)=0 THEN 0.0
-         |         ELSE CAST(len(list_filter($toks, x -> list_contains($frStops, x))) AS DOUBLE)/len($toks) END AS fr,
-         |    CASE WHEN len($toks)=0 THEN 0.0
-         |         ELSE CAST(len(list_filter($toks, x -> list_contains($deStops, x))) AS DOUBLE)/len($toks) END AS de,
-         |    CASE WHEN len($toks)=0 THEN 0.0
-         |         ELSE CAST(len(list_filter($toks, x -> list_contains($esStops, x))) AS DOUBLE)/len($toks) END AS es,
-         |    CASE WHEN length(text)=0 THEN 0.0
-         |         ELSE CAST(length(regexp_replace(text,
-         |                '[^\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}]', '', 'g')) AS DOUBLE)/length(text) END AS cjk
-         |  FROM documents)
-         |SELECT doc_id,
-         |  CASE WHEN cjk > 0.05 THEN 'zh'
-         |       WHEN en >= fr AND en >= de AND en >= es AND en > 0 THEN 'en'
-         |       WHEN fr >= de AND fr >= es AND fr > 0 THEN 'fr'
-         |       WHEN de >= es AND de > 0 THEN 'de'
-         |       WHEN es > 0 THEN 'es'
-         |       ELSE 'und' END AS lang_guess,
-         |  ${sparkRound("en", 4)} AS en_score
-         |FROM s ORDER BY doc_id""".stripMargin,
+      s"""$langidCtes
+         |SELECT doc_id, lang_guess, ${sparkRound("en", 4)} AS en_score
+         |FROM lid ORDER BY doc_id""".stripMargin,
+
+    // the same langid CTE joined back to the labeled lang column
+    "text_langid_confusion" ->
+      s"""$langidCtes
+         |SELECT d.lang AS lang_actual, l.lang_guess, count(*) AS n_docs
+         |FROM lid l JOIN documents d USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "dedup_exact_groups" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
@@ -2105,6 +2228,22 @@ object Extensions {
          |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
          |  ${OracleSql.sparkRound(s"CAST(sum(n_tokens) AS DOUBLE) / $shardBudget.0", 4)} AS fill
          |FROM s GROUP BY 1, 2 ORDER BY stratum, shard""".stripMargin,
+
+    // the two-phase prefix sum must equal the plain global window cumsum
+    "train_pack_concat" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT) AS start_off
+         |  FROM b)
+         |SELECT doc_id, n_tokens, start_off,
+         |  CAST(floor(start_off / 2048.0) AS BIGINT) AS pack_first,
+         |  CAST(floor((start_off + greatest(n_tokens, 1) - 1) / 2048.0) AS BIGINT) AS pack_last,
+         |  CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(floor((start_off + greatest(n_tokens, 1) - 1) / 2048.0) AS BIGINT)
+         |            - CAST(floor(start_off / 2048.0) AS BIGINT) + 1 END AS packs_spanned
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       s"""WITH t AS (
@@ -2674,6 +2813,49 @@ object Extensions {
          |  ${sparkRound("CAST(n_docs AS DOUBLE) / total", 6)} AS share,
          |  ${sparkRound("-(CAST(n_docs AS DOUBLE) / total) * ln(CAST(n_docs AS DOUBLE) / total)", 6)} AS entropy_term
          |FROM g, t ORDER BY lang""".stripMargin,
+
+    "diag_drift_psi" ->
+      s"""WITH ev AS (
+         |  SELECT value, epoch_us(ts) * 1000 AS ts_ns FROM events
+         |  WHERE value IS NOT NULL AND ts IS NOT NULL),
+         |g AS (SELECT min(ts_ns) AS mn_ts, max(ts_ns) AS mx_ts,
+         |             min(value) AS mn_v, max(value) AS mx_v FROM ev),
+         |binned AS (
+         |  SELECT CASE WHEN (mx_v - mn_v) / 10.0 = 0.0 THEN CAST(0 AS BIGINT)
+         |              ELSE least(CAST(9 AS BIGINT),
+         |                CAST(floor((value - mn_v) / ((mx_v - mn_v) / 10.0)) AS BIGINT)) END AS bin,
+         |         CASE WHEN ts_ns >= mn_ts + (mx_ts - mn_ts) // 2
+         |              THEN 1 ELSE 0 END AS late
+         |  FROM ev, g),
+         |counts AS (SELECT bin, CAST(sum(1 - late) AS BIGINT) AS n_early,
+         |                  CAST(sum(late) AS BIGINT) AS n_late
+         |           FROM binned GROUP BY bin),
+         |spine AS (SELECT CAST(range AS BIGINT) AS bin FROM range(10)),
+         |filled AS (SELECT s.bin, coalesce(n_early, 0) AS n_early,
+         |                  coalesce(n_late, 0) AS n_late
+         |           FROM spine s LEFT JOIN counts c ON c.bin = s.bin),
+         |t AS (SELECT CAST(sum(n_early) AS BIGINT) AS te,
+         |             CAST(sum(n_late) AS BIGINT) AS tl FROM filled)
+         |SELECT bin, n_early, n_late,
+         |  ${sparkRound(
+              "(CAST(n_early + 1 AS DOUBLE) / (te + 10) - CAST(n_late + 1 AS DOUBLE) / (tl + 10))" +
+              " * ln((CAST(n_early + 1 AS DOUBLE) / (te + 10)) / (CAST(n_late + 1 AS DOUBLE) / (tl + 10)))",
+              6)} AS psi_term
+         |FROM filled, t ORDER BY bin""".stripMargin,
+
+    "events_anomaly_mad" ->
+      s"""WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+         |med AS (SELECT event_type, median(value) AS med FROM ev GROUP BY event_type),
+         |dev AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+         |        FROM ev e JOIN med m USING (event_type)),
+         |mad AS (SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type)
+         |SELECT d.event_type, count(*) AS n_events,
+         |  ${sparkRound("max(d.med)", 6)} AS median_value,
+         |  ${sparkRound("max(m.mad)", 6)} AS mad,
+         |  CAST(sum(CASE WHEN ${sparkRound("d.adev", 6)} > ${sparkRound("3.0 * m.mad", 6)}
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM dev d JOIN mad m USING (event_type)
+         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 
     // Exact-Jaccard replay for the prefix-filter lane, by an INDEPENDENT
     // candidate route: any pair with J > 0 shares a shingle, so a plain

@@ -173,4 +173,43 @@ class SamplingSpec extends SparkSpec {
       Set(a, neg) === Set(0L, 1L) }, s"only 0<->1 draws may drop: $dropped")
     assert((all -- dropped) === kept)
   }
+
+  test("packConcat: two-phase prefix sum equals the naive global cumsum") {
+    val rnd = new scala.util.Random(42)
+    // gappy ids (every 3rd dropped) + zero-token docs sprinkled in
+    val docs = (0L until 900L).filter(_ % 3 != 2)
+      .map(i => (i, if (i % 17 == 0) 0L else rnd.nextInt(700).toLong + 1L))
+      .toDF("doc_id", "nt")
+    val got = Sampling.packConcat(docs, "doc_id", col("nt"), budget = 256L,
+        shardSize = 64L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // naive replica: one driver-side pass in id order
+    var off = 0L
+    val want = docs.orderBy("doc_id").collect().map { r =>
+      val (id, n) = (r.getLong(0), r.getLong(1))
+      val start = off; off += n
+      val first = start / 256L
+      val last = (start + math.max(n, 1L) - 1L) / 256L
+      (id, n, start, first, last, if (n == 0) 0L else last - first + 1)
+    }
+    assert(got.toSeq === want.toSeq)
+    // at least one doc must straddle a window boundary in this corpus
+    assert(got.exists(_._6 > 1), "fixture never straddles a boundary")
+    // empty docs sit AT their offset and span zero windows
+    assert(got.filter(_._2 == 0).forall(t => t._4 === t._5 && t._6 === 0L))
+  }
+
+  test("packConcat: offsets are a dense token stream (no holes, no overlap)") {
+    val docs = (0L until 200L).map(i => (i, (i % 13) + 1)).toDF("doc_id", "nt")
+    val rows = Sampling.packConcat(docs, "doc_id", col("nt"), budget = 64L)
+      .orderBy("id").collect()
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(2) + a.getLong(1) === b.getLong(2),
+        s"hole/overlap between ${a.getLong(0)} and ${b.getLong(0)}")
+    case _ => ()
+    }
+    assert(rows.head.getLong(2) === 0L)
+  }
 }
