@@ -197,6 +197,51 @@ object Sampling {
     when(bucket < "e6", "train").when(bucket < "f3", "valid").otherwise("test")
   }
 
+  /** Token-budget mixture sampling: each stratum (language, source, domain)
+    * keeps documents — in the deterministic seeded-md5 draw order — until its
+    * TOKEN budget is spent. This is the knob real pre-training mixtures are
+    * specified in (tokens per domain, not document counts or rates); the
+    * admission rule is "a document is kept iff its cumulative START offset
+    * is under the budget", so the first overshooting document is included
+    * and the cut is a pure function of (seed, corpus) — replayable anywhere.
+    *
+    * The per-stratum running offset uses the same two-phase prefix sum as
+    * [[packConcat]], with the draw's first hex byte as the contiguous
+    * sub-shard key (the draw is the sort key, so its prefix ranges ARE
+    * contiguous spans of the order): phase 1 prefixes ≤256 sub-shard totals
+    * per stratum, phase 2 is a within-(stratum, sub-shard) window — no
+    * stratum ever sorts as a single partition.
+    *
+    * Returns the kept rows with `__start` (the stratum token offset) and
+    * `__budget` attached. */
+  def tokenBudgetSample(docs: DataFrame, stratumCol: String, keyCol: String,
+      nTokens: Column, budgets: Map[String, Long], defaultBudget: Long,
+      seed: String = "budget"): DataFrame = {
+    require(defaultBudget > 0, s"defaultBudget must be positive, got $defaultBudget")
+    require(budgets.values.forall(_ > 0), s"budgets must be positive: $budgets")
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (stratum, b)) =>
+        when(col(stratumCol) === stratum, lit(b)).otherwise(acc)
+    }
+    val base = docs
+      .withColumn("__nt", nTokens.cast("long"))
+      .withColumn("__draw", draw(seed, col(keyCol)))
+      .withColumn("__sub", substring(col("__draw"), 1, 2))
+    val wSub = Window.partitionBy(col(stratumCol)).orderBy(col("__sub"))
+    val prefixes = base.groupBy(col(stratumCol), col("__sub"))
+      .agg(sum(col("__nt")).as("__tot"))
+      .withColumn("__prefix", sum(col("__tot")).over(wSub) - col("__tot"))
+      .select(col(stratumCol), col("__sub"), col("__prefix"))
+    val wIn = Window.partitionBy(col(stratumCol), col("__sub"))
+      .orderBy(col("__draw"), col(keyCol))
+    base.join(broadcast(prefixes), Seq(stratumCol, "__sub"))
+      .withColumn("__start",
+        col("__prefix") + sum(col("__nt")).over(wIn) - col("__nt"))
+      .withColumn("__budget", budget)
+      .filter(col("__start") < col("__budget"))
+      .drop("__draw", "__sub")
+  }
+
   /** Concat-and-chunk sequence packing — the GPT-style pre-training layout:
     * documents are concatenated in id order into one token stream, and the
     * stream is cut into fixed `budget`-token context windows. Per document

@@ -248,6 +248,27 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // Token-budget mixture: per language, keep docs in seeded-draw order
+    // until the language's TOKEN budget is spent (the knob pre-training
+    // mixtures are specified in). Admission = "start offset under budget",
+    // computed with the same two-phase prefix sum as train_pack_concat
+    // (draw-prefix sub-shards), so no stratum sorts as one partition. The
+    // lane reports the per-language fill; the oracle replays the cut as
+    // the plain per-stratum window cumsum.
+    "train_token_budget_mix" -> ((s, d) => {
+      val kept = graft.ext.Sampling.tokenBudgetSample(
+        Tables.documents(s, d), "lang", "doc_id",
+        TA.tokenCount(col("text")), budgets = Map("en" -> 5000L),
+        defaultBudget = 2000L)
+      kept.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(col("__nt")).as("tokens_kept"),
+          max(col("__budget")).as("budget"),
+          round(sum(col("__nt")).cast("double") / max(col("__budget")), 4)
+            .as("fill"))
+        .orderBy(col("lang"))
+    }),
+
     // End-to-end quality filter: keep only exact-dedup survivors whose
     // composite quality clears the bar — the canonical select-what-to-train-on
     // pipeline (fingerprint dedup ∘ quality score), one shuffle each side.
@@ -1116,6 +1137,26 @@ object Extensions {
         emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
         "vec_id", "embedding", k = 5, nprobe = 3)
         .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // IVF index-health report: per cell, member count, mean and worst
+    // cosine to the centroid — the balance/compactness numbers that decide
+    // when an index needs re-training (a cell whose mean similarity decays
+    // after many incremental appends is drifting off its centroid). One
+    // partition-pruned-capable scan of the persisted assignment + an
+    // 8-row centroid broadcast + one k-group aggregate.
+    "sim_cell_health" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val index = cachedIvfIndex(s, d, emb)
+      val cents = index.centroids.toDF("ivf_cell", "__cvec")
+      index.assigned.join(broadcast(cents), "ivf_cell")
+        .withColumn("__cos", Similarity.cosine(col("embedding"), col("__cvec")))
+        .groupBy(col("ivf_cell"))
+        .agg(count(lit(1)).as("n_vectors"),
+          round(avg(col("__cos")), 6).as("mean_cos"),
+          round(min(col("__cos")), 6).as("min_cos"))
+        .orderBy(col("ivf_cell"))
     }),
 
     // IVF-PQ — the two halves composed into the production ANN shape:
@@ -2229,6 +2270,24 @@ object Extensions {
          |  ${OracleSql.sparkRound(s"CAST(sum(n_tokens) AS DOUBLE) / $shardBudget.0", 4)} AS fill
          |FROM s GROUP BY 1, 2 ORDER BY stratum, shard""".stripMargin,
 
+    // per-stratum budget cut replayed as the plain window cumsum
+    "train_token_budget_mix" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS nt,
+         |    substr(md5('budget:' || CAST(doc_id AS VARCHAR)), 1, 4) AS k
+         |  FROM documents),
+         |c AS (
+         |  SELECT lang, nt,
+         |    CASE WHEN lang = 'en' THEN 5000 ELSE 2000 END AS budget,
+         |    sum(nt) OVER (PARTITION BY lang ORDER BY k, doc_id) - nt AS start
+         |  FROM b),
+         |kept AS (SELECT * FROM c WHERE start < budget)
+         |SELECT lang, count(*) AS n_docs_kept,
+         |  CAST(sum(nt) AS BIGINT) AS tokens_kept,
+         |  CAST(max(budget) AS BIGINT) AS budget,
+         |  ${sparkRound("CAST(sum(nt) AS DOUBLE) / max(budget)", 4)} AS fill
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
     // the two-phase prefix sum must equal the plain global window cumsum
     "train_pack_concat" ->
       s"""WITH b AS (
@@ -3089,6 +3148,17 @@ object Extensions {
          |FROM assign a, q
          |WHERE a.cell IN (SELECT cid FROM probe) AND a.vec_id != 0
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    // cell-health replay: same ivfCtes chain, per-cell aggregate of the
+    // member→centroid cosines (mean fenced at round-6: sums of ≤N/k values
+    // in [−1,1] sit ~1e-12 from each other across engines)
+    "sim_cell_health" ->
+      s"""$ivfCtes
+         |SELECT a.cell AS ivf_cell, count(*) AS n_vectors,
+         |  ${sparkRound("avg(list_cosine_similarity(a.v, c.cv))", 6)} AS mean_cos,
+         |  ${sparkRound("min(list_cosine_similarity(a.v, c.cv))", 6)} AS min_cos
+         |FROM assign a JOIN c2 c ON c.cid = a.cell
+         |GROUP BY a.cell ORDER BY ivf_cell""".stripMargin,
 
     // kNN-join replay: the same ivfCtes chain, then per-probe cell choice
     // (row_number over centroid cosine, ties on cid), cell equi-join

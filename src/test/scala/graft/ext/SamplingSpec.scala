@@ -174,6 +174,45 @@ class SamplingSpec extends SparkSpec {
     assert((all -- dropped) === kept)
   }
 
+  test("tokenBudgetSample: two-phase cut equals the naive per-stratum cumsum") {
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 1200L)
+      .map(i => (i, if (i % 5 < 3) "en" else "de", rnd.nextInt(40).toLong + 1L))
+      .toDF("doc_id", "lang", "nt")
+    val budgets = Map("en" -> 900L)
+    val kept = Sampling.tokenBudgetSample(docs, "lang", "doc_id", col("nt"),
+        budgets, defaultBudget = 400L)
+      .select("doc_id", "lang", "__nt", "__start", "__budget")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // naive replica: full sort per stratum by (draw, id), running offset
+    def hex4(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"budget:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+    }
+    val want = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+        val budget = budgets.getOrElse(lang, 400L)
+        var off = 0L
+        rows.sortBy(t => (hex4(t._1), t._1)).flatMap { case (id, _, n) =>
+          val start = off; off += n
+          if (start < budget) Some((id, lang, n, start, budget)) else None
+        }
+      }
+    assert(kept.toSet === want.toSet)
+    // the admission rule may overshoot by at most the last doc's tokens
+    val byLang = kept.groupBy(_._2)
+    byLang.foreach { case (lang, rows) =>
+      val budget = rows.head._5
+      val total = rows.map(_._3).sum
+      val lastN = rows.maxBy(_._4)._3
+      assert(total < budget + lastN, s"$lang overshoot beyond the last doc")
+      assert(total >= budget || rows.size == docs.filter(col("lang") === lang).count(),
+        s"$lang stopped early with budget left")
+    }
+  }
+
   test("packConcat: two-phase prefix sum equals the naive global cumsum") {
     val rnd = new scala.util.Random(42)
     // gappy ids (every 3rd dropped) + zero-token docs sprinkled in
