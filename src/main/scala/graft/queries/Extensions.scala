@@ -42,6 +42,31 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-doc Shannon entropy of the word distribution — the third
+    // degenerate-text signal beside repetition and quality (low entropy =
+    // boilerplate/spam, suspiciously high = shredded junk). Computed as
+    // H = ln(n) − (Σ c·ln c)/n over the per-(doc, word) counts, the exact
+    // rearrangement that needs ONE explode + two aggregates and no
+    // per-term division; round-6 fences the float sum order.
+    "text_token_entropy" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      val perDoc = tf.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+          sum(col("c") * log(col("c"))).as("__clc"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(0.0))
+            .otherwise(round(
+              log(col("n_tokens")) - col("__clc") / col("n_tokens"), 6))
+            .as("token_entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
     // exact-dedup groups on the md5 content fingerprint
     "dedup_exact_groups" -> ((s, d) => {
       Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id")
@@ -934,6 +959,23 @@ object Extensions {
         .select(col("cohort_day"), col("day_offset"), col("n_active"), col("cohort_n"),
           round(col("n_active").cast("double") / col("cohort_n"), 6).as("retained"))
         .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
+    // Growth curve: new users per day (each user counted on their FIRST
+    // active day) plus the cumulative user count — the DAU/acquisition
+    // report. One user-keyed aggregate; the cumsum window runs over the
+    // ≤#days daily frame (metadata scale), never the event log.
+    "events_new_users_daily" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val firstDay = Tables.events(s, d)
+        .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
+        .groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      val daily = firstDay.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_new_users"))
+      daily
+        .withColumn("cum_users",
+          sum(col("n_new_users")).over(Window.orderBy(col("day"))))
+        .orderBy(col("day"))
     }),
 
     // The retention FACT frame — one (user, cohort_day, day_offset) row
@@ -1873,6 +1915,19 @@ object Extensions {
          |       ELSE ${sparkRound(s"CAST(list_aggregate(list_transform($toks, x -> length(x)), 'sum') AS DOUBLE) / len($toks)", 4)} END AS avg_word_len,
          |  length(text) AS n_chars_m
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_token_entropy" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+         |tf AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2),
+         |p AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |        count(*) AS n_distinct, sum(c * ln(c)) AS clc
+         |      FROM tf GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+         |  coalesce(n_distinct, 0) AS n_distinct,
+         |  CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
+         |       ELSE ${sparkRound("ln(n_tokens) - clc / n_tokens", 6)} END AS token_entropy
+         |FROM documents d LEFT JOIN p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "text_quality" ->
       s"""WITH q AS (
@@ -3123,6 +3178,14 @@ object Extensions {
     // Cohort retention replayed: distinct (user, epoch-day) with integer
     // `//` day division (= Spark's `div` on the positive epoch), cohort =
     // min day, exact counts, Spark-rounded retained share.
+    "events_new_users_daily" ->
+      """WITH f AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS day
+        |           FROM events GROUP BY user_id),
+        |d AS (SELECT day, count(*) AS n_new_users FROM f GROUP BY day)
+        |SELECT day, n_new_users,
+        |  CAST(sum(n_new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+        |FROM d ORDER BY day""".stripMargin,
+
     "events_retention" ->
       s"""WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
          |           FROM events),
