@@ -486,6 +486,40 @@ object Extensions {
         .select(col("id").as("doc_id"), col("score"))
     }),
 
+    // Retrieval-quality evaluation: NDCG@10 of the BM25 ranking against a
+    // deterministic relevance label (#distinct query terms in the doc).
+    // The eval-metric lane beside the recall lanes: DCG over the top-10,
+    // IDCG from the corpus-wide ideal ordering via TakeOrdered + a 10-row
+    // window (never a corpus-wide row_number sort), one summary row out.
+    "rank_ndcg_eval" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val terms = Seq("spark", "window", "join")
+      val docs = Tables.documents(s, d)
+      val rel = docs
+        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("t"))
+        .filter(col("t").isin(terms: _*))
+        .groupBy(col("doc_id")).agg(count_distinct(col("t")).as("rel"))
+      def gain(relC: org.apache.spark.sql.Column,
+          rankC: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        (pow(lit(2.0), relC) - 1) / log2(rankC + 1)
+      val top = Ranking.bm25TopK(docs, "text", "doc_id", terms, k = 10)
+        .select(col("id").as("doc_id"), col("score"))
+        .join(rel, Seq("doc_id"), "left")
+        .withColumn("rel", coalesce(col("rel"), lit(0L)))
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      val dcg = top.agg(sum(gain(col("rel"), col("rnk"))).as("dcg_10"))
+      val ideal = rel.orderBy(col("rel").desc, col("doc_id")).limit(10)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("rel").desc, col("doc_id"))))
+      val idcg = ideal.agg(sum(gain(col("rel"), col("rnk"))).as("idcg_10"))
+      val rc = rel.agg(count(lit(1)).as("n_relevant"))
+      rc.crossJoin(dcg).crossJoin(idcg)
+        .select(col("n_relevant"), round(col("dcg_10"), 6).as("dcg_10"),
+          round(col("idcg_10"), 6).as("idcg_10"),
+          round(col("dcg_10") / col("idcg_10"), 6).as("ndcg_10"))
+    }),
+
     // Corpus-level boilerplate n-grams: top-20 5-grams by document
     // frequency (one vote per doc per distinct gram), TakeOrdered top-k.
     "text_boilerplate_ngrams" -> ((s, d) => {
@@ -1811,6 +1845,28 @@ object Extensions {
 
   /** The minhash LSH pair replay, shared by the pairs oracle and the
     * end-to-end survivors oracle: -> `pairs(id1, id2, est_jaccard)`. */
+  /** BM25 scoring CTEs for the fixed 3-term query, shared by the direct,
+    * indexed and NDCG-eval oracles: ends with `scored(doc_id, score)`
+    * (Spark-parity round-4 score); `tf(id, t, tf)` is also referenced by
+    * the NDCG relevance CTE. */
+  private lazy val bm25ScoredCtes = {
+    val terms = Seq("spark", "window", "join")
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val scoreSum = terms.map(t =>
+      s"coalesce(sum(CASE WHEN t = '$t' THEN part END), 0)").mkString(" + ")
+    s"""WITH dl AS (SELECT doc_id AS id, CAST(len($toks) AS BIGINT) AS dl FROM documents),
+       |g AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+       |tk AS (SELECT doc_id AS id, unnest($toks) AS t FROM documents),
+       |tf AS (SELECT id, t, count(*) AS tf FROM tk WHERE t IN ($inList) GROUP BY id, t),
+       |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+       |p AS (SELECT tf.id, tf.t,
+       |        ln((g.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+       |          * (tf.tf * ${1.2 + 1}) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / g.avgdl)) AS part
+       |      FROM tf JOIN df USING (t) JOIN dl USING (id), g),
+       |scored AS (SELECT id AS doc_id, ${sparkRound(scoreSum, 4)} AS score
+       |           FROM p GROUP BY id)""".stripMargin
+  }
+
   /** Langid scoring CTEs (`lid`: doc_id, lang_guess, en) shared by the
     * text_langid lane and its confusion-matrix evaluation — the DuckDB
     * mirror of TextAnalysis.textStatsFrame's stopword-argmax pick, tie
@@ -2035,46 +2091,43 @@ object Extensions {
     // BM25 replay: identical formula with identical association order
     // (k1=1.2, b=0.75 folded to the same literals), the same fixed-order
     // per-term sum, and Spark-parity rounding absorbing the 1-ulp ln()
-    // difference between libm and the JVM.
-    "rank_bm25_indexed" -> {
-      // identical replay to rank_bm25_topk: the index is lossless, so the
-      // oracle recomputes straight from the raw documents table
-      val terms = Seq("spark", "window", "join")
-      val inList = terms.map(t => s"'$t'").mkString(", ")
-      val scoreSum = terms.map(t =>
-        s"coalesce(sum(CASE WHEN t = '$t' THEN part END), 0)").mkString(" + ")
-      s"""WITH dl AS (SELECT doc_id AS id, CAST(len($toks) AS BIGINT) AS dl FROM documents),
-         |g AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
-         |tk AS (SELECT doc_id AS id, unnest($toks) AS t FROM documents),
-         |tf AS (SELECT id, t, count(*) AS tf FROM tk WHERE t IN ($inList) GROUP BY id, t),
-         |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
-         |p AS (SELECT tf.id, tf.t,
-         |        ln((g.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
-         |          * (tf.tf * ${1.2 + 1}) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / g.avgdl)) AS part
-         |      FROM tf JOIN df USING (t) JOIN dl USING (id), g)
-         |SELECT id AS doc_id, ${sparkRound(scoreSum, 4)} AS score
-         |FROM p GROUP BY id
-         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
-    },
+    // difference between libm and the JVM. The indexed lane replays the
+    // SAME chain: the index is lossless, so the oracle recomputes straight
+    // from the raw documents table.
+    "rank_bm25_indexed" ->
+      s"""$bm25ScoredCtes
+         |SELECT doc_id, score FROM scored
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
-    "rank_bm25_topk" -> {
-      val terms = Seq("spark", "window", "join")
-      val inList = terms.map(t => s"'$t'").mkString(", ")
-      val scoreSum = terms.map(t =>
-        s"coalesce(sum(CASE WHEN t = '$t' THEN part END), 0)").mkString(" + ")
-      s"""WITH dl AS (SELECT doc_id AS id, CAST(len($toks) AS BIGINT) AS dl FROM documents),
-         |g AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
-         |tk AS (SELECT doc_id AS id, unnest($toks) AS t FROM documents),
-         |tf AS (SELECT id, t, count(*) AS tf FROM tk WHERE t IN ($inList) GROUP BY id, t),
-         |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
-         |p AS (SELECT tf.id, tf.t,
-         |        ln((g.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
-         |          * (tf.tf * ${1.2 + 1}) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / g.avgdl)) AS part
-         |      FROM tf JOIN df USING (t) JOIN dl USING (id), g)
-         |SELECT id AS doc_id, ${sparkRound(scoreSum, 4)} AS score
-         |FROM p GROUP BY id
-         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
-    },
+    "rank_bm25_topk" ->
+      s"""$bm25ScoredCtes
+         |SELECT doc_id, score FROM scored
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // NDCG replay: relevance = #distinct query terms per doc (from the
+    // same tf CTE), DCG over the rounded-score top-10 ranking, IDCG over
+    // the global ideal ordering (row_number + filter — the window is fine
+    // HERE, DuckDB is the single-node oracle; the Spark side uses
+    // TakeOrdered + a 10-row window instead)
+    "rank_ndcg_eval" ->
+      s"""$bm25ScoredCtes,
+         |rel AS (SELECT id AS doc_id, count(*) AS rel FROM tf GROUP BY id),
+         |top AS (SELECT doc_id, score FROM scored
+         |        ORDER BY score DESC, doc_id LIMIT 10),
+         |tr AS (SELECT t.doc_id, coalesce(r.rel, 0) AS rel,
+         |         row_number() OVER (ORDER BY t.score DESC, t.doc_id) AS rnk
+         |       FROM top t LEFT JOIN rel r USING (doc_id)),
+         |dcg AS (SELECT sum((pow(2.0, rel) - 1) / log2(rnk + 1)) AS dcg_10 FROM tr),
+         |ideal AS (SELECT rel, rnk FROM (
+         |            SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS rnk
+         |            FROM rel) WHERE rnk <= 10),
+         |idcg AS (SELECT sum((pow(2.0, rel) - 1) / log2(rnk + 1)) AS idcg_10 FROM ideal),
+         |rc AS (SELECT count(*) AS n_relevant FROM rel)
+         |SELECT CAST(n_relevant AS BIGINT) AS n_relevant,
+         |  ${sparkRound("dcg_10", 6)} AS dcg_10,
+         |  ${sparkRound("idcg_10", 6)} AS idcg_10,
+         |  ${sparkRound("dcg_10 / idcg_10", 6)} AS ndcg_10
+         |FROM dcg, idcg, rc""".stripMargin,
 
     // Boilerplate top-k: same per-doc-distinct 5-gram stream, doc-frequency
     // count, total-ordered (df DESC, ngram) top-20.
