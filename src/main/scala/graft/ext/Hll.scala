@@ -80,6 +80,29 @@ object Hll {
   def merge(a: DataFrame, b: DataFrame): DataFrame =
     a.union(b).groupBy(col("idx")).agg(max(col("r")).as("r"))
 
+  /** Per-group register frames in ONE pass: (groupCol, idx, r), ≤
+    * |groups|·2^p rows — the materialized-sketch layout (one HLL per day /
+    * partition / tenant) that [[mergeGrouped]] then rolls up without ever
+    * rescanning the input. Same hash/rank pipeline as [[registers]]. */
+  def registersBy(values: DataFrame, valueCol: String, groupCol: String,
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val maxRank = 64 - p + 1
+    val h: Column = Fnv.fnv1a64mixed(col(valueCol).cast("string"))
+    val idx = shiftrightunsigned(h, 64 - p)
+    val w = h.bitwiseAND(lit((1L << (64 - p)) - 1))
+    val rank = when(w === 0, lit(maxRank))
+      .otherwise(lit(maxRank) - length(bin(w)))
+    values.select(col(groupCol), idx.as("idx"), rank.as("rank"))
+      .where(col("idx").isNotNull)
+      .groupBy(col(groupCol), col("idx")).agg(max(col("rank")).as("r"))
+  }
+
+  /** Merge a grouped register frame down to one sketch (register-wise max
+    * across all groups). */
+  def mergeGrouped(regsBy: DataFrame): DataFrame =
+    regsBy.groupBy(col("idx")).agg(max(col("r")).as("r"))
+
   /** One-row (est_hll) estimate from a register frame — the same scaled
     * harmonic mean + linear-counting branch as [[approxDistinct]], rounded
     * to 4 (replayable: integer registers in, one double division + one

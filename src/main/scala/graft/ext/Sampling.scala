@@ -197,6 +197,33 @@ object Sampling {
     when(bucket < "e6", "train").when(bucket < "f3", "valid").otherwise("test")
   }
 
+  /** Weighted sampling WITHOUT replacement, k per stratum — the
+    * Efraimidis–Spirakis A-ES scheme: each row draws u ∈ (0,1] from the
+    * seeded portable FNV hash and ranks by ln(u)/w (equivalent to the
+    * classic u^(1/w) key); the k largest keys per stratum are exactly a
+    * weight-proportional without-replacement draw. Deterministic in
+    * (seed, key, weight) like every sampler here, and one per-stratum
+    * window — the [[stratifiedFixedK]] shape with weights.
+    *
+    * The rank key is rounded to 12 decimals BEFORE ordering (ties then
+    * break on the row key): ln/pow may differ by 1 ulp between engines,
+    * and an unrounded continuous key would let that flip a selection at
+    * the boundary; on the 1e-12 grid both engines see identical keys.
+    * Weights must be strictly positive. */
+  def weightedFixedK(df: DataFrame, stratumCol: String, keyCol: String,
+      weight: Column, k: Int, seed: String = "aes"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val h = graft.functions.Fnv.fnv1a64(
+      concat(lit(seed + ":"), col(keyCol).cast("string")))
+    val u = (pmod(h, lit(1L << 52)) + 1).cast("double") / lit((1L << 52).toDouble)
+    val aesKey = round(log(u) / weight.cast("double"), 12)
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__aes_key").desc, col(keyCol))
+    df.withColumn("__aes_key", aesKey)
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+  }
+
   /** Token-budget mixture sampling: each stratum (language, source, domain)
     * keeps documents — in the deterministic seeded-md5 draw order — until its
     * TOKEN budget is spent. This is the knob real pre-training mixtures are

@@ -190,6 +190,22 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    // exactly 20 docs per language, selection probability ∝ tokens+1 —
+    // the "pick k, longer docs more likely, no duplicates" draw that
+    // per-row Bernoulli sampling can't express. Seeded-FNV u, ln(u)/w
+    // rank key on a 1e-12 grid (cross-engine safe), one per-stratum
+    // window.
+    "train_weighted_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("nt", TA.tokenCount(col("text")).cast("long"))
+      graft.ext.Sampling.weightedFixedK(docs, "lang", "doc_id",
+          col("nt") + 1, k = 20)
+        .select(col("lang"), col("doc_id"), col("nt").as("n_tokens"),
+          col("__rank").cast("long").as("rank"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // Sliding token-window chunking (32-token windows, 8-token overlap):
     // the context-window prep step. Chunk geometry is per-row arithmetic
     // fused into the scan — no shuffle — and each chunk's md5 makes the
@@ -1096,6 +1112,27 @@ object Extensions {
       Hll.approxDistinct(
         Tables.documents(s, d).select(explode(TA.tokens(col("text"))).as("tok")),
         "tok", p = 8)
+    }),
+
+    // Materialized-sketch rollup — the way NDV is actually tracked at
+    // 100 TB: one ≤2^p-row register sketch per DAY (one pass over the
+    // log), then the corpus NDV from a register-wise-max merge of the
+    // daily sketches, never a rescan. est_merged must equal est_direct
+    // (the one-pass estimate over the whole log) EXACTLY — the merge
+    // property, here hash-checked by the gate every round, not just
+    // spec-pinned.
+    "agg_hll_daily_merge" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
+      val dayRegs = Hll.registersBy(
+        ev.select(col("day"), col("user_id")), "user_id", "day", p = 8)
+      val merged = Hll.estimate(Hll.mergeGrouped(dayRegs), p = 8)
+        .withColumnRenamed("est_hll", "est_merged")
+      val direct = Hll.estimate(
+        Hll.registers(ev.select(col("user_id")), "user_id", p = 8), p = 8)
+        .withColumnRenamed("est_hll", "est_direct")
+      val days = ev.agg(count_distinct(col("day")).as("n_days"))
+      days.crossJoin(merged).crossJoin(direct)
     }),
 
     "dedup_minhash_sig" -> ((s, d) => {
@@ -2233,6 +2270,39 @@ object Extensions {
          |FROM e""".stripMargin
     },
 
+    // daily-merge replay: ONE direct register chain over user_id — by the
+    // merge property (register-wise max commutes with union, pinned in
+    // HllSpec) the merged estimate must equal it exactly, so the oracle
+    // emits the same value for both columns and the gate's hash compare
+    // enforces the property on real data every round
+    "agg_hll_daily_merge" -> {
+      val num = Hll.numerator(8)
+      s"""WITH t AS (SELECT CAST(user_id AS VARCHAR) AS u FROM events
+         |           WHERE user_id IS NOT NULL),
+         |h0 AS (SELECT u, ${fnvSql("u")} AS h FROM t),
+         |${fmixStages("h0", "u")},
+         |rk AS (SELECT u, hu // (1::HUGEINT << 56) AS idx,
+         |         CASE WHEN hu % (1::HUGEINT << 56) = 0 THEN 57
+         |              ELSE 57 - length(bin(hu % (1::HUGEINT << 56))) END AS rank
+         |       FROM hh),
+         |regs AS (SELECT idx, max(rank) AS r FROM rk GROUP BY idx),
+         |a AS (SELECT count(*) AS m_used,
+         |        sum(1::HUGEINT << (57 - r)) AS s_used FROM regs),
+         |f AS (SELECT CAST(256 - m_used AS BIGINT) AS v_empty,
+         |        s_used + (256 - m_used)::HUGEINT * (1::HUGEINT << 57) AS z_scaled
+         |      FROM a),
+         |e AS (SELECT ${sparkRound(
+               s"""CASE WHEN $num / CAST(z_scaled AS DOUBLE) <= 640.0 AND v_empty > 0
+                  |             THEN 256.0 * ln(256.0 / v_empty)
+                  |             ELSE $num / CAST(z_scaled AS DOUBLE) END""".stripMargin, 4)} AS est
+         |      FROM f),
+         |nd AS (SELECT count(DISTINCT epoch_us(ts) // 86400000000) AS n_days
+         |       FROM events)
+         |SELECT CAST(n_days AS BIGINT) AS n_days, est AS est_merged,
+         |  est AS est_direct
+         |FROM e, nd""".stripMargin
+    },
+
     // MinHash k=8 signature lanes replayed exactly: FNV-1a shingle hashes +
     // the same affine permutation constants (interpolated from the fixed
     // seed, so the two sides can never drift).
@@ -2727,6 +2797,26 @@ object Extensions {
         |         greatest(0.0, least(1.0, n_chars::DOUBLE / 500.0)) * 65536) AS BIGINT))), 4, '0')
         |  END
         |ORDER BY doc_id""".stripMargin,
+
+    // A-ES replay: same seeded-FNV u ∈ (0,1] (52-bit draw), same
+    // ln(u)/(nt+1) key Spark-rounded to 12 decimals, same per-stratum
+    // row_number with id tie-break
+    "train_weighted_topk" ->
+      s"""WITH b AS (SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS nt
+         |           FROM documents),
+         |h0 AS (SELECT doc_id, lang, nt,
+         |         ${fnvSql("'aes:' || CAST(doc_id AS VARCHAR)")} AS h FROM b),
+         |kx AS (SELECT doc_id, lang, nt,
+         |         ${sparkRound(
+              "ln(CAST((h % (1::HUGEINT << 52)) + 1 AS DOUBLE) / 4503599627370496.0) / (nt + 1)",
+              12)} AS aes_key
+         |       FROM h0),
+         |r AS (SELECT doc_id, lang, nt,
+         |        row_number() OVER (PARTITION BY lang
+         |          ORDER BY aes_key DESC, doc_id) AS rank
+         |      FROM kx)
+         |SELECT lang, doc_id, nt AS n_tokens, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 20 ORDER BY lang, rank""".stripMargin,
 
     // Bigram LM replayed exactly: positioned bigrams, corpus bigram/prefix
     // counts, the continuation vocabulary V, each add-one conditional

@@ -98,4 +98,19 @@ class HllSpec extends SparkSpec {
     assert(common > 100 && common < 500,
       s"inclusion-exclusion estimate $common should bracket the true 300")
   }
+
+  test("grouped registers merge to exactly the one-pass sketch") {
+    import spark.implicits._
+    val rows = (1L to 5000L).map(i => (i % 7, s"u${i % 613}")).toDF("g", "v")
+    def toMap(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val oneShot = toMap(Hll.registers(rows.select($"v"), "v"))
+    val merged = toMap(Hll.mergeGrouped(Hll.registersBy(rows, "v", "g")))
+    assert(merged === oneShot, "register-wise max must commute with union")
+    // and therefore the estimates agree exactly
+    val a = Hll.estimate(Hll.registers(rows.select($"v"), "v")).collect().head.getDouble(0)
+    val b = Hll.estimate(Hll.mergeGrouped(Hll.registersBy(rows, "v", "g")))
+      .collect().head.getDouble(0)
+    assert(a === b)
+  }
 }

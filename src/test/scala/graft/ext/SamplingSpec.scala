@@ -174,6 +174,27 @@ class SamplingSpec extends SparkSpec {
     assert((all -- dropped) === kept)
   }
 
+  test("weightedFixedK: exactly k per stratum, deterministic, weight-biased") {
+    val docs = (0L until 1000L)
+      .map(i => (i, if (i % 2 == 0) "a" else "b",
+        if (i < 10) 1000L else 1L)) // 10 heavy docs, all in stratum "a"
+      .toDF("id", "st", "w")
+    val pick = Sampling.weightedFixedK(docs, "st", "id", col("w") + 0, k = 10)
+    val again = Sampling.weightedFixedK(docs, "st", "id", col("w") + 0, k = 10)
+    assert(pick.collect().map(_.getLong(0)).toSet ===
+      again.collect().map(_.getLong(0)).toSet, "not deterministic")
+    val perSt = pick.groupBy("st").count().as[(String, Long)].collect().toMap
+    assert(perSt === Map("a" -> 10L, "b" -> 10L))
+    // heavy docs carry 10000/10490 of stratum a's weight: A-ES should pick
+    // nearly all of them into a's k=10 (allow generous slack)
+    val heavyPicked = pick.filter(col("id") < 10).count()
+    assert(heavyPicked >= 7, s"only $heavyPicked of 10 heavy docs selected")
+    // k >= stratum size is the identity
+    val tiny = (0L until 5L).map(i => (i, "x", i + 1)).toDF("id", "st", "w")
+    assert(Sampling.weightedFixedK(tiny, "st", "id", col("w"), k = 10)
+      .count() === 5)
+  }
+
   test("tokenBudgetSample: two-phase cut equals the naive per-stratum cumsum") {
     val rnd = new scala.util.Random(7)
     val docs = (0L until 1200L)
