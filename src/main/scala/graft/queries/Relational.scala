@@ -1019,6 +1019,21 @@ object Relational {
         .orderBy(col("quartile"))
     }),
 
+    // distribution window functions: percent_rank / cume_dist per
+    // partition key — PARTITION BY parallelizes the sort across nations,
+    // the remaining SQL-window shapes beside rank/ntile/lag/frames
+    "window_distribution" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .filter(col("c_custkey") < 800)
+        .select(col("c_nationkey"), col("c_custkey"),
+          round(col("c_acctbal"), 2).as("bal"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("c_nationkey"), col("c_custkey"))
+    }),
+
     // ---- sorts / top-k -----------------------------------------------------
     "sort_multikey" -> ((s, d) => {
       Tables.supplier(s, d)
@@ -1800,6 +1815,14 @@ object Relational {
         |   ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS quartile
         | FROM orders WHERE o_orderkey < 2000)
         |GROUP BY quartile ORDER BY quartile""".stripMargin,
+
+    "window_distribution" ->
+      """SELECT c_nationkey, c_custkey, round(c_acctbal,2) AS bal,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM customer WHERE c_custkey < 800
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
 
     "sort_multikey" ->
       """SELECT s_nationkey, round(s_acctbal,2) AS bal, s_suppkey FROM supplier
