@@ -591,9 +591,15 @@ object Extensions {
       cand
         .join(docs.select(col("doc_id").as("id1"), col("text").as("t1")), "id1")
         .join(docs.select(col("doc_id").as("id2"), col("text").as("t2")), "id2")
+        // length prefilter (|len diff| > 64 ⇒ distance > 64, zero DP cost)
+        // + the THRESHOLD levenshtein: banded early-abandon DP, O(len·64)
+        // per pair instead of O(len²) — at 10× the near-dup pair count
+        // grows with true duplicate density, so per-pair cost is what
+        // keeps the re-score linear in candidates (165 s → banded at sf1x)
+        .filter(abs(length(col("t1")) - length(col("t2"))) <= 64)
         .select(col("id1"), col("id2"),
-          levenshtein(col("t1"), col("t2")).as("edit_dist"))
-        .filter(col("edit_dist") <= 64)
+          levenshtein(col("t1"), col("t2"), 64).as("edit_dist"))
+        .filter(col("edit_dist") =!= -1)
         .orderBy(col("id1"), col("id2"))
     }),
 
