@@ -508,6 +508,30 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared")) // grams() already dedups per doc
   }
 
+  /** Containment-scored contamination: [[contamination]] plus the per-doc
+    * denominator — for every train doc, its distinct-gram count, the count
+    * shared with the eval SET, and the containment |T∩E|/|T| (the
+    * asymmetric "how much of this doc is eval material" ratio that a
+    * drop-vs-keep policy thresholds, where symmetric Jaccard would hide a
+    * short eval doc quoted inside a long train doc). One pass over the
+    * train gram stream, eval hashes broadcast; every train doc reported
+    * (zero-share docs at containment 0.0; empty docs carry their ""
+    * whole-string shingle so the denominator is never 0). */
+  def contaminationScored(train: DataFrame, eval: DataFrame, textCol: String,
+      idCol: String, n: Int = 5): DataFrame = {
+    def grams(df: DataFrame): DataFrame = shingleFrame(df, textCol, idCol, n)
+      .select(col("id"), graft.functions.Fnv.fnv1a64(col("shingle")).as("h"))
+      .distinct()
+    val evalHashes = grams(eval).select(col("h")).distinct()
+      .withColumn("__e", lit(1))
+    grams(train).join(broadcast(evalHashes), Seq("h"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__e").isNotNull, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("containment",
+        round(col("n_shared").cast("double") / col("n_grams"), 6))
+  }
+
   // ---- exact n-gram Jaccard (quadratic; small slices / verification) -------
 
   /** Pairwise word-set Jaccard over a (small) doc set. */

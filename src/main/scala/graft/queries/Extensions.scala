@@ -338,6 +338,44 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // Containment-SCORED decontamination: beside the shared-gram count,
+    // the per-doc ratio |T∩E|/|T| a drop-vs-keep policy thresholds — the
+    // asymmetric measure that catches a short eval doc quoted inside a
+    // long train doc where symmetric Jaccard would not. Same broadcast
+    // eval-hash set, one pass over the train gram stream, every train doc
+    // reported.
+    "train_contamination_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationScored(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "text", "doc_id", n = 5)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_shared"),
+          col("containment"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // DAU/WAU stickiness: daily actives over trailing-7-day actives per
+    // day — the engagement ratio beside the growth curve. The event log
+    // reduces to the distinct (user, day) frame ONCE; the trailing window
+    // is a 7-day band join against the metadata-scale day spine, never a
+    // second pass over events.
+    "events_dau_wau" -> ((s, d) => {
+      val a = Tables.events(s, d)
+        .select(col("user_id"), expr("(ts_ns div 1000) div 86400000000").as("day"))
+        .distinct()
+      val dau = a.groupBy(col("day")).agg(count_distinct(col("user_id")).as("dau"))
+      val days = a.select(col("day")).distinct()
+      val wau = days.select(col("day").as("d0"))
+        .join(a, col("day").between(col("d0") - 6, col("d0")))
+        .groupBy(col("d0").as("day"))
+        .agg(count_distinct(col("user_id")).as("wau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+        .orderBy(col("day"))
+    }),
+
     // PageRank over the near-dup graph (the boilerplate-hub ranking):
     // 10 fixed power-iteration rounds at d=0.85 over the symmetrized
     // minhash-LSH edges, scores quantized per iteration (the IVF
@@ -2105,6 +2143,30 @@ object Extensions {
          |tr AS (SELECT doc_id, h FROM h WHERE doc_id % 97 <> 0)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
          |FROM tr JOIN ev USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "train_contamination_score" ->
+      s"""WITH docs AS (SELECT doc_id, $toks AS tk FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(${shingleSqlN(5)})) AS s FROM docs),
+         |h AS (SELECT doc_id, ${signed64(fnvSql("s"))} AS h FROM g),
+         |ev AS (SELECT DISTINCT h FROM h WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id, CASE WHEN ev.h IS NULL THEN 0 ELSE 1 END AS sh
+         |       FROM h LEFT JOIN ev USING (h) WHERE doc_id % 97 <> 0)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(sh) AS BIGINT) AS n_shared,
+         |  ${sparkRound("CAST(sum(sh) AS DOUBLE) / count(*)", 6)} AS containment
+         |FROM tr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "events_dau_wau" ->
+      s"""WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+         |           FROM events),
+         |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM a GROUP BY day),
+         |days AS (SELECT DISTINCT day AS d0 FROM a),
+         |wau AS (SELECT d0 AS day, count(DISTINCT user_id) AS wau
+         |        FROM days JOIN a ON a.day BETWEEN d0 - 6 AND d0
+         |        GROUP BY d0)
+         |SELECT day, dau, wau,
+         |  ${sparkRound("CAST(dau AS DOUBLE) / wau", 6)} AS stickiness
+         |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
 
     // PII scrub replay: identical regexes (written to the Java-regex /
     // RE2 common subset), identical replacement order (email, then phone,

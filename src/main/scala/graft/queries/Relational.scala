@@ -1078,6 +1078,45 @@ object Relational {
       a.except(b).orderBy(col("k"))
     }),
 
+    // bag-semantics set ops: EXCEPT ALL / INTERSECT ALL keep per-key
+    // multiplicities (the dedup-free forms); summarized per key so the
+    // verify payload stays small while every multiplicity is checked
+    "setop_except_all" -> ((s, d) => {
+      val a = Tables.lineitem(s, d).filter(col("l_orderkey") < 2000)
+        .select(col("l_partkey").as("k"))
+      val b = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 2000 && col("l_linenumber") > 1)
+        .select(col("l_partkey").as("k"))
+      a.exceptAll(b).groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k"))
+    }),
+
+    "setop_intersect_all" -> ((s, d) => {
+      val a = Tables.lineitem(s, d).filter(col("l_orderkey") < 2000)
+        .select(col("l_partkey").as("k"))
+      val b = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") >= 1000 && col("l_orderkey") < 3000)
+        .select(col("l_partkey").as("k"))
+      a.intersectAll(b).groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k"))
+    }),
+
+    // null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    // match each other — the semantics a plain equi-join silently drops
+    "join_null_safe_eq" -> ((s, d) => {
+      val a = Tables.customer(s, d).filter(col("c_custkey") < 2000)
+        .select(col("c_custkey"),
+          expr("nullif(c_mktsegment, 'BUILDING')").as("seg"))
+      val b = Tables.customer(s, d)
+        .filter(col("c_custkey") % 50 === 0 && col("c_custkey") < 2000)
+        .select(col("c_custkey").as("k2"),
+          expr("nullif(c_mktsegment, 'BUILDING')").as("seg2"))
+      a.join(b, col("seg") <=> col("seg2"))
+        .groupBy(coalesce(col("seg"), lit("(null)")).as("seg"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("seg"))
+    }),
+
     // ---- scalar functions --------------------------------------------------
     "scalar_string_funcs" -> ((s, d) => {
       Tables.part(s, d)
@@ -1856,6 +1895,31 @@ object Relational {
         |EXCEPT
         |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY k""".stripMargin,
+
+    "setop_except_all" ->
+      """SELECT k, count(*) AS n FROM (
+        |  SELECT l_partkey AS k FROM lineitem WHERE l_orderkey < 2000
+        |  EXCEPT ALL
+        |  SELECT l_partkey AS k FROM lineitem
+        |  WHERE l_orderkey < 2000 AND l_linenumber > 1)
+        |GROUP BY k ORDER BY k""".stripMargin,
+
+    "setop_intersect_all" ->
+      """SELECT k, count(*) AS n FROM (
+        |  SELECT l_partkey AS k FROM lineitem WHERE l_orderkey < 2000
+        |  INTERSECT ALL
+        |  SELECT l_partkey AS k FROM lineitem
+        |  WHERE l_orderkey >= 1000 AND l_orderkey < 3000)
+        |GROUP BY k ORDER BY k""".stripMargin,
+
+    "join_null_safe_eq" ->
+      """SELECT coalesce(a.seg, '(null)') AS seg, count(*) AS n_pairs
+        |FROM (SELECT nullif(c_mktsegment, 'BUILDING') AS seg FROM customer
+        |      WHERE c_custkey < 2000) a
+        |JOIN (SELECT nullif(c_mktsegment, 'BUILDING') AS seg2 FROM customer
+        |      WHERE c_custkey % 50 = 0 AND c_custkey < 2000) b
+        |  ON a.seg IS NOT DISTINCT FROM b.seg2
+        |GROUP BY 1 ORDER BY seg""".stripMargin,
 
     "scalar_string_funcs" ->
       """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,

@@ -334,6 +334,17 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.contamination(train, eval, "text", "doc_id", n = 5)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 1L, 3L -> 1L, 4L -> 2L), s"got $got")
+
+    // scored form: EVERY train doc reported with its denominator + ratio
+    val scored = Dedup.contaminationScored(train, eval, "text", "doc_id", n = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(scored.keySet === Set(1L, 2L, 3L, 4L))
+    assert(scored(1L) === ((3L, 1L, 0.333333)), s"got ${scored(1L)}")
+    assert(scored(2L)._2 === 0L && scored(2L)._3 === 0.0)
+    assert(scored(3L) === ((1L, 1L, 1.0)), "exact short copy: containment 1")
+    assert(scored(4L)._2 === 2L)
   }
 
   test("componentStore: computes once, rereads from parquet, leaves no checkpoint blocks") {
