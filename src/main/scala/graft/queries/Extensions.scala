@@ -376,6 +376,30 @@ object Extensions {
         .orderBy(col("day"))
     }),
 
+    // Pareto/power-user curve: events per user -> usage deciles (ntile
+    // over the count-aggregated USER frame — a report over the already
+    // reduced frame, not the event log) -> per-decile event share and
+    // cumulative share. Cumulative share divides integer cumulative sums
+    // by the integer total, so the doubles are engine-identical before
+    // the round-6 fence.
+    "events_power_users_pareto" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = Tables.events(s, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_ev"))
+      val dec = per.withColumn("decile",
+        ntile(10).over(Window.orderBy(col("n_ev").desc, col("user_id"))))
+      val g = dec.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"), sum(col("n_ev")).as("n_events"))
+      val tot = g.agg(sum(col("n_events")).as("__total"))
+      g.crossJoin(broadcast(tot))
+        .withColumn("__cum",
+          sum(col("n_events")).over(Window.orderBy(col("decile"))))
+        .select(col("decile"), col("n_users"), col("n_events"),
+          round(col("n_events").cast("double") / col("__total"), 6).as("share"),
+          round(col("__cum").cast("double") / col("__total"), 6).as("cum_share"))
+        .orderBy(col("decile"))
+    }),
+
     // PageRank over the near-dup graph (the boilerplate-hub ranking):
     // 10 fixed power-iteration rounds at d=0.85 over the symmetrized
     // minhash-LSH edges, scores quantized per iteration (the IVF
@@ -1316,6 +1340,26 @@ object Extensions {
         .orderBy(col("ivf_cell"))
     }),
 
+    // FILTERED vector search — top-k among vectors satisfying a metadata
+    // predicate (label = 1), the shape every production vector store
+    // serves. The cell prune happens FIRST (partition-prunable scan of
+    // the persisted assignment), the label joins in from the corpus
+    // table, the predicate filters before the top-k — post-filtering at
+    // candidate scale, never corpus scale.
+    "sim_ann_filtered_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val index = cachedIvfIndex(s, d, emb)
+      val qvec = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
+      val cells = Similarity.ivfProbeCells(index.centroids, qvec, nprobe = 3)
+      index.assigned.filter(col("ivf_cell").isin(cells: _*))
+        .join(emb.select(col("vec_id"), col("label")), "vec_id")
+        .filter(col("label") === 1 && col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label"),
+          round(Similarity.cosine(col("embedding"), typedLit(qvec)), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // IVF-PQ — the two halves composed into the production ANN shape:
     // the IVF layout prunes the search to nprobe cells (a partition-pruned
     // scan of the persisted index), and WITHIN those cells distance runs
@@ -2155,6 +2199,23 @@ object Extensions {
          |  CAST(sum(sh) AS BIGINT) AS n_shared,
          |  ${sparkRound("CAST(sum(sh) AS DOUBLE) / count(*)", 6)} AS containment
          |FROM tr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "events_power_users_pareto" ->
+      s"""WITH per AS (SELECT user_id, count(*) AS n_ev FROM events GROUP BY user_id),
+         |dec AS (SELECT n_ev,
+         |          ntile(10) OVER (ORDER BY n_ev DESC, user_id) AS decile
+         |        FROM per),
+         |g AS (SELECT decile, count(*) AS n_users,
+         |        CAST(sum(n_ev) AS BIGINT) AS n_events
+         |      FROM dec GROUP BY decile),
+         |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS total FROM g),
+         |c AS (SELECT decile, n_users, n_events,
+         |        CAST(sum(n_events) OVER (ORDER BY decile) AS BIGINT) AS cum
+         |      FROM g)
+         |SELECT decile, n_users, n_events,
+         |  ${sparkRound("CAST(n_events AS DOUBLE) / total", 6)} AS share,
+         |  ${sparkRound("CAST(cum AS DOUBLE) / total", 6)} AS cum_share
+         |FROM c, t ORDER BY decile""".stripMargin,
 
     "events_dau_wau" ->
       s"""WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
@@ -3422,6 +3483,17 @@ object Extensions {
          |FROM assign a, q
          |WHERE a.cell IN (SELECT cid FROM probe) AND a.vec_id != 0
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    // filtered-ANN replay: same ivfCtes chain, label joined from the raw
+    // table, predicate before the top-k
+    "sim_ann_filtered_topk" ->
+      s"""$ivfCtes
+         |SELECT a.vec_id, em.label,
+         |  ${sparkRound("list_cosine_similarity(a.v, q.qv)", 6)} AS cos
+         |FROM assign a JOIN embeddings em ON em.vec_id = a.vec_id, q
+         |WHERE a.cell IN (SELECT cid FROM probe) AND a.vec_id != 0
+         |  AND em.label = 1
+         |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin,
 
     // cell-health replay: same ivfCtes chain, per-cell aggregate of the
     // member→centroid cosines (mean fenced at round-6: sums of ≤N/k values
