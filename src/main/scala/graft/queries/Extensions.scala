@@ -376,6 +376,49 @@ object Extensions {
         .orderBy(col("day"))
     }),
 
+    // Gaps-and-islands: longest consecutive-day activity streak per user
+    // (day − row_number is constant within an island). Reduces to the
+    // distinct (user, day) frame first; both windows share ONE user-keyed
+    // exchange. Top-20 streaks by (len, user, start) — TakeOrdered.
+    "events_streaks" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val a = Tables.events(s, d)
+        .select(col("user_id"), expr("(ts_ns div 1000) div 86400000000").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val islands = a
+        .withColumn("__grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("__grp"))
+        .agg(count(lit(1)).as("streak_days"), min(col("day")).as("start_day"))
+      islands
+        .select(col("user_id"), col("start_day"), col("streak_days"))
+        .orderBy(col("streak_days").desc, col("user_id"), col("start_day"))
+        .limit(20)
+    }),
+
+    // Dataset card: the per-(lang, source) summary a data release ships —
+    // doc/token counts, mean doc length, exact-duplicate rate (docs whose
+    // normalized fingerprint appears more than once corpus-wide). One
+    // explode-free token count + one fingerprint aggregate, broadcast
+    // joined; every metric integer-derived before its round-4 fence.
+    "train_dataset_card" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("nt", TA.tokenCount(col("text")).cast("long"))
+        .withColumn("fp", TA.fingerprint(col("text")))
+      val dupFps = docs.groupBy(col("fp")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).select(col("fp")).withColumn("__dup", lit(1))
+      docs.join(broadcast(dupFps), Seq("fp"), "left")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("n_tokens"),
+          round(sum(col("nt")).cast("double") / count(lit(1)), 4)
+            .as("avg_doc_tokens"),
+          sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("n_dup_docs"),
+          round(sum(when(col("__dup").isNotNull, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 4).as("dup_rate"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // Pareto/power-user curve: events per user -> usage deciles (ntile
     // over the count-aggregated USER frame — a report over the already
     // reduced frame, not the event log) -> per-decile event share and
@@ -2199,6 +2242,31 @@ object Extensions {
          |  CAST(sum(sh) AS BIGINT) AS n_shared,
          |  ${sparkRound("CAST(sum(sh) AS DOUBLE) / count(*)", 6)} AS containment
          |FROM tr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "events_streaks" ->
+      """WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |           FROM events),
+        |i AS (SELECT user_id, day,
+        |        day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |      FROM a),
+        |s AS (SELECT user_id, count(*) AS streak_days, min(day) AS start_day
+        |      FROM i GROUP BY user_id, grp)
+        |SELECT user_id, start_day, streak_days FROM s
+        |ORDER BY streak_days DESC, user_id, start_day LIMIT 20""".stripMargin,
+
+    "train_dataset_card" ->
+      s"""WITH d0 AS (SELECT lang, source,
+         |    CAST(len($toks) AS BIGINT) AS nt,
+         |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |dups AS (SELECT fp FROM d0 GROUP BY fp HAVING count(*) > 1)
+         |SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  ${sparkRound("CAST(sum(nt) AS DOUBLE) / count(*)", 4)} AS avg_doc_tokens,
+         |  CAST(sum(CASE WHEN dups.fp IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_docs,
+         |  ${sparkRound("CAST(sum(CASE WHEN dups.fp IS NULL THEN 0 ELSE 1 END) AS DOUBLE) / count(*)", 4)} AS dup_rate
+         |FROM d0 LEFT JOIN dups USING (fp)
+         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
     "events_power_users_pareto" ->
       s"""WITH per AS (SELECT user_id, count(*) AS n_ev FROM events GROUP BY user_id),
