@@ -103,6 +103,32 @@ object Hll {
   def mergeGrouped(regsBy: DataFrame): DataFrame =
     regsBy.groupBy(col("idx")).agg(max(col("r")).as("r"))
 
+  /** Per-group estimates from a [[registersBy]] frame: (groupCol, est_hll)
+    * — the grouped approximate-distinct shape (NDV per tenant/day/type)
+    * with the same scaled-harmonic-mean + linear-counting branch as
+    * [[estimate]], one ≤|groups|-row output. */
+  def estimateBy(regsBy: DataFrame, groupCol: String, p: Int = 8): DataFrame = {
+    val m = 1 << p
+    val maxRank = 64 - p + 1
+    regsBy
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("m_used"),
+        sum(expr(s"CAST(shiftleft(CAST(1 AS BIGINT), $maxRank - r) AS DECIMAL(38,0))"))
+          .as("s_used"))
+      .select(col(groupCol),
+        (lit(m.toLong) - col("m_used")).as("v_empty"),
+        (col("s_used") +
+          (lit(m.toLong).cast("decimal(38,0)") - col("m_used").cast("decimal(38,0)")) *
+            lit(1L << maxRank).cast("decimal(38,0)")).as("z_scaled"))
+      .select(col(groupCol), round(
+        when(
+          lit(numerator(p)) / col("z_scaled").cast("double") <= lit(2.5 * m) &&
+            col("v_empty") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v_empty").cast("double")))
+          .otherwise(lit(numerator(p)) / col("z_scaled").cast("double")),
+        4).as("est_hll"))
+  }
+
   /** One-row (est_hll) estimate from a register frame — the same scaled
     * harmonic mean + linear-counting branch as [[approxDistinct]], rounded
     * to 4 (replayable: integer registers in, one double division + one

@@ -42,6 +42,34 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // Code-vs-prose detection — the filter that routes source code out of
+    // (or into) a text training mix: bracket/semicolon character density
+    // plus code-keyword token share, folded into one score. Pure column
+    // algebra fused into the scan; thresholds compare the ROUNDED score
+    // so the verdict is a discrete grid both engines agree on.
+    "text_code_detect" -> ((s, d) => {
+      val kw = Seq("def", "class", "return", "import", "function", "var",
+        "let", "const", "if", "else", "for", "while", "void", "int")
+      val nch = length(col("text"))
+      val braces = (nch - length(regexp_replace(col("text"), "[{}()\\[\\];]", "")))
+        .cast("double")
+      val kwHits = size(filter(TA.tokens(col("text")),
+        t => t.isInCollection(kw))).cast("double")
+      val ntk = TA.tokenCount(col("text"))
+      val braceRatio = braces / greatest(nch, lit(1)).cast("double")
+      val kwRatio = kwHits / greatest(ntk, lit(1)).cast("double")
+      val score = round(
+        least(braceRatio * 20, lit(1.0)) * 0.5 +
+          least(kwRatio * 8, lit(1.0)) * 0.5, 4)
+      Tables.documents(s, d)
+        .select(col("doc_id"), nch.as("n_chars"),
+          round(braceRatio, 4).as("brace_ratio"),
+          round(kwRatio, 4).as("kw_ratio"),
+          score.as("code_score"),
+          (score >= 0.5).as("is_code"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-doc Shannon entropy of the word distribution — the third
     // degenerate-text signal beside repetition and quality (low entropy =
     // boilerplate/spam, suspiciously high = shredded junk). Computed as
@@ -1244,6 +1272,24 @@ object Extensions {
         .withColumnRenamed("est_hll", "est_direct")
       val days = ev.agg(count_distinct(col("day")).as("n_days"))
       days.crossJoin(merged).crossJoin(direct)
+    }),
+
+    // GROUPED approximate distinct — NDV per group (users per event
+    // type), the ubiquitous per-tenant/per-day cardinality shape: one
+    // registersBy pass (≤ groups·2^p shuffle rows whatever the input),
+    // per-group estimate beside the exact witness and its relative error.
+    "agg_hll_by_group" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val est = Hll.estimateBy(
+        Hll.registersBy(ev.select(col("event_type"), col("user_id")),
+          "user_id", "event_type", p = 8), "event_type", p = 8)
+      val exact = ev.groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("nd_exact"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("est_hll"), col("nd_exact"),
+          round((col("est_hll") - col("nd_exact")) /
+            col("nd_exact").cast("double"), 4).as("rel_err"))
+        .orderBy(col("event_type"))
     }),
 
     "dedup_minhash_sig" -> ((s, d) => {
@@ -2498,6 +2544,54 @@ object Extensions {
          |SELECT CAST(n_days AS BIGINT) AS n_days, est AS est_merged,
          |  est AS est_direct
          |FROM e, nd""".stripMargin
+    },
+
+    // grouped-NDV replay: the register chain with event_type carried
+    // through every stage, per-group estimate + exact witness
+    "agg_hll_by_group" -> {
+      val num = Hll.numerator(8)
+      val est =
+        s"""CASE WHEN $num / CAST(z_scaled AS DOUBLE) <= 640.0 AND v_empty > 0
+           |             THEN 256.0 * ln(256.0 / v_empty)
+           |             ELSE $num / CAST(z_scaled AS DOUBLE) END""".stripMargin
+      s"""WITH t AS (SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events
+         |           WHERE user_id IS NOT NULL),
+         |h0 AS (SELECT event_type, u, ${fnvSql("u")} AS h FROM t),
+         |${fmixStages("h0", "event_type, u")},
+         |rk AS (SELECT event_type, hu // (1::HUGEINT << 56) AS idx,
+         |         CASE WHEN hu % (1::HUGEINT << 56) = 0 THEN 57
+         |              ELSE 57 - length(bin(hu % (1::HUGEINT << 56))) END AS rank
+         |       FROM hh),
+         |regs AS (SELECT event_type, idx, max(rank) AS r FROM rk GROUP BY 1, 2),
+         |a AS (SELECT event_type, count(*) AS m_used,
+         |        sum(1::HUGEINT << (57 - r)) AS s_used FROM regs GROUP BY 1),
+         |f AS (SELECT event_type, CAST(256 - m_used AS BIGINT) AS v_empty,
+         |        s_used + (256 - m_used)::HUGEINT * (1::HUGEINT << 57) AS z_scaled
+         |      FROM a),
+         |e AS (SELECT event_type, ${sparkRound(est, 4)} AS est_hll FROM f),
+         |x AS (SELECT event_type, count(DISTINCT user_id) AS nd_exact FROM events
+         |      WHERE user_id IS NOT NULL GROUP BY 1)
+         |SELECT e.event_type, est_hll, CAST(nd_exact AS BIGINT) AS nd_exact,
+         |  ${sparkRound("(est_hll - nd_exact) / CAST(nd_exact AS DOUBLE)", 4)} AS rel_err
+         |FROM e JOIN x USING (event_type) ORDER BY event_type""".stripMargin
+    },
+
+    "text_code_detect" -> {
+      val kwList = Seq("def", "class", "return", "import", "function", "var",
+        "let", "const", "if", "else", "for", "while", "void", "int")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      val brace =
+        """(CAST(length(text) - length(regexp_replace(text, '[{}()\[\];]', '', 'g')) AS DOUBLE) / greatest(length(text), 1))"""
+      val kwr =
+        s"""(CAST(len(list_filter($toks, x -> list_contains($kwList, x))) AS DOUBLE) / greatest(len($toks), 1))"""
+      val score = sparkRound(
+        s"least($brace * 20, 1.0) * 0.5 + least($kwr * 8, 1.0) * 0.5", 4)
+      s"""SELECT doc_id, length(text) AS n_chars,
+         |  ${sparkRound(brace, 4)} AS brace_ratio,
+         |  ${sparkRound(kwr, 4)} AS kw_ratio,
+         |  $score AS code_score,
+         |  ($score >= 0.5) AS is_code
+         |FROM documents ORDER BY doc_id""".stripMargin
     },
 
     // MinHash k=8 signature lanes replayed exactly: FNV-1a shingle hashes +
