@@ -959,6 +959,27 @@ object Extensions {
         .orderBy(col("col_name"))
     }),
 
+    // 2-D equi-width histogram (quantity × price, 5×5 over the global
+    // ranges) — the joint-distribution heatmap beside the 1-D histograms:
+    // one 1-row globals broadcast + one ≤25-group aggregate.
+    "diag_histogram_2d" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_quantity").cast("double").as("q"),
+          col("l_extendedprice").cast("double").as("p"))
+      val g = li.agg(min(col("q")).as("mnq"), max(col("q")).as("mxq"),
+        min(col("p")).as("mnp"), max(col("p")).as("mxp"))
+      li.crossJoin(broadcast(g))
+        .withColumn("bin_q", least(lit(4L),
+          floor((col("q") - col("mnq")) / ((col("mxq") - col("mnq")) / 5.0))
+            .cast("long")))
+        .withColumn("bin_p", least(lit(4L),
+          floor((col("p") - col("mnp")) / ((col("mxp") - col("mnp")) / 5.0))
+            .cast("long")))
+        .groupBy(col("bin_q"), col("bin_p"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bin_q"), col("bin_p"))
+    }),
+
     // Equi-width histogram of lineitem's price column — the distribution
     // statistic beside diag_profile's NDVs: two passes, no global sort
     // (the equi-depth variant needs a total order — an ANALYZE-sample
@@ -1407,6 +1428,33 @@ object Extensions {
         emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
         "vec_id", "embedding", k = 5, nprobe = 3)
         .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // Similarity-threshold CALIBRATION: the cosine distribution over a
+    // deterministic pseudo-random pair sample (FNV step on the id ring,
+    // one partner per vector) binned into 10 fixed buckets on [−1,1] —
+    // the baseline that tells you where "random pairs" live before
+    // choosing a near-dup threshold. One equi-join + one ≤10-group
+    // aggregate; no all-pairs anywhere.
+    "sim_threshold_calibration" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val n = emb.count() // bounded driver-side scalar (corpus row count)
+      val h = graft.functions.Fnv.fnv1a64(
+        concat_ws(":", lit("cal"), col("vec_id")))
+      val pairs = emb.select(col("vec_id"), col("embedding"))
+        .withColumn("pid",
+          pmod(col("vec_id") + lit(1L) + pmod(h, lit(n - 1)), lit(n)))
+      val partner = emb.select(col("vec_id").as("pid"), col("embedding").as("e2"))
+      val binned = pairs.join(partner, "pid")
+        .withColumn("cos", Similarity.cosine(col("embedding"), col("e2")))
+        .withColumn("bin",
+          least(lit(9L), floor((col("cos") + 1.0) / 0.2).cast("long")))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
+      val tot = binned.agg(sum(col("n_pairs")).as("__t"))
+      binned.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n_pairs"),
+          round(col("n_pairs").cast("double") / col("__t"), 6).as("share"))
+        .orderBy(col("bin"))
     }),
 
     // IVF index-health report: per cell, member count, mean and worst
@@ -2823,6 +2871,35 @@ object Extensions {
 
     // Histogram replayed: same IEEE bucket arithmetic ((v-lo)/((hi-lo)/10)
     // floored and clamped), same null exclusion.
+    "diag_histogram_2d" ->
+      """WITH li AS (SELECT CAST(l_quantity AS DOUBLE) AS q,
+        |              CAST(l_extendedprice AS DOUBLE) AS p FROM lineitem),
+        |g AS (SELECT min(q) AS mnq, max(q) AS mxq,
+        |             min(p) AS mnp, max(p) AS mxp FROM li)
+        |SELECT CAST(least(4, floor((q - mnq) / ((mxq - mnq) / 5.0))) AS BIGINT) AS bin_q,
+        |  CAST(least(4, floor((p - mnp) / ((mxp - mnp) / 5.0))) AS BIGINT) AS bin_p,
+        |  count(*) AS n
+        |FROM li, g GROUP BY 1, 2 ORDER BY bin_q, bin_p""".stripMargin,
+
+    "sim_threshold_calibration" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nn AS (SELECT count(*) AS n FROM e),
+         |hv AS (SELECT vec_id, v,
+         |         ${signed64(fnvSql("'cal:' || CAST(vec_id AS VARCHAR)"))} AS h
+         |       FROM e),
+         |pr AS (SELECT vec_id, v,
+         |         (vec_id + 1 + ((h % (n - 1)) + (n - 1)) % (n - 1)) % n AS pid
+         |       FROM hv, nn),
+         |cs AS (SELECT list_cosine_similarity(pr.v, e2.v) AS cos
+         |       FROM pr JOIN e e2 ON e2.vec_id = pr.pid),
+         |b AS (SELECT CAST(least(9, floor((cos + 1.0) / 0.2)) AS BIGINT) AS bin,
+         |        count(*) AS n_pairs
+         |      FROM cs GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS tt FROM b)
+         |SELECT bin, n_pairs,
+         |  ${sparkRound("CAST(n_pairs AS DOUBLE) / tt", 6)} AS share
+         |FROM b, t ORDER BY bin""".stripMargin,
+
     "diag_histogram" ->
       """WITH g AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
         |           FROM lineitem)

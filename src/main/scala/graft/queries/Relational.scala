@@ -1117,6 +1117,20 @@ object Relational {
         .orderBy(col("seg"))
     }),
 
+    // JSON path extraction over the semi-structured props column — the
+    // schema-on-read surface (get_json_object stays a scan-stage
+    // projection; the aggregate proves the extracted values are typed)
+    "scalar_json_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k_val")).as("n_with_k"),
+          sum(col("k_val")).as("sum_k"),
+          min(col("k_val")).as("min_k"), max(col("k_val")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- scalar functions --------------------------------------------------
     "scalar_string_funcs" -> ((s, d) => {
       Tables.part(s, d)
@@ -1911,6 +1925,15 @@ object Relational {
         |  SELECT l_partkey AS k FROM lineitem
         |  WHERE l_orderkey >= 1000 AND l_orderkey < 3000)
         |GROUP BY k ORDER BY k""".stripMargin,
+
+    "scalar_json_extract" ->
+      """SELECT event_type,
+        |  count(k_val) AS n_with_k, CAST(sum(k_val) AS BIGINT) AS sum_k,
+        |  min(k_val) AS min_k, max(k_val) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "join_null_safe_eq" ->
       """SELECT coalesce(a.seg, '(null)') AS seg, count(*) AS n_pairs
