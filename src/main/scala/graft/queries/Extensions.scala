@@ -904,6 +904,28 @@ object Extensions {
         .orderBy(col("event_type"))
     }),
 
+    // Functional-dependency check — the schema-inference diagnostic: does
+    // LHS determine RHS (groups with >1 distinct RHS are violations)?
+    // Run over four candidate FDs (two that hold, two that don't on this
+    // schema); each is one aggregate pair, outputs a 1-row verdict.
+    "diag_fd_check" -> ((s, d) => {
+      def fd(name: String, df: org.apache.spark.sql.DataFrame,
+          lhs: String, rhs: String): org.apache.spark.sql.DataFrame =
+        df.groupBy(col(lhs)).agg(count_distinct(col(rhs)).as("__nd"))
+          .agg(count(lit(1)).as("n_lhs_groups"),
+            sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_violating"))
+          .select(lit(name).as("fd"), col("n_lhs_groups"), col("n_violating"))
+      fd("lineitem.l_orderkey->l_suppkey", Tables.lineitem(s, d),
+          "l_orderkey", "l_suppkey")
+        .unionAll(fd("lineitem.l_partkey->l_suppkey", Tables.lineitem(s, d),
+          "l_partkey", "l_suppkey"))
+        .unionAll(fd("nation.n_nationkey->n_regionkey", Tables.nation(s, d),
+          "n_nationkey", "n_regionkey"))
+        .unionAll(fd("orders.o_orderkey->o_custkey", Tables.orders(s, d),
+          "o_orderkey", "o_custkey"))
+        .orderBy(col("fd"))
+    }),
+
     // Data-quality constraint suite — the validation gate before a table
     // is trained on or published: PK uniqueness, FK integrity, range and
     // not-null/non-empty predicates, each reduced to ONE
@@ -3438,6 +3460,31 @@ object Extensions {
          |  ${sparkRound("CAST(n_docs AS DOUBLE) / total", 6)} AS share,
          |  ${sparkRound("-(CAST(n_docs AS DOUBLE) / total) * ln(CAST(n_docs AS DOUBLE) / total)", 6)} AS entropy_term
          |FROM g, t ORDER BY lang""".stripMargin,
+
+    "diag_fd_check" ->
+      """WITH f1 AS (SELECT 'lineitem.l_orderkey->l_suppkey' AS fd,
+        |    count(*) AS n_lhs_groups,
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+        |  FROM (SELECT l_orderkey, count(DISTINCT l_suppkey) AS nd
+        |        FROM lineitem GROUP BY 1)),
+        |f2 AS (SELECT 'lineitem.l_partkey->l_suppkey' AS fd,
+        |    count(*) AS n_lhs_groups,
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+        |  FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS nd
+        |        FROM lineitem GROUP BY 1)),
+        |f3 AS (SELECT 'nation.n_nationkey->n_regionkey' AS fd,
+        |    count(*) AS n_lhs_groups,
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+        |  FROM (SELECT n_nationkey, count(DISTINCT n_regionkey) AS nd
+        |        FROM nation GROUP BY 1)),
+        |f4 AS (SELECT 'orders.o_orderkey->o_custkey' AS fd,
+        |    count(*) AS n_lhs_groups,
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+        |  FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS nd
+        |        FROM orders GROUP BY 1))
+        |SELECT * FROM f1 UNION ALL SELECT * FROM f2
+        |UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4
+        |ORDER BY fd""".stripMargin,
 
     "diag_drift_psi" ->
       s"""WITH ev AS (

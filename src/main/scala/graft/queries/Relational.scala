@@ -1273,6 +1273,38 @@ object Relational {
           |ORDER BY st, pr""".stripMargin)
     }),
 
+    // GROUPING()/GROUPING_ID() markers with CUBE: the bits that tell a
+    // report row apart from a real NULL group — completes the grouping-
+    // analytics surface beside grouping sets / rollup / cube
+    "agg_grouping_id" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders_gid")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, '(all)') AS st,
+          |       coalesce(o_orderpriority, '(all)') AS pr,
+          |       grouping(o_orderstatus) AS g_st,
+          |       grouping(o_orderpriority) AS g_pr,
+          |       count(*) AS n
+          |FROM v_orders_gid
+          |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+          |ORDER BY st, pr, g_st, g_pr""".stripMargin)
+    }),
+
+    // existence-flag (mark) join: every left row kept, one boolean per
+    // row saying whether a match exists — the shape EXISTS-in-SELECT
+    // compiles to; summarized per segment
+    "join_existence_flag" -> ((s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("k")).distinct()
+        .withColumn("__hit", lit(1))
+      Tables.customer(s, d)
+        .join(broadcast(urgent), col("c_custkey") === col("k"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_with_urgent"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     "subq_correlated_exists" -> ((s, d) => {
       Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
       Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
@@ -1925,6 +1957,24 @@ object Relational {
         |  SELECT l_partkey AS k FROM lineitem
         |  WHERE l_orderkey >= 1000 AND l_orderkey < 3000)
         |GROUP BY k ORDER BY k""".stripMargin,
+
+    "agg_grouping_id" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS st,
+        |       coalesce(o_orderpriority, '(all)') AS pr,
+        |       CAST(grouping(o_orderstatus) AS INT) AS g_st,
+        |       CAST(grouping(o_orderpriority) AS INT) AS g_pr,
+        |       count(*) AS n
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY st, pr, g_st, g_pr""".stripMargin,
+
+    "join_existence_flag" ->
+      """WITH u AS (SELECT DISTINCT o_custkey AS k FROM orders
+        |           WHERE o_orderpriority = '1-URGENT')
+        |SELECT c_mktsegment, count(*) AS n_customers,
+        |  CAST(sum(CASE WHEN u.k IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_with_urgent
+        |FROM customer LEFT JOIN u ON c_custkey = u.k
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "scalar_json_extract" ->
       """SELECT event_type,
