@@ -55,10 +55,11 @@ object Hll {
     alpha * m * m * math.pow(2.0, 65 - p)
   }
 
-  /** The mergeable sketch state: (idx, r) register frame of `valueCol`
-    * (cast to string, fmix64(FNV-1a) hashed) — ≤ 2^p rows after the
-    * map-side max, whatever the input size. */
-  def registers(values: DataFrame, valueCol: String, p: Int = 8): DataFrame = {
+  /** The shared hash→(idx, rank) projection — ONE definition for every
+    * register builder (ungrouped, grouped, and approxDistinct's
+    * exact-witness variant), so the estimator basis can never drift
+    * between paths. */
+  private def idxRank(valueCol: String, p: Int): (Column, Column) = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val maxRank = 64 - p + 1
     val h: Column = Fnv.fnv1a64mixed(col(valueCol).cast("string"))
@@ -66,13 +67,56 @@ object Hll {
     val w = h.bitwiseAND(lit((1L << (64 - p)) - 1))
     val rank = when(w === 0, lit(maxRank))
       .otherwise(lit(maxRank) - length(bin(w)))
-    values.select(idx.as("idx"), rank.as("rank"))
+    (idx, rank)
+  }
+
+  /** Register frame keyed by 0+ group columns — the one implementation
+    * behind [[registers]] and [[registersBy]]. */
+  private def regFrame(values: DataFrame, valueCol: String,
+      groupCols: Seq[String], p: Int): DataFrame = {
+    val (idx, rank) = idxRank(valueCol, p)
+    values.select(groupCols.map(col) :+ idx.as("idx") :+ rank.as("rank"): _*)
       // NULL values hash to NULL and must not occupy a register: an
       // (idx=null, r=null) row would count in m_used but add nothing to
       // s_used, shrinking v_empty/z_scaled and inflating the estimate
       .where(col("idx").isNotNull)
-      .groupBy(col("idx")).agg(max(col("rank")).as("r"))
+      .groupBy(groupCols.map(col) :+ col("idx"): _*)
+      .agg(max(col("rank")).as("r"))
   }
+
+  /** The scaled-harmonic-mean + linear-counting estimate over a register
+    * frame keyed by 0+ group columns — the one implementation behind
+    * [[estimate]] and [[estimateBy]]. */
+  private def estFrame(regs: DataFrame, groupCols: Seq[String],
+      p: Int): DataFrame = {
+    val m = 1 << p
+    val maxRank = 64 - p + 1
+    val aggs = Seq(count(lit(1)).as("m_used"),
+      sum(expr(s"CAST(shiftleft(CAST(1 AS BIGINT), $maxRank - r) AS DECIMAL(38,0))"))
+        .as("s_used"))
+    val agged =
+      if (groupCols.isEmpty) regs.agg(aggs.head, aggs.tail: _*)
+      else regs.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    agged
+      .select(groupCols.map(col) :+
+        (lit(m.toLong) - col("m_used")).as("v_empty") :+
+        (col("s_used") +
+          (lit(m.toLong).cast("decimal(38,0)") - col("m_used").cast("decimal(38,0)")) *
+            lit(1L << maxRank).cast("decimal(38,0)")).as("z_scaled"): _*)
+      .select(groupCols.map(col) :+ round(
+        when(
+          lit(numerator(p)) / col("z_scaled").cast("double") <= lit(2.5 * m) &&
+            col("v_empty") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v_empty").cast("double")))
+          .otherwise(lit(numerator(p)) / col("z_scaled").cast("double")),
+        4).as("est_hll"): _*)
+  }
+
+  /** The mergeable sketch state: (idx, r) register frame of `valueCol`
+    * (cast to string, fmix64(FNV-1a) hashed) — ≤ 2^p rows after the
+    * map-side max, whatever the input size. */
+  def registers(values: DataFrame, valueCol: String, p: Int = 8): DataFrame =
+    regFrame(values, valueCol, Nil, p)
 
   /** Sketch merge = register-wise max — the property every distributed /
     * multi-set HLL use rests on: registers(A ∪ B) ≡ merge(registers(A),
@@ -85,18 +129,8 @@ object Hll {
     * partition / tenant) that [[mergeGrouped]] then rolls up without ever
     * rescanning the input. Same hash/rank pipeline as [[registers]]. */
   def registersBy(values: DataFrame, valueCol: String, groupCol: String,
-      p: Int = 8): DataFrame = {
-    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
-    val maxRank = 64 - p + 1
-    val h: Column = Fnv.fnv1a64mixed(col(valueCol).cast("string"))
-    val idx = shiftrightunsigned(h, 64 - p)
-    val w = h.bitwiseAND(lit((1L << (64 - p)) - 1))
-    val rank = when(w === 0, lit(maxRank))
-      .otherwise(lit(maxRank) - length(bin(w)))
-    values.select(col(groupCol), idx.as("idx"), rank.as("rank"))
-      .where(col("idx").isNotNull)
-      .groupBy(col(groupCol), col("idx")).agg(max(col("rank")).as("r"))
-  }
+      p: Int = 8): DataFrame =
+    regFrame(values, valueCol, Seq(groupCol), p)
 
   /** Merge a grouped register frame down to one sketch (register-wise max
     * across all groups). */
@@ -107,51 +141,15 @@ object Hll {
     * — the grouped approximate-distinct shape (NDV per tenant/day/type)
     * with the same scaled-harmonic-mean + linear-counting branch as
     * [[estimate]], one ≤|groups|-row output. */
-  def estimateBy(regsBy: DataFrame, groupCol: String, p: Int = 8): DataFrame = {
-    val m = 1 << p
-    val maxRank = 64 - p + 1
-    regsBy
-      .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("m_used"),
-        sum(expr(s"CAST(shiftleft(CAST(1 AS BIGINT), $maxRank - r) AS DECIMAL(38,0))"))
-          .as("s_used"))
-      .select(col(groupCol),
-        (lit(m.toLong) - col("m_used")).as("v_empty"),
-        (col("s_used") +
-          (lit(m.toLong).cast("decimal(38,0)") - col("m_used").cast("decimal(38,0)")) *
-            lit(1L << maxRank).cast("decimal(38,0)")).as("z_scaled"))
-      .select(col(groupCol), round(
-        when(
-          lit(numerator(p)) / col("z_scaled").cast("double") <= lit(2.5 * m) &&
-            col("v_empty") > 0,
-          lit(m.toDouble) * log(lit(m.toDouble) / col("v_empty").cast("double")))
-          .otherwise(lit(numerator(p)) / col("z_scaled").cast("double")),
-        4).as("est_hll"))
-  }
+  def estimateBy(regsBy: DataFrame, groupCol: String, p: Int = 8): DataFrame =
+    estFrame(regsBy, Seq(groupCol), p)
 
   /** One-row (est_hll) estimate from a register frame — the same scaled
     * harmonic mean + linear-counting branch as [[approxDistinct]], rounded
     * to 4 (replayable: integer registers in, one double division + one
     * log, both correctly rounded). */
-  def estimate(regs: DataFrame, p: Int = 8): DataFrame = {
-    val m = 1 << p
-    val maxRank = 64 - p + 1
-    regs
-      .agg(count(lit(1)).as("m_used"),
-        sum(expr(s"CAST(shiftleft(CAST(1 AS BIGINT), $maxRank - r) AS DECIMAL(38,0))"))
-          .as("s_used"))
-      .select((lit(m.toLong) - col("m_used")).as("v_empty"),
-        (col("s_used") +
-          (lit(m.toLong).cast("decimal(38,0)") - col("m_used").cast("decimal(38,0)")) *
-            lit(1L << maxRank).cast("decimal(38,0)")).as("z_scaled"))
-      .select(round(
-        when(
-          lit(numerator(p)) / col("z_scaled").cast("double") <= lit(2.5 * m) &&
-            col("v_empty") > 0,
-          lit(m.toDouble) * log(lit(m.toDouble) / col("v_empty").cast("double")))
-          .otherwise(lit(numerator(p)) / col("z_scaled").cast("double")),
-        4).as("est_hll"))
-  }
+  def estimate(regs: DataFrame, p: Int = 8): DataFrame =
+    estFrame(regs, Nil, p)
 
   /** One-row frame: (m, v_empty, z_scaled STRING, est_hll, n_exact,
     * rel_err) for the distinct count of `valueCol` (cast to string and
@@ -163,14 +161,9 @@ object Hll {
     * engines, while digit strings compare exactly.
     */
   def approxDistinct(values: DataFrame, valueCol: String, p: Int = 8): DataFrame = {
-    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val m = 1 << p
     val maxRank = 64 - p + 1
-    val h: Column = Fnv.fnv1a64mixed(col(valueCol).cast("string"))
-    val idx = shiftrightunsigned(h, 64 - p)
-    val w = h.bitwiseAND(lit((1L << (64 - p)) - 1))
-    val rank = when(w === 0, lit(maxRank))
-      .otherwise(lit(maxRank) - length(bin(w)))
+    val (idx, rank) = idxRank(valueCol, p)
     val regs = values
       .select(idx.as("idx"), rank.as("rank"),
         col(valueCol).cast("string").as("v"))

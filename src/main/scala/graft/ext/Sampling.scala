@@ -216,7 +216,12 @@ object Sampling {
     val h = graft.functions.Fnv.fnv1a64(
       concat(lit(seed + ":"), col(keyCol).cast("string")))
     val u = (pmod(h, lit(1L << 52)) + 1).cast("double") / lit((1L << 52).toDouble)
-    val aesKey = round(log(u) / weight.cast("double"), 12)
+    // enforce the documented precondition loudly: w <= 0 would silently
+    // invert the ranking (ln(u)/w flips sign), so fail the job instead
+    val w0 = when(weight.cast("double") > 0.0, weight.cast("double"))
+      .otherwise(raise_error(concat(
+        lit("weightedFixedK: weights must be > 0, got "), weight.cast("string"))))
+    val aesKey = round(log(u) / w0, 12)
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(col("__aes_key").desc, col(keyCol))
     df.withColumn("__aes_key", aesKey)

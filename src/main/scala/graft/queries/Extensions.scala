@@ -50,18 +50,25 @@ object Extensions {
     "text_code_detect" -> ((s, d) => {
       val kw = Seq("def", "class", "return", "import", "function", "var",
         "let", "const", "if", "else", "for", "while", "void", "int")
+      val docs = Tables.documents(s, d)
+      // ONE explode for token count + keyword hits (the Spark-4 HOF rule:
+      // never evaluate the token array twice per row); char-level brace
+      // density stays a scan-fused projection
+      val tk = docs
+        .select(col("doc_id"), explode_outer(TA.tokens(col("text"))).as("t"))
+        .groupBy(col("doc_id"))
+        .agg(count(col("t")).as("__ntk"),
+          count_if(col("t").isInCollection(kw)).as("__kw"))
       val nch = length(col("text"))
-      val braces = (nch - length(regexp_replace(col("text"), "[{}()\\[\\];]", "")))
-        .cast("double")
-      val kwHits = size(filter(TA.tokens(col("text")),
-        t => t.isInCollection(kw))).cast("double")
-      val ntk = TA.tokenCount(col("text"))
-      val braceRatio = braces / greatest(nch, lit(1)).cast("double")
-      val kwRatio = kwHits / greatest(ntk, lit(1)).cast("double")
+      val braceRatio =
+        (nch - length(regexp_replace(col("text"), "[{}()\\[\\];]", "")))
+          .cast("double") / greatest(nch, lit(1)).cast("double")
+      val kwRatio = col("__kw").cast("double") /
+        greatest(col("__ntk"), lit(1L)).cast("double")
       val score = round(
         least(braceRatio * 20, lit(1.0)) * 0.5 +
           least(kwRatio * 8, lit(1.0)) * 0.5, 4)
-      Tables.documents(s, d)
+      docs.join(tk, "doc_id")
         .select(col("doc_id"), nch.as("n_chars"),
           round(braceRatio, 4).as("brace_ratio"),
           round(kwRatio, 4).as("kw_ratio"),
@@ -385,19 +392,21 @@ object Extensions {
 
     // DAU/WAU stickiness: daily actives over trailing-7-day actives per
     // day — the engagement ratio beside the growth curve. The event log
-    // reduces to the distinct (user, day) frame ONCE; the trailing window
-    // is a 7-day band join against the metadata-scale day spine, never a
-    // second pass over events.
+    // reduces to the distinct (user, day) frame ONCE; each activity day
+    // then EXPLODES into the 7 windows it belongs to (d0 ∈ [day, day+6])
+    // and the trailing count is a plain equi-aggregate — exactly 7×|a|
+    // rows, never the |days|×|a| nested-loop a band join plans.
     "events_dau_wau" -> ((s, d) => {
       val a = Tables.events(s, d)
         .select(col("user_id"), expr("(ts_ns div 1000) div 86400000000").as("day"))
         .distinct()
       val dau = a.groupBy(col("day")).agg(count_distinct(col("user_id")).as("dau"))
-      val days = a.select(col("day")).distinct()
-      val wau = days.select(col("day").as("d0"))
-        .join(a, col("day").between(col("d0") - 6, col("d0")))
+      val wau = a
+        .withColumn("d0", explode(sequence(col("day"), col("day") + 6)))
         .groupBy(col("d0").as("day"))
         .agg(count_distinct(col("user_id")).as("wau"))
+      // semi-join back to real activity days (windows anchored on a day
+      // with no events exist only as explode artifacts)
       dau.join(wau, "day")
         .select(col("day"), col("dau"), col("wau"),
           round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
@@ -430,12 +439,16 @@ object Extensions {
     // explode-free token count + one fingerprint aggregate, broadcast
     // joined; every metric integer-derived before its round-4 fence.
     "train_dataset_card" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
         .withColumn("nt", TA.tokenCount(col("text")).cast("long"))
         .withColumn("fp", TA.fingerprint(col("text")))
-      val dupFps = docs.groupBy(col("fp")).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > 1).select(col("fp")).withColumn("__dup", lit(1))
-      docs.join(broadcast(dupFps), Seq("fp"), "left")
+      // per-fp multiplicity as a WINDOW (one fp-keyed exchange): the set of
+      // duplicated fingerprints is corpus-scale on a duplicate-heavy corpus,
+      // so it must never ride a broadcast
+      docs
+        .withColumn("__dup",
+          when(count(lit(1)).over(Window.partitionBy(col("fp"))) > 1, 1))
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("nt")).as("n_tokens"),
@@ -644,10 +657,15 @@ object Extensions {
       import org.apache.spark.sql.expressions.Window
       val terms = Seq("spark", "window", "join")
       val docs = Tables.documents(s, d)
+      // rel is referenced three times (top-10 join, ideal ordering,
+      // n_relevant) — checkpoint the tiny aggregate so the corpus token
+      // explode runs ONCE, not per reference
       val rel = docs
         .select(col("doc_id"), explode(TA.tokens(col("text"))).as("t"))
         .filter(col("t").isin(terms: _*))
         .groupBy(col("doc_id")).agg(count_distinct(col("t")).as("rel"))
+        .localCheckpoint()
+      Dedup.rotateCheckpoints("rank_ndcg_rel", rel)
       def gain(relC: org.apache.spark.sql.Column,
           rankC: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         (pow(lit(2.0), relC) - 1) / log2(rankC + 1)
@@ -990,13 +1008,16 @@ object Extensions {
           col("l_extendedprice").cast("double").as("p"))
       val g = li.agg(min(col("q")).as("mnq"), max(col("q")).as("mxq"),
         min(col("p")).as("mnp"), max(col("p")).as("mxp"))
+      // zero-width guard: a constant column would make (x-mn)/width NaN,
+      // which ANSI floor-cast throws on (same guard as diag_drift_psi)
+      def bin(x: org.apache.spark.sql.Column, mn: org.apache.spark.sql.Column,
+          mx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when((mx - mn) / 5.0 === 0.0, lit(0L))
+          .otherwise(least(lit(4L),
+            floor((x - mn) / ((mx - mn) / 5.0)).cast("long")))
       li.crossJoin(broadcast(g))
-        .withColumn("bin_q", least(lit(4L),
-          floor((col("q") - col("mnq")) / ((col("mxq") - col("mnq")) / 5.0))
-            .cast("long")))
-        .withColumn("bin_p", least(lit(4L),
-          floor((col("p") - col("mnp")) / ((col("mxp") - col("mnp")) / 5.0))
-            .cast("long")))
+        .withColumn("bin_q", bin(col("q"), col("mnq"), col("mxq")))
+        .withColumn("bin_p", bin(col("p"), col("mnp"), col("mxp")))
         .groupBy(col("bin_q"), col("bin_p"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("bin_q"), col("bin_p"))
@@ -1468,7 +1489,9 @@ object Extensions {
           pmod(col("vec_id") + lit(1L) + pmod(h, lit(n - 1)), lit(n)))
       val partner = emb.select(col("vec_id").as("pid"), col("embedding").as("e2"))
       val binned = pairs.join(partner, "pid")
-        .withColumn("cos", Similarity.cosine(col("embedding"), col("e2")))
+        // bin the ROUNDED cosine: an unrounded value 1 ulp from a 0.2 bin
+        // edge could land in different bins across engines
+        .withColumn("cos", round(Similarity.cosine(col("embedding"), col("e2")), 6))
         .withColumn("bin",
           least(lit(9L), floor((col("cos") + 1.0) / 0.2).cast("long")))
         .groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
@@ -2898,8 +2921,10 @@ object Extensions {
         |              CAST(l_extendedprice AS DOUBLE) AS p FROM lineitem),
         |g AS (SELECT min(q) AS mnq, max(q) AS mxq,
         |             min(p) AS mnp, max(p) AS mxp FROM li)
-        |SELECT CAST(least(4, floor((q - mnq) / ((mxq - mnq) / 5.0))) AS BIGINT) AS bin_q,
-        |  CAST(least(4, floor((p - mnp) / ((mxp - mnp) / 5.0))) AS BIGINT) AS bin_p,
+        |SELECT CAST(CASE WHEN (mxq - mnq) / 5.0 = 0.0 THEN 0
+        |         ELSE least(4, floor((q - mnq) / ((mxq - mnq) / 5.0))) END AS BIGINT) AS bin_q,
+        |  CAST(CASE WHEN (mxp - mnp) / 5.0 = 0.0 THEN 0
+        |         ELSE least(4, floor((p - mnp) / ((mxp - mnp) / 5.0))) END AS BIGINT) AS bin_p,
         |  count(*) AS n
         |FROM li, g GROUP BY 1, 2 ORDER BY bin_q, bin_p""".stripMargin,
 
@@ -2912,7 +2937,7 @@ object Extensions {
          |pr AS (SELECT vec_id, v,
          |         (vec_id + 1 + ((h % (n - 1)) + (n - 1)) % (n - 1)) % n AS pid
          |       FROM hv, nn),
-         |cs AS (SELECT list_cosine_similarity(pr.v, e2.v) AS cos
+         |cs AS (SELECT ${sparkRound("list_cosine_similarity(pr.v, e2.v)", 6)} AS cos
          |       FROM pr JOIN e e2 ON e2.vec_id = pr.pid),
          |b AS (SELECT CAST(least(9, floor((cos + 1.0) / 0.2)) AS BIGINT) AS bin,
          |        count(*) AS n_pairs
