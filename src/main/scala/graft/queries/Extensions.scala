@@ -1203,6 +1203,24 @@ object Extensions {
         .orderBy(col("step_idx"))
     }),
 
+    // Time-to-convert: among users completing the signup→purchase funnel
+    // (same fold semantics as events_funnel), the distribution of the
+    // anchor→final gap — the latency metric product teams read beside
+    // conversion rate. Exact interpolating percentiles over integer µs
+    // gaps (midpoints are .0/.5 — the round-4 fence is exact).
+    "events_conversion_time" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+      val perUser = graft.ext.EventAnalytics.funnelSteps(
+        ev, "user_id", "ts_us", "event_type", Seq("signup", "purchase"),
+        windowNs = 72L * 3600L * 1000000L)
+      perUser.filter(col("t1").isNotNull)
+        .withColumn("gap_us", col("t1") - col("t0"))
+        .agg(count(lit(1)).as("n_converted"),
+          round(expr("percentile(gap_us, 0.5)"), 4).as("p50_us"),
+          round(expr("percentile(gap_us, 0.9)"), 4).as("p90_us"),
+          min(col("gap_us")).as("min_us"), max(col("gap_us")).as("max_us"))
+    }),
+
     // Day-offset cohort retention over the first 30 days: cohort = first
     // active epoch-day, exact integer day buckets from the nanos long.
     "events_retention" -> ((s, d) => {
@@ -1676,6 +1694,28 @@ object Extensions {
       ann.join(bf, "vec_id").agg(count(lit(1)).as("n_hits"))
         .select(lit(10).as("k"), col("n_hits"),
           round(col("n_hits") / 10.0, 4).as("recall"))
+    }),
+
+    // Recall-vs-nprobe TUNING CURVE: the same persisted index probed at
+    // nprobe = 1, 2, 3 against one brute-force ground truth — the curve
+    // that picks the latency/recall operating point. Each probe is the
+    // partition-prunable cell scan; the ground-truth top-10 is
+    // checkpointed once.
+    "sim_ann_nprobe_curve" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val index = cachedIvfIndex(s, d, emb)
+      val qvec = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
+      val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+        .select(col("vec_id")).localCheckpoint()
+      Dedup.rotateCheckpoints("sim_nprobe_curve_bf", bf)
+      Seq(1, 2, 3).map { np =>
+        Similarity.ivfProbe(index.assigned, index.centroids, "vec_id",
+            "embedding", qvec, k = 10, nprobe = np, excludeId = Some(0L))
+          .select(col("vec_id")).join(bf, "vec_id")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(np).as("nprobe"), col("n_hits"),
+            round(col("n_hits") / 10.0, 4).as("recall"))
+      }.reduce(_ unionAll _).orderBy(col("nprobe"))
     }),
 
     "dedup_minhash_pairs" -> ((s, d) => {
@@ -3919,6 +3959,48 @@ object Extensions {
          |       ORDER BY ${sparkRound("list_cosine_similarity(v, qv)", 6)} DESC, vec_id LIMIT 10)
          |SELECT 10 AS k, count(*) AS n_hits, round(count(*) / 10.0, 4) AS recall
          |FROM ann JOIN bf USING (vec_id)""".stripMargin,
+
+    // nprobe-curve replay: the same ivfCtes chain with three probe depths
+    // against one brute-force truth
+    "sim_ann_nprobe_curve" ->
+      s"""$ivfCtes,
+         |bf AS (SELECT vec_id FROM e, q WHERE vec_id != 0
+         |       ORDER BY ${sparkRound("list_cosine_similarity(v, qv)", 6)} DESC, vec_id LIMIT 10),
+         |p1 AS (SELECT cid FROM c2, q
+         |       ORDER BY list_cosine_similarity(cv, qv) DESC, cid LIMIT 1),
+         |p2 AS (SELECT cid FROM c2, q
+         |       ORDER BY list_cosine_similarity(cv, qv) DESC, cid LIMIT 2),
+         |n1 AS (SELECT a.vec_id FROM assign a, q
+         |       WHERE a.cell IN (SELECT cid FROM p1) AND a.vec_id != 0
+         |       ORDER BY ${sparkRound("list_cosine_similarity(a.v, q.qv)", 6)} DESC, a.vec_id LIMIT 10),
+         |n2 AS (SELECT a.vec_id FROM assign a, q
+         |       WHERE a.cell IN (SELECT cid FROM p2) AND a.vec_id != 0
+         |       ORDER BY ${sparkRound("list_cosine_similarity(a.v, q.qv)", 6)} DESC, a.vec_id LIMIT 10),
+         |n3 AS (SELECT a.vec_id FROM assign a, q
+         |       WHERE a.cell IN (SELECT cid FROM probe) AND a.vec_id != 0
+         |       ORDER BY ${sparkRound("list_cosine_similarity(a.v, q.qv)", 6)} DESC, a.vec_id LIMIT 10)
+         |SELECT 1 AS nprobe, count(*) AS n_hits, round(count(*) / 10.0, 4) AS recall
+         |FROM n1 JOIN bf USING (vec_id)
+         |UNION ALL
+         |SELECT 2, count(*), round(count(*) / 10.0, 4) FROM n2 JOIN bf USING (vec_id)
+         |UNION ALL
+         |SELECT 3, count(*), round(count(*) / 10.0, 4) FROM n3 JOIN bf USING (vec_id)
+         |ORDER BY nprobe""".stripMargin,
+
+    "events_conversion_time" ->
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         |a AS (SELECT user_id, min(ts_us) AS t0 FROM ev
+         |      WHERE event_type = 'signup' GROUP BY user_id),
+         |b AS (SELECT a.user_id, min(e.ts_us) - min(a.t0) AS gap_us
+         |      FROM a JOIN ev e ON e.user_id = a.user_id
+         |        AND e.event_type = 'purchase'
+         |        AND e.ts_us > a.t0 AND e.ts_us <= a.t0 + 259200000000
+         |      GROUP BY a.user_id)
+         |SELECT count(*) AS n_converted,
+         |  ${sparkRound("quantile_cont(gap_us, 0.5)", 4)} AS p50_us,
+         |  ${sparkRound("quantile_cont(gap_us, 0.9)", 4)} AS p90_us,
+         |  min(gap_us) AS min_us, max(gap_us) AS max_us
+         |FROM b""".stripMargin,
 
     "multimodal_metadata" ->
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS byte_len,
