@@ -1203,6 +1203,50 @@ object Extensions {
         .orderBy(col("step_idx"))
     }),
 
+    // Event-type transition matrix: consecutive-event (from → to) counts
+    // per user stream with row shares — the first-order Markov summary
+    // path/recommendation models start from (the 2-gram rollup
+    // unconditioned on sessions; events_top_paths holds the
+    // session-bounded n-grams). One user-keyed window + one ≤|types|²
+    // aggregate; the deterministic (ts_ns, event_id) order rule pins ties.
+    "events_type_transitions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val rowTot = pairs.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("__rt"))
+      pairs.join(rowTot, "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") / col("__rt"), 6).as("p"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // Benford first-digit screen over order totals: observed share of
+    // each leading significant digit beside the Benford expectation
+    // log10(1+1/d) — the cheap anomaly/fabrication screen auditors run.
+    // Digit extraction is string-based (first char of the absolute value)
+    // so no float log is in the grouping key.
+    "diag_benford" -> ((s, d) => {
+      val firstDigit = substring(
+        regexp_replace(abs(col("o_totalprice")).cast("string"), "[^1-9]", ""),
+        1, 1)
+      val counts = Tables.orders(s, d)
+        .filter(col("o_totalprice").isNotNull && col("o_totalprice") =!= 0)
+        .groupBy(firstDigit.as("digit")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("__t"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          round(col("n").cast("double") / col("__t"), 6).as("observed"),
+          round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+            .as("expected"))
+        .orderBy(col("digit"))
+    }),
+
     // Time-to-convert: among users completing the signup→purchase funnel
     // (same fold semantics as events_funnel), the distribution of the
     // anchor→final gap — the latency metric product teams read beside
@@ -3986,6 +4030,34 @@ object Extensions {
          |UNION ALL
          |SELECT 3, count(*), round(count(*) / 10.0, 4) FROM n3 JOIN bf USING (vec_id)
          |ORDER BY nprobe""".stripMargin,
+
+    "events_type_transitions" ->
+      s"""WITH ev AS (SELECT user_id, event_id, event_type,
+         |              epoch_us(ts) * 1000 AS ts_ns FROM events),
+         |p AS (SELECT event_type AS from_type,
+         |        lead(event_type) OVER (PARTITION BY user_id
+         |          ORDER BY ts_ns, event_id) AS to_type
+         |      FROM ev),
+         |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+         |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |rt AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS rtot FROM c GROUP BY 1)
+         |SELECT from_type, to_type, n,
+         |  ${sparkRound("CAST(n AS DOUBLE) / rtot", 6)} AS p
+         |FROM c JOIN rt USING (from_type)
+         |ORDER BY from_type, to_type""".stripMargin,
+
+    "diag_benford" ->
+      s"""WITH c AS (
+         |  SELECT substr(regexp_replace(CAST(abs(o_totalprice) AS VARCHAR),
+         |           '[^1-9]', '', 'g'), 1, 1) AS digit,
+         |         count(*) AS n
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice <> 0
+         |  GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM c)
+         |SELECT digit, n,
+         |  ${sparkRound("CAST(n AS DOUBLE) / tt", 6)} AS observed,
+         |  ${sparkRound("log10(1.0 + 1.0 / CAST(digit AS DOUBLE))", 6)} AS expected
+         |FROM c, t ORDER BY digit""".stripMargin,
 
     "events_conversion_time" ->
       s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
