@@ -72,6 +72,73 @@ object BinaryIngest {
         col("length").as("n_bytes"),
         md5(col("content")).as("content_md5"))
 
+  /** Fixture for the permissive-CSV lane: (doc_id, lang, n_chars) rows for
+    * doc_id < `maxDocs`, where every 37th doc's n_chars field is the
+    * unparseable token `x<id>x` — a deterministic corruption the oracle
+    * replays from the generation rule. Same content-keyed atomic-publish
+    * discipline as [[textFilesCached]]; one CSV part-file per partition
+    * (the CSV source reads the directory). */
+  def csvFixtureCached(docs: DataFrame, sfDir: String, maxDocs: Int = 500): String = {
+    val path = csvCachePath(sfDir, maxDocs)
+    if (!new java.io.File(path + "/_SUCCESS").exists()) {
+      Multimodal.sweepOrphanTmpDirs(path)
+      val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+      docs.filter(col("doc_id") < maxDocs)
+        .select(col("doc_id").cast("long"), col("lang"), col("n_chars").cast("long"))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          val sb = new StringBuilder
+          var any = false
+          rows.foreach { r =>
+            val id = r.getLong(0)
+            val nc = if (id % 37 == 0) s"x${id}x" else r.getLong(2).toString
+            sb.append(id).append(',').append(r.getString(1)).append(',')
+              .append(nc).append('\n')
+            any = true
+          }
+          if (any) {
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp,
+                s"part-${java.util.UUID.randomUUID()}.csv"),
+              sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          ()
+        }
+      java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "_SUCCESS"),
+        Array.empty[Byte])
+      Multimodal.publishSnapshot(tmp, path)
+    }
+    path
+  }
+
+  /** PERMISSIVE CSV ingestion stats: schema-enforced read where malformed
+    * rows land in `_corrupt_record` instead of failing the job — the
+    * error-budget accounting every raw-file ingest needs (the reference's
+    * permissive-cast analog at the SOURCE boundary). One global summary
+    * row: total/good/corrupt counts + the good rows' n_chars sum. */
+  def csvPermissiveStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType),
+      StructField("_corrupt_record", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir)
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("_corrupt_record")).as("n_corrupt"),
+        (count(lit(1)) - count(col("_corrupt_record"))).as("n_good"),
+        sum(when(col("_corrupt_record").isNull, col("n_chars"))).as("sum_chars_good"))
+  }
+
+  private def csvCachePath(sfDir: String, maxDocs: Int): String = {
+    val src = new java.io.File(sfDir + "/documents.parquet")
+    System.getProperty("java.io.tmpdir") + "/graft_csvperm_" +
+      (sfDir + "_" + src.length + "_" + src.lastModified + "_m" + maxDocs + "_v1")
+        .replaceAll("[^A-Za-z0-9]", "_")
+  }
+
   private def cachePath(sfDir: String, maxDocs: Int): String = {
     val src = new java.io.File(sfDir + "/documents.parquet")
     System.getProperty("java.io.tmpdir") + "/graft_bintxt_" +

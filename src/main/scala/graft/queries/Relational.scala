@@ -778,6 +778,16 @@ object Relational {
         .orderBy(col("doc_id"))
     }),
 
+    // PERMISSIVE CSV ingestion: schema-enforced read where rows with an
+    // unparseable field land in _corrupt_record instead of failing the
+    // job — the error-budget accounting every raw-file ingest needs. The
+    // fixture plants a deterministic corruption (every 37th doc's n_chars
+    // is a non-numeric token) that the oracle replays from the rule.
+    "source_csv_permissive" -> ((s, d) => {
+      val dir = graft.ext.BinaryIngest.csvFixtureCached(Tables.documents(s, d), d)
+      graft.ext.BinaryIngest.csvPermissiveStats(s, dir)
+    }),
+
     "source_json_roundtrip" -> ((s, d) => {
       val path = System.getProperty("java.io.tmpdir") + "/graft_json_" +
         d.replaceAll("[^A-Za-z0-9]", "_")
@@ -1791,6 +1801,14 @@ object Relational {
         |  md5(text) AS content_md5
         |FROM documents WHERE doc_id < 500 AND octet_length(encode(text)) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    // corrupt/good split replayed from the fixture's generation rule
+    "source_csv_permissive" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+        |  CAST(sum(CASE WHEN doc_id % 37 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_good,
+        |  CAST(sum(CASE WHEN doc_id % 37 = 0 THEN 0 ELSE n_chars END) AS BIGINT) AS sum_chars_good
+        |FROM documents WHERE doc_id < 500""".stripMargin,
 
     "source_orc_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty,
