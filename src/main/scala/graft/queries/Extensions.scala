@@ -1203,6 +1203,36 @@ object Extensions {
         .orderBy(col("step_idx"))
     }),
 
+    // Weekday×hour seasonality profile: event counts per (day-of-week,
+    // hour-of-day) bucket — the load-shape heatmap capacity planning and
+    // anomaly baselines read. Pure integer bucket arithmetic from the
+    // nanos epoch (epoch day 0 = Thursday, hence the +4 shift), one
+    // ≤168-group aggregate.
+    "events_weekday_seasonality" -> ((s, d) => {
+      val day = expr("(ts_ns div 1000) div 86400000000")
+      val hour = expr("((ts_ns div 1000) div 3600000000) % 24")
+      Tables.events(s, d)
+        .groupBy(pmod(day + 4, lit(7)).as("dow"), hour.as("hour"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("value")), 6).as("avg_value"))
+        .orderBy(col("dow"), col("hour"))
+    }),
+
+    // Per-language doc-length quantiles — the distribution slice beside
+    // train_dataset_card's means: exact interpolating percentiles per
+    // group (integer token counts, .0/.5 midpoints — round-4 exact).
+    "text_length_percentiles_by_lang" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("nt", TA.tokenCount(col("text")).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(expr("percentile(nt, 0.25)"), 4).as("p25"),
+          round(expr("percentile(nt, 0.5)"), 4).as("p50"),
+          round(expr("percentile(nt, 0.75)"), 4).as("p75"),
+          round(expr("percentile(nt, 0.95)"), 4).as("p95"))
+        .orderBy(col("lang"))
+    }),
+
     // Event-type transition matrix: consecutive-event (from → to) counts
     // per user stream with row shares — the first-order Markov summary
     // path/recommendation models start from (the 2-gram rollup
@@ -4030,6 +4060,22 @@ object Extensions {
          |UNION ALL
          |SELECT 3, count(*), round(count(*) / 10.0, 4) FROM n3 JOIN bf USING (vec_id)
          |ORDER BY nprobe""".stripMargin,
+
+    "events_weekday_seasonality" ->
+      s"""SELECT ((epoch_us(ts) // 86400000000 + 4) % 7 + 7) % 7 AS dow,
+         |  (epoch_us(ts) // 3600000000) % 24 AS hour,
+         |  count(*) AS n,
+         |  ${sparkRound("avg(value)", 6)} AS avg_value
+         |FROM events GROUP BY 1, 2 ORDER BY dow, hour""".stripMargin,
+
+    "text_length_percentiles_by_lang" ->
+      s"""WITH b AS (SELECT lang, CAST(len($toks) AS BIGINT) AS nt FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  ${sparkRound("quantile_cont(nt, 0.25)", 4)} AS p25,
+         |  ${sparkRound("quantile_cont(nt, 0.5)", 4)} AS p50,
+         |  ${sparkRound("quantile_cont(nt, 0.75)", 4)} AS p75,
+         |  ${sparkRound("quantile_cont(nt, 0.95)", 4)} AS p95
+         |FROM b GROUP BY lang ORDER BY lang""".stripMargin,
 
     "events_type_transitions" ->
       s"""WITH ev AS (SELECT user_id, event_id, event_type,
