@@ -574,9 +574,14 @@ object Dedup {
     * algorithm does better. Three key-partitioned shuffles (df agg, prefix
     * rank, candidate join), no crossJoin, no driver materialization.
     *
-    * `minJaccard` must avoid float-boundary products (t*sz exactly at an
-    * integer only when exact in binary, e.g. 0.5/0.25): the prefix-length
-    * ceil is evaluated in double. The default 0.5 is exact.
+    * `minJaccard` must be representable at 6 decimal places (checked
+    * loudly): the threshold is carried as the exact rational num/10^6 so
+    * the prefix-length ceil and the size-ratio filter evaluate in EXACT
+    * integer arithmetic — a double product's 1-ulp error at an integer
+    * boundary could otherwise silently shorten a prefix or drop a
+    * qualifying candidate. Pruning is thereby sound for any legal t; the
+    * final verification filter stays the double formula the oracle
+    * replays (candidates only ever shrink the work, never the answer).
     *
     * Everything runs on the EXPLODED (id, shingle) stream from
     * [[shingleFrame]] — no shingle arrays anywhere. The first cut built
@@ -590,6 +595,12 @@ object Dedup {
       n: Int = 5, minJaccard: Double = 0.5): DataFrame = {
     require(minJaccard > 0.0 && minJaccard <= 1.0,
       s"minJaccard must be in (0, 1], got $minJaccard")
+    // exact rational form of the threshold for the two PRUNING predicates
+    // (prefix length, size ratio) — see the scaladoc contract
+    val den = 1000000L
+    val num = math.rint(minJaccard * den).toLong
+    require(math.abs(minJaccard * den - num) < 1e-6,
+      s"minJaccard must be representable at 6 decimal places, got $minJaccard")
     // the distinct shingle SET of every doc, exploded: (id, t) —
     // materialized ONCE (four consumers below: sizes, df, prefix,
     // intersection; recomputing the posexplode+window pipeline per
@@ -603,14 +614,17 @@ object Dedup {
     val dfreq = tokSet.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("df"), col("t"))
+    // ceil(t*sz) in exact long arithmetic: (num*sz + den-1) div den — the
+    // double quotient of exact sub-2^53 integers floor()s correctly
+    val ceilTsz = floor((lit(num) * col("sz") + lit(den - 1)) / lit(den))
     val pfx = tokSet.join(dfreq, "t").join(szs, "id")
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= col("sz") - ceil(lit(minJaccard) * col("sz")) + 1)
+      .filter(col("rnk") <= col("sz") - ceilTsz + 1)
       .select(col("id"), col("sz"), col("t"))
     val cand = pfx.as("a").join(pfx.as("b"),
         col("a.t") === col("b.t") && col("a.id") < col("b.id") &&
-          col("b.sz") >= lit(minJaccard) * col("a.sz") &&
-          col("a.sz") >= lit(minJaccard) * col("b.sz"))
+          col("b.sz") * lit(den) >= lit(num) * col("a.sz") &&
+          col("a.sz") * lit(den) >= lit(num) * col("b.sz"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
     // exact |A ∩ B| per candidate: one row per SHARED shingle (tokSet is

@@ -28,9 +28,10 @@ object Graph {
     *
     * Scale shape: per iteration ONE equi-join (edges ⋈ ranks on the
     * source) and one dst-keyed aggregate — both key-partitioned; ranks are
-    * localCheckpointed each round (rotation-freed by the caller's key) so
-    * the plan does not deepen with iterations. The driver sees one scalar
-    * (the node count). */
+    * localCheckpointed each round so the plan does not deepen with
+    * iterations, round i's blocks are freed eagerly once round i+1
+    * materializes, and only the final generation (plus sym/deg) is
+    * rotation-registered. The driver sees one scalar (the node count). */
   def pageRank(edges: DataFrame, iterations: Int = 10,
       damping: Double = 0.85, checkpointKey: String = "Graph.pageRank"): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
@@ -47,7 +48,14 @@ object Graph {
       return sym.select(col("src").as("id"), lit(0.0).as("rank")).limit(0)
     }
     var ranks = deg.select(col("src").as("id"), lit(1.0 / n).as("rank"))
-    val kept = Seq.newBuilder[DataFrame]
+    // round i's checkpoint blocks are dead the moment round i+1's eager
+    // localCheckpoint materializes (the new frame is a fresh LogicalRDD, it
+    // never re-reads the old blocks) — free them immediately instead of
+    // retaining all `iterations` generations until the next invocation's
+    // rotation (the connectedComponents discipline). Only loop-created
+    // checkpoints are freed here: the round-1 `ranks` is a lazy projection
+    // over `deg`, whose blocks rounds 2..n still read.
+    var prevLoopCkpt: DataFrame = null
     for (_ <- 1 to iterations) {
       val contribs = sym
         .join(ranks.withColumnRenamed("id", "src"), "src")
@@ -57,9 +65,12 @@ object Graph {
         .agg(round(lit((1 - damping) / n) + lit(damping) * sum(col("c")), 10)
           .as("rank"))
         .localCheckpoint()
-      kept += ranks
+      if (prevLoopCkpt ne null) Dedup.unpersistCheckpoint(prevLoopCkpt)
+      prevLoopCkpt = ranks
     }
-    Dedup.rotateCheckpoints(checkpointKey, (Seq(sym, deg) ++ kept.result()): _*)
+    // register only the frames the returned plan (or a re-invocation) can
+    // still touch: sym, deg, and the final ranks generation
+    Dedup.rotateCheckpoints(checkpointKey, sym, deg, ranks)
     ranks.select(col("id"), round(col("rank"), 6).as("rank"))
   }
 }

@@ -163,12 +163,21 @@ object Profile {
       .select(lit(name).as("check_name"), col("n_rows"), col("n_violations"))
 
   /** Referential check: child rows whose key has no parent (left-anti
-    * against the DISTINCT parent keys — dimension-sized, broadcast). */
+    * against the DISTINCT parent keys).
+    *
+    * `broadcastParent = true` pins the anti-join broadcast-side — correct
+    * when the parent is dimension-sized. For a FACT-sized parent (the
+    * `diag_constraints` lane checks lineitem→orders) a forced hint risks
+    * exceeding the broadcast limit at scale, so the default leaves the
+    * strategy to Catalyst/AQE, which broadcasts anyway whenever the
+    * distinct-key set measures small at runtime. */
   def fkCheck(name: String, child: DataFrame, keyCol: String,
-      parent: DataFrame, parentKeyCol: String): DataFrame = {
+      parent: DataFrame, parentKeyCol: String,
+      broadcastParent: Boolean = false): DataFrame = {
+    val keys = parent.select(col(parentKeyCol).as(keyCol)).distinct()
     val orphans = child.join(
-      org.apache.spark.sql.functions.broadcast(
-        parent.select(col(parentKeyCol).as(keyCol)).distinct()),
+      if (broadcastParent) org.apache.spark.sql.functions.broadcast(keys)
+      else keys,
       Seq(keyCol), "left_anti")
     child.agg(count(lit(1)).as("n_rows"))
       .crossJoin(orphans.agg(count(lit(1)).as("n_violations")))

@@ -139,11 +139,6 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
-  /** Deterministic ~90/5/5 train/valid/test assignment from the first md5
-    * byte of the seeded draw on `key` ("e6" = 230/256 ≈ 89.8% train,
-    * "f3" = 243/256 fences the next ≈ 5.1% as valid). Pure column algebra —
-    * and the LEAKAGE-SAFE form passes the near-dup CLUSTER id as `key`, so
-    * a near-duplicate of a training document can never land in eval. */
   /** Deterministic LEAKAGE-SAFE negative sampling for contrastive training:
     * k pseudo-random negatives per anchor document, excluding the anchor
     * itself BY CONSTRUCTION (step ∈ [1, N-1] on the dense id ring) and —
@@ -191,6 +186,11 @@ object Sampling {
     }
   }
 
+  /** Deterministic ~90/5/5 train/valid/test assignment from the first md5
+    * byte of the seeded draw on `key` ("e6" = 230/256 ≈ 89.8% train,
+    * "f3" = 243/256 fences the next ≈ 5.1% as valid). Pure column algebra —
+    * and the LEAKAGE-SAFE form passes the near-dup CLUSTER id as `key`, so
+    * a near-duplicate of a training document can never land in eval. */
   def hashSplit(key: Column, seed: String = "split"): Column = {
     val bucket = substring(
       md5(concat(lit(seed + ":"), key.cast("string")).cast("binary")), 1, 2)
@@ -209,7 +209,11 @@ object Sampling {
     * break on the row key): ln/pow may differ by 1 ulp between engines,
     * and an unrounded continuous key would let that flip a selection at
     * the boundary; on the 1e-12 grid both engines see identical keys.
-    * Weights must be strictly positive. */
+    * Weights must be strictly positive.
+    *
+    * Output contract: the input columns plus a documented `rank` column
+    * (1 = best draw per stratum, ≤ k); the internal A-ES key is dropped —
+    * the input must not already carry a `rank` column. */
   def weightedFixedK(df: DataFrame, stratumCol: String, keyCol: String,
       weight: Column, k: Int, seed: String = "aes"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
@@ -222,11 +226,14 @@ object Sampling {
       .otherwise(raise_error(concat(
         lit("weightedFixedK: weights must be > 0, got "), weight.cast("string"))))
     val aesKey = round(log(u) / w0, 12)
+    require(!df.columns.contains("rank"),
+      "weightedFixedK: input already has a `rank` column")
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(col("__aes_key").desc, col(keyCol))
     df.withColumn("__aes_key", aesKey)
-      .withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= k)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop("__aes_key")
   }
 
   /** Token-budget mixture sampling: each stratum (language, source, domain)

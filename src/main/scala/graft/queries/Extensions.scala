@@ -237,7 +237,7 @@ object Extensions {
       graft.ext.Sampling.weightedFixedK(docs, "lang", "doc_id",
           col("nt") + 1, k = 20)
         .select(col("lang"), col("doc_id"), col("nt").as("n_tokens"),
-          col("__rank").cast("long").as("rank"))
+          col("rank").cast("long").as("rank"))
         .orderBy(col("lang"), col("rank"))
     }),
 

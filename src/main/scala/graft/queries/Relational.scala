@@ -1727,7 +1727,7 @@ object Relational {
         |  SELECT t.* FROM tgt t ANTI JOIN src s ON t.o_orderkey = s.o_orderkey
         |  UNION ALL SELECT * FROM src)
         |SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS vol,
-        |  sum(o_orderkey) AS key_sum
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // The Bloom pre-filter is semantics-transparent: the oracle is the

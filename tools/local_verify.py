@@ -61,6 +61,27 @@ def main():
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
+        # Dtype-class guard (round 11): the driver's compare hashes raw
+        # values, so an int64 Spark column vs a float64 oracle column (the
+        # DuckDB sum(BIGINT)->HUGEINT->float64 drift that broke
+        # merge_upsert_orders in r10 and events_sessionize in r8) is a hash
+        # FAIL even when the normalized values match. Fail loudly HERE with
+        # a named error instead of letting norm() paper over it.
+        dtype_errs = []
+        for c in sorted(set(spark_df.columns) & set(oracle_df.columns)):
+            s, o = spark_df[c], oracle_df[c]
+            s_int = pd.api.types.is_integer_dtype(s)
+            o_int = pd.api.types.is_integer_dtype(o)
+            s_f = pd.api.types.is_float_dtype(s)
+            o_f = pd.api.types.is_float_dtype(o)
+            if (s_int and o_f) or (s_f and o_int):
+                dtype_errs.append(f"{c}: spark {s.dtype} vs oracle {o.dtype}")
+        if dtype_errs:
+            print(f"FAIL {name}: dtype-class mismatch (driver would hash-FAIL): "
+                  + "; ".join(dtype_errs)
+                  + " — CAST the oracle (or Spark) side to align int/float")
+            n_fail += 1
+            continue
         a, b = norm(spark_df), norm(oracle_df)
         if list(a.columns) != list(b.columns):
             print(f"FAIL {name}: schema {list(a.columns)} vs {list(b.columns)}")
