@@ -1835,6 +1835,28 @@ object Extensions {
         .orderBy(col("fork"))
     }),
 
+    // Bounded-range replay of the chain source (reference CLI parity,
+    // `src/main.rs:63-66`): startBlock positions the cursorless stream,
+    // endBlock (exclusive) completes it. The oracle regenerates the
+    // envelope closed forms over exactly [35, 150) — any off-by-one in the
+    // range plumbing or a partition split that drops/duplicates a boundary
+    // seq shows up as a row/hash mismatch.
+    "pipe_chain_bounded" -> ((s, d) => {
+      val msgs = s.read.format("graft.sources.ChainSource")
+        .option("totalBlocks", 1000).option("reorgEvery", 20)
+        .option("reorgDepth", 3).option("finalityLag", 8)
+        .option("startBlock", 35).option("endBlock", 150)
+        .load()
+      msgs.select(col("kind"),
+          when(col("kind") === "undo", lit(-1L))
+            .otherwise(substring_index(col("data.clock.id"), "-f", -1)
+              .cast("long")).as("fork"),
+          coalesce(col("data.clock.number"), col("undo.lastValidBlock")).as("h"))
+        .groupBy(col("kind"), col("fork"))
+        .agg(count(lit(1)).as("n"), min(col("h")).as("min_h"), max(col("h")).as("max_h"))
+        .orderBy(col("kind"), col("fork"))
+    }),
+
     // REAL codec round-trip: synthetic PNGs encoded + decoded with
     // javax.imageio on executors; dims and channel means have closed forms
     // the oracle recomputes from the generation rule (PNG is lossless).
@@ -4278,6 +4300,22 @@ object Extensions {
         |)
         |SELECT x.f AS fork, count(*) AS n_blocks, min(x.h) AS first_h, max(x.h) AS last_h
         |FROM (SELECT unnest(rel) AS x FROM fold WHERE seq = 199)
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Closed-form regeneration of the generator over exactly [35, 150)
+    // (reorgEvery=20, reorgDepth=3): undos(seq) = (seq-1)//20, height =
+    // seq - undos*4, undo rows point at height-1-3.
+    "pipe_chain_bounded" ->
+      """WITH seqs AS (SELECT range AS seq FROM range(35, 150)),
+        |e AS (SELECT seq, (seq > 0 AND seq % 20 = 0) AS is_undo,
+        |        CASE WHEN seq = 0 THEN 0 ELSE (seq - 1) // 20 END AS undos
+        |      FROM seqs),
+        |m AS (SELECT CASE WHEN is_undo THEN 'undo' ELSE 'data' END AS kind,
+        |        CAST(CASE WHEN is_undo THEN -1 ELSE undos END AS BIGINT) AS fork,
+        |        (seq - undos * 4) - CASE WHEN is_undo THEN 4 ELSE 0 END AS h
+        |      FROM e)
+        |SELECT kind, fork, count(*) AS n,
+        |  CAST(min(h) AS BIGINT) AS min_h, CAST(max(h) AS BIGINT) AS max_h
+        |FROM m GROUP BY kind, fork ORDER BY kind, fork""".stripMargin
   )
 }

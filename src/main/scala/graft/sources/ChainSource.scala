@@ -48,6 +48,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *     .option("failEvery", 50)          // O3: transient fault injection
   *     .option("maxRetries", 5)
   *     .option("fetcherClass", "…")      // O1: swap in a real transport
+  *     .option("endpoint", "host:port")  // O1: where that transport connects
+  *     .option("startBlock", 100)        // cursorless start (cursor wins on restart)
+  *     .option("endBlock", 500)          // exclusive stop bound — stream completes
   *     .load()                           // schema = BlockMsg
   * }}}
   *
@@ -100,7 +103,13 @@ object ChainSource {
   final case class Config(blocksPerTrigger: Long, totalBlocks: Long,
       reorgEvery: Long, reorgDepth: Long, finalityLag: Long, numPartitions: Int,
       token: String, requireAuth: Boolean, failEvery: Long, maxRetries: Int,
-      connectTimeoutMs: Long, keepaliveMs: Long, fetcherClass: String)
+      connectTimeoutMs: Long, keepaliveMs: Long, fetcherClass: String,
+      startBlock: Long, endBlock: Long, endpoint: String) {
+    /** The exclusive stop position: the stream completes when the cursor
+      * reaches it (reference `end_block`, `src/main.rs:63-66`; `totalBlocks`
+      * is the legacy cap and still binds). */
+    def stopBound: Long = math.min(totalBlocks, endBlock)
+  }
 
   /** O2 parity: the env token wins over the option, like the reference's
     * SUBSTREAMS_API_TOKEN over the CLI flag (`src/main.rs:128-131`); the
@@ -131,43 +140,70 @@ object ChainSource {
     // transport seam (O1): fully-qualified BlockFetcher implementation,
     // instantiated reflectively ON THE EXECUTOR with this Config — a real
     // substreams gRPC client drops in via this one option, no code change
-    fetcherClass = o.getOrDefault("fetcherClass", ""))
+    fetcherClass = o.getOrDefault("fetcherClass", ""),
+    // range parity with the reference CLI (`src/main.rs:63-66`): the stream
+    // STARTS at startBlock only when no checkpoint cursor exists (cursor
+    // wins on recovery, exactly the reference's resume-from-latest_cursor),
+    // and COMPLETES when the cursor reaches endBlock (exclusive). Both are
+    // positions on the message sequence — the cursor's own coordinate —
+    // not chain heights (heights lag seq by reorgDepth+1 per undo; the
+    // reference streams by height because its cursor is opaque).
+    startBlock = o.getLong("startBlock", 0L),
+    endBlock = o.getLong("endBlock", Long.MaxValue),
+    endpoint = o.getOrDefault("endpoint", ""))
 
-  /** Deterministic message at sequence `seq`: chain state is a pure function
+  /** The semantic content of one envelope — the fields a real server ships
+    * over the wire, separated from their InternalRow encoding so a transport
+    * (e.g. [[LoopbackBlockFetcher]]) can serialize/parse them and both the
+    * synthetic and networked paths share [[toInternalRow]] bit-for-bit. */
+  final case class Envelope(seq: Long, isUndo: Boolean, height: Long,
+      fork: Long, lastValid: Long, finalHeight: Long, tsMicros: Long)
+
+  /** Deterministic envelope at sequence `seq`: chain state is a pure function
     * of the sequence number, so any reader (or retry) regenerates the exact
     * same envelope — the property that makes offset-resume exactly-once. */
-  def messageAt(seq: Long, cfg: Config): InternalRow = {
+  def envelopeAt(seq: Long, cfg: Config): Envelope = {
     val reorg = cfg.reorgEvery > 0 && seq > 0 && seq % cfg.reorgEvery == 0
     // block height delivered at seq: heights replay reorgDepth back after
     // each undo; closed form = seq - (undosBefore * (reorgDepth + 1))
     val undosBefore = if (cfg.reorgEvery > 0) (seq - 1).max(0) / cfg.reorgEvery else 0L
     val height = seq - undosBefore * (cfg.reorgDepth + 1)
-    if (reorg) {
-      val lastValid = height - 1 - cfg.reorgDepth
+    Envelope(seq, isUndo = reorg, height = height, fork = undosBefore,
+      lastValid = if (reorg) height - 1 - cfg.reorgDepth else -1L,
+      finalHeight = (height - cfg.finalityLag).max(0),
+      tsMicros = 1672531200000000L + height * 1000000L) // 2023-01-01 + 1s/block
+  }
+
+  /** Encode an [[Envelope]] as the BlockMsg InternalRow. */
+  def toInternalRow(e: Envelope): InternalRow = {
+    if (e.isUndo) {
       new GenericInternalRow(Array[Any](
-        seq, UTF8String.fromString("undo"), null,
-        new GenericInternalRow(Array[Any](lastValid, UTF8String.fromString(s"cursor-$lastValid")))))
+        e.seq, UTF8String.fromString("undo"), null,
+        new GenericInternalRow(Array[Any](e.lastValid,
+          UTF8String.fromString(s"cursor-${e.lastValid}")))))
     } else {
       val fields = new GenericArrayData(Array[Any](
         new GenericInternalRow(Array[Any](
-          UTF8String.fromString("height"), UTF8String.fromString(height.toString),
+          UTF8String.fromString("height"), UTF8String.fromString(e.height.toString),
           UTF8String.fromString(""))),
         new GenericInternalRow(Array[Any](
-          UTF8String.fromString("fork"), UTF8String.fromString(undosBefore.toString),
+          UTF8String.fromString("fork"), UTF8String.fromString(e.fork.toString),
           UTF8String.fromString("")))))
       val change = new GenericInternalRow(Array[Any](
         UTF8String.fromString("blocks"), UTF8String.fromString(""),
         new ArrayBasedMapData(new GenericArrayData(Array.empty[Any]),
           new GenericArrayData(Array.empty[Any])), fields))
       val clock = new GenericInternalRow(Array[Any](
-        UTF8String.fromString(s"b$height-f$undosBefore"), height,
-        1672531200000000L + height * 1000000L)) // 2023-01-01 + 1s per block
+        UTF8String.fromString(s"b${e.height}-f${e.fork}"), e.height, e.tsMicros))
       val data = new GenericInternalRow(Array[Any](
-        clock, UTF8String.fromString(s"cursor-$seq"),
-        (height - cfg.finalityLag).max(0), new GenericArrayData(Array[Any](change))))
-      new GenericInternalRow(Array[Any](seq, UTF8String.fromString("data"), data, null))
+        clock, UTF8String.fromString(s"cursor-${e.seq}"),
+        e.finalHeight, new GenericArrayData(Array[Any](change))))
+      new GenericInternalRow(Array[Any](e.seq, UTF8String.fromString("data"), data, null))
     }
   }
+
+  def messageAt(seq: Long, cfg: Config): InternalRow =
+    toInternalRow(envelopeAt(seq, cfg))
 }
 
 class ChainTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
@@ -187,7 +223,7 @@ class ChainScan(cfg: ChainSource.Config) extends Scan {
     new ChainMicroBatchStream(cfg)
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      ChainMicroBatchStream.partitionRange(0L, cfg.totalBlocks, cfg)
+      ChainMicroBatchStream.partitionRange(cfg.startBlock, cfg.stopBound, cfg)
     override def createReaderFactory(): PartitionReaderFactory = new ChainReaderFactory(cfg)
   }
 }
@@ -213,16 +249,23 @@ object ChainMicroBatchStream {
 
 class ChainMicroBatchStream(cfg: ChainSource.Config)
     extends MicroBatchStream with SupportsAdmissionControl {
-  override def initialOffset(): Offset = ChainOffset(0L)
+  /** Called by Spark ONLY when the checkpoint has no committed offset —
+    * which makes `startBlock` exactly the reference's cursorless start
+    * (`src/main.rs:63-66`: "start_block if cursor is None"). On recovery
+    * the checkpointed cursor wins and startBlock is ignored, even if the
+    * restarted query was configured with a different value. */
+  override def initialOffset(): Offset = ChainOffset(cfg.startBlock)
   /** admission control = the maxOffsetsPerTrigger analog: each micro-batch
     * admits at most blocksPerTrigger messages past the committed cursor —
-    * nothing is skipped, the offset log stays exact. */
+    * nothing is skipped, the offset log stays exact. The stream COMPLETES
+    * (offset stops advancing) at `stopBound` = min(totalBlocks, endBlock),
+    * the reference's stop-at-end_block contract. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    ChainOffset(math.min(cfg.totalBlocks,
+    ChainOffset(math.min(cfg.stopBound,
       start.asInstanceOf[ChainOffset].seq + cfg.blocksPerTrigger))
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("admission-control latestOffset is used")
-  override def reportLatestOffset(): Offset = ChainOffset(cfg.totalBlocks)
+  override def reportLatestOffset(): Offset = ChainOffset(cfg.stopBound)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   override def deserializeOffset(json: String): Offset = ChainOffset(json.toLong)
   override def commit(end: Offset): Unit = () // nothing external to ack
