@@ -34,15 +34,28 @@ object CboStats {
   }
 
   /** Publish stats for `table`. `sizeInBytes` defaults to the table's real
-    * on-disk size; `ndv`/`nullCount` become per-column catalog stats. */
+    * on-disk size; `ndv`/`nullCount`/`minMax` become per-column catalog
+    * stats.
+    *
+    * `minMax` (external-string form, e.g. `"0" -> "5999"` for a bigint) is
+    * NOT optional garnish for join keys: Spark's `JoinEstimation` checks
+    * the two keys' value intervals for overlap before the NDV formula, and
+    * a column stat WITHOUT min/max reads as an empty interval — two such
+    * keys "don't intersect" and the join estimates ZERO rows, collapsing
+    * every estimate above it (found live: the q9 pin below estimated the
+    * whole plan to 1 byte and broadcast the fact side). Feed min/max for
+    * every numeric key column or don't feed its NDV at all. */
   def feed(s: SparkSession, table: String, rows: Long,
       ndv: Map[String, Long] = Map.empty,
       nullCount: Map[String, Long] = Map.empty,
-      sizeInBytes: Option[Long] = None): Unit = {
-    val colStats = (ndv.keySet ++ nullCount.keySet).map { c =>
+      sizeInBytes: Option[Long] = None,
+      minMax: Map[String, (String, String)] = Map.empty): Unit = {
+    val colStats = (ndv.keySet ++ nullCount.keySet ++ minMax.keySet).map { c =>
       c -> CatalogColumnStat(
         distinctCount = ndv.get(c).map(BigInt(_)),
-        nullCount = nullCount.get(c).map(BigInt(_)))
+        nullCount = nullCount.get(c).map(BigInt(_)),
+        min = minMax.get(c).map(_._1),
+        max = minMax.get(c).map(_._2))
     }.toMap
     s.sessionState.catalog.alterTableStats(TableIdentifier(table),
       Some(CatalogStatistics(
@@ -55,18 +68,39 @@ object CboStats {
   }
 
   /** One profile pass (`exact = false` — the HLL leg only, the scale mode)
-    * over `cols`, published to the catalog. The collect is one row per
-    * profiled column. Returns (rows, ndv, nullCount) as fed. */
+    * over `cols`, published to the catalog, PLUS one min/max aggregate over
+    * the numeric columns (required for sound join estimates — see [[feed]];
+    * the extra pass is a pruned columnar scan with map-side combine, and a
+    * 1-row result). Non-numeric columns feed NDV/null only: Spark's
+    * estimators never range-check string keys, so the empty-interval trap
+    * does not arise for them. The collects are one row per profiled column
+    * plus the 1-row min/max frame. Returns (rows, ndv, nullCount) as fed. */
   def feedFromProfile(s: SparkSession, table: String, cols: Seq[String],
       p: Int = 8): (Long, Map[String, Long], Map[String, Long]) = {
-    val prof = Profile.profile(s.table(table), cols, p, exact = false)
+    val df = s.table(table)
+    val prof = Profile.profile(df, cols, p, exact = false)
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         math.max(1L, math.round(r.getDouble(4)))))
     val rows = prof.map(_._2).max
     val ndv = prof.map(x => x._1 -> x._4).toMap
     val nulls = prof.map(x => x._1 -> x._3).toMap
-    feed(s, table, rows, ndv, nulls)
+    import org.apache.spark.sql.functions.{col, max, min}
+    import org.apache.spark.sql.types.NumericType
+    val numeric = cols.filter(c =>
+      df.schema(c).dataType.isInstanceOf[NumericType])
+    val minMax: Map[String, (String, String)] =
+      if (numeric.isEmpty) Map.empty
+      else {
+        val aggs = numeric.flatMap(c => Seq(min(col(c)), max(col(c))))
+        val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+        numeric.zipWithIndex.flatMap { case (c, i) =>
+          val (lo, hi) = (row.get(2 * i), row.get(2 * i + 1))
+          if (lo == null || hi == null) None // all-null column: no interval
+          else Some(c -> (lo.toString, hi.toString))
+        }.toMap
+      }
+    feed(s, table, rows, ndv, nulls, minMax = minMax)
     (rows, ndv, nulls)
   }
 }

@@ -158,7 +158,7 @@ class JdbcMultiTableSink(
   }
 
   private def cursorDdl: String =
-    dialect.createTableSql(cursorTable, dialect.cursorColumns, Seq("id", "block_num"))
+    dialect.cursorTableSql(cursorTable, dialect.cursorColumns)
 
   private def ensureSchema(frames: Map[String, DataFrame]): Unit =
     if (!schemaReady) synchronized {

@@ -42,6 +42,16 @@ trait SqlDialect extends Serializable {
   /** Cursor-table columns (name → DDL type), reference `loader.rs:34-40`. */
   def cursorColumns: Seq[(String, String)]
 
+  /** CREATE TABLE for the CURSOR table specifically. The cursor write path
+    * is insert-only everywhere ("we are constantly inserting the cursor and
+    * use the latest of them to recover", reference `README.md:9-11`), so a
+    * dialect may model the replace-on-duplicates storage natively — see
+    * [[ClickHouseDialect]]'s ReplacingMergeTree override. Default: the same
+    * generic DDL as data tables, keyed (id, block_num) for the recovery
+    * scan. */
+  def cursorTableSql(table: String, cols: Seq[(String, String)]): String =
+    createTableSql(table, cols, Seq("id", "block_num"))
+
   /** true → the replace-on-PK write (DELETE pk range + re-insert, one
     * transaction per partition) is used for exactly-once-effective output.
     * false → plain batched INSERTs, at-least-once on retry — the engines
@@ -153,6 +163,19 @@ final case class ClickHouseDialect(
   def cursorColumns: Seq[(String, String)] = Seq(
     "id" -> "String", "cursor" -> "String",
     "block_num" -> "UInt64", "block_id" -> "String")
+
+  /** The reference's "replace on duplicates" cursor persistence
+    * (`README.md:9-11`) modeled natively: `ReplacingMergeTree(block_num)
+    * ORDER BY (id)` keeps, after background merges, exactly the max-version
+    * (latest block_num) row per cursor id. Merges are EVENTUAL, so the
+    * sink's recovery query still orders by block_num and takes 1 — the
+    * read is correct whether or not the collapse has run (the spec pins
+    * that invariance); the engine merely guarantees the table does not
+    * grow forever under constant cursor inserts. */
+  override def cursorTableSql(table: String, cols: Seq[(String, String)]): String =
+    s"CREATE TABLE IF NOT EXISTS ${quote(table)} " +
+      s"(${cols.map { case (n, t) => s"${quote(n)} $t" }.mkString(", ")}) " +
+      s"ENGINE = ReplacingMergeTree(${quote("block_num")}) ORDER BY (${quote("id")})"
 
   val supportsDeleteOnPk = false
 }

@@ -79,4 +79,101 @@ class CboStatsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         s"CBO must see the fed rowCount, stats=${plan.stats}")
     } finally spark.conf.set("spark.sql.cbo.enabled", prev)
   }
+
+  test("real inventory lane: profile-fed TPC-H stats shape the q9 plan; the answer is unchanged") {
+    // VERDICT r10 #6: the strategy-flip tests above use synthetic tables;
+    // here the feed runs over the ACTUAL TPC-H fixtures and the pin is the
+    // real tpch_q9_product_profit join shape. At any SF the correct shape
+    // is: lineitem (the fact, largest fed sizeInBytes) only ever streams —
+    // it must never be a broadcast build side — while nation and the
+    // filtered part side broadcast.
+    val d = "/root/testdata/sf0.001"
+    val profiled = Map(
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "orders" -> Seq("o_orderkey", "o_orderdate"),
+      "part" -> Seq("p_partkey", "p_name"),
+      "supplier" -> Seq("s_suppkey", "s_nationkey"),
+      "nation" -> Seq("n_nationkey", "n_name"))
+    profiled.foreach { case (t, cols) =>
+      val name = s"cbo_tpch_$t"
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), name)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      graft.Tables.load(spark, d, t).write.saveAsTable(name)
+      // the diag_profile shape (HLL leg), published to the catalog
+      CboStats.feedFromProfile(spark, name, cols)
+    }
+    // fed rowCounts must match the fixtures exactly (count is exact in the
+    // profile; only NDV is sketched)
+    val catRows = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier("cbo_tpch_lineitem")).stats.get.rowCount
+    assert(catRows === Some(BigInt(graft.Tables.load(spark, d, "lineitem").count())))
+
+    def t(n: String) = spark.table(s"cbo_tpch_$n")
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    def q9 = t("lineitem")
+      .join(t("part").filter(col("p_name").like("%red%")),
+        col("l_partkey") === col("p_partkey"))
+      .join(t("supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t("nation"), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(rev - col("p_retailprice") * lit(0.6) * col("l_quantity")), 2)
+        .as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    val prevReorder = spark.conf.get("spark.sql.cbo.joinReorder.enabled", "false")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      // CBO consumed the fed stats: every leaf relation of the optimized
+      // plan carries the fed rowCount (the root estimate degrades through
+      // the agg/sort visitors — the strategy decisions read the leaves)
+      val leaves = q9.queryExecution.optimizedPlan.collectLeaves()
+      assert(leaves.nonEmpty && leaves.forall(_.stats.rowCount.isDefined),
+        s"CBO must see fed rowCounts at the scans: ${leaves.map(_.stats)}")
+      // leg 1 — TRUE stats: everything at sf0.001 sits under the broadcast
+      // threshold, so the reordered plan must be all-broadcast (zero SMJ)
+      val tiny = q9.queryExecution.sparkPlan
+      assert(collectWithSubqueries(tiny) { case j: BroadcastHashJoinExec => j }.nonEmpty
+        && collectWithSubqueries(tiny) { case j: SortMergeJoinExec => j }.isEmpty,
+        s"true (tiny) stats must keep every join broadcast:\n$tiny")
+      // and the lane's answer is byte-identical to the parquet-path lane
+      // (tpch_q9_product_profit stays green with stats in play)
+      val fromCatalog = q9.collect().map(_.toString).toSeq
+      val direct = graft.queries.Relational
+        .queries("tpch_q9_product_profit")(spark, d).collect().map(_.toString).toSeq
+      assert(fromCatalog === direct)
+      // leg 2 — SCALE-truthful stats (the 100 TB layout this plan must
+      // survive): facts measured huge, dims unchanged. The strategy must
+      // flip exactly where the stats say: fact⋈fact joins to SMJ, every
+      // broadcast build side a dimension, the facts only ever streaming.
+      CboStats.feed(spark, "cbo_tpch_lineitem", rows = 6000000000L,
+        sizeInBytes = Some(400L * 1024 * 1024 * 1024))
+      CboStats.feed(spark, "cbo_tpch_orders", rows = 1500000000L,
+        sizeInBytes = Some(100L * 1024 * 1024 * 1024))
+      // regression fence for the empty-interval trap (see CboStats.feed):
+      // with min/max fed, no equi-join on profiled keys may estimate zero
+      q9.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+          assert(j.stats.rowCount.forall(_ > 0),
+            s"join estimated zero rows — NDV-only stats poison the interval check: $j")
+      }
+      val atScale = q9.queryExecution.sparkPlan
+      assert(collectWithSubqueries(atScale) { case j: SortMergeJoinExec => j }.nonEmpty,
+        s"the lineitem⋈orders join must shuffle under fact-scale stats:\n$atScale")
+      collectWithSubqueries(atScale) { case j: BroadcastHashJoinExec => j }.foreach { j =>
+        val build = if (j.buildSide.toString.contains("Left")) j.left else j.right
+        assert(!build.toString.contains("cbo_tpch_lineitem") &&
+          !build.toString.contains("cbo_tpch_orders"),
+          s"facts must stream, never broadcast, under scale stats:\n$atScale")
+      }
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", prevReorder)
+    }
+  }
 }

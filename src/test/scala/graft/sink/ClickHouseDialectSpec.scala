@@ -1,8 +1,11 @@
 package graft.sink
 
-import org.apache.spark.sql.types._
-import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import java.sql.DriverManager
 
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
 import graft.model._
 import graft.model.ChType._
 
@@ -13,7 +16,7 @@ import graft.model.ChType._
   * schema, the type-name round-trip through ChType.parse, the URL-query →
   * session-setting plumbing, and the insert-only delivery flag. The shared
   * SinkBatch contract itself stays proven against Derby in JdbcSinkSpec. */
-class ClickHouseDialectSpec extends AnyFunSuite {
+class ClickHouseDialectSpec extends SparkSpec {
 
   /** Every ChType lane from SURVEY §1.2, including the four the reference
     * panics on (Date/Nullable/LowCardinality/Decimal) and the wide ints. */
@@ -63,10 +66,13 @@ class ClickHouseDialectSpec extends AnyFunSuite {
     assert(ddl.contains("`c_dec` Decimal(38, 10)"))
     assert(ddl.contains("`c_date` Date"))
     // cursor table mirrors the reference's Cursor row (block_num is u64)
+    // and models its "replace on duplicates" persistence (README.md:9-11):
+    // ReplacingMergeTree versioned by block_num, keyed by cursor id —
+    // background merges collapse the constant inserts to the latest row
     val cursor = stmts.last
     assert(cursor.startsWith("CREATE TABLE IF NOT EXISTS `graft_cursors` ("))
     assert(cursor.contains("`block_num` UInt64"))
-    assert(cursor.endsWith("ORDER BY (`id`, `block_num`)"))
+    assert(cursor.endsWith("ENGINE = ReplacingMergeTree(`block_num`) ORDER BY (`id`)"))
   }
 
   test("frames with no catalog entry fall back to Spark-type mapping") {
@@ -119,5 +125,49 @@ class ClickHouseDialectSpec extends AnyFunSuite {
     // empty pk -> tuple()
     assert(ClickHouseDialect().createTableSql("t", Seq("a" -> "Int64"), Nil)
       .endsWith("ORDER BY tuple()"))
+  }
+
+  test("cursor recovery is latest-wins and INVARIANT to ReplacingMergeTree merge timing") {
+    // The reference persists cursors by constant insertion and recovers the
+    // latest (README.md:9-11); ReplacingMergeTree collapses duplicates only
+    // EVENTUALLY (at merge time), so the recovery read must return the same
+    // row BEFORE the collapse (all duplicates present) and AFTER it (only
+    // the max-block_num row left per id). No live ClickHouse exists here:
+    // the duplicate-row state and the post-merge state are materialized on
+    // embedded Derby through the sink's own insert-only persistCursor /
+    // ORDER BY block_num DESC + limit-1 loadCursor path — the exact
+    // statements the ClickHouse dialect would issue, modulo DDL.
+    System.setProperty("derby.system.home",
+      Files.createTempDirectory("derbyhome_ch").toString)
+    val root = Files.createTempDirectory("chcursor").toString
+    val url = s"jdbc:derby:$root/db;create=true"
+    val sink = new JdbcMultiTableSink(Nil, url, "pipeline-1")
+    assert(sink.loadCursor(spark).isEmpty) // creates the cursor table (O15 order)
+    // constant insertion, out of order and with a competing cursor id
+    Seq(3L, 1L, 7L, 5L).foreach(n =>
+      sink.persistCursor(CursorRow("pipeline-1", s"c$n", n, s"b$n")))
+    Seq(2L, 9L).foreach(n =>
+      sink.persistCursor(CursorRow("other", s"c$n", n, s"b$n")))
+    // BEFORE the merge: all duplicate rows present, recovery = max block_num
+    val before = sink.loadCursor(spark)
+    assert(before.map(r => (r.blockNum, r.cursor, r.blockId)) === Some((7L, "c7", "b7")),
+      "recovery must pick the latest cursor among the uncollapsed duplicates")
+    // emulate the ReplacingMergeTree background merge: keep exactly the
+    // max-version row per ORDER BY key (id), drop the rest
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        """DELETE FROM "graft_cursors" t WHERE "block_num" <
+          |  (SELECT MAX("block_num") FROM "graft_cursors" s WHERE s."id" = t."id")""".stripMargin)
+      st.close()
+      val rs = conn.createStatement()
+        .executeQuery("""SELECT COUNT(*) FROM "graft_cursors"""")
+      rs.next()
+      assert(rs.getInt(1) === 2, "merge leaves one row per cursor id")
+    } finally conn.close()
+    // AFTER the merge: the collapsed table yields the identical recovery row
+    val after = sink.loadCursor(spark)
+    assert(after === before, "recovery must not depend on merge timing")
   }
 }
