@@ -232,4 +232,52 @@ object EventAnalytics {
       .agg(count_distinct(col(userCol)).as("n_active"))
       .join(sizes, "cohort_day")
   }
+
+  /** RFM segmentation — the classic recency/frequency/monetary user scoring
+    * a growth/analytics pipeline derives from the event log. Per user:
+    * recency = whole days from their LAST event to the dataset's own "now"
+    * (the max event time — self-contained, replayable), frequency = event
+    * count, monetary = sum(value) rounded to cents. Each metric scores
+    * 1..4 by quartile: the three interpolated quartile boundaries are ONE
+    * global 1-row aggregate broadcast back onto the per-user frame (no
+    * ntile — a global rank window would single-partition the user set at
+    * scale), and every boundary is rounded to 6 dp before the strict-`>`
+    * comparisons so a 1-ulp interpolation difference between engines can
+    * never flip a score. Recency scores INVERTED (recent = 4).
+    *
+    * Returns one row per (r_score, f_score, m_score) cell: user count and
+    * cents-rounded total monetary. Shape: one user-keyed aggregate, two
+    * 1-row broadcasts (now, quartiles), one cell-keyed aggregate.
+    */
+  def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, ticksPerDay: Long = 86400L * 1000000000L): DataFrame = {
+    val users = events.groupBy(col(userCol))
+      .agg(max(col(tsCol)).as("last_tick"),
+        count(lit(1)).as("freq"),
+        round(sum(coalesce(col(valueCol), lit(0.0))), 2).as("mon"))
+    val now = events.agg(max(col(tsCol)).as("now_tick"))
+    val base = users.crossJoin(broadcast(now))
+      .withColumn("rec_days",
+        expr(s"(now_tick - last_tick) div ${ticksPerDay}L"))
+    val qAggs = Seq("rec_days", "freq", "mon").flatMap { c =>
+      Seq(0.25, 0.5, 0.75).map(p =>
+        round(expr(s"percentile($c, $p)"), 6).as(s"${c}_q${(p * 100).toInt}"))
+    }
+    val qs = base.agg(qAggs.head, qAggs.tail: _*)
+    def score(c: Column, q1: Column, q2: Column, q3: Column): Column =
+      lit(1) + when(c > q1, 1).otherwise(0) + when(c > q2, 1).otherwise(0) +
+        when(c > q3, 1).otherwise(0)
+    base.crossJoin(broadcast(qs))
+      .select(
+        (lit(5) - score(col("rec_days").cast("double"),
+          col("rec_days_q25"), col("rec_days_q50"), col("rec_days_q75")))
+          .as("r_score"),
+        score(col("freq").cast("double"),
+          col("freq_q25"), col("freq_q50"), col("freq_q75")).as("f_score"),
+        score(col("mon"),
+          col("mon_q25"), col("mon_q50"), col("mon_q75")).as("m_score"),
+        col("mon"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"), round(sum(col("mon")), 2).as("total_mon"))
+  }
 }

@@ -436,4 +436,56 @@ object TextAnalysis {
         round(frac(col("top_w"), col("n_tokens")), 4).as("top_word_frac"),
         round(frac(col("top_b"), col("n_bigrams")), 4).as("top_bigram_frac"))
   }
+
+  /** Gopher-style quality GATE battery (Rae et al. 2021 §A1.1 — the
+    * document-filter rules a pre-training pipeline applies before anything
+    * touches the tokenizer): per document,
+    *
+    *  - word count within `[minWords, maxWords]`;
+    *  - mean word length within `[3, 10]`;
+    *  - fraction of words containing an alphabetic character ≥ 0.7;
+    *  - at least 2 DISTINCT stopwords (the fluent-prose test);
+    *  - ellipsis ("...") occurrences per word ≤ 0.1.
+    *
+    * Returns one row per doc: the raw signals plus one boolean per gate and
+    * the conjunction `pass`. All integer-derived ratios compare against
+    * decimal literals both engines parse identically, so the gate decisions
+    * replay bit-for-bit in the oracle.
+    *
+    * Scale shape: ONE explode of the shared token stream into one id-keyed
+    * aggregate (map-side combined), the per-doc character counts in their
+    * own pre-explode projection (same CollapseProject fence as
+    * [[textStatsFrame]]), one join back on id. No HOF is referenced twice.
+    */
+  def gopherGates(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, minWords: Long = 30L, maxWords: Long = 100000L): DataFrame = {
+    val docStats = docs.select(col(idCol).as("id"),
+      // '...' occurrences via length delta — scan-side arithmetic, and the
+      // exact expression DuckDB replays with replace()
+      ((length(col(textCol)) -
+        length(replace(col(textCol), lit("..."), lit("")))) / 3)
+        .cast("long").as("n_ellipsis"))
+    val tok = docs.select(col(idCol).as("id"), explode_outer(tokens(col(textCol))).as("w"))
+    val sig = tok.groupBy(col("id")).agg(
+      count(col("w")).as("n_words"),
+      coalesce(sum(length(col("w"))), lit(0L)).as("sum_len"),
+      count_if(col("w").rlike("[a-z]")).as("n_alpha"),
+      count_distinct(when(col("w").isInCollection(EnglishStopwords), col("w")))
+        .as("n_stop_distinct"))
+    val n = col("n_words")
+    def frac(c: Column): Column =
+      when(n === 0, 0.0).otherwise(c.cast("double") / n.cast("double"))
+    sig.join(docStats, "id")
+      .withColumn("mean_word_len", frac(col("sum_len")))
+      .withColumn("alpha_frac", frac(col("n_alpha")))
+      .withColumn("ellipsis_per_word", frac(col("n_ellipsis")))
+      .withColumn("gate_words", n >= minWords && n <= maxWords)
+      .withColumn("gate_mean_len",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("gate_alpha", col("alpha_frac") >= 0.7)
+      .withColumn("gate_stop", col("n_stop_distinct") >= 2L)
+      .withColumn("gate_symbol", col("ellipsis_per_word") <= 0.1)
+      .withColumn("pass", col("gate_words") && col("gate_mean_len") &&
+        col("gate_alpha") && col("gate_stop") && col("gate_symbol"))
+  }
 }

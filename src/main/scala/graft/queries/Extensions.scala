@@ -122,6 +122,26 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style quality GATE battery: word-count bounds, mean word
+    // length, alpha-word fraction, distinct-stopword minimum, ellipsis
+    // ratio — the pass/fail document filter a pre-training pipeline runs,
+    // rolled up per language (zh fails the stopword gate wholesale, the
+    // designed discrimination). One explode + one id-keyed aggregate.
+    "text_quality_gates" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TA.gopherGates(docs, "text", "doc_id")
+        .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_if(col("pass")).as("n_pass"),
+          count_if(!col("gate_words")).as("fail_words"),
+          count_if(!col("gate_mean_len")).as("fail_mean_len"),
+          count_if(!col("gate_alpha")).as("fail_alpha"),
+          count_if(!col("gate_stop")).as("fail_stop"),
+          count_if(!col("gate_symbol")).as("fail_symbol"))
+        .orderBy(col("lang"))
+    }),
+
     // Gopher-style repetition signals: dup-word / top-word / top-bigram
     // fractions per document (the boilerplate detectors pre-training
     // filters key on). One explode, one exchange, codegen'd aggregates.
@@ -588,6 +608,26 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // QUALITY-based survivor election: same component store, but the kept
+    // doc per near-dup cluster is the one with the MOST tokens (tiebreak:
+    // min doc_id) instead of min-id — the production policy when clusters
+    // mix a full document with its truncated mirror copies. One window
+    // partitioned by component (key-partitioned, no global sort).
+    "dedup_quality_survivors" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val comps = Dedup.componentStore(docs, "text", "doc_id", compStorePath(d))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("component"))
+        .orderBy(col("nt").desc, col("doc_id"))
+      docs.select(col("doc_id"), TA.tokenCount(col("text")).cast("long").as("nt"))
+        .join(comps.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("label"), col("doc_id")))
+        .withColumn("survivor_id", first(col("doc_id")).over(w))
+        .select(col("doc_id"), col("component"), col("nt").as("n_tokens"),
+          col("survivor_id"), (col("survivor_id") === col("doc_id")).as("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // LEAKAGE-SAFE train/valid/test split: hash the near-dup CLUSTER id,
     // not the doc id — with a doc-id split, a near-duplicate of a training
     // document lands in eval ~10% of the time and the benchmark is
@@ -890,6 +930,17 @@ object Extensions {
           round((col("__p") - col("__q")) * log(col("__p") / col("__q")), 6)
             .as("psi_term"))
         .orderBy(col("bin"))
+    }),
+
+    // RFM user segmentation: recency/frequency/monetary quartile scores
+    // (1..4 each, recency inverted) against the dataset's own max-ts "now",
+    // rolled up per (r,f,m) cell. Quartile boundaries are ONE 1-row
+    // broadcast (no global ntile sort), rounded to 6 dp before the strict
+    // comparisons so interpolation ulps can't flip a score cross-engine.
+    "events_rfm_segments" -> ((s, d) => {
+      graft.ext.EventAnalytics.rfmSegments(Tables.events(s, d),
+          "user_id", "ts_ns", "value")
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))
     }),
 
     // Robust per-type outlier gate: exact median + MAD (median absolute
@@ -2897,6 +2948,31 @@ object Extensions {
          |FROM documents d LEFT JOIN comp ON comp.a = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // Quality-election replay: the same closure, survivor = row_number 1
+    // under (n_tokens DESC, doc_id) per component.
+    "dedup_quality_survivors" ->
+      s"""${minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |sym AS (SELECT id1 AS a, id2 AS b FROM pairs
+         |        UNION SELECT id2, id1 FROM pairs),
+         |reach(a, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+         |  UNION
+         |  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.a),
+         |comp AS (SELECT a, min(r) AS label FROM reach GROUP BY a),
+         |base AS (SELECT d.doc_id,
+         |           CAST(coalesce(comp.label, d.doc_id) AS BIGINT) AS component,
+         |           CAST(len($toks) AS BIGINT) AS n_tokens
+         |         FROM documents d LEFT JOIN comp ON comp.a = d.doc_id),
+         |sv AS (SELECT component, doc_id AS survivor_id,
+         |         row_number() OVER (PARTITION BY component
+         |                            ORDER BY n_tokens DESC, doc_id) AS rn
+         |       FROM base)
+         |SELECT b.doc_id, b.component, b.n_tokens, s.survivor_id,
+         |  s.survivor_id = b.doc_id AS kept
+         |FROM base b JOIN (SELECT component, survivor_id FROM sv WHERE rn = 1) s
+         |  USING (component)
+         |ORDER BY b.doc_id""".stripMargin,
+
     // Cluster-keyed split: the survivors' transitive closure feeding the
     // same md5 fences as train_split_hash, keyed on the cluster id.
     "train_split_by_cluster" ->
@@ -3001,6 +3077,38 @@ object Extensions {
          |       ELSE CAST(floor((start_off + greatest(n_tokens, 1) - 1) / 2048.0) AS BIGINT)
          |            - CAST(floor(start_off / 2048.0) AS BIGINT) + 1 END AS packs_spanned
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Gate battery replay: identical tokenization, integer-derived ratios
+    // against the same decimal literals, '...' count via the same
+    // replace-length delta.
+    "text_quality_gates" ->
+      s"""WITH tk AS (SELECT doc_id, lang, text, $toks AS t FROM documents),
+         |sig AS (SELECT doc_id, lang,
+         |    len(t) AS nw,
+         |    coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS sl,
+         |    len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS na,
+         |    len(list_distinct(list_filter(t, x -> list_contains(
+         |      ['the','a','an','and','or','of','to','in','is','are','was',
+         |       'it','that','this','for','with','on','as','be','at','by',
+         |       'not','from','but','they','his','her','you','we','have'], x)))) AS ns,
+         |    (length(text) - length(replace(text, '...', ''))) // 3 AS ne
+         |  FROM tk),
+         |g AS (SELECT lang,
+         |    (nw >= 30 AND nw <= 100000) AS gw,
+         |    (CASE WHEN nw = 0 THEN 0.0 ELSE CAST(sl AS DOUBLE) / nw END >= 3.0
+         |     AND CASE WHEN nw = 0 THEN 0.0 ELSE CAST(sl AS DOUBLE) / nw END <= 10.0) AS gm,
+         |    (CASE WHEN nw = 0 THEN 0.0 ELSE CAST(na AS DOUBLE) / nw END >= 0.7) AS ga,
+         |    (ns >= 2) AS gs,
+         |    (CASE WHEN nw = 0 THEN 0.0 ELSE CAST(ne AS DOUBLE) / nw END <= 0.1) AS gy
+         |  FROM sig)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN gw AND gm AND ga AND gs AND gy THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  CAST(sum(CASE WHEN NOT gw THEN 1 ELSE 0 END) AS BIGINT) AS fail_words,
+         |  CAST(sum(CASE WHEN NOT gm THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_len,
+         |  CAST(sum(CASE WHEN NOT ga THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+         |  CAST(sum(CASE WHEN NOT gs THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+         |  CAST(sum(CASE WHEN NOT gy THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol
+         |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_repetition" ->
       s"""WITH t AS (
@@ -3675,6 +3783,43 @@ object Extensions {
               " * ln((CAST(n_early + 1 AS DOUBLE) / (te + 10)) / (CAST(n_late + 1 AS DOUBLE) / (tl + 10)))",
               6)} AS psi_term
          |FROM filled, t ORDER BY bin""".stripMargin,
+
+    // RFM replay: epoch_us ticks (Spark uses ns — same floor-div day),
+    // identical interpolated quartiles rounded 6 dp before the strict
+    // comparisons, monetary rounded to cents BEFORE the quartile pass.
+    "events_rfm_segments" ->
+      s"""WITH u AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
+         |    count(*) AS freq,
+         |    ${sparkRound("sum(coalesce(value, 0.0))", 2)} AS mon
+         |  FROM events GROUP BY user_id),
+         |nw AS (SELECT max(epoch_us(ts)) AS now_us FROM events),
+         |b AS (SELECT u.*, (nw.now_us - u.last_us) // 86400000000 AS rec_days
+         |      FROM u, nw),
+         |q AS (SELECT
+         |  ${sparkRound("quantile_cont(CAST(rec_days AS DOUBLE), 0.25)", 6)} AS r1,
+         |  ${sparkRound("quantile_cont(CAST(rec_days AS DOUBLE), 0.5)", 6)} AS r2,
+         |  ${sparkRound("quantile_cont(CAST(rec_days AS DOUBLE), 0.75)", 6)} AS r3,
+         |  ${sparkRound("quantile_cont(CAST(freq AS DOUBLE), 0.25)", 6)} AS f1,
+         |  ${sparkRound("quantile_cont(CAST(freq AS DOUBLE), 0.5)", 6)} AS f2,
+         |  ${sparkRound("quantile_cont(CAST(freq AS DOUBLE), 0.75)", 6)} AS f3,
+         |  ${sparkRound("quantile_cont(mon, 0.25)", 6)} AS m1,
+         |  ${sparkRound("quantile_cont(mon, 0.5)", 6)} AS m2,
+         |  ${sparkRound("quantile_cont(mon, 0.75)", 6)} AS m3
+         |  FROM b),
+         |s AS (SELECT
+         |  5 - (1 + CASE WHEN CAST(rec_days AS DOUBLE) > q.r1 THEN 1 ELSE 0 END
+         |         + CASE WHEN CAST(rec_days AS DOUBLE) > q.r2 THEN 1 ELSE 0 END
+         |         + CASE WHEN CAST(rec_days AS DOUBLE) > q.r3 THEN 1 ELSE 0 END) AS r_score,
+         |  1 + CASE WHEN CAST(freq AS DOUBLE) > q.f1 THEN 1 ELSE 0 END
+         |    + CASE WHEN CAST(freq AS DOUBLE) > q.f2 THEN 1 ELSE 0 END
+         |    + CASE WHEN CAST(freq AS DOUBLE) > q.f3 THEN 1 ELSE 0 END AS f_score,
+         |  1 + CASE WHEN mon > q.m1 THEN 1 ELSE 0 END
+         |    + CASE WHEN mon > q.m2 THEN 1 ELSE 0 END
+         |    + CASE WHEN mon > q.m3 THEN 1 ELSE 0 END AS m_score,
+         |  mon FROM b, q)
+         |SELECT r_score, f_score, m_score, count(*) AS n_users,
+         |  ${sparkRound("sum(mon)", 2)} AS total_mon
+         |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "events_anomaly_mad" ->
       s"""WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
