@@ -249,6 +249,51 @@ object EventAnalytics {
     * cents-rounded total monetary. Shape: one user-keyed aggregate, two
     * 1-row broadcasts (now, quartiles), one cell-keyed aggregate.
     */
+  /** Multi-touch attribution: for every conversion event, credit the
+    * user's touch events inside the lookback window under the three
+    * standard models at once — first-touch (1.0 to the earliest touch),
+    * last-touch (1.0 to the latest touch at/before the conversion), and
+    * linear (1/n to each of the n touches). Ties on the touch timestamp
+    * break on the touch id, so credit assignment is a pure function of
+    * the log.
+    *
+    * Shape: touches ⋈ conversions is a USER-keyed equi-join with the
+    * window as a residual range predicate — one exchange on user, and the
+    * per-conversion candidate set is bounded by that user's touch count
+    * inside the window (per-user cardinality, not corpus size). The
+    * min/max/count per conversion is one aggregate on the join output.
+    * Returns per touch-type: conversions where it took first/last credit
+    * and its summed linear credit. */
+  def attribution(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, touchTypes: Seq[String],
+      conversionType: String, windowTicks: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution needs at least one touch type")
+    require(windowTicks > 0, s"windowTicks must be positive, got $windowTicks")
+    val touches = events.filter(col(typeCol).isin(touchTypes.map(lit): _*))
+      .select(col(userCol).as("u"), col(tsCol).as("t_tick"),
+        col(idCol).as("t_id"), col(typeCol).as("touch_type"))
+    val convs = events.filter(col(typeCol) === conversionType)
+      .select(col(userCol).as("u"), col(tsCol).as("c_tick"), col(idCol).as("c_id"))
+    val joined = convs.join(touches, Seq("u"))
+      .filter(col("t_tick") <= col("c_tick") &&
+        col("t_tick") > col("c_tick") - windowTicks)
+    val w = Window.partitionBy(col("c_id"))
+    val ranked = joined
+      .withColumn("n_touches", count(lit(1)).over(w))
+      .withColumn("first_key",
+        min(struct(col("t_tick"), col("t_id"))).over(w))
+      .withColumn("last_key",
+        max(struct(col("t_tick"), col("t_id"))).over(w))
+    ranked.groupBy(col("touch_type"))
+      .agg(
+        count_if(struct(col("t_tick"), col("t_id")) === col("first_key"))
+          .as("first_touch_convs"),
+        count_if(struct(col("t_tick"), col("t_id")) === col("last_key"))
+          .as("last_touch_convs"),
+        round(sum(lit(1.0) / col("n_touches")), 6).as("linear_credit"),
+        count(lit(1)).as("n_touch_rows"))
+  }
+
   def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
       valueCol: String, ticksPerDay: Long = 86400L * 1000000000L): DataFrame = {
     val users = events.groupBy(col(userCol))

@@ -932,6 +932,17 @@ object Extensions {
         .orderBy(col("bin"))
     }),
 
+    // Multi-touch attribution: first/last/linear credit for view+click
+    // touches within 7 days before each purchase — one user-keyed join,
+    // conversion-keyed windows sharing one exchange.
+    "events_attribution" -> ((s, d) => {
+      graft.ext.EventAnalytics.attribution(Tables.events(s, d),
+          "user_id", "ts_ns", "event_id", "event_type",
+          touchTypes = Seq("view", "click"), conversionType = "purchase",
+          windowTicks = 7L * 86400L * 1000000000L)
+        .orderBy(col("touch_type"))
+    }),
+
     // RFM user segmentation: recency/frequency/monetary quartile scores
     // (1..4 each, recency inverted) against the dataset's own max-ts "now",
     // rolled up per (r,f,m) cell. Quartile boundaries are ONE 1-row
@@ -3783,6 +3794,35 @@ object Extensions {
               " * ln((CAST(n_early + 1 AS DOUBLE) / (te + 10)) / (CAST(n_late + 1 AS DOUBLE) / (tl + 10)))",
               6)} AS psi_term
          |FROM filled, t ORDER BY bin""".stripMargin,
+
+    // Attribution replay: same user-keyed join + window predicate on µs
+    // ticks (Spark uses ns — same inequality set since ns = µs·1000),
+    // first/last via row_number over the identical (tick, id) order.
+    "events_attribution" ->
+      s"""WITH t AS (SELECT user_id AS u, epoch_us(ts) AS t_tick,
+         |             event_id AS t_id, event_type AS touch_type
+         |           FROM events WHERE event_type IN ('view', 'click')),
+         |c AS (SELECT user_id AS u, epoch_us(ts) AS c_tick, event_id AS c_id
+         |      FROM events WHERE event_type = 'purchase'),
+         |j AS (SELECT c.c_id, t.t_tick, t.t_id, t.touch_type
+         |      FROM c JOIN t USING (u)
+         |      WHERE t.t_tick <= c.c_tick
+         |        AND t.t_tick > c.c_tick - ${7L * 86400L * 1000000L}),
+         |r AS (SELECT *,
+         |        count(*) OVER (PARTITION BY c_id) AS n_touches,
+         |        row_number() OVER (PARTITION BY c_id
+         |          ORDER BY t_tick, t_id) AS rn_first,
+         |        row_number() OVER (PARTITION BY c_id
+         |          ORDER BY t_tick DESC, t_id DESC) AS rn_last
+         |      FROM j)
+         |SELECT touch_type,
+         |  CAST(sum(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS first_touch_convs,
+         |  CAST(sum(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS last_touch_convs,
+         |  ${sparkRound("sum(CAST(1 AS DOUBLE) / n_touches)", 6)} AS linear_credit,
+         |  count(*) AS n_touch_rows
+         |FROM r GROUP BY touch_type ORDER BY touch_type""".stripMargin,
 
     // RFM replay: epoch_us ticks (Spark uses ns — same floor-div day),
     // identical interpolated quartiles rounded 6 dp before the strict

@@ -765,6 +765,33 @@ object Relational {
         .orderBy(col("source"))
     }),
 
+    // SCHEMA EVOLUTION across parquet generations: an older file set
+    // without `n_chars` and a newer one with it, read together under
+    // mergeSchema — the absent column nulls out for old rows instead of
+    // failing the scan. The production shape for any long-lived dataset
+    // whose writer gained columns; the oracle replays the generation rule
+    // (odd doc_ids are the evolved generation) from the source table.
+    "source_schema_evolution" -> ((s, d) => {
+      val src = new java.io.File(d + "/documents.parquet")
+      val root = System.getProperty("java.io.tmpdir") + "/graft_schevo_" +
+        (d + s"_${src.length}_${src.lastModified}_v1").replaceAll("[^A-Za-z0-9]", "_")
+      if (!new java.io.File(s"$root/gen2/_SUCCESS").exists()) {
+        val docs = Tables.documents(s, d)
+        docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+          .write.mode("overwrite").parquet(s"$root/gen1")
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$root/gen2")
+      }
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$root/gen1", s"$root/gen2")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("n_chars")).as("n_evolved"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("chars_evolved"))
+        .orderBy(col("lang"))
+    }),
+
     // Opaque-binary ingestion: the multimodal front door. One UTF-8 file per
     // document (content-keyed fixture, written on executors), read back with
     // Spark's binaryFile source (per-file parallelism, listing-stage glob
@@ -1795,6 +1822,15 @@ object Relational {
     // byte length + md5 over the SAME UTF-8 encoding the fixture writer
     // used; DuckDB's md5(VARCHAR) hashes the string's UTF-8 bytes, which is
     // exactly what the binaryFile scan read back from disk. The > 0 mirrors
+    // Generation rule replayed from the source table: odd doc_ids carry
+    // n_chars, even ones read it as NULL under mergeSchema.
+    "source_schema_evolution" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_evolved,
+        |  CAST(coalesce(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END), 0) AS BIGINT)
+        |    AS chars_evolved
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     // the scan's documented zero-byte-file drop (no-op on this corpus).
     "source_binary_files" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
