@@ -139,7 +139,15 @@ object Ranking {
     * query terms' postings buckets (partition-pruned scan + pushed `t`
     * filter), takes (n, avgdl) from the one-row globals sidecar, and joins
     * doc lengths for the candidates. Identical output to [[bm25TopK]] —
-    * both feed the same (id, t, tf) rows into the same scoring tree. */
+    * both feed the same (id, t, tf) rows into the same scoring tree.
+    *
+    * Globals come in two formats: the v1 snapshot's final `(n, avgdl)` row
+    * and the incremental store's MERGEABLE PARTIALS `(n_part, dl_sum)` —
+    * one row per build/append generation, merged here with one aggregate
+    * over ≤generations rows (n = Σ n_part, avgdl = Σ dl_sum / Σ n_part).
+    * Partials are what make appends crash-consistent without a
+    * swap-in-place: every write is append-only, and a reader always sees
+    * a consistent prefix of generations. */
   def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, storeDir: String,
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       k: Int = 20): DataFrame = {
@@ -153,7 +161,69 @@ object Ranking {
       .filter(col("t_bucket").isin(buckets: _*) && col("t").isin(queryTerms: _*))
       .select(col("id"), col("t"), col("tf"))
     val dl = spark.read.parquet(storeDir + "/doclen")
-    val g = spark.read.parquet(storeDir + "/globals")
+    val gRaw = spark.read.parquet(storeDir + "/globals")
+    val g =
+      if (gRaw.columns.contains("avgdl")) gRaw
+      else gRaw.agg(sum(col("n_part")).as("n"),
+        (sum(col("dl_sum")).cast("double") / sum(col("n_part"))).as("avgdl"))
     scoreTf(tf, dl, g, queryTerms, k1, b, k)
+  }
+
+  /** Append a DELTA of documents to an incremental-format index IN PLACE —
+    * the production path for a growing corpus; nothing rescans the
+    * existing store:
+    *
+    *  - the delta's postings rows land in the SAME term-bucket partitions
+    *    (append — probes stay partition-pruned over the grown index);
+    *  - the delta's doc lengths append to `doclen/`;
+    *  - globals gain one PARTIAL row `(n_part, dl_sum)`; the probe merges
+    *    partials (see [[bm25TopKIndexed]]), so no read-modify-write of a
+    *    final row and no swap — same discipline as the IVF append.
+    *
+    * Each append leaves one more file per touched bucket — run
+    * [[StoreCompaction.compact]] on `postings/` once the per-partition
+    * file count crosses the deployment's bound. */
+  def bm25Append(delta: DataFrame, textCol: String, idCol: String,
+      storeDir: String): Unit = {
+    writeIncrGeneration(delta, textCol, idCol, storeDir)
+  }
+
+  private def writeIncrGeneration(docs: DataFrame, textCol: String,
+      idCol: String, dir: String): Unit = {
+    val dl = docs.select(col(idCol).as("id"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
+    docs.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .groupBy(col("id"), col("t")).agg(count(lit(1)).as("tf"))
+      .withColumn("t_bucket",
+        pmod(graft.functions.Fnv.fnv1a64(col("t")), lit(PostingsBuckets)))
+      .write.mode("append").partitionBy("t_bucket").parquet(dir + "/postings")
+    dl.write.mode("append").parquet(dir + "/doclen")
+    dl.agg(count(lit(1)).as("n_part"), sum(col("dl")).as("dl_sum"))
+      .write.mode("append").parquet(dir + "/globals")
+  }
+
+  /** Content-keyed INCREMENTAL store for the `rank_bm25_incremental` lane:
+    * the corpus's even doc_ids build the initial generation, the odd ones
+    * arrive as a [[bm25Append]] delta — so the lane proves build + append
+    * compose to the exact full-corpus ranking. Both generations are
+    * written into a tmp dir and atomically published (the cached-fixture
+    * contract); production appends run against the live dir. */
+  def bm25IndexIncrementalCached(docs: DataFrame, textCol: String,
+      idCol: String, sfDir: String): String = {
+    val src = new java.io.File(sfDir + "/documents.parquet")
+    val path = System.getProperty("java.io.tmpdir") + "/graft_bm25incr_" +
+      (sfDir + s"_${src.length}_${src.lastModified}_b${PostingsBuckets}_v1")
+        .replaceAll("[^A-Za-z0-9]", "_")
+    if (!new java.io.File(path + "/_SUCCESS").exists()) {
+      Multimodal.sweepOrphanTmpDirs(path)
+      val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString
+      writeIncrGeneration(docs.filter(col(idCol) % 2 === 0), textCol, idCol, tmp)
+      bm25Append(docs.filter(col(idCol) % 2 === 1), textCol, idCol, tmp)
+      java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "_SUCCESS"),
+        Array.empty[Byte])
+      Multimodal.publishSnapshot(tmp, path)
+    }
+    path
   }
 }

@@ -351,6 +351,32 @@ object Extensions {
     // (draw-prefix sub-shards), so no stratum sorts as one partition. The
     // lane reports the per-language fill; the oracle replays the cut as
     // the plain per-stratum window cumsum.
+    // Static mixture REWEIGHTING (the DoReMi-style domain-weight step done
+    // closed-form): per language, current token share vs a uniform target
+    // share; resampling weight = target/current clamped to [0.1, 10], and
+    // the expected post-resampling token count. One aggregate + one 1-row
+    // total broadcast — the knob a pre-training mixture is tuned with
+    // before any sampler runs.
+    "train_mixture_reweight" -> ((s, d) => {
+      val perLang = Tables.documents(s, d)
+        .select(col("lang"), TA.tokenCount(col("text")).cast("long").as("nt"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      val total = perLang.agg(sum(col("n_tokens")).as("__tot"),
+        count(lit(1)).as("__n_langs"))
+      perLang.crossJoin(broadcast(total))
+        .withColumn("current_share",
+          round(col("n_tokens").cast("double") / col("__tot"), 6))
+        .withColumn("weight",
+          round(least(lit(10.0), greatest(lit(0.1),
+            (lit(1.0) / col("__n_langs")) /
+              (col("n_tokens").cast("double") / col("__tot")))), 6))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          col("current_share"), col("weight"),
+          round(col("n_tokens") * col("weight"), 2).as("expected_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     "train_token_budget_mix" -> ((s, d) => {
       val kept = graft.ext.Sampling.tokenBudgetSample(
         Tables.documents(s, d), "lang", "doc_id",
@@ -684,6 +710,18 @@ object Extensions {
     // (and the oracle replays the same math from the raw table).
     "rank_bm25_indexed" -> ((s, d) => {
       val store = Ranking.bm25IndexCached(Tables.documents(s, d), "text", "doc_id", d)
+      Ranking.bm25TopKIndexed(s, store, Seq("spark", "window", "join"), k = 20)
+        .select(col("id").as("doc_id"), col("score"))
+    }),
+
+    // INCREMENTAL index: even docs build the store, odd docs arrive as an
+    // append (same bucket partitioning, mergeable (n_part, dl_sum) globals
+    // partials — no rescan, no swap). The probe over the grown index must
+    // equal the full-corpus ranking exactly; the oracle is the same
+    // full-corpus replay as the direct/indexed lanes.
+    "rank_bm25_incremental" -> ((s, d) => {
+      val store = Ranking.bm25IndexIncrementalCached(
+        Tables.documents(s, d), "text", "doc_id", d)
       Ranking.bm25TopKIndexed(s, store, Seq("spark", "window", "join"), k = 20)
         .select(col("id").as("doc_id"), col("score"))
     }),
@@ -2670,6 +2708,12 @@ object Extensions {
          |SELECT doc_id, score FROM scored
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
+    // build+append must compose to the full-corpus ranking — same replay
+    "rank_bm25_incremental" ->
+      s"""$bm25ScoredCtes
+         |SELECT doc_id, score FROM scored
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
     "rank_bm25_topk" ->
       s"""$bm25ScoredCtes
          |SELECT doc_id, score FROM scored
@@ -3056,6 +3100,24 @@ object Extensions {
          |FROM s GROUP BY 1, 2 ORDER BY stratum, shard""".stripMargin,
 
     // per-stratum budget cut replayed as the plain window cumsum
+    // Reweight replay: same aggregate + share/weight arithmetic in double.
+    "train_mixture_reweight" ->
+      s"""WITH pl AS (SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(len($toks)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY lang),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+         |        count(*) AS n_langs FROM pl),
+         |w AS (SELECT pl.*, t.tot, t.n_langs,
+         |    least(10.0::DOUBLE, greatest(0.1::DOUBLE,
+         |      (CAST(1 AS DOUBLE) / n_langs) /
+         |        (CAST(n_tokens AS DOUBLE) / tot))) AS wraw
+         |  FROM pl, t)
+         |SELECT lang, n_docs, n_tokens,
+         |  ${OracleSql.sparkRound("CAST(n_tokens AS DOUBLE) / tot", 6)} AS current_share,
+         |  ${OracleSql.sparkRound("wraw", 6)} AS weight,
+         |  ${OracleSql.sparkRound(s"n_tokens * ${OracleSql.sparkRound("wraw", 6)}", 2)} AS expected_tokens
+         |FROM w ORDER BY lang""".stripMargin,
+
     "train_token_budget_mix" ->
       s"""WITH b AS (
          |  SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS nt,

@@ -78,4 +78,40 @@ class RankingSpec extends SparkSpec {
     // idempotent cache: a second build call reuses the published store
     assert(Ranking.bm25IndexCached(docs, "text", "doc_id", sfKey) === store)
   }
+
+  test("bm25 incremental: build + append compose to the exact full-corpus ranking") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark spark"),
+      (2L, "spark join"),
+      (3L, "spark and a lot of other words that make this document much longer than the rest"),
+      (4L, "window"),
+      (5L, "nothing relevant here at all"),
+      (6L, "window join window"),
+      (7L, "join join spark window")
+    ).toDF("doc_id", "text")
+    val terms = Seq("spark", "window", "join")
+    val direct = Ranking.bm25TopK(docs, "text", "doc_id", terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // cached composition (even build + odd append, atomically published)
+    val sfKey = "/tmp/graft-bm25incrspec-" + java.util.UUID.randomUUID().toString
+    val store = Ranking.bm25IndexIncrementalCached(docs, "text", "doc_id", sfKey)
+    val viaStore = Ranking.bm25TopKIndexed(spark, store, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaStore === direct, "build+append must equal the full-corpus ranking")
+    // LIVE append against the published store (the production path): new
+    // docs change df/N/avgdl — the probe must equal a direct run over the
+    // grown corpus, and the merged globals must count every generation
+    val extra = Seq((8L, "spark window newcomer"), (9L, "unrelated prose"))
+      .toDF("doc_id", "text")
+    Ranking.bm25Append(extra, "text", "doc_id", store)
+    val grown = docs.unionAll(extra)
+    val directGrown = Ranking.bm25TopK(grown, "text", "doc_id", terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val probeGrown = Ranking.bm25TopKIndexed(spark, store, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probeGrown === directGrown, "live append must fold into the ranking")
+    // three generations of globals partials, merged at probe time
+    assert(spark.read.parquet(store + "/globals").count() === 3L)
+  }
 }
