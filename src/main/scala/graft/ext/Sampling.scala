@@ -329,4 +329,55 @@ object Sampling {
       .select(col("id"), col("n_tokens"), col("start_off"),
         col("pack_first"), col("pack_last"), col("packs_spanned"))
   }
+
+  /** First-fit-decreasing BIN PACKING of documents into fixed
+    * `capacity`-token context windows — the waste-minimizing alternative
+    * to [[packConcat]]'s concat-and-chunk (no document straddles a window;
+    * the cost is the slack FFD leaves, classically ≤ 11/9·OPT + 1 bins).
+    *
+    * FFD is inherently sequential, so the corpus is cut into `nShards`
+    * deterministic seeded-FNV shards and each shard packs independently
+    * with a per-group fold (shards run in parallel; pick nShards so a
+    * shard's doc list fits an executor — the same operator-level contract
+    * as [[Profile.equiDepthHistogram]]'s total order). Sharding costs a
+    * little packing quality (bins never mix shards) and buys full
+    * parallelism — the standard large-corpus trade.
+    *
+    * Fold rule, replayed exactly by the oracle's recursive CTE: docs in
+    * (nt DESC, id) order; each goes into the FIRST bin with room, else
+    * opens a new bin. Empty docs are excluded; a doc larger than
+    * `capacity` opens its own over-full bin (truncation is a downstream
+    * concern — [[graft.ext.TextAnalysis.chunkFrame]] is the splitter).
+    * Returns one row per shard: doc/token totals, bins used, and the fill
+    * ratio. */
+  def packFirstFitDecreasing(docs: DataFrame, idCol: String, nTokens: Column,
+      capacity: Long, nShards: Int, seed: String = "ffd"): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sharded = docs.select(col(idCol).cast("long").as("id"),
+        nTokens.cast("long").as("nt"))
+      .filter(col("nt") > 0)
+      .withColumn("shard", pmod(graft.functions.Fnv.fnv1a64(
+          concat(lit(seed + ":"), col("id").cast("string"))),
+        lit(nShards.toLong)).cast("int"))
+    sharded.select(col("shard"), col("id"), col("nt")).as[(Int, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val items = it.toArray.sortBy { case (_, id, nt) => (-nt, id) }
+        val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var nd = 0L
+        var ntk = 0L
+        items.foreach { case (_, _, nt) =>
+          nd += 1; ntk += nt
+          val i = bins.indexWhere(_ + nt <= capacity)
+          if (i >= 0) bins(i) += nt else bins += nt
+        }
+        (shard, nd, ntk, bins.length.toLong)
+      }
+      .toDF("shard", "n_docs", "n_tokens", "n_bins")
+      .withColumn("fill", round(col("n_tokens").cast("double") /
+        (col("n_bins") * capacity), 6))
+  }
 }

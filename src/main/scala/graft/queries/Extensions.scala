@@ -351,6 +351,18 @@ object Extensions {
     // (draw-prefix sub-shards), so no stratum sorts as one partition. The
     // lane reports the per-language fill; the oracle replays the cut as
     // the plain per-stratum window cumsum.
+    // First-fit-decreasing bin packing into 256-token windows, 16
+    // deterministic FNV shards packed independently in parallel — the
+    // waste-minimizing alternative to concat-and-chunk. The oracle folds
+    // the identical (nt DESC, id) first-fit rule per shard as a recursive
+    // CTE over list state (the finality-buffer replay pattern).
+    "train_pack_ffd" -> ((s, d) => {
+      graft.ext.Sampling.packFirstFitDecreasing(
+          Tables.documents(s, d), "doc_id",
+          TA.tokenCount(col("text")), capacity = 256L, nShards = 16)
+        .orderBy(col("shard"))
+    }),
+
     // Static mixture REWEIGHTING (the DoReMi-style domain-weight step done
     // closed-form): per language, current token share vs a uniform target
     // share; resampling weight = target/current clamped to [0.1, 10], and
@@ -3100,6 +3112,42 @@ object Extensions {
          |FROM s GROUP BY 1, 2 ORDER BY stratum, shard""".stripMargin,
 
     // per-stratum budget cut replayed as the plain window cumsum
+    // FFD replay: same seeded-FNV shard, same (nt DESC, id) order, same
+    // first-bin-with-room rule — list_position over the transformed bin
+    // loads finds the first fit; NULL opens a new bin.
+    "train_pack_ffd" ->
+      s"""WITH RECURSIVE base AS (
+         |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS nt,
+         |    CAST(((${signed64(fnvSql("'ffd:' || CAST(doc_id AS VARCHAR)"))} % 16) + 16) % 16 AS INT) AS shard
+         |  FROM documents),
+         |d AS (SELECT *, row_number() OVER (PARTITION BY shard
+         |        ORDER BY nt DESC, doc_id) AS rn
+         |      FROM base WHERE nt > 0),
+         |fold(shard, rn, bins) AS (
+         |  SELECT shard, CAST(0 AS BIGINT), CAST([] AS BIGINT[])
+         |  FROM (SELECT DISTINCT shard FROM d)
+         |  UNION ALL
+         |  SELECT f.shard, f.rn + 1,
+         |    CASE WHEN p.idx IS NULL OR p.idx = 0
+         |         THEN list_append(f.bins, dd.nt)
+         |         ELSE list_concat(list_concat(
+         |           f.bins[:p.idx - 1], [f.bins[p.idx] + dd.nt]),
+         |           f.bins[p.idx + 1:]) END
+         |  FROM fold f
+         |  JOIN d dd ON dd.shard = f.shard AND dd.rn = f.rn + 1
+         |  CROSS JOIN LATERAL (SELECT list_position(
+         |      list_transform(f.bins, b -> b + dd.nt <= 256), true) AS idx) p),
+         |lastrn AS (SELECT shard, max(rn) AS mrn FROM fold GROUP BY shard),
+         |fin AS (SELECT f.shard, CAST(len(f.bins) AS BIGINT) AS n_bins
+         |        FROM fold f JOIN lastrn l ON f.shard = l.shard AND f.rn = l.mrn),
+         |agg AS (SELECT shard, count(*) AS n_docs,
+         |          CAST(sum(nt) AS BIGINT) AS n_tokens
+         |        FROM d GROUP BY shard)
+         |SELECT a.shard, a.n_docs, a.n_tokens, fin.n_bins,
+         |  ${OracleSql.sparkRound("CAST(a.n_tokens AS DOUBLE) / (fin.n_bins * 256)", 6)} AS fill
+         |FROM agg a JOIN fin ON a.shard = fin.shard
+         |ORDER BY a.shard""".stripMargin,
+
     // Reweight replay: same aggregate + share/weight arithmetic in double.
     "train_mixture_reweight" ->
       s"""WITH pl AS (SELECT lang, count(*) AS n_docs,

@@ -261,6 +261,41 @@ class SamplingSpec extends SparkSpec {
     assert(got.filter(_._2 == 0).forall(t => t._4 === t._5 && t._6 === 0L))
   }
 
+  test("packFirstFitDecreasing: equals the driver replica; bins respect capacity") {
+    val docs = (0L until 400L).map(i => (i, (i * 37 % 97) + 1)).toDF("doc_id", "nt")
+    val cap = 100L
+    val got = Sampling.packFirstFitDecreasing(docs, "doc_id", col("nt"),
+        capacity = cap, nShards = 8)
+      .orderBy("shard").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // driver replica of the same shard + sort + first-fit fold
+    def shardOf(id: Long): Int = {
+      val h = graft.functions.Fnv.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"ffd:$id"))
+      (((h % 8) + 8) % 8).toInt
+    }
+    val want = (0L until 400L).map(i => (i, (i * 37 % 97) + 1))
+      .groupBy { case (id, _) => shardOf(id) }
+      .map { case (shard, items) =>
+        val sorted = items.sortBy { case (id, nt) => (-nt, id) }
+        val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+        sorted.foreach { case (_, nt) =>
+          val i = bins.indexWhere(_ + nt <= cap)
+          if (i >= 0) bins(i) += nt else bins += nt
+        }
+        // invariant: no bin over capacity (every item here fits one bin)
+        assert(bins.forall(_ <= cap), s"overfull bin in shard $shard")
+        (shard, items.size.toLong, sorted.map(_._2).sum, bins.length.toLong)
+      }.toSeq.sortBy(_._1)
+    assert(got.toSeq === want)
+    // FFD can never beat the token lower bound or waste more than 2x
+    got.foreach { case (_, _, ntok, nbins) =>
+      val lower = (ntok + cap - 1) / cap
+      assert(nbins >= lower && nbins <= 2 * lower,
+        s"bins $nbins outside [$lower, ${2 * lower}]")
+    }
+  }
+
   test("packConcat: offsets are a dense token stream (no holes, no overlap)") {
     val docs = (0L until 200L).map(i => (i, (i % 13) + 1)).toDF("doc_id", "nt")
     val rows = Sampling.packConcat(docs, "doc_id", col("nt"), budget = 64L)
