@@ -1712,6 +1712,25 @@ object Extensions {
     // after many incremental appends is drifting off its centroid). One
     // partition-pruned-capable scan of the persisted assignment + an
     // 8-row centroid broadcast + one k-group aggregate.
+    // Per-DIMENSION embedding profile: mean/std/min/max for every vector
+    // dimension — the drift/dead-dimension screen run before trusting an
+    // ANN index or a quantizer codebook. One posexplode into one
+    // dim-keyed aggregate (64 output rows at any corpus size); stats
+    // rounded at 4 dp so the engines' different variance accumulation
+    // orders can't surface.
+    "sim_embedding_dim_profile" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .withColumn("x", col("x").cast("double"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("x")), 4).as("mean"),
+          round(stddev_samp(col("x")), 4).as("std"),
+          round(min(col("x")), 4).as("lo"),
+          round(max(col("x")), 4).as("hi"))
+        .orderBy(col("dim"))
+    }),
+
     "sim_cell_health" -> ((s, d) => {
       import s.implicits._
       val emb = Tables.embeddings(s, d)
@@ -4240,6 +4259,18 @@ object Extensions {
     // cell-health replay: same ivfCtes chain, per-cell aggregate of the
     // member→centroid cosines (mean fenced at round-6: sums of ≤N/k values
     // in [−1,1] sit ~1e-12 from each other across engines)
+    // Parallel unnest zips value and 0-based position (Spark posexplode).
+    "sim_embedding_dim_profile" ->
+      s"""WITH x AS (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+         |    CAST(unnest(range(len(embedding))) AS INT) AS dim
+         |  FROM embeddings)
+         |SELECT dim, count(*) AS n,
+         |  ${sparkRound("avg(x)", 4)} AS mean,
+         |  ${sparkRound("stddev_samp(x)", 4)} AS std,
+         |  ${sparkRound("min(x)", 4)} AS lo,
+         |  ${sparkRound("max(x)", 4)} AS hi
+         |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
+
     "sim_cell_health" ->
       s"""$ivfCtes
          |SELECT a.cell AS ivf_cell, count(*) AS n_vectors,

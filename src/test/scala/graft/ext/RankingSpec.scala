@@ -113,5 +113,12 @@ class RankingSpec extends SparkSpec {
     assert(probeGrown === directGrown, "live append must fold into the ranking")
     // three generations of globals partials, merged at probe time
     assert(spark.read.parquet(store + "/globals").count() === 3L)
+    // appends leave a file per generation per touched bucket — compaction
+    // rewrites the crowded postings partitions and the probe is unchanged
+    val report = StoreCompaction.compact(spark, store + "/postings", maxFiles = 1)
+    assert(report.partitionsCompacted > 0, "some bucket must have needed compaction")
+    val postCompact = Ranking.bm25TopKIndexed(spark, store, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(postCompact === directGrown, "compaction must not change the ranking")
   }
 }
