@@ -83,6 +83,23 @@ object Streams {
           col("click_ts") <= col("view_ts") + expr("INTERVAL 5 MINUTES"))
         .select(col("user_id"), col("click_id"), col("view_id"))
         .orderBy(col("user_id"), col("click_id"), col("view_id"))
+    }),
+
+    // STREAM-STATIC enrichment: the event stream broadcast-joined to a
+    // dimension table (customer market segment), then window-aggregated —
+    // the standard "enrich then aggregate" streaming topology. The static
+    // side never shuffles the stream (broadcast), and in streaming mode
+    // the same plan re-reads the dim per micro-batch (parity in
+    // StreamJoinSpec). Batch twin here is what the oracle checks exactly.
+    "stream_enrich_static" -> ((s, d) => {
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      Tables.events(s, d).join(broadcast(dim), "user_id")
+        .groupBy(window(col("ts"), "6 hours"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("c_mktsegment"), col("n"), col("sum_v"))
+        .orderBy(col("win_start"), col("c_mktsegment"))
     })
   )
 
@@ -139,6 +156,13 @@ object Streams {
         |  ON c.user_id = v.user_id
         | AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
         | AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
-        |ORDER BY c.user_id, click_id, view_id""".stripMargin
+        |ORDER BY c.user_id, click_id, view_id""".stripMargin,
+
+    "stream_enrich_static" ->
+      """SELECT CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 21600e6) * 21600 AS BIGINT)
+        |    AS win_start,
+        |  c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
