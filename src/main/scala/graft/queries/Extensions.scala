@@ -982,6 +982,40 @@ object Extensions {
         .orderBy(col("bin"))
     }),
 
+    // Per-user running drawdown: value vs the running peak in (ts, id)
+    // order — the degradation monitor shape (finance drawdown applied to
+    // any per-key metric stream). Both windows share ONE user-keyed
+    // exchange; output is the per-user worst drawdown.
+    "events_drawdown" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.events(s, d).filter(col("value").isNotNull)
+        .withColumn("peak", max(col("value")).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(min(col("value") - col("peak")), 6).as("max_drawdown"),
+          round(max(col("peak")), 6).as("peak_value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // GDPR-style tombstone purge accounting: a deterministic forget-list
+    // (user_id % 13 = 0) broadcast anti-joined against the event log —
+    // the deletion-propagation step every privacy pipeline runs, reduced
+    // to the per-type audit counts the job must report.
+    "ops_tombstone_purge" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val forget = ev.select(col("user_id")).distinct()
+        .filter(col("user_id") % 13 === 0)
+      val kept = ev.join(broadcast(forget), Seq("user_id"), "left_anti")
+      ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_total"))
+        .join(kept.groupBy(col("event_type")).agg(count(lit(1)).as("n_kept")),
+          Seq("event_type"), "left")
+        .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+        .withColumn("n_purged", col("n_total") - col("n_kept"))
+        .orderBy(col("event_type"))
+    }),
+
     // Multi-touch attribution: first/last/linear credit for view+click
     // touches within 7 days before each purchase — one user-keyed join,
     // conversion-keyed windows sharing one exchange.
@@ -3923,6 +3957,29 @@ object Extensions {
               " * ln((CAST(n_early + 1 AS DOUBLE) / (te + 10)) / (CAST(n_late + 1 AS DOUBLE) / (tl + 10)))",
               6)} AS psi_term
          |FROM filled, t ORDER BY bin""".stripMargin,
+
+    // Drawdown replay: identical (ts, id) running-max frame.
+    "events_drawdown" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, value
+         |           FROM events WHERE value IS NOT NULL),
+         |r AS (SELECT *, max(value) OVER (PARTITION BY user_id
+         |        ORDER BY tus, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+         |      FROM e)
+         |SELECT user_id, count(*) AS n_events,
+         |  ${sparkRound("min(value - peak)", 6)} AS max_drawdown,
+         |  ${sparkRound("max(peak)", 6)} AS peak_value
+         |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Purge accounting replay: same forget rule + anti-join arithmetic.
+    "ops_tombstone_purge" ->
+      """WITH k AS (SELECT event_type, count(*) AS n_kept FROM events
+        |           WHERE user_id % 13 != 0 GROUP BY event_type),
+        |t AS (SELECT event_type, count(*) AS n_total FROM events GROUP BY event_type)
+        |SELECT t.event_type, t.n_total, coalesce(k.n_kept, 0) AS n_kept,
+        |  t.n_total - coalesce(k.n_kept, 0) AS n_purged
+        |FROM t LEFT JOIN k USING (event_type)
+        |ORDER BY t.event_type""".stripMargin,
 
     // Attribution replay: same user-keyed join + window predicate on µs
     // ticks (Spark uses ns — same inequality set since ns = µs·1000),

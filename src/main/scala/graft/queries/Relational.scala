@@ -765,6 +765,32 @@ object Relational {
         .orderBy(col("source"))
     }),
 
+    // DYNAMIC PARTITION OVERWRITE: the ETL idiom for reprocessing one
+    // partition of a long-lived partitioned dataset — the rewrite batch
+    // replaces ONLY the partitions it carries (here lang=en, with doubled
+    // n_chars), every other partition's files untouched. A broken dynamic
+    // mode (static overwrite semantics) would wipe the other langs and
+    // fail the per-lang counts; a non-overwrite would double-count en.
+    "source_dynamic_overwrite" -> ((s, d) => {
+      val src = new java.io.File(d + "/documents.parquet")
+      val root = System.getProperty("java.io.tmpdir") + "/graft_dynpo_" +
+        (d + s"_${src.length}_${src.lastModified}_v1").replaceAll("[^A-Za-z0-9]", "_")
+      if (!new java.io.File(s"$root/_done").exists()) {
+        val docs = Tables.documents(s, d)
+        docs.select(col("doc_id"), col("n_chars"), col("lang"))
+          .write.partitionBy("lang").mode("overwrite").parquet(root)
+        docs.filter(col("lang") === "en")
+          .select(col("doc_id"), (col("n_chars") * 2).as("n_chars"), col("lang"))
+          .write.option("partitionOverwriteMode", "dynamic")
+          .partitionBy("lang").mode("overwrite").parquet(root)
+        new java.io.File(s"$root/_done").createNewFile()
+      }
+      s.read.parquet(root)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"))
+    }),
+
     // SCHEMA EVOLUTION across parquet generations: an older file set
     // without `n_chars` and a newer one with it, read together under
     // mergeSchema — the absent column nulls out for old rows instead of
@@ -1822,6 +1848,14 @@ object Relational {
     // byte length + md5 over the SAME UTF-8 encoding the fixture writer
     // used; DuckDB's md5(VARCHAR) hashes the string's UTF-8 bytes, which is
     // exactly what the binaryFile scan read back from disk. The > 0 mirrors
+    // The overwrite rule replayed from the source table: en partitions
+    // carry the rewrite batch's doubled chars, everything else original.
+    "source_dynamic_overwrite" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN n_chars * 2 ELSE n_chars END)
+        |       AS BIGINT) AS chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     // Generation rule replayed from the source table: odd doc_ids carry
     // n_chars, even ones read it as NULL under mergeSchema.
     "source_schema_evolution" ->
