@@ -1576,6 +1576,34 @@ object Extensions {
       days.crossJoin(merged).crossJoin(direct)
     }),
 
+    // Sketch-algebra INTERSECTION: |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B)
+    // by inclusion–exclusion over the SAME materialized register frames
+    // (union = register-wise max — no rescan of either set). The audience
+    // overlap question (users who click AND purchase) answered from
+    // sketches alone, with the exact witness beside it. All the frames
+    // crossJoined are 1-row globals.
+    "agg_hll_intersect" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+      val regsBy = Hll.registersBy(
+        ev.select(col("event_type"), col("user_id")), "user_id", "event_type", p = 8)
+      val ests = Hll.estimateBy(regsBy, "event_type", p = 8)
+      val estA = ests.filter(col("event_type") === "click")
+        .select(col("est_hll").as("est_a"))
+      val estB = ests.filter(col("event_type") === "purchase")
+        .select(col("est_hll").as("est_b"))
+      val estU = Hll.estimate(Hll.mergeGrouped(regsBy), p = 8)
+        .select(col("est_hll").as("est_union"))
+      val exact = ev.filter(col("event_type") === "click")
+        .select(col("user_id")).distinct()
+        .join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id")).distinct(), "user_id")
+        .agg(count(lit(1)).as("nd_exact_intersect"))
+      estA.crossJoin(estB).crossJoin(estU).crossJoin(exact)
+        .withColumn("est_intersect",
+          round(col("est_a") + col("est_b") - col("est_union"), 4))
+    }),
+
     // GROUPED approximate distinct — NDV per group (users per event
     // type), the ubiquitous per-tenant/per-day cardinality shape: one
     // registersBy pass (≤ groups·2^p shuffle rows whatever the input),
@@ -2944,6 +2972,49 @@ object Extensions {
          |SELECT CAST(n_days AS BIGINT) AS n_days, est AS est_merged,
          |  est AS est_direct
          |FROM e, nd""".stripMargin
+    },
+
+    // intersection replay: the grouped register chain for the two sets,
+    // per-set and merged (register-wise max) estimates, inclusion–
+    // exclusion in double, exact intersection witness
+    "agg_hll_intersect" -> {
+      val num = Hll.numerator(8)
+      def est(src: String) =
+        s"""CASE WHEN $num / CAST($src.z_scaled AS DOUBLE) <= 640.0 AND $src.v_empty > 0
+           |             THEN 256.0 * ln(256.0 / $src.v_empty)
+           |             ELSE $num / CAST($src.z_scaled AS DOUBLE) END""".stripMargin
+      s"""WITH t AS (SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events
+         |           WHERE user_id IS NOT NULL
+         |             AND event_type IN ('click', 'purchase')),
+         |h0 AS (SELECT event_type, u, ${fnvSql("u")} AS h FROM t),
+         |${fmixStages("h0", "event_type, u")},
+         |rk AS (SELECT event_type, hu // (1::HUGEINT << 56) AS idx,
+         |         CASE WHEN hu % (1::HUGEINT << 56) = 0 THEN 57
+         |              ELSE 57 - length(bin(hu % (1::HUGEINT << 56))) END AS rank
+         |       FROM hh),
+         |regsBy AS (SELECT event_type, idx, max(rank) AS r FROM rk GROUP BY 1, 2),
+         |regsU AS (SELECT idx, max(r) AS r FROM regsBy GROUP BY idx),
+         |fBy AS (SELECT event_type, CAST(256 - count(*) AS BIGINT) AS v_empty,
+         |          sum(1::HUGEINT << (57 - r))
+         |            + (256 - count(*))::HUGEINT * (1::HUGEINT << 57) AS z_scaled
+         |        FROM regsBy GROUP BY 1),
+         |fU AS (SELECT CAST(256 - count(*) AS BIGINT) AS v_empty,
+         |         sum(1::HUGEINT << (57 - r))
+         |           + (256 - count(*))::HUGEINT * (1::HUGEINT << 57) AS z_scaled
+         |       FROM regsU),
+         |ea AS (SELECT ${sparkRound(est("fBy"), 4)} AS est_a FROM fBy
+         |       WHERE event_type = 'click'),
+         |eb AS (SELECT ${sparkRound(est("fBy"), 4)} AS est_b FROM fBy
+         |       WHERE event_type = 'purchase'),
+         |eu AS (SELECT ${sparkRound(est("fU"), 4)} AS est_union FROM fU),
+         |x AS (SELECT count(*) AS nd_exact_intersect FROM
+         |        (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+         |        NATURAL JOIN
+         |        (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+         |SELECT est_a, est_b, est_union,
+         |  CAST(nd_exact_intersect AS BIGINT) AS nd_exact_intersect,
+         |  ${sparkRound("est_a + est_b - est_union", 4)} AS est_intersect
+         |FROM ea, eb, eu, x""".stripMargin
     },
 
     // grouped-NDV replay: the register chain with event_type carried
