@@ -982,6 +982,45 @@ object Extensions {
         .orderBy(col("bin"))
     }),
 
+    // A/B exposure analysis: users deterministically hash-bucketed into
+    // two arms (the seeded-FNV fence every assignment in this repo uses);
+    // conversion = the user's total purchase value exceeds the GLOBAL
+    // median of per-user purchase values (a threshold that stays
+    // non-degenerate at any SF — "did every user purchase" saturates to
+    // p=1 and a zero pooled variance). Two-proportion z with pooled
+    // variance, the degenerate p∈{0,1} case guarded to NULL.
+    "events_ab_lift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val vals = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(round(sum(coalesce(col("value"), lit(0.0))), 2).as("v"))
+      val med = vals.agg(round(expr("percentile(v, 0.5)"), 6).as("__med"))
+      val users = ev.select(col("user_id")).distinct()
+        .withColumn("arm", pmod(graft.functions.Fnv.fnv1a64(
+          concat(lit("ab:"), col("user_id").cast("string"))), lit(2L)))
+      val arms = users
+        .join(vals, Seq("user_id"), "left")
+        .crossJoin(broadcast(med))
+        .withColumn("__c", when(col("v") > col("__med"), 1L).otherwise(0L))
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("__c")).as("k"))
+      val a = arms.filter(col("arm") === 0)
+        .select(col("n").as("n_a"), col("k").as("k_a"))
+      val b = arms.filter(col("arm") === 1)
+        .select(col("n").as("n_b"), col("k").as("k_b"))
+      val p = (col("k_a") + col("k_b")).cast("double") / (col("n_a") + col("n_b"))
+      val se = sqrt(p * (lit(1.0) - p) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+      a.crossJoin(b)
+        .withColumn("rate_a", round(col("k_a").cast("double") / col("n_a"), 6))
+        .withColumn("rate_b", round(col("k_b").cast("double") / col("n_b"), 6))
+        .withColumn("z_score", when(se > 0, round(
+          (col("k_a").cast("double") / col("n_a") -
+            col("k_b").cast("double") / col("n_b")) / se, 4)))
+        .select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+          col("rate_a"), col("rate_b"), col("z_score"))
+    }),
+
     // Per-user running drawdown: value vs the running peak in (ts, id)
     // order — the degradation monitor shape (finance drawdown applied to
     // any per-key metric stream). Both windows share ONE user-keyed
@@ -4028,6 +4067,34 @@ object Extensions {
               " * ln((CAST(n_early + 1 AS DOUBLE) / (te + 10)) / (CAST(n_late + 1 AS DOUBLE) / (tl + 10)))",
               6)} AS psi_term
          |FROM filled, t ORDER BY bin""".stripMargin,
+
+    // A/B replay: same FNV arm fence, same median threshold (interpolated
+    // percentile over cents-rounded sums), same pooled-variance z.
+    "events_ab_lift" ->
+      s"""WITH vals AS (SELECT user_id,
+         |    ${sparkRound("sum(coalesce(value, 0.0))", 2)} AS v
+         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         |med AS (SELECT ${sparkRound("quantile_cont(v, 0.5)", 6)} AS m FROM vals),
+         |u AS (SELECT DISTINCT user_id FROM events),
+         |arms AS (SELECT u.user_id,
+         |    ((${signed64(fnvSql("'ab:' || CAST(u.user_id AS VARCHAR)"))} % 2) + 2) % 2 AS arm,
+         |    CASE WHEN vals.v > med.m THEN 1 ELSE 0 END AS c
+         |  FROM u LEFT JOIN vals ON u.user_id = vals.user_id, med),
+         |g AS (SELECT arm, count(*) AS n, CAST(sum(c) AS BIGINT) AS k
+         |      FROM arms GROUP BY arm),
+         |a AS (SELECT n AS n_a, k AS k_a FROM g WHERE arm = 0),
+         |b AS (SELECT n AS n_b, k AS k_b FROM g WHERE arm = 1),
+         |j AS (SELECT *, (k_a + k_b) / CAST(n_a + n_b AS DOUBLE) AS p FROM a, b),
+         |jj AS (SELECT *,
+         |    sqrt(p * (1.0 - p) * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)) AS se
+         |  FROM j)
+         |SELECT n_a, k_a, n_b, k_b,
+         |  ${sparkRound("CAST(k_a AS DOUBLE) / n_a", 6)} AS rate_a,
+         |  ${sparkRound("CAST(k_b AS DOUBLE) / n_b", 6)} AS rate_b,
+         |  CASE WHEN se > 0 THEN ${sparkRound(
+           "(CAST(k_a AS DOUBLE) / n_a - CAST(k_b AS DOUBLE) / n_b) / se", 4)}
+         |  END AS z_score
+         |FROM jj""".stripMargin,
 
     // Drawdown replay: identical (ts, id) running-max frame.
     "events_drawdown" ->

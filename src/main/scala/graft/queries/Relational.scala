@@ -1194,6 +1194,23 @@ object Relational {
         .orderBy(col("event_type"))
     }),
 
+    // URL parsing: Spark's parse_url over deterministically constructed
+    // URLs — the oracle regenerates the parts from the construction rule,
+    // so any component parse_url mis-extracts hash-mismatches.
+    "scalar_url_parse" -> ((s, d) => {
+      val url = concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+        col("lang"), lit("/"), col("doc_id").cast("string"),
+        lit("?ref="), col("lang"), lit("&id="), col("doc_id").cast("string"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), url.as("__u"))
+        .select(col("doc_id"),
+          parse_url(col("__u"), lit("HOST")).as("host"),
+          parse_url(col("__u"), lit("PATH")).as("path"),
+          parse_url(col("__u"), lit("QUERY"), lit("ref")).as("ref"),
+          parse_url(col("__u"), lit("PROTOCOL")).as("proto"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- scalar functions --------------------------------------------------
     "scalar_string_funcs" -> ((s, d) => {
       Tables.part(s, d)
@@ -2081,6 +2098,15 @@ object Relational {
         |      WHERE c_custkey % 50 = 0 AND c_custkey < 2000) b
         |  ON a.seg IS NOT DISTINCT FROM b.seg2
         |GROUP BY 1 ORDER BY seg""".stripMargin,
+
+    // ground truth from the construction rule, not a URL parser
+    "scalar_url_parse" ->
+      """SELECT doc_id,
+        |  source || '.example.com' AS host,
+        |  '/docs/' || lang || '/' || CAST(doc_id AS VARCHAR) AS path,
+        |  lang AS ref,
+        |  'https' AS proto
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "scalar_string_funcs" ->
       """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
