@@ -1544,6 +1544,31 @@ object Extensions {
         .orderBy(col("user_id"), col("effective_from"), col("version_id"))
     }),
 
+    // SCD2 DIMENSION LOOKUP — the composition every warehouse runs: fact
+    // rows (purchases) enriched with the dimension VERSION valid STRICTLY
+    // BEFORE their event time ("from which state do users convert"), via
+    // the as-of backward join against the version-start stream at ts−1
+    // (a purchase always opens/continues its own version AT its ts, so
+    // the at-ts lookup is degenerate by construction). One shared
+    // user-keyed exchange, never an inequality-range explosion; first-ever
+    // purchases have no prior state and drop under the inner join.
+    "join_scd2_lookup" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+      val dim = graft.ext.EventAnalytics.scd2(
+          ev, "user_id", "ts_us", "event_id", "event_type")
+        .select(col("user_id"), col("effective_from"),
+          col("event_type").as("seg"), col("version_id"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), (col("ts_us") - 1).as("ts_us"), col("event_id"))
+      graft.ext.AsOfJoin.asofJoin(facts, dim, Seq("user_id"),
+          leftTs = "ts_us", rightTs = "effective_from",
+          rightCols = Seq("seg", "version_id"), joinType = "inner")
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_purchases"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy(col("seg"))
+    }),
+
     // Top-20 3-step in-session paths: session containment enforced inside
     // the user-partitioned n-gram window (no per-session re-partition),
     // counted corpus-wide, deterministic (count desc, path) top-k.
@@ -4323,6 +4348,29 @@ object Extensions {
     // SCD2 replayed: same (ts, event_id) ordering, version boundaries via
     // IS DISTINCT FROM (= Spark's null-safe <=> negated), effective_to =
     // next boundary's start over the same window.
+    // SCD2-lookup replay: the same version-start stream, per purchase the
+    // backward as-of pick with the join's pinned tie rule (greatest
+    // (effective_from, payload) tuple).
+    "join_scd2_lookup" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+        |           FROM events),
+        |b AS (SELECT *, lag(event_type) OVER w AS prev, row_number() OVER w AS rn
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |v AS (SELECT user_id, event_type AS seg, tus AS eff_from,
+        |        event_id AS version_id
+        |      FROM b WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+        |p AS (SELECT user_id, tus - 1 AS tus, event_id FROM e
+        |      WHERE event_type = 'purchase'),
+        |m AS (SELECT p.user_id, s.seg
+        |      FROM p CROSS JOIN LATERAL (
+        |        SELECT v.seg FROM v
+        |        WHERE v.user_id = p.user_id AND v.eff_from <= p.tus
+        |        ORDER BY v.eff_from DESC, v.seg DESC, v.version_id DESC
+        |        LIMIT 1) s)
+        |SELECT seg, count(*) AS n_purchases,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM m GROUP BY seg ORDER BY seg""".stripMargin,
+
     "events_scd2_history" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
         |           FROM events),
