@@ -50,13 +50,23 @@ object CboStats {
       nullCount: Map[String, Long] = Map.empty,
       sizeInBytes: Option[Long] = None,
       minMax: Map[String, (String, String)] = Map.empty): Unit = {
-    val colStats = (ndv.keySet ++ nullCount.keySet ++ minMax.keySet).map { c =>
+    val fresh = (ndv.keySet ++ nullCount.keySet ++ minMax.keySet).map { c =>
       c -> CatalogColumnStat(
         distinctCount = ndv.get(c).map(BigInt(_)),
         nullCount = nullCount.get(c).map(BigInt(_)),
         min = minMax.get(c).map(_._1),
         max = minMax.get(c).map(_._2))
     }.toMap
+    // MERGE with already-published column stats: alterTableStats replaces
+    // the CatalogStatistics wholesale, so a table-level refresh
+    // (rows/sizeInBytes only) would otherwise silently WIPE the per-column
+    // NDV/min/max a profile feed published earlier and degrade every join
+    // estimate on this table to no-column-stats mode. Freshly fed columns
+    // win; untouched columns keep their last published stats.
+    val existing = s.sessionState.catalog
+      .getTableMetadata(TableIdentifier(table)).stats
+      .map(_.colStats).getOrElse(Map.empty)
+    val colStats = existing ++ fresh
     s.sessionState.catalog.alterTableStats(TableIdentifier(table),
       Some(CatalogStatistics(
         sizeInBytes = BigInt(sizeInBytes.getOrElse(tableSizeBytes(s, table))),

@@ -233,22 +233,6 @@ object EventAnalytics {
       .join(sizes, "cohort_day")
   }
 
-  /** RFM segmentation — the classic recency/frequency/monetary user scoring
-    * a growth/analytics pipeline derives from the event log. Per user:
-    * recency = whole days from their LAST event to the dataset's own "now"
-    * (the max event time — self-contained, replayable), frequency = event
-    * count, monetary = sum(value) rounded to cents. Each metric scores
-    * 1..4 by quartile: the three interpolated quartile boundaries are ONE
-    * global 1-row aggregate broadcast back onto the per-user frame (no
-    * ntile — a global rank window would single-partition the user set at
-    * scale), and every boundary is rounded to 6 dp before the strict-`>`
-    * comparisons so a 1-ulp interpolation difference between engines can
-    * never flip a score. Recency scores INVERTED (recent = 4).
-    *
-    * Returns one row per (r_score, f_score, m_score) cell: user count and
-    * cents-rounded total monetary. Shape: one user-keyed aggregate, two
-    * 1-row broadcasts (now, quartiles), one cell-keyed aggregate.
-    */
   /** Multi-touch attribution: for every conversion event, credit the
     * user's touch events inside the lookback window under the three
     * standard models at once — first-touch (1.0 to the earliest touch),
@@ -294,6 +278,22 @@ object EventAnalytics {
         count(lit(1)).as("n_touch_rows"))
   }
 
+  /** RFM segmentation — the classic recency/frequency/monetary user scoring
+    * a growth/analytics pipeline derives from the event log. Per user:
+    * recency = whole days from their LAST event to the dataset's own "now"
+    * (the max event time — self-contained, replayable), frequency = event
+    * count, monetary = sum(value) rounded to cents. Each metric scores
+    * 1..4 by quartile: the three interpolated quartile boundaries are ONE
+    * global 1-row aggregate broadcast back onto the per-user frame (no
+    * ntile — a global rank window would single-partition the user set at
+    * scale), and every boundary is rounded to 6 dp before the strict-`>`
+    * comparisons so a 1-ulp interpolation difference between engines can
+    * never flip a score. Recency scores INVERTED (recent = 4).
+    *
+    * Returns one row per (r_score, f_score, m_score) cell: user count and
+    * cents-rounded total monetary. Shape: one user-keyed aggregate, two
+    * 1-row broadcasts (now, quartiles), one cell-keyed aggregate.
+    */
   def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
       valueCol: String, ticksPerDay: Long = 86400L * 1000000000L): DataFrame = {
     val users = events.groupBy(col(userCol))

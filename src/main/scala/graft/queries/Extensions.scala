@@ -379,10 +379,14 @@ object Extensions {
       perLang.crossJoin(broadcast(total))
         .withColumn("current_share",
           round(col("n_tokens").cast("double") / col("__tot"), 6))
+        // a ZERO-token language gets the max upweight explicitly: Spark's
+        // double /0 → Infinity → clamp, but DuckDB's double /0 is NULL, so
+        // the branch must be taken BEFORE the division on both sides
         .withColumn("weight",
-          round(least(lit(10.0), greatest(lit(0.1),
-            (lit(1.0) / col("__n_langs")) /
-              (col("n_tokens").cast("double") / col("__tot")))), 6))
+          when(col("n_tokens") === 0, lit(10.0)).otherwise(
+            round(least(lit(10.0), greatest(lit(0.1),
+              (lit(1.0) / col("__n_langs")) /
+                (col("n_tokens").cast("double") / col("__tot")))), 6)))
         .select(col("lang"), col("n_docs"), col("n_tokens"),
           col("current_share"), col("weight"),
           round(col("n_tokens") * col("weight"), 2).as("expected_tokens"))
@@ -3347,12 +3351,15 @@ object Extensions {
          |    least(10.0::DOUBLE, greatest(0.1::DOUBLE,
          |      (CAST(1 AS DOUBLE) / n_langs) /
          |        (CAST(n_tokens AS DOUBLE) / tot))) AS wraw
-         |  FROM pl, t)
+         |  FROM pl, t),
+         |w2 AS (SELECT *, CASE WHEN n_tokens = 0 THEN 10.0
+         |         ELSE ${OracleSql.sparkRound("wraw", 6)} END AS weight
+         |  FROM w)
          |SELECT lang, n_docs, n_tokens,
          |  ${OracleSql.sparkRound("CAST(n_tokens AS DOUBLE) / tot", 6)} AS current_share,
-         |  ${OracleSql.sparkRound("wraw", 6)} AS weight,
-         |  ${OracleSql.sparkRound(s"n_tokens * ${OracleSql.sparkRound("wraw", 6)}", 2)} AS expected_tokens
-         |FROM w ORDER BY lang""".stripMargin,
+         |  weight,
+         |  ${OracleSql.sparkRound("n_tokens * weight", 2)} AS expected_tokens
+         |FROM w2 ORDER BY lang""".stripMargin,
 
     "train_token_budget_mix" ->
       s"""WITH b AS (
@@ -3396,10 +3403,7 @@ object Extensions {
          |    len(t) AS nw,
          |    coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS sl,
          |    len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS na,
-         |    len(list_distinct(list_filter(t, x -> list_contains(
-         |      ['the','a','an','and','or','of','to','in','is','are','was',
-         |       'it','that','this','for','with','on','as','be','at','by',
-         |       'not','from','but','they','his','her','you','we','have'], x)))) AS ns,
+         |    len(list_distinct(list_filter(t, x -> list_contains($enStops, x)))) AS ns,
          |    (length(text) - length(replace(text, '...', ''))) // 3 AS ne
          |  FROM tk),
          |g AS (SELECT lang,
@@ -4135,9 +4139,13 @@ object Extensions {
          |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // Purge accounting replay: same forget rule + anti-join arithmetic.
+    // NULL user_ids (none in current fixtures, but contemplated inputs —
+    // see the HLL oracles' guards) are KEPT, matching the Spark
+    // anti-join's null-never-matches semantics, not dropped by the modulo
+    // predicate's NULL.
     "ops_tombstone_purge" ->
       """WITH k AS (SELECT event_type, count(*) AS n_kept FROM events
-        |           WHERE user_id % 13 != 0 GROUP BY event_type),
+        |           WHERE user_id IS NULL OR user_id % 13 != 0 GROUP BY event_type),
         |t AS (SELECT event_type, count(*) AS n_total FROM events GROUP BY event_type)
         |SELECT t.event_type, t.n_total, coalesce(k.n_kept, 0) AS n_kept,
         |  t.n_total - coalesce(k.n_kept, 0) AS n_purged

@@ -775,15 +775,22 @@ object Relational {
       val src = new java.io.File(d + "/documents.parquet")
       val root = System.getProperty("java.io.tmpdir") + "/graft_dynpo_" +
         (d + s"_${src.length}_${src.lastModified}_v1").replaceAll("[^A-Za-z0-9]", "_")
-      if (!new java.io.File(s"$root/_done").exists()) {
+      // cached-fixture contract (the bm25IndexIncrementalCached pattern):
+      // BOTH generations build inside a writer-unique tmp dir, one atomic
+      // publish — a concurrent session never sees a half-built store
+      if (!new java.io.File(s"$root/_SUCCESS").exists()) {
+        graft.ext.Multimodal.sweepOrphanTmpDirs(root)
+        val tmp = root + ".tmp-" + java.util.UUID.randomUUID().toString
         val docs = Tables.documents(s, d)
         docs.select(col("doc_id"), col("n_chars"), col("lang"))
-          .write.partitionBy("lang").mode("overwrite").parquet(root)
+          .write.partitionBy("lang").mode("overwrite").parquet(tmp)
         docs.filter(col("lang") === "en")
           .select(col("doc_id"), (col("n_chars") * 2).as("n_chars"), col("lang"))
           .write.option("partitionOverwriteMode", "dynamic")
-          .partitionBy("lang").mode("overwrite").parquet(root)
-        new java.io.File(s"$root/_done").createNewFile()
+          .partitionBy("lang").mode("overwrite").parquet(tmp)
+        java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "_SUCCESS"),
+          Array.empty[Byte])
+        graft.ext.Multimodal.publishSnapshot(tmp, root)
       }
       s.read.parquet(root)
         .groupBy(col("lang"))
@@ -800,14 +807,21 @@ object Relational {
     "source_schema_evolution" -> ((s, d) => {
       val src = new java.io.File(d + "/documents.parquet")
       val root = System.getProperty("java.io.tmpdir") + "/graft_schevo_" +
-        (d + s"_${src.length}_${src.lastModified}_v1").replaceAll("[^A-Za-z0-9]", "_")
-      if (!new java.io.File(s"$root/gen2/_SUCCESS").exists()) {
+        (d + s"_${src.length}_${src.lastModified}_v2").replaceAll("[^A-Za-z0-9]", "_")
+      // both generations into a writer-unique tmp, one atomic publish
+      // (cached-fixture contract — no reader can see gen1 without gen2)
+      if (!new java.io.File(s"$root/_SUCCESS").exists()) {
+        graft.ext.Multimodal.sweepOrphanTmpDirs(root)
+        val tmp = root + ".tmp-" + java.util.UUID.randomUUID().toString
         val docs = Tables.documents(s, d)
         docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
-          .write.mode("overwrite").parquet(s"$root/gen1")
+          .write.mode("overwrite").parquet(s"$tmp/gen1")
         docs.filter(col("doc_id") % 2 === 1)
           .select(col("doc_id"), col("lang"), col("n_chars"))
-          .write.mode("overwrite").parquet(s"$root/gen2")
+          .write.mode("overwrite").parquet(s"$tmp/gen2")
+        java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "_SUCCESS"),
+          Array.empty[Byte])
+        graft.ext.Multimodal.publishSnapshot(tmp, root)
       }
       s.read.option("mergeSchema", "true")
         .parquet(s"$root/gen1", s"$root/gen2")

@@ -259,10 +259,16 @@ class ChainMicroBatchStream(cfg: ChainSource.Config)
     * admits at most blocksPerTrigger messages past the committed cursor —
     * nothing is skipped, the offset log stays exact. The stream COMPLETES
     * (offset stops advancing) at `stopBound` = min(totalBlocks, endBlock),
-    * the reference's stop-at-end_block contract. */
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    ChainOffset(math.min(cfg.stopBound,
-      start.asInstanceOf[ChainOffset].seq + cfg.blocksPerTrigger))
+    * the reference's stop-at-end_block contract. The clamp to the
+    * committed cursor matters: a restart configured with a stopBound BELOW
+    * the checkpointed cursor must hold position, never move the offset
+    * BACKWARD — a regressed offset would re-deliver the [newBound, cursor)
+    * range as duplicates if a later restart widens the bound again. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = start.asInstanceOf[ChainOffset].seq
+    ChainOffset(math.max(cur,
+      math.min(cfg.stopBound, cur + cfg.blocksPerTrigger)))
+  }
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("admission-control latestOffset is used")
   override def reportLatestOffset(): Offset = ChainOffset(cfg.stopBound)

@@ -126,6 +126,29 @@ class LoopbackChainSpec extends SparkSpec {
       "restart must resume from the cursor, ignoring the new startBlock")
   }
 
+  test("endBlock below the checkpointed cursor never moves the offset backward") {
+    val root = Files.createTempDirectory("chainshrink").toString
+    val ckpt = s"$root/ckpt"; val out = s"$root/out"
+    def run(opts: Map[String, String]): Unit = {
+      var r = spark.readStream.format("graft.sources.ChainSource")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load().select(col("seq"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    run(Map("totalBlocks" -> "1000", "endBlock" -> "30", "blocksPerTrigger" -> "10"))
+    // restart with the bound BELOW the committed cursor (30): must hold
+    // position and deliver nothing — never regress the offset
+    run(Map("totalBlocks" -> "1000", "endBlock" -> "10", "blocksPerTrigger" -> "10"))
+    // widen again: only [30, 40) may arrive; a regressed offset would
+    // re-deliver [10, 30) here as duplicates
+    run(Map("totalBlocks" -> "1000", "endBlock" -> "40", "blocksPerTrigger" -> "10"))
+    val seqs = spark.read.parquet(out).select("seq").collect().map(_.getLong(0)).sorted
+    assert(seqs.toSeq === (0L until 40L),
+      s"shrink-then-widen must deliver each seq exactly once, got ${seqs.length} rows")
+  }
+
   test("loopback streaming: checkpointed cursor survives a mid-run fault and a restart") {
     val gen = Map("totalBlocks" -> "1000", "startBlock" -> "0", "endBlock" -> "40",
       "blocksPerTrigger" -> "9", "numPartitions" -> "2", "maxRetries" -> "4")
