@@ -122,6 +122,29 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // TF-IDF keyword extraction: each doc's top-3 terms by tf·idf with
+    // smoothed idf = ln((N+1)/(df+1)) — the classic per-document keyword
+    // summarizer. One explode into (doc, term) counts, a term-keyed df
+    // aggregate joined back, a per-doc window top-k; ties break on the
+    // term string so the pick is a pure function of the corpus.
+    "text_tfidf_keywords" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tf = docs.select(col("doc_id"), explode(TA.tokens(col("text"))).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("t"))
+      tf.join(dfreq, "t").crossJoin(broadcast(n))
+        .withColumn("score", round(col("tf") *
+          log((col("__n") + 1).cast("double") / (col("df") + 1)), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("t").as("term"), col("score"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
     // Gopher-style quality GATE battery: word-count bounds, mean word
     // length, alpha-word fraction, distinct-stopword minimum, ellipsis
     // ratio — the pass/fail document filter a pre-training pipeline runs,
@@ -984,6 +1007,24 @@ object Extensions {
           round((col("__p") - col("__q")) * log(col("__p") / col("__q")), 6)
             .as("psi_term"))
         .orderBy(col("bin"))
+    }),
+
+    // Cohort LTV: revenue by (cohort day, age), plus the running
+    // cumulative — the lifetime-value curve beside the retention ratios.
+    // Same distinct-(user, day) reduction discipline; the cumsum window
+    // is cohort-keyed (bounded by days, never a global sort).
+    "events_cohort_ltv" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      val daily = ev.join(cohort, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(round(sum(coalesce(col("value"), lit(0.0))), 2).as("rev"),
+          count_distinct(col("user_id")).as("n_active"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+      daily.withColumn("cum_rev", round(sum(col("rev")).over(w), 2))
+        .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
     // A/B exposure analysis: users deterministically hash-bucketed into
@@ -3394,6 +3435,21 @@ object Extensions {
          |            - CAST(floor(start_off / 2048.0) AS BIGINT) + 1 END AS packs_spanned
          |FROM c ORDER BY doc_id""".stripMargin,
 
+    // TF-IDF replay: same counts, same smoothed idf, same (score DESC,
+    // term) tie order.
+    "text_tfidf_keywords" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+         |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+         |n AS (SELECT count(*) AS nn FROM documents),
+         |sc AS (SELECT doc_id, t,
+         |    ${sparkRound("tf * ln(CAST(nn + 1 AS DOUBLE) / (df + 1))", 6)} AS score
+         |  FROM tf JOIN dfreq USING (t), n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score DESC, t) AS rnk FROM sc)
+         |SELECT doc_id, CAST(rnk AS INT) AS rnk, t AS term, score
+         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
     // Gate battery replay: identical tokenization, integer-derived ratios
     // against the same decimal literals, '...' count via the same
     // replace-length delta.
@@ -4096,6 +4152,22 @@ object Extensions {
               " * ln((CAST(n_early + 1 AS DOUBLE) / (te + 10)) / (CAST(n_late + 1 AS DOUBLE) / (tl + 10)))",
               6)} AS psi_term
          |FROM filled, t ORDER BY bin""".stripMargin,
+
+    // LTV replay: same day floor-div, cents rounding before the cumsum.
+    "events_cohort_ltv" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         |             coalesce(value, 0.0) AS v
+         |           FROM events),
+         |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+         |daily AS (SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
+         |    ${sparkRound("sum(e.v)", 2)} AS rev,
+         |    CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+         |  FROM e JOIN c USING (user_id) GROUP BY 1, 2)
+         |SELECT cohort_day, day_offset, rev, n_active,
+         |  ${sparkRound(
+           "sum(rev) OVER (PARTITION BY cohort_day ORDER BY day_offset ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+           2)} AS cum_rev
+         |FROM daily ORDER BY cohort_day, day_offset""".stripMargin,
 
     // A/B replay: same FNV arm fence, same median threshold (interpolated
     // percentile over cents-rounded sums), same pooled-variance z.
