@@ -1009,6 +1009,27 @@ object Extensions {
         .orderBy(col("bin"))
     }),
 
+    // Rolling z-score anomaly screen: each event's value against the
+    // trailing 20-event mean/std of ITS OWN user (the local complement of
+    // the global MAD gate) — all three windows share one user-keyed
+    // exchange; z rounded to 4 dp BEFORE the |z| > 3 threshold so a
+    // 1-ulp std difference can't flip a flag cross-engine.
+    "events_rolling_zscore" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+        .rowsBetween(-19, 0)
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .withColumn("__mu", avg(col("value")).over(w))
+        .withColumn("__sd", stddev_samp(col("value")).over(w))
+        .withColumn("__z", when(col("__sd") > 0,
+          round((col("value") - col("__mu")) / col("__sd"), 4)))
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          count_if(abs(col("__z")) > 3.0).as("n_anomalies"),
+          round(max(abs(col("__z"))), 4).as("max_abs_z"))
+        .orderBy(col("user_id"))
+    }),
+
     // Cohort LTV: revenue by (cohort day, age), plus the running
     // cumulative — the lifetime-value curve beside the retention ratios.
     // Same distinct-(user, day) reduction discipline; the cumsum window
@@ -4152,6 +4173,24 @@ object Extensions {
               " * ln((CAST(n_early + 1 AS DOUBLE) / (te + 10)) / (CAST(n_late + 1 AS DOUBLE) / (tl + 10)))",
               6)} AS psi_term
          |FROM filled, t ORDER BY bin""".stripMargin,
+
+    // Rolling-z replay: identical 20-row trailing frame and rounding fence.
+    "events_rolling_zscore" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, value
+         |           FROM events WHERE value IS NOT NULL),
+         |r AS (SELECT *,
+         |    avg(value) OVER w AS mu,
+         |    stddev_samp(value) OVER w AS sd
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+         |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         |z AS (SELECT user_id,
+         |    CASE WHEN sd > 0 THEN ${sparkRound("(value - mu) / sd", 4)} END AS zz
+         |  FROM r)
+         |SELECT user_id, count(*) AS n_events,
+         |  CAST(sum(CASE WHEN abs(zz) > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_anomalies,
+         |  ${sparkRound("max(abs(zz))", 4)} AS max_abs_z
+         |FROM z GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // LTV replay: same day floor-div, cents rounding before the cumsum.
     "events_cohort_ltv" ->
