@@ -73,4 +73,60 @@ object Graph {
     Dedup.rotateCheckpoints(checkpointKey, sym, deg, ranks)
     ranks.select(col("id"), round(col("rank"), 6).as("rank"))
   }
+
+  /** Per-node triangle counts over an UNDIRECTED edge list (id1, id2).
+    * On the near-dup graph a node's triangle count separates genuine
+    * duplicate FAMILIES (cliques — every pair detected) from chains of
+    * borderline pairs (A~B~C where A~C missed the threshold): survivor
+    * election and cluster-quality audits read it as a cohesion signal.
+    *
+    * Algorithm: the degree-ordered node-iterator. Edges are canonicalized
+    * (a < b, distinct), each node's degree computed, and every edge
+    * oriented from the LOWER (deg, id) endpoint to the higher. Wedges are
+    * then pairs of out-edges sharing a source, and a triangle is a wedge
+    * whose far endpoints are themselves an oriented edge — each triangle
+    * found exactly once, from its lowest-ranked vertex. Orienting by
+    * degree bounds each node's out-degree by O(sqrt(|E|)) on any graph
+    * (arboricity bound), so a power-law hub with degree 10^6 contributes
+    * wedges only as a DESTINATION — the wedge fan-out that makes the naive
+    * id-ordered variant quadratic on skewed graphs never materializes.
+    * Three equi-joins on node keys, no all-pairs; the driver sees nothing.
+    *
+    * Returns (id, n_tri) for nodes in >= 1 triangle, one row per node. */
+  def triangleCounts(edges: DataFrame,
+      checkpointKey: String = "Graph.triangles"): DataFrame = {
+    val canon = edges.select(
+        least(col("id1"), col("id2")).as("a"),
+        greatest(col("id1"), col("id2")).as("b"))
+      .filter(col("a") < col("b")) // drop self-loops: no triangle uses one
+      .distinct()
+    val deg = canon.select(col("a").as("id"))
+      .unionAll(canon.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // (deg, id) is a total order: orient low -> high, carrying the
+    // destination's rank so the wedge join below needs no extra lookup
+    val ranked = canon
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+    val out = ranked.select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst"),
+            col("db").as("ddeg")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"),
+            col("da").as("ddeg"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.ddeg").as("ddeg"))
+      .localCheckpoint()
+    val left = out.select(col("src"), col("dst").as("v"), col("ddeg").as("dv"))
+    val right = out.select(col("src"), col("dst").as("w"), col("ddeg").as("dw"))
+    val wedges = left.join(right, Seq("src"))
+      .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+    val tri = wedges.join(
+        out.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .select(col("src").as("u"), col("v"), col("w"))
+    val counts = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+    Dedup.rotateCheckpoints(checkpointKey, out)
+    counts
+  }
 }

@@ -28,6 +28,36 @@ object TextAnalysis {
     size(filter(split(lower(text), "(?<=[^a-z0-9])|(?=[^a-z0-9])"),
       t => t.rlike("[a-z0-9]|\\p{Punct}")))
 
+  /** Sentence count: runs of terminal punctuation ([.!?]+), each run one
+    * sentence boundary ("Stop!!" is one sentence, not two). */
+  def sentenceCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.!?]+"), lit(0)))
+
+  /** Syllable proxy: maximal vowel groups ([aeiouy]+) over the lowercased
+    * text — the standard cheap estimator (each vowel cluster ≈ one spoken
+    * syllable). Counted corpus-wide, so word boundaries are irrelevant. */
+  def syllableCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+
+  /** Flesch reading-ease score from the three regex counts above:
+    *
+    *   206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    *
+    * with the sentence denominator floored at 1 (a fragment with no
+    * terminal punctuation is read as one sentence) and NULL for empty
+    * docs. In a training-data pipeline this is a quality-mix feature:
+    * extremely high scores flag word-salad/boilerplate, extremely negative
+    * ones flag code or run-on garbage. Pure codegen'd column algebra —
+    * the score fuses into the document scan like every other gate. */
+  def fleschScore(text: Column): Column = {
+    val words = tokenCount(text).cast("double")
+    val sentences = greatest(sentenceCount(text).cast("double"), lit(1.0))
+    val syllables = syllableCount(text).cast("double")
+    when(words > 0,
+      round(lit(206.835) - lit(1.015) * (words / sentences)
+        - lit(84.6) * (syllables / words), 4))
+  }
+
   /** Sliding token-window chunking — the context-window prep step: split
     * each doc into `chunkSize`-token windows advancing by
     * `chunkSize - overlap` tokens, the last window short if the doc runs

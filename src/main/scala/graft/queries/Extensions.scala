@@ -2261,8 +2261,367 @@ object Extensions {
           // double 0.3549 (the float->double widening itself is exact)
           round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
         .orderBy(col("media_id"))
+    }),
+
+    // Per-node triangle counts on the near-dup graph (degree-ordered
+    // node-iterator — see Graph.triangleCounts): clique cohesion beside
+    // pagerank's centrality, over the SAME banded edge set so the two
+    // lanes share the signature checkpoint discipline.
+    "graph_triangle_count" -> ((s, d) => {
+      val sigs = Dedup.minhashSignatures(Tables.documents(s, d), "text", "doc_id",
+        k = 32).localCheckpoint()
+      Dedup.rotateCheckpoints("graph_tri_sigs", sigs)
+      val edges = Dedup.minhashNearDupsFromSigs(sigs,
+        bands = 8, rows = 4, threshold = 0.5).select(col("id1"), col("id2"))
+      graft.ext.Graph.triangleCounts(edges, checkpointKey = "graph_triangles")
+        .orderBy(col("id"))
+    }),
+
+    // Two-sample Kolmogorov-Smirnov drift screen per event_type: the
+    // value distribution of the LATE half of the time range against the
+    // EARLY half (same integer-midpoint pivot as diag_drift_psi, which
+    // bins globally — this one is per-type and binless). Counts are
+    // grouped per distinct value FIRST, so ties advance both ECDFs
+    // atomically before the sup-difference is taken; two key-partitioned
+    // shuffles ((type,value) agg, then type-keyed cumulative windows),
+    // no global sort.
+    "diag_ks_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull && col("ts_ns").isNotNull)
+      val g = ev.agg(min(col("ts_ns")).as("mn_ts"), max(col("ts_ns")).as("mx_ts"))
+      val flagged = ev.crossJoin(broadcast(g))
+        .withColumn("__late",
+          (col("ts_ns") >= expr("mn_ts + (mx_ts - mn_ts) div 2")).cast("long"))
+      val perValue = flagged.groupBy(col("event_type"), col("value"))
+        .agg(sum(lit(1L) - col("__late")).as("c_early"),
+          sum(col("__late")).as("c_late"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("value"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      val cdf = perValue
+        .withColumn("n_early", sum(col("c_early")).over(wAll))
+        .withColumn("n_late", sum(col("c_late")).over(wAll))
+        .withColumn("__d", abs(
+          sum(col("c_early")).over(w) / col("n_early") -
+            sum(col("c_late")).over(w) / col("n_late")))
+      cdf.groupBy(col("event_type"))
+        .agg(max(col("n_early")).as("n_early"), max(col("n_late")).as("n_late"),
+          round(max(when(col("n_early") > 0 && col("n_late") > 0, col("__d"))), 6)
+            .as("ks_stat"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Exponentially weighted moving average per user (10-tap truncated
+    // kernel, alpha = 0.3, pandas adjust=true normalization over the taps
+    // actually present near the series head). The tap weights are embedded
+    // as shortest-roundtrip double literals in BOTH engines' expressions —
+    // never recomputed via pow(), whose libm rounding may differ — and the
+    // tap sum is written in the same k = 0..9 order so the float
+    // accumulation order matches cross-engine. One user-keyed exchange
+    // shared by every window.
+    "ts_ewma_smooth" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      val wu = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      val taps = ewmaTapWeights.zipWithIndex.map { case (wk, k) =>
+        (coalesce(lag(col("value"), k).over(w), lit(0.0)) * lit(wk),
+          when(lag(col("value"), k).over(w).isNotNull, lit(wk)).otherwise(lit(0.0)))
+      }
+      val num = taps.map(_._1).reduce(_ + _)
+      val den = taps.map(_._2).reduce(_ + _)
+      ev.withColumn("__ewma", num / den)
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+            .orderBy(col("ts_ns").desc, col("event_id").desc)))
+        .withColumn("n_events", count(lit(1)).over(wu))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("n_events"),
+          round(col("__ewma"), 6).as("ewma_last"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Flesch reading-ease per document (regex word/sentence/syllable
+    // counts — TextAnalysis.fleschScore): the readability axis of the
+    // quality-mix feature set. Scan-fused column algebra, zero shuffles.
+    "text_readability" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+          TA.tokenCount(col("text")).cast("long").as("n_words"),
+          TA.sentenceCount(col("text")).cast("long").as("n_sentences"),
+          TA.fleschScore(col("text")).as("flesch"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Linear interpolation over the same per-user daily spine as
+    // ts_resample_ffill: interior gaps take the line between the
+    // surrounding observed closes, leading/trailing gaps stay NULL (no
+    // extrapolation). Both direction scans share the user-keyed exchange
+    // and day sort.
+    "ts_interpolate_linear" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val dayNs = 86400L * 1000000000L
+      val ev = Tables.events(s, d).filter(col("user_id") < 8)
+        .withColumn("day", expr(s"(ts_ns - pmod(ts_ns, ${dayNs}L)) div ${dayNs}L"))
+      val wDay = W.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts_ns").desc, col("event_id").desc)
+      val daily = ev.withColumn("rn", row_number().over(wDay))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("day"), round(col("value"), 2).as("close"))
+      val spine = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val wPrev = W.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(W.unboundedPreceding, 0)
+      val wNext = W.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(0, W.unboundedFollowing)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("pv", last(col("close"), ignoreNulls = true).over(wPrev))
+        .withColumn("pd", last(when(col("close").isNotNull, col("day")),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("close"), ignoreNulls = true).over(wNext))
+        .withColumn("nd", first(when(col("close").isNotNull, col("day")),
+          ignoreNulls = true).over(wNext))
+        .withColumn("close_interp",
+          when(col("close").isNotNull, col("close"))
+            .otherwise(when(col("pv").isNotNull && col("nv").isNotNull,
+              round(col("pv") + (col("nv") - col("pv"))
+                * ((col("day") - col("pd")) / (col("nd") - col("pd"))), 4))))
+        .withColumn("observed", col("close").isNotNull)
+        .select(col("user_id"), col("day"), col("close_interp"), col("observed"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+    // Per-type daily-volume OLS trend. The five moments are EXACT LONG
+    // sums (day indices and counts are integers; every product fits in
+    // 64 bits at any SF that fits a cluster), so the only floating-point
+    // ops are the two final divisions — slope and intercept are therefore
+    // bit-identical cross-engine, no accumulation-order exposure at all.
+    "events_trend_ols" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("ts_ns").isNotNull)
+        .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
+      val daily = ev.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("y"))
+      daily.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          sum(col("day")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("day") * col("y")).as("sxy"),
+          sum(col("day") * col("day")).as("sxx"))
+        .withColumn("__den", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("__slope", when(col("__den") =!= 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / col("__den").cast("double")))
+        .select(col("event_type"), col("n").as("n_days"),
+          round(col("__slope"), 6).as("slope"),
+          round((col("sy").cast("double") - col("__slope") * col("sx").cast("double"))
+            / col("n").cast("double"), 6).as("intercept"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Welch's unequal-variance t on per-user purchase totals between the
+    // SAME two FNV arms as events_ab_lift — the means-metric readout
+    // beside that lane's proportion z. Squares are written as va*va (never
+    // pow(): libm exponentials are the one operator class whose last ulp
+    // is not pinned cross-engine); the df is Welch–Satterthwaite.
+    "diag_ttest_welch" -> ((s, d) => {
+      val vals = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(round(sum(coalesce(col("value"), lit(0.0))), 2).as("v"))
+        .withColumn("arm", pmod(graft.functions.Fnv.fnv1a64(
+          concat(lit("ab:"), col("user_id").cast("string"))), lit(2L)))
+      val g = vals.groupBy(col("arm")).agg(
+        count(lit(1)).as("n"), avg(col("v")).as("m"), var_samp(col("v")).as("s2"))
+      val a = g.filter(col("arm") === 0)
+        .select(col("n").as("n_a"), col("m").as("m_a"), col("s2").as("s2_a"))
+      val b = g.filter(col("arm") === 1)
+        .select(col("n").as("n_b"), col("m").as("m_b"), col("s2").as("s2_b"))
+      val va = col("s2_a") / col("n_a")
+      val vb = col("s2_b") / col("n_b")
+      val ok = col("n_a") > 1 && col("n_b") > 1 && (va + vb) > 0
+      a.crossJoin(b)
+        .withColumn("t_stat",
+          when(ok, round((col("m_a") - col("m_b")) / sqrt(va + vb), 4)))
+        .withColumn("df", when(ok, round(
+          ((va + vb) * (va + vb)) /
+            (va * va / (col("n_a") - 1) + vb * vb / (col("n_b") - 1)), 2)))
+        .select(col("n_a"), round(col("m_a"), 4).as("mean_a"),
+          col("n_b"), round(col("m_b"), 4).as("mean_b"),
+          col("t_stat"), col("df"))
+    }),
+
+    // Inter-arrival gap profile per event_type: each event's gap since
+    // ITS USER's previous event (any type), exact interpolated quantiles,
+    // and the burstiness coefficient (sd−mean)/(sd+mean) — the
+    // periodic(−1)..Poisson(0)..bursty(+1) axis used to spot bot traffic.
+    // One user-keyed exchange for the lag, one type-keyed agg.
+    "events_gap_stats" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      val gaps = Tables.events(s, d)
+        .withColumn("__gap_s",
+          (col("ts_ns") - lag(col("ts_ns"), 1).over(w)).cast("double")
+            / lit(1.0e9))
+        .filter(col("__gap_s").isNotNull)
+      gaps.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n_gaps"),
+          round(avg(col("__gap_s")), 4).as("mean_gap_s"),
+          round(expr("percentile(__gap_s, 0.5)"), 4).as("p50_gap_s"),
+          round(expr("percentile(__gap_s, 0.9)"), 4).as("p90_gap_s"),
+          round((stddev_samp(col("__gap_s")) - avg(col("__gap_s")))
+            / (stddev_samp(col("__gap_s")) + avg(col("__gap_s"))), 4)
+            .as("burstiness"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Bitwise scalar surface (masking, shifts, xor-folds, popcount) —
+    // the id-partitioning / fingerprint-probing primitives.
+    "scalar_bitwise_funcs" -> ((s, d) => {
+      Tables.events(s, d).filter(col("user_id") < 50)
+        .select(col("event_id"),
+          expr("event_id & 255").as("b_and"),
+          expr("event_id | 4096").as("b_or"),
+          expr("event_id ^ shiftright(event_id, 3)").as("b_xor"),
+          expr("shiftleft(event_id & 1023, 2)").as("b_shl"),
+          expr("~event_id").as("b_not"),
+          bit_count(col("event_id")).cast("long").as("n_bits"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Growth accounting: each user-week classified new / retained /
+    // resurrected, plus churn attributed to the week AFTER the last
+    // active week of a gap — the standard quick-ratio inputs. Weekly
+    // grain keeps every window bounded by the calendar, one user-keyed
+    // exchange feeds all three lags.
+    "events_lifecycle_stages" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val a = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("((ts_ns div 1000) div 86400000000) div 7").as("week"))
+        .distinct()
+      val w = W.partitionBy(col("user_id")).orderBy(col("week"))
+      val staged = a
+        .withColumn("__first", min(col("week")).over(
+          W.partitionBy(col("user_id"))))
+        .withColumn("__prev", lag(col("week"), 1).over(w))
+        .withColumn("__next", lead(col("week"), 1).over(w))
+        .withColumn("stage",
+          when(col("week") === col("__first"), "new")
+            .when(col("__prev") === col("week") - 1, "retained")
+            .otherwise("resurrected"))
+      val stages = staged.groupBy(col("week")).agg(
+        count_if(col("stage") === "new").as("n_new"),
+        count_if(col("stage") === "retained").as("n_retained"),
+        count_if(col("stage") === "resurrected").as("n_resurrected"))
+      val mx = a.agg(max(col("week")).as("__mx"))
+      val churned = staged
+        .filter(col("__next").isNull || col("__next") > col("week") + 1)
+        .crossJoin(broadcast(mx))
+        .filter(col("week") + 1 <= col("__mx"))
+        .groupBy((col("week") + 1).as("week"))
+        .agg(count(lit(1)).as("n_churned"))
+      stages.join(churned, Seq("week"), "left")
+        .select(col("week"), col("n_new"), col("n_retained"),
+          col("n_resurrected"),
+          coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+        .orderBy(col("week"))
+    }),
+
+    // Seasonal-naive backtest: forecast(day) = count(day − 7) on the
+    // ZERO-FILLED per-type daily spine, scored by MAPE (y>0 days) and
+    // RMSE. The error sums are exact integers squared — only the final
+    // divisions are floating-point.
+    "events_forecast_snaive" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
+      val daily = ev.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("y"))
+      val spine = ev.groupBy(col("event_type"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val filled = spine.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      val w = W.partitionBy(col("event_type")).orderBy(col("day"))
+      val scored = filled
+        .withColumn("yhat", lag(col("y"), 7).over(w))
+        .filter(col("yhat").isNotNull)
+      scored.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n_eval"),
+          round(avg(when(col("y") > 0,
+            abs(col("y") - col("yhat")).cast("double") / col("y"))), 4)
+            .as("mape"),
+          round(sqrt(avg(((col("y") - col("yhat"))
+            * (col("y") - col("yhat"))).cast("double"))), 4).as("rmse"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Pairwise audience overlap between event types: |A∩B| via ONE
+    // user-keyed self-join of the distinct (user, type) set (per-user
+    // type lists are tiny, so the join fan-out is bounded per user — no
+    // all-pairs anywhere), Jaccard from the broadcast per-type sizes.
+    "events_audience_overlap" -> ((s, d) => {
+      val ut = Tables.events(s, d)
+        .select(col("user_id"), col("event_type")).distinct()
+      val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("sz"))
+      val both = ut.select(col("user_id"), col("event_type").as("t1"))
+        .join(ut.select(col("user_id"), col("event_type").as("t2")), "user_id")
+        .filter(col("t1") < col("t2"))
+        .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("n_both"))
+      both
+        .join(broadcast(sizes.select(col("event_type").as("t1"), col("sz").as("n1"))), "t1")
+        .join(broadcast(sizes.select(col("event_type").as("t2"), col("sz").as("n2"))), "t2")
+        .select(col("t1"), col("t2"), col("n1"), col("n2"), col("n_both"),
+          round(col("n_both").cast("double")
+            / (col("n1") + col("n2") - col("n_both")), 6).as("jaccard"))
+        .orderBy(col("t1"), col("t2"))
+    }),
+
+    // Curriculum phasing: docs split easy→hard into 4 phases by Flesch
+    // QUANTILE CUTPOINTS (a 3-value broadcast — not a global ntile sort,
+    // which would funnel the corpus through one partition at scale), each
+    // phase deterministically shuffled by the seeded-FNV fence; the
+    // order-sensitive checksum Σ doc_id·rank pins the EXACT within-phase
+    // order cross-engine, not just the membership.
+    "train_curriculum_buckets" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .withColumn("__f", coalesce(TA.fleschScore(col("text")), lit(0.0)))
+      val cuts = docs.agg(
+        expr("percentile(__f, 0.25)").as("c1"),
+        expr("percentile(__f, 0.5)").as("c2"),
+        expr("percentile(__f, 0.75)").as("c3"))
+      val phased = docs.crossJoin(broadcast(cuts)).withColumn("phase",
+        when(col("__f") >= col("c3"), 1)
+          .when(col("__f") >= col("c2"), 2)
+          .when(col("__f") >= col("c1"), 3)
+          .otherwise(4))
+      val shuffled = phased.withColumn("__key", graft.functions.Fnv.fnv1a64(
+          concat(lit("cur:"), col("doc_id").cast("string"))))
+        .withColumn("__rn", row_number().over(
+          W.partitionBy(col("phase")).orderBy(col("__key"), col("doc_id"))))
+      shuffled.groupBy(col("phase")).agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("__f")), 4).as("mean_flesch"),
+          round(min(col("__f")), 4).as("min_flesch"),
+          round(max(col("__f")), 4).as("max_flesch"),
+          sum(col("doc_id") * col("__rn")).as("order_checksum"))
+        .orderBy(col("phase"))
     })
   )
+
+  /** Truncated EWMA kernel (alpha = 0.3, 10 taps), w_k = a*(1-a)^k computed
+    * ONCE here and shared verbatim — as double literals — by the Spark
+    * expression and the DuckDB oracle, so no pow() is evaluated in either
+    * engine at query time. */
+  private val ewmaTapWeights: Seq[Double] = {
+    val a = 0.3
+    (0 until 10).map(k => a * math.pow(1 - a, k))
+  }
 
   /** Token budget per training shard — shared by the sharding query and its
     * packing-stats audit so the two can never drift apart. */
@@ -5004,6 +5363,288 @@ object Extensions {
         |      FROM e)
         |SELECT kind, fork, count(*) AS n,
         |  CAST(min(h) AS BIGINT) AS min_h, CAST(max(h) AS BIGINT) AS max_h
-        |FROM m GROUP BY kind, fork ORDER BY kind, fork""".stripMargin
+        |FROM m GROUP BY kind, fork ORDER BY kind, fork""".stripMargin,
+
+    // Same banded edge set as pagerank's; triangles enumerated u<v<w from
+    // the canonical (id1<id2) pairs — the degree-ordered orientation on
+    // the Spark side finds the identical SET, just from each triangle's
+    // lowest-DEGREE corner instead of its lowest id
+    "graph_triangle_count" ->
+      s"""$minhashPairsCtes,
+         |e AS (SELECT id1 AS a, id2 AS b FROM pairs),
+         |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+         |        FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+         |        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |ids AS (SELECT u AS id FROM tri
+         |        UNION ALL SELECT v FROM tri
+         |        UNION ALL SELECT w FROM tri)
+         |SELECT id, count(*) AS n_tri FROM ids GROUP BY id ORDER BY id""".stripMargin,
+
+    "diag_ks_drift" ->
+      s"""WITH ev AS (
+        |  SELECT event_type, value, epoch_us(ts) * 1000 AS ts_ns FROM events
+        |  WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |g AS (SELECT min(ts_ns) AS mn_ts, max(ts_ns) AS mx_ts FROM ev),
+        |flagged AS (SELECT event_type, value,
+        |    CASE WHEN ts_ns >= mn_ts + (mx_ts - mn_ts) // 2 THEN 1 ELSE 0 END AS late
+        |  FROM ev, g),
+        |pv AS (SELECT event_type, value,
+        |    CAST(sum(1 - late) AS BIGINT) AS c_early,
+        |    CAST(sum(late) AS BIGINT) AS c_late
+        |  FROM flagged GROUP BY event_type, value),
+        |cdf AS (SELECT event_type,
+        |    sum(c_early) OVER (PARTITION BY event_type) AS n_early,
+        |    sum(c_late) OVER (PARTITION BY event_type) AS n_late,
+        |    abs(CAST(sum(c_early) OVER w AS DOUBLE)
+        |          / sum(c_early) OVER (PARTITION BY event_type)
+        |        - CAST(sum(c_late) OVER w AS DOUBLE)
+        |          / sum(c_late) OVER (PARTITION BY event_type)) AS d
+        |  FROM pv
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY value
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type,
+        |  CAST(max(n_early) AS BIGINT) AS n_early,
+        |  CAST(max(n_late) AS BIGINT) AS n_late,
+        |  ${sparkRound("max(CASE WHEN n_early > 0 AND n_late > 0 THEN d END)", 6)} AS ks_stat
+        |FROM cdf GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ts_ewma_smooth" -> {
+      // identical double literals and identical left-associated add order
+      // as the Spark expression (see ewmaTapWeights)
+      val num = ewmaTapWeights.zipWithIndex
+        .map { case (wk, k) => s"coalesce(lag(value, $k) OVER w, 0.0) * $wk" }
+        .mkString(" + ")
+      val den = ewmaTapWeights.zipWithIndex
+        .map { case (wk, k) =>
+          s"CASE WHEN lag(value, $k) OVER w IS NOT NULL THEN $wk ELSE 0.0 END" }
+        .mkString(" + ")
+      s"""WITH ev AS (SELECT user_id, event_id, ts, value FROM events
+         |            WHERE value IS NOT NULL),
+         |sm AS (SELECT user_id,
+         |    ($num) / ($den) AS ewma,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS rn,
+         |    count(*) OVER (PARTITION BY user_id) AS n_events
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT user_id, n_events, ${OracleSql.sparkRound("ewma", 6)} AS ewma_last
+         |FROM sm WHERE rn = 1 ORDER BY user_id""".stripMargin
+    },
+
+    "text_readability" ->
+      s"""SELECT doc_id,
+         |  len($toks) AS n_words,
+         |  len(regexp_extract_all(text, '[.!?]+')) AS n_sentences,
+         |  CASE WHEN len($toks) > 0 THEN ${sparkRound(
+        s"206.835 - 1.015 * (CAST(len($toks) AS DOUBLE)" +
+          " / greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS DOUBLE), 1.0))" +
+          " - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)" +
+          s" / CAST(len($toks) AS DOUBLE))", 4)}
+         |  END AS flesch
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same spine/daily CTEs as ts_resample_ffill, interpolation instead
+    // of the forward fill; leading/trailing gaps stay NULL
+    "ts_interpolate_linear" ->
+      s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) * 1000 AS ts_ns, value,
+         |              (epoch_us(ts) * 1000
+         |                - ((epoch_us(ts) * 1000 % 86400000000000 + 86400000000000) % 86400000000000))
+         |                // 86400000000000 AS day
+         |            FROM events WHERE user_id < 8),
+         |daily AS (SELECT user_id, day, round(value, 2) AS close FROM (
+         |            SELECT user_id, day, value,
+         |              row_number() OVER (PARTITION BY user_id, day
+         |                ORDER BY ts_ns DESC, event_id DESC) AS rn
+         |            FROM ev) WHERE rn = 1),
+         |bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM ev GROUP BY user_id),
+         |spine AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM bounds),
+         |j AS (SELECT s.user_id, s.day, d.close
+         |      FROM spine s LEFT JOIN daily d USING (user_id, day)),
+         |f AS (SELECT user_id, day, close,
+         |    last_value(close IGNORE NULLS) OVER wp AS pv,
+         |    last_value(CASE WHEN close IS NOT NULL THEN day END IGNORE NULLS) OVER wp AS pd,
+         |    first_value(close IGNORE NULLS) OVER wn AS nv,
+         |    first_value(CASE WHEN close IS NOT NULL THEN day END IGNORE NULLS) OVER wn AS nd
+         |  FROM j
+         |  WINDOW wp AS (PARTITION BY user_id ORDER BY day
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |         wn AS (PARTITION BY user_id ORDER BY day
+         |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT user_id, day,
+         |  CASE WHEN close IS NOT NULL THEN close
+         |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN ${sparkRound(
+        "pv + (nv - pv) * (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))", 4)}
+         |  END AS close_interp,
+         |  close IS NOT NULL AS observed
+         |FROM f ORDER BY user_id, day""".stripMargin,
+
+    // exact-integer moment replay; the two divisions are the only float ops
+    "events_trend_ols" ->
+      s"""WITH ev AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day
+         |            FROM events WHERE ts IS NOT NULL),
+         |daily AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS y
+         |          FROM ev GROUP BY event_type, day),
+         |m AS (SELECT event_type,
+         |        CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(day) AS BIGINT) AS sx,
+         |        CAST(sum(y) AS BIGINT) AS sy,
+         |        CAST(sum(day * y) AS BIGINT) AS sxy,
+         |        CAST(sum(day * day) AS BIGINT) AS sxx
+         |      FROM daily GROUP BY event_type),
+         |s AS (SELECT event_type, n, sx, sy,
+         |        CASE WHEN n * sxx - sx * sx <> 0
+         |             THEN CAST(n * sxy - sx * sy AS DOUBLE)
+         |                    / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope_raw
+         |      FROM m)
+         |SELECT event_type, n AS n_days,
+         |  ${sparkRound("slope_raw", 6)} AS slope,
+         |  ${sparkRound("(CAST(sy AS DOUBLE) - slope_raw * CAST(sx AS DOUBLE))" +
+        " / CAST(n AS DOUBLE)", 6)} AS intercept
+         |FROM s ORDER BY event_type""".stripMargin,
+
+    // same per-user totals + FNV arm fence as events_ab_lift; Welch's t
+    "diag_ttest_welch" ->
+      s"""WITH vals AS (SELECT user_id,
+         |    ${sparkRound("sum(coalesce(value, 0.0))", 2)} AS v
+         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         |arms AS (SELECT
+         |    ((${signed64(fnvSql("'ab:' || CAST(user_id AS VARCHAR)"))} % 2) + 2) % 2 AS arm,
+         |    v
+         |  FROM vals),
+         |g AS (SELECT arm, count(*) AS n, avg(v) AS m, var_samp(v) AS s2
+         |      FROM arms GROUP BY arm),
+         |a AS (SELECT CAST(n AS BIGINT) AS n_a, m AS m_a, s2 AS s2_a FROM g WHERE arm = 0),
+         |b AS (SELECT CAST(n AS BIGINT) AS n_b, m AS m_b, s2 AS s2_b FROM g WHERE arm = 1),
+         |j AS (SELECT *, s2_a / n_a AS va, s2_b / n_b AS vb,
+         |        n_a > 1 AND n_b > 1 AND (s2_a / n_a + s2_b / n_b) > 0 AS ok
+         |      FROM a, b)
+         |SELECT n_a, ${sparkRound("m_a", 4)} AS mean_a,
+         |  n_b, ${sparkRound("m_b", 4)} AS mean_b,
+         |  CASE WHEN ok THEN ${sparkRound("(m_a - m_b) / sqrt(va + vb)", 4)} END AS t_stat,
+         |  CASE WHEN ok THEN ${sparkRound(
+           "((va + vb) * (va + vb)) / (va * va / (n_a - 1) + vb * vb / (n_b - 1))", 2)}
+         |  END AS df
+         |FROM j""".stripMargin,
+
+    "events_gap_stats" ->
+      s"""WITH ev AS (SELECT event_id, user_id, event_type,
+         |              epoch_us(ts) * 1000 AS ts_ns FROM events),
+         |gaps AS (SELECT event_type,
+         |    CAST(ts_ns - lag(ts_ns, 1) OVER (PARTITION BY user_id
+         |      ORDER BY ts_ns, event_id) AS DOUBLE) / 1000000000.0 AS gap_s
+         |  FROM ev),
+         |gg AS (SELECT event_type, gap_s FROM gaps WHERE gap_s IS NOT NULL)
+         |SELECT event_type, count(*) AS n_gaps,
+         |  ${sparkRound("avg(gap_s)", 4)} AS mean_gap_s,
+         |  ${sparkRound("quantile_cont(gap_s, 0.5)", 4)} AS p50_gap_s,
+         |  ${sparkRound("quantile_cont(gap_s, 0.9)", 4)} AS p90_gap_s,
+         |  ${sparkRound("(stddev_samp(gap_s) - avg(gap_s))" +
+        " / (stddev_samp(gap_s) + avg(gap_s))", 4)} AS burstiness
+         |FROM gg GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "scalar_bitwise_funcs" ->
+      """SELECT event_id,
+        |  event_id & 255 AS b_and,
+        |  event_id | 4096 AS b_or,
+        |  xor(event_id, event_id >> 3) AS b_xor,
+        |  (event_id & 1023) << 2 AS b_shl,
+        |  ~event_id AS b_not,
+        |  CAST(bit_count(event_id) AS BIGINT) AS n_bits
+        |FROM events WHERE user_id < 50 ORDER BY event_id""".stripMargin,
+
+    "events_lifecycle_stages" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |             (epoch_us(ts) // 86400000000) // 7 AS week FROM events),
+        |st AS (SELECT user_id, week,
+        |    min(week) OVER (PARTITION BY user_id) AS fw,
+        |    lag(week, 1) OVER (PARTITION BY user_id ORDER BY week) AS pw,
+        |    lead(week, 1) OVER (PARTITION BY user_id ORDER BY week) AS nw
+        |  FROM a),
+        |staged AS (SELECT *,
+        |    CASE WHEN week = fw THEN 'new'
+        |         WHEN pw = week - 1 THEN 'retained'
+        |         ELSE 'resurrected' END AS stage
+        |  FROM st),
+        |stages AS (SELECT week,
+        |    CAST(sum(CASE WHEN stage = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |    CAST(sum(CASE WHEN stage = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN stage = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM staged GROUP BY week),
+        |mx AS (SELECT max(week) AS mw FROM a),
+        |churned AS (SELECT week + 1 AS week, CAST(count(*) AS BIGINT) AS n_churned
+        |  FROM staged, mx
+        |  WHERE (nw IS NULL OR nw > week + 1) AND week + 1 <= mw
+        |  GROUP BY week + 1)
+        |SELECT s.week, n_new, n_retained, n_resurrected,
+        |  coalesce(n_churned, 0) AS n_churned
+        |FROM stages s LEFT JOIN churned c ON s.week = c.week
+        |ORDER BY s.week""".stripMargin,
+
+    "events_forecast_snaive" ->
+      s"""WITH ev AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day
+         |            FROM events),
+         |daily AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS y
+         |          FROM ev GROUP BY event_type, day),
+         |bounds AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+         |           FROM ev GROUP BY event_type),
+         |spine AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM bounds),
+         |filled AS (SELECT s.event_type, s.day, coalesce(d.y, 0) AS y
+         |           FROM spine s LEFT JOIN daily d USING (event_type, day)),
+         |scored AS (SELECT event_type, y,
+         |    lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS yhat
+         |  FROM filled)
+         |SELECT event_type, count(*) AS n_eval,
+         |  ${sparkRound(
+        "avg(CASE WHEN y > 0 THEN CAST(abs(y - yhat) AS DOUBLE) / y END)", 4)} AS mape,
+         |  ${sparkRound(
+        "sqrt(avg(CAST((y - yhat) * (y - yhat) AS DOUBLE)))", 4)} AS rmse
+         |FROM scored WHERE yhat IS NOT NULL
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_audience_overlap" ->
+      s"""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+         |sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS sz
+         |          FROM ut GROUP BY event_type),
+         |ov AS (SELECT l.event_type AS t1, r.event_type AS t2,
+         |           CAST(count(*) AS BIGINT) AS n_both
+         |         FROM ut l JOIN ut r ON l.user_id = r.user_id
+         |         WHERE l.event_type < r.event_type
+         |         GROUP BY 1, 2)
+         |SELECT t1, t2, s1.sz AS n1, s2.sz AS n2, n_both,
+         |  ${sparkRound(
+        "CAST(n_both AS DOUBLE) / (s1.sz + s2.sz - n_both)", 6)} AS jaccard
+         |FROM ov JOIN sizes s1 ON s1.event_type = t1
+         |JOIN sizes s2 ON s2.event_type = t2
+         |ORDER BY t1, t2""".stripMargin,
+
+    "train_curriculum_buckets" -> {
+      val flesch =
+        s"CASE WHEN len($toks) > 0 THEN ${sparkRound(
+          s"206.835 - 1.015 * (CAST(len($toks) AS DOUBLE)" +
+            " / greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS DOUBLE), 1.0))" +
+            " - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)" +
+            s" / CAST(len($toks) AS DOUBLE))", 4)} ELSE 0.0 END"
+      s"""WITH f AS (SELECT doc_id, $flesch AS fl FROM documents),
+         |cuts AS (SELECT quantile_cont(fl, 0.25) AS c1,
+         |                quantile_cont(fl, 0.5) AS c2,
+         |                quantile_cont(fl, 0.75) AS c3
+         |         FROM f),
+         |ph AS (SELECT doc_id, fl,
+         |         CASE WHEN fl >= c3 THEN 1
+         |              WHEN fl >= c2 THEN 2
+         |              WHEN fl >= c1 THEN 3
+         |              ELSE 4 END AS phase
+         |       FROM f, cuts),
+         |sh AS (SELECT phase, doc_id, fl,
+         |         row_number() OVER (PARTITION BY phase ORDER BY
+         |           ${signed64(fnvSql("'cur:' || CAST(doc_id AS VARCHAR)"))}, doc_id) AS rn
+         |       FROM ph)
+         |SELECT phase, count(*) AS n_docs,
+         |  ${sparkRound("avg(fl)", 4)} AS mean_flesch,
+         |  round(min(fl), 4) AS min_flesch,
+         |  round(max(fl), 4) AS max_flesch,
+         |  CAST(sum(doc_id * rn) AS BIGINT) AS order_checksum
+         |FROM sh GROUP BY phase ORDER BY phase""".stripMargin
+    }
   )
 }

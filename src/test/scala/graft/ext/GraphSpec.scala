@@ -37,6 +37,27 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-5)
   }
 
+  test("triangleCounts: two triangles sharing an edge, orientation-invariant") {
+    import spark.implicits._
+    // K3 {1,2,3} plus K3 {2,3,4} (sharing edge 2-3), a pendant 4-5, and an
+    // isolated edge 6-7: shared-edge nodes 2,3 sit in BOTH triangles
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (6L, 7L))
+    val expect = Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L)
+    val got = Graph.triangleCounts(edges.toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+    // reversed + duplicated + self-loop input: same canonical edge set,
+    // same counts (the orientation and dedup are the operator's job)
+    val messy = (edges.map(_.swap) ++ edges ++ Seq((2L, 2L))).toDF("id1", "id2")
+    val got2 = Graph.triangleCounts(messy)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 === expect)
+    // triangle-free graph: empty result, not a failure
+    assert(Graph.triangleCounts(Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2"))
+      .count() === 0)
+  }
+
   test("pageRank: edgeless input yields an empty frame, bad params refuse") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
