@@ -2611,6 +2611,85 @@ object Extensions {
           round(max(col("__f")), 4).as("max_flesch"),
           sum(col("doc_id") * col("__rn")).as("order_checksum"))
         .orderBy(col("phase"))
+    }),
+
+    // Label-centroid similarity matrix: per-label mean embedding via ONE
+    // (label, dim) melt-aggregate, then the pairwise cosine over the tiny
+    // centroid set (labels², not vectors² — the all-pairs stays on the
+    // handful of centroids). The class-confusability readout used to
+    // decide which labels to merge or re-annotate.
+    "sim_label_centroid_matrix" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      val comp = e.groupBy(col("label"), col("dim"))
+        .agg(avg(col("x").cast("double")).as("c"))
+      val cents = comp.groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          p => p.getField("c")).as("v"))
+      val sizes = Tables.embeddings(s, d).groupBy(col("label"))
+        .agg(count(lit(1)).as("n"))
+      val withN = cents.join(sizes, "label")
+      val a = withN.select(col("label").as("l1"), col("v").as("v1"), col("n").as("n1"))
+      val b = withN.select(col("label").as("l2"), col("v").as("v2"), col("n").as("n2"))
+      a.join(b, col("l1") < col("l2"))
+        .select(col("l1"), col("l2"), col("n1"), col("n2"),
+          round(graft.ext.Similarity.cosine(col("v1"), col("v2")), 6).as("cos"))
+        .orderBy(col("l1"), col("l2"))
+    }),
+
+    // Sentence-grain boilerplate: sentences (terminator-split, trimmed,
+    // lowercased) appearing in 2+ DISTINCT docs are boilerplate; each doc
+    // reports its contamination ratio. The sentence stream is one explode;
+    // the doc-frequency side is a (sentence)-keyed aggregate semi-joined
+    // back — nothing quadratic, the n-gram lane's discipline at sentence
+    // grain.
+    "text_sentence_boilerplate" -> ((s, d) => {
+      val sents = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), "[.!?]+")).as("s0"))
+        .withColumn("s", trim(lower(col("s0"))))
+        .filter(length(col("s")) > 0)
+        .select(col("doc_id"), col("s")).distinct()
+      val df = sents.groupBy(col("s"))
+        .agg(count_distinct(col("doc_id")).as("ndocs"))
+      val flagged = sents.join(df, "s")
+        .groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_sents"),
+          count_if(col("ndocs") >= 2).as("n_boiler"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(flagged, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_sents"), lit(0L)).as("n_sents"),
+          coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+          when(col("n_sents") > 0,
+            round(col("n_boiler").cast("double") / col("n_sents"), 4))
+            .as("boiler_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Out-of-vocabulary rate per doc against the corpus top-100 vocab
+    // (text_vocab_topk's exact definition) — the tokenizer-coverage gate:
+    // docs with high OOV under the deployed vocab inflate token counts
+    // and training cost. Vocab is a broadcast; the token stream is the
+    // same one-explode.
+    "text_oov_rate" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("w"))
+      val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(100)
+        .select(col("w"), lit(1).as("__in"))
+      val rates = toks.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_tokens"),
+          count_if(col("__in").isNull).as("n_oov"))
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(rates, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+          when(col("n_tokens") > 0,
+            round(col("n_oov").cast("double") / col("n_tokens"), 4))
+            .as("oov_rate"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -5645,6 +5724,51 @@ object Extensions {
          |  round(max(fl), 4) AS max_flesch,
          |  CAST(sum(doc_id * rn) AS BIGINT) AS order_checksum
          |FROM sh GROUP BY phase ORDER BY phase""".stripMargin
-    }
+    },
+
+    // parallel unnest zips value with its 0-based dim, mirroring posexplode
+    "sim_label_centroid_matrix" ->
+      s"""WITH x AS (SELECT label, unnest(range(len(embedding))) AS dim,
+         |             CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+         |comp AS (SELECT label, dim, avg(x) AS c FROM x GROUP BY label, dim),
+         |cents AS (SELECT label, list(c ORDER BY dim) AS v FROM comp GROUP BY label),
+         |sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+         |          FROM embeddings GROUP BY label)
+         |SELECT a.label AS l1, b.label AS l2, sa.n AS n1, sb.n AS n2,
+         |  ${sparkRound("list_cosine_similarity(a.v, b.v)", 6)} AS cos
+         |FROM cents a JOIN cents b ON a.label < b.label
+         |JOIN sizes sa ON sa.label = a.label
+         |JOIN sizes sb ON sb.label = b.label
+         |ORDER BY l1, l2""".stripMargin,
+
+    "text_sentence_boilerplate" ->
+      s"""WITH raw AS (SELECT doc_id,
+         |    trim(lower(unnest(regexp_split_to_array(text, '[.!?]+')))) AS s
+         |  FROM documents),
+         |sents AS (SELECT DISTINCT doc_id, s FROM raw WHERE length(s) > 0),
+         |df AS (SELECT s, count(DISTINCT doc_id) AS ndocs FROM sents GROUP BY s),
+         |fl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sents,
+         |         CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+         |       FROM sents JOIN df USING (s) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_sents, 0) AS n_sents,
+         |  coalesce(n_boiler, 0) AS n_boiler,
+         |  CASE WHEN n_sents > 0
+         |       THEN ${sparkRound("CAST(n_boiler AS DOUBLE) / n_sents", 4)}
+         |  END AS boiler_ratio
+         |FROM documents d LEFT JOIN fl USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    "text_oov_rate" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+         |v AS (SELECT w FROM (SELECT w, count(*) AS n FROM t GROUP BY w
+         |                     ORDER BY n DESC, w LIMIT 100)),
+         |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |        CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         |      FROM t LEFT JOIN v ON t.w = v.w GROUP BY doc_id)
+         |SELECT d.doc_id, d.lang, coalesce(n_tokens, 0) AS n_tokens,
+         |  coalesce(n_oov, 0) AS n_oov,
+         |  CASE WHEN n_tokens > 0
+         |       THEN ${sparkRound("CAST(n_oov AS DOUBLE) / n_tokens", 4)}
+         |  END AS oov_rate
+         |FROM documents d LEFT JOIN r USING (doc_id) ORDER BY d.doc_id""".stripMargin
   )
 }
