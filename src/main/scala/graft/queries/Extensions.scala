@@ -2690,6 +2690,174 @@ object Extensions {
             round(col("n_oov").cast("double") / col("n_tokens"), 4))
             .as("oov_rate"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Autocorrelation of the daily order-count series at lags 1..7 — the
+    // seasonality detector run before picking a forecast model. All moment
+    // sums are EXACT LONGs (counts and count-products); the only doubles
+    // are the final mean and the num/den divisions, so the ACF is
+    // bit-identical cross-engine. The lag join is an EQUI-join on the
+    // computed key day+lag (7 exploded lags over the daily aggregate — a
+    // series bounded by the calendar, never by fact volume).
+    "ts_acf_daily" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .withColumn("day", expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
+        .groupBy(col("day")).agg(count(lit(1)).as("y"))
+        .localCheckpoint()
+      Dedup.rotateCheckpoints("ts_acf_daily", daily)
+      val g = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+      val a = daily.select(col("day"), col("y"),
+        explode(sequence(lit(1L), lit(7L))).as("lag"))
+      val b = daily.select(col("day").as("bday"), col("y").as("by"))
+      val pairs = a.join(b, col("day") + col("lag") === col("bday"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("y") * col("by")).as("sxy"),
+          sum(col("y")).as("sa"), sum(col("by")).as("sb"))
+      pairs.crossJoin(broadcast(g))
+        .withColumn("ybar", col("sy").cast("double") / col("n"))
+        .withColumn("num", col("sxy").cast("double")
+          - col("ybar") * (col("sa") + col("sb")).cast("double")
+          + col("n_pairs").cast("double") * col("ybar") * col("ybar"))
+        .withColumn("den", col("syy").cast("double")
+          - col("n").cast("double") * col("ybar") * col("ybar"))
+        .select(col("lag"), col("n_pairs"),
+          when(col("den") > 0, round(col("num") / col("den"), 6)).as("acf"))
+        .orderBy(col("lag"))
+    }),
+
+    // Day-of-week seasonal index of daily order revenue: per-dow average
+    // of the daily (cents-rounded) revenue over the global daily average.
+    // The weekday-effect readout behind staffing/campaign calendars; dow
+    // is the raw epoch-day mod 7 (day 0 = a Thursday), documented rather
+    // than re-labeled so the arithmetic stays pure integer.
+    "ts_seasonality_dow" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .withColumn("day", expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
+        .groupBy(col("day"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      val g = daily.agg(avg(col("rev")).as("gavg"))
+      daily.withColumn("dow", pmod(col("day"), lit(7L)))
+        .groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_days"), avg(col("rev")).as("avg_rev"))
+        .crossJoin(broadcast(g))
+        .select(col("dow"), col("n_days"),
+          round(col("avg_rev"), 4).as("avg_rev"),
+          round(col("avg_rev") / col("gavg"), 4).as("seasonal_idx"))
+        .orderBy(col("dow"))
+    }),
+
+    // CUSUM mean-shift screen over the daily event-count series:
+    // cusum_t = (running count sum) - t * global_mean, both terms exact
+    // (LONG prefix sum over the tiny daily frame; one double product), the
+    // peak |cusum| day flagged as the changepoint candidate. The window is
+    // global but runs over the DAILY aggregate — calendar-bounded, so the
+    // single partition holds hundreds of rows at any fact SF.
+    "ts_cusum_shift" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
+        .groupBy(col("day")).agg(count(lit(1)).as("y"))
+      val g = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cu = daily.crossJoin(broadcast(g))
+        .withColumn("cum", sum(col("y")).over(w))
+        .withColumn("t", row_number().over(Window.orderBy(col("day"))))
+        .withColumn("cusum", round(col("cum").cast("double")
+          - col("t").cast("double")
+            * (col("sy").cast("double") / col("n")), 4))
+      val mx = cu.agg(max(abs(col("cusum"))).as("mxabs"))
+      cu.crossJoin(broadcast(mx))
+        .select(col("day"), col("y"), col("cusum"),
+          (abs(col("cusum")) === col("mxabs")).as("is_peak"))
+        .orderBy(col("day"))
+    }),
+
+    // Sequence-length bucketing audit: docs binned into fixed power-of-two
+    // token-length buckets (integer threshold compares — no log2/pow), with
+    // the padding waste a batcher padding to the bucket cap would pay. The
+    // batch-shape planning readout for training-throughput tuning; pure
+    // map-side classify + one tiny aggregate.
+    "train_length_buckets" -> ((s, d) => {
+      val caps = Seq(64L, 128L, 256L, 512L, 1024L, 2048L, 4096L, 8192L,
+        16384L, 32768L, 65536L)
+      val n = TA.tokenCount(col("text")).cast("long")
+      // docs beyond the largest cap land in a bucket_cap = -1 overflow
+      // row (they get chunked, not padded — padded_sum = token_sum there);
+      // keeps the cap*count product overflow-free under ANSI mode
+      val cap = caps.foldRight(lit(-1L): org.apache.spark.sql.Column) {
+        (c, acc) => when(n <= c, lit(c)).otherwise(acc)
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"), n.as("n_tokens"), cap.as("bucket_cap"))
+        .groupBy(col("bucket_cap"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("token_sum"))
+        .withColumn("padded_sum", when(col("bucket_cap") > 0,
+          col("bucket_cap") * col("n_docs")).otherwise(col("token_sum")))
+        .withColumn("waste_ratio", round(lit(1.0)
+          - col("token_sum").cast("double") / col("padded_sum"), 6))
+        .orderBy(col("bucket_cap"))
+    }),
+
+    // CUPED variance reduction on the A/B metric: per-user pre/post
+    // purchase totals split at the global time midpoint, theta =
+    // cov(pre, post)/var(pre) over all users pooled, adjusted metric
+    // Y - theta*(X - E[X]). The readout is the variance-reduction ratio —
+    // the experiment-sensitivity win CUPED buys. One user-keyed aggregate
+    // plus 1-row global reductions; moments via built-in covar/var.
+    "events_cuped" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      // integer midpoint (div, not /: long / int is DOUBLE division in
+      // Spark, and a ~3.6e18 ns sum doesn't round-trip through a double)
+      val rng = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx"))
+        .select(expr("(mn + mx) div 2").as("pivot"))
+      val per = ev.filter(col("event_type") === "purchase")
+        .crossJoin(broadcast(rng))
+        .groupBy(col("user_id"))
+        .agg(round(sum(when(col("ts_ns") < col("pivot"),
+            coalesce(col("value"), lit(0.0))).otherwise(0.0)), 2).as("x"),
+          round(sum(when(col("ts_ns") >= col("pivot"),
+            coalesce(col("value"), lit(0.0))).otherwise(0.0)), 2).as("y"))
+      val m = per.agg(count(lit(1)).as("n_users"),
+        covar_pop(col("x"), col("y")).as("cxy"),
+        var_pop(col("x")).as("vx"), avg(col("x")).as("mx"))
+      val theta = m.select(col("n_users"), col("mx"),
+        when(col("vx") > 0, col("cxy") / col("vx")).otherwise(0.0).as("theta"))
+      per.crossJoin(broadcast(theta))
+        .withColumn("yadj", col("y") - col("theta") * (col("x") - col("mx")))
+        .groupBy(col("n_users"), col("theta"))
+        .agg(var_samp(col("y")).as("vy"), var_samp(col("yadj")).as("vyadj"))
+        .select(col("n_users"), round(col("theta"), 4).as("theta"),
+          round(col("vy"), 2).as("var_y"),
+          round(col("vyadj"), 2).as("var_y_adj"),
+          round(col("vyadj") / col("vy"), 4).as("var_ratio"))
+    }),
+
+    // Degree distribution of the MinHash near-dup graph: per-node distinct-
+    // neighbor degree over the LSH pair set, histogrammed, with the
+    // untouched corpus as the degree-0 row. The graph-shape audit run
+    // before components/PageRank — a skewed tail here predicts a hot key
+    // in every downstream graph join.
+    "graph_degree_histogram" -> ((s, d) => {
+      val sigs = Dedup.minhashSignatures(Tables.documents(s, d), "text",
+        "doc_id", k = 32).localCheckpoint()
+      Dedup.rotateCheckpoints("graph_degree_histogram", sigs)
+      val pairs = Dedup.minhashNearDupsFromSigs(sigs,
+        bands = 8, rows = 4, threshold = 0.5)
+        .select(col("id1"), col("id2"))
+      val sym = pairs.unionAll(
+        pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      val deg = sym.groupBy(col("id1"))
+        .agg(count_distinct(col("id2")).as("degree"))
+      val nzero = Tables.documents(s, d).select(col("doc_id"))
+        .join(deg.select(col("id1").as("doc_id")), Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_nodes"))
+        .select(lit(0L).as("degree"), col("n_nodes"))
+      deg.groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+        .unionAll(nzero.filter(col("n_nodes") > 0))
+        .orderBy(col("degree"))
     })
   )
 
@@ -5769,6 +5937,127 @@ object Extensions {
          |  CASE WHEN n_tokens > 0
          |       THEN ${sparkRound("CAST(n_oov AS DOUBLE) / n_tokens", 4)}
          |  END AS oov_rate
-         |FROM documents d LEFT JOIN r USING (doc_id) ORDER BY d.doc_id""".stripMargin
+         |FROM documents d LEFT JOIN r USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // ACF replay: identical exact-LONG moments, one mean division, same
+    // left-associated num/den algebra.
+    "ts_acf_daily" ->
+      s"""WITH daily AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         |                 CAST(count(*) AS BIGINT) AS y
+         |               FROM orders GROUP BY 1),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy,
+         |        CAST(sum(y * y) AS BIGINT) AS syy FROM daily),
+         |p AS (SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         |        CAST(sum(a.y * b.y) AS BIGINT) AS sxy,
+         |        CAST(sum(a.y) AS BIGINT) AS sa, CAST(sum(b.y) AS BIGINT) AS sb
+         |      FROM (SELECT unnest(range(1, 8)) AS lag) l, daily a, daily b
+         |      WHERE b.day = a.day + l.lag GROUP BY l.lag),
+         |c AS (SELECT p.*,
+         |        CAST(sy AS DOUBLE) / n AS ybar,
+         |        CAST(syy AS DOUBLE) - CAST(n AS DOUBLE)
+         |          * (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS den
+         |      FROM p, g)
+         |SELECT lag, n_pairs,
+         |  CASE WHEN den > 0 THEN ${sparkRound(
+           "(CAST(sxy AS DOUBLE) - ybar * CAST(sa + sb AS DOUBLE) + CAST(n_pairs AS DOUBLE) * ybar * ybar) / den",
+           6)}
+         |  END AS acf
+         |FROM c ORDER BY lag""".stripMargin,
+
+    // Seasonal-index replay: same cents-rounded daily revenue, same
+    // unrounded per-dow average in the ratio.
+    "ts_seasonality_dow" ->
+      s"""WITH daily AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         |                 ${sparkRound("sum(o_totalprice)", 2)} AS rev
+         |               FROM orders GROUP BY 1),
+         |g AS (SELECT avg(rev) AS gavg FROM daily),
+         |d2 AS (SELECT ((day % 7) + 7) % 7 AS dow,
+         |         CAST(count(*) AS BIGINT) AS n_days, avg(rev) AS a
+         |       FROM daily GROUP BY 1)
+         |SELECT dow, n_days, ${sparkRound("a", 4)} AS avg_rev,
+         |  ${sparkRound("a / gavg", 4)} AS seasonal_idx
+         |FROM d2, g ORDER BY dow""".stripMargin,
+
+    // CUSUM replay: exact LONG prefix sums, one mean division, peak flag
+    // compared on the ROUNDED cusum so the equality is deterministic.
+    "ts_cusum_shift" ->
+      s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+         |                 CAST(count(*) AS BIGINT) AS y
+         |               FROM events GROUP BY 1),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy
+         |      FROM daily),
+         |cu AS (SELECT day, y, ${sparkRound(
+           """CAST(sum(y) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             - CAST(row_number() OVER (ORDER BY day) AS DOUBLE) * (CAST(sy AS DOUBLE) / n)""",
+           4)} AS cusum
+         |       FROM daily, g)
+         |SELECT day, y, cusum,
+         |  abs(cusum) = (SELECT max(abs(cusum)) FROM cu) AS is_peak
+         |FROM cu ORDER BY day""".stripMargin,
+
+    // Length-bucket replay: same fixed power-of-two thresholds, same
+    // overflow bucket semantics.
+    "train_length_buckets" -> {
+      val caps = Seq(64L, 128L, 256L, 512L, 1024L, 2048L, 4096L, 8192L,
+        16384L, 32768L, 65536L)
+      val caseSql = caps.map(c => s"WHEN n <= $c THEN CAST($c AS BIGINT)")
+        .mkString(" ")
+      s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n FROM documents),
+         |b AS (SELECT n, CASE $caseSql ELSE CAST(-1 AS BIGINT) END AS bucket_cap
+         |      FROM t),
+         |a AS (SELECT bucket_cap, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(n) AS BIGINT) AS token_sum
+         |      FROM b GROUP BY bucket_cap)
+         |SELECT bucket_cap, n_docs, token_sum,
+         |  CASE WHEN bucket_cap > 0 THEN bucket_cap * n_docs
+         |       ELSE token_sum END AS padded_sum,
+         |  ${sparkRound(
+           "1.0 - CAST(token_sum AS DOUBLE) / (CASE WHEN bucket_cap > 0 THEN bucket_cap * n_docs ELSE token_sum END)",
+           6)} AS waste_ratio
+         |FROM a ORDER BY bucket_cap""".stripMargin
+    },
+
+    // CUPED replay: same integer-midpoint split, same pooled covar/var
+    // moments, same adjusted-metric variance ratio.
+    "events_cuped" ->
+      s"""WITH rng AS (SELECT (CAST(epoch_ns(min(ts)) AS BIGINT)
+         |                     + CAST(epoch_ns(max(ts)) AS BIGINT)) // 2 AS pv
+         |             FROM events),
+         |per AS (SELECT user_id,
+         |    ${sparkRound(
+           "sum(CASE WHEN epoch_ns(ts) < pv THEN coalesce(value, 0.0) ELSE 0.0 END)",
+           2)} AS x,
+         |    ${sparkRound(
+           "sum(CASE WHEN epoch_ns(ts) >= pv THEN coalesce(value, 0.0) ELSE 0.0 END)",
+           2)} AS y
+         |  FROM events, rng WHERE event_type = 'purchase' GROUP BY user_id),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+         |        covar_pop(x, y) AS cxy, var_pop(x) AS vx, avg(x) AS mx
+         |      FROM per),
+         |th AS (SELECT n_users, mx,
+         |         CASE WHEN vx > 0 THEN cxy / vx ELSE 0.0 END AS theta FROM m),
+         |adj AS (SELECT per.y, per.y - th.theta * (per.x - th.mx) AS yadj,
+         |          th.n_users, th.theta
+         |        FROM per, th)
+         |SELECT n_users, ${sparkRound("theta", 4)} AS theta,
+         |  ${sparkRound("var_samp(y)", 2)} AS var_y,
+         |  ${sparkRound("var_samp(yadj)", 2)} AS var_y_adj,
+         |  ${sparkRound("var_samp(yadj) / var_samp(y)", 4)} AS var_ratio
+         |FROM adj GROUP BY n_users, theta""".stripMargin,
+
+    // Degree-histogram replay over the shared LSH pair CTEs.
+    "graph_degree_histogram" ->
+      s"""$minhashPairsCtes,
+         |sym AS (SELECT id1 AS a, id2 AS b FROM pairs
+         |        UNION ALL SELECT id2, id1 FROM pairs),
+         |deg AS (SELECT a, CAST(count(DISTINCT b) AS BIGINT) AS degree
+         |        FROM sym GROUP BY a),
+         |z AS (SELECT CAST(0 AS BIGINT) AS degree,
+         |        CAST(count(*) AS BIGINT) AS n_nodes
+         |      FROM documents WHERE doc_id NOT IN (SELECT a FROM deg)),
+         |h AS (SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+         |      FROM deg GROUP BY degree
+         |      UNION ALL SELECT degree, n_nodes FROM z WHERE n_nodes > 0)
+         |SELECT degree, n_nodes FROM h ORDER BY degree""".stripMargin
   )
 }
