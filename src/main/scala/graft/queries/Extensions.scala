@@ -2858,6 +2858,98 @@ object Extensions {
       deg.groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
         .unionAll(nzero.filter(col("n_nodes") > 0))
         .orderBy(col("degree"))
+    }),
+
+    // Reciprocal-rank fusion of two retrieval lists — BM25 top-20 (lexical)
+    // and a length-prior top-20 (the quality-signal stand-in every hybrid
+    // search stack fuses with) — rrf = sum 1/(60+rank). Each ranking's
+    // row_number window runs over its own 20-row TakeOrdered result, never
+    // the corpus; each 1/(60+r) term is a single division, so the fused
+    // scores are bit-identical cross-engine.
+    "rank_rrf_fusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val bm = Ranking.bm25TopK(docs, "text", "doc_id",
+          Seq("spark", "window", "join"), k = 20)
+        .select(col("id").as("doc_id"), col("score"))
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("r"))
+      val lp = docs.select(col("doc_id"), col("n_chars"))
+        .orderBy(col("n_chars").desc, col("doc_id")).limit(20)
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("n_chars").desc, col("doc_id"))))
+        .select(col("doc_id"), col("r"))
+      bm.unionAll(lp)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_lists"),
+          sum(lit(1.0) / (lit(60) + col("r"))).as("rrf0"))
+        .orderBy(col("rrf0").desc, col("doc_id")).limit(10)
+        .select(col("doc_id"), col("n_lists"), round(col("rrf0"), 6).as("rrf"))
+    }),
+
+    // Retrieval precision/recall@k + reciprocal rank for the BM25 ranking:
+    // relevant = the doc contains ALL three query terms. The k axis is a
+    // 3-element explode over the 20-row top list; rr is max(1/rank) over
+    // the relevant retrieved rows (= 1/first-relevant-rank). The
+    // set-metric complement to rank_ndcg_eval's graded DCG.
+    "rank_pr_at_k" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val terms = Seq("spark", "window", "join")
+      val docs = Tables.documents(s, d)
+      val rel = docs
+        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("t"))
+        .filter(col("t").isin(terms: _*))
+        .groupBy(col("doc_id")).agg(count_distinct(col("t")).as("nt"))
+        .filter(col("nt") === terms.length)
+        .select(col("doc_id"), lit(1L).as("rel"))
+      val nrel = rel.agg(count(lit(1)).as("n_rel_total"))
+      val top = Ranking.bm25TopK(docs, "text", "doc_id", terms, k = 20)
+        .select(col("id").as("doc_id"), col("score"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .join(rel, Seq("doc_id"), "left")
+        .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      val rr = top.agg(coalesce(max(when(col("rel") === 1,
+        lit(1.0) / col("rank"))), lit(0.0)).as("rr"))
+      top.withColumn("k", explode(array(lit(5), lit(10), lit(20))))
+        .filter(col("rank") <= col("k"))
+        .groupBy(col("k")).agg(sum(col("rel")).as("n_rel_ret"))
+        .crossJoin(broadcast(nrel)).crossJoin(broadcast(rr))
+        .select(col("k"), col("n_rel_ret"), col("n_rel_total"),
+          round(col("n_rel_ret").cast("double") / col("k"), 6).as("precision"),
+          round(col("n_rel_ret").cast("double") / col("n_rel_total"), 6).as("recall"),
+          round(col("rr"), 6).as("rr"))
+        .orderBy(col("k"))
+    }),
+
+    // Zipf-law fit over the top-100 token frequencies: OLS slope of
+    // ln(freq) on ln(rank). The corpus-naturalness screen (a slope far
+    // from ~-1 flags synthetic/templated text). Both ln streams are
+    // pre-rounded to 6 decimals before the moment sums so the libm ulp
+    // exposure is quarantined at the leaf, not compounded through the
+    // regression; the 100-row window runs over a TakeOrdered result.
+    "text_zipf_slope" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val top = Tables.documents(s, d)
+        .select(explode(TA.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(100)
+      val r = top
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("w"))))
+        .withColumn("x", round(log(col("rank").cast("double")), 6))
+        .withColumn("y", round(log(col("n").cast("double")), 6))
+      r.agg(count(lit(1)).as("n_terms"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("slope", (col("n_terms") * col("sxy") - col("sx") * col("sy"))
+          / (col("n_terms") * col("sxx") - col("sx") * col("sx")))
+        .select(col("n_terms"),
+          round(col("slope"), 4).as("zipf_slope"),
+          round((col("sy") - col("slope") * col("sx")) / col("n_terms"), 4)
+            .as("intercept"))
     })
   )
 
@@ -6058,6 +6150,68 @@ object Extensions {
          |h AS (SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
          |      FROM deg GROUP BY degree
          |      UNION ALL SELECT degree, n_nodes FROM z WHERE n_nodes > 0)
-         |SELECT degree, n_nodes FROM h ORDER BY degree""".stripMargin
+         |SELECT degree, n_nodes FROM h ORDER BY degree""".stripMargin,
+
+    // RRF replay over the shared BM25 CTEs + the length-prior list; each
+    // 1/(60+r) term is one division, bit-identical both engines.
+    "rank_rrf_fusion" ->
+      s"""$bm25ScoredCtes,
+         |t20 AS (SELECT doc_id, score FROM scored
+         |        ORDER BY score DESC, doc_id LIMIT 20),
+         |b1 AS (SELECT doc_id,
+         |         row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM t20),
+         |l20 AS (SELECT doc_id, n_chars FROM documents
+         |        ORDER BY n_chars DESC, doc_id LIMIT 20),
+         |b2 AS (SELECT doc_id,
+         |         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r FROM l20),
+         |u AS (SELECT doc_id, r FROM b1 UNION ALL SELECT doc_id, r FROM b2),
+         |f AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+         |        sum(CAST(1 AS DOUBLE) / (60 + r)) AS rrf0
+         |      FROM u GROUP BY doc_id)
+         |SELECT doc_id, n_lists, ${sparkRound("rrf0", 6)} AS rrf
+         |FROM f ORDER BY rrf0 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // Precision/recall@k + RR replay: relevant = all 3 query terms present
+    // (from the same tf CTE).
+    "rank_pr_at_k" ->
+      s"""$bm25ScoredCtes,
+         |rel AS (SELECT id AS doc_id, 1 AS rel FROM tf
+         |        GROUP BY id HAVING count(DISTINCT t) = 3),
+         |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_rel_total FROM rel),
+         |top AS (SELECT doc_id,
+         |          row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+         |        FROM (SELECT doc_id, score FROM scored
+         |              ORDER BY score DESC, doc_id LIMIT 20)),
+         |tr AS (SELECT t.doc_id, t.rnk, coalesce(r.rel, 0) AS rel
+         |       FROM top t LEFT JOIN rel r USING (doc_id)),
+         |rr AS (SELECT coalesce(max(CASE WHEN rel = 1
+         |                 THEN CAST(1 AS DOUBLE) / rnk END), 0.0) AS rr FROM tr),
+         |pr AS (SELECT k, CAST(sum(rel) AS BIGINT) AS n_rel_ret
+         |       FROM (SELECT unnest([5, 10, 20]) AS k) ks, tr
+         |       WHERE rnk <= k GROUP BY k)
+         |SELECT k, n_rel_ret, n_rel_total,
+         |  ${sparkRound("CAST(n_rel_ret AS DOUBLE) / k", 6)} AS "precision",
+         |  ${sparkRound("CAST(n_rel_ret AS DOUBLE) / n_rel_total", 6)} AS recall,
+         |  ${sparkRound("rr", 6)} AS rr
+         |FROM pr, nr, rr ORDER BY k""".stripMargin,
+
+    // Zipf replay: same top-100, same leaf-rounded ln streams, same OLS
+    // moment algebra.
+    "text_zipf_slope" ->
+      s"""WITH t AS (SELECT unnest($toks) AS w FROM documents),
+         |tp AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY w
+         |       ORDER BY n DESC, w LIMIT 100),
+         |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rnk FROM tp),
+         |v AS (SELECT ${sparkRound("ln(CAST(rnk AS DOUBLE))", 6)} AS x,
+         |        ${sparkRound("ln(CAST(n AS DOUBLE))", 6)} AS y FROM r),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         |        sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         |        sum(x * x) AS sxx FROM v),
+         |s AS (SELECT n_terms, sx, sy,
+         |        (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx) AS slope
+         |      FROM m)
+         |SELECT n_terms, ${sparkRound("slope", 4)} AS zipf_slope,
+         |  ${sparkRound("(sy - slope * sx) / n_terms", 4)} AS intercept
+         |FROM s""".stripMargin
   )
 }
