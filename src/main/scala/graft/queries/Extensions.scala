@@ -2950,6 +2950,100 @@ object Extensions {
           round(col("slope"), 4).as("zipf_slope"),
           round((col("sy") - col("slope") * col("sx")) / col("n_terms"), 4)
             .as("intercept"))
+    }),
+
+    // Maximal-marginal-relevance diversity re-rank of the cosine top-20
+    // (lambda=0.7, 5 selections): greedy argmax of 0.7*rel - 0.3*max-sim-
+    // to-selected. The top-20 retrieval and the 20x20 pairwise-sim matrix
+    // are distributed; the greedy itself runs on the driver over the
+    // k-BOUNDED candidate set (k=20 rows + k^2 rounded sims — the same
+    // bounded-collect class as the IVF centroid loops). All scores are
+    // arithmetic on 6-decimal-rounded cosines, so selection is
+    // bit-deterministic cross-engine.
+    "sim_mmr_diversify" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cand = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queryId = 0L, k = 20)
+      val cv = emb.join(cand.select(col("vec_id")), Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      val sims = cv.as("a").join(cv.as("b"),
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+          round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6)
+            .as("sim"))
+      val relMap = cand.collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val simMap = sims.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      var selected = Vector.empty[(Int, Long, Double, Double)]
+      var remaining = relMap.keySet
+      for (step <- 1 to 5) {
+        val scored = remaining.toSeq.map { id =>
+          val rel = relMap(id)
+          val score = if (step == 1) rel
+            else 0.7 * rel - 0.3 * selected.map(p => simMap((id, p._2))).max
+          (id, rel, score)
+        }
+        val best = scored.minBy { case (id, _, sc) => (-sc, id) }
+        selected :+= ((step, best._1, best._2, best._3))
+        remaining -= best._1
+      }
+      import s.implicits._
+      selected.toDF("sel_rank", "vec_id", "rel0", "score0")
+        .select(col("sel_rank"), col("vec_id"),
+          round(col("rel0"), 6).as("rel"), round(col("score0"), 6).as("mmr_score"))
+        .orderBy(col("sel_rank"))
+    }),
+
+    // 2-D skyline (Pareto frontier) over purchase (value, time): a point
+    // survives iff no other purchase is >= in BOTH dimensions and > in
+    // one. Two-phase distributed shape: a partition-local strict-dominance
+    // prune (skyline is decomposable: skyline(A∪B) =
+    // skyline(skyline(A)∪skyline(B))), then the exact pass over the
+    // pruned survivors at distinct-value grain — the only global window
+    // runs over the local frontiers, not the fact table.
+    "sort_skyline_pareto" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pts = Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(col("value"), expr("ts_ns div 1000").as("tus"))
+      val wl = Window.partitionBy(col("pid"))
+        .orderBy(col("value").desc, col("tus").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val surv = pts.withColumn("pid", spark_partition_id())
+        .withColumn("pm", max(col("tus")).over(wl))
+        .filter(col("pm").isNull || col("pm") <= col("tus"))
+        .select(col("value"), col("tus"))
+      val g = surv.groupBy(col("value")).agg(max(col("tus")).as("mxt"))
+      val wg = Window.orderBy(col("value").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val fr = g.withColumn("gm", max(col("mxt")).over(wg))
+        .filter(col("gm").isNull || col("gm") < col("mxt"))
+      surv.join(fr.select(col("value"), col("mxt")), Seq("value"))
+        .filter(col("tus") === col("mxt"))
+        .groupBy(col("value"), col("tus")).agg(count(lit(1)).as("n_dups"))
+        .orderBy(col("value").desc, col("tus"))
+    }),
+
+    // Soft-dedup training weights: each doc in a near-dup component gets
+    // weight 1/|component| (singletons 1.0) — the standard repetition
+    // counter-bias for training mixtures, composed from the proven
+    // component machinery.
+    "train_cluster_weights" -> ((s, d) => {
+      val emb100 = Tables.embeddings(s, d).filter(col("vec_id") < 100)
+      val edges = Similarity.cosineNearDupPairs(emb100, "vec_id", "embedding",
+        threshold = 0.3)
+      val comps = Dedup.connectedComponents(edges.select(col("id1"), col("id2")))
+      Dedup.rotateCheckpoints("train_cluster_weights", comps)
+      val lab = emb100.select(col("vec_id"))
+        .join(comps.select(col("id").as("vec_id"), col("label")),
+          Seq("vec_id"), "left")
+        .withColumn("cluster", coalesce(col("label"), col("vec_id")))
+      val sizes = lab.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+      lab.join(sizes, "cluster")
+        .select(col("vec_id"), col("cluster"), col("n_members"),
+          round(lit(1.0) / col("n_members"), 6).as("weight"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -6212,6 +6306,81 @@ object Extensions {
          |      FROM m)
          |SELECT n_terms, ${sparkRound("slope", 4)} AS zipf_slope,
          |  ${sparkRound("(sy - slope * sx) / n_terms", 4)} AS intercept
-         |FROM s""".stripMargin
+         |FROM s""".stripMargin,
+
+    // MMR replay: same rounded top-20 + pairwise sims, greedy unrolled as
+    // 4 literal argmax stages after the pure-relevance seed.
+    "sim_mmr_diversify" -> {
+      val stages = (2 to 5).map { k =>
+        val prev = (1 until k).map(i => s"SELECT vec_id FROM s$i")
+          .mkString(" UNION ALL ")
+        s"""p${k - 1} AS ($prev),
+           |s$k AS (SELECT $k AS step, vec_id, rel,
+           |          CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * mx AS score
+           |        FROM (SELECT c.vec_id, c.rel, max(ps.sim) AS mx
+           |              FROM cand c JOIN ps ON ps.i = c.vec_id
+           |                AND ps.j IN (SELECT vec_id FROM p${k - 1})
+           |              WHERE c.vec_id NOT IN (SELECT vec_id FROM p${k - 1})
+           |              GROUP BY c.vec_id, c.rel)
+           |        ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |cand AS (SELECT e.vec_id,
+         |           ${sparkRound("list_cosine_similarity(e.v, qv)", 6)} AS rel, e.v
+         |         FROM e, q WHERE vec_id != 0
+         |         ORDER BY rel DESC, vec_id LIMIT 20),
+         |ps AS (SELECT a.vec_id AS i, b.vec_id AS j,
+         |         ${sparkRound("list_cosine_similarity(a.v, b.v)", 6)} AS sim
+         |       FROM cand a, cand b WHERE a.vec_id != b.vec_id),
+         |s1 AS (SELECT 1 AS step, vec_id, rel, rel AS score FROM cand
+         |       ORDER BY rel DESC, vec_id LIMIT 1),
+         |$stages
+         |SELECT step AS sel_rank, vec_id, ${sparkRound("rel", 6)} AS rel,
+         |  ${sparkRound("score", 6)} AS mmr_score
+         |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+         |      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+         |      UNION ALL SELECT * FROM s5)
+         |ORDER BY sel_rank""".stripMargin
+    },
+
+    // Skyline replay: distinct-value grain, running max over strictly
+    // greater values, frontier = (no greater-value point at >= time) AND
+    // group-max time; duplicates counted, equal points co-survive.
+    "sort_skyline_pareto" ->
+      """WITH p AS (SELECT value, epoch_us(ts) AS tus FROM events
+        |           WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |g AS (SELECT value, max(tus) AS mxt FROM p GROUP BY value),
+        |r AS (SELECT value, mxt, max(mxt) OVER (ORDER BY value DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS gm FROM g),
+        |f AS (SELECT value, mxt FROM r WHERE gm IS NULL OR gm < mxt)
+        |SELECT p.value, p.tus, CAST(count(*) AS BIGINT) AS n_dups
+        |FROM p JOIN f ON p.value = f.value AND p.tus = f.mxt
+        |GROUP BY p.value, p.tus ORDER BY p.value DESC, p.tus""".stripMargin,
+
+    // Cluster-weight replay: same closure as dedup_cluster_components,
+    // singletons self-labeled, weight = 1/|cluster|.
+    "train_cluster_weights" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < 100),
+         |nd AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM e a, e b WHERE a.vec_id < b.vec_id
+         |    AND ${sparkRound("list_cosine_similarity(a.v, b.v)", 6)} >= 0.3),
+         |sym AS (SELECT id1 AS a, id2 AS b FROM nd
+         |        UNION SELECT id2, id1 FROM nd),
+         |reach(a, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+         |  UNION
+         |  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.a),
+         |comp AS (SELECT a, CAST(min(r) AS BIGINT) AS label FROM reach GROUP BY a),
+         |lab AS (SELECT e.vec_id, coalesce(comp.label, e.vec_id) AS cluster
+         |        FROM e LEFT JOIN comp ON comp.a = e.vec_id),
+         |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+         |       FROM lab GROUP BY cluster)
+         |SELECT vec_id, cluster, n_members,
+         |  ${sparkRound("CAST(1 AS DOUBLE) / n_members", 6)} AS weight
+         |FROM lab JOIN sz USING (cluster) ORDER BY vec_id""".stripMargin
   )
 }
