@@ -2733,10 +2733,14 @@ object Extensions {
     // is the raw epoch-day mod 7 (day 0 = a Thursday), documented rather
     // than re-labeled so the arithmetic stays pure integer.
     "ts_seasonality_dow" -> ((s, d) => {
+      // daily is referenced twice (global avg + per-dow) — checkpoint the
+      // calendar-bounded aggregate so orders is scanned ONCE
       val daily = Tables.orders(s, d)
         .withColumn("day", expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
         .groupBy(col("day"))
         .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+        .localCheckpoint()
+      Dedup.rotateCheckpoints("ts_seasonality_dow", daily)
       val g = daily.agg(avg(col("rev")).as("gavg"))
       daily.withColumn("dow", pmod(col("day"), lit(7L)))
         .groupBy(col("dow"))
@@ -2756,9 +2760,13 @@ object Extensions {
     // single partition holds hundreds of rows at any fact SF.
     "ts_cusum_shift" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // daily feeds g, the cusum, and the peak pass — checkpoint the
+      // calendar-bounded aggregate so events is scanned ONCE
       val daily = Tables.events(s, d)
         .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
         .groupBy(col("day")).agg(count(lit(1)).as("y"))
+        .localCheckpoint()
+      Dedup.rotateCheckpoints("ts_cusum_shift", daily)
       val g = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
       val w = Window.orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, 0)
@@ -2813,6 +2821,8 @@ object Extensions {
       // Spark, and a ~3.6e18 ns sum doesn't round-trip through a double)
       val rng = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx"))
         .select(expr("(mn + mx) div 2").as("pivot"))
+      // per feeds the moment pass AND the adjusted-variance pass —
+      // checkpoint the per-user aggregate so events is scanned ONCE
       val per = ev.filter(col("event_type") === "purchase")
         .crossJoin(broadcast(rng))
         .groupBy(col("user_id"))
@@ -2820,6 +2830,8 @@ object Extensions {
             coalesce(col("value"), lit(0.0))).otherwise(0.0)), 2).as("x"),
           round(sum(when(col("ts_ns") >= col("pivot"),
             coalesce(col("value"), lit(0.0))).otherwise(0.0)), 2).as("y"))
+        .localCheckpoint()
+      Dedup.rotateCheckpoints("events_cuped", per)
       val m = per.agg(count(lit(1)).as("n_users"),
         covar_pop(col("x"), col("y")).as("cxy"),
         var_pop(col("x")).as("vx"), avg(col("x")).as("mx"))
@@ -3010,10 +3022,15 @@ object Extensions {
       val wl = Window.partitionBy(col("pid"))
         .orderBy(col("value").desc, col("tus").desc)
         .rowsBetween(Window.unboundedPreceding, -1)
+      // survivors feed the distinct-value pass AND the join-back —
+      // checkpoint the pruned (local-frontier-sized) set so the fact
+      // table is scanned ONCE
       val surv = pts.withColumn("pid", spark_partition_id())
         .withColumn("pm", max(col("tus")).over(wl))
         .filter(col("pm").isNull || col("pm") <= col("tus"))
         .select(col("value"), col("tus"))
+        .localCheckpoint()
+      Dedup.rotateCheckpoints("sort_skyline_pareto", surv)
       val g = surv.groupBy(col("value")).agg(max(col("tus")).as("mxt"))
       val wg = Window.orderBy(col("value").desc)
         .rowsBetween(Window.unboundedPreceding, -1)
