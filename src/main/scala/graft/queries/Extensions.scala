@@ -3061,6 +3061,30 @@ object Extensions {
         .select(col("vec_id"), col("cluster"), col("n_members"),
           round(lit(1.0) / col("n_members"), 6).as("weight"))
         .orderBy(col("vec_id"))
+    }),
+
+    // Exact weighted median (lower) of price weighted by quantity per
+    // return flag — an aggregate Spark has no built-in for. Group to
+    // distinct values FIRST (so the prefix sum runs over a deterministic
+    // value order, never row order), then one keyed window pass; the
+    // weights are integer-valued doubles, so every sum is exact and the
+    // tw/2 crossing is bit-deterministic.
+    "agg_weighted_median" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byv = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("v"))
+        .agg(sum(col("l_quantity")).as("w"))
+      val wo = Window.partitionBy(col("flag")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wt = Window.partitionBy(col("flag"))
+      byv.withColumn("cw", sum(col("w")).over(wo))
+        .withColumn("tw", sum(col("w")).over(wt))
+        .filter(col("cw") >= col("tw") / 2)
+        .groupBy(col("flag"), col("tw"))
+        .agg(min(col("v")).as("wmedian"))
+        .select(col("flag"), col("tw").as("total_weight"), col("wmedian"))
+        .orderBy(col("flag"))
     })
   )
 
@@ -6398,6 +6422,20 @@ object Extensions {
          |       FROM lab GROUP BY cluster)
          |SELECT vec_id, cluster, n_members,
          |  ${sparkRound("CAST(1 AS DOUBLE) / n_members", 6)} AS weight
-         |FROM lab JOIN sz USING (cluster) ORDER BY vec_id""".stripMargin
+         |FROM lab JOIN sz USING (cluster) ORDER BY vec_id""".stripMargin,
+
+    // Weighted-median replay: same distinct-value prefix sums (exact —
+    // integer-valued weights), same lower-median crossing rule.
+    "agg_weighted_median" ->
+      """WITH byv AS (SELECT l_returnflag AS flag, l_extendedprice AS v,
+        |               sum(l_quantity) AS w
+        |             FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT flag, v, w,
+        |        sum(w) OVER (PARTITION BY flag ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |        sum(w) OVER (PARTITION BY flag) AS tw
+        |      FROM byv)
+        |SELECT flag, tw AS total_weight, min(v) AS wmedian
+        |FROM c WHERE cw >= tw / 2 GROUP BY flag, tw ORDER BY flag""".stripMargin
   )
 }
