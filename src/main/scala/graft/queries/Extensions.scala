@@ -2863,7 +2863,10 @@ object Extensions {
         pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       val deg = sym.groupBy(col("id1"))
         .agg(count_distinct(col("id2")).as("degree"))
-      val nzero = Tables.documents(s, d).select(col("doc_id"))
+      // the checkpointed sigs frame already holds one row per doc (the
+      // short-doc shingle fallback guarantees coverage) — reuse it for
+      // the node universe instead of re-scanning documents
+      val nzero = sigs.select(col("id").as("doc_id"))
         .join(deg.select(col("id1").as("doc_id")), Seq("doc_id"), "left_anti")
         .agg(count(lit(1)).as("n_nodes"))
         .select(lit(0L).as("degree"), col("n_nodes"))
@@ -2909,12 +2912,17 @@ object Extensions {
       import org.apache.spark.sql.expressions.Window
       val terms = Seq("spark", "window", "join")
       val docs = Tables.documents(s, d)
+      // rel feeds the total, the join, and (via top) both metric passes;
+      // top feeds the RR aggregate and the k-explode — checkpoint both so
+      // the corpus tokenize/score/TakeOrdered runs ONCE
       val rel = docs
         .select(col("doc_id"), explode(TA.tokens(col("text"))).as("t"))
         .filter(col("t").isin(terms: _*))
         .groupBy(col("doc_id")).agg(count_distinct(col("t")).as("nt"))
         .filter(col("nt") === terms.length)
         .select(col("doc_id"), lit(1L).as("rel"))
+        .localCheckpoint()
+      Dedup.rotateCheckpoints("rank_pr_at_k_rel", rel)
       val nrel = rel.agg(count(lit(1)).as("n_rel_total"))
       val top = Ranking.bm25TopK(docs, "text", "doc_id", terms, k = 20)
         .select(col("id").as("doc_id"), col("score"))
@@ -2922,6 +2930,8 @@ object Extensions {
           Window.orderBy(col("score").desc, col("doc_id"))))
         .join(rel, Seq("doc_id"), "left")
         .withColumn("rel", coalesce(col("rel"), lit(0L)))
+        .localCheckpoint()
+      Dedup.rotateCheckpoints("rank_pr_at_k_top", top)
       val rr = top.agg(coalesce(max(when(col("rel") === 1,
         lit(1.0) / col("rank"))), lit(0.0)).as("rr"))
       top.withColumn("k", explode(array(lit(5), lit(10), lit(20))))
@@ -2974,8 +2984,11 @@ object Extensions {
     // bit-deterministic cross-engine.
     "sim_mmr_diversify" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      // cand feeds the rel collect AND both sides of the pairwise self-
+      // join — checkpoint so the scan + global top-k runs ONCE
       val cand = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-        queryId = 0L, k = 20)
+        queryId = 0L, k = 20).localCheckpoint()
+      Dedup.rotateCheckpoints("sim_mmr_diversify", cand)
       val cv = emb.join(cand.select(col("vec_id")), Seq("vec_id"))
         .select(col("vec_id"), col("embedding"))
       val sims = cv.as("a").join(cv.as("b"),
@@ -2989,7 +3002,8 @@ object Extensions {
         .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
       var selected = Vector.empty[(Int, Long, Double, Double)]
       var remaining = relMap.keySet
-      for (step <- 1 to 5) {
+      // a shorter candidate list yields a shorter selection, not a throw
+      for (step <- 1 to math.min(5, relMap.size)) {
         val scored = remaining.toSeq.map { id =>
           val rel = relMap(id)
           val score = if (step == 1) rel
@@ -3047,7 +3061,11 @@ object Extensions {
     // counter-bias for training mixtures, composed from the proven
     // component machinery.
     "train_cluster_weights" -> ((s, d) => {
+      // the slice feeds both sides of the pair join AND the label
+      // join-back — checkpoint so embeddings is scanned ONCE
       val emb100 = Tables.embeddings(s, d).filter(col("vec_id") < 100)
+        .localCheckpoint()
+      Dedup.rotateCheckpoints("train_cluster_weights_emb", emb100)
       val edges = Similarity.cosineNearDupPairs(emb100, "vec_id", "embedding",
         threshold = 0.3)
       val comps = Dedup.connectedComponents(edges.select(col("id1"), col("id2")))
