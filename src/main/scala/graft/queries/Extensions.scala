@@ -576,11 +576,7 @@ object Extensions {
     // function of the graph. One equi-join + one keyed aggregate per
     // round, checkpoint-rotated.
     "graph_pagerank" -> ((s, d) => {
-      val sigs = Dedup.minhashSignatures(Tables.documents(s, d), "text", "doc_id",
-        k = 32).localCheckpoint()
-      Dedup.rotateCheckpoints("graph_pagerank_sigs", sigs)
-      val edges = Dedup.minhashNearDupsFromSigs(sigs,
-        bands = 8, rows = 4, threshold = 0.5).select(col("id1"), col("id2"))
+      val (_, edges) = nearDupGraph(s, d, "graph_pagerank_sigs")
       graft.ext.Graph.pageRank(edges, iterations = 10, damping = 0.85,
           checkpointKey = "graph_pagerank")
         .orderBy(col("id"))
@@ -2268,11 +2264,7 @@ object Extensions {
     // pagerank's centrality, over the SAME banded edge set so the two
     // lanes share the signature checkpoint discipline.
     "graph_triangle_count" -> ((s, d) => {
-      val sigs = Dedup.minhashSignatures(Tables.documents(s, d), "text", "doc_id",
-        k = 32).localCheckpoint()
-      Dedup.rotateCheckpoints("graph_tri_sigs", sigs)
-      val edges = Dedup.minhashNearDupsFromSigs(sigs,
-        bands = 8, rows = 4, threshold = 0.5).select(col("id1"), col("id2"))
+      val (_, edges) = nearDupGraph(s, d, "graph_tri_sigs")
       graft.ext.Graph.triangleCounts(edges, checkpointKey = "graph_triangles")
         .orderBy(col("id"))
     }),
@@ -2361,22 +2353,11 @@ object Extensions {
     // and day sort.
     "ts_interpolate_linear" -> ((s, d) => {
       val W = org.apache.spark.sql.expressions.Window
-      val dayNs = 86400L * 1000000000L
-      val ev = Tables.events(s, d).filter(col("user_id") < 8)
-        .withColumn("day", expr(s"(ts_ns - pmod(ts_ns, ${dayNs}L)) div ${dayNs}L"))
-      val wDay = W.partitionBy(col("user_id"), col("day"))
-        .orderBy(col("ts_ns").desc, col("event_id").desc)
-      val daily = ev.withColumn("rn", row_number().over(wDay))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("day"), round(col("value"), 2).as("close"))
-      val spine = ev.groupBy(col("user_id"))
-        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
       val wPrev = W.partitionBy(col("user_id")).orderBy(col("day"))
         .rowsBetween(W.unboundedPreceding, 0)
       val wNext = W.partitionBy(col("user_id")).orderBy(col("day"))
         .rowsBetween(0, W.unboundedFollowing)
-      spine.join(daily, Seq("user_id", "day"), "left")
+      TsSpine.spineDaily(s, d)
         .withColumn("pv", last(col("close"), ignoreNulls = true).over(wPrev))
         .withColumn("pd", last(when(col("close").isNotNull, col("day")),
           ignoreNulls = true).over(wPrev))
@@ -2470,8 +2451,11 @@ object Extensions {
           round(avg(col("__gap_s")), 4).as("mean_gap_s"),
           round(expr("percentile(__gap_s, 0.5)"), 4).as("p50_gap_s"),
           round(expr("percentile(__gap_s, 0.9)"), 4).as("p90_gap_s"),
-          round((stddev_samp(col("__gap_s")) - avg(col("__gap_s")))
-            / (stddev_samp(col("__gap_s")) + avg(col("__gap_s"))), 4)
+          // 0/0 (all gaps exactly zero — duplicate timestamps) diverges
+          // cross-engine (Spark NULL vs IEEE NaN) — fence it to NULL
+          when(stddev_samp(col("__gap_s")) + avg(col("__gap_s")) > 0,
+            round((stddev_samp(col("__gap_s")) - avg(col("__gap_s")))
+              / (stddev_samp(col("__gap_s")) + avg(col("__gap_s"))), 4))
             .as("burstiness"))
         .orderBy(col("event_type"))
     }),
@@ -2522,9 +2506,17 @@ object Extensions {
         .filter(col("week") + 1 <= col("__mx"))
         .groupBy((col("week") + 1).as("week"))
         .agg(count(lit(1)).as("n_churned"))
-      stages.join(churned, Seq("week"), "left")
-        .select(col("week"), col("n_new"), col("n_retained"),
-          col("n_resurrected"),
+      // drive the output from the min..max week SPINE, not the active-week
+      // set: churn attributed to a globally dead week (no active users at
+      // all) would otherwise drop out of the left join entirely
+      val spine = a.agg(min(col("week")).as("w0"), max(col("week")).as("w1"))
+        .select(explode(sequence(col("w0"), col("w1"))).as("week"))
+      spine.join(stages, Seq("week"), "left")
+        .join(churned, Seq("week"), "left")
+        .select(col("week"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+          coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
           coalesce(col("n_churned"), lit(0L)).as("n_churned"))
         .orderBy(col("week"))
     }),
@@ -2853,12 +2845,7 @@ object Extensions {
     // before components/PageRank — a skewed tail here predicts a hot key
     // in every downstream graph join.
     "graph_degree_histogram" -> ((s, d) => {
-      val sigs = Dedup.minhashSignatures(Tables.documents(s, d), "text",
-        "doc_id", k = 32).localCheckpoint()
-      Dedup.rotateCheckpoints("graph_degree_histogram", sigs)
-      val pairs = Dedup.minhashNearDupsFromSigs(sigs,
-        bands = 8, rows = 4, threshold = 0.5)
-        .select(col("id1"), col("id2"))
+      val (sigs, pairs) = nearDupGraph(s, d, "graph_degree_histogram")
       val sym = pairs.unionAll(
         pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       val deg = sym.groupBy(col("id1"))
@@ -3151,6 +3138,33 @@ object Extensions {
 
   // Spark-parity rounding for division-derived score columns (see OracleSql)
   private def sparkRound(expr: String, n: Int): String = OracleSql.sparkRound(expr, n)
+
+  /** Shared near-dup graph derivation for the graph lanes (pagerank,
+    * triangles, degree histogram): k=32 signatures, 8 bands × 4 rows,
+    * agreement ≥ 0.5 — ONE definition kept in lockstep with the shared
+    * `minhashPairsCtes` oracle constants, so re-banding one lane can never
+    * desynchronize it from the single oracle replay. Returns the
+    * checkpointed signature frame (the node universe — the short-doc
+    * shingle fallback guarantees one row per doc) and the edge list. */
+  private def nearDupGraph(s: SparkSession, d: String, key: String)
+      : (DataFrame, DataFrame) = {
+    val sigs = Dedup.minhashSignatures(Tables.documents(s, d), "text",
+      "doc_id", k = 32).localCheckpoint()
+    Dedup.rotateCheckpoints(key, sigs)
+    val edges = Dedup.minhashNearDupsFromSigs(sigs,
+      bands = 8, rows = 4, threshold = 0.5).select(col("id1"), col("id2"))
+    (sigs, edges)
+  }
+
+  /** DuckDB replay of TextAnalysis.fleschScore (rounded 4), shared VERBATIM
+    * by the text_readability and train_curriculum_buckets oracles — the
+    * ewmaTapWeights/minhashPairsCtes discipline: one definition, so a
+    * syllable/sentence-regex change can never leave one oracle stale. */
+  private lazy val fleschRoundedSql: String = sparkRound(
+    s"206.835 - 1.015 * (CAST(len($toks) AS DOUBLE)" +
+      " / greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS DOUBLE), 1.0))" +
+      " - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)" +
+      s" / CAST(len($toks) AS DOUBLE))", 4)
 
   /** Content-keyed path for the near-dup component store (k=32, b=8, r=4,
     * t=0.5 over `documents`): keyed by the source file's identity so a
@@ -5927,31 +5941,14 @@ object Extensions {
       s"""SELECT doc_id,
          |  len($toks) AS n_words,
          |  len(regexp_extract_all(text, '[.!?]+')) AS n_sentences,
-         |  CASE WHEN len($toks) > 0 THEN ${sparkRound(
-        s"206.835 - 1.015 * (CAST(len($toks) AS DOUBLE)" +
-          " / greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS DOUBLE), 1.0))" +
-          " - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)" +
-          s" / CAST(len($toks) AS DOUBLE))", 4)}
+         |  CASE WHEN len($toks) > 0 THEN $fleschRoundedSql
          |  END AS flesch
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     // same spine/daily CTEs as ts_resample_ffill, interpolation instead
     // of the forward fill; leading/trailing gaps stay NULL
     "ts_interpolate_linear" ->
-      s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) * 1000 AS ts_ns, value,
-         |              (epoch_us(ts) * 1000
-         |                - ((epoch_us(ts) * 1000 % 86400000000000 + 86400000000000) % 86400000000000))
-         |                // 86400000000000 AS day
-         |            FROM events WHERE user_id < 8),
-         |daily AS (SELECT user_id, day, round(value, 2) AS close FROM (
-         |            SELECT user_id, day, value,
-         |              row_number() OVER (PARTITION BY user_id, day
-         |                ORDER BY ts_ns DESC, event_id DESC) AS rn
-         |            FROM ev) WHERE rn = 1),
-         |bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM ev GROUP BY user_id),
-         |spine AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM bounds),
-         |j AS (SELECT s.user_id, s.day, d.close
-         |      FROM spine s LEFT JOIN daily d USING (user_id, day)),
+      s"""${OracleSql.userDailySpineCtes},
          |f AS (SELECT user_id, day, close,
          |    last_value(close IGNORE NULLS) OVER wp AS pv,
          |    last_value(CASE WHEN close IS NOT NULL THEN day END IGNORE NULLS) OVER wp AS pd,
@@ -6030,8 +6027,10 @@ object Extensions {
          |  ${sparkRound("avg(gap_s)", 4)} AS mean_gap_s,
          |  ${sparkRound("quantile_cont(gap_s, 0.5)", 4)} AS p50_gap_s,
          |  ${sparkRound("quantile_cont(gap_s, 0.9)", 4)} AS p90_gap_s,
-         |  ${sparkRound("(stddev_samp(gap_s) - avg(gap_s))" +
-        " / (stddev_samp(gap_s) + avg(gap_s))", 4)} AS burstiness
+         |  CASE WHEN stddev_samp(gap_s) + avg(gap_s) > 0
+         |       THEN ${sparkRound("(stddev_samp(gap_s) - avg(gap_s))" +
+        " / (stddev_samp(gap_s) + avg(gap_s))", 4)}
+         |  END AS burstiness
          |FROM gg GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "scalar_bitwise_funcs" ->
@@ -6066,11 +6065,16 @@ object Extensions {
         |churned AS (SELECT week + 1 AS week, CAST(count(*) AS BIGINT) AS n_churned
         |  FROM staged, mx
         |  WHERE (nw IS NULL OR nw > week + 1) AND week + 1 <= mw
-        |  GROUP BY week + 1)
-        |SELECT s.week, n_new, n_retained, n_resurrected,
+        |  GROUP BY week + 1),
+        |spine AS (SELECT unnest(range(
+        |    (SELECT min(week) FROM a), (SELECT max(week) FROM a) + 1)) AS week)
+        |SELECT p.week, coalesce(n_new, 0) AS n_new,
+        |  coalesce(n_retained, 0) AS n_retained,
+        |  coalesce(n_resurrected, 0) AS n_resurrected,
         |  coalesce(n_churned, 0) AS n_churned
-        |FROM stages s LEFT JOIN churned c ON s.week = c.week
-        |ORDER BY s.week""".stripMargin,
+        |FROM spine p LEFT JOIN stages s ON p.week = s.week
+        |LEFT JOIN churned c ON p.week = c.week
+        |ORDER BY p.week""".stripMargin,
 
     "events_forecast_snaive" ->
       s"""WITH ev AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day
@@ -6111,11 +6115,7 @@ object Extensions {
 
     "train_curriculum_buckets" -> {
       val flesch =
-        s"CASE WHEN len($toks) > 0 THEN ${sparkRound(
-          s"206.835 - 1.015 * (CAST(len($toks) AS DOUBLE)" +
-            " / greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS DOUBLE), 1.0))" +
-            " - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)" +
-            s" / CAST(len($toks) AS DOUBLE))", 4)} ELSE 0.0 END"
+        s"CASE WHEN len($toks) > 0 THEN $fleschRoundedSql ELSE 0.0 END"
       s"""WITH f AS (SELECT doc_id, $flesch AS fl FROM documents),
          |cuts AS (SELECT quantile_cont(fl, 0.25) AS c1,
          |                quantile_cont(fl, 0.5) AS c2,

@@ -1053,20 +1053,9 @@ object Relational {
     // runs. Spine is per-user bounded (explode of a day sequence), fill is
     // one user-keyed window; no cross join, no driver loop.
     "ts_resample_ffill" -> ((s, d) => {
-      val dayNs = 86400L * 1000000000L
-      val ev = Tables.events(s, d).filter(col("user_id") < 8)
-        .withColumn("day", expr(s"(ts_ns - pmod(ts_ns, ${dayNs}L)) div ${dayNs}L"))
-      val wDay = Window.partitionBy(col("user_id"), col("day"))
-        .orderBy(col("ts_ns").desc, col("event_id").desc)
-      val daily = ev.withColumn("rn", row_number().over(wDay))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("day"), round(col("value"), 2).as("close"))
-      val spine = ev.groupBy(col("user_id"))
-        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
       val wFill = Window.partitionBy(col("user_id")).orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, 0)
-      spine.join(daily, Seq("user_id", "day"), "left")
+      TsSpine.spineDaily(s, d)
         .withColumn("close_filled",
           round(last(col("close"), ignoreNulls = true).over(wFill), 2))
         .withColumn("observed", col("close").isNotNull)
@@ -1984,20 +1973,7 @@ object Relational {
         |ORDER BY user_id, ts_ns, event_id""".stripMargin,
 
     "ts_resample_ffill" ->
-      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) * 1000 AS ts_ns, value,
-        |              (epoch_us(ts) * 1000
-        |                - ((epoch_us(ts) * 1000 % 86400000000000 + 86400000000000) % 86400000000000))
-        |                // 86400000000000 AS day
-        |            FROM events WHERE user_id < 8),
-        |daily AS (SELECT user_id, day, round(value, 2) AS close FROM (
-        |            SELECT user_id, day, value,
-        |              row_number() OVER (PARTITION BY user_id, day
-        |                ORDER BY ts_ns DESC, event_id DESC) AS rn
-        |            FROM ev) WHERE rn = 1),
-        |bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM ev GROUP BY user_id),
-        |spine AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM bounds),
-        |j AS (SELECT s.user_id, s.day, d.close
-        |      FROM spine s LEFT JOIN daily d USING (user_id, day))
+      s"""${OracleSql.userDailySpineCtes}
         |SELECT user_id, day,
         |  round(last_value(close IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS close_filled,
