@@ -240,4 +240,36 @@ class ExplainSpec extends SparkSpec {
     assert(scansOf(nodes, "doc_").size <= 4,
       "stages must reuse the persisted component store, not rebuild the chain")
   }
+
+  test("ts_acf_daily: the lag pairing is a broadcast EQUI-join on day+lag") {
+    val nodes = run("ts_acf_daily")
+    assert(nodes.count(_.isInstanceOf[CartesianProductExec]) === 0)
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "day+lag = bday must plan as a hash join, not a nested loop")
+    // the one legitimate BNLJ is the 1-row global-moments broadcast
+    assert(nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) <= 1)
+  }
+
+  test("sort_skyline_pareto: exact pass joins back via broadcast, no all-pairs") {
+    val nodes = run("sort_skyline_pareto")
+    assert(nodes.count(_.isInstanceOf[CartesianProductExec]) === 0,
+      "dominance must never plan as a cross join")
+    assert(nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) === 0)
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "the tiny frontier joins back to the survivors by broadcast")
+  }
+
+  test("agg_weighted_median: one lineitem scan feeds the distinct-value prefix sums") {
+    val nodes = run("agg_weighted_median")
+    assert(fileScans(nodes, "lineitem").size === 1)
+    assert(nodes.count(_.isInstanceOf[CartesianProductExec]) === 0)
+  }
+
+  test("rank_rrf_fusion: every ranking window runs over a TakeOrdered result") {
+    val nodes = run("rank_rrf_fusion")
+    assert(nodes.count(_.isInstanceOf[TakeOrderedAndProjectExec]) >= 2,
+      "the BM25 and length-prior top-20s (and the final top-10) must be " +
+        "TakeOrdered, never a global sort")
+    assert(nodes.count(_.isInstanceOf[CartesianProductExec]) === 0)
+  }
 }
