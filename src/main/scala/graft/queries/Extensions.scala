@@ -3090,6 +3090,33 @@ object Extensions {
         .agg(min(col("v")).as("wmedian"))
         .select(col("flag"), col("tw").as("total_weight"), col("wmedian"))
         .orderBy(col("flag"))
+    }),
+
+    // Exact Gini coefficient of per-user event counts — the
+    // concentration-inequality readout beside events_power_users_pareto.
+    // Never sorts users globally: ties are grouped to DISTINCT activity
+    // levels first, and the rank sum of a tie run of m users after
+    // c_prev predecessors is m*c_prev + m(m+1)/2 — so the prefix-sum
+    // window runs over distinct levels (≪ users) and every moment is an
+    // exact LONG; only the two final divisions are floating-point.
+    "diag_gini_activity" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lvl = Tables.events(s, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+        .groupBy(col("x")).agg(count(lit(1)).as("m"))
+      val wo = Window.orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val t = lvl
+        .withColumn("cprev", coalesce(sum(col("m")).over(wo), lit(0L)))
+        .withColumn("rsum", col("m") * col("cprev")
+          + expr("m * (m + 1) div 2")) // div: `/` on longs is double division
+        .agg(sum(col("m")).as("n"), sum(col("x") * col("m")).as("sx"),
+          sum(col("x") * col("rsum")).as("t"))
+      t.select(col("n").as("n_users"), col("sx").as("total_events"),
+        round(lit(2.0) * col("t").cast("double")
+          / (col("n").cast("double") * col("sx").cast("double"))
+          - (col("n") + 1).cast("double") / col("n").cast("double"), 6)
+          .as("gini"))
     })
   )
 
@@ -6454,6 +6481,27 @@ object Extensions {
         |        sum(w) OVER (PARTITION BY flag) AS tw
         |      FROM byv)
         |SELECT flag, tw AS total_weight, min(v) AS wmedian
-        |FROM c WHERE cw >= tw / 2 GROUP BY flag, tw ORDER BY flag""".stripMargin
+        |FROM c WHERE cw >= tw / 2 GROUP BY flag, tw ORDER BY flag""".stripMargin,
+
+    // Gini replay: identical tie-grouped exact-LONG rank sums, two final
+    // divisions.
+    "diag_gini_activity" ->
+      s"""WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x
+         |           FROM events GROUP BY user_id),
+         |lvl AS (SELECT x, CAST(count(*) AS BIGINT) AS m FROM u GROUP BY x),
+         |r AS (SELECT x, m,
+         |        coalesce(CAST(sum(m) OVER (ORDER BY x
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |          0) AS cprev
+         |      FROM lvl),
+         |t AS (SELECT CAST(sum(m) AS BIGINT) AS n,
+         |        CAST(sum(x * m) AS BIGINT) AS sx,
+         |        CAST(sum(x * (m * cprev + m * (m + 1) // 2)) AS BIGINT) AS t
+         |      FROM r)
+         |SELECT n AS n_users, sx AS total_events,
+         |  ${sparkRound(
+           "2.0 * CAST(t AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)",
+           6)} AS gini
+         |FROM t""".stripMargin
   )
 }
