@@ -2481,10 +2481,14 @@ object Extensions {
     // exchange feeds all three lags.
     "events_lifecycle_stages" -> ((s, d) => {
       val W = org.apache.spark.sql.expressions.Window
+      // a feeds staged, the max-week global, AND the output spine —
+      // checkpoint the distinct user-week frame so events is scanned ONCE
       val a = Tables.events(s, d)
         .select(col("user_id"),
           expr("((ts_ns div 1000) div 86400000000) div 7").as("week"))
         .distinct()
+        .localCheckpoint()
+      Dedup.rotateCheckpoints("events_lifecycle_stages", a)
       val w = W.partitionBy(col("user_id")).orderBy(col("week"))
       val staged = a
         .withColumn("__first", min(col("week")).over(

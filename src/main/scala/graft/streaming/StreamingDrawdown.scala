@@ -16,9 +16,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * [[StreamingFunnel]]. Emission is UPDATE-mode snapshots: each fold that
   * advances a user's history emits that user's refreshed
   * (n_events, max_drawdown, peak_value) row; once the watermark passes a
-  * user's last event, their latest snapshot equals the batch lane's row
-  * bit-for-bit (the fold is the same exact double max/min chain — no
-  * accumulation-order exposure, pinned in StreamingDrawdownSpec).
+  * user's last event, their latest snapshot equals the batch lane's FOLD
+  * exactly — the same double max/min chain, no accumulation-order
+  * exposure (the lane additionally rounds its two outputs at 6 decimals
+  * for the oracle; pinned in StreamingDrawdownSpec). When the input
+  * carries a `ts_ns` column (the fixture generation keeps sub-µs
+  * precision the ts TIMESTAMP cannot), ties sort on exact nanos like the
+  * batch lane; otherwise on the derived µs.
   *
   * Scale: live state is THREE scalars + a counter per user; the only
   * unbounded-looking piece is the not-yet-final buffer, bounded by the
@@ -27,13 +31,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingDrawdown {
 
+  /** `ts_us` drives watermark finality; `ord` drives the tie sort (exact
+    * ns when the caller provides ts_ns, else the same µs). */
   case class DrawEvent(user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
-      event_id: Long, value: Double)
+      ord: Long, event_id: Long, value: Double)
 
   /** n = folded events; peak/worst meaningful once n > 0.
-    * pending = (ts_us, event_id, value) not yet final. */
+    * pending = (ts_us, ord, event_id, value) not yet final. */
   case class DrawState(n: Long, peak: Double, worst: Double,
-      pending: List[(Long, Long, Double)])
+      pending: List[(Long, Long, Long, Double)])
 
   case class DrawOut(user_id: Long, n_events: Long, max_drawdown: Double,
       peak_value: Double)
@@ -46,9 +52,11 @@ object StreamingDrawdown {
   def drawdowns(events: DataFrame, watermarkDelay: String): Dataset[DrawOut] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val ord = if (events.columns.contains("ts_ns")) col("ts_ns")
+      else unix_micros(col("ts"))
     events
       .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
-        col("event_id"), col("value"))
+        ord.as("ord"), col("event_id"), col("value"))
       .withWatermark("ts", watermarkDelay)
       .as[DrawEvent]
       .groupByKey(_.user_id)
@@ -61,14 +69,14 @@ object StreamingDrawdown {
     var st = state.getOption.getOrElse(emptyState)
     if (!state.hasTimedOut)
       st = st.copy(pending = it.foldLeft(st.pending) { (b, e) =>
-        (e.ts_us, e.event_id, e.value) :: b
+        (e.ts_us, e.ord, e.event_id, e.value) :: b
       })
     val wmUs = state.getCurrentWatermarkMs() * 1000L
     val (ready, pending) = st.pending.partition(_._1 < wmUs)
-    // fold the final prefix in batch (ts, id) order — monotone across
+    // fold the final prefix in batch (ord, id) order — monotone across
     // folds (everything already folded had ts below an earlier watermark),
     // so the running peak/min chain is exactly the batch window's
-    ready.sortBy(e => (e._1, e._2)).foreach { case (_, _, v) =>
+    ready.sortBy(e => (e._2, e._3)).foreach { case (_, _, _, v) =>
       val peak = if (st.n == 0L) v else math.max(st.peak, v)
       st = st.copy(n = st.n + 1, peak = peak,
         worst = if (st.n == 0L) v - peak else math.min(st.worst, v - peak))

@@ -94,19 +94,36 @@ class StreamingDrawdownSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val d = "/root/testdata/sf0.001"
+    // carry ts_ns so ties inside one µs sort exactly like the batch lane
     val src = graft.Tables.events(spark, d)
       .filter(col("value").isNotNull)
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-      .as[(Long, Timestamp, Long, Double)].collect().toSeq
+      .select(col("user_id"), col("ts"), col("ts_ns"), col("event_id"),
+        col("value"))
+      .as[(Long, Timestamp, Long, Long, Double)].collect().toSeq
     // two arrival batches split mid-stream + a far-future sentinel; the
     // delay must exceed the fixture's full time SPAN (arbitrary split ⇒
     // batch 2 can be arbitrarily older than batch 1's max) and the
     // sentinel must clear max + delay so everything folds
     val (a, b) = src.splitAt(src.size / 2)
-    val sentinel = Seq((Long.MaxValue, new Timestamp(
-      src.map(_._2.getTime).max + 401L * 86400000L), Long.MaxValue, 0.0))
-    val got = runStream(Seq(a, b, sentinel), "draw_fixture",
+    val sentMs = src.map(_._2.getTime).max + 401L * 86400000L
+    val sentinel = Seq((Long.MaxValue, new Timestamp(sentMs),
+      sentMs * 1000000L, Long.MaxValue, 0.0))
+    val input = MemoryStream[(Long, Timestamp, Long, Long, Double)]
+    val out = StreamingDrawdown.drawdowns(
+      input.toDF().toDF("user_id", "ts", "ts_ns", "event_id", "value"),
       watermarkDelay = "400 days")
+    val q = out.writeStream.format("memory").queryName("draw_fixture")
+      .outputMode("update").start()
+    Seq(a, b, sentinel).foreach { batch =>
+      input.addData(batch: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("draw_fixture")
+      .as[(Long, Long, Double, Double)].collect()
+      .groupBy(_._1)
+      .map { case (u, rows) =>
+        val last = rows.maxBy(_._2); u -> ((last._2, last._3, last._4))
+      }
       .filter(_._1 != Long.MaxValue)
     val lane = graft.SparkEntry.queries("events_drawdown")(spark, d)
       .as[(Long, Long, Double, Double)].collect()
