@@ -78,8 +78,11 @@ object ProtoWire {
       ColumnBridge.expression(fields)))
 
   // ---- wire primitives -----------------------------------------------------
+  // private[graft]: the loopback transport (sources/EnvelopeWire.scala)
+  // reuses these to speak the reference's Response/Request envelopes over
+  // a socket — one wire-format implementation for payloads AND framing.
 
-  private final class Reader(val buf: Array[Byte], var pos: Int, val end: Int) {
+  private[graft] final class Reader(val buf: Array[Byte], var pos: Int, val end: Int) {
     def hasMore: Boolean = pos < end
     def varint(): Long = {
       var shift = 0; var res = 0L
@@ -107,7 +110,7 @@ object ProtoWire {
     }
   }
 
-  private object Malformed extends RuntimeException("malformed protobuf") {
+  private[graft] object Malformed extends RuntimeException("malformed protobuf") {
     override def fillInStackTrace(): Throwable = this
   }
 
@@ -207,13 +210,13 @@ object ProtoWire {
 
   // ---- encode --------------------------------------------------------------
 
-  private def writeVarint(out: ArrayBuffer[Byte], value: Long): Unit = {
+  private[graft] def writeVarint(out: ArrayBuffer[Byte], value: Long): Unit = {
     var v = value
     while ((v & ~0x7fL) != 0) { out += ((v & 0x7f) | 0x80).toByte; v >>>= 7 }
     out += v.toByte
   }
 
-  private def writeLenDelim(out: ArrayBuffer[Byte], field: Int, payload: Array[Byte]): Unit = {
+  private[graft] def writeLenDelim(out: ArrayBuffer[Byte], field: Int, payload: Array[Byte]): Unit = {
     writeVarint(out, (field << 3) | 2); writeVarint(out, payload.length.toLong)
     out ++= payload
   }

@@ -300,8 +300,11 @@ class ChainReaderFactory(cfg: ChainSource.Config) extends PartitionReaderFactory
         seq += 1
         if (seq >= p.end) false
         else {
+          // fatal: auth rejection (reference Unauthenticated) AND malformed
+          // frames (a desynced/hostile peer — retrying would storm it)
           current = Backoff.retry(p.cfg.maxRetries,
-            isFatal = _.isInstanceOf[UnauthenticatedException])(() => fetcher.fetch(seq))
+            isFatal = e => e.isInstanceOf[UnauthenticatedException] ||
+              e.isInstanceOf[EnvelopeWire.MalformedFrameException])(() => fetcher.fetch(seq))
           true
         }
       }

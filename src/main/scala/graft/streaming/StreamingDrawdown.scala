@@ -20,9 +20,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * exactly — the same double max/min chain, no accumulation-order
   * exposure (the lane additionally rounds its two outputs at 6 decimals
   * for the oracle; pinned in StreamingDrawdownSpec). When the input
-  * carries a `ts_ns` column (the fixture generation keeps sub-µs
-  * precision the ts TIMESTAMP cannot), ties sort on exact nanos like the
-  * batch lane; otherwise on the derived µs.
+  * carries a `ts_ns` column, ties sort on the raw nanos like the batch
+  * lane; otherwise on the derived µs. NOTE: the current fixture
+  * generation emits ONLY µs-aligned nanos (`ts_ns % 1000 == 0`,
+  * pinned by FixtureAuditSpec), so nanos-order and the DuckDB oracle's
+  * `epoch_us(ts)` order coincide today; should a future generation add
+  * true sub-µs precision, the ns-ordered batch lanes
+  * (events_rolling_zscore / events_drawdown / events_gap_stats) and
+  * their epoch_us oracles must be re-aligned deliberately.
   *
   * Scale: live state is THREE scalars + a counter per user; the only
   * unbounded-looking piece is the not-yet-final buffer, bounded by the

@@ -90,6 +90,51 @@ class LoopbackChainSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("loopback transport: a malformed protobuf frame is FATAL — no retry storm") {
+    // rogue server: valid handshake (session frame), then garbage bytes in
+    // a well-formed frame — parses as a frame, fails protobuf decode
+    val server = new java.net.ServerSocket()
+    server.bind(new java.net.InetSocketAddress("127.0.0.1", 0))
+    val requests = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rogue = new Thread(() => {
+      try while (true) {
+        val sock = server.accept()
+        val t = new Thread(() => {
+          try {
+            val in = new java.io.DataInputStream(sock.getInputStream)
+            val out = new java.io.DataOutputStream(sock.getOutputStream)
+            EnvelopeWire.readFrame(in) // token
+            EnvelopeWire.writeFrame(out, EnvelopeWire.MsgFlag,
+              EnvelopeWire.encodeSession("rogue"))
+            while (true) {
+              EnvelopeWire.readFrame(in) // request
+              requests.incrementAndGet()
+              EnvelopeWire.writeFrame(out, EnvelopeWire.MsgFlag,
+                Array[Byte](0x22, 0x7F, 0x01)) // frame OK, protobuf lies
+            }
+          } catch { case _: Throwable => scala.util.Try(sock.close()) }
+        })
+        t.setDaemon(true); t.start()
+      } catch { case _: Throwable => () }
+    })
+    rogue.setDaemon(true); rogue.start()
+    try {
+      val df = readBatch(Map("totalBlocks" -> "10", "numPartitions" -> "1",
+        "maxRetries" -> "6",
+        "fetcherClass" -> "graft.sources.LoopbackBlockFetcher",
+        "endpoint" -> s"127.0.0.1:${server.getLocalPort}"))
+      val e = intercept[Exception] { df.count() }
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+      assert(chain(e).exists(_.isInstanceOf[EnvelopeWire.MalformedFrameException]),
+        s"expected MalformedFrameException to surface, got $e")
+      assert(chain(e).exists(_.isInstanceOf[Backoff.FatalException]),
+        "malformed frames must short-circuit the retry loop")
+      assert(requests.get() === 1,
+        s"fatal means exactly ONE request — a retry storm sent ${requests.get()}")
+    } finally scala.util.Try(server.close())
+  }
+
   test("startBlock/endBlock: batch read covers exactly [startBlock, endBlock)") {
     val df = readBatch(Map("totalBlocks" -> "1000",
       "startBlock" -> "10", "endBlock" -> "20"))
