@@ -1169,6 +1169,71 @@ object Extensions {
         .orderBy(col("event_type"))
     }),
 
+    // The 100 TB swap for events_anomaly_mad, shipped as benched code
+    // (VERDICT r11 #4): per-type aggregation state collapses from "all
+    // values of the group" (exact percentile) to B=256 histogram counters
+    // — the approx_percentile SHAPE — but the estimator is the PORTABLE
+    // equi-width histogram sketch (the diag_profile_fast discipline), so
+    // DuckDB replays every bin edge and crossing bit-for-bit instead of
+    // the driver trusting an engine-specific digest. Median est = midpoint
+    // of the bin where the cumulative count crosses n/2; MAD est = the
+    // same sketch over |v − med_est| (range [0, amx] derived from the
+    // phase-1 globals — no extra scan); outliers counted at bin
+    // resolution (bins whose LOWER edge clears 3·MAD). Three scans of
+    // events, every window frame ≤ B rows per type.
+    "events_anomaly_approx" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = 256
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"), col("value").cast("double").as("v"))
+      val g = ev.groupBy(col("event_type"))
+        .agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+          count(lit(1)).as("n"))
+      def binOf(x: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,
+          w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(w === 0.0, lit(0L))
+          .otherwise(least(lit((B - 1).toLong), floor((x - lo) / w)))
+      val h1 = ev.join(broadcast(g), "event_type")
+        .groupBy(col("event_type"), col("mn"), col("mx"), col("n"),
+          binOf(col("v"), col("mn"), (col("mx") - col("mn")) / B).as("b"))
+        .agg(count(lit(1)).as("c"))
+      val wo = Window.partitionBy(col("event_type")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val med = h1.withColumn("cum", sum(col("c")).over(wo))
+        .filter(col("cum") >= col("n").cast("double") / 2)
+        .groupBy(col("event_type"), col("mn"), col("mx"), col("n"))
+        .agg(min(col("b")).as("mb"))
+        .withColumn("med_est",
+          col("mn") + (col("mb").cast("double") + 0.5) * ((col("mx") - col("mn")) / B))
+        .select(col("event_type"), col("n"), col("med_est"),
+          greatest(col("mx") - col("med_est"), col("med_est") - col("mn")).as("amx"))
+      // h2 feeds BOTH the MAD crossing and the outlier rollup — checkpoint
+      // the (≤ types·B)-row frame so the third events scan runs once
+      val h2 = ev.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"), col("n"), col("med_est"), col("amx"),
+          binOf(abs(col("v") - col("med_est")), lit(0.0), col("amx") / B).as("b"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      Dedup.rotateCheckpoints("events_anomaly_approx", h2)
+      val mad = h2.withColumn("cum", sum(col("c")).over(wo))
+        .filter(col("cum") >= col("n").cast("double") / 2)
+        .groupBy(col("event_type"), col("n"), col("med_est"), col("amx"))
+        .agg(min(col("b")).as("mb2"))
+        .withColumn("w2", col("amx") / B)
+        .withColumn("mad_est", (col("mb2").cast("double") + 0.5) * col("w2"))
+        .select(col("event_type"), col("n"), col("med_est"), col("w2"), col("mad_est"))
+      h2.select(col("event_type"), col("b"), col("c"))
+        .join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"), col("n"), col("med_est"), col("mad_est"))
+        .agg(sum(when(col("b").cast("double") * col("w2") > lit(3.0) * col("mad_est"),
+          col("c")).otherwise(lit(0L))).as("n_outliers_est"))
+        .select(col("event_type"), col("n").as("n_events"),
+          round(col("med_est"), 6).as("median_est"),
+          round(col("mad_est"), 6).as("mad_est"),
+          col("n_outliers_est"))
+        .orderBy(col("event_type"))
+    }),
+
     // Functional-dependency check — the schema-inference diagnostic: does
     // LHS determine RHS (groups with >1 distinct RHS are violations)?
     // Run over four candidate FDs (two that hold, two that don't on this
@@ -3096,6 +3161,57 @@ object Extensions {
         .orderBy(col("flag"))
     }),
 
+    // The 100 TB swap for agg_weighted_median, shipped as benched code
+    // (VERDICT r11 #4): the per-flag window above runs over ALL distinct
+    // prices — fine here, row-scale at near-unique values. This sibling
+    // is the two-phase bucketed prefix sum: phase 1 ranks B=1024
+    // value-range buckets (window frame ≤ B rows per flag) to find the
+    // single bucket containing the tw/2 crossing; phase 2 runs the exact
+    // distinct-value prefix sum INSIDE that one bucket only, offset by
+    // the prior buckets' cumulative weight. Same integer-exact weights,
+    // same lower-median crossing rule → IDENTICAL output to the exact
+    // lane, so the oracle is the same replay — while the largest sort
+    // frame shrinks from |distinct values| to max(B, values-per-bucket).
+    "agg_weighted_median_bucketed" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = 1024
+      val byv = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("v"))
+        .agg(sum(col("l_quantity")).as("w"))
+      val g = byv.groupBy(col("flag"))
+        .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      val wB = (col("mx") - col("mn")) / B
+      val bk = byv.join(broadcast(g), "flag")
+        .withColumn("b", when(wB === 0.0, lit(0L))
+          .otherwise(least(lit((B - 1).toLong),
+            floor((col("v") - col("mn")) / wB))))
+      val wo = Window.partitionBy(col("flag")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wt = Window.partitionBy(col("flag"))
+      // bk feeds phase 1 (bucket ranks) AND phase 2 (in-bucket values):
+      // checkpoint the distinct-value frame so lineitem scans once
+      val bkC = bk.localCheckpoint()
+      Dedup.rotateCheckpoints("agg_weighted_median_bucketed", bkC)
+      val cross = bkC.groupBy(col("flag"), col("b")).agg(sum(col("w")).as("bw"))
+        .withColumn("cb", sum(col("bw")).over(wo))
+        .withColumn("tw", sum(col("bw")).over(wt))
+        .filter(col("cb") >= col("tw") / 2)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("flag")).orderBy(col("b"))))
+        .filter(col("rn") === 1)
+        .select(col("flag"), col("b").as("cbk"),
+          (col("cb") - col("bw")).as("prior"), col("tw"))
+      val wo2 = Window.partitionBy(col("flag")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      bkC.join(broadcast(cross), Seq("flag")).filter(col("b") === col("cbk"))
+        .withColumn("cw", col("prior") + sum(col("w")).over(wo2))
+        .filter(col("cw") >= col("tw") / 2)
+        .groupBy(col("flag"), col("tw")).agg(min(col("v")).as("wmedian"))
+        .select(col("flag"), col("tw").as("total_weight"), col("wmedian"))
+        .orderBy(col("flag"))
+    }),
+
     // Exact Gini coefficient of per-user event counts — the
     // concentration-inequality readout beside events_power_users_pareto.
     // Never sorts users globally: ties are grouped to DISTINCT activity
@@ -3169,6 +3285,20 @@ object Extensions {
 
   // Spark-parity rounding for division-derived score columns (see OracleSql)
   private def sparkRound(expr: String, n: Int): String = OracleSql.sparkRound(expr, n)
+
+  /** One replay for BOTH weighted-median lanes (exact + bucketed): the
+    * bucketed two-phase form returns the identical rows by construction. */
+  private val weightedMedianOracle: String =
+    """WITH byv AS (SELECT l_returnflag AS flag, l_extendedprice AS v,
+      |               sum(l_quantity) AS w
+      |             FROM lineitem GROUP BY 1, 2),
+      |c AS (SELECT flag, v, w,
+      |        sum(w) OVER (PARTITION BY flag ORDER BY v
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |        sum(w) OVER (PARTITION BY flag) AS tw
+      |      FROM byv)
+      |SELECT flag, tw AS total_weight, min(v) AS wmedian
+      |FROM c WHERE cw >= tw / 2 GROUP BY flag, tw ORDER BY flag""".stripMargin
 
   /** Shared near-dup graph derivation for the graph lanes (pagerank,
     * triangles, degree histogram): k=32 signatures, 8 bands × 4 rows,
@@ -5239,6 +5369,53 @@ object Extensions {
          |FROM dev d JOIN mad m USING (event_type)
          |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 
+    // Histogram-sketch replay (the diag_profile_fast discipline): the
+    // approximate median/MAD estimator is the PORTABLE equi-width
+    // histogram, so DuckDB recomputes every bin edge, n/2 crossing and
+    // bin-resolution outlier cut with the same IEEE-double arithmetic —
+    // an exact hash match on an approximate statistic.
+    "events_anomaly_approx" ->
+      s"""WITH ev AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+         |            FROM events WHERE value IS NOT NULL),
+         |g AS (SELECT event_type, min(v) AS mn, max(v) AS mx, count(*) AS n
+         |      FROM ev GROUP BY 1),
+         |h1 AS (SELECT e.event_type, g.mn, g.mx, g.n,
+         |         CAST(CASE WHEN (g.mx - g.mn) / 256 = 0.0 THEN 0
+         |              ELSE least(255, floor((e.v - g.mn) / ((g.mx - g.mn) / 256)))
+         |              END AS BIGINT) AS b,
+         |         count(*) AS c
+         |       FROM ev e JOIN g USING (event_type) GROUP BY 1, 2, 3, 4, 5),
+         |m1 AS (SELECT event_type, mn, mx, n, min(b) AS mb FROM (
+         |         SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY b
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |         FROM h1)
+         |       WHERE cum >= CAST(n AS DOUBLE) / 2 GROUP BY 1, 2, 3, 4),
+         |me AS (SELECT event_type, n, mn, mx,
+         |         mn + (CAST(mb AS DOUBLE) + 0.5) * ((mx - mn) / 256) AS med_est
+         |       FROM m1),
+         |med AS (SELECT event_type, n, med_est,
+         |          greatest(mx - med_est, med_est - mn) AS amx FROM me),
+         |h2 AS (SELECT e.event_type, m.n, m.med_est, m.amx,
+         |         CAST(CASE WHEN m.amx / 256 = 0.0 THEN 0
+         |              ELSE least(255, floor(abs(e.v - m.med_est) / (m.amx / 256)))
+         |              END AS BIGINT) AS b,
+         |         count(*) AS c
+         |       FROM ev e JOIN med m USING (event_type) GROUP BY 1, 2, 3, 4, 5),
+         |m2 AS (SELECT event_type, n, med_est, amx, min(b) AS mb2 FROM (
+         |         SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY b
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |         FROM h2)
+         |       WHERE cum >= CAST(n AS DOUBLE) / 2 GROUP BY 1, 2, 3, 4),
+         |mad AS (SELECT event_type, n, med_est, amx / 256 AS w2,
+         |          (CAST(mb2 AS DOUBLE) + 0.5) * (amx / 256) AS mad_est FROM m2)
+         |SELECT h2.event_type, CAST(mad.n AS BIGINT) AS n_events,
+         |  ${sparkRound("mad.med_est", 6)} AS median_est,
+         |  ${sparkRound("mad.mad_est", 6)} AS mad_est,
+         |  CAST(sum(CASE WHEN CAST(h2.b AS DOUBLE) * mad.w2 > 3.0 * mad.mad_est
+         |                THEN h2.c ELSE 0 END) AS BIGINT) AS n_outliers_est
+         |FROM h2 JOIN mad USING (event_type)
+         |GROUP BY 1, 2, 3, 4 ORDER BY h2.event_type""".stripMargin,
+
     // Exact-Jaccard replay for the prefix-filter lane, by an INDEPENDENT
     // candidate route: any pair with J > 0 shares a shingle, so a plain
     // shingle equi-join bounds the candidates (5-gram shingles are rare —
@@ -6474,18 +6651,12 @@ object Extensions {
          |FROM lab JOIN sz USING (cluster) ORDER BY vec_id""".stripMargin,
 
     // Weighted-median replay: same distinct-value prefix sums (exact —
-    // integer-valued weights), same lower-median crossing rule.
-    "agg_weighted_median" ->
-      """WITH byv AS (SELECT l_returnflag AS flag, l_extendedprice AS v,
-        |               sum(l_quantity) AS w
-        |             FROM lineitem GROUP BY 1, 2),
-        |c AS (SELECT flag, v, w,
-        |        sum(w) OVER (PARTITION BY flag ORDER BY v
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
-        |        sum(w) OVER (PARTITION BY flag) AS tw
-        |      FROM byv)
-        |SELECT flag, tw AS total_weight, min(v) AS wmedian
-        |FROM c WHERE cw >= tw / 2 GROUP BY flag, tw ORDER BY flag""".stripMargin,
+    // integer-valued weights), same lower-median crossing rule. The
+    // bucketed sibling is exact by construction (the two-phase bucket
+    // split only reorders which partial sums are taken, every sum stays
+    // integer-exact), so BOTH lanes replay against this one SQL.
+    "agg_weighted_median" -> weightedMedianOracle,
+    "agg_weighted_median_bucketed" -> weightedMedianOracle,
 
     // Gini replay: identical tie-grouped exact-LONG rank sums, two final
     // divisions.
