@@ -3086,20 +3086,11 @@ object Extensions {
     // runs over the local frontiers, not the fact table.
     "sort_skyline_pareto" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val pts = Tables.events(s, d)
-        .filter(col("event_type") === "purchase" && col("value").isNotNull)
-        .select(col("value"), expr("ts_ns div 1000").as("tus"))
-      val wl = Window.partitionBy(col("pid"))
-        .orderBy(col("value").desc, col("tus").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
       // survivors feed the distinct-value pass AND the join-back —
       // checkpoint the pruned (local-frontier-sized) set so the fact
-      // table is scanned ONCE
-      val surv = pts.withColumn("pid", spark_partition_id())
-        .withColumn("pm", max(col("tus")).over(wl))
-        .filter(col("pm").isNull || col("pm") <= col("tus"))
-        .select(col("value"), col("tus"))
-        .localCheckpoint()
+      // table is scanned ONCE. Derivations shared with BoundedWindowSpec,
+      // which pins that the phase-2 window input stays frontier-sized.
+      val surv = skylineSurvivors(skylinePoints(s, d)).localCheckpoint()
       Dedup.rotateCheckpoints("sort_skyline_pareto", surv)
       val g = surv.groupBy(col("value")).agg(max(col("tus")).as("mxt"))
       val wg = Window.orderBy(col("value").desc)
@@ -3174,24 +3165,13 @@ object Extensions {
     // frame shrinks from |distinct values| to max(B, values-per-bucket).
     "agg_weighted_median_bucketed" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val B = 1024
-      val byv = Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag").as("flag"),
-          col("l_extendedprice").as("v"))
-        .agg(sum(col("l_quantity")).as("w"))
-      val g = byv.groupBy(col("flag"))
-        .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
-      val wB = (col("mx") - col("mn")) / B
-      val bk = byv.join(broadcast(g), "flag")
-        .withColumn("b", when(wB === 0.0, lit(0L))
-          .otherwise(least(lit((B - 1).toLong),
-            floor((col("v") - col("mn")) / wB))))
       val wo = Window.partitionBy(col("flag")).orderBy(col("b"))
         .rowsBetween(Window.unboundedPreceding, 0)
       val wt = Window.partitionBy(col("flag"))
-      // bk feeds phase 1 (bucket ranks) AND phase 2 (in-bucket values):
-      // checkpoint the distinct-value frame so lineitem scans once
-      val bkC = bk.localCheckpoint()
+      // the bucketed frame feeds phase 1 (bucket ranks) AND phase 2
+      // (in-bucket values): checkpoint so lineitem scans once. Derivation
+      // shared with BoundedWindowSpec (bucket-occupancy pin).
+      val bkC = wmedianBucketed(s, d).localCheckpoint()
       Dedup.rotateCheckpoints("agg_weighted_median_bucketed", bkC)
       val cross = bkC.groupBy(col("flag"), col("b")).agg(sum(col("w")).as("bw"))
         .withColumn("cb", sum(col("bw")).over(wo))
@@ -3285,6 +3265,48 @@ object Extensions {
 
   // Spark-parity rounding for division-derived score columns (see OracleSql)
   private def sparkRound(expr: String, n: Int): String = OracleSql.sparkRound(expr, n)
+
+  /** Skyline input: (value, µs) of non-null purchases. Shared by the lane
+    * and BoundedWindowSpec so the bound pin can't drift off the lane. */
+  private[graft] def skylinePoints(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("value"), expr("ts_ns div 1000").as("tus"))
+
+  /** Phase 1 of the distributed skyline: per-partition dominance prune.
+    * Output size = sum of per-partition Pareto frontiers (~O(p·log n) on
+    * independent dims) — the bound BoundedWindowSpec pins, because phase
+    * 2's global window is only safe while this stays ≪ rows. */
+  private[graft] def skylineSurvivors(pts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wl = Window.partitionBy(col("pid"))
+      .orderBy(col("value").desc, col("tus").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.withColumn("pid", spark_partition_id())
+      .withColumn("pm", max(col("tus")).over(wl))
+      .filter(col("pm").isNull || col("pm") <= col("tus"))
+      .select(col("value"), col("tus"))
+  }
+
+  /** Distinct (flag, price)→weight rows with their B=1024 value-range
+    * bucket ids — phase 0+bucketing of agg_weighted_median_bucketed,
+    * shared with BoundedWindowSpec (pins per-bucket occupancy ≪ distinct
+    * values, the phase-2 window's frame bound). */
+  private[graft] val WmedianBuckets = 1024
+  private[graft] def wmedianBucketed(s: SparkSession, d: String): DataFrame = {
+    val B = WmedianBuckets
+    val byv = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag").as("flag"),
+        col("l_extendedprice").as("v"))
+      .agg(sum(col("l_quantity")).as("w"))
+    val g = byv.groupBy(col("flag"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val wB = (col("mx") - col("mn")) / B
+    byv.join(broadcast(g), "flag")
+      .withColumn("b", when(wB === 0.0, lit(0L))
+        .otherwise(least(lit((B - 1).toLong),
+          floor((col("v") - col("mn")) / wB))))
+  }
 
   /** One replay for BOTH weighted-median lanes (exact + bucketed): the
     * bucketed two-phase form returns the identical rows by construction. */
