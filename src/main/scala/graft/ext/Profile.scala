@@ -71,18 +71,22 @@ object Profile {
     * full-table exact form (`sampleRate = 1`) is for modest inputs. */
   def equiDepthHistogram(df: DataFrame, valueCol: String, idCol: String,
       buckets: Int = 10, sampleRate: Double = 1.0,
-      seed: String = "depth"): DataFrame = {
+      seed: String = "depth", withNdv: Boolean = false): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val bounded =
       if (sampleRate >= 1.0) df
       else Sampling.weightedSample(df, lit(sampleRate), idCol, seed)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col(valueCol), col(idCol))
+    val aggs = Seq(count(lit(1)).as("n"),
+      min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi")) ++
+      // per-bin distinct count — what the CBO's HistogramBin carries
+      // (CboStats.feedHistogram); opt-in so the lane schema stays fixed
+      (if (withNdv) Seq(count_distinct(col(valueCol)).as("ndv")) else Nil)
     bounded.filter(col(valueCol).isNotNull)
       .withColumn("bucket", ntile(buckets).over(w))
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"),
-        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** `exact = false` is the 100 TB mode: the per-register

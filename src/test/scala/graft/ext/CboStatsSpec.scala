@@ -176,4 +176,73 @@ class CboStatsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       spark.conf.set("spark.sql.cbo.joinReorder.enabled", prevReorder)
     }
   }
+
+  test("equi-depth histogram stats fix a skew-blind filter estimate and flip the join strategy") {
+    import spark.implicits._
+    // skewed fact: 90% of the rows carry v=0, the tail spreads over 2000
+    // distinct values — the distribution where rows/NDV prices an
+    // equality on the HEAVY value at ~10 rows instead of ~18000
+    spark.sql("DROP TABLE IF EXISTS cbo_skew")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "cbo_skew")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    (0 until 20000).map(i =>
+        (i.toLong, if (i < 18000) 0L else (i - 18000 + 1).toLong))
+      .toDF("id", "v").write.saveAsTable("cbo_skew")
+    recreate("cbo_probe", 5000)
+
+    // interval + NDV stats first (the r11 baseline the histogram extends)
+    CboStats.feedFromProfile(spark, "cbo_skew", Seq("id", "v"))
+    CboStats.feedFromProfile(spark, "cbo_probe", Seq("id"))
+
+    def filtered = spark.table("cbo_skew").filter(col("v") === 0L)
+    def plan = filtered.join(spark.table("cbo_probe"), "id")
+      .groupBy(col("grp")).agg(count(lit(1)).as("n"))
+      .queryExecution.sparkPlan
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024).toString)
+      // without a histogram the uniform model estimates rows/NDV ≈ 10 —
+      // the filtered side reads as broadcastable
+      val blindRows = filtered.queryExecution.optimizedPlan.stats.rowCount.get
+      assert(blindRows <= BigInt(200),
+        s"uniform model should underestimate the heavy value, got $blindRows")
+      val blind = plan
+      assert(collectWithSubqueries(blind) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        s"skew-blind stats should broadcast the 18000-row filter result:\n$blind")
+      val blindAnswer = filtered.join(spark.table("cbo_probe"), "id")
+        .groupBy(col("grp")).agg(count(lit(1)).as("n"))
+        .collect().map(_.toSeq).toSet
+
+      // the histogram walks the bins: 18 of 20 hold only v=0, so the
+      // estimate lands near the true 18000 and the broadcast flips to SMJ
+      val hist = CboStats.feedHistogram(spark, "cbo_skew", "v", "id", buckets = 20)
+      assert(hist.bins.length === 20)
+      val informedRows = filtered.queryExecution.optimizedPlan.stats.rowCount.get
+      assert(informedRows >= BigInt(15000) && informedRows <= BigInt(20000),
+        s"histogram estimate must land near the true 18000, got $informedRows")
+      val informed = plan
+      assert(collectWithSubqueries(informed) { case j: SortMergeJoinExec => j }.nonEmpty
+        && collectWithSubqueries(informed) { case j: BroadcastHashJoinExec => j }.isEmpty,
+        s"histogram-priced 18000-row side must not broadcast:\n$informed")
+      // the catalog column stat kept its interval/NDV fields through the
+      // histogram refresh (the wipe regression feedHistogram guards)
+      val cs = spark.sessionState.catalog
+        .getTableMetadata(TableIdentifier("cbo_skew")).stats.get.colStats("v")
+      assert(cs.histogram.isDefined && cs.distinctCount.isDefined &&
+        cs.min.isDefined && cs.max.isDefined,
+        s"histogram refresh must merge, not replace: $cs")
+      // and the answer is plan-independent
+      val informedAnswer = filtered.join(spark.table("cbo_probe"), "id")
+        .groupBy(col("grp")).agg(count(lit(1)).as("n"))
+        .collect().map(_.toSeq).toSet
+      assert(informedAnswer === blindAnswer)
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
 }
