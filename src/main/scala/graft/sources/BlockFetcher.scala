@@ -30,6 +30,12 @@ import org.apache.spark.sql.catalyst.InternalRow
 trait BlockFetcher extends AutoCloseable {
   /** The envelope message at cursor position `seq` (blocking). */
   def fetch(seq: Long): InternalRow
+  /** The reader announces its partition's `[start, end)` range before the
+    * first fetch. Streaming transports use it as the Request's
+    * `stop_block_num` so ONE server-streamed call covers exactly the
+    * partition (the reference's one-request-many-responses shape,
+    * `src/substreams_stream.rs:53-149`); point transports ignore it. */
+  def hintRange(start: Long, end: Long): Unit = ()
   override def close(): Unit = ()
 }
 

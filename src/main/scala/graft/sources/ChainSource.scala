@@ -295,6 +295,7 @@ class ChainReaderFactory(cfg: ChainSource.Config) extends PartitionReaderFactory
       // the transport seam: synthetic generator by default, a real gRPC
       // client via the fetcherClass option — instantiated HERE, executor-side
       private val fetcher = BlockFetcher.create(p.cfg)
+      fetcher.hintRange(p.start, p.end) // streaming transports bound their call
 
       override def next(): Boolean = {
         seq += 1

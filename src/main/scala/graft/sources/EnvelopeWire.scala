@@ -105,6 +105,57 @@ object EnvelopeWire {
     out.toArray
   }
 
+  /** The reference's actual request shape: ONE Request opens a
+    * server-streamed range (`src/substreams_stream.rs:53-149` sends
+    * start_block/stop_block and, on resume, the latest cursor — cursor
+    * wins over start_block, `src/main.rs:63-66`). Used by the gRPC
+    * transport; the line-oriented loopback keeps its per-seq form. */
+  def encodeRequestRange(start: Long, stop: Long, cursor: String,
+      outputModule: String): Array[Byte] = {
+    val out = ArrayBuffer.empty[Byte]
+    if (start != 0L) { ProtoWire.writeVarint(out, (1L << 3) | 0); ProtoWire.writeVarint(out, start) }
+    if (cursor.nonEmpty)
+      ProtoWire.writeLenDelim(out, 2, cursor.getBytes(StandardCharsets.UTF_8))
+    if (stop != 0L) { ProtoWire.writeVarint(out, (3L << 3) | 0); ProtoWire.writeVarint(out, stop) }
+    if (outputModule.nonEmpty)
+      ProtoWire.writeLenDelim(out, 6, outputModule.getBytes(StandardCharsets.UTF_8))
+    out.toArray
+  }
+
+  /** → (resolved start, stop). The CURSOR wins over start_block_num when
+    * both travel (the reference's resume rule): a cursor string
+    * `cursor-<seq>` means "resume delivery AT <seq>" under this source's
+    * cursor-as-offset semantics. */
+  def decodeRequestRange(bytes: Array[Byte]): (Long, Long) =
+    try {
+      val r = new ProtoWire.Reader(bytes, 0, bytes.length)
+      var start = 0L
+      var stop = 0L
+      var cursor = ""
+      while (r.hasMore) {
+        val tag = r.varint()
+        ((tag >>> 3).toInt, (tag & 7).toInt) match {
+          case (1, 0) => start = r.varint()
+          case (2, 2) =>
+            val (s, e) = r.bytes(r.varint().toInt)
+            cursor = new String(bytes, s, e - s, StandardCharsets.UTF_8)
+          case (3, 0) => stop = r.varint()
+          case (_, w) => r.skip(w)
+        }
+      }
+      val resolved =
+        if (cursor.isEmpty) start
+        else if (cursor.startsWith("cursor-")) cursor.stripPrefix("cursor-").toLong
+        else throw new MalformedFrameException(s"unparseable cursor '$cursor'")
+      if (stop <= resolved)
+        throw new MalformedFrameException(s"empty range [$resolved,$stop)")
+      (resolved, stop)
+    } catch {
+      case m: MalformedFrameException => throw m
+      case ProtoWire.Malformed => throw new MalformedFrameException("bad Request bytes")
+      case e: NumberFormatException => throw new MalformedFrameException("bad cursor", e)
+    }
+
   /** → requested seq. Enforces the single-message contract
     * (stop == start + 1); anything else is malformed. */
   def decodeRequest(bytes: Array[Byte]): Long =

@@ -1,0 +1,126 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.SparkSpec
+
+/** The gRPC/HTTP-2 transport (O1 closure, round 12): the chain source
+  * driven through a REAL gRPC call — HTTP/2 HEADERS with bearer auth,
+  * one protobuf Request opening a server-streamed range, 5-byte gRPC
+  * message framing, grpc-status trailers — with the reference's
+  * reconnect-from-cursor resume and fatal-vs-retryable taxonomy. */
+class GrpcChainSpec extends SparkSpec {
+
+  private def cfgOf(opts: Map[String, String]): ChainSource.Config = {
+    val jm = new java.util.HashMap[String, String]()
+    opts.foreach { case (k, v) => jm.put(k, v) }
+    ChainSource.config(new CaseInsensitiveStringMap(jm))
+  }
+
+  private def readBatch(opts: Map[String, String]) = {
+    var r = spark.read.format("graft.sources.ChainSource")
+    opts.foreach { case (k, v) => r = r.option(k, v) }
+    r.load()
+  }
+
+  private def viaGrpc(gen: Map[String, String], port: Int) =
+    readBatch(gen ++ Map(
+      "fetcherClass" -> "graft.sources.GrpcBlockFetcher",
+      "endpoint" -> s"127.0.0.1:$port"))
+
+  test("gRPC transport: server-streamed envelopes are bit-identical to the synthetic path") {
+    val gen = Map("totalBlocks" -> "30", "reorgEvery" -> "10",
+      "reorgDepth" -> "2", "finalityLag" -> "5", "numPartitions" -> "3")
+    val server = new GrpcChainServer(cfgOf(gen))
+    try {
+      val wire = viaGrpc(gen, server.port).toJSON.collect().sorted
+      val synthetic = readBatch(gen).toJSON.collect().sorted
+      assert(wire.length === 30)
+      assert(wire.toSeq === synthetic.toSeq,
+        "gRPC-parsed envelopes must encode identically to locally generated ones")
+      // the REAL call shape: ONE gRPC call per partition serves its whole
+      // range — not a per-seq RPC
+      assert(server.calls.get() === 3,
+        s"expected one server-streamed call per partition, got ${server.calls.get()}")
+    } finally server.close()
+  }
+
+  test("gRPC transport: a mid-stream connection kill is survived by reconnect + cursor resume") {
+    val gen = Map("totalBlocks" -> "30", "numPartitions" -> "2", "maxRetries" -> "4")
+    val server = new GrpcChainServer(cfgOf(gen), failOnceAtSeqs = Set(13L))
+    try {
+      val df = viaGrpc(gen, server.port)
+      assert(df.select("seq").collect().map(_.getLong(0)).sorted.toSeq === (0L until 30L),
+        "nothing lost or duplicated across the connection kill")
+      assert(server.served.get(13L) === 2,
+        "the dropped seq must be re-requested by the resumed call")
+      assert(server.calls.get() >= 3,
+        "the drop must have forced a new call beyond the per-partition ones")
+    } finally server.close()
+  }
+
+  test("gRPC transport: grpc-status 16 trailers are fatal — no retry storm") {
+    val gen = Map("totalBlocks" -> "5", "requireAuth" -> "true")
+    assume(!sys.env.contains("SUBSTREAMS_API_TOKEN"),
+      "SUBSTREAMS_API_TOKEN exported in this shell; missing-token case not testable")
+    val server = new GrpcChainServer(cfgOf(gen))
+    try {
+      val e = intercept[Exception] { viaGrpc(gen, server.port).count() }
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+      assert(chain(e).exists(_.isInstanceOf[UnauthenticatedException]),
+        s"expected UNAUTHENTICATED to surface, got $e")
+      assert(chain(e).exists(_.isInstanceOf[Backoff.FatalException]))
+      assert(server.calls.get() <= cfgOf(gen).numPartitions + 1,
+        "fatal auth means at most one call per partition reader")
+    } finally server.close()
+  }
+
+  test("gRPC transport: bearer token travels in the authorization header end-to-end") {
+    val gen = Map("totalBlocks" -> "8", "requireAuth" -> "true", "token" -> "tok-xyz")
+    val server = new GrpcChainServer(cfgOf(gen))
+    try assert(viaGrpc(gen, server.port).count() === 8)
+    finally server.close()
+  }
+
+  test("gRPC transport: an undecodable response message is FATAL — exactly one serve") {
+    val gen = Map("totalBlocks" -> "10", "numPartitions" -> "1", "maxRetries" -> "6")
+    val server = new GrpcChainServer(cfgOf(gen), garbageAtSeqs = Set(4L))
+    try {
+      val e = intercept[Exception] { viaGrpc(gen, server.port).count() }
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+      assert(chain(e).exists(_.isInstanceOf[EnvelopeWire.MalformedFrameException]),
+        s"expected MalformedFrameException, got $e")
+      assert(server.served.get(4L) === 1,
+        s"fatal means the poisoned seq is served exactly once, got ${server.served.get(4L)}")
+    } finally server.close()
+  }
+
+  test("gRPC streaming: checkpointed cursor survives a mid-run kill and a restart") {
+    val gen = Map("totalBlocks" -> "1000", "startBlock" -> "0", "endBlock" -> "40",
+      "blocksPerTrigger" -> "9", "numPartitions" -> "2", "maxRetries" -> "4")
+    val server = new GrpcChainServer(cfgOf(gen), failOnceAtSeqs = Set(22L))
+    try {
+      val root = java.nio.file.Files.createTempDirectory("grpcchain").toString
+      val (ckpt, out) = (s"$root/ckpt", s"$root/out")
+      def run(): Unit = {
+        var r = spark.readStream.format("graft.sources.ChainSource")
+        (gen ++ Map("fetcherClass" -> "graft.sources.GrpcBlockFetcher",
+          "endpoint" -> s"127.0.0.1:${server.port}"))
+          .foreach { case (k, v) => r = r.option(k, v) }
+        val q = r.load().select(col("seq"), col("kind"))
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+        q.processAllAvailable(); q.stop()
+      }
+      run()
+      run() // restart: committed range must not re-deliver
+      val seqs = spark.read.parquet(out).select("seq").collect().map(_.getLong(0)).sorted
+      assert(seqs.toSeq === (0L until 40L),
+        "exactly-once across the injected kill and the restart")
+      assert(server.served.get(22L) === 2, "the killed seq was re-served once")
+    } finally server.close()
+  }
+}
