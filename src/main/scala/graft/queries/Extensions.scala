@@ -328,6 +328,67 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-document n-gram NOVELTY — the corpus-freshness signal web
+    // pipelines read before mixing a crawl snapshot in: which fraction of
+    // a doc's distinct 5-grams appear here FIRST (global first occurrence
+    // = min doc_id)? One explode to the distinct (doc, shingle) grain,
+    // one min-agg per shingle, one join back — all on the shingle key,
+    // no pairwise anything. The shared grain frame feeds both sides →
+    // checkpointed, one corpus scan.
+    "text_ngram_novelty" -> ((s, d) => {
+      val g = Dedup.shingleFramePos(Tables.documents(s, d), "text", "doc_id", 5)
+        .filter(col("ntok") >= 5)
+        .select(col("id"), col("shingle")).distinct()
+        .localCheckpoint()
+      Dedup.rotateCheckpoints("text_ngram_novelty", g)
+      val first = g.groupBy(col("shingle")).agg(min(col("id")).as("first_id"))
+      val per = g.join(first, "shingle")
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("id") === col("first_id"), 1L).otherwise(0L)).as("n_novel"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(per.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          when(col("n_shingles").isNull, lit(0.0))
+            .otherwise(round(col("n_novel").cast("double") / col("n_shingles"), 6))
+            .as("novelty"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Top-20 bigram collocations by PMI (min pair count 5) — the
+    // phrase-mining readout beside the boilerplate n-grams: bigram and
+    // unigram counts from the SAME token stream, PMI on the count ratios,
+    // TakeOrderedAndProject for the head. All joins are on term keys
+    // (vocab-bounded), the globals are one broadcast row.
+    "text_pmi_collocations" -> ((s, d) => {
+      val bg = Dedup.shingleFramePos(Tables.documents(s, d), "text", "doc_id", 2)
+        .filter(col("ntok") >= 2)
+        .select(col("shingle").as("b"),
+          substring_index(col("shingle"), " ", 1).as("w1"),
+          substring_index(col("shingle"), " ", -1).as("w2"))
+      val toksAll = Tables.documents(s, d)
+        .select(explode(TA.tokens(col("text"))).as("w"))
+      val cw = toksAll.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val cbg = bg.groupBy(col("b"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c2"))
+        .filter(col("c2") >= 5)
+      val globals = toksAll.agg(count(lit(1)).as("n_tok"))
+        .crossJoin(bg.agg(count(lit(1)).as("n_big")))
+      cbg
+        .join(cw.select(col("w").as("w1"), col("cw").as("ca")), "w1")
+        .join(cw.select(col("w").as("w2"), col("cw").as("cb")), "w2")
+        .crossJoin(broadcast(globals))
+        .select(col("b"), col("c2"),
+          round(log(
+            (col("c2").cast("double") / col("n_big")) /
+              ((col("ca").cast("double") / col("n_tok")) *
+                (col("cb").cast("double") / col("n_tok")))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("b"))
+        .limit(20)
+    }),
+
     // Global vocabulary head: top-100 words by corpus frequency with a
     // deterministic tie-break — explode + hash-agg + TakeOrderedAndProject
     // (no full sort at scale).
@@ -440,6 +501,26 @@ object Extensions {
         .select(col("survivor_id").as("doc_id"))
       stats.join(survivors, "doc_id")
         .filter(col("quality") >= 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-source diversity cap — the domain-cap step every web-crawl
+    // mixture runs (keep the best K docs per domain so no source
+    // dominates): rank within source by (quality desc, doc_id), keep
+    // rank <= 20. One window per source — frame bounded by docs-per-
+    // source, the natural partitioning at crawl scale.
+    "train_source_cap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val stats = TA.textStatsFrame(Tables.documents(s, d), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("quality"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .join(stats, "doc_id")
+        .withColumn("src_rank", row_number().over(w))
+        .withColumn("kept", col("src_rank") <= 20)
+        .select(col("doc_id"), col("source"), col("quality"),
+          col("src_rank"), col("kept"))
         .orderBy(col("doc_id"))
     }),
 
@@ -5003,6 +5084,70 @@ object Extensions {
          |      GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
          |SELECT q.doc_id, quality, n_tokens FROM q JOIN s USING (doc_id)
          |WHERE quality >= 0.5 ORDER BY doc_id""".stripMargin,
+
+    // Per-source cap replay: the SAME quality formula, ranked within
+    // source by (quality desc, doc_id) — the deterministic tiebreak both
+    // engines share because quality is rounded before comparison.
+    "train_source_cap" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(text)=0 THEN 0.0
+         |         ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)/length(text) END AS punct_ratio,
+         |    CASE WHEN len($toks)=0 THEN 0.0
+         |         ELSE CAST(len(list_filter($toks, x -> list_contains($enStops, x))) AS DOUBLE)/len($toks) END AS stop_ratio,
+         |    CASE WHEN len($toks)=0 THEN 0.0
+         |         ELSE CAST(list_aggregate(list_transform($toks, x -> length(x)), 'sum') AS DOUBLE)/len($toks) END AS mwl,
+         |    length(text) AS n_len
+         |  FROM documents),
+         |q AS (SELECT doc_id,
+         |        ${sparkRound(
+                    """least(n_len/500.0, 1.0)*0.3 + least(stop_ratio*4.0, 1.0)*0.3
+                      |          + (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)*0.2
+                      |          + greatest(0.0, 1.0 - punct_ratio*5.0)*0.2""".stripMargin, 4)} AS quality
+         |      FROM f)
+         |SELECT q.doc_id, d.source, q.quality,
+         |  CAST(row_number() OVER (PARTITION BY d.source
+         |    ORDER BY q.quality DESC, q.doc_id) AS INT) AS src_rank,
+         |  row_number() OVER (PARTITION BY d.source
+         |    ORDER BY q.quality DESC, q.doc_id) <= 20 AS kept
+         |FROM q JOIN documents d USING (doc_id) ORDER BY q.doc_id""".stripMargin,
+
+    // Novelty replay: identical distinct (doc, 5-gram) grain, global
+    // first-occurrence by min doc_id.
+    "text_ngram_novelty" ->
+      s"""WITH docs AS (SELECT doc_id, $toks AS tk FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(${shingleSqlN(5)})) AS s
+         |      FROM docs WHERE len(tk) >= 5),
+         |fo AS (SELECT s, min(doc_id) AS first_id FROM g GROUP BY s),
+         |per AS (SELECT g.doc_id, count(*) AS n_shingles,
+         |          CAST(sum(CASE WHEN g.doc_id = fo.first_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         |        FROM g JOIN fo USING (s) GROUP BY g.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+         |  CAST(coalesce(per.n_novel, 0) AS BIGINT) AS n_novel,
+         |  CASE WHEN per.n_shingles IS NULL THEN 0.0
+         |       ELSE ${sparkRound("CAST(per.n_novel AS DOUBLE) / per.n_shingles", 6)}
+         |  END AS novelty
+         |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // PMI replay: bigram/unigram counts off the same token stream, the
+    // identical double expression tree, rounded-then-ordered head.
+    "text_pmi_collocations" ->
+      s"""WITH docs AS (SELECT doc_id, $toks AS tk FROM documents),
+         |bg AS (SELECT unnest(${shingleSqlN(2)}) AS b FROM docs WHERE len(tk) >= 2),
+         |tok AS (SELECT unnest(tk) AS w FROM docs),
+         |cw AS (SELECT w, count(*) AS cw FROM tok GROUP BY w),
+         |cbg AS (SELECT b, split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+         |          count(*) AS c2
+         |        FROM bg GROUP BY 1, 2, 3 HAVING count(*) >= 5),
+         |g AS (SELECT (SELECT count(*) FROM tok) AS n_tok,
+         |             (SELECT count(*) FROM bg) AS n_big)
+         |SELECT c.b, CAST(c.c2 AS BIGINT) AS c2,
+         |  ${sparkRound(
+            """ln((CAST(c.c2 AS DOUBLE) / g.n_big) /
+              |    ((CAST(a.cw AS DOUBLE) / g.n_tok) * (CAST(bb.cw AS DOUBLE) / g.n_tok)))""".stripMargin, 6)} AS pmi
+         |FROM cbg c JOIN cw a ON a.w = c.w1 JOIN cw bb ON bb.w = c.w2, g
+         |ORDER BY pmi DESC, c.b LIMIT 20""".stripMargin,
 
     // PageRank replay: the SAME pairs CTE, symmetrized, degree counts,
     // then the 10 rounds unrolled with the identical per-round quantized
