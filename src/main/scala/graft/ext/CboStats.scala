@@ -61,12 +61,18 @@ object CboStats {
         max = minMax.get(c).map(_._2),
         histogram = histograms.get(c))
     }.toMap
-    // MERGE with already-published column stats: alterTableStats replaces
-    // the CatalogStatistics wholesale, so a table-level refresh
-    // (rows/sizeInBytes only) would otherwise silently WIPE the per-column
-    // NDV/min/max a profile feed published earlier and degrade every join
-    // estimate on this table to no-column-stats mode. Freshly fed columns
-    // win; untouched columns keep their last published stats.
+    publish(s, table, rows, fresh, sizeInBytes)
+  }
+
+  /** MERGE `fresh` with already-published column stats and publish:
+    * alterTableStats replaces the CatalogStatistics wholesale, so a
+    * table-level refresh (rows/sizeInBytes only) would otherwise silently
+    * WIPE the per-column NDV/min/max a profile feed published earlier and
+    * degrade every join estimate on this table to no-column-stats mode.
+    * Freshly fed columns win; untouched columns keep their last published
+    * stats. */
+  private def publish(s: SparkSession, table: String, rows: Long,
+      fresh: Map[String, CatalogColumnStat], sizeInBytes: Option[Long]): Unit = {
     val existing = s.sessionState.catalog
       .getTableMetadata(TableIdentifier(table)).stats
       .map(_.colStats).getOrElse(Map.empty)
@@ -146,20 +152,22 @@ object CboStats {
         lo = r.getAs[Any]("lo").toString.toDouble,
         hi = r.getAs[Any]("hi").toString.toDouble,
         ndv = r.getAs[Long]("ndv")))
+    // an all-NULL column (or empty table) yields zero bins: publishing
+    // Histogram(NaN, []) would poison every FilterEstimation walk on the
+    // column — fail loudly instead (review r12 finding)
+    require(bins.nonEmpty,
+      s"$table.$column produced no histogram bins (all-NULL or empty) — nothing to publish")
     val total = df.filter(org.apache.spark.sql.functions.col(column).isNotNull).count()
     val hist = Histogram(height = total.toDouble / bins.length, bins = bins)
-    // feed() replaces a column's stat wholesale ("freshly fed columns
-    // win"), so carry the column's existing NDV/null/min-max forward —
-    // a histogram refresh must never strip the interval stats that keep
-    // join estimation sound (the zero-row-estimate lesson from r11)
+    // feed() rebuilds a column's stat wholesale ("freshly fed columns
+    // win"), so COPY the column's previous stat and set only the
+    // histogram — a refresh must never strip NDV/min-max (the
+    // zero-row-estimate lesson from r11) nor avgLen/maxLen from a real
+    // ANALYZE (review r12 finding: field-wise carry-forward dropped them)
     val prev = s.sessionState.catalog.getTableMetadata(TableIdentifier(table))
       .stats.map(_.colStats).getOrElse(Map.empty).get(column)
-    feed(s, table, rowsOf(s, table),
-      ndv = prev.flatMap(_.distinctCount).map(d => column -> d.toLong).toMap,
-      nullCount = prev.flatMap(_.nullCount).map(n => column -> n.toLong).toMap,
-      minMax = (for { c <- prev; mn <- c.min; mx <- c.max }
-        yield column -> (mn, mx)).toMap,
-      histograms = Map(column -> hist))
+    val merged = prev.getOrElse(CatalogColumnStat()).copy(histogram = Some(hist))
+    publish(s, table, rowsOf(s, table), Map(column -> merged), sizeInBytes = None)
     hist
   }
 

@@ -363,19 +363,26 @@ object Extensions {
     // TakeOrderedAndProject for the head. All joins are on term keys
     // (vocab-bounded), the globals are one broadcast row.
     "text_pmi_collocations" -> ((s, d) => {
-      val bg = Dedup.shingleFramePos(Tables.documents(s, d), "text", "doc_id", 2)
+      // TWO corpus scans total (tokens, bigrams), both reduced to their
+      // vocab-bounded count frames and checkpointed; the globals are SUMS
+      // over those frames, never a rescan (review r12: the first cut
+      // re-tokenized the corpus four times)
+      val cbgAll = Dedup.shingleFramePos(Tables.documents(s, d), "text", "doc_id", 2)
         .filter(col("ntok") >= 2)
         .select(col("shingle").as("b"),
           substring_index(col("shingle"), " ", 1).as("w1"),
           substring_index(col("shingle"), " ", -1).as("w2"))
-      val toksAll = Tables.documents(s, d)
-        .select(explode(TA.tokens(col("text"))).as("w"))
-      val cw = toksAll.groupBy(col("w")).agg(count(lit(1)).as("cw"))
-      val cbg = bg.groupBy(col("b"), col("w1"), col("w2"))
+        .groupBy(col("b"), col("w1"), col("w2"))
         .agg(count(lit(1)).as("c2"))
-        .filter(col("c2") >= 5)
-      val globals = toksAll.agg(count(lit(1)).as("n_tok"))
-        .crossJoin(bg.agg(count(lit(1)).as("n_big")))
+        .localCheckpoint()
+      val cw = Tables.documents(s, d)
+        .select(explode(TA.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+        .localCheckpoint()
+      Dedup.rotateCheckpoints("text_pmi_collocations", cbgAll, cw)
+      val cbg = cbgAll.filter(col("c2") >= 5)
+      val globals = cw.agg(sum(col("cw")).as("n_tok"))
+        .crossJoin(cbgAll.agg(sum(col("c2")).as("n_big")))
       cbg
         .join(cw.select(col("w").as("w1"), col("cw").as("ca")), "w1")
         .join(cw.select(col("w").as("w2"), col("cw").as("cb")), "w2")

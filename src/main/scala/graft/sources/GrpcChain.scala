@@ -57,29 +57,53 @@ object GrpcChain {
 
   /** Accumulates DATA-frame bytes and yields complete gRPC messages.
     * A compressed flag or hostile length is malformed (this transport
-    * never negotiates compression). */
+    * never negotiates compression). Amortized O(N): appends copy only
+    * the incoming bytes into a doubling buffer, extraction advances a
+    * read offset (no residual re-copy — review r12 finding), and the
+    * buffer compacts when the dead prefix dominates. */
   final class FrameAccumulator {
-    private var buf = Array.emptyByteArray
+    private var buf = new Array[Byte](512)
+    private var start = 0
+    private var end = 0
     def append(b: ByteBuf): Unit = {
-      val add = new Array[Byte](b.readableBytes())
-      b.readBytes(add)
-      buf = buf ++ add
+      val n = b.readableBytes()
+      if (end + n > buf.length) {
+        val live = end - start
+        if (live + n <= buf.length / 2) {
+          System.arraycopy(buf, start, buf, 0, live) // compact in place
+        } else {
+          val grown = new Array[Byte](math.max(buf.length * 2, live + n))
+          System.arraycopy(buf, start, grown, 0, live)
+          buf = grown
+        }
+        start = 0; end = live
+      }
+      b.readBytes(buf, end, n)
+      end += n
     }
     def next(): Option[Array[Byte]] = {
-      if (buf.length < 5) return None
-      val flag = buf(0) & 0xFF
+      if (end - start < 5) return None
+      val flag = buf(start) & 0xFF
       if (flag != 0)
         throw new EnvelopeWire.MalformedFrameException(f"unsupported gRPC flag 0x$flag%02x")
-      val len = ((buf(1) & 0xFF) << 24) | ((buf(2) & 0xFF) << 16) |
-        ((buf(3) & 0xFF) << 8) | (buf(4) & 0xFF)
+      val len = ((buf(start + 1) & 0xFF) << 24) | ((buf(start + 2) & 0xFF) << 16) |
+        ((buf(start + 3) & 0xFF) << 8) | (buf(start + 4) & 0xFF)
       if (len < 0 || len > EnvelopeWire.MaxFrameBytes)
         throw new EnvelopeWire.MalformedFrameException(s"gRPC frame length $len out of bounds")
-      if (buf.length < 5 + len) return None
-      val msg = java.util.Arrays.copyOfRange(buf, 5, 5 + len)
-      buf = java.util.Arrays.copyOfRange(buf, 5 + len, buf.length)
+      if (end - start < 5 + len) return None
+      val msg = java.util.Arrays.copyOfRange(buf, start + 5, start + 5 + len)
+      start += 5 + len
+      if (start == end) { start = 0; end = 0 }
       Some(msg)
     }
   }
+
+  /** One event-loop group per EXECUTOR, shared by every fetcher (daemon
+    * threads, never torn down): ChainReaderFactory builds a fetcher per
+    * partition per micro-batch, and a per-fetcher group would churn a
+    * thread + selector each trigger (review r12 finding). */
+  lazy val sharedGroup: NioEventLoopGroup = new NioEventLoopGroup(2,
+    new io.netty.util.concurrent.DefaultThreadFactory("graft-grpc-client", true))
 }
 
 /** gRPC server half: Http2FrameCodec + multiplexed per-stream handlers.
@@ -122,6 +146,14 @@ final class GrpcChainServer(cfg: ChainSource.Config,
   private final class StreamHandler extends ChannelInboundHandlerAdapter {
     private val acc = new FrameAccumulator
     private var headersOk = false
+    // writability-paced pump state: a large [start, stop) must not be
+    // written in one synchronous loop — frames would pile in the outbound
+    // buffer unboundedly and monopolize the event loop (review r12
+    // finding). pump() writes while the channel is writable and resumes
+    // from channelWritabilityChanged.
+    private var pumpSeq = 0L
+    private var pumpStop = 0L
+    private var pumping = false
 
     private def trailersOnly(ctx: ChannelHandlerContext, status: Int, msg: String): Unit = {
       val h = new DefaultHttp2Headers()
@@ -170,12 +202,18 @@ final class GrpcChainServer(cfg: ChainSource.Config,
       // "Always sent first" — Response{session}
       ctx.write(new DefaultHttp2DataFrame(
         grpcFrame(EnvelopeWire.encodeSession(s"grpc-trace-${calls.get()}"))))
-      var seq = start
-      while (seq < stop) {
+      pumpSeq = start; pumpStop = stop; pumping = true
+      pump(ctx)
+    }
+
+    private def pump(ctx: ChannelHandlerContext): Unit = {
+      while (pumping && pumpSeq < pumpStop && ctx.channel().isWritable) {
+        val seq = pumpSeq
         served.merge(seq, 1, (a, b) => a + b)
         if (failOnceAtSeqs.contains(seq) && dropped.add(seq)) {
           // kill the CONNECTION mid-stream: every stream on it EOFs,
           // the client's Backoff reconnects and resumes from its cursor
+          pumping = false
           ctx.flush()
           ctx.channel().parent().close()
           return
@@ -184,12 +222,22 @@ final class GrpcChainServer(cfg: ChainSource.Config,
           if (garbageAtSeqs.contains(seq)) Array[Byte](0x22, 0x7F, 0x01) // lies about length
           else EnvelopeWire.encodeResponse(ChainSource.envelopeAt(seq, cfg))
         ctx.write(new DefaultHttp2DataFrame(grpcFrame(body)))
-        seq += 1
+        pumpSeq += 1
       }
-      val trailers = new DefaultHttp2Headers()
-      trailers.set("grpc-status", "0")
-      ctx.write(new DefaultHttp2HeadersFrame(trailers, true))
       ctx.flush()
+      if (pumping && pumpSeq >= pumpStop) {
+        pumping = false
+        val trailers = new DefaultHttp2Headers()
+        trailers.set("grpc-status", "0")
+        ctx.writeAndFlush(new DefaultHttp2HeadersFrame(trailers, true))
+      }
+      // !isWritable: resume from channelWritabilityChanged — HTTP/2 flow
+      // control (the client's window replenishment) paces the stream
+    }
+
+    override def channelWritabilityChanged(ctx: ChannelHandlerContext): Unit = {
+      if (pumping && ctx.channel().isWritable) pump(ctx)
+      ctx.fireChannelWritabilityChanged()
     }
   }
 
@@ -217,7 +265,6 @@ final class GrpcBlockFetcher(cfg: ChainSource.Config) extends BlockFetcher {
   private case object Eof extends Event
   private case class Broken(cause: Throwable) extends Event
 
-  private var group: NioEventLoopGroup = _
   private var conn: Channel = _
   private var stream: Http2StreamChannel = _
   private var queue: LinkedBlockingQueue[Event] = _
@@ -230,9 +277,8 @@ final class GrpcBlockFetcher(cfg: ChainSource.Config) extends BlockFetcher {
     rangeEnd = math.min(end, cfg.stopBound)
 
   private def connect(): Unit = {
-    if (group == null) group = new NioEventLoopGroup(1)
     val b = new Bootstrap()
-      .group(group)
+      .group(GrpcChain.sharedGroup) // per-executor, daemon — no churn
       .channel(classOf[NioSocketChannel])
       .handler(new ChannelInitializer[SocketChannel] {
         override def initChannel(ch: SocketChannel): Unit = {
@@ -258,7 +304,12 @@ final class GrpcBlockFetcher(cfg: ChainSource.Config) extends BlockFetcher {
     val q = new LinkedBlockingQueue[Event]()
     val sb = new Http2StreamChannelBootstrap(conn)
     sb.handler(new ChannelInitializer[Channel] {
-      override def initChannel(c: Channel): Unit =
+      override def initChannel(c: Channel): Unit = {
+        // PULL-based delivery (review r12 finding): with autoRead the
+        // whole server-streamed range would pile into the unbounded
+        // queue; with reads-on-demand the unconsumed bytes stay in the
+        // HTTP/2 flow-control window, which is what throttles the server
+        c.config().setAutoRead(false)
         c.pipeline().addLast(new ChannelInboundHandlerAdapter {
           private val acc = new FrameAccumulator
           override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit = msg match {
@@ -278,10 +329,17 @@ final class GrpcBlockFetcher(cfg: ChainSource.Config) extends BlockFetcher {
               finally { val _ = df.release() }
             case other => ctx.fireChannelRead(other)
           }
+          override def channelReadComplete(ctx: ChannelHandlerContext): Unit = {
+            // a read may end on a partial gRPC frame: keep pulling until
+            // at least one decoded event is available to the consumer
+            if (q.isEmpty) { val _ = ctx.read() }
+            ctx.fireChannelReadComplete()
+          }
           override def channelInactive(ctx: ChannelHandlerContext): Unit = {
             q.put(Eof); ctx.fireChannelInactive()
           }
         })
+      }
     })
     val sf = sb.open()
     if (!sf.awaitUninterruptibly(cfg.connectTimeoutMs, TimeUnit.MILLISECONDS) || !sf.isSuccess)
@@ -312,6 +370,12 @@ final class GrpcBlockFetcher(cfg: ChainSource.Config) extends BlockFetcher {
   }
 
   private def poll(): Event = {
+    // pull: request more from the transport only when the decoded queue
+    // is drained — unconsumed data then backs up in the flow-control
+    // window instead of on this heap
+    if (queue.isEmpty && stream != null && stream.isActive) {
+      val _ = stream.read()
+    }
     val e = queue.poll(cfg.connectTimeoutMs, TimeUnit.MILLISECONDS)
     if (e == null) throw new java.io.IOException("gRPC stream read timed out")
     e
@@ -365,11 +429,6 @@ final class GrpcBlockFetcher(cfg: ChainSource.Config) extends BlockFetcher {
     }
   }
 
-  override def close(): Unit = {
-    teardownConn()
-    if (group != null) {
-      val _ = group.shutdownGracefully(0, 100, TimeUnit.MILLISECONDS)
-      group = null
-    }
-  }
+  override def close(): Unit =
+    teardownConn() // the event-loop group is shared and daemon — never torn down
 }
