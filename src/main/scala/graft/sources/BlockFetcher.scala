@@ -23,6 +23,17 @@ import org.apache.spark.sql.catalyst.InternalRow
   *    (retried on the exponential schedule);
   *  - `close()` releases the channel when the partition is exhausted.
   *
+  * CURSOR SEMANTICS at this seam (advice r12): the in-sandbox transports
+  * mint their own `cursor-<seq>` strings meaning "resume delivery AT seq" —
+  * the seq IS the checkpointed offset, so replay is exact. A REAL
+  * substreams endpoint inverts this: the server mints an OPAQUE cursor per
+  * delivered block, the client stores the one from the last block it
+  * CONSUMED, and the server resumes AFTER it
+  * (`src/substreams_stream.rs:53-149`). An adapter for a live endpoint must
+  * therefore persist the server-minted cursor of seq-1 verbatim and send
+  * that on reopen (resume-after), not fabricate a resume-at token — sending
+  * `cursor-<seq>` to a real server would be rejected or resume off by one.
+  *
   * Select an implementation with `.option("fetcherClass", "fqcn")` — the
   * class needs a single-argument `(ChainSource.Config)` constructor. The
   * default (empty or `"synthetic"`) is [[SyntheticBlockFetcher]].

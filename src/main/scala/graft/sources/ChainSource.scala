@@ -104,11 +104,16 @@ object ChainSource {
       reorgEvery: Long, reorgDepth: Long, finalityLag: Long, numPartitions: Int,
       token: String, requireAuth: Boolean, failEvery: Long, maxRetries: Int,
       connectTimeoutMs: Long, keepaliveMs: Long, fetcherClass: String,
-      startBlock: Long, endBlock: Long, endpoint: String) {
+      startBlock: Long, endBlock: Long, endpoint: String,
+      tls: Boolean = false, readTimeoutMs: Long = 0L) {
     /** The exclusive stop position: the stream completes when the cursor
       * reaches it (reference `end_block`, `src/main.rs:63-66`; `totalBlocks`
       * is the legacy cap and still binds). */
     def stopBound: Long = math.min(totalBlocks, endBlock)
+    /** Per-message read deadline: `readTimeoutMs` when set, else the connect
+      * timeout (advice r12 — a deployment waiting at chain head must size
+      * this above the expected inter-block gap). */
+    def readTimeout: Long = if (readTimeoutMs > 0L) readTimeoutMs else connectTimeoutMs
   }
 
   /** O2 parity: the env token wins over the option, like the reference's
@@ -150,7 +155,12 @@ object ChainSource {
     // reference streams by height because its cursor is opaque).
     startBlock = o.getLong("startBlock", 0L),
     endBlock = o.getLong("endBlock", Long.MaxValue),
-    endpoint = o.getOrDefault("endpoint", ""))
+    endpoint = o.getOrDefault("endpoint", ""),
+    // TLS + ALPN h2 on the gRPC transport (the reference's
+    // ClientTlsConfig::new(), src/substreams.rs:33-50)
+    tls = o.getBoolean("tls", false),
+    // separate per-message read deadline; 0 = fall back to connectTimeoutMs
+    readTimeoutMs = o.getLong("readTimeoutMs", 0L))
 
   /** The semantic content of one envelope — the fields a real server ships
     * over the wire, separated from their InternalRow encoding so a transport
@@ -305,7 +315,8 @@ class ChainReaderFactory(cfg: ChainSource.Config) extends PartitionReaderFactory
           // frames (a desynced/hostile peer — retrying would storm it)
           current = Backoff.retry(p.cfg.maxRetries,
             isFatal = e => e.isInstanceOf[UnauthenticatedException] ||
-              e.isInstanceOf[EnvelopeWire.MalformedFrameException])(() => fetcher.fetch(seq))
+              e.isInstanceOf[EnvelopeWire.MalformedFrameException] ||
+              e.isInstanceOf[GrpcChain.NonRetryableStatusException])(() => fetcher.fetch(seq))
           true
         }
       }

@@ -7,19 +7,23 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import io.netty.bootstrap.{Bootstrap, ServerBootstrap}
 import io.netty.buffer.{ByteBuf, Unpooled}
-import io.netty.channel.{Channel, ChannelHandlerContext, ChannelInboundHandlerAdapter, ChannelInitializer}
+import io.netty.channel.{Channel, ChannelHandler, ChannelHandlerContext, ChannelInboundHandlerAdapter, ChannelInitializer}
 import io.netty.channel.nio.NioEventLoopGroup
 import io.netty.channel.socket.SocketChannel
 import io.netty.channel.socket.nio.{NioServerSocketChannel, NioSocketChannel}
 import io.netty.handler.codec.http2.{DefaultHttp2DataFrame, DefaultHttp2Headers, DefaultHttp2HeadersFrame, Http2DataFrame, Http2FrameCodecBuilder, Http2HeadersFrame, Http2MultiplexHandler, Http2StreamChannel, Http2StreamChannelBootstrap}
+import io.netty.handler.ssl.{ApplicationProtocolConfig, ApplicationProtocolNames, ApplicationProtocolNegotiationHandler, SslContext, SslContextBuilder, SslHandler, SslProvider}
+import io.netty.handler.ssl.util.InsecureTrustManagerFactory
 
 import org.apache.spark.sql.catalyst.InternalRow
 
 /** O1's LAST sandbox-closable distance: the chain transport as an actual
   * gRPC call over HTTP/2 — the same bytes the reference's tonic channel
-  * puts on the wire (`src/substreams.rs:26-77`), minus only TLS (this is
-  * h2c prior-knowledge cleartext; tonic negotiates h2 via ALPN — the
-  * framing above the transport-security layer is identical):
+  * puts on the wire (`src/substreams.rs:26-77`). With `.option("tls",
+  * "true")` the connection is TLS with ALPN-negotiated h2 (tonic's
+  * `ClientTlsConfig::new()` shape, `src/substreams.rs:33-50`); without it,
+  * h2c prior-knowledge cleartext — the framing above the
+  * transport-security layer is identical either way:
   *
   *  - HTTP/2 HEADERS open `POST /sf.substreams.rpc.v2.Stream/Blocks`
   *    with `content-type: application/grpc`, `te: trailers`, and the
@@ -104,6 +108,81 @@ object GrpcChain {
     * thread + selector each trigger (review r12 finding). */
   lazy val sharedGroup: NioEventLoopGroup = new NioEventLoopGroup(2,
     new io.netty.util.concurrent.DefaultThreadFactory("graft-grpc-client", true))
+
+  /** gRPC statuses worth retrying: DEADLINE_EXCEEDED (4), RESOURCE_EXHAUSTED
+    * (8), UNAVAILABLE (14) — the transient transport/server conditions.
+    * Every other non-zero status is DETERMINISTIC (INVALID_ARGUMENT,
+    * UNIMPLEMENTED, …): the server will reject the identical replayed
+    * request, so retrying burns the whole budget in reconnect/reopen churn
+    * before surfacing the real error (advice r12). Status 16 keeps its
+    * dedicated [[UnauthenticatedException]]. */
+  val RetryableStatuses: Set[Int] = Set(4, 8, 14)
+
+  /** A deterministic server rejection (non-0/16 grpc-status outside
+    * [[RetryableStatuses]]) — [[Backoff]] treats it as fatal. */
+  final class NonRetryableStatusException(val code: Int, message: String)
+    extends RuntimeException(s"grpc-status $code (non-retryable): $message")
+
+  // ---- TLS + ALPN (the reference's transport security) ---------------------
+  //
+  // The reference's tonic channel is TLS with ALPN-negotiated h2
+  // (`src/substreams.rs:33-50`: `tls_config(ClientTlsConfig::new())` — tonic
+  // advertises "h2" in the ALPN extension and fails the connection unless
+  // the server selects it). Same machinery here via Netty's SslContext on
+  // the Spark classpath: the server's certificate is a self-signed RSA
+  // keypair minted once per JVM by the JDK's own keytool (no new
+  // dependency); the client trusts it insecurely — the reference trusts the
+  // system roots, and the negotiation layers above the trust decision
+  // (ALPN h2, TLS record framing around HTTP/2) are what this closes.
+
+  val TlsPassword = "graft-loopback-tls"
+
+  private lazy val serverKeyManager: javax.net.ssl.KeyManagerFactory = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-grpc-tls")
+    dir.toFile.deleteOnExit()
+    val ksFile = dir.resolve("server.p12").toFile
+    ksFile.deleteOnExit()
+    val keytool = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "keytool")
+    val p = new ProcessBuilder(
+      keytool.getAbsolutePath, "-genkeypair", "-alias", "graft",
+      "-keyalg", "RSA", "-keysize", "2048", "-validity", "2",
+      "-dname", "CN=127.0.0.1", "-ext", "SAN=IP:127.0.0.1,DNS:localhost",
+      "-storetype", "PKCS12", "-keystore", ksFile.getAbsolutePath,
+      "-storepass", TlsPassword, "-keypass", TlsPassword)
+      .redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+    if (p.waitFor() != 0)
+      throw new IllegalStateException(s"keytool self-signed cert generation failed: $out")
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val in = new java.io.FileInputStream(ksFile)
+    try ks.load(in, TlsPassword.toCharArray) finally in.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, TlsPassword.toCharArray)
+    kmf
+  }
+
+  /** ALPN offering exactly "h2" — tonic's advertisement. JDK provider:
+    * Java 17's SSLEngine speaks ALPN natively. */
+  private def alpnH2: ApplicationProtocolConfig = new ApplicationProtocolConfig(
+    ApplicationProtocolConfig.Protocol.ALPN,
+    ApplicationProtocolConfig.SelectorFailureBehavior.NO_ADVERTISE,
+    ApplicationProtocolConfig.SelectedListenerFailureBehavior.ACCEPT,
+    ApplicationProtocolNames.HTTP_2)
+
+  lazy val serverSslContext: SslContext =
+    SslContextBuilder.forServer(serverKeyManager)
+      .sslProvider(SslProvider.JDK)
+      .applicationProtocolConfig(alpnH2)
+      .build()
+
+  lazy val clientSslContext: SslContext =
+    SslContextBuilder.forClient()
+      .sslProvider(SslProvider.JDK)
+      .trustManager(InsecureTrustManagerFactory.INSTANCE)
+      .applicationProtocolConfig(alpnH2)
+      .build()
 }
 
 /** gRPC server half: Http2FrameCodec + multiplexed per-stream handlers.
@@ -111,17 +190,33 @@ object GrpcChain {
   * first time a seq is about to be served — the mid-stream fault the
   * client must survive by reconnect + cursor-resume. `garbageAtSeqs`
   * replaces the response with undecodable protobuf — the hostile-peer
-  * case that must be FATAL client-side. */
+  * case that must be FATAL client-side. `statusAtSeqs` terminates the
+  * stream with that grpc-status in trailers when the seq comes up — the
+  * deterministic-rejection case (must be fatal unless the status is in
+  * [[GrpcChain.RetryableStatuses]]). With `cfg.tls` the listener wraps
+  * every accepted connection in TLS and only installs the HTTP/2 stack
+  * after ALPN selects h2 (negotiated protocols are recorded in
+  * [[alpnNegotiated]] for assertion). */
 final class GrpcChainServer(cfg: ChainSource.Config,
     failOnceAtSeqs: Set[Long] = Set.empty,
-    garbageAtSeqs: Set[Long] = Set.empty) extends AutoCloseable {
+    garbageAtSeqs: Set[Long] = Set.empty,
+    statusAtSeqs: Map[Long, Int] = Map.empty) extends AutoCloseable {
   import GrpcChain._
 
   val accepts = new AtomicInteger(0)
   /** Streams (gRPC calls) opened — ONE per partition on a clean read. */
   val calls = new AtomicInteger(0)
   val served = new ConcurrentHashMap[Long, Integer]()
+  /** ALPN outcome per TLS connection (empty when cfg.tls is off). */
+  val alpnNegotiated = new java.util.concurrent.CopyOnWriteArrayList[String]()
   private val dropped = ConcurrentHashMap.newKeySet[Long]()
+
+  private def h2Stack(): Array[ChannelHandler] = Array(
+    Http2FrameCodecBuilder.forServer().build(),
+    new Http2MultiplexHandler(new ChannelInitializer[Channel] {
+      override def initChannel(c: Channel): Unit =
+        c.pipeline().addLast(new StreamHandler)
+    }))
 
   private val group = new NioEventLoopGroup(2)
   private val bound = new ServerBootstrap()
@@ -130,12 +225,19 @@ final class GrpcChainServer(cfg: ChainSource.Config,
     .childHandler(new ChannelInitializer[SocketChannel] {
       override def initChannel(ch: SocketChannel): Unit = {
         accepts.incrementAndGet()
-        ch.pipeline().addLast(
-          Http2FrameCodecBuilder.forServer().build(),
-          new Http2MultiplexHandler(new ChannelInitializer[Channel] {
-            override def initChannel(c: Channel): Unit =
-              c.pipeline().addLast(new StreamHandler)
-          }))
+        if (cfg.tls) {
+          ch.pipeline().addLast(serverSslContext.newHandler(ch.alloc()))
+          // fallback "" (not h2): a peer that skipped ALPN entirely must be
+          // rejected, not silently served — tonic always advertises
+          ch.pipeline().addLast(new ApplicationProtocolNegotiationHandler("") {
+            override def configurePipeline(ctx: ChannelHandlerContext, protocol: String): Unit = {
+              alpnNegotiated.add(protocol)
+              if (protocol != ApplicationProtocolNames.HTTP_2)
+                throw new IllegalStateException(s"ALPN selected '$protocol', require h2")
+              ctx.pipeline().addLast(h2Stack(): _*)
+            }
+          })
+        } else ch.pipeline().addLast(h2Stack(): _*)
       }
     })
     .bind(new InetSocketAddress("127.0.0.1", 0)).syncUninterruptibly()
@@ -209,6 +311,19 @@ final class GrpcChainServer(cfg: ChainSource.Config,
     private def pump(ctx: ChannelHandlerContext): Unit = {
       while (pumping && pumpSeq < pumpStop && ctx.channel().isWritable) {
         val seq = pumpSeq
+        statusAtSeqs.get(seq) match {
+          case Some(code) =>
+            // deterministic rejection mid-stream: trailers with the status,
+            // stream ends — the client must NOT burn retries on non-transient
+            // codes (advice r12)
+            pumping = false
+            val trailers = new DefaultHttp2Headers()
+            trailers.set("grpc-status", code.toString)
+            trailers.set("grpc-message", s"injected status $code at seq $seq")
+            ctx.writeAndFlush(new DefaultHttp2HeadersFrame(trailers, true))
+            return
+          case None => ()
+        }
         served.merge(seq, 1, (a, b) => a + b)
         if (failOnceAtSeqs.contains(seq) && dropped.add(seq)) {
           // kill the CONNECTION mid-stream: every stream on it EOFs,
@@ -285,6 +400,12 @@ final class GrpcBlockFetcher(cfg: ChainSource.Config) extends BlockFetcher {
           if (cfg.keepaliveMs > 0)
             ch.config().setOption(io.netty.channel.ChannelOption.SO_KEEPALIVE,
               java.lang.Boolean.TRUE)
+          // with TLS the codec sits BEHIND the SslHandler: its connection
+          // preface is queued by the handler until the handshake completes,
+          // then travels inside TLS records — tonic's exact layering
+          if (cfg.tls)
+            ch.pipeline().addLast(
+              GrpcChain.clientSslContext.newHandler(ch.alloc(), host, portStr.toInt))
           ch.pipeline().addLast(
             Http2FrameCodecBuilder.forClient().build(),
             new Http2MultiplexHandler(new ChannelInboundHandlerAdapter))
@@ -296,6 +417,20 @@ final class GrpcBlockFetcher(cfg: ChainSource.Config) extends BlockFetcher {
     if (!f.isSuccess)
       throw new java.io.IOException(s"connect to ${cfg.endpoint} failed", f.cause())
     conn = f.channel()
+    if (cfg.tls) {
+      // block for the handshake so ALPN can be VERIFIED before the call
+      // opens — tonic fails the connect unless the server selected h2
+      val ssl = conn.pipeline().get(classOf[SslHandler])
+      val hs = ssl.handshakeFuture()
+      if (!hs.awaitUninterruptibly(cfg.connectTimeoutMs, TimeUnit.MILLISECONDS))
+        throw new java.io.IOException(s"TLS handshake with ${cfg.endpoint} timed out")
+      if (!hs.isSuccess)
+        throw new java.io.IOException(s"TLS handshake with ${cfg.endpoint} failed", hs.cause())
+      val proto = ssl.applicationProtocol()
+      if (proto != io.netty.handler.ssl.ApplicationProtocolNames.HTTP_2)
+        throw new java.io.IOException(
+          s"ALPN with ${cfg.endpoint} selected '$proto', need h2")
+    }
   }
 
   /** Open the call: HEADERS (+auth) then the one framed Request. */
@@ -347,7 +482,7 @@ final class GrpcBlockFetcher(cfg: ChainSource.Config) extends BlockFetcher {
         if (sf.isSuccess) null else sf.cause())
     val s = sf.getNow
     val h = new DefaultHttp2Headers()
-    h.method("POST").scheme("http").path(BlocksPath)
+    h.method("POST").scheme(if (cfg.tls) "https" else "http").path(BlocksPath)
       .authority(s"$host:$portStr")
     h.set("content-type", "application/grpc")
     h.set("te", "trailers")
@@ -376,8 +511,13 @@ final class GrpcBlockFetcher(cfg: ChainSource.Config) extends BlockFetcher {
     if (queue.isEmpty && stream != null && stream.isActive) {
       val _ = stream.read()
     }
-    val e = queue.poll(cfg.connectTimeoutMs, TimeUnit.MILLISECONDS)
-    if (e == null) throw new java.io.IOException("gRPC stream read timed out")
+    // readTimeoutMs is its own deadline (advice r12): a server legitimately
+    // quiet longer than the CONNECT timeout — e.g. waiting at chain head —
+    // must not be mistaken for a hang and reconnect-cycled
+    val e = queue.poll(cfg.readTimeout, TimeUnit.MILLISECONDS)
+    if (e == null)
+      throw new java.io.IOException(
+        s"gRPC stream read timed out after ${cfg.readTimeout} ms")
     e
   }
 
@@ -409,8 +549,12 @@ final class GrpcBlockFetcher(cfg: ChainSource.Config) extends BlockFetcher {
           case Status(0, _) =>
             throw new java.io.IOException(
               s"server completed the stream before seq $seq was served")
+          case Status(code, m) if GrpcChain.RetryableStatuses(code) =>
+            throw new java.io.IOException(s"grpc-status $code (transient): $m")
           case Status(code, m) =>
-            throw new java.io.IOException(s"grpc-status $code: $m")
+            // deterministic rejection: the identical replay would get the
+            // identical status — fatal, no reconnect churn (advice r12)
+            throw new GrpcChain.NonRetryableStatusException(code, m)
           case Broken(cause) => throw cause
           case Eof =>
             throw new java.io.IOException(s"connection dropped mid-stream at seq $seq")
@@ -418,10 +562,12 @@ final class GrpcBlockFetcher(cfg: ChainSource.Config) extends BlockFetcher {
       }
       throw new IllegalStateException("unreachable")
     } catch {
-      // same taxonomy as the loopback: malformed/auth fatal, IO retryable,
-      // nothing may leave the stream desynced for the next fetch
+      // same taxonomy as the loopback: malformed/auth/deterministic-status
+      // fatal, IO retryable, nothing may leave the stream desynced for the
+      // next fetch
       case e: EnvelopeWire.MalformedFrameException => teardownConn(); throw e
       case e: UnauthenticatedException => teardownConn(); throw e
+      case e: GrpcChain.NonRetryableStatusException => teardownConn(); throw e
       case e: java.io.IOException => teardownConn(); throw e
       case scala.util.control.NonFatal(e) =>
         teardownConn()
