@@ -11,6 +11,11 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Materialization-barrier cadence for iterative loops: checkpoint every
+    * k-th round, not every round (VERDICT r12 #3 — the barrier count, not
+    * the compute, dominated pageRank's wall time). */
+  val CheckpointEvery = 3
+
   /** PageRank over an UNDIRECTED edge list (id1, id2), `iterations` fixed
     * power-iteration rounds at damping `d`:
     *
@@ -27,11 +32,18 @@ object Graph {
     * spread (~1e-16·deg) sits far below the 5e-11 rounding boundary.
     *
     * Scale shape: per iteration ONE equi-join (edges ⋈ ranks on the
-    * source) and one dst-keyed aggregate — both key-partitioned; ranks are
-    * localCheckpointed each round so the plan does not deepen with
-    * iterations, round i's blocks are freed eagerly once round i+1
-    * materializes, and only the final generation (plus sym/deg) is
-    * rotation-registered. The driver sees one scalar (the node count). */
+    * source) and one dst-keyed aggregate — both key-partitioned. Ranks are
+    * localCheckpointed every [[CheckpointEvery]] rounds (and on the last):
+    * the quantization fence needs a DETERMINISTIC frame per round, not a
+    * MATERIALIZED one — each round's own rounding absorbs its reduction-
+    * order spread whether the round runs lazily inside the next barrier's
+    * job or eagerly (VERDICT r12 #3). Between barriers the plan is a chain
+    * of ≤[[CheckpointEvery]] join+agg stages evaluated ONCE at the barrier
+    * (each lazy generation has exactly one consumer — no recompute), so 10
+    * serial materialization barriers collapse to 4 with identical output.
+    * A barrier's blocks are freed once the next barrier materializes; only
+    * the final generation (plus sym/deg) is rotation-registered. The
+    * driver sees one scalar (the node count). */
   def pageRank(edges: DataFrame, iterations: Int = 10,
       damping: Double = 0.85, checkpointKey: String = "Graph.pageRank"): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
@@ -48,15 +60,15 @@ object Graph {
       return sym.select(col("src").as("id"), lit(0.0).as("rank")).limit(0)
     }
     var ranks = deg.select(col("src").as("id"), lit(1.0 / n).as("rank"))
-    // round i's checkpoint blocks are dead the moment round i+1's eager
-    // localCheckpoint materializes (the new frame is a fresh LogicalRDD, it
-    // never re-reads the old blocks) — free them immediately instead of
-    // retaining all `iterations` generations until the next invocation's
+    // a barrier's checkpoint blocks are dead the moment the next barrier's
+    // eager localCheckpoint materializes (the new frame is a fresh
+    // LogicalRDD, it never re-reads the old blocks) — free them immediately
+    // instead of retaining every generation until the next invocation's
     // rotation (the connectedComponents discipline). Only loop-created
     // checkpoints are freed here: the round-1 `ranks` is a lazy projection
-    // over `deg`, whose blocks rounds 2..n still read.
+    // over `deg`, whose blocks later rounds still read.
     var prevLoopCkpt: DataFrame = null
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contribs = sym
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .join(deg, "src")
@@ -64,9 +76,15 @@ object Graph {
       ranks = contribs.groupBy(col("id"))
         .agg(round(lit((1 - damping) / n) + lit(damping) * sum(col("c")), 10)
           .as("rank"))
-        .localCheckpoint()
-      if (prevLoopCkpt ne null) Dedup.unpersistCheckpoint(prevLoopCkpt)
-      prevLoopCkpt = ranks
+      // materialize only every CheckpointEvery-th round (and the last):
+      // between barriers each lazy generation has exactly one consumer, so
+      // the chained join+agg stages run once inside the barrier's job —
+      // same shuffles, a third of the serial materialization barriers
+      if (i % CheckpointEvery == 0 || i == iterations) {
+        ranks = ranks.localCheckpoint()
+        if (prevLoopCkpt ne null) Dedup.unpersistCheckpoint(prevLoopCkpt)
+        prevLoopCkpt = ranks
+      }
     }
     // register only the frames the returned plan (or a re-invocation) can
     // still touch: sym, deg, and the final ranks generation

@@ -190,17 +190,37 @@ object Ranking {
 
   private def writeIncrGeneration(docs: DataFrame, textCol: String,
       idCol: String, dir: String): Unit = {
+    val (postings, dl, globals) = incrFrames(docs, textCol, idCol)
+    postings.write.mode("append").partitionBy("t_bucket").parquet(dir + "/postings")
+    dl.write.mode("append").parquet(dir + "/doclen")
+    globals.write.mode("append").parquet(dir + "/globals")
+  }
+
+  private def incrFrames(docs: DataFrame, textCol: String,
+      idCol: String): (DataFrame, DataFrame, DataFrame) = {
     val dl = docs.select(col(idCol).as("id"),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
-    docs.select(col(idCol).as("id"),
+    val postings = docs.select(col(idCol).as("id"),
         explode(TextAnalysis.tokens(col(textCol))).as("t"))
       .groupBy(col("id"), col("t")).agg(count(lit(1)).as("tf"))
       .withColumn("t_bucket",
         pmod(graft.functions.Fnv.fnv1a64(col("t")), lit(PostingsBuckets)))
-      .write.mode("append").partitionBy("t_bucket").parquet(dir + "/postings")
-    dl.write.mode("append").parquet(dir + "/doclen")
-    dl.agg(count(lit(1)).as("n_part"), sum(col("dl")).as("dl_sum"))
-      .write.mode("append").parquet(dir + "/globals")
+    val globals = dl.agg(count(lit(1)).as("n_part"), sum(col("dl")).as("dl_sum"))
+    (postings, dl, globals)
+  }
+
+  /** Idempotent [[bm25Append]]: each of the three store components is
+    * published with `tag`-named generation files (StoreCompaction
+    * .appendKeyed), so a replayed micro-batch overwrites its own
+    * generation — no duplicate postings/doclen/globals rows (VERDICT r12
+    * #6). The globals PARTIAL row stays one-per-batch: a replaced file
+    * still holds exactly one partial. */
+  def bm25AppendKeyed(delta: DataFrame, textCol: String, idCol: String,
+      storeDir: String, tag: String): Unit = {
+    val (postings, dl, globals) = incrFrames(delta, textCol, idCol)
+    StoreCompaction.appendKeyed(postings, storeDir + "/postings", Seq("t_bucket"), tag)
+    StoreCompaction.appendKeyed(dl, storeDir + "/doclen", Nil, tag)
+    StoreCompaction.appendKeyed(globals, storeDir + "/globals", Nil, tag)
   }
 
   /** Content-keyed INCREMENTAL store for the `rank_bm25_incremental` lane:

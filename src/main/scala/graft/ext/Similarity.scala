@@ -228,6 +228,17 @@ object Similarity {
       .write.mode("append").partitionBy("ivf_cell").parquet(s"$path/assigned")
   }
 
+  /** Idempotent [[ivfAppend]]: generation files are named by `tag` (the
+    * caller's batch id), so a REPLAYED append overwrites its own files
+    * instead of duplicating rows — the streaming index maintenance's
+    * exactly-once closure (VERDICT r12 #6). */
+  def ivfAppendKeyed(spark: org.apache.spark.sql.SparkSession, path: String,
+      delta: DataFrame, idCol: String, vecCol: String, tag: String): Unit = {
+    val cents = ivfRead(spark, path).centroids
+    StoreCompaction.appendKeyed(ivfAssign(delta, idCol, vecCol, cents),
+      s"$path/assigned", Seq("ivf_cell"), tag)
+  }
+
   /** Reload a persisted index (probe-only sessions; k centroid rows is the
     * only driver-side data). */
   def ivfRead(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {

@@ -3,7 +3,8 @@ package graft.ext
 import java.io.File
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Compaction for the append-mode partitioned stores (the IVF `assigned`
   * layout, the signature store): every `mode("append")` generation leaves
@@ -89,6 +90,60 @@ object StoreCompaction {
       }
     entries.filter(_.getFileName.toString.startsWith(".compact_tmp_"))
       .foreach(deleteRecursively) // never data — the old/part copy wins
+  }
+
+  /** IDEMPOTENT append: publish `df` into the partitioned store at
+    * `rootPath` with every data file named `<tag>-<i>.parquet` — so a
+    * REPLAYED append under the same tag overwrites its own generation
+    * instead of accreting a duplicate (VERDICT r12 #6: the streaming index
+    * maintenance keys `tag` by micro-batch id, closing the one-batch
+    * re-ingest window between its two store appends and the cursor write).
+    *
+    * Protocol: write to a dot-prefixed tmp dir inside the store (invisible
+    * to Spark's file listing), then per leaf partition delete any files of
+    * a previous attempt of THIS tag and move the new ones in with
+    * deterministic names (same-filesystem atomic moves). A crash at any
+    * point leaves either dot-prefixed residue (swept on the next call —
+    * single-writer discipline, as [[recover]]) or a partially-published
+    * generation, and the replay regenerates exactly the missing files.
+    * `df` is hash-repartitioned on the partition columns first, so each
+    * leaf receives exactly one file per tag (no coalesce barrier; an
+    * unpartitioned store gets a single file via coalesce(1) — these
+    * appends are micro-batch-sized). */
+  def appendKeyed(df: DataFrame, rootPath: String, partitionCols: Seq[String],
+      tag: String): Unit = {
+    require(tag.nonEmpty && tag.matches("[A-Za-z0-9_-]+"), s"bad tag '$tag'")
+    val root = Paths.get(rootPath)
+    Files.createDirectories(root)
+    import scala.jdk.CollectionConverters._
+    Files.list(root).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith(".append_tmp_"))
+      .foreach(deleteRecursively) // crash residue of any prior attempt
+    val tmp = root.resolve(s".append_tmp_$tag")
+    val base =
+      if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*)
+      else df.coalesce(1)
+    val w = base.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
+    val tmpFile = tmp.toFile
+    val leaves = if (partitionCols.isEmpty) Seq(tmpFile) else leafDirs(tmpFile)
+    leaves.foreach { leaf =>
+      val rel = tmpFile.toPath.relativize(leaf.toPath).toString
+      val destDir = if (rel.isEmpty) root else root.resolve(rel)
+      Files.createDirectories(destDir)
+      // clear the previous generation of THIS tag first: a replayed batch
+      // replaces its own files, never another batch's
+      Option(destDir.toFile.listFiles()).getOrElse(Array.empty[File])
+        .filter(f => f.isFile && f.getName.startsWith(s"$tag-"))
+        .foreach(f => Files.delete(f.toPath))
+      leaf.listFiles().filter(isData).sortBy(_.getName).zipWithIndex.foreach {
+        case (p, i) =>
+          Files.move(p.toPath, destDir.resolve(s"$tag-$i.parquet"),
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    deleteRecursively(tmp)
   }
 
   /** Rewrite every leaf partition of the partitioned parquet store at

@@ -125,6 +125,37 @@ object RefShapes {
     // codegen'd wire decoder and projected back to typed columns. The DuckDB
     // oracle computes the expected output straight from events — the byte
     // layout itself is pinned by ProtoWireSpec's golden vectors.
+    // O13: the sink's wire format — ClickHouse RowBinary positional tuples
+    // in sorted-column order (reference src/table_info.rs:73-167 via the
+    // forked SchemaInserter, src/loader.rs:6-29). Each orders row's string
+    // values are encoded with the real sink encoder (graft.sink.RowBinary,
+    // golden-byte-pinned in RowBinarySpec) and surfaced as hex; the DuckDB
+    // oracle reconstructs the same bytes from the format spec — an
+    // independent replay of varint/LE/zero-pad layout on real data.
+    "pipe_o13_rowbinary" -> ((s, d) => {
+      import graft.model.{ChColumn, ChTable}
+      import graft.model.ChType._
+      import graft.sink.RowBinary
+      val table = ChTable("orders", Seq(
+        ChColumn("o_custkey", ChUInt64),
+        ChColumn("o_orderdate", ChDateTime),
+        ChColumn("o_orderkey", ChUInt64),
+        ChColumn("o_orderpriority", ChString),
+        ChColumn("o_orderstatus", ChFixedString(2))))
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          map(
+            lit("o_custkey"), col("o_custkey").cast("string"),
+            lit("o_orderdate"), unix_timestamp(col("o_orderdate")).cast("string"),
+            lit("o_orderkey"), col("o_orderkey").cast("string"),
+            lit("o_orderpriority"), col("o_orderpriority"),
+            lit("o_orderstatus"), col("o_orderstatus")).as("fields"))
+        .select(col("o_orderkey"),
+          hex(RowBinary.rowbinary_encode(col("fields"), table)).as("rb_hex"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "pipe_o8_decode" -> ((s, d) => {
       import graft.functions.ProtoWire
       val enc = Tables.events(s, d)
@@ -146,7 +177,24 @@ object RefShapes {
     })
   )
 
+  /** LE byte-string of `expr` at `width` bytes, as DuckDB SQL (the oracle's
+    * independent replay of the RowBinary little-endian layout). */
+  private def leHex(expr: String, width: Int): String =
+    (0 until width).map(i => s"lpad(to_hex(($expr >> ${8 * i}) & 255), 2, '0')")
+      .mkString(" || ")
+
   def oracles: Map[String, String] = Map(
+    "pipe_o13_rowbinary" ->
+      s"""SELECT o_orderkey, upper(
+         |  ${leHex("o_custkey", 8)}
+         |  || ${leHex("CAST(epoch(o_orderdate) AS BIGINT)", 4)}
+         |  || ${leHex("o_orderkey", 8)}
+         |  || lpad(to_hex(length(o_orderpriority)), 2, '0') || hex(o_orderpriority)
+         |  || hex(o_orderstatus) || repeat('00', 2 - length(o_orderstatus))
+         |) AS rb_hex
+         |FROM orders WHERE o_orderkey < 2000
+         |ORDER BY o_orderkey""".stripMargin,
+
     "ref_q1_columns_lookup" ->
       """SELECT p_name AS column_name, p_brand AS data_type FROM part
         |WHERE p_type = 'ECONOMY' AND p_size = 10

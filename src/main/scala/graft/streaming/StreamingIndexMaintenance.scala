@@ -28,16 +28,19 @@ import graft.ext.{Ranking, Similarity, StoreCompaction}
   * atomic publish + orphan recovery).
   *
   * Exactly-once discipline = the sink's cursor contract (O14/O15,
-  * reference `src/loader.rs` cursor-after-data): the batch id is
-  * persisted WRITE-LAST at the composition root after BOTH appends; a
-  * replayed micro-batch (restart re-delivers the last uncommitted batch)
-  * compares its id against the cursor and SKIPS — so graceful restarts
-  * and replay-after-commit never double-append. The residual window
-  * (crash between the second append and the cursor write) re-applies one
-  * batch, exactly the reference's exposure — it closes there via
-  * ClickHouse replace-on-PK; here the deployment closes it by keying
-  * batches upstream or accepting one-batch re-ingest, and the spec pins
-  * the skip path so the window never widens silently.
+  * reference `src/loader.rs` cursor-after-data) PLUS batch-keyed
+  * generation files: the batch id is persisted WRITE-LAST at the
+  * composition root after BOTH appends, and a replayed micro-batch
+  * (restart re-delivers the last uncommitted batch) compares its id
+  * against the cursor and SKIPS. The residual window that used to
+  * re-ingest one batch (crash between the first append and the cursor
+  * write) is CLOSED as of round 13: every append publishes its files as
+  * `batch<id>-<i>.parquet` ([[graft.ext.StoreCompaction.appendKeyed]]),
+  * so a replay OVERWRITES its own half-published generation instead of
+  * appending a duplicate — the same replace-on-key discipline the
+  * reference gets from ClickHouse replace-on-PK. Compaction (which
+  * renames files away from their batch keys) runs only AFTER the cursor
+  * write, so every compacted batch is already skip-guarded.
   */
 object StreamingIndexMaintenance {
 
@@ -81,10 +84,12 @@ object StreamingIndexMaintenance {
     // the batch frame feeds two independent writes — materialize once
     val b = batch.select(col(idCol), col(textCol), col(vecCol)).localCheckpoint()
     try {
-      Similarity.ivfAppend(spark, s"$rootDir/ivf",
-        b.select(col(idCol), col(vecCol)), idCol, vecCol)
-      Ranking.bm25Append(b.select(col(idCol), col(textCol)), textCol, idCol,
-        s"$rootDir/bm25")
+      // batch-keyed (idempotent) appends: a replay after a crash between
+      // these two lines overwrites its own generation files (r12 #6)
+      Similarity.ivfAppendKeyed(spark, s"$rootDir/ivf",
+        b.select(col(idCol), col(vecCol)), idCol, vecCol, s"batch$batchId")
+      Ranking.bm25AppendKeyed(b.select(col(idCol), col(textCol)), textCol, idCol,
+        s"$rootDir/bm25", s"batch$batchId")
       writeCursor(rootDir, batchId) // write-LAST: data before cursor (O14)
       // compaction AFTER the cursor: it only rewrites published files, so
       // a crash mid-compact never interacts with replay bookkeeping

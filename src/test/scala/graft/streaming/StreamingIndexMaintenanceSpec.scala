@@ -131,4 +131,45 @@ class StreamingIndexMaintenanceSpec extends SparkSpec {
     assert(maxLeafFiles(s"$root/ivf/assigned") <= 2,
       "assigned leaves must stay compacted at the configured bound")
   }
+
+  test("idempotent replay: a crash between the two appends re-applies with zero duplicates (r12 #6)") {
+    val base = Files.createTempDirectory("graft_stream_idem").toString
+    val root = s"$base/store"
+    val seedIds = (0L until 30L)
+    StreamingIndexMaintenance.initStores(frame(seedIds), root,
+      "doc_id", "text", "embedding", nCells = 3)
+
+    // batch 0 CRASHES after the IVF append, before the BM25 append and the
+    // cursor write: simulate by running only the first keyed append
+    val delta = frame(30L until 40L)
+    Similarity.ivfAppendKeyed(spark, s"$root/ivf",
+      delta.select(col("doc_id"), col("embedding")), "doc_id", "embedding", "batch0")
+    assert(StreamingIndexMaintenance.readCursor(root) === -1L,
+      "the crash happened before the cursor write")
+    // half-published state: IVF already holds the batch
+    assert(Similarity.ivfRead(spark, s"$root/ivf").assigned.count() === 40)
+
+    // restart re-delivers batch 0 → the keyed appends overwrite the
+    // half-published generation instead of duplicating it
+    val applied = StreamingIndexMaintenance.applyBatch(delta, 0L, root,
+      "doc_id", "text", "embedding")
+    assert(applied, "a batch above the cursor must apply")
+    assert(StreamingIndexMaintenance.readCursor(root) === 0L)
+    assert(Similarity.ivfRead(spark, s"$root/ivf").assigned.count() === 40,
+      "replayed IVF append must not duplicate the crashed generation")
+    assertProbeParity(root, 0L until 40L)
+
+    // and a SECOND full replay of the same batch (cursor manually reset —
+    // the skip-guard removed) still changes nothing: pure idempotence
+    StreamingIndexMaintenance.writeCursor(root, -1L)
+    val applied2 = StreamingIndexMaintenance.applyBatch(delta, 0L, root,
+      "doc_id", "text", "embedding")
+    assert(applied2)
+    assert(Similarity.ivfRead(spark, s"$root/ivf").assigned.count() === 40)
+    assert(spark.read.parquet(s"$root/bm25/doclen").count() === 40,
+      "doclen must hold exactly one row per doc after a double apply")
+    assert(spark.read.parquet(s"$root/bm25/globals").count() === 2,
+      "globals must hold exactly one partial per generation (seed + batch0)")
+    assertProbeParity(root, 0L until 40L)
+  }
 }
