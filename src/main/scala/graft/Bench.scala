@@ -122,6 +122,16 @@ object Bench {
         s"""{"metric":"total","value":$total,"unit":"sec","min":${fmt(totalMin)},"max":${fmt(totalMax)},"failures":$failures,"reps":$reps,"calib_ref_start_sec":${fmtD(calibStart)},"loadavg_start":"$loadStart","queries":$allQs,"bands":$allBands,"sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // The CANONICAL record (VERDICT r12 #8): driver sweeps overwrite
+      // BENCH_DETAIL.json on every run — including sweeps taken on a loaded
+      // co-tenant box — which shadowed the committed quiet-box record in the
+      // r12 working tree. A run taken under the quiet gate (builder sets
+      // SPARK_GRAFT_CANONICAL=1 after checking probe <= 0.25 s and
+      // loadavg < 2) ALSO writes BENCH_CANONICAL.json, which ordinary
+      // sweeps never touch — that file is the round's record.
+      if (sys.env.get("SPARK_GRAFT_CANONICAL").contains("1"))
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_CANONICAL.json"),
+          detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     val calibEnd = Seq.fill(3)(calibProbe()).sorted.apply(1)
     val calib = s""""calib_ref_sec":{"start":${fmtD(calibStart)},"end":${fmtD(calibEnd)}},"loadavg":{"start":"$loadStart","end":"${loadavg()}"}"""

@@ -144,21 +144,26 @@ object CboStats {
     require(df.schema(column).dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"histogram stats need a numeric column, got $column")
-    val bins = Profile.equiDepthHistogram(df, column, idCol, buckets,
+    val rows = Profile.equiDepthHistogram(df, column, idCol, buckets,
         sampleRate, withNdv = true)
       .orderBy(org.apache.spark.sql.functions.col("bucket"))
       .collect()
-      .map(r => HistogramBin(
-        lo = r.getAs[Any]("lo").toString.toDouble,
-        hi = r.getAs[Any]("hi").toString.toDouble,
-        ndv = r.getAs[Long]("ndv")))
+    val bins = rows.map(r => HistogramBin(
+      lo = r.getAs[Any]("lo").toString.toDouble,
+      hi = r.getAs[Any]("hi").toString.toDouble,
+      ndv = r.getAs[Long]("ndv")))
     // an all-NULL column (or empty table) yields zero bins: publishing
     // Histogram(NaN, []) would poison every FilterEstimation walk on the
     // column — fail loudly instead (review r12 finding)
     require(bins.nonEmpty,
       s"$table.$column produced no histogram bins (all-NULL or empty) — nothing to publish")
-    val total = df.filter(org.apache.spark.sql.functions.col(column).isNotNull).count()
-    val hist = Histogram(height = total.toDouble / bins.length, bins = bins)
+    // total mass from the ALREADY-COLLECTED bin counts, scaled back by the
+    // sample rate (advice r12: no second full-table scan, and no mixing a
+    // full-table height with sampled bins). Under sampling the bin NDVs are
+    // the SAMPLE's — an undercount the equality estimator inherits; the
+    // bounds and relative masses are what the sample fence buys.
+    val total = rows.map(_.getAs[Long]("n")).sum / sampleRate
+    val hist = Histogram(height = total / bins.length, bins = bins)
     // feed() rebuilds a column's stat wholesale ("freshly fed columns
     // win"), so COPY the column's previous stat and set only the
     // histogram — a refresh must never strip NDV/min-max (the
@@ -172,7 +177,9 @@ object CboStats {
   }
 
   /** Row count already published for `table` (histogram feeds must not
-    * regress the rowCount the profile feed established). */
+    * regress the rowCount the profile feed established). The `count()`
+    * fallback is ONE extra scan and fires only when no stats were ever
+    * published for the table (advice r12: documented, not hidden). */
   private def rowsOf(s: SparkSession, table: String): Long =
     s.sessionState.catalog.getTableMetadata(TableIdentifier(table))
       .stats.flatMap(_.rowCount).map(_.toLong)

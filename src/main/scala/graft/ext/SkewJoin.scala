@@ -49,6 +49,41 @@ object SkewJoin {
     * (not a second input scan) attached by broadcast; the top-k is
     * TakeOrdered. Nothing global-sorts, nothing re-reads.
     */
+  /** What [[advisedJoin]] decided and why — the measured max skew factor
+    * against the threshold, plus the heaviest key's identity and share. */
+  final case class SkewDecision(maxSkew: Double, threshold: Double,
+      salted: Boolean, hotKey: Option[String], hotShare: Double)
+
+  /** Measure-then-pick (VERDICT r12 #9): run [[keySkew]] on the big side's
+    * join key and choose the strategy from the report — at or above
+    * `skewThreshold` the join is salted ([[saltedJoin]]); below it the
+    * plain equi-join runs and AQE's runtime skew split remains the safety
+    * net (AdaptiveSkewSpec). Both arms produce BYTE-IDENTICAL results
+    * (salting never changes the answer — SkewJoinSpec pins the flip in
+    * both directions), so the advisory is free to decide per run.
+    *
+    * Cost: the measurement is ONE map-side-combined count aggregate over
+    * the big side and a k-row collect — at 100 TB, reuse a frame you
+    * already aggregate (profile stats, the keySkew diagnostics lane)
+    * rather than paying a dedicated scan per join. */
+  def advisedJoin(big: DataFrame, small: DataFrame, key: String,
+      skewThreshold: Double = 4.0, salt: Int = 8, joinType: String = "inner",
+      k: Int = 5): (DataFrame, SkewDecision) = {
+    val top = keySkew(big, key, k).collect() // k rows, driver-bounded
+    // keySkew orders by cnt desc and skew is proportional to cnt, so the
+    // first row carries the max skew factor
+    val hot = top.headOption
+    val maxSkew = hot.map(_.getAs[Double]("skew")).getOrElse(0.0)
+    val decision = SkewDecision(maxSkew, skewThreshold,
+      salted = maxSkew >= skewThreshold,
+      hotKey = hot.map(r => String.valueOf(r.get(0))),
+      hotShare = hot.map(_.getAs[Double]("share")).getOrElse(0.0))
+    val joined =
+      if (decision.salted) saltedJoin(big, small, key, salt, joinType)
+      else big.join(small, big(key) === small(key), joinType).drop(small(key))
+    (joined, decision)
+  }
+
   def keySkew(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
     val globals = counts.agg(sum(col("cnt")).as("n_rows"),

@@ -454,6 +454,36 @@ object Extensions {
         .orderBy(col("shard"))
     }),
 
+    // Tokenizer-EXACT counts (VERDICT r12 #7): deterministic byte-level BPE
+    // (Sennrich et al.) under a fixture merge table — greedy best-ranked
+    // merges from single chars, codegen'd expression, table broadcast by
+    // closure. The oracle replays the merge loop as a DuckDB recursive CTE
+    // over the SAME VALUES list (one leftmost-best merge per iteration,
+    // equivalent by the merge table's creation-order property). The
+    // 120-char slice bounds the oracle's iteration count, not the design.
+    "text_bpe_tokens" -> ((s, d) => {
+      import graft.functions.Bpe
+      val toks = Bpe.bpe_encode(substring(col("text"), 1, 120), Bpe.fixtureTable)
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(toks).cast("long").as("n_bpe"),
+          concat_ws("|", toks).as("toks_str"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Concat-and-chunk packing BUDGETED IN BPE TOKENS — what a real
+    // pre-training pipeline packs by (whitespace counts under-count by the
+    // subword factor). Same two-phase prefix sum as train_pack_concat;
+    // only the token counter changes.
+    "train_pack_bpe" -> ((s, d) => {
+      import graft.functions.Bpe
+      graft.ext.Sampling.packConcat(Tables.documents(s, d), "doc_id",
+          size(Bpe.bpe_encode(substring(col("text"), 1, 120), Bpe.fixtureTable)),
+          budget = 512L)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("start_off"),
+          col("pack_first"), col("pack_last"), col("packs_spanned"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Static mixture REWEIGHTING (the DoReMi-style domain-weight step done
     // closed-form): per language, current token share vs a uniform target
     // share; resampling weight = target/current clamped to [0.1, 10], and
@@ -2307,6 +2337,35 @@ object Extensions {
         .orderBy(col("fork"))
     }),
 
+    // The SAME flagship pipeline, but transported: every envelope travels
+    // as real gRPC bytes over a TLS+ALPN-h2 loopback connection (one
+    // server-streamed call per partition, bearer auth, 5-byte gRPC message
+    // framing) before the finality fold — the reference's actual operating
+    // mode (`src/main.rs:194-235` over the tonic TLS channel,
+    // `src/substreams.rs:33-50`). Same recursive-CTE oracle as
+    // pipeline_e2e_chain: the transport must be invisible in the result.
+    "pipeline_e2e_grpc" -> ((s, d) => {
+      import org.apache.spark.sql.Encoders
+      implicit val enc = Encoders.product[graft.model.BlockMsg]
+      val gen = Map("totalBlocks" -> "200", "reorgEvery" -> "20",
+        "reorgDepth" -> "3", "finalityLag" -> "8", "tls" -> "true")
+      val port = graft.sources.GrpcChainFixture.port(gen)
+      var r = s.read.format("graft.sources.ChainSource")
+      (gen ++ Map("fetcherClass" -> "graft.sources.GrpcBlockFetcher",
+        "endpoint" -> s"127.0.0.1:$port")).foreach { case (k, v) => r = r.option(k, v) }
+      val released = graft.streaming.StreamingFinality.released(
+        r.load().as[graft.model.BlockMsg])
+      val catalog = Seq(graft.model.ChTable("blocks", Seq(
+        graft.model.ChColumn("height", graft.model.ChType.ChUInt64),
+        graft.model.ChColumn("fork", graft.model.ChType.ChUInt32))))
+      graft.pipeline.ChangePipeline.process(released, catalog)("blocks")
+        .groupBy(col("fork"))
+        .agg(count(lit(1)).as("n_blocks"),
+          min(col("height").cast("long")).as("first_h"),
+          max(col("height").cast("long")).as("last_h"))
+        .orderBy(col("fork"))
+    }),
+
     // Bounded-range replay of the chain source (reference CLI parity,
     // `src/main.rs:63-66`): startBlock positions the cursorless stream,
     // endBlock (exclusive) completes it. The oracle regenerates the
@@ -3865,7 +3924,47 @@ object Extensions {
        |FROM f ORDER BY col_name""".stripMargin
   }
 
-  def oracles: Map[String, String] = Map(
+  /** The BPE merge loop as a DuckDB recursive CTE (the `text_bpe_tokens` /
+    * `train_pack_bpe` oracles): per doc, fold the token list by merging the
+    * LEFTMOST occurrence of the best-ranked adjacent pair, one merge per
+    * iteration, until no ranked pair remains — equivalent to the Spark
+    * side's all-occurrences-at-once greedy loop because the fixture table
+    * is creation-ordered (a merge's output token only operands LATER
+    * merges, so merging one occurrence never surfaces a better-ranked
+    * pair). The VALUES list is generated from the same
+    * [[graft.functions.Bpe.fixtureTable]] the expression ships. Ends with
+    * `bpe(doc_id, toks)`. */
+  private def bpeFoldCtes: String =
+    s"""WITH RECURSIVE
+       |merges(l, r, rnk) AS (VALUES ${graft.functions.Bpe.fixtureTable.sqlValues}),
+       |init AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(substr(text, 1, 120), ''), x -> x <> '') AS toks
+       |  FROM documents),
+       |fold AS (
+       |  SELECT doc_id, toks, false AS done FROM init
+       |  UNION ALL
+       |  SELECT f.doc_id,
+       |    CASE WHEN best.pos IS NULL THEN f.toks
+       |         ELSE f.toks[1:best.pos-1] ||
+       |              [f.toks[best.pos] || f.toks[best.pos+1]] ||
+       |              f.toks[best.pos+2:len(f.toks)] END AS toks,
+       |    best.pos IS NULL AS done
+       |  FROM (SELECT * FROM fold WHERE NOT done) f
+       |  LEFT JOIN LATERAL (
+       |    SELECT i AS pos FROM (SELECT unnest(range(1, len(f.toks))) AS i) p
+       |    JOIN merges m ON m.l = f.toks[i] AND m.r = f.toks[i+1]
+       |    ORDER BY m.rnk, i LIMIT 1
+       |  ) best ON true),
+       |bpe AS (SELECT doc_id, toks FROM fold WHERE done)""".stripMargin
+
+  def oracles: Map[String, String] = oraclesBase +
+    // the gRPC-transported flagship pipeline produces byte-identical
+    // envelopes to the in-process generator (GrpcChainSpec parity), so the
+    // same recursive-CTE fold replay is its exact oracle
+    ("pipeline_e2e_grpc" -> oraclesBase("pipeline_e2e_chain"))
+
+  private def oraclesBase: Map[String, String] = Map(
     "text_token_stats" ->
       s"""SELECT doc_id, len($toks) AS n_tokens,
          |  len(list_distinct($toks)) AS n_distinct,
@@ -4590,6 +4689,28 @@ object Extensions {
          |  CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
          |       ELSE CAST(floor((start_off + greatest(n_tokens, 1) - 1) / 2048.0) AS BIGINT)
          |            - CAST(floor(start_off / 2048.0) AS BIGINT) + 1 END AS packs_spanned
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // BPE merge-loop replay (see bpeFoldCtes) + the token string join.
+    "text_bpe_tokens" ->
+      s"""$bpeFoldCtes
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe,
+         |  array_to_string(toks, '|') AS toks_str
+         |FROM bpe ORDER BY doc_id""".stripMargin,
+
+    // BPE counts fed through the train_pack_concat window replay, budget 512.
+    "train_pack_bpe" ->
+      s"""$bpeFoldCtes,
+         |b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM bpe),
+         |c AS (SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT) AS start_off
+         |  FROM b)
+         |SELECT doc_id, n_tokens, start_off,
+         |  CAST(floor(start_off / 512.0) AS BIGINT) AS pack_first,
+         |  CAST(floor((start_off + greatest(n_tokens, 1) - 1) / 512.0) AS BIGINT) AS pack_last,
+         |  CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(floor((start_off + greatest(n_tokens, 1) - 1) / 512.0) AS BIGINT)
+         |            - CAST(floor(start_off / 512.0) AS BIGINT) + 1 END AS packs_spanned
          |FROM c ORDER BY doc_id""".stripMargin,
 
     // TF-IDF replay: same counts, same smoothed idf, same (score DESC,

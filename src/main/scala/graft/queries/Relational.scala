@@ -925,6 +925,29 @@ object Relational {
         .orderBy(col("s_name"))
     }),
 
+    // Measure-then-pick skew advisory (VERDICT r12 #9): keySkew's report on
+    // the probe key decides saltedJoin vs the plain join + AQE safety net.
+    // The probe key collapses 3 of every 4 user_ids onto customer 1 (a
+    // deterministic hot key holding ~75% of the rows, skew factor ~35 at
+    // any SF), so THIS lane provably runs the salted arm at the default 4.0
+    // threshold; SkewJoinSpec pins the plain arm and the flip in both
+    // directions. Either arm is result-identical — the oracle is the plain
+    // join over the same key mapping.
+    "join_skew_advised" -> ((s, d) => {
+      val big = Tables.events(s, d)
+        .select(when(col("user_id") % 4 =!= 0, lit(1L))
+          .otherwise(col("user_id")).as("k"), col("value"))
+      val small = Tables.customer(s, d)
+        .select(col("c_custkey").as("k"), col("c_mktsegment"))
+      val (joined, decision) = graft.ext.SkewJoin.advisedJoin(
+        big, small, "k", skewThreshold = 4.0, salt = 8)
+      assert(decision.salted, s"hot-key fixture must trip the advisory: $decision")
+      joined
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("val_sum"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Runtime Bloom pre-filter ahead of a shuffle join: the dimension's key
     // set becomes a 2^18-bit filter (built distributed, only 4 KB of words
     // reach the driver) applied to the fact side BEFORE the exchange — most
@@ -1784,6 +1807,16 @@ object Relational {
       """SELECT s_name, count(*) AS n, round(sum(l_quantity),2) AS qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+
+    // the advisory's arms are result-identical, so the oracle is the plain
+    // join over the same hot-key mapping
+    "join_skew_advised" ->
+      """WITH big AS (
+        |  SELECT CASE WHEN user_id % 4 != 0 THEN 1 ELSE user_id END AS k, value
+        |  FROM events)
+        |SELECT c_mktsegment, count(*) AS n, round(sum(value),2) AS val_sum
+        |FROM big JOIN customer ON k = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // the same ANSI MERGE shape: matched targets drop (anti join), the
     // change batch appends — update rows replace, insert rows add

@@ -211,6 +211,12 @@ final class GrpcChainServer(cfg: ChainSource.Config,
   val alpnNegotiated = new java.util.concurrent.CopyOnWriteArrayList[String]()
   private val dropped = ConcurrentHashMap.newKeySet[Long]()
 
+  // daemon threads: this is the in-sandbox fixture server — a lane-scoped
+  // singleton (GrpcChainFixture) must not pin the Bench/Verify JVM open
+  // after main returns
+  private val serverThreads =
+    new io.netty.util.concurrent.DefaultThreadFactory("graft-grpc-server", true)
+
   private def h2Stack(): Array[ChannelHandler] = Array(
     Http2FrameCodecBuilder.forServer().build(),
     new Http2MultiplexHandler(new ChannelInitializer[Channel] {
@@ -218,7 +224,7 @@ final class GrpcChainServer(cfg: ChainSource.Config,
         c.pipeline().addLast(new StreamHandler)
     }))
 
-  private val group = new NioEventLoopGroup(2)
+  private val group = new NioEventLoopGroup(2, serverThreads)
   private val bound = new ServerBootstrap()
     .group(group)
     .channel(classOf[NioServerSocketChannel])

@@ -47,6 +47,31 @@ class SkewJoinSpec extends SparkSpec {
     assert(plan.contains("ReusedExchange"), s"expected exchange reuse:\n$plan")
   }
 
+  test("advisedJoin: the skew report flips the strategy, the answer never moves (r12 #9)") {
+    import spark.implicits._
+    val small = (0L until 50L).map(i => (i, s"dim$i")).toDF("k", "name")
+    def plain(big: org.apache.spark.sql.DataFrame) =
+      big.join(small, big("k") === small("k"), "inner").drop(small("k"))
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+
+    // skewed: 90% of rows on key 7 → skew factor ≈ 0.9 * n_keys >> 4
+    val skewed = (1 to 2000).map(i =>
+      (if (i <= 1800) 7L else (i % 50).toLong, i)).toDF("k", "v")
+    val (js, ds) = SkewJoin.advisedJoin(skewed, small, "k", skewThreshold = 4.0, salt = 8)
+    assert(ds.salted, s"90%-hot key must trip the threshold: $ds")
+    assert(ds.hotKey === Some("7") && ds.maxSkew > 4.0 && ds.hotShare > 0.8)
+    assert(js.collect().map(_.toSeq).sortBy(_.toString).toSeq === plain(skewed),
+      "the salted arm must be byte-identical to the plain join")
+
+    // uniform: every key equally loaded → skew 1.0, plain arm
+    val uniform = (1 to 2000).map(i => ((i % 50).toLong, i)).toDF("k", "v")
+    val (ju, du) = SkewJoin.advisedJoin(uniform, small, "k", skewThreshold = 4.0, salt = 8)
+    assert(!du.salted, s"uniform keys must keep the plain join: $du")
+    assert(math.abs(du.maxSkew - 1.0) < 0.01)
+    assert(ju.collect().map(_.toSeq).sortBy(_.toString).toSeq === plain(uniform),
+      "the plain arm is the plain join")
+  }
+
   test("salt spreads a hot key across partitions") {
     import spark.implicits._
     val big = Seq.fill(1000)((42L, "x")).toDF("k", "v")
