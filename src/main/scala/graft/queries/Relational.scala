@@ -928,8 +928,9 @@ object Relational {
     // Measure-then-pick skew advisory (VERDICT r12 #9): keySkew's report on
     // the probe key decides saltedJoin vs the plain join + AQE safety net.
     // The probe key collapses 3 of every 4 user_ids onto customer 1 (a
-    // deterministic hot key holding ~75% of the rows, skew factor ~35 at
-    // any SF), so THIS lane provably runs the salted arm at the default 4.0
+    // deterministic hot key holding ~75% of the rows, so its skew factor is
+    // ~0.75x the key count — >= 3.6 even at sf0.001's handful of users and
+    // growing with SF), so THIS lane provably runs the salted arm at a 2.0
     // threshold; SkewJoinSpec pins the plain arm and the flip in both
     // directions. Either arm is result-identical — the oracle is the plain
     // join over the same key mapping.
@@ -940,7 +941,7 @@ object Relational {
       val small = Tables.customer(s, d)
         .select(col("c_custkey").as("k"), col("c_mktsegment"))
       val (joined, decision) = graft.ext.SkewJoin.advisedJoin(
-        big, small, "k", skewThreshold = 4.0, salt = 8)
+        big, small, "k", skewThreshold = 2.0, salt = 8)
       assert(decision.salted, s"hot-key fixture must trip the advisory: $decision")
       joined
         .groupBy(col("c_mktsegment"))
