@@ -193,14 +193,18 @@ object GrpcChain {
   * case that must be FATAL client-side. `statusAtSeqs` terminates the
   * stream with that grpc-status in trailers when the seq comes up — the
   * deterministic-rejection case (must be fatal unless the status is in
-  * [[GrpcChain.RetryableStatuses]]). With `cfg.tls` the listener wraps
+  * [[GrpcChain.RetryableStatuses]]). `stallMsAtSeqs` pauses the stream
+  * (once per seq) before serving — the healthy-but-quiet server the
+  * separate `readTimeoutMs` deadline exists for. With `cfg.tls` the
+  * listener wraps
   * every accepted connection in TLS and only installs the HTTP/2 stack
   * after ALPN selects h2 (negotiated protocols are recorded in
   * [[alpnNegotiated]] for assertion). */
 final class GrpcChainServer(cfg: ChainSource.Config,
     failOnceAtSeqs: Set[Long] = Set.empty,
     garbageAtSeqs: Set[Long] = Set.empty,
-    statusAtSeqs: Map[Long, Int] = Map.empty) extends AutoCloseable {
+    statusAtSeqs: Map[Long, Int] = Map.empty,
+    stallMsAtSeqs: Map[Long, Long] = Map.empty) extends AutoCloseable {
   import GrpcChain._
 
   val accepts = new AtomicInteger(0)
@@ -210,6 +214,7 @@ final class GrpcChainServer(cfg: ChainSource.Config,
   /** ALPN outcome per TLS connection (empty when cfg.tls is off). */
   val alpnNegotiated = new java.util.concurrent.CopyOnWriteArrayList[String]()
   private val dropped = ConcurrentHashMap.newKeySet[Long]()
+  private val stalled = ConcurrentHashMap.newKeySet[Long]()
 
   // daemon threads: this is the in-sandbox fixture server — a lane-scoped
   // singleton (GrpcChainFixture) must not pin the Bench/Verify JVM open
@@ -329,6 +334,19 @@ final class GrpcChainServer(cfg: ChainSource.Config,
             ctx.writeAndFlush(new DefaultHttp2HeadersFrame(trailers, true))
             return
           case None => ()
+        }
+        stallMsAtSeqs.get(seq) match {
+          case Some(ms) if stalled.add(seq) =>
+            // the server goes QUIET before this seq (a chain waiting at
+            // head): the connection stays healthy, delivery resumes after
+            // the pause — the case readTimeoutMs (not connectTimeoutMs)
+            // must cover (advice r12)
+            ctx.flush()
+            val _ = ctx.channel().eventLoop().schedule(
+              new Runnable { def run(): Unit = pump(ctx) },
+              ms, TimeUnit.MILLISECONDS)
+            return
+          case _ => ()
         }
         served.merge(seq, 1, (a, b) => a + b)
         if (failOnceAtSeqs.contains(seq) && dropped.add(seq)) {

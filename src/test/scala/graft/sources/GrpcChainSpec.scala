@@ -134,6 +134,30 @@ class GrpcChainSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("readTimeoutMs covers a healthy-but-quiet server; without it the connect timeout reconnect-cycles (advice r12)") {
+    // server goes quiet for 1.2 s before seq 4 — longer than the 400 ms
+    // connect timeout, well under the 5 s read deadline
+    val gen = Map("totalBlocks" -> "10", "numPartitions" -> "1",
+      "connectTimeoutMs" -> "400", "readTimeoutMs" -> "5000", "maxRetries" -> "3")
+    val quiet = new GrpcChainServer(cfgOf(gen), stallMsAtSeqs = Map(4L -> 1200L))
+    try {
+      assert(viaGrpc(gen, quiet.port).count() === 10)
+      assert(quiet.calls.get() === 1,
+        s"the pause must ride out on the read deadline, got ${quiet.calls.get()} calls")
+    } finally quiet.close()
+    // contrast: same pause with NO separate read deadline — the connect
+    // timeout doubles as the read deadline, the pause reads as a hang, and
+    // the client pays a reconnect cycle (the pre-fix behavior, still
+    // recovering because the stall is one-shot)
+    val gen2 = gen - "readTimeoutMs"
+    val hang = new GrpcChainServer(cfgOf(gen2), stallMsAtSeqs = Map(4L -> 1200L))
+    try {
+      assert(viaGrpc(gen2, hang.port).count() === 10)
+      assert(hang.calls.get() >= 2,
+        s"without readTimeoutMs the pause must have forced a reopen, got ${hang.calls.get()}")
+    } finally hang.close()
+  }
+
   // ---- TLS + ALPN (VERDICT r12 #1: tonic's ClientTlsConfig shape) ----------
 
   test("TLS transport: envelopes over ALPN-negotiated h2 are bit-identical to the synthetic path") {
