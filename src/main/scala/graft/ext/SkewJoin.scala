@@ -69,6 +69,14 @@ object SkewJoin {
   def advisedJoin(big: DataFrame, small: DataFrame, key: String,
       skewThreshold: Double = 4.0, salt: Int = 8, joinType: String = "inner",
       k: Int = 5): (DataFrame, SkewDecision) = {
+    // validate the join type EAGERLY against the salted arm's contract: an
+    // outer type would otherwise pass while the data is uniform and crash
+    // data-dependently the first time skew crosses the threshold (review
+    // r13 finding)
+    require(Set("inner", "left", "leftouter")(
+      joinType.toLowerCase(java.util.Locale.ROOT).replace("_", "")),
+      s"advisedJoin supports inner/left joins only (the salted arm's " +
+        s"contract), got '$joinType'")
     val top = keySkew(big, key, k).collect() // k rows, driver-bounded
     // keySkew orders by cnt desc and skew is proportional to cnt, so the
     // first row carries the max skew factor

@@ -77,7 +77,8 @@ object StoreCompaction {
     val root = Paths.get(rootPath)
     if (!Files.isDirectory(root)) return
     import scala.jdk.CollectionConverters._
-    val entries = Files.list(root).iterator().asScala.toSeq
+    val listed = Files.list(root)
+    val entries = try listed.iterator().asScala.toSeq finally listed.close()
     entries.filter(_.getFileName.toString.startsWith(".compact_old_"))
       .foreach { old =>
         val rel = dec(old.getFileName.toString.stripPrefix(".compact_old_"))
@@ -116,9 +117,11 @@ object StoreCompaction {
     val root = Paths.get(rootPath)
     Files.createDirectories(root)
     import scala.jdk.CollectionConverters._
-    Files.list(root).iterator().asScala.toSeq
+    val rootList = Files.list(root) // try-with-resources: Files.list leaks
+    try rootList.iterator().asScala.toSeq // a directory fd until closed
       .filter(_.getFileName.toString.startsWith(".append_tmp_"))
       .foreach(deleteRecursively) // crash residue of any prior attempt
+    finally rootList.close()
     val tmp = root.resolve(s".append_tmp_$tag")
     val base =
       if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*)
@@ -133,9 +136,12 @@ object StoreCompaction {
       val destDir = if (rel.isEmpty) root else root.resolve(rel)
       Files.createDirectories(destDir)
       // clear the previous generation of THIS tag first: a replayed batch
-      // replaces its own files, never another batch's
+      // replaces its own files, never another batch's. EXACT-stem match —
+      // startsWith would let tag "run-1" delete "run-1-retry-0.parquet",
+      // another batch's committed generation (review r13 finding)
+      val own = (java.util.regex.Pattern.quote(tag) + "-\\d+\\.parquet").r
       Option(destDir.toFile.listFiles()).getOrElse(Array.empty[File])
-        .filter(f => f.isFile && f.getName.startsWith(s"$tag-"))
+        .filter(f => f.isFile && own.matches(f.getName))
         .foreach(f => Files.delete(f.toPath))
       leaf.listFiles().filter(isData).sortBy(_.getName).zipWithIndex.foreach {
         case (p, i) =>

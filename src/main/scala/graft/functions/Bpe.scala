@@ -38,9 +38,15 @@ object Bpe {
     @transient lazy val rank: Map[(String, String), Int] =
       merges.zipWithIndex.toMap
     /** The merge table as DuckDB VALUES rows `('l','r',rank)` — the single
-      * source of truth for the lane's recursive-CTE oracle. */
-    def sqlValues: String = merges.zipWithIndex
-      .map { case ((l, r), i) => s"('$l','$r',$i)" }.mkString(", ")
+      * source of truth for the lane's recursive-CTE oracle. Single quotes
+      * are SQL-escaped: real English BPE tables merge apostrophes ("'s" is
+      * a canonical early merge), and an unescaped one would break — or
+      * inject into — the oracle query (review r13 finding). */
+    def sqlValues: String = {
+      def q(s: String) = "'" + s.replace("'", "''") + "'"
+      merges.zipWithIndex
+        .map { case ((l, r), i) => s"(${q(l)},${q(r)},$i)" }.mkString(", ")
+    }
   }
 
   /** The fixture table the BPE lanes use: frequent character pairs of the

@@ -2348,7 +2348,10 @@ object Extensions {
       import org.apache.spark.sql.Encoders
       implicit val enc = Encoders.product[graft.model.BlockMsg]
       val gen = Map("totalBlocks" -> "200", "reorgEvery" -> "20",
-        "reorgDepth" -> "3", "finalityLag" -> "8", "tls" -> "true")
+        "reorgDepth" -> "3", "finalityLag" -> "8", "tls" -> "true",
+        // REAL cert validation against the fixture's PEM, hostname-verified
+        // (never insecure trust — review r13)
+        "tlsTrustCertPath" -> graft.sources.GrpcChain.serverCertPem.getAbsolutePath)
       val port = graft.sources.GrpcChainFixture.port(gen)
       var r = s.read.format("graft.sources.ChainSource")
       (gen ++ Map("fetcherClass" -> "graft.sources.GrpcBlockFetcher",

@@ -11,15 +11,23 @@ import graft.model.{BlockScoped, ChTable, CursorRow}
   * Mirrors the reference loader: route each released block's changes to
   * per-table writers, commit the data, THEN persist the cursor
   * (`src/loader.rs:111-175`; cursor strictly after data since v1.2.1,
-  * `CHANGELOG.md:30-34`). Data writes are append (at-least-once on retry),
-  * the cursor is append + latest-wins on read (`README.md:9-11`) — restart
-  * resumes from the last persisted cursor, and Spark's checkpoint prevents
-  * re-delivery of committed batches, so the effective guarantee matches the
-  * reference's.
+  * `CHANGELOG.md:30-34`). Data writes are BATCH-KEYED idempotent appends
+  * (review r13 finding — `StoreCompaction.appendKeyed` publishes each
+  * table's rows as `batch<id>-<i>.parquet`, so an UNCOMMITTED batch
+  * re-delivered after a crash mid-body OVERWRITES its own half-published
+  * generation instead of duplicating rows — the parquet analogue of the
+  * reference's ClickHouse replace-on-PK). The cursor is append +
+  * latest-wins on read (`README.md:9-11`; a replayed cursor row is
+  * collapsed by the block_num argmax) — restart resumes from the last
+  * persisted cursor, Spark's checkpoint prevents re-delivery of committed
+  * batches, and the keyed generations close the uncommitted-replay window,
+  * so the guarantee is exactly-once-effective end to end.
   *
   * Scale: one `ChangePipeline.process` per batch over a cached exploded
-  * frame; each table write is a partitioned parquet append executed on the
-  * cluster. Only the single cursor row ever touches the driver.
+  * frame; each table write is a parquet publish executed on the cluster
+  * (one file per table per micro-batch — micro-batches are insert-period
+  * sized, and compaction owns long-horizon file counts). Only the single
+  * cursor row ever touches the driver.
   */
 class MultiTableSink(
     catalog: Seq[ChTable],
@@ -35,7 +43,8 @@ class MultiTableSink(
   def writeBatch(blocks: Dataset[BlockScoped], batchId: Long): Unit = {
     val spark = blocks.sparkSession
     SinkBatch.run(blocks, catalog, strict)(
-      (table, df) => df.write.mode("append").parquet(dataPath(table))) {
+      (table, df) => graft.ext.StoreCompaction.appendKeyed(
+        df, dataPath(table), Nil, s"batch$batchId")) {
       (cursor, blockNum, blockId) =>
         persistCursor(spark, CursorRow(cursorId, cursor, blockNum, blockId))
     }

@@ -156,7 +156,16 @@ object RowBinary {
     case ChDateTime => out.intLE(parseEpochSeconds(v), 4)
     case ChDate => out.intLE(java.time.LocalDate.parse(v.trim).toEpochDay, 2)
     case ChDecimal(p, s) =>
-      val unscaled = new java.math.BigDecimal(v.trim).setScale(s).unscaledValue()
+      // setScale with no rounding mode throws ArithmeticException on excess
+      // fractional digits — rethrow inside the encoder's documented
+      // IllegalArgumentException taxonomy with the offending value (review
+      // r13 finding; in-contract inputs are DynamicCast-canonical and exact)
+      val unscaled =
+        try new java.math.BigDecimal(v.trim).setScale(s).unscaledValue()
+        catch { case e: ArithmeticException =>
+          throw new IllegalArgumentException(
+            s"value '$v' does not fit Decimal($p,$s) without rounding", e)
+        }
       val width = if (p <= 9) 4 else if (p <= 18) 8 else if (p <= 38) 16 else 32
       writeWideLE(out, unscaled, width)
     case ChLowCardinality(inner) => writeValue(out, inner, v)

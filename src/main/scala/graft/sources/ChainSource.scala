@@ -105,7 +105,8 @@ object ChainSource {
       token: String, requireAuth: Boolean, failEvery: Long, maxRetries: Int,
       connectTimeoutMs: Long, keepaliveMs: Long, fetcherClass: String,
       startBlock: Long, endBlock: Long, endpoint: String,
-      tls: Boolean = false, readTimeoutMs: Long = 0L) {
+      tls: Boolean = false, readTimeoutMs: Long = 0L,
+      tlsTrustCertPath: String = "", tlsInsecure: Boolean = false) {
     /** The exclusive stop position: the stream completes when the cursor
       * reaches it (reference `end_block`, `src/main.rs:63-66`; `totalBlocks`
       * is the legacy cap and still binds). */
@@ -160,7 +161,12 @@ object ChainSource {
     // ClientTlsConfig::new(), src/substreams.rs:33-50)
     tls = o.getBoolean("tls", false),
     // separate per-message read deadline; 0 = fall back to connectTimeoutMs
-    readTimeoutMs = o.getLong("readTimeoutMs", 0L))
+    readTimeoutMs = o.getLong("readTimeoutMs", 0L),
+    // trust posture (review r13): default = JVM system roots + hostname
+    // verification (tonic's stance); a PEM path trusts that cert instead
+    // (the fixture's path); insecure is an EXPLICIT opt-out only
+    tlsTrustCertPath = o.getOrDefault("tlsTrustCertPath", ""),
+    tlsInsecure = o.getBoolean("tlsInsecure", false))
 
   /** The semantic content of one envelope — the fields a real server ships
     * over the wire, separated from their InternalRow encoding so a transport

@@ -129,31 +129,53 @@ object GrpcChain {
   // (`src/substreams.rs:33-50`: `tls_config(ClientTlsConfig::new())` — tonic
   // advertises "h2" in the ALPN extension and fails the connection unless
   // the server selects it). Same machinery here via Netty's SslContext on
-  // the Spark classpath: the server's certificate is a self-signed RSA
-  // keypair minted once per JVM by the JDK's own keytool (no new
-  // dependency); the client trusts it insecurely — the reference trusts the
-  // system roots, and the negotiation layers above the trust decision
-  // (ALPN h2, TLS record framing around HTTP/2) are what this closes.
+  // the Spark classpath. The fixture server's certificate is a self-signed
+  // RSA keypair minted once per JVM by the JDK's own keytool (no new
+  // dependency). Client TRUST follows tonic's posture (review r13 finding —
+  // insecure trust must never be the silent default):
+  //
+  //  - default: the JVM's system trust roots + HTTPS endpoint
+  //    identification (hostname verification), exactly ClientTlsConfig;
+  //  - `.option("tlsTrustCertPath", pem)`: trust that CA/cert instead
+  //    (still hostname-verified) — how the specs validate the fixture's
+  //    REAL certificate rather than disabling validation;
+  //  - `.option("tlsInsecure", "true")`: explicit opt-out, never implied.
 
   val TlsPassword = "graft-loopback-tls"
 
-  private lazy val serverKeyManager: javax.net.ssl.KeyManagerFactory = {
+  private lazy val tlsDir: java.nio.file.Path = {
     val dir = java.nio.file.Files.createTempDirectory("graft-grpc-tls")
     dir.toFile.deleteOnExit()
     val ksFile = dir.resolve("server.p12").toFile
     ksFile.deleteOnExit()
     val keytool = new java.io.File(
-      new java.io.File(System.getProperty("java.home"), "bin"), "keytool")
-    val p = new ProcessBuilder(
-      keytool.getAbsolutePath, "-genkeypair", "-alias", "graft",
+      new java.io.File(System.getProperty("java.home"), "bin"), "keytool").getAbsolutePath
+    def run(args: String*): Unit = {
+      val p = new ProcessBuilder((keytool +: args): _*).redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+      if (p.waitFor() != 0)
+        throw new IllegalStateException(s"keytool ${args.head} failed: $out")
+    }
+    run("-genkeypair", "-alias", "graft",
       "-keyalg", "RSA", "-keysize", "2048", "-validity", "2",
       "-dname", "CN=127.0.0.1", "-ext", "SAN=IP:127.0.0.1,DNS:localhost",
       "-storetype", "PKCS12", "-keystore", ksFile.getAbsolutePath,
       "-storepass", TlsPassword, "-keypass", TlsPassword)
-      .redirectErrorStream(true).start()
-    val out = new String(p.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
-    if (p.waitFor() != 0)
-      throw new IllegalStateException(s"keytool self-signed cert generation failed: $out")
+    // the cert as PEM, so clients can TRUST it properly instead of
+    // disabling validation
+    run("-exportcert", "-alias", "graft", "-rfc",
+      "-keystore", ksFile.getAbsolutePath, "-storepass", TlsPassword,
+      "-file", dir.resolve("server.pem").toString)
+    dir.resolve("server.pem").toFile.deleteOnExit()
+    dir
+  }
+
+  /** The fixture server's certificate as a PEM file — what in-sandbox
+    * clients pass as `tlsTrustCertPath` for REAL certificate validation. */
+  lazy val serverCertPem: java.io.File = tlsDir.resolve("server.pem").toFile
+
+  private lazy val serverKeyManager: javax.net.ssl.KeyManagerFactory = {
+    val ksFile = tlsDir.resolve("server.p12").toFile
     val ks = java.security.KeyStore.getInstance("PKCS12")
     val in = new java.io.FileInputStream(ksFile)
     try ks.load(in, TlsPassword.toCharArray) finally in.close()
@@ -177,12 +199,22 @@ object GrpcChain {
       .applicationProtocolConfig(alpnH2)
       .build()
 
-  lazy val clientSslContext: SslContext =
-    SslContextBuilder.forClient()
-      .sslProvider(SslProvider.JDK)
-      .trustManager(InsecureTrustManagerFactory.INSTANCE)
-      .applicationProtocolConfig(alpnH2)
-      .build()
+  private val clientCtxCache =
+    new ConcurrentHashMap[(String, Boolean), SslContext]()
+
+  /** Client TLS context for the given trust configuration (cached — one
+    * context per distinct config per JVM, shared across fetchers). */
+  def clientSslContext(trustCertPath: String, insecure: Boolean): SslContext =
+    clientCtxCache.computeIfAbsent((trustCertPath, insecure), { key =>
+      val (path, ins) = key
+      val b = SslContextBuilder.forClient()
+        .sslProvider(SslProvider.JDK)
+        .applicationProtocolConfig(alpnH2)
+      if (ins) b.trustManager(InsecureTrustManagerFactory.INSTANCE)
+      else if (path.nonEmpty) b.trustManager(new java.io.File(path))
+      // else: JVM default trust roots (tonic's ClientTlsConfig::new())
+      b.build()
+    })
 }
 
 /** gRPC server half: Http2FrameCodec + multiplexed per-stream handlers.
@@ -427,9 +459,19 @@ final class GrpcBlockFetcher(cfg: ChainSource.Config) extends BlockFetcher {
           // with TLS the codec sits BEHIND the SslHandler: its connection
           // preface is queued by the handler until the handshake completes,
           // then travels inside TLS records — tonic's exact layering
-          if (cfg.tls)
-            ch.pipeline().addLast(
-              GrpcChain.clientSslContext.newHandler(ch.alloc(), host, portStr.toInt))
+          if (cfg.tls) {
+            val ssl = GrpcChain.clientSslContext(cfg.tlsTrustCertPath, cfg.tlsInsecure)
+              .newHandler(ch.alloc(), host, portStr.toInt)
+            if (!cfg.tlsInsecure) {
+              // hostname verification (tonic verifies the endpoint's name
+              // against the cert; the fixture cert carries SAN IP:127.0.0.1)
+              val eng = ssl.engine()
+              val params = eng.getSSLParameters
+              params.setEndpointIdentificationAlgorithm("HTTPS")
+              eng.setSSLParameters(params)
+            }
+            ch.pipeline().addLast(ssl)
+          }
           ch.pipeline().addLast(
             Http2FrameCodecBuilder.forClient().build(),
             new Http2MultiplexHandler(new ChannelInboundHandlerAdapter))

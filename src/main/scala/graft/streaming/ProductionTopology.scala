@@ -20,13 +20,15 @@ import graft.sink.MultiTableSink
   *     batch-keyed idempotent generations
   *     ([[StreamingIndexMaintenance.applyBatch]]).
   *
-  * Both halves carry their own replay discipline (sink: Spark checkpoint +
-  * cursor; index: batch-id cursor + keyed overwrite), so a kill anywhere —
-  * mid-connection (the transport reconnects and cursor-resumes), mid-batch
-  * (the checkpoint re-delivers, both halves replay idempotently), or
-  * between runs (restart resumes the offsets) — converges to the same
-  * tables, cursors, and probe results. Pinned by ProductionTopologySpec
-  * with a mid-stream TCP kill AND an operator stop/restart.
+  * Both halves replay idempotently via the SAME batch-keyed-generation
+  * discipline (sink: `MultiTableSink.writeBatch` publishes table rows as
+  * `batch<id>` files; index: cursor skip + keyed overwrite), so a kill
+  * anywhere — mid-connection (the transport reconnects and
+  * cursor-resumes), mid-batch (the checkpoint re-delivers, each half
+  * overwrites its own half-published generation), or between runs
+  * (restart resumes the offsets) — converges to the same tables, cursors,
+  * and probe results. Pinned by ProductionTopologySpec with a mid-stream
+  * TCP kill, an operator stop/restart, and a direct double-apply.
   */
 object ProductionTopology {
 
@@ -74,10 +76,16 @@ object ProductionTopology {
       compactAtFiles: Int = 16): StreamingQuery = {
     val sink = new MultiTableSink(catalog, outDir, cursorId)
     GraftStream.startWith(msgs, checkpointDir) { (blocks, batchId) =>
-      sink.writeBatch(blocks, batchId)
-      val _ = StreamingIndexMaintenance.applyBatch(
-        docsOf(blocks), batchId, indexRoot,
-        "doc_id", "text", "embedding", compactAtFiles)
+      // materialize the micro-batch ONCE: both halves read it, and without
+      // this the index derivation would re-pull the whole batch over the
+      // transport a second time (review r13 finding)
+      val once = blocks.localCheckpoint()
+      try {
+        sink.writeBatch(once, batchId)
+        val _ = StreamingIndexMaintenance.applyBatch(
+          docsOf(once), batchId, indexRoot,
+          "doc_id", "text", "embedding", compactAtFiles)
+      } finally graft.ext.Dedup.unpersistCheckpoint(once.toDF())
     }
   }
 }

@@ -70,6 +70,13 @@ class SkewJoinSpec extends SparkSpec {
     assert(math.abs(du.maxSkew - 1.0) < 0.01)
     assert(ju.collect().map(_.toSeq).sortBy(_.toString).toSeq === plain(uniform),
       "the plain arm is the plain join")
+
+    // an outer type is rejected EAGERLY — not data-dependently when skew
+    // eventually crosses the threshold (r13 review)
+    val e = intercept[IllegalArgumentException] {
+      SkewJoin.advisedJoin(uniform, small, "k", joinType = "full_outer")
+    }
+    assert(e.getMessage.contains("inner/left"))
   }
 
   test("salt spreads a hot key across partitions") {

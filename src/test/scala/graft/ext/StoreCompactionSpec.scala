@@ -117,4 +117,25 @@ class StoreCompactionSpec extends SparkSpec {
     StoreCompaction.recover(root)
     assert(!Files.exists(oldC) && rows() === full)
   }
+
+  test("appendKeyed: keyed generations replace on replay; prefix tags never cross-delete (r13 review)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_appendkeyed").toString
+    val a = (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    StoreCompaction.appendKeyed(a, root, Nil, "run-1")
+    StoreCompaction.appendKeyed(a, root, Nil, "run-1-retry") // dashed tag that run-1 prefixes
+    assert(spark.read.parquet(root).count() === 20)
+    // replay of run-1 must replace ONLY run-1's files
+    StoreCompaction.appendKeyed(a, root, Nil, "run-1")
+    assert(spark.read.parquet(root).count() === 20,
+      "a replayed tag must never delete another tag's generation")
+    val names = new java.io.File(root).listFiles().map(_.getName).filter(_.endsWith(".parquet")).sorted
+    assert(names.count(_.startsWith("run-1-retry-")) === 1 && names.count(_.matches("run-1-\\d+\\.parquet")) === 1, names.mkString(","))
+    // partitioned variant: one file per leaf per tag, replay replaces in place
+    val p = (1 to 40).map(i => (i.toLong, i % 4)).toDF("id", "cell")
+    val proot = java.nio.file.Files.createTempDirectory("graft_appendkeyed_p").toString
+    StoreCompaction.appendKeyed(p, proot, Seq("cell"), "batch7")
+    StoreCompaction.appendKeyed(p, proot, Seq("cell"), "batch7")
+    assert(spark.read.parquet(proot).count() === 40)
+  }
 }

@@ -31,6 +31,11 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.encode("abab", t).toSeq === Seq("ab", "ab"))
   }
 
+  test("sqlValues escapes apostrophe merges (r13 review)") {
+    val t = BpeTable(Seq("'" -> "s", "a" -> "'s"))
+    assert(t.sqlValues === "('''','s',0), ('a','''s',1)")
+  }
+
   test("expression path: codegen over a DataFrame column") {
     import spark.implicits._
     val got = Seq("data value", "batch").toDF("text")

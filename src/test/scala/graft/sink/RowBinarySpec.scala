@@ -80,6 +80,10 @@ class RowBinarySpec extends SparkSpec {
     assert(enc(ChDecimal(9, 2), "123.45") === "39300000") // 12345 = 0x3039, Int32
     assert(enc(ChDecimal(20, 0), "1") === "01" + "00" * 15) // p>18 → Int128
     intercept[IllegalArgumentException] { enc(ChInt32, null) }
+    // excess fractional digits surface as the encoder's own taxonomy with
+    // the value named, not a bare ArithmeticException (r13 review)
+    val e = intercept[IllegalArgumentException] { enc(ChDecimal(9, 2), "123.456") }
+    assert(e.getMessage.contains("123.456") && e.getMessage.contains("Decimal(9,2)"))
   }
 
   test("row: sorted-column order (the reference's discovery ORDER BY column_name)") {

@@ -160,13 +160,34 @@ class GrpcChainSpec extends SparkSpec {
 
   // ---- TLS + ALPN (VERDICT r12 #1: tonic's ClientTlsConfig shape) ----------
 
+  // REAL certificate validation (review r13): trust exactly the fixture's
+  // cert (PEM) with hostname verification on — never insecure trust
+  private def tlsOpts = Map("tls" -> "true",
+    "tlsTrustCertPath" -> GrpcChain.serverCertPem.getAbsolutePath)
+
+  test("TLS trust: the self-signed fixture cert is REJECTED under default system-root trust") {
+    val gen = Map("totalBlocks" -> "5", "numPartitions" -> "1",
+      "maxRetries" -> "2", "tls" -> "true") // no tlsTrustCertPath, no tlsInsecure
+    val server = new GrpcChainServer(cfgOf(gen))
+    try {
+      val e = intercept[Exception] { viaGrpc(gen, server.port).count() }
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(12).toSeq
+      assert(chain(e).exists(t => t.isInstanceOf[java.io.IOException] &&
+        t.getMessage != null && t.getMessage.contains("TLS handshake")),
+        s"expected the handshake to fail certificate validation, got $e")
+      assert(server.calls.get() === 0,
+        "no gRPC call may open over an unvalidated connection")
+    } finally server.close()
+  }
+
   test("TLS transport: envelopes over ALPN-negotiated h2 are bit-identical to the synthetic path") {
     val gen = Map("totalBlocks" -> "30", "reorgEvery" -> "10", "reorgDepth" -> "2",
-      "finalityLag" -> "5", "numPartitions" -> "3", "tls" -> "true")
+      "finalityLag" -> "5", "numPartitions" -> "3") ++ tlsOpts
     val server = new GrpcChainServer(cfgOf(gen))
     try {
       val wire = viaGrpc(gen, server.port).toJSON.collect().sorted
-      val synthetic = readBatch(gen - "tls").toJSON.collect().sorted
+      val synthetic = readBatch(gen -- tlsOpts.keys).toJSON.collect().sorted
       assert(wire.length === 30)
       assert(wire.toSeq === synthetic.toSeq,
         "TLS-transported envelopes must decode identically to locally generated ones")
@@ -180,7 +201,7 @@ class GrpcChainSpec extends SparkSpec {
 
   test("TLS transport: mid-stream connection kill is survived by TLS reconnect + cursor resume") {
     val gen = Map("totalBlocks" -> "30", "numPartitions" -> "2",
-      "maxRetries" -> "4", "tls" -> "true")
+      "maxRetries" -> "4") ++ tlsOpts
     val server = new GrpcChainServer(cfgOf(gen), failOnceAtSeqs = Set(13L))
     try {
       val df = viaGrpc(gen, server.port)
@@ -194,7 +215,7 @@ class GrpcChainSpec extends SparkSpec {
   }
 
   test("TLS transport: grpc-status 16 stays fatal through the TLS layer") {
-    val gen = Map("totalBlocks" -> "5", "requireAuth" -> "true", "tls" -> "true")
+    val gen = Map("totalBlocks" -> "5", "requireAuth" -> "true") ++ tlsOpts
     assume(!sys.env.contains("SUBSTREAMS_API_TOKEN"),
       "SUBSTREAMS_API_TOKEN exported in this shell; missing-token case not testable")
     val server = new GrpcChainServer(cfgOf(gen))
@@ -209,7 +230,7 @@ class GrpcChainSpec extends SparkSpec {
 
   test("TLS transport: bearer token travels inside the encrypted channel") {
     val gen = Map("totalBlocks" -> "8", "requireAuth" -> "true",
-      "token" -> "tok-tls", "tls" -> "true")
+      "token" -> "tok-tls") ++ tlsOpts
     val server = new GrpcChainServer(cfgOf(gen))
     try assert(viaGrpc(gen, server.port).count() === 8)
     finally server.close()

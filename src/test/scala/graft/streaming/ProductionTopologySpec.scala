@@ -48,6 +48,23 @@ class ProductionTopologySpec extends SparkSpec {
   private def releasedReplay(end: Long) =
     StreamingFinality.released(batchMsgs(gen ++ Map("endBlock" -> end.toString)))
 
+  test("MultiTableSink: a re-delivered uncommitted batch overwrites its own generation — zero duplicate rows (r13 review)") {
+    val base = Files.createTempDirectory("graft_sink_idem").toString
+    val sink = new MultiTableSink(catalog, base, "idem")
+    val blocks = releasedReplay(12L)
+    val n = blocks.count()
+    sink.writeBatch(blocks, 3L)
+    sink.writeBatch(blocks, 3L) // crash-replay of the SAME uncommitted batch
+    assert(spark.read.parquet(s"$base/data/blocks").count() === n,
+      "a replayed batch must replace its own files, not append duplicates")
+    // the duplicate cursor row is benign by design: latest-wins recovery
+    val cur = sink.loadCursor(spark)
+    assert(cur.nonEmpty)
+    sink.writeBatch(blocks, 4L) // a DIFFERENT batch id publishes beside it
+    assert(spark.read.parquet(s"$base/data/blocks").count() === 2 * n,
+      "distinct batch ids accumulate, same ids replace")
+  }
+
   test("composed topology: TCP kill + stop/restart converge to replay-exact tables and indexes") {
     val base = Files.createTempDirectory("graft_prod_topo").toString
     val (outDir, ckpt, idxRoot) = (s"$base/out", s"$base/ckpt", s"$base/idx")
