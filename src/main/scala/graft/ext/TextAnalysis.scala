@@ -69,6 +69,15 @@ object TextAnalysis {
     * 100 TB chunking is scan-speed. The md5 fingerprint makes every chunk's
     * CONTENT verifiable cross-engine without shipping the text. */
   def chunkFrame(docs: DataFrame, textCol: String, idCol: String,
+      chunkSize: Int, overlap: Int): DataFrame =
+    chunkFrameBy(docs, tokens(col(textCol)), idCol, chunkSize, overlap)
+
+  /** [[chunkFrame]] under ANY tokenization: `tokensCol` is an
+    * ARRAY<STRING>-valued expression (whitespace tokens for the classic
+    * lane; [[graft.functions.Bpe]] tokens for TOKENIZER-UNIT context
+    * windows — what an embedding/pre-training pipeline actually cuts by,
+    * since model context limits are BPE tokens, not words). */
+  def chunkFrameBy(docs: DataFrame, tokensCol: Column, idCol: String,
       chunkSize: Int, overlap: Int): DataFrame = {
     require(chunkSize > overlap && overlap >= 0,
       s"need chunkSize > overlap >= 0, got chunkSize=$chunkSize overlap=$overlap")
@@ -76,7 +85,7 @@ object TextAnalysis {
     val nChunks = when(col("__ntok") <= 0, lit(0)).otherwise(
       greatest(lit(1L), ceil((col("__ntok") - lit(overlap)).cast("double") / stride)))
     docs
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("__tk"))
+      .select(col(idCol).as("id"), tokensCol.as("__tk"))
       .withColumn("__ntok", size(col("__tk")))
       .withColumn("__nc", nChunks)
       .filter(col("__nc") > 0)

@@ -295,6 +295,20 @@ object Extensions {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // TOKENIZER-UNIT context windows: the same sliding chunker cut in BPE
+    // tokens — what an embedding/pre-training pipeline actually slices by,
+    // since model context limits are tokenizer tokens, not words. Same
+    // 120-char slice + fixture merge table as text_bpe_tokens; the oracle
+    // composes the BPE merge-loop CTE with the window replay.
+    "text_chunk_bpe" -> ((s, d) => {
+      import graft.functions.Bpe
+      TA.chunkFrameBy(Tables.documents(s, d),
+          Bpe.bpe_encode(substring(col("text"), 1, 120), Bpe.fixtureTable),
+          "doc_id", chunkSize = 32, overlap = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // Content-defined chunking (rolling-hash cut rule at token
     // granularity): boundaries from the token's FNV-1a low bits, so chunk
     // identity survives insertions/deletions that shift every fixed-stride
@@ -5170,6 +5184,23 @@ object Extensions {
          |SELECT doc_id, chunk_idx, CAST(len(ch) AS BIGINT) AS n_chunk_tokens,
          |  md5(array_to_string(ch, ' ')) AS chunk_md5
          |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // the BPE merge-loop CTE composed with the chunk-window replay
+    // (chunkSize 32, overlap 8 → stride 24), md5 over the space-join
+    "text_chunk_bpe" ->
+      s"""$bpeFoldCtes,
+         |n AS (SELECT doc_id, toks AS tk,
+         |        CASE WHEN len(toks) <= 0 THEN 0
+         |             ELSE greatest(1, CAST(ceil((len(toks) - 8)::DOUBLE / 24) AS BIGINT))
+         |        END AS nc
+         |      FROM bpe),
+         |c AS (SELECT doc_id, tk, unnest(range(0, nc)) AS chunk_idx FROM n WHERE nc > 0),
+         |sl AS (SELECT doc_id, chunk_idx,
+         |        tk[CAST(chunk_idx*24 + 1 AS INT) : CAST(chunk_idx*24 + 32 AS INT)] AS ch
+         |      FROM c)
+         |SELECT doc_id, chunk_idx, CAST(len(ch) AS BIGINT) AS n_chunk_tokens,
+         |  md5(array_to_string(ch, ' ')) AS chunk_md5
+         |FROM sl ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // CDC chunking replayed: per-token FNV-1a (the hex-pair byte fold),
     // boundary = signed pmod 16 == 0, chunk index = boundaries strictly
