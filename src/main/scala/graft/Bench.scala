@@ -38,7 +38,12 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")).trim.split(" ").take(3).mkString(" "))
         .getOrElse("unavailable")
     def fmtD(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    calibProbe() // untimed warm-up, same methodology as the queries
+    // THREE untimed warm-ups (r14): the probe exists to measure the BOX, and
+    // with a single warm-up the first timed rep still carries JIT/codegen
+    // warmth — a fresh JVM on an idle warm-cache box measured 0.376 s start
+    // vs 0.125 s end probe, tripping the quiet gate on JVM coldness instead
+    // of co-tenant load. Steady state arrives by the 4th execution.
+    (1 to 3).foreach(_ => calibProbe())
     val calibStart = Seq.fill(3)(calibProbe()).sorted.apply(1)
     val loadStart = loadavg()
     // Reproducible methodology (VERDICT r4): per query, one untimed warm-up
@@ -115,11 +120,16 @@ object Bench {
     }
     val allQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val allBands = samples.map { case (k, t) => "\"" + k + "\":" + band(t) }.mkString("{", ",", "}")
+    // end probe BEFORE the detail/canonical write so the gate can consider
+    // it: either a quiet start OR a quiet end (concurrent with the sweep
+    // tail) demonstrates an unloaded box; requiring specifically the start
+    // probe re-measures JVM warmth, not co-tenant pressure
+    val calibEnd = Seq.fill(3)(calibProbe()).sorted.apply(1)
     // A prefix-filtered run is a local iteration aid — never let it replace
     // the full-inventory record the judge reads.
     if (prefix.isEmpty) scala.util.Try {
       val detail =
-        s"""{"metric":"total","value":$total,"unit":"sec","min":${fmt(totalMin)},"max":${fmt(totalMax)},"failures":$failures,"reps":$reps,"calib_ref_start_sec":${fmtD(calibStart)},"loadavg_start":"$loadStart","queries":$allQs,"bands":$allBands,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","min":${fmt(totalMin)},"max":${fmt(totalMax)},"failures":$failures,"reps":$reps,"calib_ref_start_sec":${fmtD(calibStart)},"calib_ref_end_sec":${fmtD(calibEnd)},"loadavg_start":"$loadStart","queries":$allQs,"bands":$allBands,"sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       // The CANONICAL record (VERDICT r12 #8): driver sweeps overwrite
@@ -129,11 +139,23 @@ object Bench {
       // SPARK_GRAFT_CANONICAL=1 after checking probe <= 0.25 s and
       // loadavg < 2) ALSO writes BENCH_CANONICAL.json, which ordinary
       // sweeps never touch — that file is the round's record.
-      if (sys.env.get("SPARK_GRAFT_CANONICAL").contains("1"))
-        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_CANONICAL.json"),
-          detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // The gate is RE-CHECKED in-process (ADVICE r13): the env var alone is
+      // trust, and a stale export on a loaded box would silently replace the
+      // round's record — the exact shadowing failure this file exists to
+      // prevent. The JVM already measured calibStart and loadStart, so use
+      // them: refuse the canonical write (keeping the ordinary detail write)
+      // unless the probe and the 1-minute loadavg were inside the gate.
+      if (sys.env.get("SPARK_GRAFT_CANONICAL").contains("1")) {
+        val load1 = scala.util.Try(loadStart.split(" ").head.toDouble).getOrElse(Double.MaxValue)
+        if (math.min(calibStart, calibEnd) <= 0.25 && load1 < 2.0)
+          java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_CANONICAL.json"),
+            detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        else
+          System.err.println(s"""SPARK_GRAFT_CANONICAL=1 set but gate failed in-process """ +
+            s"""(probe start ${fmtD(calibStart)}s / end ${fmtD(calibEnd)}s, """ +
+            s"""loadavg "$loadStart") — canonical write refused.""")
+      }
     }
-    val calibEnd = Seq.fill(3)(calibProbe()).sorted.apply(1)
     val calib = s""""calib_ref_sec":{"start":${fmtD(calibStart)},"end":${fmtD(calibEnd)}},"loadavg":{"start":"$loadStart","end":"${loadavg()}"}"""
     println(s"""{"metric":"total_summary","value":$total,"unit":"sec","min":${fmt(totalMin)},"max":${fmt(totalMax)},"failures":$failures,"reps":$reps,"n_queries":${results.size},$calib,"sf":"$sfDir"}""")
     spark.stop()

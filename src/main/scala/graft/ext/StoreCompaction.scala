@@ -110,7 +110,18 @@ object StoreCompaction {
     * `df` is hash-repartitioned on the partition columns first, so each
     * leaf receives exactly one file per tag (no coalesce barrier; an
     * unpartitioned store gets a single file via coalesce(1) — these
-    * appends are micro-batch-sized). */
+    * appends are micro-batch-sized).
+    *
+    * PRECONDITION (advice r13): replay of a tag must be DETERMINISTIC in
+    * its leaf-partition set — the previous generation is cleared only in
+    * leaves the NEW write touches, so a replay that derived a different
+    * partition-value set than the crashed attempt would leave stale
+    * `<tag>-*.parquet` files alive in the disappeared leaves and
+    * double-count. Callers satisfy this today because every tag's frame is
+    * a pure function of its replayed micro-batch (Spark re-delivers the
+    * same batch content for the same batchId). If a nondeterministic
+    * deriver ever feeds this, sweep the whole store for the tag's files
+    * before publishing instead of per-leaf clearing. */
   def appendKeyed(df: DataFrame, rootPath: String, partitionCols: Seq[String],
       tag: String): Unit = {
     require(tag.nonEmpty && tag.matches("[A-Za-z0-9_-]+"), s"bad tag '$tag'")

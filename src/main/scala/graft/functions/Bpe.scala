@@ -10,11 +10,15 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Deterministic byte-pair encoding (Sennrich et al. 2016, the public BPE
-  * algorithm every modern tokenizer family uses): start from single
-  * characters and repeatedly merge the adjacent pair with the best (lowest)
-  * rank in the merge table, all occurrences left-to-right, until no ranked
-  * pair remains.
+/** Deterministic CHARACTER-level pair encoding (the Sennrich et al. 2016
+  * merge algorithm, applied over Unicode code points rather than UTF-8
+  * bytes — "byte-level" in the GPT-2 sense would seed from raw bytes;
+  * advice r13 naming fix): start from single code points and repeatedly
+  * merge the adjacent pair with the best (lowest) rank in the merge table,
+  * all occurrences left-to-right, until no ranked pair remains. Seeding is
+  * by CODE POINT (not UTF-16 code unit), so non-BMP characters (emoji,
+  * rare CJK) stay whole and agree with the DuckDB oracle's per-character
+  * `string_split(text, '')` (advice r13 surrogate fix).
   *
   * Token-budget lanes (packing, chunking, mixtures) count WHITESPACE tokens
   * unless told otherwise; real pipelines budget in tokenizer tokens — this
@@ -37,6 +41,25 @@ object Bpe {
     require(merges.nonEmpty, "empty merge table")
     @transient lazy val rank: Map[(String, String), Int] =
       merges.zipWithIndex.toMap
+    /** Code points appearing in ANY merge operand. A code point OUTSIDE
+      * this set can never be part of a merged token (a token containing it
+      * never equals any operand), so the token stream FACTORIZES at every
+      * such char: BPE(text) = concat of BPE(segment) over maximal
+      * operand-char runs, breakers passing through as singletons. This is
+      * what lifts the oracle's recursive-CTE depth from document length to
+      * longest-run length (VERDICT r13 #4) and what a 100 TB pipeline uses
+      * to bound per-task state on multi-MB documents. */
+    @transient lazy val operandCodePoints: Set[Int] =
+      merges.flatMap { case (l, r) =>
+        (l + r).codePoints().toArray.toSeq
+      }.toSet
+    /** The operand set as a regex character-class BODY (metachars escaped)
+      * — shared source of truth for the DuckDB oracle's segment split. */
+    def operandClassBody: String =
+      operandCodePoints.toSeq.sorted.map { cp =>
+        val s = new String(Character.toChars(cp))
+        if ("\\^]-[".contains(s)) "\\" + s else s
+      }.mkString
     /** The merge table as DuckDB VALUES rows `('l','r',rank)` — the single
       * source of truth for the lane's recursive-CTE oracle. Single quotes
       * are SQL-escaped: real English BPE tables merge apostrophes ("'s" is
@@ -62,10 +85,31 @@ object Bpe {
   def bpe_encode(text: Column, table: BpeTable): Column =
     ColumnBridge.column(BpeEncode(ColumnBridge.expression(text), table))
 
+  /** Full-document variant: segment-factorized merge loop (same tokens,
+    * bounded per-run cost — see [[encodeSegmented]]). */
+  def bpe_encode_full(text: Column, table: BpeTable): Column =
+    ColumnBridge.column(BpeEncode(ColumnBridge.expression(text), table,
+      segmented = true))
+
+  /** One seed token per Unicode CODE POINT. */
+  private def seedTokens(text: String): Array[String] = {
+    val out = new ArrayBuffer[String](text.length)
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      val n = Character.charCount(cp)
+      out += text.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
   /** Greedy BPE: merge the best-ranked pair (all occurrences, left to
-    * right), repeat until no pair is ranked. */
+    * right), repeat until no pair is ranked. Seed tokens are CODE POINTS
+    * (surrogate pairs stay together — `text.map(_.toString)` would split
+    * every non-BMP char into two invalid half-tokens, advice r13). */
   def encode(text: String, table: BpeTable): Array[String] = {
-    var toks: Array[String] = text.map(_.toString).toArray
+    var toks: Array[String] = seedTokens(text)
     val rank = table.rank
     while (toks.length > 1) {
       var best = Int.MaxValue
@@ -90,27 +134,58 @@ object Bpe {
     toks
   }
 
+  /** Segment-factorized BPE — IDENTICAL output to [[encode]] (the
+    * factorization property, pinned in BpeSpec), but the merge loop's rank
+    * scan is confined to maximal operand-char runs, so worst-case cost per
+    * document is O(longest_run · merges) instead of O(len · merges): the
+    * full-document lanes' scale path (VERDICT r13 #4). Breaker code points
+    * pass through as singleton tokens. */
+  def encodeSegmented(text: String, table: BpeTable): Array[String] = {
+    val ops = table.operandCodePoints
+    val out = new ArrayBuffer[String](text.length / 2 + 1)
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      if (!ops.contains(cp)) {
+        val n = Character.charCount(cp)
+        out += text.substring(i, i + n) // breaker: singleton token in place
+        i += n
+      } else {
+        var j = i
+        while (j < text.length && ops.contains(text.codePointAt(j)))
+          j += Character.charCount(text.codePointAt(j))
+        out ++= encode(text.substring(i, j), table)
+        i = j
+      }
+    }
+    out.toArray
+  }
+
   /** Executor entry for codegen. */
-  def encodeUtf8(text: UTF8String, table: BpeTable): GenericArrayData =
-    new GenericArrayData(
-      encode(text.toString, table).map(s => UTF8String.fromString(s): Any))
+  def encodeUtf8(text: UTF8String, table: BpeTable, segmented: Boolean): GenericArrayData = {
+    val toks =
+      if (segmented) encodeSegmented(text.toString, table)
+      else encode(text.toString, table)
+    new GenericArrayData(toks.map(s => UTF8String.fromString(s): Any))
+  }
 }
 
 /** STRING → ARRAY<STRING> of BPE tokens under the reference-object merge
-  * table (travels with the plan — broadcast-by-closure). */
-case class BpeEncode(child: Expression, table: Bpe.BpeTable)
-    extends UnaryExpression {
+  * table (travels with the plan — broadcast-by-closure). `segmented` picks
+  * the factorized loop — identical tokens, run-bounded cost. */
+case class BpeEncode(child: Expression, table: Bpe.BpeTable,
+    segmented: Boolean = false) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    Bpe.encodeUtf8(input.asInstanceOf[UTF8String], table)
+    Bpe.encodeUtf8(input.asInstanceOf[UTF8String], table, segmented)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val tableRef = ctx.addReferenceObj("bpeTable", table,
       classOf[Bpe.BpeTable].getName)
     nullSafeCodeGen(ctx, ev, t =>
-      s"${ev.value} = graft.functions.Bpe.encodeUtf8($t, $tableRef);")
+      s"${ev.value} = graft.functions.Bpe.encodeUtf8($t, $tableRef, $segmented);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

@@ -484,14 +484,36 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // FULL-DOCUMENT tokenizer-exact counts (VERDICT r13 #4): the 120-char
+    // slice capped the oracle's recursive-CTE depth, not the design —
+    // lifted via the factorization property (Bpe.BpeTable.operandCodePoints):
+    // a char in NO merge operand can never join a merge, so
+    // BPE(text) = concat of BPE(segment) over maximal operand-char runs.
+    // Spark encodes per segment (encodeSegmented, property-pinned equal to
+    // whole-text encode in BpeSpec); the oracle folds per SEGMENT too,
+    // bounding its recursion by the longest operand run (≤68 chars at sf1)
+    // instead of document length. Token string surfaces as md5 — the exact
+    // content check without a 300+-char column in the diff.
+    "text_bpe_tokens_full" -> ((s, d) => {
+      import graft.functions.Bpe
+      val toks = Bpe.bpe_encode_full(col("text"), Bpe.fixtureTable)
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(toks).cast("long").as("n_bpe"),
+          md5(concat_ws("|", toks)).as("toks_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Concat-and-chunk packing BUDGETED IN BPE TOKENS — what a real
     // pre-training pipeline packs by (whitespace counts under-count by the
     // subword factor). Same two-phase prefix sum as train_pack_concat;
-    // only the token counter changes.
+    // only the token counter changes. Counts are FULL-document as of r14
+    // (VERDICT r13 #4: a budget computed on a 120-char prefix is not a
+    // production token budget) — segment-factorized encode, per-segment
+    // oracle fold.
     "train_pack_bpe" -> ((s, d) => {
       import graft.functions.Bpe
       graft.ext.Sampling.packConcat(Tables.documents(s, d), "doc_id",
-          size(Bpe.bpe_encode(substring(col("text"), 1, 120), Bpe.fixtureTable)),
+          size(Bpe.bpe_encode_full(col("text"), Bpe.fixtureTable)),
           budget = 512L)
         .select(col("id").as("doc_id"), col("n_tokens"), col("start_off"),
           col("pack_first"), col("pack_last"), col("packs_spanned"))
@@ -2383,6 +2405,49 @@ object Extensions {
         .orderBy(col("fork"))
     }),
 
+    // The reference's WHOLE operating mode with the real sink wire (r14):
+    // chain source → finality fold → ClickHouseHttpSink — RowBinary rows
+    // in native-LZ4 frames POSTed per partition to the loopback ClickHouse
+    // HTTP endpoint (checksum-verified + decoded server-side), cursor row
+    // last — then the table read BACK over HTTP (SELECT … FORMAT
+    // RowBinary, compressed) and folded to the same per-fork counts as
+    // pipeline_e2e_chain. Same recursive-CTE oracle: both wire directions
+    // must be invisible in the result. Read-back is bounded (≤200 rows —
+    // the fixture fold witness; bulk egress is the executor POST path).
+    "pipeline_e2e_http" -> ((s, d) => {
+      import org.apache.spark.sql.Encoders
+      import graft.model.ChType._
+      import graft.sink.{ClickHouseHttpServer, ClickHouseHttpSink, RowBinary}
+      implicit val enc = Encoders.product[graft.model.BlockMsg]
+      val msgs = s.read.format("graft.sources.ChainSource")
+        .option("totalBlocks", 200).option("reorgEvery", 20)
+        .option("reorgDepth", 3).option("finalityLag", 8)
+        .load().as[graft.model.BlockMsg]
+      val released = graft.streaming.StreamingFinality.released(msgs)
+      val catalog = Seq(graft.model.ChTable("blocks", Seq(
+        graft.model.ChColumn("height", ChUInt64),
+        graft.model.ChColumn("fork", ChUInt32))))
+      val server = new ClickHouseHttpServer()
+      try {
+        val sink = new ClickHouseHttpSink(catalog, server.url, "e2e-http")
+        sink.writeBatch(released, 0L)
+        // read back over the wire; declared column order = the frame's
+        // (meta first, then name-sorted catalog columns)
+        val bytes = ClickHouseHttpSink.get(server.url,
+          "SELECT * FROM `blocks` FORMAT RowBinary", "default", "", compress = true)
+        val rows = RowBinary.decodeRows(
+          Seq(ChInt64, ChString, ChString, ChUInt32, ChUInt64), bytes)
+        import s.implicits._
+        rows.map(r => (r(3).toLong, r(4).toLong))
+          .toDF("fork", "height")
+          .groupBy(col("fork"))
+          .agg(count(lit(1)).as("n_blocks"),
+            min(col("height")).as("first_h"),
+            max(col("height")).as("last_h"))
+          .orderBy(col("fork"))
+      } finally server.close()
+    }),
+
     // Bounded-range replay of the chain source (reference CLI parity,
     // `src/main.rs:63-66`): startBlock positions the cursorless stream,
     // endBlock (exclusive) completes it. The oracle regenerates the
@@ -3975,11 +4040,56 @@ object Extensions {
        |  ) best ON true),
        |bpe AS (SELECT doc_id, toks FROM fold WHERE done)""".stripMargin
 
+  /** FULL-document BPE replay (VERDICT r13 #4): same merge fold, but per
+    * SEGMENT — documents split at breaker chars (code points in no merge
+    * operand, where the token stream provably factorizes; the character
+    * class comes from the SAME BpeTable the Spark expression ships). The
+    * recursion's depth is bounded by the longest operand-char run, not the
+    * document length, and single-char segments (every breaker) start done.
+    * Ends with `bpe(doc_id, toks)` — full-document token lists; empty-text
+    * docs are restored by the consumers' LEFT JOIN. */
+  private def bpeFoldCtesFull: String = {
+    val cls = graft.functions.Bpe.fixtureTable.operandClassBody.replace("'", "''")
+    val pat = s"[$cls]+|[^$cls]"
+    s"""WITH RECURSIVE
+       |merges(l, r, rnk) AS (VALUES ${graft.functions.Bpe.fixtureTable.sqlValues}),
+       |seglist AS (SELECT doc_id, regexp_extract_all(text, '$pat', 0) AS segs
+       |            FROM documents),
+       |init AS (
+       |  SELECT doc_id, i.seg_idx,
+       |    list_filter(string_split(segs[i.seg_idx], ''), x -> x <> '') AS toks,
+       |    length(segs[i.seg_idx]) <= 1 AS done
+       |  FROM seglist,
+       |       LATERAL (SELECT unnest(range(1, len(segs) + 1)) AS seg_idx) i),
+       |fold AS (
+       |  SELECT doc_id, seg_idx, toks, done FROM init
+       |  UNION ALL
+       |  SELECT f.doc_id, f.seg_idx,
+       |    CASE WHEN best.pos IS NULL THEN f.toks
+       |         ELSE f.toks[1:best.pos-1] ||
+       |              [f.toks[best.pos] || f.toks[best.pos+1]] ||
+       |              f.toks[best.pos+2:len(f.toks)] END AS toks,
+       |    best.pos IS NULL AS done
+       |  FROM (SELECT * FROM fold WHERE NOT done) f
+       |  LEFT JOIN LATERAL (
+       |    SELECT i AS pos FROM (SELECT unnest(range(1, len(f.toks))) AS i) p
+       |    JOIN merges m ON m.l = f.toks[i] AND m.r = f.toks[i+1]
+       |    ORDER BY m.rnk, i LIMIT 1
+       |  ) best ON true),
+       |seg_bpe AS (SELECT doc_id, seg_idx, toks FROM fold WHERE done),
+       |bpe AS (SELECT doc_id, flatten(list(toks ORDER BY seg_idx)) AS toks
+       |        FROM seg_bpe GROUP BY doc_id)""".stripMargin
+  }
+
   def oracles: Map[String, String] = oraclesBase +
     // the gRPC-transported flagship pipeline produces byte-identical
     // envelopes to the in-process generator (GrpcChainSpec parity), so the
     // same recursive-CTE fold replay is its exact oracle
-    ("pipeline_e2e_grpc" -> oraclesBase("pipeline_e2e_chain"))
+    ("pipeline_e2e_grpc" -> oraclesBase("pipeline_e2e_chain")) +
+    // ... and the HTTP-sink round trip must likewise be invisible: the
+    // table read back from the loopback ClickHouse endpoint folds to the
+    // same per-fork counts the generator arithmetic predicts
+    ("pipeline_e2e_http" -> oraclesBase("pipeline_e2e_chain"))
 
   private def oraclesBase: Map[String, String] = Map(
     "text_token_stats" ->
@@ -4715,10 +4825,21 @@ object Extensions {
          |  array_to_string(toks, '|') AS toks_str
          |FROM bpe ORDER BY doc_id""".stripMargin,
 
-    // BPE counts fed through the train_pack_concat window replay, budget 512.
+    // Full-document per-segment merge replay + the md5'd token string.
+    "text_bpe_tokens_full" ->
+      s"""$bpeFoldCtesFull
+         |SELECT d.doc_id, CAST(coalesce(len(b.toks), 0) AS BIGINT) AS n_bpe,
+         |  md5(coalesce(array_to_string(b.toks, '|'), '')) AS toks_md5
+         |FROM documents d LEFT JOIN bpe b USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // FULL-document BPE counts (per-segment fold) through the
+    // train_pack_concat window replay, budget 512.
     "train_pack_bpe" ->
-      s"""$bpeFoldCtes,
-         |b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM bpe),
+      s"""$bpeFoldCtesFull,
+         |b AS (SELECT d.doc_id,
+         |        CAST(coalesce(len(p.toks), 0) AS BIGINT) AS n_tokens
+         |      FROM documents d LEFT JOIN bpe p USING (doc_id)),
          |c AS (SELECT doc_id, n_tokens,
          |    CAST(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT) AS start_off
          |  FROM b)

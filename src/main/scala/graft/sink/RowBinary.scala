@@ -107,6 +107,35 @@ object RowBinary {
     }
   }
 
+  /** Parse an unsigned integer of `bits` width, LOUDLY (advice r13): the
+    * reference parses exact-width Rust types and panics out-of-range, so a
+    * silent two's-complement wrap here would put corrupt bytes on the wire
+    * where the reference fails the insert. Same IllegalArgumentException
+    * taxonomy as Bool/Decimal. */
+  private def parseUnsigned(v: String, bits: Int, t: ChType): BigInteger = {
+    val b =
+      try new BigInteger(v.trim)
+      catch { case e: NumberFormatException =>
+        throw new IllegalArgumentException(s"bad $t '$v'", e) }
+    if (b.signum() < 0 || b.bitLength() > bits)
+      throw new IllegalArgumentException(s"value '$v' out of range for $t [0, 2^$bits)")
+    b
+  }
+
+  /** Parse a signed integer of `bits` width (two's complement range). */
+  private def parseSigned(v: String, bits: Int, t: ChType): BigInteger = {
+    val b =
+      try new BigInteger(v.trim)
+      catch { case e: NumberFormatException =>
+        throw new IllegalArgumentException(s"bad $t '$v'", e) }
+    // signed w-bit range: [-2^(w-1), 2^(w-1)); BigInteger.bitLength excludes
+    // the sign bit, so both bounds collapse to bitLength <= bits-1, with the
+    // one extra legal value -2^(w-1) (bitLength == bits-1 holds for it too)
+    if (b.bitLength() > bits - 1)
+      throw new IllegalArgumentException(s"value '$v' out of range for $t")
+    b
+  }
+
   private def parseEpochSeconds(s: String): Long = {
     val t = s.trim
     if (t.matches("-?[0-9]+"))
@@ -132,18 +161,22 @@ object RowBinary {
       val b = v.getBytes(StandardCharsets.UTF_8)
       var i = 0
       while (i < width) { out.byte(if (i < b.length) b(i) else 0); i += 1 }
-    case ChUInt8 => out.intLE(java.lang.Short.parseShort(v.trim).toLong, 1)
+    // integer widths range-check BEFORE encoding (advice r13): the previous
+    // parsers accepted e.g. "300" for UInt8 via Short.parseShort and wrote
+    // the wrapped byte 0x2C — silent wire corruption where the reference
+    // panics. Every lane now rejects out-of-range input loudly.
+    case ChUInt8 => out.intLE(parseUnsigned(v, 8, t).longValue(), 1)
     case ChInt8 => out.intLE(java.lang.Byte.parseByte(v.trim).toLong, 1)
-    case ChUInt16 => out.intLE(Integer.parseInt(v.trim).toLong, 2)
+    case ChUInt16 => out.intLE(parseUnsigned(v, 16, t).longValue(), 2)
     case ChInt16 => out.intLE(java.lang.Short.parseShort(v.trim).toLong, 2)
-    case ChUInt32 => out.intLE(java.lang.Long.parseLong(v.trim), 4)
+    case ChUInt32 => out.intLE(parseUnsigned(v, 32, t).longValue(), 4)
     case ChInt32 => out.intLE(Integer.parseInt(v.trim).toLong, 4)
-    case ChUInt64 => writeWideLE(out, new BigInteger(v.trim), 8)
+    case ChUInt64 => writeWideLE(out, parseUnsigned(v, 64, t), 8)
     case ChInt64 => out.intLE(java.lang.Long.parseLong(v.trim), 8)
-    case ChUInt128 => writeWideLE(out, new BigInteger(v.trim), 16)
-    case ChInt128 => writeWideLE(out, new BigInteger(v.trim), 16)
-    case ChUInt256 => writeWideLE(out, new BigInteger(v.trim), 32)
-    case ChInt256 => writeWideLE(out, new BigInteger(v.trim), 32)
+    case ChUInt128 => writeWideLE(out, parseUnsigned(v, 128, t), 16)
+    case ChInt128 => writeWideLE(out, parseSigned(v, 128, t), 16)
+    case ChUInt256 => writeWideLE(out, parseUnsigned(v, 256, t), 32)
+    case ChInt256 => writeWideLE(out, parseSigned(v, 256, t), 32)
     case ChFloat32 => out.intLE(java.lang.Float.floatToIntBits(v.trim.toFloat).toLong, 4)
     case ChFloat64 => out.intLE(java.lang.Double.doubleToLongBits(v.trim.toDouble), 8)
     case ChBool =>
@@ -189,6 +222,115 @@ object RowBinary {
     out.intLE(blockNum, 8)
     writeString(out, blockId)
     out.toBytes
+  }
+
+  // ---- decoder (round 14): the SERVER side of the wire ---------------------
+  //
+  // What a ClickHouse endpoint does with the insert body — needed by the
+  // loopback HTTP fixture to actually SPEAK the format (decode, verify,
+  // store) and by the sink's SELECT read-back. Inverse of writeValue over
+  // the same §1.2 matrix, producing the canonical strings writeValue
+  // accepts, so decode(encode(v)) == v for in-contract values (pinned in
+  // RowBinarySpec).
+
+  /** Mutable cursor over a byte buffer. */
+  final class Reader(val buf: Array[Byte], var pos: Int) {
+    def remaining: Int = buf.length - pos
+    private[RowBinary] def need(n: Int): Unit =
+      if (pos + n > buf.length)
+        throw new IllegalArgumentException(
+          s"truncated RowBinary: need $n bytes at $pos of ${buf.length}")
+    def u8(): Int = { need(1); val v = buf(pos) & 0xFF; pos += 1; v }
+    def longLE(width: Int): Long = {
+      need(width)
+      var v = 0L
+      var i = width - 1
+      while (i >= 0) { v = (v << 8) | (buf(pos + i) & 0xFFL); i -= 1 }
+      pos += width
+      v
+    }
+    def wideLE(width: Int, signed: Boolean): BigInteger = {
+      need(width)
+      val be = new Array[Byte](width)
+      var i = 0
+      while (i < width) { be(i) = buf(pos + width - 1 - i); i += 1 }
+      pos += width
+      if (signed) new BigInteger(be) else new BigInteger(1, be)
+    }
+    def bytes(n: Int): Array[Byte] = {
+      need(n)
+      val out = java.util.Arrays.copyOfRange(buf, pos, pos + n)
+      pos += n
+      out
+    }
+  }
+
+  def readVarint(r: Reader): Long = {
+    var v = 0L
+    var shift = 0
+    while (shift < 64) {
+      val b = r.u8()
+      v |= (b & 0x7FL) << shift
+      if ((b & 0x80) == 0) return v
+      shift += 7
+    }
+    throw new IllegalArgumentException("varint longer than 64 bits")
+  }
+
+  /** One value off the wire as its canonical string (null under Nullable).
+    * Sign-extension per type width matters: longLE is unsigned-raw, so
+    * signed narrow types cast through the matching JVM width. */
+  def readValue(r: Reader, t: ChType): String = t match {
+    case ChNullable(inner) =>
+      if (r.u8() == 1) null else readValue(r, inner)
+    case ChString => new String(r.bytes(readVarint(r).toInt), StandardCharsets.UTF_8)
+    case ChFixedString(width) =>
+      val b = r.bytes(width)
+      var n = width
+      while (n > 0 && b(n - 1) == 0) n -= 1 // strip the zero padding
+      new String(b, 0, n, StandardCharsets.UTF_8)
+    case ChUInt8 => r.longLE(1).toString
+    case ChInt8 => r.longLE(1).toByte.toString
+    case ChUInt16 => r.longLE(2).toString
+    case ChInt16 => r.longLE(2).toShort.toString
+    case ChUInt32 => r.longLE(4).toString
+    case ChInt32 => r.longLE(4).toInt.toString
+    case ChUInt64 => r.wideLE(8, signed = false).toString
+    case ChInt64 => r.longLE(8).toString
+    case ChUInt128 => r.wideLE(16, signed = false).toString
+    case ChInt128 => r.wideLE(16, signed = true).toString
+    case ChUInt256 => r.wideLE(32, signed = false).toString
+    case ChInt256 => r.wideLE(32, signed = true).toString
+    case ChFloat32 => java.lang.Float.intBitsToFloat(r.longLE(4).toInt).toString
+    case ChFloat64 => java.lang.Double.longBitsToDouble(r.longLE(8)).toString
+    case ChBool => r.u8() match {
+      case 0 => "false"
+      case 1 => "true"
+      case other => throw new IllegalArgumentException(s"bad Bool byte $other")
+    }
+    case ChDateTime => r.longLE(4).toInt.toString // epoch seconds (canonical)
+    case ChDate => java.time.LocalDate.ofEpochDay(r.longLE(2)).toString
+    case ChDecimal(p, s) =>
+      val width = if (p <= 9) 4 else if (p <= 18) 8 else if (p <= 38) 16 else 32
+      new java.math.BigDecimal(r.wideLE(width, signed = true), s).toPlainString
+    case ChLowCardinality(inner) => readValue(r, inner)
+  }
+
+  /** One row in the given column order → canonical strings. */
+  def decodeRow(cols: Seq[ChType], r: Reader): Array[String] = {
+    val out = new Array[String](cols.size)
+    var i = 0
+    cols.foreach { t => out(i) = readValue(r, t); i += 1 }
+    out
+  }
+
+  /** A whole insert body in the given column order → rows. Trailing
+    * garbage (a desynced stream) fails loudly. */
+  def decodeRows(cols: Seq[ChType], body: Array[Byte]): Seq[Array[String]] = {
+    val r = new Reader(body, 0)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+    while (r.remaining > 0) rows += decodeRow(cols, r)
+    rows.toSeq
   }
 
   /** Executor entry for codegen: MapData of UTF8String → row bytes. */

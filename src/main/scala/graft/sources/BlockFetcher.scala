@@ -23,16 +23,18 @@ import org.apache.spark.sql.catalyst.InternalRow
   *    (retried on the exponential schedule);
   *  - `close()` releases the channel when the partition is exhausted.
   *
-  * CURSOR SEMANTICS at this seam (advice r12): the in-sandbox transports
-  * mint their own `cursor-<seq>` strings meaning "resume delivery AT seq" —
-  * the seq IS the checkpointed offset, so replay is exact. A REAL
-  * substreams endpoint inverts this: the server mints an OPAQUE cursor per
-  * delivered block, the client stores the one from the last block it
-  * CONSUMED, and the server resumes AFTER it
-  * (`src/substreams_stream.rs:53-149`). An adapter for a live endpoint must
-  * therefore persist the server-minted cursor of seq-1 verbatim and send
-  * that on reopen (resume-after), not fabricate a resume-at token — sending
-  * `cursor-<seq>` to a real server would be rejected or resume off by one.
+  * CURSOR SEMANTICS at this seam (advice r12; seam CLOSED in r14): the
+  * SERVER mints an OPAQUE token per delivered message
+  * ([[EnvelopeWire.mintCursor]] — obfuscated + checksummed, clients that
+  * try to parse it fail loudly), the client stores the token of the last
+  * message it CONSUMED verbatim, returns it unmodified in
+  * `Request.start_cursor` on reopen, and the server resumes AFTER it —
+  * exactly the reference's replay-verbatim contract
+  * (`src/substreams_stream.rs:98-110`). With nothing consumed yet the open
+  * is cursorless via `start_block_num`. The `seq` coordinate used by
+  * `fetch` and the Spark offset log is the client's own POSITIONAL count
+  * of consumed messages, independent of the token — which is why replay
+  * stays exact without ever interpreting the cursor.
   *
   * Select an implementation with `.option("fetcherClass", "fqcn")` — the
   * class needs a single-argument `(ChainSource.Config)` constructor. The

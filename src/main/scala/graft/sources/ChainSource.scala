@@ -171,13 +171,24 @@ object ChainSource {
   /** The semantic content of one envelope — the fields a real server ships
     * over the wire, separated from their InternalRow encoding so a transport
     * (e.g. [[LoopbackBlockFetcher]]) can serialize/parse them and both the
-    * synthetic and networked paths share [[toInternalRow]] bit-for-bit. */
+    * synthetic and networked paths share [[toInternalRow]] bit-for-bit.
+    *
+    * `cursor` (data) / `lastValidCursor` (undo) are SERVER-MINTED OPAQUE
+    * tokens (`EnvelopeWire.mintCursor`) that the client stores verbatim and
+    * returns unmodified on resume — the server resumes AFTER them
+    * (reference `src/substreams_stream.rs:98-110`; seam closed in r14). */
   final case class Envelope(seq: Long, isUndo: Boolean, height: Long,
-      fork: Long, lastValid: Long, finalHeight: Long, tsMicros: Long)
+      fork: Long, lastValid: Long, finalHeight: Long, tsMicros: Long,
+      cursor: String = "", lastValidCursor: String = "")
 
   /** Deterministic envelope at sequence `seq`: chain state is a pure function
     * of the sequence number, so any reader (or retry) regenerates the exact
-    * same envelope — the property that makes offset-resume exactly-once. */
+    * same envelope — the property that makes offset-resume exactly-once.
+    * This is the SERVER role (the loopback/gRPC fixtures and the in-process
+    * generator all serve from it), so it also mints the opaque cursor:
+    * for data, the message's own position; for undo, the undo message's
+    * position — resuming after it continues with the replacement fork,
+    * exactly the reference's "cursor to continue from" contract. */
   def envelopeAt(seq: Long, cfg: Config): Envelope = {
     val reorg = cfg.reorgEvery > 0 && seq > 0 && seq % cfg.reorgEvery == 0
     // block height delivered at seq: heights replay reorgDepth back after
@@ -187,16 +198,21 @@ object ChainSource {
     Envelope(seq, isUndo = reorg, height = height, fork = undosBefore,
       lastValid = if (reorg) height - 1 - cfg.reorgDepth else -1L,
       finalHeight = (height - cfg.finalityLag).max(0),
-      tsMicros = 1672531200000000L + height * 1000000L) // 2023-01-01 + 1s/block
+      tsMicros = 1672531200000000L + height * 1000000L, // 2023-01-01 + 1s/block
+      cursor = if (reorg) "" else EnvelopeWire.mintCursor(seq),
+      lastValidCursor = if (reorg) EnvelopeWire.mintCursor(seq) else "")
   }
 
-  /** Encode an [[Envelope]] as the BlockMsg InternalRow. */
+  /** Encode an [[Envelope]] as the BlockMsg InternalRow. Cursor strings are
+    * the envelope's server-minted tokens VERBATIM — nothing downstream may
+    * re-mint or parse them (the sink persists them as-is, reference
+    * `src/loader.rs:34-40`). */
   def toInternalRow(e: Envelope): InternalRow = {
     if (e.isUndo) {
       new GenericInternalRow(Array[Any](
         e.seq, UTF8String.fromString("undo"), null,
         new GenericInternalRow(Array[Any](e.lastValid,
-          UTF8String.fromString(s"cursor-${e.lastValid}")))))
+          UTF8String.fromString(e.lastValidCursor)))))
     } else {
       val fields = new GenericArrayData(Array[Any](
         new GenericInternalRow(Array[Any](
@@ -212,7 +228,7 @@ object ChainSource {
       val clock = new GenericInternalRow(Array[Any](
         UTF8String.fromString(s"b${e.height}-f${e.fork}"), e.height, e.tsMicros))
       val data = new GenericInternalRow(Array[Any](
-        clock, UTF8String.fromString(s"cursor-${e.seq}"),
+        clock, UTF8String.fromString(e.cursor),
         e.finalHeight, new GenericArrayData(Array[Any](change))))
       new GenericInternalRow(Array[Any](e.seq, UTF8String.fromString("data"), data, null))
     }

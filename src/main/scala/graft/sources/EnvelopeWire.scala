@@ -49,6 +49,73 @@ import graft.functions.ProtoWire
   */
 object EnvelopeWire {
 
+  // ---- opaque cursors (VERDICT r13 #2 / ADVICE r12) -------------------------
+  //
+  // The reference's cursor contract (`src/substreams_stream.rs:98-110`): the
+  // SERVER mints an opaque token per delivered message, the client stores the
+  // one from the last message it CONSUMED verbatim, returns it unmodified in
+  // `Request.start_cursor`, and the server resumes AFTER it. The pre-r14
+  // in-sandbox transports inverted this (client-fabricated `cursor-<seq>`
+  // meaning resume-AT) — internally consistent, but an off-by-one seam
+  // against any real endpoint. Now the minting lives HERE (the server role),
+  // the token is opaque (obfuscated seq + CRC, base64url — clients that try
+  // to parse it get garbage), and request resolution is resume-AFTER.
+  // Minting stays a pure function of the position so a retried serve mints
+  // the identical token — the property that keeps replay deterministic.
+
+  /** splitmix64's golden-gamma (public constant) — obfuscation, not crypto:
+    * opacity here is a CONTRACT (clients must not parse), the checksum is
+    * what rejects tampered/corrupt tokens loudly. */
+  private val CursorMask = 0x9E3779B97F4A7C15L
+
+  private def crc16(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0xFFFF
+    var i = from
+    while (i < until) {
+      crc ^= (b(i) & 0xFF) << 8
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x1021) & 0xFFFF else (crc << 1) & 0xFFFF
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** SERVER-side mint: the opaque cursor for stream position `seq`.
+    * Layout (pre-base64url): 1 version byte, 8 bytes rotl(seq ^ mask, 23)
+    * big-endian, 2 bytes CRC-16/CCITT of the first 9. */
+  def mintCursor(seq: Long): String = {
+    val v = java.lang.Long.rotateLeft(seq ^ CursorMask, 23)
+    val b = new Array[Byte](11)
+    b(0) = 1
+    var i = 0
+    while (i < 8) { b(1 + i) = ((v >>> (56 - 8 * i)) & 0xFF).toByte; i += 1 }
+    val crc = crc16(b, 0, 9)
+    b(9) = ((crc >>> 8) & 0xFF).toByte
+    b(10) = (crc & 0xFF).toByte
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(b)
+  }
+
+  /** SERVER-side resolve: token → the position it was minted at. Only the
+    * server role may call this — the client stores tokens verbatim. A token
+    * that fails base64/version/CRC is a desynced or hostile peer → fatal. */
+  def cursorSeq(token: String): Long = {
+    val b =
+      try java.util.Base64.getUrlDecoder.decode(token)
+      catch { case e: IllegalArgumentException =>
+        throw new MalformedFrameException(s"cursor is not base64url: '$token'", e) }
+    if (b.length != 11 || b(0) != 1)
+      throw new MalformedFrameException(s"bad cursor layout (${b.length} bytes, v${if (b.nonEmpty) b(0) else -1})")
+    if (crc16(b, 0, 9) != (((b(9) & 0xFF) << 8) | (b(10) & 0xFF)))
+      throw new MalformedFrameException("cursor checksum mismatch")
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (b(1 + i) & 0xFFL); i += 1 }
+    java.lang.Long.rotateRight(v, 23) ^ CursorMask
+  }
+
   /** Ordinary protobuf message frame (gRPC's uncompressed-data flag). */
   val MsgFlag: Int = 0x00
   /** Status/trailer frame: payload = UTF-8 status string. */
@@ -122,11 +189,19 @@ object EnvelopeWire {
     out.toArray
   }
 
-  /** → (resolved start, stop). The CURSOR wins over start_block_num when
-    * both travel (the reference's resume rule): a cursor string
-    * `cursor-<seq>` means "resume delivery AT <seq>" under this source's
-    * cursor-as-offset semantics. */
-  def decodeRequestRange(bytes: Array[Byte]): (Long, Long) =
+  /** A decoded Request: `start` is already RESOLVED (cursor wins over
+    * start_block_num, resume-AFTER); `cursor` is the raw token the client
+    * sent ("" = cursorless start_block path) so a fixture can assert the
+    * verbatim round-trip. */
+  final case class RequestRange(start: Long, stop: Long, cursor: String)
+
+  /** Resolve a Request's start position. The CURSOR wins over
+    * start_block_num when both travel, and the server resumes AFTER the
+    * position the token was minted at — the reference's resume rule
+    * (`src/substreams_stream.rs:98-110` replay-verbatim, `src/main.rs:63-66`
+    * cursor-over-start-block). Cursorless requests start AT start_block_num
+    * (the reference's fresh-start path). */
+  def decodeRequestRange(bytes: Array[Byte]): RequestRange =
     try {
       val r = new ProtoWire.Reader(bytes, 0, bytes.length)
       var start = 0L
@@ -143,13 +218,10 @@ object EnvelopeWire {
           case (_, w) => r.skip(w)
         }
       }
-      val resolved =
-        if (cursor.isEmpty) start
-        else if (cursor.startsWith("cursor-")) cursor.stripPrefix("cursor-").toLong
-        else throw new MalformedFrameException(s"unparseable cursor '$cursor'")
+      val resolved = if (cursor.isEmpty) start else cursorSeq(cursor) + 1
       if (stop <= resolved)
         throw new MalformedFrameException(s"empty range [$resolved,$stop)")
-      (resolved, stop)
+      RequestRange(resolved, stop, cursor)
     } catch {
       case m: MalformedFrameException => throw m
       case ProtoWire.Malformed => throw new MalformedFrameException("bad Request bytes")
@@ -201,7 +273,7 @@ object EnvelopeWire {
       // BlockUndoSignal { last_valid_block = 1, last_valid_cursor = 2 }
       val undo = ArrayBuffer.empty[Byte]
       ProtoWire.writeLenDelim(undo, 1, ref.toArray)
-      ProtoWire.writeLenDelim(undo, 2, s"cursor-${e.lastValid}".getBytes(StandardCharsets.UTF_8))
+      ProtoWire.writeLenDelim(undo, 2, e.lastValidCursor.getBytes(StandardCharsets.UTF_8))
       ProtoWire.writeLenDelim(out, 4, undo.toArray) // Response oneof tag 4
     } else {
       // DatabaseChanges payload via the O8 codec: table "blocks",
@@ -236,7 +308,7 @@ object EnvelopeWire {
       val bsd = ArrayBuffer.empty[Byte]
       ProtoWire.writeLenDelim(bsd, 1, mmo.toArray)
       ProtoWire.writeLenDelim(bsd, 2, clock.toArray)
-      ProtoWire.writeLenDelim(bsd, 3, s"cursor-${e.seq}".getBytes(StandardCharsets.UTF_8))
+      ProtoWire.writeLenDelim(bsd, 3, e.cursor.getBytes(StandardCharsets.UTF_8))
       if (e.finalHeight != 0L) { ProtoWire.writeVarint(bsd, (4L << 3) | 0); ProtoWire.writeVarint(bsd, e.finalHeight) }
       ProtoWire.writeLenDelim(out, 3, bsd.toArray) // Response oneof tag 3
     }
@@ -247,10 +319,11 @@ object EnvelopeWire {
   final case class SessionArm(traceId: String) extends Decoded
   final case class EnvelopeArm(env: ChainSource.Envelope) extends Decoded
 
-  /** Response bytes → the arm. `requestedSeq` is the client's coordinate
-    * (the real client tracks its cursor the same way); the server-minted
-    * cursor string must agree — disagreement means a desynced stream and
-    * is malformed, not retryable. */
+  /** Response bytes → the arm. `requestedSeq` is the client's POSITIONAL
+    * coordinate (it counts consumed messages — the real client does the
+    * same, `src/substreams_stream.rs:98-110`); the server-minted cursor is
+    * opaque and travels verbatim into the envelope for the client to store
+    * and return unmodified on resume. */
   def decodeResponse(requestedSeq: Long, bytes: Array[Byte]): Decoded =
     try {
       val r = new ProtoWire.Reader(bytes, 0, bytes.length)
@@ -367,14 +440,17 @@ object EnvelopeWire {
         case (_, w) => r.skip(w)
       }
     }
-    if (cursor != s"cursor-$seq")
-      throw new MalformedFrameException(
-        s"stream desync: requested seq $seq, server cursor '$cursor'")
+    // the cursor is OPAQUE to the client (reference contract: store
+    // verbatim, never parse) — validation here is presence + payload/clock
+    // consistency, not token structure; position tracking is positional
+    if (cursor.isEmpty)
+      throw new MalformedFrameException(s"data message at seq $seq carried no cursor")
     if (fork < 0 || payloadHeight != height)
       throw new MalformedFrameException(
         s"DatabaseChanges payload disagrees with Clock (payload height $payloadHeight vs $height)")
     ChainSource.Envelope(seq, isUndo = false, height = height, fork = fork,
-      lastValid = -1L, finalHeight = finalHeight, tsMicros = tsMicros)
+      lastValid = -1L, finalHeight = finalHeight, tsMicros = tsMicros,
+      cursor = cursor)
   }
 
   private def decodeUndoSignal(seq: Long, buf: Array[Byte],
@@ -399,10 +475,11 @@ object EnvelopeWire {
         case (_, w) => r.skip(w)
       }
     }
-    if (lastValid < 0L || cursor != s"cursor-$lastValid")
+    if (lastValid < 0L || cursor.isEmpty)
       throw new MalformedFrameException(
         s"bad undo signal: last_valid_block $lastValid, cursor '$cursor'")
     ChainSource.Envelope(seq, isUndo = true, height = -1L, fork = -1L,
-      lastValid = lastValid, finalHeight = -1L, tsMicros = -1L)
+      lastValid = lastValid, finalHeight = -1L, tsMicros = -1L,
+      lastValidCursor = cursor)
   }
 }

@@ -41,9 +41,12 @@ import org.apache.spark.sql.catalyst.InternalRow
   *    (UNAUTHENTICATED) — fatal at the client, no retry storm;
   *  - a dropped connection surfaces as stream EOF → IOException →
   *    [[Backoff]] retries and the client REOPENS the call with
-  *    `start_cursor = cursor-<next-seq>` — cursor-resume exactly as
-  *    `src/substreams_stream.rs:53-149` reconnects from latest_cursor
-  *    (and the server honors cursor over start_block, `src/main.rs:63-66`).
+  *    `start_cursor` = the SERVER-MINTED OPAQUE token of the last message
+  *    it consumed, stored VERBATIM and returned unmodified — the server
+  *    resumes AFTER it, exactly `src/substreams_stream.rs:98-110`'s
+  *    replay-verbatim contract (and cursor wins over start_block,
+  *    `src/main.rs:63-66`); with nothing consumed yet the open is
+  *    cursorless via `start_block_num` (the reference's fresh-start path).
   *
   * Netty's HTTP/2 codec ships on the Spark classpath
   * (`netty-codec-http2`), so this uses the same frame machinery Spark's
@@ -243,6 +246,11 @@ final class GrpcChainServer(cfg: ChainSource.Config,
   /** Streams (gRPC calls) opened — ONE per partition on a clean read. */
   val calls = new AtomicInteger(0)
   val served = new ConcurrentHashMap[Long, Integer]()
+  /** Raw `start_cursor` per Request in arrival order ("" = cursorless) —
+    * the spec's verbatim-round-trip witness. */
+  val requestCursors = new java.util.concurrent.CopyOnWriteArrayList[String]()
+  /** Resolved start position per Request — the resume-AFTER witness. */
+  val resolvedStarts = new java.util.concurrent.CopyOnWriteArrayList[java.lang.Long]()
   /** ALPN outcome per TLS connection (empty when cfg.tls is off). */
   val alpnNegotiated = new java.util.concurrent.CopyOnWriteArrayList[String]()
   private val dropped = ConcurrentHashMap.newKeySet[Long]()
@@ -336,10 +344,14 @@ final class GrpcChainServer(cfg: ChainSource.Config,
     }
 
     private def serve(ctx: ChannelHandlerContext, reqBytes: Array[Byte]): Unit = {
-      val (start, stop) =
+      // decodeRequestRange resolves resume-AFTER: an opaque start_cursor
+      // wins over start_block_num and positions delivery one past the token
+      val EnvelopeWire.RequestRange(start, stop, reqCursor) =
         try EnvelopeWire.decodeRequestRange(reqBytes)
         catch { case _: EnvelopeWire.MalformedFrameException =>
           trailersOnly(ctx, 3, "INVALID_ARGUMENT"); return }
+      requestCursors.add(reqCursor)
+      resolvedStarts.add(java.lang.Long.valueOf(start))
       val rh = new DefaultHttp2Headers()
       rh.status("200")
       rh.set("content-type", "application/grpc")
@@ -443,6 +455,12 @@ final class GrpcBlockFetcher(cfg: ChainSource.Config) extends BlockFetcher {
   private var sessionSeen = false
   // the reader's partition range (hintRange); stopBound until announced
   private var rangeEnd: Long = cfg.stopBound
+  // the server-minted opaque cursor of the last CONSUMED message, stored
+  // VERBATIM (never parsed) — what a reopen returns so the server resumes
+  // AFTER it (reference src/substreams_stream.rs:98-110). lastCursorSeq is
+  // the client's own positional bookkeeping, independent of the token.
+  private var lastCursor: String = ""
+  private var lastCursorSeq: Long = Long.MinValue
 
   override def hintRange(start: Long, end: Long): Unit =
     rangeEnd = math.min(end, cfg.stopBound)
@@ -554,9 +572,14 @@ final class GrpcBlockFetcher(cfg: ChainSource.Config) extends BlockFetcher {
     h.set("te", "trailers")
     if (cfg.token.nonEmpty) h.set("authorization", s"Bearer ${cfg.token}")
     s.write(new DefaultHttp2HeadersFrame(h))
+    // resume-AFTER: if the immediately preceding position was consumed on a
+    // previous call, return ITS server-minted token unmodified (cursor wins
+    // over start_block server-side); otherwise open cursorless at
+    // start_block_num = seq — never fabricate a token (seam closed in r14)
+    val resumeCursor = if (lastCursorSeq == seq - 1 && lastCursor.nonEmpty) lastCursor else ""
     s.writeAndFlush(new DefaultHttp2DataFrame(
       grpcFrame(EnvelopeWire.encodeRequestRange(
-        seq, rangeEnd, s"cursor-$seq", "graft_out")), true))
+        seq, rangeEnd, resumeCursor, "graft_out")), true))
     stream = s; queue = q; nextSeq = seq; sessionSeen = false
   }
 
@@ -606,6 +629,11 @@ final class GrpcBlockFetcher(cfg: ChainSource.Config) extends BlockFetcher {
                     s"duplicate SessionInit mid-stream at seq $seq")
                 sessionSeen = true // always first, exactly once
               case EnvelopeWire.EnvelopeArm(env) =>
+                // store the minted token of the message just consumed —
+                // verbatim, undo's last_valid_cursor included (both mean
+                // "continue the stream after me")
+                lastCursor = if (env.isUndo) env.lastValidCursor else env.cursor
+                lastCursorSeq = seq
                 nextSeq = seq + 1
                 return ChainSource.toInternalRow(env)
             }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.model.{BlockMsg, BlockScoped, ChTable}
-import graft.sink.{JdbcMultiTableSink, MultiTableSink}
+import graft.sink.{ClickHouseHttpSink, JdbcMultiTableSink, MultiTableSink}
 
 /** End-to-end wiring of the streaming load path (reference run-loop,
   * `src/main.rs:194-235`):
@@ -54,6 +54,23 @@ object GraftStream {
       strict: Boolean = false): StreamingQuery =
     startWith(msgs, checkpointDir)(
       new JdbcMultiTableSink(catalog, url, cursorId, pkCols, strict = strict).writeBatch)
+
+  /** Stream into a ClickHouse HTTP endpoint — RowBinary + native-LZ4
+    * inserts, cursor row last (the reference's actual delivery path,
+    * VERDICT r13 #1). At-least-once inserts + ReplacingMergeTree cursor
+    * collapse, exactly the reference's contract. */
+  def startClickHouse(
+      msgs: Dataset[BlockMsg],
+      catalog: Seq[ChTable],
+      endpoint: String,
+      checkpointDir: String,
+      cursorId: String,
+      user: String = "default",
+      password: String = "",
+      strict: Boolean = false): StreamingQuery =
+    startWith(msgs, checkpointDir)(
+      new ClickHouseHttpSink(catalog, endpoint, cursorId, user, password,
+        strict = strict).writeBatch)
 
   /** Streaming file source of BlockMsg parquet rows — the fixture stand-in
     * for the gRPC connector (SURVEY §7.1 source a). One file per trigger

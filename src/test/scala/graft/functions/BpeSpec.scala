@@ -36,6 +36,41 @@ class BpeSpec extends SparkSpec {
     assert(t.sqlValues === "('''','s',0), ('a','''s',1)")
   }
 
+  test("non-BMP characters seed as whole code points, not surrogate halves (advice r13)") {
+    val t = Bpe.fixtureTable
+    val rocket = new String(Character.toChars(0x1F680)) // outside the BMP
+    // each seed token must be a valid code point — pre-fix, text.map(_.toString)
+    // split the rocket into two lone surrogates
+    assert(Bpe.encode(rocket + rocket, t).toSeq === Seq(rocket, rocket))
+    val mixed = Bpe.encode(s"the$rocket", t).toSeq
+    assert(mixed === Seq("the", rocket))
+    // and merges still fire across a table that ranks the non-BMP pair
+    val t2 = BpeTable(Seq(rocket -> rocket))
+    assert(Bpe.encode(rocket * 3, t2).toSeq === Seq(rocket * 2, rocket))
+  }
+
+  test("factorization property: segmented encode equals whole-text encode (VERDICT r13 #4)") {
+    val t = Bpe.fixtureTable
+    // breaker chars (not in any operand): digits, punctuation, z/y/x/q...
+    val texts = Seq(
+      "the scan value data batch",       // pure operand-char run
+      "the1scan2value, data; batch!",    // breakers interleaved
+      "zzz", "", "42", "the", " s s s ", // degenerate shapes
+      "query the batch... value=7 data") // mixed realistic
+    for (txt <- texts)
+      assert(Bpe.encodeSegmented(txt, t).toSeq === Bpe.encode(txt, t).toSeq,
+        s"factorization must be exact for '$txt'")
+    // deterministic pseudo-random battery over the operand+breaker alphabet
+    val alpha = "the scanvlud,;.!09zq".toCharArray
+    var seed = 12345L
+    def nxt(): Int = { seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33) % alpha.length).toInt }
+    for (_ <- 1 to 50) {
+      val txt = new String(Array.fill(1 + nxt() % 64)(alpha(nxt())))
+      assert(Bpe.encodeSegmented(txt, t).toSeq === Bpe.encode(txt, t).toSeq, s"'$txt'")
+    }
+  }
+
   test("expression path: codegen over a DataFrame column") {
     import spark.implicits._
     val got = Seq("data value", "batch").toDF("text")

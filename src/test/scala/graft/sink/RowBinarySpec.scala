@@ -46,6 +46,78 @@ class RowBinarySpec extends SparkSpec {
     assert(enc(ChInt64, "1") === "01" + "00" * 7)
   }
 
+  test("decoder: decode(encode(v)) == v across the §1.2 matrix (the server side of the wire)") {
+    def roundTrip(t: ChType, v: String): String = {
+      val out = new RowBinary.Buf()
+      RowBinary.writeValue(out, t, v)
+      val r = new RowBinary.Reader(out.toBytes, 0)
+      val got = RowBinary.readValue(r, t)
+      assert(r.remaining === 0, s"decoder must consume exactly the encoding of $t")
+      got
+    }
+    assert(roundTrip(ChString, "héllo") === "héllo")
+    assert(roundTrip(ChString, "") === "")
+    assert(roundTrip(ChUInt8, "255") === "255")
+    assert(roundTrip(ChInt8, "-128") === "-128")
+    assert(roundTrip(ChUInt16, "65535") === "65535")
+    assert(roundTrip(ChInt16, "-2") === "-2")
+    assert(roundTrip(ChUInt32, "4294967295") === "4294967295")
+    assert(roundTrip(ChInt32, "-1") === "-1")
+    assert(roundTrip(ChUInt64, "18446744073709551615") === "18446744073709551615")
+    assert(roundTrip(ChInt64, "-9223372036854775808") === "-9223372036854775808")
+    assert(roundTrip(ChUInt128, "340282366920938463463374607431768211455")
+      === "340282366920938463463374607431768211455")
+    assert(roundTrip(ChInt128, "-1") === "-1")
+    assert(roundTrip(ChUInt256, "115792089237316195423570985008687907853269984665640564039457584007913129639935")
+      === "115792089237316195423570985008687907853269984665640564039457584007913129639935")
+    assert(roundTrip(ChInt256, "-1") === "-1")
+    assert(roundTrip(ChFloat32, "1.5") === "1.5")
+    assert(roundTrip(ChFloat64, "-2.25") === "-2.25")
+    assert(roundTrip(ChBool, "true") === "true")
+    assert(roundTrip(ChBool, "false") === "false")
+    assert(roundTrip(ChDateTime, "1672531200") === "1672531200")
+    assert(roundTrip(ChDate, "2023-01-01") === "2023-01-01")
+    assert(roundTrip(ChDecimal(9, 2), "12345.67") === "12345.67")
+    assert(roundTrip(ChDecimal(20, 3), "-1.500") === "-1.500")
+    assert(roundTrip(ChNullable(ChInt32), null) === null)
+    assert(roundTrip(ChNullable(ChString), "x") === "x")
+    assert(roundTrip(ChLowCardinality(ChString), "dict") === "dict")
+    // FixedString: padding strips on decode (the lossy-by-design lane)
+    assert(roundTrip(ChFixedString(5), "ab") === "ab")
+    // whole rows in an explicit column order
+    val cols = Seq[ChType](ChUInt64, ChString, ChBool)
+    val buf = new RowBinary.Buf()
+    Seq(("7", "alpha", "true"), ("8", "beta", "false")).foreach { case (a, b, c) =>
+      RowBinary.writeValue(buf, cols(0), a)
+      RowBinary.writeValue(buf, cols(1), b)
+      RowBinary.writeValue(buf, cols(2), c)
+    }
+    val rows = RowBinary.decodeRows(cols, buf.toBytes)
+    assert(rows.map(_.toSeq) === Seq(Seq("7", "alpha", "true"), Seq("8", "beta", "false")))
+    // trailing garbage is loud, not a short row
+    intercept[IllegalArgumentException] {
+      RowBinary.decodeRows(cols, buf.toBytes :+ 0x05.toByte)
+    }
+  }
+
+  test("out-of-range integers are rejected LOUDLY, never wrapped (advice r13)") {
+    // the reference parses exact-width Rust types and panics on overflow;
+    // a silent two's-complement wrap would corrupt wire bytes undetected
+    intercept[IllegalArgumentException] { enc(ChUInt8, "300") }   // was 0x2C pre-fix
+    intercept[IllegalArgumentException] { enc(ChUInt8, "-1") }
+    intercept[IllegalArgumentException] { enc(ChUInt16, "65536") }
+    intercept[IllegalArgumentException] { enc(ChUInt32, "4294967296") }
+    intercept[IllegalArgumentException] { enc(ChUInt64, "-2") }
+    intercept[IllegalArgumentException] { enc(ChUInt64, "18446744073709551616") }
+    intercept[IllegalArgumentException] { enc(ChUInt128, "-1") }
+    intercept[IllegalArgumentException] { enc(ChUInt256, "-1") }
+    intercept[IllegalArgumentException] { enc(ChInt128, "2" + "0" * 45) } // > 2^127
+    intercept[IllegalArgumentException] { enc(ChUInt8, "abc") }
+    // boundary values still encode exactly
+    assert(enc(ChUInt8, "0") === "00")
+    assert(enc(ChInt128, "-170141183460469231731687303715884105728") === "00" * 15 + "80")
+  }
+
   test("128/256-bit: LE limbs — and Int256 negatives encode (reference panics, §1.2)") {
     assert(enc(ChUInt128, "1") === "01" + "00" * 15)
     assert(enc(ChInt128, "-1") === "ff" * 16)

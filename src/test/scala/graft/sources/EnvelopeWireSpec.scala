@@ -18,21 +18,63 @@ class EnvelopeWireSpec extends AnyFunSuite {
 
   test("golden bytes: Response{block_undo_signal} matches the hand-derived wire layout") {
     // BlockUndoSignal { last_valid_block = BlockRef{id="b7", number=7},
-    //                   last_valid_cursor = "cursor-7" }  wrapped at oneof tag 4
+    //                   last_valid_cursor = <opaque token> } at oneof tag 4.
+    // The token is the server-minted opaque cursor of the undo's own
+    // position (seq 10) — 11 payload bytes → 15 base64url chars.
+    val tok = EnvelopeWire.mintCursor(10L)
+    val tokBytes = tok.getBytes("UTF-8")
+    assert(tokBytes.length === 15, "opaque cursor is 15 base64url chars")
     val undo = ChainSource.Envelope(10L, isUndo = true, height = -1L, fork = -1L,
-      lastValid = 7L, finalHeight = -1L, tsMicros = -1L)
+      lastValid = 7L, finalHeight = -1L, tsMicros = -1L, lastValidCursor = tok)
     val expected: Array[Byte] =
       Array[Int](
-        0x22, 0x12,                               // Response field 4, len 18
+        0x22, 10 + tokBytes.length,               // Response field 4, len 25
         0x0A, 0x06,                               //   BlockRef, len 6
         0x0A, 0x02, 'b', '7',                     //     id = "b7"
         0x10, 0x07,                               //     number = 7
-        0x12, 0x08) .map(_.toByte) ++             //   last_valid_cursor, len 8
-        "cursor-7".getBytes("UTF-8")
+        0x12, tokBytes.length) .map(_.toByte) ++  //   last_valid_cursor, len 15
+        tokBytes
     assert(EnvelopeWire.encodeResponse(undo).toSeq === expected.toSeq)
     // and the decode inverts it (ignored fields normalized to -1)
     assert(EnvelopeWire.decodeResponse(10L, expected) ===
       EnvelopeWire.EnvelopeArm(undo))
+  }
+
+  test("opaque cursor codec: mint → resolve round-trips; tampering is fatal server-side") {
+    for (seq <- Seq(0L, 1L, 7L, 1000L, Long.MaxValue / 3)) {
+      val tok = EnvelopeWire.mintCursor(seq)
+      assert(EnvelopeWire.cursorSeq(tok) === seq)
+      // opacity: no legacy cursor-<seq> shape, no decimal seq in the clear
+      assert(!tok.matches("cursor-\\d+") && !tok.contains(seq.toString + "-"))
+    }
+    // deterministic: a retried serve mints the identical token
+    assert(EnvelopeWire.mintCursor(42L) === EnvelopeWire.mintCursor(42L))
+    // tampered/garbage tokens are rejected loudly (fatal, not retryable)
+    intercept[EnvelopeWire.MalformedFrameException] {
+      EnvelopeWire.cursorSeq("not base64!!")
+    }
+    val tok = EnvelopeWire.mintCursor(9L)
+    val tampered = (if (tok.head == 'A') "B" else "A") + tok.tail
+    intercept[EnvelopeWire.MalformedFrameException] {
+      EnvelopeWire.cursorSeq(tampered)
+    }
+  }
+
+  test("resume-AFTER: a Request's opaque cursor wins over start_block and resolves one PAST it") {
+    // consumed up to position 7 → return its token verbatim → server
+    // resumes at 8, regardless of the start_block_num also in the Request
+    val req = EnvelopeWire.encodeRequestRange(5L, 20L, EnvelopeWire.mintCursor(7L), "m")
+    val rr = EnvelopeWire.decodeRequestRange(req)
+    assert(rr === EnvelopeWire.RequestRange(8L, 20L, EnvelopeWire.mintCursor(7L)))
+    // cursorless: start AT start_block_num (the fresh-start path)
+    val fresh = EnvelopeWire.decodeRequestRange(
+      EnvelopeWire.encodeRequestRange(5L, 20L, "", "m"))
+    assert(fresh.start === 5L && fresh.cursor === "")
+    // a fabricated token is rejected before any block is served
+    intercept[EnvelopeWire.MalformedFrameException] {
+      EnvelopeWire.decodeRequestRange(
+        EnvelopeWire.encodeRequestRange(5L, 20L, "cursor-7", "m"))
+    }
   }
 
   test("golden bytes: SessionInit and Request layouts") {
@@ -73,10 +115,12 @@ class EnvelopeWireSpec extends AnyFunSuite {
     assert(s.contains("graft_out"), "MapModuleOutput.name")
   }
 
-  test("stream desync (cursor for a different seq) is malformed, not retryable") {
-    val e = ChainSource.envelopeAt(4L, cfg)
+  test("a data message without a server-minted cursor is malformed, not retryable") {
+    // the cursor is opaque (the client cannot verify its structure), but a
+    // data message MUST carry one — its absence is a broken server
+    val e = ChainSource.envelopeAt(4L, cfg).copy(cursor = "")
     intercept[EnvelopeWire.MalformedFrameException] {
-      EnvelopeWire.decodeResponse(5L, EnvelopeWire.encodeResponse(e))
+      EnvelopeWire.decodeResponse(4L, EnvelopeWire.encodeResponse(e))
     }
   }
 

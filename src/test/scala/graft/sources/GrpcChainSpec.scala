@@ -60,6 +60,29 @@ class GrpcChainSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("cursor seam (VERDICT r13 #2): reconnect returns the server-minted token VERBATIM and resumes AFTER it") {
+    val gen = Map("totalBlocks" -> "20", "numPartitions" -> "1", "maxRetries" -> "4")
+    val server = new GrpcChainServer(cfgOf(gen), failOnceAtSeqs = Set(7L))
+    try {
+      val seqs = viaGrpc(gen, server.port).select("seq").collect().map(_.getLong(0)).sorted
+      assert(seqs.toSeq === (0L until 20L), "gapless across the kill")
+      import scala.jdk.CollectionConverters._
+      val cursors = server.requestCursors.asScala.toSeq
+      val starts = server.resolvedStarts.asScala.toSeq.map(_.longValue)
+      // first open: nothing consumed yet → cursorless start_block path
+      assert(cursors.head === "" && starts.head === 0L)
+      // the reconnect after the kill at seq 7: the client consumed 0..6 and
+      // must return the token the server minted FOR position 6, unmodified
+      val resumes = cursors.zip(starts).filter(_._1.nonEmpty)
+      assert(resumes.nonEmpty, "the kill must force a cursor resume")
+      assert(resumes.forall { case (tok, start) =>
+        tok == EnvelopeWire.mintCursor(6L) && start == 7L
+      }, s"expected verbatim token of position 6 resolving to 7 (resume-AFTER), got $resumes")
+      // and the client never fabricated a legacy resume-AT token
+      assert(cursors.forall(c => c.isEmpty || !c.startsWith("cursor-")))
+    } finally server.close()
+  }
+
   test("gRPC transport: grpc-status 16 trailers are fatal — no retry storm") {
     val gen = Map("totalBlocks" -> "5", "requireAuth" -> "true")
     assume(!sys.env.contains("SUBSTREAMS_API_TOKEN"),
