@@ -461,6 +461,53 @@ object Extensions {
     // waste-minimizing alternative to concat-and-chunk. The oracle folds
     // the identical (nt DESC, id) first-fit rule per shard as a recursive
     // CTE over list state (the finality-buffer replay pattern).
+    // BPE TOKENIZER TRAINING (r14): learn the merge table itself — the
+    // Sennrich et al. training loop as a distributed op, closing the
+    // tokenizer family (encode r13 → train r14). Scale shape: the corpus
+    // collapses to a WORD HISTOGRAM first (ONE shuffle; from then on the
+    // vocabulary, not the corpus, bounds every iteration — the classic
+    // trainer trick, and the reason this survives 100 TB: 8 rounds of
+    // map-side-combined pair counts over distinct words weighted by wc,
+    // each ending in a 1-row argmax collect; the driver holds only the
+    // k-row merge table). Re-encoding each round with the accumulated
+    // table is provably equal to stage-wise single-pass application
+    // (BpeSpec pins the property), which is what the oracle replays:
+    // 8 unrolled materialized-CTE stages, each applying the learned merge
+    // in CLOSED FORM (all disjoint matches at once; run-parity gates
+    // l==r chains) — no recursive CTE, no planner fragility. Ties break
+    // (count DESC, lhs, rhs) identically on both sides.
+    "train_bpe_learn" -> ((s, d) => {
+      import graft.functions.Bpe
+      val words = Tables.documents(s, d)
+        .select(explode(TA.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).cast("long").as("wc"))
+        .localCheckpoint()
+      Dedup.rotateCheckpoints("train_bpe_learn", words)
+      var merges = Vector.empty[(String, String)]
+      val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (round <- 0 until 8) {
+        val toksCol =
+          if (merges.isEmpty) filter(split(col("word"), ""), t => length(t) > 0)
+          else Bpe.bpe_encode(col("word"), Bpe.BpeTable(merges))
+        val best = words
+          .select(col("wc"), toksCol.as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("wc"), explode(expr(
+            "transform(sequence(0, size(t) - 2), j -> struct(t[j] AS l, t[j + 1] AS r))")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("wc")).as("cnt"))
+          .orderBy(desc("cnt"), col("l"), col("r"))
+          .limit(1).collect()
+        best.headOption.foreach { row =>
+          merges = merges :+ (row.getString(0) -> row.getString(1))
+          learned += ((round, row.getString(0), row.getString(1), row.getLong(2)))
+        }
+      }
+      import s.implicits._
+      learned.toSeq.toDF("merge_round", "lhs", "rhs", "pair_count")
+        .orderBy(col("merge_round"))
+    }),
+
     "train_pack_ffd" -> ((s, d) => {
       graft.ext.Sampling.packFirstFitDecreasing(
           Tables.documents(s, d), "doc_id",
@@ -4081,6 +4128,52 @@ object Extensions {
        |        FROM seg_bpe GROUP BY doc_id)""".stripMargin
   }
 
+  /** The BPE TRAINING loop replay (`train_bpe_learn`): k unrolled stages
+    * over the word histogram. Stage i = weighted adjacent-pair counts over
+    * the current tokenization (lateral unnest), argmax with (cnt DESC,
+    * lhs, rhs) ties, then the learned merge applied in CLOSED FORM — all
+    * matches merge at once (single-pass disjointness: for l≠r matches can
+    * never be adjacent; for l==r a run of n merges ⌊n/2⌋ pairs at even
+    * offsets from the run start, gated here by the `% 2` parity against
+    * the last non-l position). Every multiply-referenced stage is
+    * MATERIALIZED — inlined chaining re-evaluates the prefix per
+    * reference (2^k blowup, measured 305 s → 0.9 s at sf0.01). No
+    * recursive CTE anywhere: chained recursion + lateral joins proved
+    * planner-shape-sensitive in DuckDB during prototyping. */
+  private def bpeLearnOracle(k: Int): String = {
+    val toks = """list_filter(regexp_split_to_array(lower(text), '\s+'), x -> length(x) > 0)"""
+    def applySql(t: String, ml: String, mr: String): String = {
+      val cand = s"($t[i] = $ml AND $t[i+1] = $mr)"
+      val runstart = s"(coalesce(list_max(list_filter(range(1, i), j -> $t[j] <> $ml)), 0) + 1)"
+      val app = s"($cand AND ($ml <> $mr OR (i - $runstart) % 2 = 0))"
+      val cand1 = s"($t[i-1] = $ml AND $t[i] = $mr)"
+      val runstart1 = s"(coalesce(list_max(list_filter(range(1, i-1), j -> $t[j] <> $ml)), 0) + 1)"
+      val app1 = s"(i > 1 AND $cand1 AND ($ml <> $mr OR ((i-1) - $runstart1) % 2 = 0))"
+      s"""flatten(list_transform(range(1, len($t) + 1), i ->
+         |    CASE WHEN i < len($t) AND $app THEN [$t[i] || $t[i+1]]
+         |         WHEN $app1 THEN []
+         |         ELSE [$t[i]] END))""".stripMargin
+    }
+    val parts = scala.collection.mutable.ArrayBuffer(
+      s"""w AS MATERIALIZED (SELECT x AS word, CAST(count(*) AS BIGINT) AS wc
+         |  FROM (SELECT unnest($toks) AS x FROM documents) GROUP BY x)""".stripMargin,
+      """d1 AS MATERIALIZED (SELECT word, wc,
+        |  list_filter(string_split(word, ''), x -> x <> '') AS toks FROM w)""".stripMargin)
+    val sel = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (i <- 1 to k) {
+      parts += s"""p$i AS (SELECT toks[i] AS l, toks[i+1] AS r, CAST(sum(wc) AS BIGINT) AS cnt
+                  |  FROM d$i, LATERAL (SELECT unnest(range(1, len(toks))) AS i) ii GROUP BY 1, 2)""".stripMargin
+      parts += s"m$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1)"
+      sel += s"SELECT ${i - 1} AS merge_round, l AS lhs, r AS rhs, cnt AS pair_count FROM m$i"
+      if (i < k)
+        parts += s"""d${i + 1} AS MATERIALIZED (
+                    |  SELECT word, wc, ${applySql("toks", "m.l", "m.r")} AS toks
+                    |  FROM d$i, m$i m)""".stripMargin
+    }
+    "WITH\n" + parts.mkString(",\n") + "\n" +
+      sel.mkString(" UNION ALL ") + " ORDER BY merge_round"
+  }
+
   def oracles: Map[String, String] = oraclesBase +
     // the gRPC-transported flagship pipeline produces byte-identical
     // envelopes to the in-process generator (GrpcChainSpec parity), so the
@@ -4089,7 +4182,8 @@ object Extensions {
     // ... and the HTTP-sink round trip must likewise be invisible: the
     // table read back from the loopback ClickHouse endpoint folds to the
     // same per-fork counts the generator arithmetic predicts
-    ("pipeline_e2e_http" -> oraclesBase("pipeline_e2e_chain"))
+    ("pipeline_e2e_http" -> oraclesBase("pipeline_e2e_chain")) +
+    ("train_bpe_learn" -> bpeLearnOracle(8))
 
   private def oraclesBase: Map[String, String] = Map(
     "text_token_stats" ->

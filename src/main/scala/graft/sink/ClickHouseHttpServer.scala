@@ -99,8 +99,11 @@ final class ClickHouseHttpServer(
     """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+`?(\w+)`?\s*(?:WHERE\s+`?(\w+)`?\s*=\s*'([^']*)')?\s*(?:ORDER\s+BY\s+`?(\w+)`?\s+DESC)?\s*(?:LIMIT\s+(\d+))?\s*FORMAT\s+RowBinary\s*$""".r
 
   server.createContext("/", (ex: HttpExchange) => handle(ex))
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
-    r => { val t = new Thread(r, "ch-http-fixture"); t.setDaemon(true); t }))
+  // pool is shut down in close() — a bench sweep constructs a fixture per
+  // lane rep, and leaked daemon threads would accumulate across the run
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
+    (r: Runnable) => { val t = new Thread(r, "ch-http-fixture"); t.setDaemon(true); t })
+  server.setExecutor(pool)
   server.start()
 
   private def respond(ex: HttpExchange, code: Int, body: Array[Byte]): Unit = {
@@ -240,5 +243,8 @@ final class ClickHouseHttpServer(
     out.toSeq.filter(_.trim.nonEmpty)
   }
 
-  override def close(): Unit = server.stop(0)
+  override def close(): Unit = {
+    server.stop(0)
+    pool.shutdown()
+  }
 }

@@ -15,11 +15,16 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom streaming source implementing the reference's source contract
   * (operators O1-O5, SURVEY §2.1) as a Spark DataSource V2
-  * `MicroBatchStream` with **cursor-as-offset** semantics
+  * `MicroBatchStream` with **position-as-offset** semantics
   * (`src/substreams_stream.rs:53-149`: the stream resumes from
-  * `latest_cursor`; here the checkpointed offset IS that cursor, so a
-  * restarted query resumes exactly where it stopped — reference O3's
-  * reconnect-resume loop, minus the network).
+  * `latest_cursor`; here the checkpointed offset is the client's
+  * POSITIONAL count of consumed messages, so a restarted query resumes
+  * exactly where it stopped — reference O3's reconnect-resume loop,
+  * minus the network). The SERVER-MINTED OPAQUE cursor string travels
+  * in the data (`data.cursor`, stored verbatim by the sinks) and is what
+  * the TRANSPORT layer returns on reconnect for resume-AFTER
+  * ([[EnvelopeWire.mintCursor]], seam closed r14); the offset log never
+  * parses it.
   *
   * The "server" is a deterministic synthetic chain generator (no gRPC in
   * this environment): block numbers advance monotonically; every

@@ -71,6 +71,50 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("training equivalence: full-table encode == stage-wise single-pass application (train_bpe_learn oracle premise)") {
+    // the oracle's closed-form per-stage apply: one left-to-right pass,
+    // all disjoint matches merge, no re-merge within the stage
+    def applyOnce(toks: Seq[String], l: String, r: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < toks.length) {
+        if (i < toks.length - 1 && toks(i) == l && toks(i + 1) == r) { out += l + r; i += 2 }
+        else { out += toks(i); i += 1 }
+      }
+      out.toSeq
+    }
+    // mini Sennrich trainer over a word histogram (same tie-break as the
+    // lane: count DESC, lhs, rhs) — includes l==r runs and chain merges
+    val corpus = Seq("the scan value" -> 3L, "batch the data" -> 2L,
+      "aaaa ab aab aaa" -> 4L, "zzz the value" -> 1L, "thethe ther" -> 2L)
+    val words: Map[String, Long] = corpus.flatMap { case (s, c) => s.split(" ").toSeq.map(_ -> c) }
+      .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).sum }
+    var state: Map[String, Seq[String]] = words.keys.map(w => w -> w.map(_.toString).toSeq).toMap
+    var merges = Vector.empty[(String, String)]
+    for (_ <- 0 until 12) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      state.foreach { case (w, t) =>
+        t.sliding(2).withFilter(_.size == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + words(w)
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((l, r), _) = counts.toSeq.minBy { case ((cl, cr), c) => (-c, cl, cr) }
+        merges = merges :+ (l -> r)
+        state = state.map { case (w, t) => w -> applyOnce(t, l, r) }
+      }
+    }
+    // THE property the DuckDB oracle rests on: greedy best-rank encode
+    // under the complete learned table reproduces the sequential
+    // stage-wise tokenization for every vocabulary word (a later merge
+    // can never create an occurrence of an earlier pair — new adjacencies
+    // always involve the newly created token)
+    val table = Bpe.BpeTable(merges)
+    words.keys.foreach { w =>
+      assert(Bpe.encode(w, table).toSeq === state(w), s"word '$w' under $merges")
+    }
+  }
+
   test("expression path: codegen over a DataFrame column") {
     import spark.implicits._
     val got = Seq("data value", "batch").toDF("text")
