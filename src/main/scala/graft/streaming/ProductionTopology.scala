@@ -73,19 +73,47 @@ object ProductionTopology {
       checkpointDir: String,
       cursorId: String,
       indexRoot: String,
-      compactAtFiles: Int = 16): StreamingQuery = {
-    val sink = new MultiTableSink(catalog, outDir, cursorId)
+      compactAtFiles: Int = 16): StreamingQuery =
+    startWithSink(msgs, new MultiTableSink(catalog, outDir, cursorId).writeBatch,
+      checkpointDir, indexRoot, compactAtFiles)
+
+  /** The same composed job over BOTH real wires (r14): the chain source on
+    * the gRPC/HTTP-2 transport (when `fetcherClass` selects it) and the
+    * table sink on the ClickHouse HTTP wire — RowBinary rows in native-LZ4
+    * frames, cursor row last ([[graft.sink.ClickHouseHttpSink]]). Delivery
+    * is the reference's own contract end-to-end: checkpoint prevents
+    * cross-restart re-delivery, inserts are at-least-once within an
+    * uncommitted batch (MergeTree), the cursor collapses latest-wins
+    * (ReplacingMergeTree), and the index half keeps its batch-keyed
+    * idempotent generations. */
+  def startOverHttp(
+      msgs: Dataset[BlockMsg],
+      catalog: Seq[ChTable],
+      endpoint: String,
+      checkpointDir: String,
+      cursorId: String,
+      indexRoot: String,
+      compactAtFiles: Int = 16): StreamingQuery =
+    startWithSink(msgs,
+      new graft.sink.ClickHouseHttpSink(catalog, endpoint, cursorId).writeBatch,
+      checkpointDir, indexRoot, compactAtFiles)
+
+  private def startWithSink(
+      msgs: Dataset[BlockMsg],
+      writeTables: (Dataset[BlockScoped], Long) => Unit,
+      checkpointDir: String,
+      indexRoot: String,
+      compactAtFiles: Int): StreamingQuery =
     GraftStream.startWith(msgs, checkpointDir) { (blocks, batchId) =>
       // materialize the micro-batch ONCE: both halves read it, and without
       // this the index derivation would re-pull the whole batch over the
       // transport a second time (review r13 finding)
       val once = blocks.localCheckpoint()
       try {
-        sink.writeBatch(once, batchId)
+        writeTables(once, batchId)
         val _ = StreamingIndexMaintenance.applyBatch(
           docsOf(once), batchId, indexRoot,
           "doc_id", "text", "embedding", compactAtFiles)
       } finally graft.ext.Dedup.unpersistCheckpoint(once.toDF())
     }
-  }
 }

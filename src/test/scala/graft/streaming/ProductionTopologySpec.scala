@@ -65,6 +65,61 @@ class ProductionTopologySpec extends SparkSpec {
       "distinct batch ids accumulate, same ids replace")
   }
 
+  test("composed topology over BOTH wires (r14): gRPC-TLS in, ClickHouse HTTP out — kill + restart converge to replay-exact tables") {
+    val base = Files.createTempDirectory("graft_prod_http").toString
+    val (ckpt, idxRoot) = (s"$base/ckpt", s"$base/idx")
+    val tlsOpts = Map("tls" -> "true",
+      "tlsTrustCertPath" -> graft.sources.GrpcChain.serverCertPem.getAbsolutePath)
+
+    val seedDocs = ProductionTopology.docsOf(
+      StreamingFinality.released(
+        batchMsgs(gen ++ Map("startBlock" -> "900", "endBlock" -> "930"))))
+    StreamingIndexMaintenance.initStores(seedDocs, idxRoot,
+      "doc_id", "text", "embedding", nCells = 3)
+
+    val server = new GrpcChainServer(cfgOf(gen ++ tlsOpts), failOnceAtSeqs = Set(13L))
+    val ch = new graft.sink.ClickHouseHttpServer()
+    try {
+      def run(endBlock: Long): Unit = {
+        implicit val enc = Encoders.product[BlockMsg]
+        var r = spark.readStream.format("graft.sources.ChainSource")
+        (gen ++ tlsOpts ++ Map("endBlock" -> endBlock.toString,
+          "fetcherClass" -> "graft.sources.GrpcBlockFetcher",
+          "endpoint" -> s"127.0.0.1:${server.port}"))
+          .foreach { case (k, v) => r = r.option(k, v) }
+        val q = ProductionTopology.startOverHttp(r.load().as[BlockMsg], catalog,
+          ch.url, ckpt, "prod-http", idxRoot)
+        q.processAllAvailable(); q.stop()
+      }
+
+      run(20) // survives the injected TLS connection kill at seq 13
+      assert(server.served.get(13L) === 2,
+        "the killed seq must have been re-served after the TLS reconnect")
+      run(30) // operator restart: committed batches never replay
+
+      // table parity: rows decoded server-side from the LZ4 RowBinary wire
+      // must equal the batch replay exactly
+      val replay = graft.pipeline.ChangePipeline.process(
+        releasedReplay(30L), catalog)("blocks")
+        .select(col("height").cast("string"), col("fork").cast("string"))
+        .collect().map(r => Seq(r.getString(0), r.getString(1))).sortBy(_.toString())
+      val t = ch.tables.get("blocks")
+      val hi = t.columns.indexWhere(_.name == "height")
+      val fi = t.columns.indexWhere(_.name == "fork")
+      val landed = ch.select("blocks").map(r => Seq(r(hi), r(fi))).sortBy(_.toString())
+      assert(landed === replay,
+        "blocks table decoded at the HTTP endpoint diverged from the batch replay")
+      assert(ch.compressedRequests.get() > 0, "inserts must have traveled LZ4-framed")
+      // sink cursor: recovered over the HTTP wire, at the replay's top block
+      val sink = new graft.sink.ClickHouseHttpSink(catalog, ch.url, "prod-http")
+      val topReplay = releasedReplay(30L).toDF()
+        .agg(max(col("clock.number"))).collect().head.getLong(0)
+      assert(sink.loadCursor(spark).map(_.blockNum) === Some(topReplay))
+      // the index half kept its generations across the same restarts
+      assert(StreamingIndexMaintenance.readCursor(idxRoot) >= 1L)
+    } finally { server.close(); ch.close() }
+  }
+
   test("composed topology: TCP kill + stop/restart converge to replay-exact tables and indexes") {
     val base = Files.createTempDirectory("graft_prod_topo").toString
     val (outDir, ckpt, idxRoot) = (s"$base/out", s"$base/ckpt", s"$base/idx")
