@@ -508,6 +508,54 @@ object Extensions {
         .orderBy(col("merge_round"))
     }),
 
+    // TRAIN → APPLY composed (r14): tokenize the corpus with the table
+    // LEARNED IN-LANE — the end-to-end tokenizer build. Production shape:
+    // the 8 learned merges apply to the DISTINCT VOCABULARY once (the
+    // same histogram the trainer used), and documents join the tokenized
+    // vocab broadcast — per-word work never repeats across occurrences,
+    // so corpus size only prices the exploded join, not the merge loop.
+    // Fertility (BPE tokens per word) is THE tokenizer-quality metric a
+    // data pipeline monitors. Oracle: the training stages + one more
+    // closed-form apply (d9), then the same vocab join per document.
+    "train_bpe_apply_learned" -> ((s, d) => {
+      import graft.functions.Bpe
+      val words = Tables.documents(s, d)
+        .select(explode(TA.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).cast("long").as("wc"))
+        .localCheckpoint()
+      Dedup.rotateCheckpoints("train_bpe_apply_learned", words)
+      var merges = Vector.empty[(String, String)]
+      for (_ <- 0 until 8) {
+        val toksCol =
+          if (merges.isEmpty) filter(split(col("word"), ""), t => length(t) > 0)
+          else Bpe.bpe_encode(col("word"), Bpe.BpeTable(merges))
+        words.select(col("wc"), toksCol.as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("wc"), explode(expr(
+            "transform(sequence(0, size(t) - 2), j -> struct(t[j] AS l, t[j + 1] AS r))")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("wc")).as("cnt"))
+          .orderBy(desc("cnt"), col("l"), col("r"))
+          .limit(1).collect()
+          .headOption.foreach(row => merges = merges :+ (row.getString(0) -> row.getString(1)))
+      }
+      val vocabNt = words.select(col("word"),
+        size(Bpe.bpe_encode(col("word"), Bpe.BpeTable(merges))).cast("long").as("nt"))
+      val perDoc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("word"))
+        .join(broadcast(vocabNt), "word")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("nt")).as("n_bpe_tokens"), count(lit(1)).cast("long").as("n_words"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(round(col("n_bpe_tokens").cast("double") / col("n_words"), 4),
+            lit(0.0)).as("fertility"))
+        .orderBy(col("doc_id"))
+    }),
+
     "train_pack_ffd" -> ((s, d) => {
       graft.ext.Sampling.packFirstFitDecreasing(
           Tables.documents(s, d), "doc_id",
@@ -4141,6 +4189,34 @@ object Extensions {
     * recursive CTE anywhere: chained recursion + lateral joins proved
     * planner-shape-sensitive in DuckDB during prototyping. */
   private def bpeLearnOracle(k: Int): String = {
+    val (ctes, learnSel) = bpeLearnStages(k)
+    ctes + learnSel
+  }
+
+  /** The train→apply composition replay (`train_bpe_apply_learned`): the
+    * same learning stages, then the final tokenization d_{k+1} joins each
+    * document's whitespace words for BPE token counts + fertility. */
+  private def bpeApplyOracle(k: Int): String = {
+    val toks = """list_filter(regexp_split_to_array(lower(text), '\s+'), x -> length(x) > 0)"""
+    val (ctes, _) = bpeLearnStages(k)
+    ctes +
+      s""",
+         |v AS (SELECT word, CAST(len(toks) AS BIGINT) AS nt FROM d${k + 1}),
+         |dw AS (SELECT doc_id, unnest($toks) AS word FROM documents),
+         |pd AS (SELECT doc_id, CAST(sum(nt) AS BIGINT) AS n_bpe_tokens,
+         |         CAST(count(*) AS BIGINT) AS n_words
+         |       FROM dw JOIN v USING (word) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_bpe_tokens, 0) AS n_bpe_tokens,
+         |  coalesce(n_words, 0) AS n_words,
+         |  CASE WHEN coalesce(n_words, 0) = 0 THEN 0.0
+         |       ELSE ${sparkRound("CAST(n_bpe_tokens AS DOUBLE) / n_words", 4)} END AS fertility
+         |FROM documents d LEFT JOIN pd USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Shared CTE prefix for the two training lanes: (stages, learning
+    * select). See [[bpeLearnOracle]] / [[bpeApplyOracle]]. */
+  private def bpeLearnStages(k: Int): (String, String) = {
     val toks = """list_filter(regexp_split_to_array(lower(text), '\s+'), x -> length(x) > 0)"""
     def applySql(t: String, ml: String, mr: String): String = {
       val cand = s"($t[i] = $ml AND $t[i+1] = $mr)"
@@ -4165,13 +4241,13 @@ object Extensions {
                   |  FROM d$i, LATERAL (SELECT unnest(range(1, len(toks))) AS i) ii GROUP BY 1, 2)""".stripMargin
       parts += s"m$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1)"
       sel += s"SELECT ${i - 1} AS merge_round, l AS lhs, r AS rhs, cnt AS pair_count FROM m$i"
-      if (i < k)
-        parts += s"""d${i + 1} AS MATERIALIZED (
-                    |  SELECT word, wc, ${applySql("toks", "m.l", "m.r")} AS toks
-                    |  FROM d$i, m$i m)""".stripMargin
+      // the final apply (d_{k+1}) feeds the train→apply composition lane
+      parts += s"""d${i + 1} AS MATERIALIZED (
+                  |  SELECT word, wc, ${applySql("toks", "m.l", "m.r")} AS toks
+                  |  FROM d$i, m$i m)""".stripMargin
     }
-    "WITH\n" + parts.mkString(",\n") + "\n" +
-      sel.mkString(" UNION ALL ") + " ORDER BY merge_round"
+    ("WITH\n" + parts.mkString(",\n") + "\n",
+      sel.mkString(" UNION ALL ") + " ORDER BY merge_round")
   }
 
   def oracles: Map[String, String] = oraclesBase +
@@ -4183,7 +4259,8 @@ object Extensions {
     // table read back from the loopback ClickHouse endpoint folds to the
     // same per-fork counts the generator arithmetic predicts
     ("pipeline_e2e_http" -> oraclesBase("pipeline_e2e_chain")) +
-    ("train_bpe_learn" -> bpeLearnOracle(8))
+    ("train_bpe_learn" -> bpeLearnOracle(8)) +
+    ("train_bpe_apply_learned" -> bpeApplyOracle(8))
 
   private def oraclesBase: Map[String, String] = Map(
     "text_token_stats" ->

@@ -83,6 +83,28 @@ class GrpcChainSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("cursor seam: resume AFTER an UNDO message returns its last_valid_cursor verbatim") {
+    // undo at seq 20 (reorgEvery=10 with seq>0); kill when 21 is served, so
+    // the reconnect's stored token is the UNDO's server-minted
+    // last_valid_cursor — the lastValidCursor branch of the fetcher
+    val gen = Map("totalBlocks" -> "30", "numPartitions" -> "1",
+      "reorgEvery" -> "10", "reorgDepth" -> "2", "finalityLag" -> "5",
+      "maxRetries" -> "4")
+    val server = new GrpcChainServer(cfgOf(gen), failOnceAtSeqs = Set(21L))
+    try {
+      val seqs = viaGrpc(gen, server.port).select("seq").collect().map(_.getLong(0)).sorted
+      assert(seqs.toSeq === (0L until 30L), "gapless across the kill after the undo")
+      import scala.jdk.CollectionConverters._
+      val resumes = server.requestCursors.asScala.toSeq
+        .zip(server.resolvedStarts.asScala.toSeq.map(_.longValue))
+        .filter(_._1.nonEmpty)
+      assert(resumes.nonEmpty)
+      assert(resumes.forall { case (tok, start) =>
+        tok == EnvelopeWire.mintCursor(20L) && start == 21L
+      }, s"expected the undo's minted token (pos 20) resolving to 21, got $resumes")
+    } finally server.close()
+  }
+
   test("gRPC transport: grpc-status 16 trailers are fatal — no retry storm") {
     val gen = Map("totalBlocks" -> "5", "requireAuth" -> "true")
     assume(!sys.env.contains("SUBSTREAMS_API_TOKEN"),
