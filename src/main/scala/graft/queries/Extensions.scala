@@ -25,4230 +25,13 @@ import graft.ext.{Dedup, Hll, Multimodal, Ranking, Similarity, StoreCompaction, 
   */
 object Extensions {
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // ---- text analysis (oracle-checked; explode+agg scale path) ------------
-    "text_token_stats" -> ((s, d) => {
-      TA.textStatsFrame(Tables.documents(s, d), "text", "doc_id")
-        .select(col("id").as("doc_id"), col("n_tokens"), col("n_distinct"),
-          col("avg_word_len"), col("n_chars_m"))
-        .orderBy(col("doc_id"))
-    }),
-
-    "text_quality" -> ((s, d) => {
-      TA.textStatsFrame(Tables.documents(s, d), "text", "doc_id")
-        .select(col("id").as("doc_id"), col("punct_ratio"), col("upper_ratio"),
-          col("stop_ratio"), col("quality"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Code-vs-prose detection — the filter that routes source code out of
-    // (or into) a text training mix: bracket/semicolon character density
-    // plus code-keyword token share, folded into one score. Pure column
-    // algebra fused into the scan; thresholds compare the ROUNDED score
-    // so the verdict is a discrete grid both engines agree on.
-    "text_code_detect" -> ((s, d) => {
-      val kw = Seq("def", "class", "return", "import", "function", "var",
-        "let", "const", "if", "else", "for", "while", "void", "int")
-      val docs = Tables.documents(s, d)
-      // ONE explode for token count + keyword hits (the Spark-4 HOF rule:
-      // never evaluate the token array twice per row); char-level brace
-      // density stays a scan-fused projection
-      val tk = docs
-        .select(col("doc_id"), explode_outer(TA.tokens(col("text"))).as("t"))
-        .groupBy(col("doc_id"))
-        .agg(count(col("t")).as("__ntk"),
-          count_if(col("t").isInCollection(kw)).as("__kw"))
-      val nch = length(col("text"))
-      val braceRatio =
-        (nch - length(regexp_replace(col("text"), "[{}()\\[\\];]", "")))
-          .cast("double") / greatest(nch, lit(1)).cast("double")
-      val kwRatio = col("__kw").cast("double") /
-        greatest(col("__ntk"), lit(1L)).cast("double")
-      val score = round(
-        least(braceRatio * 20, lit(1.0)) * 0.5 +
-          least(kwRatio * 8, lit(1.0)) * 0.5, 4)
-      docs.join(tk, "doc_id")
-        .select(col("doc_id"), nch.as("n_chars"),
-          round(braceRatio, 4).as("brace_ratio"),
-          round(kwRatio, 4).as("kw_ratio"),
-          score.as("code_score"),
-          (score >= 0.5).as("is_code"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Per-doc Shannon entropy of the word distribution — the third
-    // degenerate-text signal beside repetition and quality (low entropy =
-    // boilerplate/spam, suspiciously high = shredded junk). Computed as
-    // H = ln(n) − (Σ c·ln c)/n over the per-(doc, word) counts, the exact
-    // rearrangement that needs ONE explode + two aggregates and no
-    // per-term division; round-6 fences the float sum order.
-    "text_token_entropy" -> ((s, d) => {
-      val tf = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("w"))
-        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-      val perDoc = tf.groupBy(col("doc_id"))
-        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
-          sum(col("c") * log(col("c"))).as("__clc"))
-      Tables.documents(s, d).select(col("doc_id"))
-        .join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
-          when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(0.0))
-            .otherwise(round(
-              log(col("n_tokens")) - col("__clc") / col("n_tokens"), 6))
-            .as("token_entropy"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // exact-dedup groups on the md5 content fingerprint
-    "dedup_exact_groups" -> ((s, d) => {
-      Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id")
-        .orderBy(col("survivor_id"))
-        .select(col("fp"), col("survivor_id"), col("n_dups"))
-    }),
-
-    // ---- training-pipeline compositions (oracle-checked) -------------------
-
-    // Deterministic shuffle + token-budget sharding, the pre-training layout
-    // step: docs ordered by a seeded md5 key WITHIN 256 hash strata (the
-    // window is partitioned, so the sort parallelizes across strata — no
-    // global single-partition window), then packed greedily into shards of
-    // ~shardBudget tokens by cumulative token count.
-    "train_shuffle_shard" -> ((s, d) => {
-      shuffleShardFrame(s, d)
-        .select(col("doc_id"), col("stratum"), col("shard"), col("n_tokens"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // TF-IDF keyword extraction: each doc's top-3 terms by tf·idf with
-    // smoothed idf = ln((N+1)/(df+1)) — the classic per-document keyword
-    // summarizer. One explode into (doc, term) counts, a term-keyed df
-    // aggregate joined back, a per-doc window top-k; ties break on the
-    // term string so the pick is a pure function of the corpus.
-    "text_tfidf_keywords" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val tf = docs.select(col("doc_id"), explode(TA.tokens(col("text"))).as("t"))
-        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-      val n = docs.agg(count(lit(1)).as("__n"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id"))
-        .orderBy(col("score").desc, col("t"))
-      tf.join(dfreq, "t").crossJoin(broadcast(n))
-        .withColumn("score", round(col("tf") *
-          log((col("__n") + 1).cast("double") / (col("df") + 1)), 6))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .select(col("doc_id"), col("rnk"), col("t").as("term"), col("score"))
-        .orderBy(col("doc_id"), col("rnk"))
-    }),
-
-    // Gopher-style quality GATE battery: word-count bounds, mean word
-    // length, alpha-word fraction, distinct-stopword minimum, ellipsis
-    // ratio — the pass/fail document filter a pre-training pipeline runs,
-    // rolled up per language (zh fails the stopword gate wholesale, the
-    // designed discrimination). One explode + one id-keyed aggregate.
-    "text_quality_gates" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      TA.gopherGates(docs, "text", "doc_id")
-        .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          count_if(col("pass")).as("n_pass"),
-          count_if(!col("gate_words")).as("fail_words"),
-          count_if(!col("gate_mean_len")).as("fail_mean_len"),
-          count_if(!col("gate_alpha")).as("fail_alpha"),
-          count_if(!col("gate_stop")).as("fail_stop"),
-          count_if(!col("gate_symbol")).as("fail_symbol"))
-        .orderBy(col("lang"))
-    }),
-
-    // Gopher-style repetition signals: dup-word / top-word / top-bigram
-    // fractions per document (the boilerplate detectors pre-training
-    // filters key on). One explode, one exchange, codegen'd aggregates.
-    "text_repetition" -> ((s, d) => {
-      TA.repetitionFrame(Tables.documents(s, d), "text", "doc_id")
-        .select(col("id").as("doc_id"), col("n_tokens"), col("n_distinct"),
-          col("dup_word_frac"), col("top_word_frac"), col("top_bigram_frac"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Deterministic train/valid/test assignment from an md5 threshold on
-    // the seeded doc key — reproducible across runs/engines, no shuffle at
-    // all (pure projection; the split travels with the row).
-    "train_split_hash" -> ((s, d) => {
-      val bucket = substring(
-        md5(concat(lit("split:"), col("doc_id").cast("string")).cast("binary")), 1, 2)
-      Tables.documents(s, d)
-        .select(col("doc_id"), bucket.as("bucket"))
-        .withColumn("split", graft.ext.Sampling.hashSplit(col("doc_id")))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Z-order (Morton) layout audit: interleave two dimensions into one
-    // clustering key and show per-key-range locality — each zb bucket
-    // bounds a tight (x, y) rectangle, which is exactly what parquet
-    // min/max stats need to prune scans on BOTH dimensions. The interleave
-    // is shift/mask column algebra, replayed bit-for-bit by the oracle.
-    "layout_zorder" -> ((s, d) => {
-      val e = Tables.events(s, d).select(
-        floor(col("value")).cast("long").as("x"),
-        hour(col("ts")).cast("long").as("y"))
-      e.withColumn("zb", shiftright(graft.ext.Layout.zValue2(col("x"), col("y")), 10))
-        .groupBy(col("zb"))
-        .agg(count(lit(1)).as("n"),
-          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
-          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
-        .orderBy(col("zb"))
-    }),
-
-    // Stratified rate-based sampling: downsample the head language, keep
-    // the tail whole — the corpus-rebalancing move. Decision = seeded md5
-    // threshold per stratum: deterministic, engine-replayable, zero
-    // shuffles (projection + filter, pushed into the scan stage).
-    "train_stratified_sample" -> ((s, d) => {
-      graft.ext.Sampling.stratifiedSample(Tables.documents(s, d), "lang", "doc_id",
-          Map("en" -> 0.25, "zh" -> 0.5))
-        .select(col("doc_id"), col("lang"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Stratified fixed-size sampling: exactly min(k,|stratum|) docs per
-    // language, chosen by the seeded draw with the key as tiebreaker —
-    // a deterministic "reservoir" (one window over the stratum shuffle,
-    // no global sort).
-    "train_sample_per_lang" -> ((s, d) => {
-      graft.ext.Sampling.stratifiedFixedK(Tables.documents(s, d), "lang", "doc_id", 40)
-        .select(col("doc_id"), col("lang"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Mixture rebalancing with DATA-DERIVED rates: each language gets
-    // keep-rate min(1, equal-share/current-share), so the dominant language
-    // is downsampled toward uniform and the tail is kept whole. Reports
-    // per-language before/after counts — the mixture-control loop in one
-    // query.
-    "train_mixture_rebalance" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val kept = graft.ext.Sampling.rebalanceUniform(docs, "lang", "doc_id")
-      val before = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
-      val after = kept.groupBy(col("lang")).agg(count(lit(1)).as("n_after"))
-      before.join(after, Seq("lang"), "left")
-        .select(col("lang"), col("n_before"),
-          coalesce(col("n_after"), lit(0L)).as("n_after"))
-        .orderBy(col("lang"))
-    }),
-
-    // Temperature (α = 0.5) mixture sampling: target share ∝ sqrt(natural
-    // share) — tempered toward uniform, not all the way (the multilingual
-    // mixing practice); the binding stratum keeps every row, the head is
-    // downsampled to realize the target exactly. Before/after counts per
-    // language.
-    "train_temperature_sample" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val kept = graft.ext.Sampling.temperatureSampleHalf(docs, "lang", "doc_id")
-      val before = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
-      val after = kept.groupBy(col("lang")).agg(count(lit(1)).as("n_after"))
-      before.join(after, Seq("lang"), "left")
-        .select(col("lang"), col("n_before"),
-          coalesce(col("n_after"), lit(0L)).as("n_after"))
-        .orderBy(col("lang"))
-    }),
-
-    // Per-row weighted (importance) sampling: keep probability follows the
-    // document's length score instead of a stratum constant — the
-    // quality-weighted downsampling move. Still zero shuffles and still
-    // deterministic in (seed, doc_id).
-    "train_weighted_sample" -> ((s, d) => {
-      graft.ext.Sampling.weightedSample(Tables.documents(s, d),
-          col("n_chars").cast("double") / 500.0, "doc_id")
-        .select(col("doc_id"), col("n_chars"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
-    // exactly 20 docs per language, selection probability ∝ tokens+1 —
-    // the "pick k, longer docs more likely, no duplicates" draw that
-    // per-row Bernoulli sampling can't express. Seeded-FNV u, ln(u)/w
-    // rank key on a 1e-12 grid (cross-engine safe), one per-stratum
-    // window.
-    "train_weighted_topk" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .withColumn("nt", TA.tokenCount(col("text")).cast("long"))
-      graft.ext.Sampling.weightedFixedK(docs, "lang", "doc_id",
-          col("nt") + 1, k = 20)
-        .select(col("lang"), col("doc_id"), col("nt").as("n_tokens"),
-          col("rank").cast("long").as("rank"))
-        .orderBy(col("lang"), col("rank"))
-    }),
-
-    // Sliding token-window chunking (32-token windows, 8-token overlap):
-    // the context-window prep step. Chunk geometry is per-row arithmetic
-    // fused into the scan — no shuffle — and each chunk's md5 makes the
-    // content cross-engine checkable without shipping text.
-    "text_chunk_windows" -> ((s, d) => {
-      TA.chunkFrame(Tables.documents(s, d), "text", "doc_id",
-          chunkSize = 32, overlap = 8)
-        .withColumnRenamed("id", "doc_id")
-        .orderBy(col("doc_id"), col("chunk_idx"))
-    }),
-
-    // TOKENIZER-UNIT context windows: the same sliding chunker cut in BPE
-    // tokens — what an embedding/pre-training pipeline actually slices by,
-    // since model context limits are tokenizer tokens, not words. Same
-    // 120-char slice + fixture merge table as text_bpe_tokens; the oracle
-    // composes the BPE merge-loop CTE with the window replay.
-    "text_chunk_bpe" -> ((s, d) => {
-      import graft.functions.Bpe
-      TA.chunkFrameBy(Tables.documents(s, d),
-          Bpe.bpe_encode(substring(col("text"), 1, 120), Bpe.fixtureTable),
-          "doc_id", chunkSize = 32, overlap = 8)
-        .withColumnRenamed("id", "doc_id")
-        .orderBy(col("doc_id"), col("chunk_idx"))
-    }),
-
-    // Content-defined chunking (rolling-hash cut rule at token
-    // granularity): boundaries from the token's FNV-1a low bits, so chunk
-    // identity survives insertions/deletions that shift every fixed-stride
-    // window. Mean chunk ~16 tokens.
-    "text_cdc_chunks" -> ((s, d) => {
-      TA.cdcChunks(Tables.documents(s, d), "text", "doc_id", meanTokens = 16)
-        .withColumnRenamed("id", "doc_id")
-        .orderBy(col("doc_id"), col("chunk_idx"))
-    }),
-
-    // Chunk-level duplication over the CDC chunks — the dedup payoff:
-    // shared boilerplate lands in identical chunks at ANY document offset.
-    // Top-50 repeated chunk hashes by occurrence (TakeOrdered, no global
-    // sort); n_docs distinguishes cross-doc boilerplate from within-doc
-    // repetition.
-    "dedup_cdc_shared" -> ((s, d) => {
-      TA.cdcChunks(Tables.documents(s, d), "text", "doc_id", meanTokens = 16)
-        .groupBy(col("chunk_md5"))
-        .agg(count(lit(1)).as("n_occ"), count_distinct(col("id")).as("n_docs"))
-        .filter(col("n_occ") > 1)
-        .orderBy(col("n_occ").desc, col("chunk_md5")).limit(50)
-    }),
-
-    // Statistical LM quality score: average conditional bigram probability
-    // under the corpus's own MLE model — the KenLM-filter signal, in the
-    // rational form whose every term is an IEEE division of integer counts
-    // (exactly replayable; a log form would be libm-ulp-bound).
-    "text_bigram_lm_score" -> ((s, d) => {
-      TA.bigramLmScores(Tables.documents(s, d), "text", "doc_id")
-        .withColumnRenamed("id", "doc_id")
-        .orderBy(col("doc_id"))
-    }),
-
-    // Per-document n-gram NOVELTY — the corpus-freshness signal web
-    // pipelines read before mixing a crawl snapshot in: which fraction of
-    // a doc's distinct 5-grams appear here FIRST (global first occurrence
-    // = min doc_id)? One explode to the distinct (doc, shingle) grain,
-    // one min-agg per shingle, one join back — all on the shingle key,
-    // no pairwise anything. The shared grain frame feeds both sides →
-    // checkpointed, one corpus scan.
-    "text_ngram_novelty" -> ((s, d) => {
-      val g = Dedup.shingleFramePos(Tables.documents(s, d), "text", "doc_id", 5)
-        .filter(col("ntok") >= 5)
-        .select(col("id"), col("shingle")).distinct()
-        .localCheckpoint()
-      Dedup.rotateCheckpoints("text_ngram_novelty", g)
-      val first = g.groupBy(col("shingle")).agg(min(col("id")).as("first_id"))
-      val per = g.join(first, "shingle")
-        .groupBy(col("id"))
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(when(col("id") === col("first_id"), 1L).otherwise(0L)).as("n_novel"))
-      Tables.documents(s, d).select(col("doc_id"))
-        .join(per.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
-          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
-          when(col("n_shingles").isNull, lit(0.0))
-            .otherwise(round(col("n_novel").cast("double") / col("n_shingles"), 6))
-            .as("novelty"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Top-20 bigram collocations by PMI (min pair count 5) — the
-    // phrase-mining readout beside the boilerplate n-grams: bigram and
-    // unigram counts from the SAME token stream, PMI on the count ratios,
-    // TakeOrderedAndProject for the head. All joins are on term keys
-    // (vocab-bounded), the globals are one broadcast row.
-    "text_pmi_collocations" -> ((s, d) => {
-      // TWO corpus scans total (tokens, bigrams), both reduced to their
-      // vocab-bounded count frames and checkpointed; the globals are SUMS
-      // over those frames, never a rescan (review r12: the first cut
-      // re-tokenized the corpus four times)
-      val cbgAll = Dedup.shingleFramePos(Tables.documents(s, d), "text", "doc_id", 2)
-        .filter(col("ntok") >= 2)
-        .select(col("shingle").as("b"),
-          substring_index(col("shingle"), " ", 1).as("w1"),
-          substring_index(col("shingle"), " ", -1).as("w2"))
-        .groupBy(col("b"), col("w1"), col("w2"))
-        .agg(count(lit(1)).as("c2"))
-        .localCheckpoint()
-      val cw = Tables.documents(s, d)
-        .select(explode(TA.tokens(col("text"))).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("cw"))
-        .localCheckpoint()
-      Dedup.rotateCheckpoints("text_pmi_collocations", cbgAll, cw)
-      val cbg = cbgAll.filter(col("c2") >= 5)
-      val globals = cw.agg(sum(col("cw")).as("n_tok"))
-        .crossJoin(cbgAll.agg(sum(col("c2")).as("n_big")))
-      cbg
-        .join(cw.select(col("w").as("w1"), col("cw").as("ca")), "w1")
-        .join(cw.select(col("w").as("w2"), col("cw").as("cb")), "w2")
-        .crossJoin(broadcast(globals))
-        .select(col("b"), col("c2"),
-          round(log(
-            (col("c2").cast("double") / col("n_big")) /
-              ((col("ca").cast("double") / col("n_tok")) *
-                (col("cb").cast("double") / col("n_tok")))), 6).as("pmi"))
-        .orderBy(col("pmi").desc, col("b"))
-        .limit(20)
-    }),
-
-    // Global vocabulary head: top-100 words by corpus frequency with a
-    // deterministic tie-break — explode + hash-agg + TakeOrderedAndProject
-    // (no full sort at scale).
-    "text_vocab_topk" -> ((s, d) => {
-      Tables.documents(s, d)
-        .select(explode(TA.tokens(col("text"))).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("w")).limit(100)
-    }),
-
-    // Shard-level packing stats on top of train_shuffle_shard: docs and
-    // token fill per (stratum, shard) against the shardBudget-token budget
-    // check that the packing step produced trainable, evenly-filled shards.
-    // Same one window pass; the stats are a second aggregate on its output.
-    "train_pack_stats" -> ((s, d) => {
-      shuffleShardFrame(s, d)
-        .groupBy(col("stratum"), col("shard"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"))
-        .withColumn("fill",
-          round(col("shard_tokens").cast("double") / shardBudget, 4))
-        .orderBy(col("stratum"), col("shard"))
-    }),
-
-    // Concat-and-chunk sequence packing — the GPT-style pre-training
-    // layout: the corpus concatenated in doc_id order, cut into
-    // 2048-token context windows; per doc its global token offset and the
-    // window span it lands in. The global running offset is a TWO-PHASE
-    // prefix sum (per-shard totals + within-shard window), never a
-    // single-partition global window — the only serial piece is the
-    // corpus/4096-row shard-prefix frame. Oracle replays it as the plain
-    // global window cumsum the two-phase form must equal.
-    "train_pack_concat" -> ((s, d) => {
-      graft.ext.Sampling.packConcat(Tables.documents(s, d), "doc_id",
-          TA.tokenCount(col("text")), budget = 2048L)
-        .select(col("id").as("doc_id"), col("n_tokens"), col("start_off"),
-          col("pack_first"), col("pack_last"), col("packs_spanned"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Token-budget mixture: per language, keep docs in seeded-draw order
-    // until the language's TOKEN budget is spent (the knob pre-training
-    // mixtures are specified in). Admission = "start offset under budget",
-    // computed with the same two-phase prefix sum as train_pack_concat
-    // (draw-prefix sub-shards), so no stratum sorts as one partition. The
-    // lane reports the per-language fill; the oracle replays the cut as
-    // the plain per-stratum window cumsum.
-    // First-fit-decreasing bin packing into 256-token windows, 16
-    // deterministic FNV shards packed independently in parallel — the
-    // waste-minimizing alternative to concat-and-chunk. The oracle folds
-    // the identical (nt DESC, id) first-fit rule per shard as a recursive
-    // CTE over list state (the finality-buffer replay pattern).
-    // BPE TOKENIZER TRAINING (r14): learn the merge table itself — the
-    // Sennrich et al. training loop as a distributed op, closing the
-    // tokenizer family (encode r13 → train r14). Scale shape: the corpus
-    // collapses to a WORD HISTOGRAM first (ONE shuffle; from then on the
-    // vocabulary, not the corpus, bounds every iteration — the classic
-    // trainer trick, and the reason this survives 100 TB: 8 rounds of
-    // map-side-combined pair counts over distinct words weighted by wc,
-    // each ending in a 1-row argmax collect; the driver holds only the
-    // k-row merge table). Re-encoding each round with the accumulated
-    // table is provably equal to stage-wise single-pass application
-    // (BpeSpec pins the property), which is what the oracle replays:
-    // 8 unrolled materialized-CTE stages, each applying the learned merge
-    // in CLOSED FORM (all disjoint matches at once; run-parity gates
-    // l==r chains) — no recursive CTE, no planner fragility. Ties break
-    // (count DESC, lhs, rhs) identically on both sides.
-    "train_bpe_learn" -> ((s, d) => {
-      import graft.functions.Bpe
-      val words = Tables.documents(s, d)
-        .select(explode(TA.tokens(col("text"))).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).cast("long").as("wc"))
-        .localCheckpoint()
-      Dedup.rotateCheckpoints("train_bpe_learn", words)
-      var merges = Vector.empty[(String, String)]
-      val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-      for (round <- 0 until 8) {
-        val toksCol =
-          if (merges.isEmpty) filter(split(col("word"), ""), t => length(t) > 0)
-          else Bpe.bpe_encode(col("word"), Bpe.BpeTable(merges))
-        val best = words
-          .select(col("wc"), toksCol.as("t"))
-          .filter(size(col("t")) >= 2)
-          .select(col("wc"), explode(expr(
-            "transform(sequence(0, size(t) - 2), j -> struct(t[j] AS l, t[j + 1] AS r))")).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("wc")).as("cnt"))
-          .orderBy(desc("cnt"), col("l"), col("r"))
-          .limit(1).collect()
-        best.headOption.foreach { row =>
-          merges = merges :+ (row.getString(0) -> row.getString(1))
-          learned += ((round, row.getString(0), row.getString(1), row.getLong(2)))
-        }
-      }
-      import s.implicits._
-      learned.toSeq.toDF("merge_round", "lhs", "rhs", "pair_count")
-        .orderBy(col("merge_round"))
-    }),
-
-    // TRAIN → APPLY composed (r14): tokenize the corpus with the table
-    // LEARNED IN-LANE — the end-to-end tokenizer build. Production shape:
-    // the 8 learned merges apply to the DISTINCT VOCABULARY once (the
-    // same histogram the trainer used), and documents join the tokenized
-    // vocab broadcast — per-word work never repeats across occurrences,
-    // so corpus size only prices the exploded join, not the merge loop.
-    // Fertility (BPE tokens per word) is THE tokenizer-quality metric a
-    // data pipeline monitors. Oracle: the training stages + one more
-    // closed-form apply (d9), then the same vocab join per document.
-    "train_bpe_apply_learned" -> ((s, d) => {
-      import graft.functions.Bpe
-      val words = Tables.documents(s, d)
-        .select(explode(TA.tokens(col("text"))).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).cast("long").as("wc"))
-        .localCheckpoint()
-      Dedup.rotateCheckpoints("train_bpe_apply_learned", words)
-      var merges = Vector.empty[(String, String)]
-      for (_ <- 0 until 8) {
-        val toksCol =
-          if (merges.isEmpty) filter(split(col("word"), ""), t => length(t) > 0)
-          else Bpe.bpe_encode(col("word"), Bpe.BpeTable(merges))
-        words.select(col("wc"), toksCol.as("t"))
-          .filter(size(col("t")) >= 2)
-          .select(col("wc"), explode(expr(
-            "transform(sequence(0, size(t) - 2), j -> struct(t[j] AS l, t[j + 1] AS r))")).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("wc")).as("cnt"))
-          .orderBy(desc("cnt"), col("l"), col("r"))
-          .limit(1).collect()
-          .headOption.foreach(row => merges = merges :+ (row.getString(0) -> row.getString(1)))
-      }
-      val vocabNt = words.select(col("word"),
-        size(Bpe.bpe_encode(col("word"), Bpe.BpeTable(merges))).cast("long").as("nt"))
-      val perDoc = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("word"))
-        .join(broadcast(vocabNt), "word")
-        .groupBy(col("doc_id"))
-        .agg(sum(col("nt")).as("n_bpe_tokens"), count(lit(1)).cast("long").as("n_words"))
-      Tables.documents(s, d).select(col("doc_id"))
-        .join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
-          coalesce(col("n_words"), lit(0L)).as("n_words"),
-          coalesce(round(col("n_bpe_tokens").cast("double") / col("n_words"), 4),
-            lit(0.0)).as("fertility"))
-        .orderBy(col("doc_id"))
-    }),
-
-    "train_pack_ffd" -> ((s, d) => {
-      graft.ext.Sampling.packFirstFitDecreasing(
-          Tables.documents(s, d), "doc_id",
-          TA.tokenCount(col("text")), capacity = 256L, nShards = 16)
-        .orderBy(col("shard"))
-    }),
-
-    // Tokenizer-EXACT counts (VERDICT r12 #7): deterministic byte-level BPE
-    // (Sennrich et al.) under a fixture merge table — greedy best-ranked
-    // merges from single chars, codegen'd expression, table broadcast by
-    // closure. The oracle replays the merge loop as a DuckDB recursive CTE
-    // over the SAME VALUES list (one leftmost-best merge per iteration,
-    // equivalent by the merge table's creation-order property). The
-    // 120-char slice bounds the oracle's iteration count, not the design.
-    "text_bpe_tokens" -> ((s, d) => {
-      import graft.functions.Bpe
-      val toks = Bpe.bpe_encode(substring(col("text"), 1, 120), Bpe.fixtureTable)
-      Tables.documents(s, d)
-        .select(col("doc_id"), size(toks).cast("long").as("n_bpe"),
-          concat_ws("|", toks).as("toks_str"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // FULL-DOCUMENT tokenizer-exact counts (VERDICT r13 #4): the 120-char
-    // slice capped the oracle's recursive-CTE depth, not the design —
-    // lifted via the factorization property (Bpe.BpeTable.operandCodePoints):
-    // a char in NO merge operand can never join a merge, so
-    // BPE(text) = concat of BPE(segment) over maximal operand-char runs.
-    // Spark encodes per segment (encodeSegmented, property-pinned equal to
-    // whole-text encode in BpeSpec); the oracle folds per SEGMENT too,
-    // bounding its recursion by the longest operand run (≤68 chars at sf1)
-    // instead of document length. Token string surfaces as md5 — the exact
-    // content check without a 300+-char column in the diff.
-    "text_bpe_tokens_full" -> ((s, d) => {
-      import graft.functions.Bpe
-      val toks = Bpe.bpe_encode_full(col("text"), Bpe.fixtureTable)
-      Tables.documents(s, d)
-        .select(col("doc_id"), size(toks).cast("long").as("n_bpe"),
-          md5(concat_ws("|", toks)).as("toks_md5"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Concat-and-chunk packing BUDGETED IN BPE TOKENS — what a real
-    // pre-training pipeline packs by (whitespace counts under-count by the
-    // subword factor). Same two-phase prefix sum as train_pack_concat;
-    // only the token counter changes. Counts are FULL-document as of r14
-    // (VERDICT r13 #4: a budget computed on a 120-char prefix is not a
-    // production token budget) — segment-factorized encode, per-segment
-    // oracle fold.
-    "train_pack_bpe" -> ((s, d) => {
-      import graft.functions.Bpe
-      graft.ext.Sampling.packConcat(Tables.documents(s, d), "doc_id",
-          size(Bpe.bpe_encode_full(col("text"), Bpe.fixtureTable)),
-          budget = 512L)
-        .select(col("id").as("doc_id"), col("n_tokens"), col("start_off"),
-          col("pack_first"), col("pack_last"), col("packs_spanned"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Static mixture REWEIGHTING (the DoReMi-style domain-weight step done
-    // closed-form): per language, current token share vs a uniform target
-    // share; resampling weight = target/current clamped to [0.1, 10], and
-    // the expected post-resampling token count. One aggregate + one 1-row
-    // total broadcast — the knob a pre-training mixture is tuned with
-    // before any sampler runs.
-    "train_mixture_reweight" -> ((s, d) => {
-      val perLang = Tables.documents(s, d)
-        .select(col("lang"), TA.tokenCount(col("text")).cast("long").as("nt"))
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
-      val total = perLang.agg(sum(col("n_tokens")).as("__tot"),
-        count(lit(1)).as("__n_langs"))
-      perLang.crossJoin(broadcast(total))
-        .withColumn("current_share",
-          round(col("n_tokens").cast("double") / col("__tot"), 6))
-        // a ZERO-token language gets the max upweight explicitly: Spark's
-        // double /0 → Infinity → clamp, but DuckDB's double /0 is NULL, so
-        // the branch must be taken BEFORE the division on both sides
-        .withColumn("weight",
-          when(col("n_tokens") === 0, lit(10.0)).otherwise(
-            round(least(lit(10.0), greatest(lit(0.1),
-              (lit(1.0) / col("__n_langs")) /
-                (col("n_tokens").cast("double") / col("__tot")))), 6)))
-        .select(col("lang"), col("n_docs"), col("n_tokens"),
-          col("current_share"), col("weight"),
-          round(col("n_tokens") * col("weight"), 2).as("expected_tokens"))
-        .orderBy(col("lang"))
-    }),
-
-    "train_token_budget_mix" -> ((s, d) => {
-      val kept = graft.ext.Sampling.tokenBudgetSample(
-        Tables.documents(s, d), "lang", "doc_id",
-        TA.tokenCount(col("text")), budgets = Map("en" -> 5000L),
-        defaultBudget = 2000L)
-      kept.groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs_kept"),
-          sum(col("__nt")).as("tokens_kept"),
-          max(col("__budget")).as("budget"),
-          round(sum(col("__nt")).cast("double") / max(col("__budget")), 4)
-            .as("fill"))
-        .orderBy(col("lang"))
-    }),
-
-    // End-to-end quality filter: keep only exact-dedup survivors whose
-    // composite quality clears the bar — the canonical select-what-to-train-on
-    // pipeline (fingerprint dedup ∘ quality score), one shuffle each side.
-    "train_quality_filter" -> ((s, d) => {
-      val stats = TA.textStatsFrame(Tables.documents(s, d), "text", "doc_id")
-        .select(col("id").as("doc_id"), col("quality"), col("n_tokens"))
-      val survivors = Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id")
-        .select(col("survivor_id").as("doc_id"))
-      stats.join(survivors, "doc_id")
-        .filter(col("quality") >= 0.5)
-        .orderBy(col("doc_id"))
-    }),
-
-    // Per-source diversity cap — the domain-cap step every web-crawl
-    // mixture runs (keep the best K docs per domain so no source
-    // dominates): rank within source by (quality desc, doc_id), keep
-    // rank <= 20. One window per source — frame bounded by docs-per-
-    // source, the natural partitioning at crawl scale.
-    "train_source_cap" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val stats = TA.textStatsFrame(Tables.documents(s, d), "text", "doc_id")
-        .select(col("id").as("doc_id"), col("quality"))
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("quality").desc, col("doc_id"))
-      Tables.documents(s, d).select(col("doc_id"), col("source"))
-        .join(stats, "doc_id")
-        .withColumn("src_rank", row_number().over(w))
-        .withColumn("kept", col("src_rank") <= 20)
-        .select(col("doc_id"), col("source"), col("quality"),
-          col("src_rank"), col("kept"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Train/eval n-gram decontamination: eval set = every 97th doc, train =
-    // the rest; a train doc is contaminated when it shares any distinct
-    // 5-gram with eval. Eval hashes broadcast; train streams through one
-    // explode + semi-join + per-doc count. FNV basis -> the oracle replays
-    // the full pass (shingles, hash, join, count) in SQL.
-    "train_decontaminate" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Dedup.contamination(
-        docs.filter(col("doc_id") % 97 =!= 0),
-        docs.filter(col("doc_id") % 97 === 0),
-        "text", "doc_id", n = 5)
-        .select(col("id").as("doc_id"), col("n_shared"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Containment-SCORED decontamination: beside the shared-gram count,
-    // the per-doc ratio |T∩E|/|T| a drop-vs-keep policy thresholds — the
-    // asymmetric measure that catches a short eval doc quoted inside a
-    // long train doc where symmetric Jaccard would not. Same broadcast
-    // eval-hash set, one pass over the train gram stream, every train doc
-    // reported.
-    "train_contamination_score" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Dedup.contaminationScored(
-        docs.filter(col("doc_id") % 97 =!= 0),
-        docs.filter(col("doc_id") % 97 === 0),
-        "text", "doc_id", n = 5)
-        .select(col("id").as("doc_id"), col("n_grams"), col("n_shared"),
-          col("containment"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // DAU/WAU stickiness: daily actives over trailing-7-day actives per
-    // day — the engagement ratio beside the growth curve. The event log
-    // reduces to the distinct (user, day) frame ONCE; each activity day
-    // then EXPLODES into the 7 windows it belongs to (d0 ∈ [day, day+6])
-    // and the trailing count is a plain equi-aggregate — exactly 7×|a|
-    // rows, never the |days|×|a| nested-loop a band join plans.
-    "events_dau_wau" -> ((s, d) => {
-      val a = Tables.events(s, d)
-        .select(col("user_id"), expr("(ts_ns div 1000) div 86400000000").as("day"))
-        .distinct()
-      val dau = a.groupBy(col("day")).agg(count_distinct(col("user_id")).as("dau"))
-      val wau = a
-        .withColumn("d0", explode(sequence(col("day"), col("day") + 6)))
-        .groupBy(col("d0").as("day"))
-        .agg(count_distinct(col("user_id")).as("wau"))
-      // semi-join back to real activity days (windows anchored on a day
-      // with no events exist only as explode artifacts)
-      dau.join(wau, "day")
-        .select(col("day"), col("dau"), col("wau"),
-          round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
-        .orderBy(col("day"))
-    }),
-
-    // Gaps-and-islands: longest consecutive-day activity streak per user
-    // (day − row_number is constant within an island). Reduces to the
-    // distinct (user, day) frame first; both windows share ONE user-keyed
-    // exchange. Top-20 streaks by (len, user, start) — TakeOrdered.
-    "events_streaks" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val a = Tables.events(s, d)
-        .select(col("user_id"), expr("(ts_ns div 1000) div 86400000000").as("day"))
-        .distinct()
-      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
-      val islands = a
-        .withColumn("__grp", col("day") - row_number().over(w))
-        .groupBy(col("user_id"), col("__grp"))
-        .agg(count(lit(1)).as("streak_days"), min(col("day")).as("start_day"))
-      islands
-        .select(col("user_id"), col("start_day"), col("streak_days"))
-        .orderBy(col("streak_days").desc, col("user_id"), col("start_day"))
-        .limit(20)
-    }),
-
-    // Dataset card: the per-(lang, source) summary a data release ships —
-    // doc/token counts, mean doc length, exact-duplicate rate (docs whose
-    // normalized fingerprint appears more than once corpus-wide). One
-    // explode-free token count + one fingerprint aggregate, broadcast
-    // joined; every metric integer-derived before its round-4 fence.
-    "train_dataset_card" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
-        .withColumn("nt", TA.tokenCount(col("text")).cast("long"))
-        .withColumn("fp", TA.fingerprint(col("text")))
-      // per-fp multiplicity as a WINDOW (one fp-keyed exchange): the set of
-      // duplicated fingerprints is corpus-scale on a duplicate-heavy corpus,
-      // so it must never ride a broadcast
-      docs
-        .withColumn("__dup",
-          when(count(lit(1)).over(Window.partitionBy(col("fp"))) > 1, 1))
-        .groupBy(col("lang"), col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("nt")).as("n_tokens"),
-          round(sum(col("nt")).cast("double") / count(lit(1)), 4)
-            .as("avg_doc_tokens"),
-          sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("n_dup_docs"),
-          round(sum(when(col("__dup").isNotNull, 1L).otherwise(0L))
-            .cast("double") / count(lit(1)), 4).as("dup_rate"))
-        .orderBy(col("lang"), col("source"))
-    }),
-
-    // Pareto/power-user curve: events per user -> usage deciles (ntile
-    // over the count-aggregated USER frame — a report over the already
-    // reduced frame, not the event log) -> per-decile event share and
-    // cumulative share. Cumulative share divides integer cumulative sums
-    // by the integer total, so the doubles are engine-identical before
-    // the round-6 fence.
-    "events_power_users_pareto" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val per = Tables.events(s, d)
-        .groupBy(col("user_id")).agg(count(lit(1)).as("n_ev"))
-      val dec = per.withColumn("decile",
-        ntile(10).over(Window.orderBy(col("n_ev").desc, col("user_id"))))
-      val g = dec.groupBy(col("decile"))
-        .agg(count(lit(1)).as("n_users"), sum(col("n_ev")).as("n_events"))
-      val tot = g.agg(sum(col("n_events")).as("__total"))
-      g.crossJoin(broadcast(tot))
-        .withColumn("__cum",
-          sum(col("n_events")).over(Window.orderBy(col("decile"))))
-        .select(col("decile"), col("n_users"), col("n_events"),
-          round(col("n_events").cast("double") / col("__total"), 6).as("share"),
-          round(col("__cum").cast("double") / col("__total"), 6).as("cum_share"))
-        .orderBy(col("decile"))
-    }),
-
-    // PageRank over the near-dup graph (the boilerplate-hub ranking):
-    // 10 fixed power-iteration rounds at d=0.85 over the symmetrized
-    // minhash-LSH edges, scores quantized per iteration (the IVF
-    // refinement's determinism fence) so the trajectory is a pure
-    // function of the graph. One equi-join + one keyed aggregate per
-    // round, checkpoint-rotated.
-    "graph_pagerank" -> ((s, d) => {
-      val (_, edges) = nearDupGraph(s, d, "graph_pagerank_sigs")
-      graft.ext.Graph.pageRank(edges, iterations = 10, damping = 0.85,
-          checkpointKey = "graph_pagerank")
-        .orderBy(col("id"))
-    }),
-
-    // Leakage-safe negative sampling: 4 deterministic pseudo-random
-    // negatives per anchor on the dense id ring, with negatives from the
-    // anchor's near-dup cluster DROPPED (a paraphrase of the anchor is a
-    // false negative) — reads the same persisted component store as the
-    // survivor/split lanes. Pure column algebra over the portable FNV
-    // draw; zero shuffles beyond the two broadcast cluster joins.
-    "train_negative_pairs" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val comps = Dedup.componentStore(docs, "text", "doc_id", compStorePath(d))
-      graft.ext.Sampling.negativePairs(docs, "doc_id", k = 4,
-          components = Some(comps.select(col("id"), col("label"))))
-        .orderBy(col("anchor_id"), col("draw"))
-    }),
-
-    // END-TO-END training-data pipeline — the composition a real corpus
-    // build runs, as ONE lane: near-dup survivor election (persisted
-    // component store, shared with the survivor/split lanes) -> quality
-    // gate -> train/eval decontamination -> stratified mixture sample ->
-    // per-language corpus stats. Every stage is an operator with its own
-    // triple-green lane; this proves they compose (the oracle replays the
-    // whole chain in one recursive-CTE SQL statement). Scale shape: the
-    // chain reuses the once-per-corpus component store, the eval hash set
-    // broadcasts, quality/sampling are per-row projections — no stage adds
-    // an unbounded structure.
-    "train_e2e_pipeline" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val comps = Dedup.componentStore(docs, "text", "doc_id", compStorePath(d))
-      val survivors = docs
-        .join(comps.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
-        .filter(coalesce(col("label"), col("doc_id")) === col("doc_id"))
-        .drop("label")
-      val trainPool = survivors.filter(col("doc_id") % 97 =!= 0)
-      val contaminated = Dedup.contamination(trainPool,
-          docs.filter(col("doc_id") % 97 === 0), "text", "doc_id", n = 5)
-        .select(col("id").as("doc_id"))
-      val quality = TA.textStatsFrame(docs, "text", "doc_id")
-        .select(col("id").as("doc_id"), col("quality"), col("n_tokens"))
-        .filter(col("quality") >= 0.5)
-      val clean = trainPool.select(col("doc_id"), col("lang"))
-        .join(quality, "doc_id")
-        .join(contaminated, Seq("doc_id"), "left_anti")
-      graft.ext.Sampling.stratifiedSample(clean, "lang", "doc_id",
-          Map("en" -> 0.25, "zh" -> 0.5))
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("n_tokens_total"),
-          round(sum(col("quality")), 2).as("quality_sum"))
-        .orderBy(col("lang"))
-    }),
-
-    // PII redaction pass: deterministic synthetic PII (email/phone/IPv4
-    // derived from doc_id) is appended to each doc, then counted and
-    // scrubbed; the oracle re-runs the identical regexes in DuckDB and
-    // md5-fingerprints the scrubbed text, so a single changed character
-    // anywhere in the redaction output fails the row.
-    "text_pii_scrub" -> ((s, d) => {
-      val injected = concat(col("text"),
-        lit(" contact: user"), col("doc_id").cast("string"),
-        lit("@example.com or +1-555-"),
-        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
-        lit("-0199 at 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))
-      val (ne, np, ni) = TA.piiCounts(injected)
-      Tables.documents(s, d).select(col("doc_id"),
-        ne.as("n_emails"), np.as("n_phones"), ni.as("n_ips"),
-        md5(TA.piiScrub(injected).cast("binary")).as("scrub_fp"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // The WHOLE near-dup dedup pipeline in one query — what a production
-    // corpus-dedup job actually runs: signatures -> banded LSH pairs ->
-    // connected components -> min-id survivor per cluster; docs outside
-    // any cluster keep themselves. The components chain runs ONCE per
-    // corpus into the content-keyed component store (the production
-    // artifact — dedup decisions must be auditable) and this query and the
-    // leakage-safe split both read it. Oracle replays every stage (FNV
-    // shingle hashes through a recursive-CTE closure).
-    "dedup_neardup_survivors" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val comps = Dedup.componentStore(docs, "text", "doc_id", compStorePath(d))
-      docs.select(col("doc_id"))
-        .join(comps.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("label"), col("doc_id")).as("component"),
-          (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("kept"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // QUALITY-based survivor election: same component store, but the kept
-    // doc per near-dup cluster is the one with the MOST tokens (tiebreak:
-    // min doc_id) instead of min-id — the production policy when clusters
-    // mix a full document with its truncated mirror copies. One window
-    // partitioned by component (key-partitioned, no global sort).
-    "dedup_quality_survivors" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val comps = Dedup.componentStore(docs, "text", "doc_id", compStorePath(d))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("component"))
-        .orderBy(col("nt").desc, col("doc_id"))
-      docs.select(col("doc_id"), TA.tokenCount(col("text")).cast("long").as("nt"))
-        .join(comps.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
-        .withColumn("component", coalesce(col("label"), col("doc_id")))
-        .withColumn("survivor_id", first(col("doc_id")).over(w))
-        .select(col("doc_id"), col("component"), col("nt").as("n_tokens"),
-          col("survivor_id"), (col("survivor_id") === col("doc_id")).as("kept"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // LEAKAGE-SAFE train/valid/test split: hash the near-dup CLUSTER id,
-    // not the doc id — with a doc-id split, a near-duplicate of a training
-    // document lands in eval ~10% of the time and the benchmark is
-    // contaminated. Reads the SAME component store as the survivor
-    // election (the chain runs once per corpus); singletons hash their own
-    // id (identical to the plain split for unique docs).
-    "train_split_by_cluster" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val comps = Dedup.componentStore(docs, "text", "doc_id", compStorePath(d))
-      docs.select(col("doc_id"))
-        .join(comps.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
-        .withColumn("split", graft.ext.Sampling.hashSplit(col("cluster_id")))
-        .orderBy(col("doc_id"))
-    }),
-
-    // INCREMENTAL near-dup dedup — the production shape: the corpus (even
-    // doc_ids) is signed once into a persisted signature store partitioned
-    // by (band, sig_bucket); the delta (odd doc_ids) signs itself once and
-    // probes the store via partition-pruned banded equi-join, emitting
-    // keep/drop + cluster assignment per new doc. The store is cached
-    // content-keyed like the IVF index — repeat runs never re-sign the
-    // corpus. Oracle replays both generations end-to-end.
-    "dedup_incremental" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val src = new java.io.File(d + "/documents.parquet")
-      val path = System.getProperty("java.io.tmpdir") + "/graft_sigstore_" +
-        // v2: adaptive (band, sig_bucket) layout + meta sidecar — a v1
-        // store (fixed 512 partitions, no sidecar) still probes correctly
-        // but pays small-file overhead, so key a fresh generation
-        (d + s"_${src.length}_${src.lastModified}_even_v2").replaceAll("[^A-Za-z0-9]", "_")
-      if (!Dedup.signatureStoreExists(path))
-        Dedup.signatureStoreWrite(docs.filter(col("doc_id") % 2 === 0),
-          "text", "doc_id", path)
-      Dedup.incrementalNearDups(docs.filter(col("doc_id") % 2 === 1),
-        "text", "doc_id", path)
-        .select(col("id").as("doc_id"), col("kept"), col("cluster"),
-          col("matched_id"), col("est_jaccard"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // BM25 ranked retrieval for a fixed 3-term query: tf shuffles only
-    // query-term rows, dl is a pure projection, df/globals broadcast,
-    // fixed-order score sum, TakeOrdered top-k.
-    "rank_bm25_topk" -> ((s, d) => {
-      Ranking.bm25TopK(Tables.documents(s, d), "text", "doc_id",
-        Seq("spark", "window", "join"), k = 20)
-        .select(col("id").as("doc_id"), col("score"))
-    }),
-
-    // The SAME query over the persisted inverted index: the probe reads
-    // only the query terms' postings buckets (partition-pruned), globals
-    // from the 1-row sidecar, identical scoring tree -> identical output
-    // (and the oracle replays the same math from the raw table).
-    "rank_bm25_indexed" -> ((s, d) => {
-      val store = Ranking.bm25IndexCached(Tables.documents(s, d), "text", "doc_id", d)
-      Ranking.bm25TopKIndexed(s, store, Seq("spark", "window", "join"), k = 20)
-        .select(col("id").as("doc_id"), col("score"))
-    }),
-
-    // INCREMENTAL index: even docs build the store, odd docs arrive as an
-    // append (same bucket partitioning, mergeable (n_part, dl_sum) globals
-    // partials — no rescan, no swap). The probe over the grown index must
-    // equal the full-corpus ranking exactly; the oracle is the same
-    // full-corpus replay as the direct/indexed lanes.
-    "rank_bm25_incremental" -> ((s, d) => {
-      val store = Ranking.bm25IndexIncrementalCached(
-        Tables.documents(s, d), "text", "doc_id", d)
-      Ranking.bm25TopKIndexed(s, store, Seq("spark", "window", "join"), k = 20)
-        .select(col("id").as("doc_id"), col("score"))
-    }),
-
-    // Retrieval-quality evaluation: NDCG@10 of the BM25 ranking against a
-    // deterministic relevance label (#distinct query terms in the doc).
-    // The eval-metric lane beside the recall lanes: DCG over the top-10,
-    // IDCG from the corpus-wide ideal ordering via TakeOrdered + a 10-row
-    // window (never a corpus-wide row_number sort), one summary row out.
-    "rank_ndcg_eval" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val terms = Seq("spark", "window", "join")
-      val docs = Tables.documents(s, d)
-      // rel is referenced three times (top-10 join, ideal ordering,
-      // n_relevant) — checkpoint the tiny aggregate so the corpus token
-      // explode runs ONCE, not per reference
-      val rel = docs
-        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("t"))
-        .filter(col("t").isin(terms: _*))
-        .groupBy(col("doc_id")).agg(count_distinct(col("t")).as("rel"))
-        .localCheckpoint()
-      Dedup.rotateCheckpoints("rank_ndcg_rel", rel)
-      def gain(relC: org.apache.spark.sql.Column,
-          rankC: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        (pow(lit(2.0), relC) - 1) / log2(rankC + 1)
-      val top = Ranking.bm25TopK(docs, "text", "doc_id", terms, k = 10)
-        .select(col("id").as("doc_id"), col("score"))
-        .join(rel, Seq("doc_id"), "left")
-        .withColumn("rel", coalesce(col("rel"), lit(0L)))
-        .withColumn("rnk",
-          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
-      val dcg = top.agg(sum(gain(col("rel"), col("rnk"))).as("dcg_10"))
-      val ideal = rel.orderBy(col("rel").desc, col("doc_id")).limit(10)
-        .withColumn("rnk",
-          row_number().over(Window.orderBy(col("rel").desc, col("doc_id"))))
-      val idcg = ideal.agg(sum(gain(col("rel"), col("rnk"))).as("idcg_10"))
-      val rc = rel.agg(count(lit(1)).as("n_relevant"))
-      rc.crossJoin(dcg).crossJoin(idcg)
-        .select(col("n_relevant"), round(col("dcg_10"), 6).as("dcg_10"),
-          round(col("idcg_10"), 6).as("idcg_10"),
-          round(col("dcg_10") / col("idcg_10"), 6).as("ndcg_10"))
-    }),
-
-    // Corpus-level boilerplate n-grams: top-20 5-grams by document
-    // frequency (one vote per doc per distinct gram), TakeOrdered top-k.
-    "text_boilerplate_ngrams" -> ((s, d) => {
-      TA.topNgramsByDocFreq(Tables.documents(s, d), "text", "doc_id", n = 5, k = 20)
-    }),
-
-    // Lee et al.'s ExactSubstr signal, span-granular: per-doc fraction of
-    // token positions covered by a 5-token span occurring >= 2 times in the
-    // corpus. One global span-hash agg + a semi-join back + per-doc
-    // interval union as distinct positions — no suffix array, nothing
-    // quadratic, every doc reported (untouched docs at 0.0).
-    "dedup_substring_coverage" -> ((s, d) => {
-      Dedup.substringCoverage(Tables.documents(s, d), "text", "doc_id", n = 5)
-        .withColumnRenamed("id", "doc_id")
-        .orderBy(col("doc_id"))
-    }),
-
-    // Count-Min heavy hitters: exact top-20 tokens as the witness, their
-    // CMS point estimates beside the truth. The sketch is d*w = 1024
-    // counters REGARDLESS of corpus size (mergeable, map-side combined);
-    // over_count >= 0 always — CMS error is one-sided by construction.
-    "text_cms_heavy_hitters" -> ((s, d) => {
-      val toksDf = Tables.documents(s, d)
-        .select(explode(TA.tokens(col("text"))).as("w"))
-      val sk = graft.ext.Cms.sketch(toksDf, "w", d = 4, w = 256)
-      val cand = toksDf.groupBy(col("w")).agg(count(lit(1)).as("n_exact"))
-        .orderBy(col("n_exact").desc, col("w")).limit(20)
-      graft.ext.Cms.estimate(sk, cand, "w", d = 4, w = 256)
-        .withColumn("over_count", col("n_est") - col("n_exact"))
-        .orderBy(col("w"))
-    }),
-
-    // exact pairwise n-gram Jaccard on a bounded slice (quadratic by nature)
-    "dedup_ngram_jaccard" -> ((s, d) => {
-      Dedup.ngramJaccardPairs(
-        Tables.documents(s, d).filter(col("doc_id") < 60), "text", "doc_id",
-        minJaccard = 0.5)
-        .orderBy(col("id1"), col("id2"))
-    }),
-
-    // Exact EDIT-DISTANCE verification over the LSH candidate pairs: the
-    // banded-minhash candidates (never all-pairs) re-scored with true
-    // Levenshtein - the character-level confirmation pass a dedup pipeline
-    // runs when token-level similarity is not precise enough. Both engines
-    // implement classic Levenshtein, so the score replays exactly.
-    "dedup_edit_distance" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", k = 32)
-        .localCheckpoint()
-      Dedup.rotateCheckpoints("dedup_edit_distance_sigs", sigs)
-      val cand = Dedup.minhashNearDupsFromSigs(sigs,
-        bands = 8, rows = 4, threshold = 0.5).select(col("id1"), col("id2"))
-      cand
-        .join(docs.select(col("doc_id").as("id1"), col("text").as("t1")), "id1")
-        .join(docs.select(col("doc_id").as("id2"), col("text").as("t2")), "id2")
-        // length prefilter (|len diff| > 64 ⇒ distance > 64, zero DP cost)
-        // + the THRESHOLD levenshtein: banded early-abandon DP, O(len·64)
-        // per pair instead of O(len²) — at 10× the near-dup pair count
-        // grows with true duplicate density, so per-pair cost is what
-        // keeps the re-score linear in candidates (165 s → banded at sf1x)
-        .filter(abs(length(col("t1")) - length(col("t2"))) <= 64)
-        .select(col("id1"), col("id2"),
-          levenshtein(col("t1"), col("t2"), 64).as("edit_dist"))
-        .filter(col("edit_dist") =!= -1)
-        .orderBy(col("id1"), col("id2"))
-    }),
-
-    // EXACT Jaccard pairs over the FULL corpus — the scale path for the
-    // bounded slice above: prefix filtering (AllPairs/PPJoin) generates
-    // candidates from a join on each shingle-set's df-rarest prefix, then
-    // verifies exactly. No id bound, no crossJoin. The oracle recomputes
-    // the same exact answer by the simpler share-a-shingle candidate route.
-    "dedup_jaccard_prefix" -> ((s, d) => {
-      Dedup.jaccardPrefixPairs(Tables.documents(s, d), "text", "doc_id",
-        n = 5, minJaccard = 0.5)
-        .orderBy(col("id1"), col("id2"))
-    }),
-
-    // ---- similarity search (oracle-checked) --------------------------------
-    "sim_cosine_topk" -> ((s, d) => {
-      Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        queryId = 0L, k = 10)
-    }),
-
-    "sim_embedding_neardup" -> ((s, d) => {
-      Similarity.cosineNearDupPairs(
-        Tables.embeddings(s, d).filter(col("vec_id") < 100), "vec_id", "embedding",
-        threshold = 0.3)
-        .orderBy(col("id1"), col("id2"))
-    }),
-
-    // SemDeDup-style SEMANTIC dedup: IVF-cluster the embeddings, then drop
-    // vectors whose rounded cosine to a smaller-id vector IN THE SAME CELL
-    // is >= 0.4 (min-id survivor election). Pairing is per-cell only —
-    // at 100 TB nCells grows with the corpus so cells stay bounded and
-    // total work is ~n·cellSize, never global all-pairs. The oracle
-    // replays the full chain: stride seeds, two exact Lloyd rounds,
-    // argmax-cosine assignment, per-cell pairs, election.
-    "dedup_semantic" -> ((s, d) => {
-      // the cached per-snapshot IVF index IS the clustering (same nCells=8
-      // lloyd2 training the oracle replays) — the election runs over the
-      // persisted assignment, never re-training per query
-      val emb = Tables.embeddings(s, d)
-      Similarity.semanticDedupFromAssigned(
-          cachedIvfIndex(s, d, emb).assigned, "vec_id", "embedding",
-          threshold = 0.4)
-        .select(col("id").as("vec_id"), col("ivf_cell"), col("kept"),
-          col("survivor_id"))
-        .orderBy(col("vec_id"))
-    }),
-
-    // Near-dup CLUSTERING: pairwise matches → connected components → one
-    // canonical survivor (min id) per group. Edges here are the exact
-    // cosine pairs on the bounded slice so DuckDB can replay them; the
-    // operator itself takes any edge list (MinHash/SimHash pairs at scale).
-    "dedup_cluster_components" -> ((s, d) => {
-      val edges = Similarity.cosineNearDupPairs(
-        Tables.embeddings(s, d).filter(col("vec_id") < 100), "vec_id", "embedding",
-        threshold = 0.3)
-      val comps = Dedup.connectedComponents(edges.select(col("id1"), col("id2")))
-      Dedup.rotateCheckpoints("dedup_cluster_components", comps)
-      comps
-        .select(col("id").as("vec_id"), col("label").as("component"))
-        .orderBy(col("vec_id"))
-    }),
-
-    // Key-skew diagnostics over the event log's user key: the measurement
-    // that decides whether a join needs salting (share + straggler
-    // multiplier per heavy key). One count aggregate, 1-row broadcast
-    // globals computed FROM the counts (exchange-reused, not a second
-    // scan), TakeOrdered top-20.
-    "diag_key_skew" -> ((s, d) => {
-      graft.ext.SkewJoin.keySkew(Tables.events(s, d), "user_id", k = 20)
-    }),
-
-    // ANALYZE-style correlation diagnostics: pairwise sample correlations
-    // over lineitem's numeric columns in ONE aggregate pass. Correlation
-    // is scale-normalized to [-1,1], so the round-6 fence sits far above
-    // float reduction-order noise (covariances are NOT exposed raw for
-    // exactly that reason).
-    "diag_correlation" -> ((s, d) => {
-      Tables.lineitem(s, d).agg(
-        count(lit(1)).as("n_rows"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
-        round(corr(col("l_quantity"), col("l_discount")), 6).as("corr_qty_disc"),
-        round(corr(col("l_extendedprice"), col("l_discount")), 6).as("corr_price_disc"))
-    }),
-
-    // Corpus-mixture diagnostics: per-language share + Shannon entropy
-    // terms (nats) - the balance report a mixture-rebalancing loop reads.
-    "diag_mixture_entropy" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val tot = docs.agg(count(lit(1)).as("total"))
-      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-        .crossJoin(broadcast(tot))
-        .withColumn("share", col("n_docs").cast("double") / col("total"))
-        .select(col("lang"), col("n_docs"), round(col("share"), 6).as("share"),
-          round(-col("share") * log(col("share")), 6).as("entropy_term"))
-        .orderBy(col("lang"))
-    }),
-
-    // Distribution-drift report (PSI): events split into early/late halves
-    // at the midpoint timestamp, `value` binned into 10 fixed equi-width
-    // buckets over the GLOBAL range, per-bin Laplace-smoothed shares and
-    // the PSI term (p−q)·ln(p/q) — the drift gate a data-freshness monitor
-    // sums. One corpus scan + one 1-row globals broadcast + one ≤10-group
-    // aggregate; the 0..9 bin spine keeps empty bins present so the report
-    // shape is fixed.
-    "diag_drift_psi" -> ((s, d) => {
-      import s.implicits._
-      val ev = Tables.events(s, d)
-        .filter(col("value").isNotNull && col("ts_ns").isNotNull)
-      val g = ev.agg(
-        min(col("ts_ns")).as("mn_ts"), max(col("ts_ns")).as("mx_ts"),
-        min(col("value")).as("mn_v"), max(col("value")).as("mx_v"))
-      val binned = ev.crossJoin(broadcast(g))
-        // integer midpoint: ns epochs overflow double-exact range, so the
-        // pivot is mn + (mx−mn) div 2 in LONG arithmetic on both engines
-        .withColumn("__pivot", expr("mn_ts + (mx_ts - mn_ts) div 2"))
-        .withColumn("__w", (col("mx_v") - col("mn_v")) / 10.0)
-        .withColumn("bin",
-          when(col("__w") === 0.0, lit(0L)).otherwise(
-            least(lit(9L),
-              floor((col("value") - col("mn_v")) / col("__w")).cast("long"))))
-        .withColumn("__late", (col("ts_ns") >= col("__pivot")).cast("long"))
-      val counts = binned.groupBy(col("bin")).agg(
-        sum(lit(1L) - col("__late")).as("n_early"),
-        sum(col("__late")).as("n_late"))
-      val spine = s.range(0, 10).toDF("bin")
-      val filled = spine.join(counts, Seq("bin"), "left")
-        .select(col("bin"), coalesce(col("n_early"), lit(0L)).as("n_early"),
-          coalesce(col("n_late"), lit(0L)).as("n_late"))
-      val totals = filled.agg(sum(col("n_early")).as("__te"),
-        sum(col("n_late")).as("__tl"))
-      filled.crossJoin(broadcast(totals))
-        .withColumn("__p",
-          (col("n_early") + 1).cast("double") / (col("__te") + 10))
-        .withColumn("__q",
-          (col("n_late") + 1).cast("double") / (col("__tl") + 10))
-        .select(col("bin"), col("n_early"), col("n_late"),
-          round((col("__p") - col("__q")) * log(col("__p") / col("__q")), 6)
-            .as("psi_term"))
-        .orderBy(col("bin"))
-    }),
-
-    // Rolling z-score anomaly screen: each event's value against the
-    // trailing 20-event mean/std of ITS OWN user (the local complement of
-    // the global MAD gate) — all three windows share one user-keyed
-    // exchange; z rounded to 4 dp BEFORE the |z| > 3 threshold so a
-    // 1-ulp std difference can't flip a flag cross-engine.
-    "events_rolling_zscore" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
-        .rowsBetween(-19, 0)
-      val ev = Tables.events(s, d).filter(col("value").isNotNull)
-        .withColumn("__mu", avg(col("value")).over(w))
-        .withColumn("__sd", stddev_samp(col("value")).over(w))
-        .withColumn("__z", when(col("__sd") > 0,
-          round((col("value") - col("__mu")) / col("__sd"), 4)))
-      ev.groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_events"),
-          count_if(abs(col("__z")) > 3.0).as("n_anomalies"),
-          round(max(abs(col("__z"))), 4).as("max_abs_z"))
-        .orderBy(col("user_id"))
-    }),
-
-    // Cohort LTV: revenue by (cohort day, age), plus the running
-    // cumulative — the lifetime-value curve beside the retention ratios.
-    // Same distinct-(user, day) reduction discipline; the cumsum window
-    // is cohort-keyed (bounded by days, never a global sort).
-    "events_cohort_ltv" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
-      val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
-      val daily = ev.join(cohort, "user_id")
-        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
-        .agg(round(sum(coalesce(col("value"), lit(0.0))), 2).as("rev"),
-          count_distinct(col("user_id")).as("n_active"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("cohort_day")).orderBy(col("day_offset"))
-      daily.withColumn("cum_rev", round(sum(col("rev")).over(w), 2))
-        .orderBy(col("cohort_day"), col("day_offset"))
-    }),
-
-    // A/B exposure analysis: users deterministically hash-bucketed into
-    // two arms (the seeded-FNV fence every assignment in this repo uses);
-    // conversion = the user's total purchase value exceeds the GLOBAL
-    // median of per-user purchase values (a threshold that stays
-    // non-degenerate at any SF — "did every user purchase" saturates to
-    // p=1 and a zero pooled variance). Two-proportion z with pooled
-    // variance, the degenerate p∈{0,1} case guarded to NULL.
-    "events_ab_lift" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val vals = ev.filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"))
-        .agg(round(sum(coalesce(col("value"), lit(0.0))), 2).as("v"))
-      val med = vals.agg(round(expr("percentile(v, 0.5)"), 6).as("__med"))
-      val users = ev.select(col("user_id")).distinct()
-        .withColumn("arm", pmod(graft.functions.Fnv.fnv1a64(
-          concat(lit("ab:"), col("user_id").cast("string"))), lit(2L)))
-      val arms = users
-        .join(vals, Seq("user_id"), "left")
-        .crossJoin(broadcast(med))
-        .withColumn("__c", when(col("v") > col("__med"), 1L).otherwise(0L))
-        .groupBy(col("arm"))
-        .agg(count(lit(1)).as("n"), sum(col("__c")).as("k"))
-      val a = arms.filter(col("arm") === 0)
-        .select(col("n").as("n_a"), col("k").as("k_a"))
-      val b = arms.filter(col("arm") === 1)
-        .select(col("n").as("n_b"), col("k").as("k_b"))
-      val p = (col("k_a") + col("k_b")).cast("double") / (col("n_a") + col("n_b"))
-      val se = sqrt(p * (lit(1.0) - p) *
-        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
-      a.crossJoin(b)
-        .withColumn("rate_a", round(col("k_a").cast("double") / col("n_a"), 6))
-        .withColumn("rate_b", round(col("k_b").cast("double") / col("n_b"), 6))
-        .withColumn("z_score", when(se > 0, round(
-          (col("k_a").cast("double") / col("n_a") -
-            col("k_b").cast("double") / col("n_b")) / se, 4)))
-        .select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
-          col("rate_a"), col("rate_b"), col("z_score"))
-    }),
-
-    // Per-user running drawdown: value vs the running peak in (ts, id)
-    // order — the degradation monitor shape (finance drawdown applied to
-    // any per-key metric stream). Both windows share ONE user-keyed
-    // exchange; output is the per-user worst drawdown.
-    "events_drawdown" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      Tables.events(s, d).filter(col("value").isNotNull)
-        .withColumn("peak", max(col("value")).over(w))
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_events"),
-          round(min(col("value") - col("peak")), 6).as("max_drawdown"),
-          round(max(col("peak")), 6).as("peak_value"))
-        .orderBy(col("user_id"))
-    }),
-
-    // GDPR-style tombstone purge accounting: a deterministic forget-list
-    // (user_id % 13 = 0) broadcast anti-joined against the event log —
-    // the deletion-propagation step every privacy pipeline runs, reduced
-    // to the per-type audit counts the job must report.
-    "ops_tombstone_purge" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val forget = ev.select(col("user_id")).distinct()
-        .filter(col("user_id") % 13 === 0)
-      val kept = ev.join(broadcast(forget), Seq("user_id"), "left_anti")
-      ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_total"))
-        .join(kept.groupBy(col("event_type")).agg(count(lit(1)).as("n_kept")),
-          Seq("event_type"), "left")
-        .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
-        .withColumn("n_purged", col("n_total") - col("n_kept"))
-        .orderBy(col("event_type"))
-    }),
-
-    // Multi-touch attribution: first/last/linear credit for view+click
-    // touches within 7 days before each purchase — one user-keyed join,
-    // conversion-keyed windows sharing one exchange.
-    "events_attribution" -> ((s, d) => {
-      graft.ext.EventAnalytics.attribution(Tables.events(s, d),
-          "user_id", "ts_ns", "event_id", "event_type",
-          touchTypes = Seq("view", "click"), conversionType = "purchase",
-          windowTicks = 7L * 86400L * 1000000000L)
-        .orderBy(col("touch_type"))
-    }),
-
-    // RFM user segmentation: recency/frequency/monetary quartile scores
-    // (1..4 each, recency inverted) against the dataset's own max-ts "now",
-    // rolled up per (r,f,m) cell. Quartile boundaries are ONE 1-row
-    // broadcast (no global ntile sort), rounded to 6 dp before the strict
-    // comparisons so interpolation ulps can't flip a score cross-engine.
-    "events_rfm_segments" -> ((s, d) => {
-      graft.ext.EventAnalytics.rfmSegments(Tables.events(s, d),
-          "user_id", "ts_ns", "value")
-        .orderBy(col("r_score"), col("f_score"), col("m_score"))
-    }),
-
-    // Robust per-type outlier gate: exact median + MAD (median absolute
-    // deviation) per event_type, rows beyond 3 MADs counted as outliers —
-    // the anomaly screen that survives heavy tails where mean/stddev
-    // z-scores break. Both medians are exact interpolating percentiles
-    // (identical in DuckDB), the two per-type frames broadcast back. At
-    // 100 TB swap `percentile` for `approx_percentile` (the
-    // agg_approx_quantile_check lane pins that estimator's error band);
-    // the exact form here is the oracle-replayable one.
-    "events_anomaly_mad" -> ((s, d) => {
-      val ev = Tables.events(s, d).filter(col("value").isNotNull)
-      val med = ev.groupBy(col("event_type"))
-        .agg(expr("percentile(value, 0.5)").as("__med"))
-      val dev = ev.join(broadcast(med), "event_type")
-        .withColumn("__adev", abs(col("value") - col("__med")))
-      val mad = dev.groupBy(col("event_type"))
-        .agg(expr("percentile(__adev, 0.5)").as("__mad"))
-      dev.join(broadcast(mad), "event_type")
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          round(max(col("__med")), 6).as("median_value"),
-          round(max(col("__mad")), 6).as("mad"),
-          // the outlier verdict compares ROUNDED quantities so the
-          // boundary is a discrete 1e-6 grid both engines agree on (an
-          // unrounded float boundary could flip on a last-ulp median
-          // interpolation difference)
-          sum(when(round(col("__adev"), 6) > round(lit(3.0) * col("__mad"), 6),
-            1L).otherwise(0L)).as("n_outliers"))
-        .orderBy(col("event_type"))
-    }),
-
-    // The 100 TB swap for events_anomaly_mad, shipped as benched code
-    // (VERDICT r11 #4): per-type aggregation state collapses from "all
-    // values of the group" (exact percentile) to B=256 histogram counters
-    // — the approx_percentile SHAPE — but the estimator is the PORTABLE
-    // equi-width histogram sketch (the diag_profile_fast discipline), so
-    // DuckDB replays every bin edge and crossing bit-for-bit instead of
-    // the driver trusting an engine-specific digest. Median est = midpoint
-    // of the bin where the cumulative count crosses n/2; MAD est = the
-    // same sketch over |v − med_est| (range [0, amx] derived from the
-    // phase-1 globals — no extra scan); outliers counted at bin
-    // resolution (bins whose LOWER edge clears 3·MAD). Three scans of
-    // events, every window frame ≤ B rows per type.
-    "events_anomaly_approx" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val B = 256
-      val ev = Tables.events(s, d).filter(col("value").isNotNull)
-        .select(col("event_type"), col("value").cast("double").as("v"))
-      val g = ev.groupBy(col("event_type"))
-        .agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
-          count(lit(1)).as("n"))
-      def binOf(x: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,
-          w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        when(w === 0.0, lit(0L))
-          .otherwise(least(lit((B - 1).toLong), floor((x - lo) / w)))
-      val h1 = ev.join(broadcast(g), "event_type")
-        .groupBy(col("event_type"), col("mn"), col("mx"), col("n"),
-          binOf(col("v"), col("mn"), (col("mx") - col("mn")) / B).as("b"))
-        .agg(count(lit(1)).as("c"))
-      val wo = Window.partitionBy(col("event_type")).orderBy(col("b"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val med = h1.withColumn("cum", sum(col("c")).over(wo))
-        .filter(col("cum") >= col("n").cast("double") / 2)
-        .groupBy(col("event_type"), col("mn"), col("mx"), col("n"))
-        .agg(min(col("b")).as("mb"))
-        .withColumn("med_est",
-          col("mn") + (col("mb").cast("double") + 0.5) * ((col("mx") - col("mn")) / B))
-        .select(col("event_type"), col("n"), col("med_est"),
-          greatest(col("mx") - col("med_est"), col("med_est") - col("mn")).as("amx"))
-      // h2 feeds BOTH the MAD crossing and the outlier rollup — checkpoint
-      // the (≤ types·B)-row frame so the third events scan runs once
-      val h2 = ev.join(broadcast(med), "event_type")
-        .groupBy(col("event_type"), col("n"), col("med_est"), col("amx"),
-          binOf(abs(col("v") - col("med_est")), lit(0.0), col("amx") / B).as("b"))
-        .agg(count(lit(1)).as("c"))
-        .localCheckpoint()
-      Dedup.rotateCheckpoints("events_anomaly_approx", h2)
-      val mad = h2.withColumn("cum", sum(col("c")).over(wo))
-        .filter(col("cum") >= col("n").cast("double") / 2)
-        .groupBy(col("event_type"), col("n"), col("med_est"), col("amx"))
-        .agg(min(col("b")).as("mb2"))
-        .withColumn("w2", col("amx") / B)
-        .withColumn("mad_est", (col("mb2").cast("double") + 0.5) * col("w2"))
-        .select(col("event_type"), col("n"), col("med_est"), col("w2"), col("mad_est"))
-      h2.select(col("event_type"), col("b"), col("c"))
-        .join(broadcast(mad), "event_type")
-        .groupBy(col("event_type"), col("n"), col("med_est"), col("mad_est"))
-        .agg(sum(when(col("b").cast("double") * col("w2") > lit(3.0) * col("mad_est"),
-          col("c")).otherwise(lit(0L))).as("n_outliers_est"))
-        .select(col("event_type"), col("n").as("n_events"),
-          round(col("med_est"), 6).as("median_est"),
-          round(col("mad_est"), 6).as("mad_est"),
-          col("n_outliers_est"))
-        .orderBy(col("event_type"))
-    }),
-
-    // Functional-dependency check — the schema-inference diagnostic: does
-    // LHS determine RHS (groups with >1 distinct RHS are violations)?
-    // Run over four candidate FDs (two that hold, two that don't on this
-    // schema); each is one aggregate pair, outputs a 1-row verdict.
-    "diag_fd_check" -> ((s, d) => {
-      def fd(name: String, df: org.apache.spark.sql.DataFrame,
-          lhs: String, rhs: String): org.apache.spark.sql.DataFrame =
-        df.groupBy(col(lhs)).agg(count_distinct(col(rhs)).as("__nd"))
-          .agg(count(lit(1)).as("n_lhs_groups"),
-            sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_violating"))
-          .select(lit(name).as("fd"), col("n_lhs_groups"), col("n_violating"))
-      fd("lineitem.l_orderkey->l_suppkey", Tables.lineitem(s, d),
-          "l_orderkey", "l_suppkey")
-        .unionAll(fd("lineitem.l_partkey->l_suppkey", Tables.lineitem(s, d),
-          "l_partkey", "l_suppkey"))
-        .unionAll(fd("nation.n_nationkey->n_regionkey", Tables.nation(s, d),
-          "n_nationkey", "n_regionkey"))
-        .unionAll(fd("orders.o_orderkey->o_custkey", Tables.orders(s, d),
-          "o_orderkey", "o_custkey"))
-        .orderBy(col("fd"))
-    }),
-
-    // Data-quality constraint suite — the validation gate before a table
-    // is trained on or published: PK uniqueness, FK integrity, range and
-    // not-null/non-empty predicates, each reduced to ONE
-    // (constraint, n_rows, n_violations) row. Union of broadcast-sized
-    // frames; one pass per involved table at any corpus size.
-    "diag_constraints" -> ((s, d) => {
-      val P = graft.ext.Profile
-      val orders = Tables.orders(s, d)
-      val li = Tables.lineitem(s, d)
-      P.uniqueCheck("orders.pk_unique", orders, "o_orderkey")
-        .unionAll(P.fkCheck("lineitem.fk_orders", li, "l_orderkey",
-          orders, "o_orderkey"))
-        .unionAll(P.predicateCheck("orders.totalprice_nonneg", orders,
-          col("o_totalprice") < 0 || col("o_totalprice").isNull))
-        .unionAll(P.predicateCheck("lineitem.discount_range", li,
-          col("l_discount") < 0 || col("l_discount") > 1 || col("l_discount").isNull))
-        .unionAll(P.predicateCheck("orders.orderdate_notnull", orders,
-          col("o_orderdate").isNull))
-        .unionAll(P.predicateCheck("documents.text_nonempty",
-          Tables.documents(s, d), length(col("text")) === 0 || col("text").isNull))
-        .orderBy(col("check_name"))
-    }),
-
-    // Hashed TF-IDF vectorizer (feature hashing): fixed-width bag-of-words
-    // embedding with NO vocabulary to build — FNV bucket per token, tf per
-    // (doc, bucket), tf·ln((N+1)/(df+1)) weights, exploded sparse output.
-    // Bounded to a doc slice so the verify payload stays small; the shape
-    // is corpus-linear.
-    "text_feature_hashing" -> ((s, d) => {
-      TA.featureHashFrame(Tables.documents(s, d).filter(col("doc_id") < 100),
-          "text", "doc_id", dims = 64)
-        .select(col("id").as("doc_id"), col("dim"), col("weight"))
-        .orderBy(col("doc_id"), col("dim"))
-    }),
-
-    // One-pass multi-column profile (ANALYZE-shaped): per column of
-    // lineitem, rows / nulls / exact NDV / portable-HLL NDV from a single
-    // scan — melt + one two-level aggregate bounded by k·2^p groups.
-    "diag_profile" -> ((s, d) => {
-      graft.ext.Profile.profile(Tables.lineitem(s, d),
-        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"))
-        .orderBy(col("col_name"))
-    }),
-
-    // The 100 TB ANALYZE mode: no exact-NDV leg, so the per-register
-    // partial carries three counters instead of a distinct value set —
-    // same k·2^p-bounded shuffle rows, far lighter map side. Benched
-    // beside diag_profile every round; the 10x delta lives in PLANS.md.
-    "diag_profile_fast" -> ((s, d) => {
-      graft.ext.Profile.profile(Tables.lineitem(s, d),
-        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"),
-        exact = false)
-        .orderBy(col("col_name"))
-    }),
-
-    // 2-D equi-width histogram (quantity × price, 5×5 over the global
-    // ranges) — the joint-distribution heatmap beside the 1-D histograms:
-    // one 1-row globals broadcast + one ≤25-group aggregate.
-    "diag_histogram_2d" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_quantity").cast("double").as("q"),
-          col("l_extendedprice").cast("double").as("p"))
-      val g = li.agg(min(col("q")).as("mnq"), max(col("q")).as("mxq"),
-        min(col("p")).as("mnp"), max(col("p")).as("mxp"))
-      // zero-width guard: a constant column would make (x-mn)/width NaN,
-      // which ANSI floor-cast throws on (same guard as diag_drift_psi)
-      def bin(x: org.apache.spark.sql.Column, mn: org.apache.spark.sql.Column,
-          mx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        when((mx - mn) / 5.0 === 0.0, lit(0L))
-          .otherwise(least(lit(4L),
-            floor((x - mn) / ((mx - mn) / 5.0)).cast("long")))
-      li.crossJoin(broadcast(g))
-        .withColumn("bin_q", bin(col("q"), col("mnq"), col("mxq")))
-        .withColumn("bin_p", bin(col("p"), col("mnp"), col("mxp")))
-        .groupBy(col("bin_q"), col("bin_p"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("bin_q"), col("bin_p"))
-    }),
-
-    // Equi-width histogram of lineitem's price column — the distribution
-    // statistic beside diag_profile's NDVs: two passes, no global sort
-    // (the equi-depth variant needs a total order — an ANALYZE-sample
-    // tool, not a full-table operator).
-    "diag_histogram" -> ((s, d) => {
-      graft.ext.Profile.equiWidthHistogram(
-        Tables.lineitem(s, d), "l_extendedprice", buckets = 10)
-        .orderBy(col("bucket"))
-    }),
-
-    // Equi-DEPTH histogram (quantile buckets) of the order totals — the
-    // other half of the ANALYZE pair beside diag_histogram's equi-width:
-    // ntile over the (value, id) total order, count + [lo, hi] per tile.
-    // Exact full-table form here (modest input); at 100 TB the operator's
-    // sampleRate fence bounds the sorted rows first.
-    "diag_histogram_depth" -> ((s, d) => {
-      graft.ext.Profile.equiDepthHistogram(
-        Tables.orders(s, d), "o_totalprice", "o_orderkey", buckets = 12)
-        .orderBy(col("bucket"))
-    }),
-
-    // Join-cardinality estimation from MERGED HLL sketches — the planning
-    // diagnostic: |keys(orders) ∩ keys(customer)| estimated by
-    // inclusion-exclusion over three register-frame estimates (the union
-    // sketch is a register-wise max — no rescan of either input), with the
-    // exact distinct-key overlap as the witness column.
-    "diag_join_cardinality" -> ((s, d) => {
-      val oKeys = Tables.orders(s, d).select(col("o_custkey").as("k"))
-      val cKeys = Tables.customer(s, d).select(col("c_custkey").as("k"))
-      val ra = Hll.registers(oKeys, "k")
-      val rb = Hll.registers(cKeys, "k")
-      val estA = Hll.estimate(ra).select(col("est_hll").as("ndv_orders"))
-      val estB = Hll.estimate(rb).select(col("est_hll").as("ndv_customer"))
-      val estU = Hll.estimate(Hll.merge(ra, rb)).select(col("est_hll").as("ndv_union"))
-      val exact = oKeys.distinct().join(cKeys.distinct(), "k")
-        .agg(count(lit(1)).as("n_exact_common"))
-      estA.crossJoin(broadcast(estB)).crossJoin(broadcast(estU))
-        .crossJoin(broadcast(exact))
-        .select(col("ndv_orders"), col("ndv_customer"), col("ndv_union"),
-          round(col("ndv_orders") + col("ndv_customer") - col("ndv_union"), 4)
-            .as("est_common"),
-          col("n_exact_common"))
-    }),
-
-    // Johnson–Lindenstrauss random projection 64-d -> 8-d (the dim-
-    // reduction step before ANN indexing): deterministic seeded Gaussian
-    // planes, y_j = dot(v, plane_j)/sqrt(8). Pure projection, zero
-    // shuffles; first two components + the squared projected norm are
-    // exact-replayed from the plane literals (sequential IEEE arithmetic
-    // both engines).
-    "sim_random_projection" -> ((s, d) => {
-      val proj = Similarity.randomProject(
-        Tables.embeddings(s, d), "vec_id", "embedding", outDim = 8)
-      val ny2 = (0 until 8).map(j => col(s"y$j") * col(s"y$j")).reduce(_ + _)
-      proj.select(col("vec_id"),
-        round(col("y0"), 6).as("y0"), round(col("y1"), 6).as("y1"),
-        round(ny2, 6).as("ny2"))
-        .orderBy(col("vec_id"))
-    }),
-
-    // Symmetric int8 vector quantization (the embedding-compression step
-    // before ANN indexing at scale: 4x smaller, cache-resident codes).
-    // Per vector: the scale (127/max|x|), the mean squared reconstruction
-    // error, and how many lanes saturate. floor(x+0.5) is used instead of
-    // round() because both engines evaluate it exactly on the binary double
-    // (Spark's round stringifies first); every HOF is referenced once.
-    "sim_quantize_int8" -> ((s, d) => {
-      Tables.embeddings(s, d)
-        .withColumn("mx", aggregate(col("embedding"), lit(0.0),
-          (acc, x) => greatest(acc, abs(x))))
-        .filter(col("mx") > 0.0)
-        .withColumn("scale", lit(127.0) / col("mx"))
-        .withColumn("sq_err", aggregate(col("embedding"), lit(0.0),
-          (acc, x) => {
-            // explicit multiply, not pow(): e*e is a single correctly-rounded
-            // op in both engines, so the error sums match bit-for-bit
-            val e = x - floor(x * col("scale") + 0.5) / col("scale")
-            acc + e * e
-          }))
-        .withColumn("n_sat", size(filter(col("embedding"),
-          x => abs(floor(x * col("scale") + 0.5)) >= 127)).cast("long"))
-        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
-          round(col("sq_err") / size(col("embedding")), 10).as("mse"),
-          col("n_sat"))
-        .orderBy(col("vec_id"))
-    }),
-
-    // ---- multimodal metadata plumbing (oracle-checked) ---------------------
-    "multimodal_metadata" -> ((s, d) => {
-      Multimodal.mediaFromDocuments(Tables.documents(s, d))
-        .select(col("media_id"), length(col("content")).as("byte_len"),
-          col("format"), col("width"), col("height"))
-        .orderBy(col("media_id"))
-    }),
-
-    // Grid-bucketed range join (equi-join on cells, not nested loop) vs a
-    // plain inequality join in DuckDB.
-    "join_range_bucketed" -> ((s, d) => {
-      import s.implicits._
-      val bands = (0 until 12).map(i => (i, i * 50000.0, (i + 1) * 50000.0))
-        .toDF("band_id", "lo", "hi")
-      graft.ext.RangeJoin.pointInInterval(
-        Tables.orders(s, d), bands, "o_totalprice", "lo", "hi", cell = 50000.0)
-        .groupBy(col("band_id"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("vol"))
-        .orderBy(col("band_id"))
-    }),
-
-    // As-of join (composed: tagged union + carry-forward window, one
-    // shuffle) vs DuckDB's NATIVE ASOF JOIN as the oracle.
-    "join_asof_events" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("click_id"))
-      val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("view_id"),
-          col("value").as("view_value"))
-      graft.ext.AsOfJoin.asofJoin(clicks, views, Seq("user_id"), "c_ts", "v_ts",
-        Seq("view_id", "view_value"), "inner")
-        .select(col("user_id"), col("click_id"), col("view_id"),
-          round(col("view_value"), 4).as("view_value"))
-        .orderBy(col("user_id"), col("click_id"))
-    }),
-
-    // NEAREST as-of (merge_asof direction="nearest"): each click picks
-    // whichever view — latest-before or earliest-after — is closer in
-    // time, exact ties backward; still ONE key shuffle (the reversed
-    // carry reuses the exchange, pinned in AsOfJoinSpec). The oracle
-    // arbitrates DuckDB's two native ASOF directions with the same rule.
-    "join_asof_nearest" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("click_id"))
-      val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("view_id"))
-      graft.ext.AsOfJoin.asofJoin(clicks, views, Seq("user_id"), "c_ts", "v_ts",
-        Seq("view_id"), "inner", direction = "nearest")
-        .select(col("user_id"), col("click_id"), col("view_id"))
-        .orderBy(col("user_id"), col("click_id"))
-    }),
-
-    // ---- batch event analytics (exact integer time algebra) ---------------
-    // Gap-based sessionization (30-min gap) rolled up to per-session stats:
-    // one shuffle on user_id shared by the lag window, the running-sum
-    // window, and the final aggregate. Runs on the µs truncation of the
-    // nanos long (`div 1000` = DuckDB's read-time truncation) so the
-    // session bounds are replayable outside the JVM.
-    "events_sessionize" -> ((s, d) => {
-      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
-      graft.ext.EventAnalytics.sessionStats(
-        ev, "user_id", "ts_us", "event_id", "event_type",
-        gapNs = 1800L * 1000000L)
-        .orderBy(col("user_id"), col("session_idx"))
-    }),
-
-    // Strict ordered funnel signup -> view -> click -> purchase within 72 h
-    // of the user's first signup: per-step user counts plus conversion from
-    // the anchor population.
-    "events_funnel" -> ((s, d) => {
-      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
-      val steps = Seq("signup", "view", "click", "purchase")
-      // every step's count lands in ONE global-aggregate row, so the
-      // anchor-relative conversion is plain column math BEFORE the explode
-      // — no self-crossjoin re-running the funnel for the denominator
-      val perUser = graft.ext.EventAnalytics.funnelSteps(
-        ev, "user_id", "ts_us", "event_type", steps,
-        windowNs = 72L * 3600L * 1000000L)
-      val counts = perUser.agg(count(lit(1)).as("n0"),
-        steps.indices.tail.map(k => count(col(s"t$k")).as(s"n$k")): _*)
-      val rows = steps.zipWithIndex.map { case (step, k) =>
-        struct(lit(k).cast("int").as("step_idx"), lit(step).as("step"),
-          col(s"n$k").as("n_users"),
-          round(col(s"n$k").cast("double") / col("n0"), 6).as("conversion"))
-      }
-      counts.select(explode(array(rows: _*)).as("r"))
-        .select(col("r.step_idx"), col("r.step"), col("r.n_users"),
-          col("r.conversion"))
-        .orderBy(col("step_idx"))
-    }),
-
-    // Weekday×hour seasonality profile: event counts per (day-of-week,
-    // hour-of-day) bucket — the load-shape heatmap capacity planning and
-    // anomaly baselines read. Pure integer bucket arithmetic from the
-    // nanos epoch (epoch day 0 = Thursday, hence the +4 shift), one
-    // ≤168-group aggregate.
-    "events_weekday_seasonality" -> ((s, d) => {
-      val day = expr("(ts_ns div 1000) div 86400000000")
-      val hour = expr("((ts_ns div 1000) div 3600000000) % 24")
-      Tables.events(s, d)
-        .groupBy(pmod(day + 4, lit(7)).as("dow"), hour.as("hour"))
-        .agg(count(lit(1)).as("n"),
-          round(avg(col("value")), 6).as("avg_value"))
-        .orderBy(col("dow"), col("hour"))
-    }),
-
-    // Per-language doc-length quantiles — the distribution slice beside
-    // train_dataset_card's means: exact interpolating percentiles per
-    // group (integer token counts, .0/.5 midpoints — round-4 exact).
-    "text_length_percentiles_by_lang" -> ((s, d) => {
-      Tables.documents(s, d)
-        .withColumn("nt", TA.tokenCount(col("text")).cast("long"))
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          round(expr("percentile(nt, 0.25)"), 4).as("p25"),
-          round(expr("percentile(nt, 0.5)"), 4).as("p50"),
-          round(expr("percentile(nt, 0.75)"), 4).as("p75"),
-          round(expr("percentile(nt, 0.95)"), 4).as("p95"))
-        .orderBy(col("lang"))
-    }),
-
-    // Event-type transition matrix: consecutive-event (from → to) counts
-    // per user stream with row shares — the first-order Markov summary
-    // path/recommendation models start from (the 2-gram rollup
-    // unconditioned on sessions; events_top_paths holds the
-    // session-bounded n-grams). One user-keyed window + one ≤|types|²
-    // aggregate; the deterministic (ts_ns, event_id) order rule pins ties.
-    "events_type_transitions" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts_ns"), col("event_id"))
-      val pairs = Tables.events(s, d)
-        .withColumn("next_type", lead(col("event_type"), 1).over(w))
-        .filter(col("next_type").isNotNull)
-        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
-        .agg(count(lit(1)).as("n"))
-      val rowTot = pairs.groupBy(col("from_type"))
-        .agg(sum(col("n")).as("__rt"))
-      pairs.join(rowTot, "from_type")
-        .select(col("from_type"), col("to_type"), col("n"),
-          round(col("n").cast("double") / col("__rt"), 6).as("p"))
-        .orderBy(col("from_type"), col("to_type"))
-    }),
-
-    // Benford first-digit screen over order totals: observed share of
-    // each leading significant digit beside the Benford expectation
-    // log10(1+1/d) — the cheap anomaly/fabrication screen auditors run.
-    // Digit extraction is string-based (first char of the absolute value)
-    // so no float log is in the grouping key.
-    "diag_benford" -> ((s, d) => {
-      val firstDigit = substring(
-        regexp_replace(abs(col("o_totalprice")).cast("string"), "[^1-9]", ""),
-        1, 1)
-      val counts = Tables.orders(s, d)
-        .filter(col("o_totalprice").isNotNull && col("o_totalprice") =!= 0)
-        .groupBy(firstDigit.as("digit")).agg(count(lit(1)).as("n"))
-      val tot = counts.agg(sum(col("n")).as("__t"))
-      counts.crossJoin(broadcast(tot))
-        .select(col("digit"), col("n"),
-          round(col("n").cast("double") / col("__t"), 6).as("observed"),
-          round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
-            .as("expected"))
-        .orderBy(col("digit"))
-    }),
-
-    // Time-to-convert: among users completing the signup→purchase funnel
-    // (same fold semantics as events_funnel), the distribution of the
-    // anchor→final gap — the latency metric product teams read beside
-    // conversion rate. Exact interpolating percentiles over integer µs
-    // gaps (midpoints are .0/.5 — the round-4 fence is exact).
-    "events_conversion_time" -> ((s, d) => {
-      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
-      val perUser = graft.ext.EventAnalytics.funnelSteps(
-        ev, "user_id", "ts_us", "event_type", Seq("signup", "purchase"),
-        windowNs = 72L * 3600L * 1000000L)
-      perUser.filter(col("t1").isNotNull)
-        .withColumn("gap_us", col("t1") - col("t0"))
-        .agg(count(lit(1)).as("n_converted"),
-          round(expr("percentile(gap_us, 0.5)"), 4).as("p50_us"),
-          round(expr("percentile(gap_us, 0.9)"), 4).as("p90_us"),
-          min(col("gap_us")).as("min_us"), max(col("gap_us")).as("max_us"))
-    }),
-
-    // Day-offset cohort retention over the first 30 days: cohort = first
-    // active epoch-day, exact integer day buckets from the nanos long.
-    "events_retention" -> ((s, d) => {
-      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
-      graft.ext.EventAnalytics.retention(ev, "user_id", "ts_us",
-        ticksPerDay = 86400L * 1000000L)
-        .select(col("cohort_day"), col("day_offset"), col("n_active"), col("cohort_n"),
-          round(col("n_active").cast("double") / col("cohort_n"), 6).as("retained"))
-        .orderBy(col("cohort_day"), col("day_offset"))
-    }),
-
-    // Growth curve: new users per day (each user counted on their FIRST
-    // active day) plus the cumulative user count — the DAU/acquisition
-    // report. One user-keyed aggregate; the cumsum window runs over the
-    // ≤#days daily frame (metadata scale), never the event log.
-    "events_new_users_daily" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val firstDay = Tables.events(s, d)
-        .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
-        .groupBy(col("user_id")).agg(min(col("day")).as("day"))
-      val daily = firstDay.groupBy(col("day"))
-        .agg(count(lit(1)).as("n_new_users"))
-      daily
-        .withColumn("cum_users",
-          sum(col("n_new_users")).over(Window.orderBy(col("day"))))
-        .orderBy(col("day"))
-    }),
-
-    // The retention FACT frame — one (user, cohort_day, day_offset) row
-    // per distinct active day, the granularity the streaming twin
-    // (streaming/StreamingRetention.scala) emits exactly once; the rollup
-    // above is a plain aggregation over this. Distinct-reduce first, then
-    // a broadcastable per-user min — one exchange on user_id.
-    "events_retention_facts" -> ((s, d) => {
-      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
-      // floor division (== `div` for the positive epoch) so the day
-      // bucketing matches the streaming twin's Math.floorDiv bit-for-bit
-      // even for pre-1970 timestamps
-      val active = ev
-        .select(col("user_id"),
-          expr("(ts_us - pmod(ts_us, 86400000000)) div 86400000000").as("day"))
-        .distinct()
-      val cohort = active.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
-      active.join(cohort, "user_id")
-        .select(col("user_id"), col("cohort_day"),
-          (col("day") - col("cohort_day")).as("day_offset"))
-        .orderBy(col("user_id"), col("day_offset"))
-    }),
-
-    // SCD2 history: the event log read as a CDC change stream keyed by
-    // user, event_type as the tracked attribute — consecutive duplicate
-    // values collapse into one version, each version carries its exact µs
-    // validity interval. One exchange for all three windows.
-    "events_scd2_history" -> ((s, d) => {
-      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
-      graft.ext.EventAnalytics.scd2(ev, "user_id", "ts_us", "event_id", "event_type")
-        .select(col("user_id"), col("event_type"),
-          col("effective_from"), col("effective_to"), col("is_current"),
-          col("version_id"))
-        // version_id makes the sort total even when two version boundaries
-        // share one µs-truncated timestamp (latent flap before)
-        .orderBy(col("user_id"), col("effective_from"), col("version_id"))
-    }),
-
-    // SCD2 DIMENSION LOOKUP — the composition every warehouse runs: fact
-    // rows (purchases) enriched with the dimension VERSION valid STRICTLY
-    // BEFORE their event time ("from which state do users convert"), via
-    // the as-of backward join against the version-start stream at ts−1
-    // (a purchase always opens/continues its own version AT its ts, so
-    // the at-ts lookup is degenerate by construction). One shared
-    // user-keyed exchange, never an inequality-range explosion; first-ever
-    // purchases have no prior state and drop under the inner join.
-    "join_scd2_lookup" -> ((s, d) => {
-      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
-      val dim = graft.ext.EventAnalytics.scd2(
-          ev, "user_id", "ts_us", "event_id", "event_type")
-        .select(col("user_id"), col("effective_from"),
-          col("event_type").as("seg"), col("version_id"))
-      val facts = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), (col("ts_us") - 1).as("ts_us"), col("event_id"))
-      graft.ext.AsOfJoin.asofJoin(facts, dim, Seq("user_id"),
-          leftTs = "ts_us", rightTs = "effective_from",
-          rightCols = Seq("seg", "version_id"), joinType = "inner")
-        .groupBy(col("seg"))
-        .agg(count(lit(1)).as("n_purchases"),
-          count_distinct(col("user_id")).as("n_users"))
-        .orderBy(col("seg"))
-    }),
-
-    // Top-20 3-step in-session paths: session containment enforced inside
-    // the user-partitioned n-gram window (no per-session re-partition),
-    // counted corpus-wide, deterministic (count desc, path) top-k.
-    "events_top_paths" -> ((s, d) => {
-      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
-      graft.ext.EventAnalytics.topPaths(ev, "user_id", "ts_us", "event_id",
-        "event_type", gapNs = 1800L * 1000000L, n = 3, k = 20)
-    }),
-
-    // The two event lanes COMPOSED: sessionize (30-min gap), then the
-    // strict ordered funnel view -> click -> purchase anchored PER SESSION
-    // (key = user#session). Same one-aggregate fold as the user funnel —
-    // the composite key just rides the existing user-keyed shuffle.
-    "events_funnel_by_session" -> ((s, d) => {
-      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
-      val steps = Seq("view", "click", "purchase")
-      val sess = graft.ext.EventAnalytics.sessionize(
-        ev, "user_id", "ts_us", "event_id", gapNs = 1800L * 1000000L)
-        .withColumn("sess_key",
-          concat_ws("#", col("user_id"), col("session_idx")))
-      val perSess = graft.ext.EventAnalytics.funnelSteps(
-        sess, "sess_key", "ts_us", "event_type", steps,
-        windowNs = 72L * 3600L * 1000000L)
-      val counts = perSess.agg(count(lit(1)).as("n0"),
-        steps.indices.tail.map(k => count(col(s"t$k")).as(s"n$k")): _*)
-      val rows = steps.zipWithIndex.map { case (step, k) =>
-        struct(lit(k).cast("int").as("step_idx"), lit(step).as("step"),
-          col(s"n$k").as("n_sessions"),
-          round(col(s"n$k").cast("double") / col("n0"), 6).as("conversion"))
-      }
-      counts.select(explode(array(rows: _*)).as("r"))
-        .select(col("r.step_idx"), col("r.step"), col("r.n_sessions"),
-          col("r.conversion"))
-        .orderBy(col("step_idx"))
-    }),
-
-    // ---- sketch-based ops (FNV-1a basis; oracle-replayed exactly) ----------
-    // Portable HLL over the corpus vocabulary: the FNV-1a-based
-    // approx-distinct whose registers, scaled harmonic sum, and estimate the
-    // oracle replays exactly (retires the engine-internal
-    // approx_count_distinct's rows-only status — that query stays as the
-    // built-in plan-quality witness). n_exact rides along in the same pass
-    // (per-register distincts sum to the global: a value hashes to ONE
-    // register), so the row also exact-checks the estimate's error.
-    "agg_approx_distinct_portable" -> ((s, d) => {
-      Hll.approxDistinct(
-        Tables.documents(s, d).select(explode(TA.tokens(col("text"))).as("tok")),
-        "tok", p = 8)
-    }),
-
-    // Materialized-sketch rollup — the way NDV is actually tracked at
-    // 100 TB: one ≤2^p-row register sketch per DAY (one pass over the
-    // log), then the corpus NDV from a register-wise-max merge of the
-    // daily sketches, never a rescan. est_merged must equal est_direct
-    // (the one-pass estimate over the whole log) EXACTLY — the merge
-    // property, here hash-checked by the gate every round, not just
-    // spec-pinned.
-    "agg_hll_daily_merge" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
-      val dayRegs = Hll.registersBy(
-        ev.select(col("day"), col("user_id")), "user_id", "day", p = 8)
-      val merged = Hll.estimate(Hll.mergeGrouped(dayRegs), p = 8)
-        .withColumnRenamed("est_hll", "est_merged")
-      val direct = Hll.estimate(
-        Hll.registers(ev.select(col("user_id")), "user_id", p = 8), p = 8)
-        .withColumnRenamed("est_hll", "est_direct")
-      val days = ev.agg(count_distinct(col("day")).as("n_days"))
-      days.crossJoin(merged).crossJoin(direct)
-    }),
-
-    // Sketch-algebra INTERSECTION: |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B)
-    // by inclusion–exclusion over the SAME materialized register frames
-    // (union = register-wise max — no rescan of either set). The audience
-    // overlap question (users who click AND purchase) answered from
-    // sketches alone, with the exact witness beside it. All the frames
-    // crossJoined are 1-row globals.
-    "agg_hll_intersect" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .filter(col("event_type").isin("click", "purchase"))
-      val regsBy = Hll.registersBy(
-        ev.select(col("event_type"), col("user_id")), "user_id", "event_type", p = 8)
-      val ests = Hll.estimateBy(regsBy, "event_type", p = 8)
-      val estA = ests.filter(col("event_type") === "click")
-        .select(col("est_hll").as("est_a"))
-      val estB = ests.filter(col("event_type") === "purchase")
-        .select(col("est_hll").as("est_b"))
-      val estU = Hll.estimate(Hll.mergeGrouped(regsBy), p = 8)
-        .select(col("est_hll").as("est_union"))
-      val exact = ev.filter(col("event_type") === "click")
-        .select(col("user_id")).distinct()
-        .join(ev.filter(col("event_type") === "purchase")
-          .select(col("user_id")).distinct(), "user_id")
-        .agg(count(lit(1)).as("nd_exact_intersect"))
-      estA.crossJoin(estB).crossJoin(estU).crossJoin(exact)
-        .withColumn("est_intersect",
-          round(col("est_a") + col("est_b") - col("est_union"), 4))
-    }),
-
-    // GROUPED approximate distinct — NDV per group (users per event
-    // type), the ubiquitous per-tenant/per-day cardinality shape: one
-    // registersBy pass (≤ groups·2^p shuffle rows whatever the input),
-    // per-group estimate beside the exact witness and its relative error.
-    "agg_hll_by_group" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val est = Hll.estimateBy(
-        Hll.registersBy(ev.select(col("event_type"), col("user_id")),
-          "user_id", "event_type", p = 8), "event_type", p = 8)
-      val exact = ev.groupBy(col("event_type"))
-        .agg(count_distinct(col("user_id")).as("nd_exact"))
-      est.join(exact, "event_type")
-        .select(col("event_type"), col("est_hll"), col("nd_exact"),
-          round((col("est_hll") - col("nd_exact")) /
-            col("nd_exact").cast("double"), 4).as("rel_err"))
-        .orderBy(col("event_type"))
-    }),
-
-    "dedup_minhash_sig" -> ((s, d) => {
-      Dedup.minhashSignatures(Tables.documents(s, d), "text", "doc_id", k = 8)
-        .select(col("id").as("doc_id"), col("sig").getItem(0).as("h0"),
-          col("sig").getItem(1).as("h1"), col("sig").getItem(7).as("h7"))
-        .orderBy(col("doc_id"))
-    }),
-
-    "dedup_simhash" -> ((s, d) => {
-      val withSh = Tables.documents(s, d)
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
-      val sh0 = withSh.filter(col("doc_id") === 0).select(col("sh").as("sh0"))
-      withSh.join(broadcast(sh0))
-        .select(col("doc_id"), conv(col("sh").cast("string"), 10, 16).as("simhash_hex"),
-          graft.ext.SimHash.hamming(col("sh"), col("sh0")).as("hamming_to_0"))
-        .orderBy(col("doc_id"))
-    }),
-
-    "text_langid" -> ((s, d) => {
-      TA.textStatsFrame(Tables.documents(s, d), "text", "doc_id")
-        .select(col("id").as("doc_id"), col("lang_guess"), col("en_score"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Langid EVALUATION against the corpus's labeled `lang` column: the
-    // confusion matrix (actual × predicted doc counts) a classifier-quality
-    // report reads before the mixture weights trust lang_guess. Same
-    // one-explode textStatsFrame scale path as text_langid, plus one
-    // ≤|langs|²-group aggregate.
-    "text_langid_confusion" -> ((s, d) => {
-      val pred = TA.textStatsFrame(Tables.documents(s, d), "text", "doc_id")
-        .select(col("id").as("doc_id"), col("lang_guess"))
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("lang").as("lang_actual"))
-        .join(pred, "doc_id")
-        .groupBy(col("lang_actual"), col("lang_guess"))
-        .agg(count(lit(1)).as("n_docs"))
-        .orderBy(col("lang_actual"), col("lang_guess"))
-    }),
-
-    // MinHash ACCURACY, exact-checked: on a bounded slice, the k=32
-    // signature-agreement estimate must land within 0.35 (≈4σ) of the true
-    // 3-gram shingle-set Jaccard. The oracle recomputes the exact Jaccard
-    // independently; the estimator is deterministic, so the verdict is too.
-    "dedup_minhash_accuracy" -> ((s, d) => {
-      val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
-      val sh = docs.select(col("doc_id").as("id"),
-        array_distinct(Dedup.shingles(col("text"), 3)).as("sh"))
-      val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", k = 32)
-      val pairs = sh.select(col("id").as("id1"), col("sh").as("sh1"))
-        .crossJoin(sh.select(col("id").as("id2"), col("sh").as("sh2")))
-        .filter(col("id1") < col("id2"))
-        .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
-        .withColumn("j",
-          col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
-        .filter(col("j") >= 0.01)  // fixture has no high-J pairs in the
-        // slice (max true J ~0.03): the check asserts the estimator stays
-        // within tolerance on real low-similarity pairs instead of passing
-        // vacuously on an empty set; DedupSpec covers high-J accuracy on
-        // constructed near-dups
-      pairs
-        .join(sigs.select(col("id").as("id1"), col("sig").as("sig1")), "id1")
-        .join(sigs.select(col("id").as("id2"), col("sig").as("sig2")), "id2")
-        .select(col("id1"), col("id2"), round(col("j"), 6).as("jaccard"),
-          (abs(Dedup.sigAgreement(col("sig1"), col("sig2")) - col("j")) <= 0.35)
-            .as("within_tol"))
-        .orderBy(col("id1"), col("id2"))
-    }),
-
-    // SimHash normalization invariance, exact-checked per document: the
-    // fingerprint is a pure function of the canonical tokens, so case and
-    // surrounding whitespace must not move a single bit.
-    "dedup_simhash_invariance" -> ((s, d) => {
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          (Dedup.simhash(col("text")) ===
-            Dedup.simhash(upper(concat(lit("  "), col("text"), lit("  ")))))
-            .as("normalization_invariant"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // ANN queries are oracle-checked: the hyperplanes/centroid rule are
-    // deterministic, so the oracle SQL embeds the same plane constants and
-    // replays the identical bucket/assign/probe math in DuckDB.
-    "sim_ann_lsh_topk" -> ((s, d) => {
-      Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        queryId = 0L, k = 10, planes = 4, dim = 64)
-    }),
-
-    // Production IVF shape: build + PERSIST the index once per corpus
-    // snapshot (partitioned by ivf_cell), then every probe — including
-    // repeat runs of this query — is a partition-pruned scan of
-    // nprobe/nCells of the data, never a rebuild. The cache key includes
-    // the source file's size+mtime, so a regenerated corpus (e.g. a rebuilt
-    // scale fixture) gets a fresh index instead of stale cells.
-    "sim_ann_ivf_topk" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val index = cachedIvfIndex(s, d, emb)
-      val qvec = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
-      Similarity.ivfProbe(index.assigned, index.centroids, "vec_id", "embedding",
-        qvec, k = 10, nprobe = 3, excludeId = Some(0L))
-    }),
-
-    // Batch kNN JOIN: every 100th vector probes the SAME persisted IVF
-    // layout for its 5 nearest neighbors in one distributed query — the
-    // corpus-vs-corpus retrieval shape (single-query ivfProbe collects the
-    // query vector on the driver; this never does). Per-probe cell choice
-    // and top-k are windows keyed on the probe id, candidates come from
-    // the ivf_cell equi-join.
-    "sim_knn_join" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val index = cachedIvfIndex(s, d, emb)
-      Similarity.ivfKnnJoin(index.assigned, index.centroids,
-        emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
-        "vec_id", "embedding", k = 5, nprobe = 3)
-        .orderBy(col("query_id"), col("rk"))
-    }),
-
-    // Similarity-threshold CALIBRATION: the cosine distribution over a
-    // deterministic pseudo-random pair sample (FNV step on the id ring,
-    // one partner per vector) binned into 10 fixed buckets on [−1,1] —
-    // the baseline that tells you where "random pairs" live before
-    // choosing a near-dup threshold. One equi-join + one ≤10-group
-    // aggregate; no all-pairs anywhere.
-    "sim_threshold_calibration" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val n = emb.count() // bounded driver-side scalar (corpus row count)
-      val h = graft.functions.Fnv.fnv1a64(
-        concat_ws(":", lit("cal"), col("vec_id")))
-      val pairs = emb.select(col("vec_id"), col("embedding"))
-        .withColumn("pid",
-          pmod(col("vec_id") + lit(1L) + pmod(h, lit(n - 1)), lit(n)))
-      val partner = emb.select(col("vec_id").as("pid"), col("embedding").as("e2"))
-      val binned = pairs.join(partner, "pid")
-        // bin the ROUNDED cosine: an unrounded value 1 ulp from a 0.2 bin
-        // edge could land in different bins across engines
-        .withColumn("cos", round(Similarity.cosine(col("embedding"), col("e2")), 6))
-        .withColumn("bin",
-          least(lit(9L), floor((col("cos") + 1.0) / 0.2).cast("long")))
-        .groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
-      val tot = binned.agg(sum(col("n_pairs")).as("__t"))
-      binned.crossJoin(broadcast(tot))
-        .select(col("bin"), col("n_pairs"),
-          round(col("n_pairs").cast("double") / col("__t"), 6).as("share"))
-        .orderBy(col("bin"))
-    }),
-
-    // IVF index-health report: per cell, member count, mean and worst
-    // cosine to the centroid — the balance/compactness numbers that decide
-    // when an index needs re-training (a cell whose mean similarity decays
-    // after many incremental appends is drifting off its centroid). One
-    // partition-pruned-capable scan of the persisted assignment + an
-    // 8-row centroid broadcast + one k-group aggregate.
-    // Per-DIMENSION embedding profile: mean/std/min/max for every vector
-    // dimension — the drift/dead-dimension screen run before trusting an
-    // ANN index or a quantizer codebook. One posexplode into one
-    // dim-keyed aggregate (64 output rows at any corpus size); stats
-    // rounded at 4 dp so the engines' different variance accumulation
-    // orders can't surface.
-    "sim_embedding_dim_profile" -> ((s, d) => {
-      Tables.embeddings(s, d)
-        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
-        .withColumn("x", col("x").cast("double"))
-        .groupBy(col("dim"))
-        .agg(count(lit(1)).as("n"),
-          round(avg(col("x")), 4).as("mean"),
-          round(stddev_samp(col("x")), 4).as("std"),
-          round(min(col("x")), 4).as("lo"),
-          round(max(col("x")), 4).as("hi"))
-        .orderBy(col("dim"))
-    }),
-
-    "sim_cell_health" -> ((s, d) => {
-      import s.implicits._
-      val emb = Tables.embeddings(s, d)
-      val index = cachedIvfIndex(s, d, emb)
-      val cents = index.centroids.toDF("ivf_cell", "__cvec")
-      index.assigned.join(broadcast(cents), "ivf_cell")
-        .withColumn("__cos", Similarity.cosine(col("embedding"), col("__cvec")))
-        .groupBy(col("ivf_cell"))
-        .agg(count(lit(1)).as("n_vectors"),
-          round(avg(col("__cos")), 6).as("mean_cos"),
-          round(min(col("__cos")), 6).as("min_cos"))
-        .orderBy(col("ivf_cell"))
-    }),
-
-    // FILTERED vector search — top-k among vectors satisfying a metadata
-    // predicate (label = 1), the shape every production vector store
-    // serves. The cell prune happens FIRST (partition-prunable scan of
-    // the persisted assignment), the label joins in from the corpus
-    // table, the predicate filters before the top-k — post-filtering at
-    // candidate scale, never corpus scale.
-    "sim_ann_filtered_topk" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val index = cachedIvfIndex(s, d, emb)
-      val qvec = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
-      val cells = Similarity.ivfProbeCells(index.centroids, qvec, nprobe = 3)
-      index.assigned.filter(col("ivf_cell").isin(cells: _*))
-        .join(emb.select(col("vec_id"), col("label")), "vec_id")
-        .filter(col("label") === 1 && col("vec_id") =!= 0)
-        .select(col("vec_id"), col("label"),
-          round(Similarity.cosine(col("embedding"), typedLit(qvec)), 6).as("cos"))
-        .orderBy(col("cos").desc, col("vec_id"))
-        .limit(10)
-    }),
-
-    // IVF-PQ — the two halves composed into the production ANN shape:
-    // the IVF layout prunes the search to nprobe cells (a partition-pruned
-    // scan of the persisted index), and WITHIN those cells distance runs
-    // over the 8-byte PQ codes via ADC instead of the raw 64 floats. At
-    // 100 TB this is cells-on-disk + codes-in-memory: the scan touches
-    // nprobe/nCells of the corpus and 1/32 of the bytes.
-    "sim_ivfpq_topk" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val index = cachedIvfIndex(s, d, emb)
-      val (cb, codes) = cachedPq(s, d, emb)
-      val qvec = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
-      val cells = Similarity.ivfProbeCells(index.centroids, qvec, nprobe = 3)
-      val pruned = cachedCodesByCell(s, d, index, codes)
-        .filter(col("ivf_cell").isin(cells: _*))
-      Similarity.pqAdcTopK(pruned, cb, qvec, m = 8,
-        topK = 10, excludeId = Some(0L))
-        .select(col("id").as("vec_id"), col("est_d2"))
-    }),
-
-    // The COMPLETE production ANN chain: IVF prune → ADC over the 8-byte
-    // codes for a WIDE candidate set (C=100 here; C ~ 50·k in production) →
-    // exact re-rank of just those C candidates against the raw vectors.
-    // ADC quantization error only matters at the top-k boundary, so
-    // re-ranking C ≫ k candidates with exact distances recovers near-exact
-    // recall while the corpus-wide scan still reads only codes. At 100 TB
-    // the exact leg is a broadcast semi-join of C ids against the corpus —
-    // C rows of full vectors, constant cost — and the ADC stage bounds
-    // everything upstream of it. Re-rank recall ≥ ADC-only recall is
-    // pinned in SimilaritySpec.
-    "sim_ivfpq_rerank" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val index = cachedIvfIndex(s, d, emb)
-      val (cb, codes) = cachedPq(s, d, emb)
-      val qvec = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
-      val cells = Similarity.ivfProbeCells(index.centroids, qvec, nprobe = 3)
-      val pruned = cachedCodesByCell(s, d, index, codes)
-        .filter(col("ivf_cell").isin(cells: _*))
-      val cand = Similarity.pqAdcTopK(pruned, cb, qvec, m = 8,
-        topK = 100, excludeId = Some(0L)).select(col("id").as("vec_id"))
-      emb.join(broadcast(cand), "vec_id")
-        .select(col("vec_id"),
-          round(Similarity.l2sq(col("embedding").cast("array<double>"),
-            typedLit(qvec)), 6).as("d2"))
-        .orderBy(col("d2"), col("vec_id")).limit(10)
-    }),
-
-    // INCREMENTAL index growth — the production ANN shape beside
-    // dedup_incremental: the base corpus (even vec_ids) builds + persists
-    // the index once; the delta (odd vec_ids) is assigned against the
-    // STORED centroids and appended into the ivf_cell partitions, no
-    // rebuild, no corpus rescan. The probe then runs over the grown index
-    // exactly as if the full corpus had been assigned under the base
-    // centroids — which is what the oracle replays.
-    "sim_ann_ivf_incremental" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val path = snapPath(d, "graft_ivf_", "inc1")
-      // the build is base-write THEN append: gate on a marker written
-      // AFTER the append, not on ivfWrite's own _SUCCESS files — a crash
-      // between the two must force a rebuild, never serve a base-only
-      // index as complete
-      val completeMarker = java.nio.file.Paths.get(path, "_graft_append_complete")
-      if (!java.nio.file.Files.exists(completeMarker)) {
-        val built = Similarity.ivfIndex(
-          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", nCells = 8)
-        Similarity.ivfWrite(built, path)
-        Similarity.ivfAppend(s, path,
-          emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
-        // base + append = 2 files per touched cell: compact back to one
-        // file per cell (probe opens exactly one file per probed cell).
-        // Runs once per corpus snapshot, inside the build gate — repeat
-        // probes never pay it.
-        StoreCompaction.compact(s, s"$path/assigned", maxFiles = 1)
-        java.nio.file.Files.writeString(completeMarker, "ok")
-      }
-      val index = Similarity.ivfRead(s, path)
-      val qvec = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
-      Similarity.ivfProbe(index.assigned, index.centroids, "vec_id", "embedding",
-        qvec, k = 10, nprobe = 3, excludeId = Some(0L))
-    }),
-
-    // PRODUCT QUANTIZATION — the embedding-compression half of IVF-PQ: the
-    // corpus is encoded as m=8 one-byte codes per vector (32x smaller than
-    // the float32 dims), the query stays exact, and top-k runs over
-    // looked-up partial distances (ADC). Codebook training is the same
-    // deterministic stride-seed + exact-long-mean Lloyd discipline as the
-    // IVF index, so every stage replays in SQL.
-    "sim_pq_adc_topk" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val (cb, codes) = cachedPq(s, d, emb)
-      val qvec = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
-      Similarity.pqAdcTopK(codes, cb, qvec, m = 8, topK = 10, excludeId = Some(0L))
-        .select(col("id").as("vec_id"), col("est_d2"))
-    }),
-
-    // ADC quality: recall@10 of the 8-byte-code scan against the exact
-    // full-dimension L2 top-10 (the same order-pinned fold).
-    "sim_pq_recall" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val (cb, codes) = cachedPq(s, d, emb)
-      val qvec = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
-      val ann = Similarity.pqAdcTopK(codes, cb, qvec, m = 8, topK = 10,
-        excludeId = Some(0L)).select(col("id").as("vec_id"))
-      val bf = emb.filter(col("vec_id") =!= 0)
-        .select(col("vec_id"),
-          Similarity.l2sq(col("embedding").cast("array<double>"),
-            typedLit(qvec)).as("d2"))
-        .orderBy(col("d2"), col("vec_id")).limit(10).select(col("vec_id"))
-      ann.join(bf, "vec_id").agg(count(lit(1)).as("n_hits"))
-        .select(lit(10).as("k"), col("n_hits"),
-          round(col("n_hits") / 10.0, 4).as("recall"))
-    }),
-
-    // Quantified ANN quality: recall@10 of each approximate path against the
-    // brute-force exact top-10, joined in-Spark — deterministic values.
-    "sim_ann_lsh_recall" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
-        .select(col("vec_id"))
-      val ann = Similarity.lshTopK(emb, "vec_id", "embedding", 0L, 10,
-        planes = 4, dim = 64).select(col("vec_id"))
-      ann.join(bf, "vec_id").agg(count(lit(1)).as("n_hits"))
-        .select(lit(10).as("k"), col("n_hits"),
-          round(col("n_hits") / 10.0, 4).as("recall"))
-    }),
-
-    "sim_ann_ivf_recall" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
-        .select(col("vec_id"))
-      val ann = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
-        nCells = 8, nprobe = 3).select(col("vec_id"))
-      ann.join(bf, "vec_id").agg(count(lit(1)).as("n_hits"))
-        .select(lit(10).as("k"), col("n_hits"),
-          round(col("n_hits") / 10.0, 4).as("recall"))
-    }),
-
-    // Recall-vs-nprobe TUNING CURVE: the same persisted index probed at
-    // nprobe = 1, 2, 3 against one brute-force ground truth — the curve
-    // that picks the latency/recall operating point. Each probe is the
-    // partition-prunable cell scan; the ground-truth top-10 is
-    // checkpointed once.
-    "sim_ann_nprobe_curve" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val index = cachedIvfIndex(s, d, emb)
-      val qvec = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
-      val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
-        .select(col("vec_id")).localCheckpoint()
-      Dedup.rotateCheckpoints("sim_nprobe_curve_bf", bf)
-      Seq(1, 2, 3).map { np =>
-        Similarity.ivfProbe(index.assigned, index.centroids, "vec_id",
-            "embedding", qvec, k = 10, nprobe = np, excludeId = Some(0L))
-          .select(col("vec_id")).join(bf, "vec_id")
-          .agg(count(lit(1)).as("n_hits"))
-          .select(lit(np).as("nprobe"), col("n_hits"),
-            round(col("n_hits") / 10.0, 4).as("recall"))
-      }.reduce(_ unionAll _).orderBy(col("nprobe"))
-    }),
-
-    "dedup_minhash_pairs" -> ((s, d) => {
-      // signatures materialized once (localCheckpoint); banding, bucket
-      // sizing, pairing, and verification all reuse them
-      val sigs = Dedup.minhashSignatures(Tables.documents(s, d), "text", "doc_id",
-        k = 32).localCheckpoint()
-      Dedup.rotateCheckpoints("dedup_minhash_pairs", sigs)
-      // union the LSH candidates with a marker row so the result is
-      // non-empty even when the corpus has no near-dups; the oracle
-      // replays the marker too
-      val pairs = Dedup.minhashNearDupsFromSigs(sigs,
-        bands = 8, rows = 4, threshold = 0.5)
-        .select(col("id1"), col("id2"), col("est_jaccard"))
-      val marker = Tables.documents(s, d).groupBy()
-        .agg(count(lit(1)).as("n_docs"))
-        .select(lit(-1L).as("id1"), col("n_docs").cast("long").as("id2"),
-          lit(0.0).as("est_jaccard"))
-      marker.unionAll(pairs).orderBy(col("id1"), col("id2"))
-    }),
-
-    // Full reference pipeline in one query: chain source (batch read of the
-    // deterministic generator) -> finality buffer replay -> explode/route/
-    // cast -> per-table row counts. Deterministic; the oracle replays the
-    // generator arithmetic + FinalityBuffer fold as a DuckDB recursive CTE
-    // (exact check — see the oracles map).
-    "pipeline_e2e_chain" -> ((s, d) => {
-      import org.apache.spark.sql.Encoders
-      implicit val enc = Encoders.product[graft.model.BlockMsg]
-      val msgs = s.read.format("graft.sources.ChainSource")
-        .option("totalBlocks", 200).option("reorgEvery", 20)
-        .option("reorgDepth", 3).option("finalityLag", 8)
-        .load().as[graft.model.BlockMsg]
-      val released = graft.streaming.StreamingFinality.released(msgs)
-      val catalog = Seq(graft.model.ChTable("blocks", Seq(
-        graft.model.ChColumn("height", graft.model.ChType.ChUInt64),
-        graft.model.ChColumn("fork", graft.model.ChType.ChUInt32))))
-      graft.pipeline.ChangePipeline.process(released, catalog)("blocks")
-        .groupBy(col("fork"))
-        .agg(count(lit(1)).as("n_blocks"),
-          min(col("height").cast("long")).as("first_h"),
-          max(col("height").cast("long")).as("last_h"))
-        .orderBy(col("fork"))
-    }),
-
-    // The SAME flagship pipeline, but transported: every envelope travels
-    // as real gRPC bytes over a TLS+ALPN-h2 loopback connection (one
-    // server-streamed call per partition, bearer auth, 5-byte gRPC message
-    // framing) before the finality fold — the reference's actual operating
-    // mode (`src/main.rs:194-235` over the tonic TLS channel,
-    // `src/substreams.rs:33-50`). Same recursive-CTE oracle as
-    // pipeline_e2e_chain: the transport must be invisible in the result.
-    "pipeline_e2e_grpc" -> ((s, d) => {
-      import org.apache.spark.sql.Encoders
-      implicit val enc = Encoders.product[graft.model.BlockMsg]
-      val gen = Map("totalBlocks" -> "200", "reorgEvery" -> "20",
-        "reorgDepth" -> "3", "finalityLag" -> "8", "tls" -> "true",
-        // REAL cert validation against the fixture's PEM, hostname-verified
-        // (never insecure trust — review r13)
-        "tlsTrustCertPath" -> graft.sources.GrpcChain.serverCertPem.getAbsolutePath)
-      val port = graft.sources.GrpcChainFixture.port(gen)
-      var r = s.read.format("graft.sources.ChainSource")
-      (gen ++ Map("fetcherClass" -> "graft.sources.GrpcBlockFetcher",
-        "endpoint" -> s"127.0.0.1:$port")).foreach { case (k, v) => r = r.option(k, v) }
-      val released = graft.streaming.StreamingFinality.released(
-        r.load().as[graft.model.BlockMsg])
-      val catalog = Seq(graft.model.ChTable("blocks", Seq(
-        graft.model.ChColumn("height", graft.model.ChType.ChUInt64),
-        graft.model.ChColumn("fork", graft.model.ChType.ChUInt32))))
-      graft.pipeline.ChangePipeline.process(released, catalog)("blocks")
-        .groupBy(col("fork"))
-        .agg(count(lit(1)).as("n_blocks"),
-          min(col("height").cast("long")).as("first_h"),
-          max(col("height").cast("long")).as("last_h"))
-        .orderBy(col("fork"))
-    }),
-
-    // The reference's WHOLE operating mode with the real sink wire (r14):
-    // chain source → finality fold → ClickHouseHttpSink — RowBinary rows
-    // in native-LZ4 frames POSTed per partition to the loopback ClickHouse
-    // HTTP endpoint (checksum-verified + decoded server-side), cursor row
-    // last — then the table read BACK over HTTP (SELECT … FORMAT
-    // RowBinary, compressed) and folded to the same per-fork counts as
-    // pipeline_e2e_chain. Same recursive-CTE oracle: both wire directions
-    // must be invisible in the result. Read-back is bounded (≤200 rows —
-    // the fixture fold witness; bulk egress is the executor POST path).
-    "pipeline_e2e_http" -> ((s, d) => {
-      import org.apache.spark.sql.Encoders
-      import graft.model.ChType._
-      import graft.sink.{ClickHouseHttpServer, ClickHouseHttpSink, RowBinary}
-      implicit val enc = Encoders.product[graft.model.BlockMsg]
-      val msgs = s.read.format("graft.sources.ChainSource")
-        .option("totalBlocks", 200).option("reorgEvery", 20)
-        .option("reorgDepth", 3).option("finalityLag", 8)
-        .load().as[graft.model.BlockMsg]
-      val released = graft.streaming.StreamingFinality.released(msgs)
-      val catalog = Seq(graft.model.ChTable("blocks", Seq(
-        graft.model.ChColumn("height", ChUInt64),
-        graft.model.ChColumn("fork", ChUInt32))))
-      val server = new ClickHouseHttpServer()
-      try {
-        val sink = new ClickHouseHttpSink(catalog, server.url, "e2e-http")
-        sink.writeBatch(released, 0L)
-        // read back over the wire; declared column order = the frame's
-        // (meta first, then name-sorted catalog columns)
-        val bytes = ClickHouseHttpSink.get(server.url,
-          "SELECT * FROM `blocks` FORMAT RowBinary", "default", "", compress = true)
-        val rows = RowBinary.decodeRows(
-          Seq(ChInt64, ChString, ChString, ChUInt32, ChUInt64), bytes)
-        import s.implicits._
-        rows.map(r => (r(3).toLong, r(4).toLong))
-          .toDF("fork", "height")
-          .groupBy(col("fork"))
-          .agg(count(lit(1)).as("n_blocks"),
-            min(col("height")).as("first_h"),
-            max(col("height")).as("last_h"))
-          .orderBy(col("fork"))
-      } finally server.close()
-    }),
-
-    // Bounded-range replay of the chain source (reference CLI parity,
-    // `src/main.rs:63-66`): startBlock positions the cursorless stream,
-    // endBlock (exclusive) completes it. The oracle regenerates the
-    // envelope closed forms over exactly [35, 150) — any off-by-one in the
-    // range plumbing or a partition split that drops/duplicates a boundary
-    // seq shows up as a row/hash mismatch.
-    "pipe_chain_bounded" -> ((s, d) => {
-      val msgs = s.read.format("graft.sources.ChainSource")
-        .option("totalBlocks", 1000).option("reorgEvery", 20)
-        .option("reorgDepth", 3).option("finalityLag", 8)
-        .option("startBlock", 35).option("endBlock", 150)
-        .load()
-      msgs.select(col("kind"),
-          when(col("kind") === "undo", lit(-1L))
-            .otherwise(substring_index(col("data.clock.id"), "-f", -1)
-              .cast("long")).as("fork"),
-          coalesce(col("data.clock.number"), col("undo.lastValidBlock")).as("h"))
-        .groupBy(col("kind"), col("fork"))
-        .agg(count(lit(1)).as("n"), min(col("h")).as("min_h"), max(col("h")).as("max_h"))
-        .orderBy(col("kind"), col("fork"))
-    }),
-
-    // REAL codec round-trip: synthetic PNGs encoded + decoded with
-    // javax.imageio on executors; dims and channel means have closed forms
-    // the oracle recomputes from the generation rule (PNG is lossless).
-    "multimodal_decode" -> ((s, d) => {
-      Multimodal.decodePngFeatures(
-        Multimodal.pngMediaCached(Tables.documents(s, d), d)).toDF()
-        .select(col("media_id"), col("width"), col("height"),
-          col("mean_r"), col("mean_g"), col("mean_b"))
-        .orderBy(col("media_id"))
-    }),
-
-    // RESIZE stage over the real decoded raster: 2x2 block-average
-    // thumbnail with a PINNED kernel (not Graphics2D's implementation-
-    // defined scaler), so every dim/mean has a closed form the oracle
-    // recomputes from the generation rule. Images without a 2x2 block
-    // (w or h = 1) are out of the kernel's domain — filtered here AND in
-    // the oracle.
-    "multimodal_resize" -> ((s, d) => {
-      Multimodal.thumbnailFeatures(
-        Multimodal.pngMediaCached(Tables.documents(s, d), d)
-          .filter(col("width") >= 2 && col("height") >= 2)).toDF()
-        .select(col("media_id"), col("thumb_w"), col("thumb_h"),
-          col("mean_r"), col("mean_g"), col("mean_b"))
-        .orderBy(col("media_id"))
-    }),
-
-    // LOSSY codec round-trip, exact-checked: synthetic solid-color JPEGs
-    // through the real javax.imageio encoder + decoder. Dimensions survive
-    // JPEG exactly (oracle recomputes them from the generation rule); the
-    // channel means must land within the measured DC-quantization band
-    // (max observed deviation 3.0, asserted at 4.0) — so the booleans the
-    // oracle pins as `true` fail on any channel swap, gradient bug, or
-    // codec regression.
-    "multimodal_jpeg_roundtrip" -> ((s, d) => {
-      Multimodal.decodePngFeatures(
-        Multimodal.jpegMediaCached(Tables.documents(s, d), d)).toDF()
-        .select(col("media_id"), col("width"), col("height"),
-          (abs(col("mean_r") - col("media_id") % 256) <= 4.0).as("r_ok"),
-          (abs(col("mean_g") - (col("media_id") * 7 + 31) % 256) <= 4.0).as("g_ok"),
-          (abs(col("mean_b") - (col("media_id") * 13 + 7) % 256) <= 4.0).as("b_ok"))
-        .orderBy(col("media_id"))
-    }),
-
-    // REAL audio codec round-trip: deterministic 16-bit PCM clips through
-    // the stdlib javax.sound WAV writer and reader (headless-safe). PCM is
-    // lossless and the sample sums are exact integers, so mean/rms match
-    // the oracle's closed forms bit-for-bit with NO rounding (IEEE divide
-    // and sqrt are correctly rounded in both engines).
-    "multimodal_wav_roundtrip" -> ((s, d) => {
-      Multimodal.decodeWavStats(Multimodal.wavMediaCached(Tables.documents(s, d), d)).toDF()
-        .select(col("media_id"), col("n_samples"), col("sample_rate"),
-          col("mean_sample"), col("rms"))
-        .orderBy(col("media_id"))
-    }),
-
-    // REAL multi-frame (video-shaped) codec round-trip: deterministic 2-6
-    // frame animated GIFs through the stdlib sequence writer, decoded with
-    // every 2nd frame sampled (keyframe-seek access pattern). GIF palettes
-    // hold solid fills exactly, so each sampled frame's channel means are
-    // the generation rule's closed forms bit-for-bit — no tolerance needed,
-    // unlike JPEG.
-    "multimodal_gif_frames" -> ((s, d) => {
-      Multimodal.decodeGifFrames(
-        Multimodal.gifMediaCached(Tables.documents(s, d), d), stride = 2).toDF()
-        .orderBy(col("media_id"), col("frame_idx"))
-    }),
-
-    // The batched feature-extraction machinery for formats with no JVM
-    // codec (video): real schema/batching; the stand-in codec is
-    // pure byte math, so even this lane is value-exact against the oracle
-    // (which folds the same bytes with the same float32 arithmetic).
-    "multimodal_features" -> ((s, d) => {
-      val feats = Multimodal.extractFeatures(
-        Multimodal.mediaDataset(Tables.documents(s, d)))
-      feats.toDF()
-        .select(col("media_id"), col("byte_len"), col("frames_sampled"),
-          // widen to double BEFORE rounding: round(float, 4) stays FLOAT,
-          // and 0.3549f re-widened is 0.35490000247… — not the oracle's
-          // double 0.3549 (the float->double widening itself is exact)
-          round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
-        .orderBy(col("media_id"))
-    }),
-
-    // Per-node triangle counts on the near-dup graph (degree-ordered
-    // node-iterator — see Graph.triangleCounts): clique cohesion beside
-    // pagerank's centrality, over the SAME banded edge set so the two
-    // lanes share the signature checkpoint discipline.
-    "graph_triangle_count" -> ((s, d) => {
-      val (_, edges) = nearDupGraph(s, d, "graph_tri_sigs")
-      graft.ext.Graph.triangleCounts(edges, checkpointKey = "graph_triangles")
-        .orderBy(col("id"))
-    }),
-
-    // Two-sample Kolmogorov-Smirnov drift screen per event_type: the
-    // value distribution of the LATE half of the time range against the
-    // EARLY half (same integer-midpoint pivot as diag_drift_psi, which
-    // bins globally — this one is per-type and binless). Counts are
-    // grouped per distinct value FIRST, so ties advance both ECDFs
-    // atomically before the sup-difference is taken; two key-partitioned
-    // shuffles ((type,value) agg, then type-keyed cumulative windows),
-    // no global sort.
-    "diag_ks_drift" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .filter(col("value").isNotNull && col("ts_ns").isNotNull)
-      val g = ev.agg(min(col("ts_ns")).as("mn_ts"), max(col("ts_ns")).as("mx_ts"))
-      val flagged = ev.crossJoin(broadcast(g))
-        .withColumn("__late",
-          (col("ts_ns") >= expr("mn_ts + (mx_ts - mn_ts) div 2")).cast("long"))
-      val perValue = flagged.groupBy(col("event_type"), col("value"))
-        .agg(sum(lit(1L) - col("__late")).as("c_early"),
-          sum(col("__late")).as("c_late"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type")).orderBy(col("value"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val wAll = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type"))
-      val cdf = perValue
-        .withColumn("n_early", sum(col("c_early")).over(wAll))
-        .withColumn("n_late", sum(col("c_late")).over(wAll))
-        .withColumn("__d", abs(
-          sum(col("c_early")).over(w) / col("n_early") -
-            sum(col("c_late")).over(w) / col("n_late")))
-      cdf.groupBy(col("event_type"))
-        .agg(max(col("n_early")).as("n_early"), max(col("n_late")).as("n_late"),
-          round(max(when(col("n_early") > 0 && col("n_late") > 0, col("__d"))), 6)
-            .as("ks_stat"))
-        .orderBy(col("event_type"))
-    }),
-
-    // Exponentially weighted moving average per user (10-tap truncated
-    // kernel, alpha = 0.3, pandas adjust=true normalization over the taps
-    // actually present near the series head). The tap weights are embedded
-    // as shortest-roundtrip double literals in BOTH engines' expressions —
-    // never recomputed via pow(), whose libm rounding may differ — and the
-    // tap sum is written in the same k = 0..9 order so the float
-    // accumulation order matches cross-engine. One user-keyed exchange
-    // shared by every window.
-    "ts_ewma_smooth" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
-      val wu = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
-      val ev = Tables.events(s, d).filter(col("value").isNotNull)
-      val taps = ewmaTapWeights.zipWithIndex.map { case (wk, k) =>
-        (coalesce(lag(col("value"), k).over(w), lit(0.0)) * lit(wk),
-          when(lag(col("value"), k).over(w).isNotNull, lit(wk)).otherwise(lit(0.0)))
-      }
-      val num = taps.map(_._1).reduce(_ + _)
-      val den = taps.map(_._2).reduce(_ + _)
-      ev.withColumn("__ewma", num / den)
-        .withColumn("__rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
-            .orderBy(col("ts_ns").desc, col("event_id").desc)))
-        .withColumn("n_events", count(lit(1)).over(wu))
-        .filter(col("__rn") === 1)
-        .select(col("user_id"), col("n_events"),
-          round(col("__ewma"), 6).as("ewma_last"))
-        .orderBy(col("user_id"))
-    }),
-
-    // Flesch reading-ease per document (regex word/sentence/syllable
-    // counts — TextAnalysis.fleschScore): the readability axis of the
-    // quality-mix feature set. Scan-fused column algebra, zero shuffles.
-    "text_readability" -> ((s, d) => {
-      Tables.documents(s, d).select(col("doc_id"),
-          TA.tokenCount(col("text")).cast("long").as("n_words"),
-          TA.sentenceCount(col("text")).cast("long").as("n_sentences"),
-          TA.fleschScore(col("text")).as("flesch"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Linear interpolation over the same per-user daily spine as
-    // ts_resample_ffill: interior gaps take the line between the
-    // surrounding observed closes, leading/trailing gaps stay NULL (no
-    // extrapolation). Both direction scans share the user-keyed exchange
-    // and day sort.
-    "ts_interpolate_linear" -> ((s, d) => {
-      val W = org.apache.spark.sql.expressions.Window
-      val wPrev = W.partitionBy(col("user_id")).orderBy(col("day"))
-        .rowsBetween(W.unboundedPreceding, 0)
-      val wNext = W.partitionBy(col("user_id")).orderBy(col("day"))
-        .rowsBetween(0, W.unboundedFollowing)
-      TsSpine.spineDaily(s, d)
-        .withColumn("pv", last(col("close"), ignoreNulls = true).over(wPrev))
-        .withColumn("pd", last(when(col("close").isNotNull, col("day")),
-          ignoreNulls = true).over(wPrev))
-        .withColumn("nv", first(col("close"), ignoreNulls = true).over(wNext))
-        .withColumn("nd", first(when(col("close").isNotNull, col("day")),
-          ignoreNulls = true).over(wNext))
-        .withColumn("close_interp",
-          when(col("close").isNotNull, col("close"))
-            .otherwise(when(col("pv").isNotNull && col("nv").isNotNull,
-              round(col("pv") + (col("nv") - col("pv"))
-                * ((col("day") - col("pd")) / (col("nd") - col("pd"))), 4))))
-        .withColumn("observed", col("close").isNotNull)
-        .select(col("user_id"), col("day"), col("close_interp"), col("observed"))
-        .orderBy(col("user_id"), col("day"))
-    }),
-
-    // Per-type daily-volume OLS trend. The five moments are EXACT LONG
-    // sums (day indices and counts are integers; every product fits in
-    // 64 bits at any SF that fits a cluster), so the only floating-point
-    // ops are the two final divisions — slope and intercept are therefore
-    // bit-identical cross-engine, no accumulation-order exposure at all.
-    "events_trend_ols" -> ((s, d) => {
-      val ev = Tables.events(s, d).filter(col("ts_ns").isNotNull)
-        .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
-      val daily = ev.groupBy(col("event_type"), col("day"))
-        .agg(count(lit(1)).as("y"))
-      daily.groupBy(col("event_type")).agg(
-          count(lit(1)).as("n"),
-          sum(col("day")).as("sx"),
-          sum(col("y")).as("sy"),
-          sum(col("day") * col("y")).as("sxy"),
-          sum(col("day") * col("day")).as("sxx"))
-        .withColumn("__den", col("n") * col("sxx") - col("sx") * col("sx"))
-        .withColumn("__slope", when(col("__den") =!= 0,
-          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-            / col("__den").cast("double")))
-        .select(col("event_type"), col("n").as("n_days"),
-          round(col("__slope"), 6).as("slope"),
-          round((col("sy").cast("double") - col("__slope") * col("sx").cast("double"))
-            / col("n").cast("double"), 6).as("intercept"))
-        .orderBy(col("event_type"))
-    }),
-
-    // Welch's unequal-variance t on per-user purchase totals between the
-    // SAME two FNV arms as events_ab_lift — the means-metric readout
-    // beside that lane's proportion z. Squares are written as va*va (never
-    // pow(): libm exponentials are the one operator class whose last ulp
-    // is not pinned cross-engine); the df is Welch–Satterthwaite.
-    "diag_ttest_welch" -> ((s, d) => {
-      val vals = Tables.events(s, d)
-        .filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"))
-        .agg(round(sum(coalesce(col("value"), lit(0.0))), 2).as("v"))
-        .withColumn("arm", pmod(graft.functions.Fnv.fnv1a64(
-          concat(lit("ab:"), col("user_id").cast("string"))), lit(2L)))
-      val g = vals.groupBy(col("arm")).agg(
-        count(lit(1)).as("n"), avg(col("v")).as("m"), var_samp(col("v")).as("s2"))
-      val a = g.filter(col("arm") === 0)
-        .select(col("n").as("n_a"), col("m").as("m_a"), col("s2").as("s2_a"))
-      val b = g.filter(col("arm") === 1)
-        .select(col("n").as("n_b"), col("m").as("m_b"), col("s2").as("s2_b"))
-      val va = col("s2_a") / col("n_a")
-      val vb = col("s2_b") / col("n_b")
-      val ok = col("n_a") > 1 && col("n_b") > 1 && (va + vb) > 0
-      a.crossJoin(b)
-        .withColumn("t_stat",
-          when(ok, round((col("m_a") - col("m_b")) / sqrt(va + vb), 4)))
-        .withColumn("df", when(ok, round(
-          ((va + vb) * (va + vb)) /
-            (va * va / (col("n_a") - 1) + vb * vb / (col("n_b") - 1)), 2)))
-        .select(col("n_a"), round(col("m_a"), 4).as("mean_a"),
-          col("n_b"), round(col("m_b"), 4).as("mean_b"),
-          col("t_stat"), col("df"))
-    }),
-
-    // Inter-arrival gap profile per event_type: each event's gap since
-    // ITS USER's previous event (any type), exact interpolated quantiles,
-    // and the burstiness coefficient (sd−mean)/(sd+mean) — the
-    // periodic(−1)..Poisson(0)..bursty(+1) axis used to spot bot traffic.
-    // One user-keyed exchange for the lag, one type-keyed agg.
-    "events_gap_stats" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
-      val gaps = Tables.events(s, d)
-        .withColumn("__gap_s",
-          (col("ts_ns") - lag(col("ts_ns"), 1).over(w)).cast("double")
-            / lit(1.0e9))
-        .filter(col("__gap_s").isNotNull)
-      gaps.groupBy(col("event_type")).agg(
-          count(lit(1)).as("n_gaps"),
-          round(avg(col("__gap_s")), 4).as("mean_gap_s"),
-          round(expr("percentile(__gap_s, 0.5)"), 4).as("p50_gap_s"),
-          round(expr("percentile(__gap_s, 0.9)"), 4).as("p90_gap_s"),
-          // 0/0 (all gaps exactly zero — duplicate timestamps) diverges
-          // cross-engine (Spark NULL vs IEEE NaN) — fence it to NULL
-          when(stddev_samp(col("__gap_s")) + avg(col("__gap_s")) > 0,
-            round((stddev_samp(col("__gap_s")) - avg(col("__gap_s")))
-              / (stddev_samp(col("__gap_s")) + avg(col("__gap_s"))), 4))
-            .as("burstiness"))
-        .orderBy(col("event_type"))
-    }),
-
-    // Bitwise scalar surface (masking, shifts, xor-folds, popcount) —
-    // the id-partitioning / fingerprint-probing primitives.
-    "scalar_bitwise_funcs" -> ((s, d) => {
-      Tables.events(s, d).filter(col("user_id") < 50)
-        .select(col("event_id"),
-          expr("event_id & 255").as("b_and"),
-          expr("event_id | 4096").as("b_or"),
-          expr("event_id ^ shiftright(event_id, 3)").as("b_xor"),
-          expr("shiftleft(event_id & 1023, 2)").as("b_shl"),
-          expr("~event_id").as("b_not"),
-          bit_count(col("event_id")).cast("long").as("n_bits"))
-        .orderBy(col("event_id"))
-    }),
-
-    // Growth accounting: each user-week classified new / retained /
-    // resurrected, plus churn attributed to the week AFTER the last
-    // active week of a gap — the standard quick-ratio inputs. Weekly
-    // grain keeps every window bounded by the calendar, one user-keyed
-    // exchange feeds all three lags.
-    "events_lifecycle_stages" -> ((s, d) => {
-      val W = org.apache.spark.sql.expressions.Window
-      // a feeds staged, the max-week global, AND the output spine —
-      // checkpoint the distinct user-week frame so events is scanned ONCE
-      val a = Tables.events(s, d)
-        .select(col("user_id"),
-          expr("((ts_ns div 1000) div 86400000000) div 7").as("week"))
-        .distinct()
-        .localCheckpoint()
-      Dedup.rotateCheckpoints("events_lifecycle_stages", a)
-      val w = W.partitionBy(col("user_id")).orderBy(col("week"))
-      val staged = a
-        .withColumn("__first", min(col("week")).over(
-          W.partitionBy(col("user_id"))))
-        .withColumn("__prev", lag(col("week"), 1).over(w))
-        .withColumn("__next", lead(col("week"), 1).over(w))
-        .withColumn("stage",
-          when(col("week") === col("__first"), "new")
-            .when(col("__prev") === col("week") - 1, "retained")
-            .otherwise("resurrected"))
-      val stages = staged.groupBy(col("week")).agg(
-        count_if(col("stage") === "new").as("n_new"),
-        count_if(col("stage") === "retained").as("n_retained"),
-        count_if(col("stage") === "resurrected").as("n_resurrected"))
-      val mx = a.agg(max(col("week")).as("__mx"))
-      val churned = staged
-        .filter(col("__next").isNull || col("__next") > col("week") + 1)
-        .crossJoin(broadcast(mx))
-        .filter(col("week") + 1 <= col("__mx"))
-        .groupBy((col("week") + 1).as("week"))
-        .agg(count(lit(1)).as("n_churned"))
-      // drive the output from the min..max week SPINE, not the active-week
-      // set: churn attributed to a globally dead week (no active users at
-      // all) would otherwise drop out of the left join entirely
-      val spine = a.agg(min(col("week")).as("w0"), max(col("week")).as("w1"))
-        .select(explode(sequence(col("w0"), col("w1"))).as("week"))
-      spine.join(stages, Seq("week"), "left")
-        .join(churned, Seq("week"), "left")
-        .select(col("week"),
-          coalesce(col("n_new"), lit(0L)).as("n_new"),
-          coalesce(col("n_retained"), lit(0L)).as("n_retained"),
-          coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
-          coalesce(col("n_churned"), lit(0L)).as("n_churned"))
-        .orderBy(col("week"))
-    }),
-
-    // Seasonal-naive backtest: forecast(day) = count(day − 7) on the
-    // ZERO-FILLED per-type daily spine, scored by MAPE (y>0 days) and
-    // RMSE. The error sums are exact integers squared — only the final
-    // divisions are floating-point.
-    "events_forecast_snaive" -> ((s, d) => {
-      val W = org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, d)
-        .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
-      val daily = ev.groupBy(col("event_type"), col("day"))
-        .agg(count(lit(1)).as("y"))
-      val spine = ev.groupBy(col("event_type"))
-        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-        .select(col("event_type"),
-          explode(sequence(col("d0"), col("d1"))).as("day"))
-      val filled = spine.join(daily, Seq("event_type", "day"), "left")
-        .select(col("event_type"), col("day"),
-          coalesce(col("y"), lit(0L)).as("y"))
-      val w = W.partitionBy(col("event_type")).orderBy(col("day"))
-      val scored = filled
-        .withColumn("yhat", lag(col("y"), 7).over(w))
-        .filter(col("yhat").isNotNull)
-      scored.groupBy(col("event_type")).agg(
-          count(lit(1)).as("n_eval"),
-          round(avg(when(col("y") > 0,
-            abs(col("y") - col("yhat")).cast("double") / col("y"))), 4)
-            .as("mape"),
-          round(sqrt(avg(((col("y") - col("yhat"))
-            * (col("y") - col("yhat"))).cast("double"))), 4).as("rmse"))
-        .orderBy(col("event_type"))
-    }),
-
-    // Pairwise audience overlap between event types: |A∩B| via ONE
-    // user-keyed self-join of the distinct (user, type) set (per-user
-    // type lists are tiny, so the join fan-out is bounded per user — no
-    // all-pairs anywhere), Jaccard from the broadcast per-type sizes.
-    "events_audience_overlap" -> ((s, d) => {
-      val ut = Tables.events(s, d)
-        .select(col("user_id"), col("event_type")).distinct()
-      val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("sz"))
-      val both = ut.select(col("user_id"), col("event_type").as("t1"))
-        .join(ut.select(col("user_id"), col("event_type").as("t2")), "user_id")
-        .filter(col("t1") < col("t2"))
-        .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("n_both"))
-      both
-        .join(broadcast(sizes.select(col("event_type").as("t1"), col("sz").as("n1"))), "t1")
-        .join(broadcast(sizes.select(col("event_type").as("t2"), col("sz").as("n2"))), "t2")
-        .select(col("t1"), col("t2"), col("n1"), col("n2"), col("n_both"),
-          round(col("n_both").cast("double")
-            / (col("n1") + col("n2") - col("n_both")), 6).as("jaccard"))
-        .orderBy(col("t1"), col("t2"))
-    }),
-
-    // Curriculum phasing: docs split easy→hard into 4 phases by Flesch
-    // QUANTILE CUTPOINTS (a 3-value broadcast — not a global ntile sort,
-    // which would funnel the corpus through one partition at scale), each
-    // phase deterministically shuffled by the seeded-FNV fence; the
-    // order-sensitive checksum Σ doc_id·rank pins the EXACT within-phase
-    // order cross-engine, not just the membership.
-    "train_curriculum_buckets" -> ((s, d) => {
-      val W = org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
-        .withColumn("__f", coalesce(TA.fleschScore(col("text")), lit(0.0)))
-      val cuts = docs.agg(
-        expr("percentile(__f, 0.25)").as("c1"),
-        expr("percentile(__f, 0.5)").as("c2"),
-        expr("percentile(__f, 0.75)").as("c3"))
-      val phased = docs.crossJoin(broadcast(cuts)).withColumn("phase",
-        when(col("__f") >= col("c3"), 1)
-          .when(col("__f") >= col("c2"), 2)
-          .when(col("__f") >= col("c1"), 3)
-          .otherwise(4))
-      val shuffled = phased.withColumn("__key", graft.functions.Fnv.fnv1a64(
-          concat(lit("cur:"), col("doc_id").cast("string"))))
-        .withColumn("__rn", row_number().over(
-          W.partitionBy(col("phase")).orderBy(col("__key"), col("doc_id"))))
-      shuffled.groupBy(col("phase")).agg(
-          count(lit(1)).as("n_docs"),
-          round(avg(col("__f")), 4).as("mean_flesch"),
-          round(min(col("__f")), 4).as("min_flesch"),
-          round(max(col("__f")), 4).as("max_flesch"),
-          sum(col("doc_id") * col("__rn")).as("order_checksum"))
-        .orderBy(col("phase"))
-    }),
-
-    // Label-centroid similarity matrix: per-label mean embedding via ONE
-    // (label, dim) melt-aggregate, then the pairwise cosine over the tiny
-    // centroid set (labels², not vectors² — the all-pairs stays on the
-    // handful of centroids). The class-confusability readout used to
-    // decide which labels to merge or re-annotate.
-    "sim_label_centroid_matrix" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      val comp = e.groupBy(col("label"), col("dim"))
-        .agg(avg(col("x").cast("double")).as("c"))
-      val cents = comp.groupBy(col("label"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-          p => p.getField("c")).as("v"))
-      val sizes = Tables.embeddings(s, d).groupBy(col("label"))
-        .agg(count(lit(1)).as("n"))
-      val withN = cents.join(sizes, "label")
-      val a = withN.select(col("label").as("l1"), col("v").as("v1"), col("n").as("n1"))
-      val b = withN.select(col("label").as("l2"), col("v").as("v2"), col("n").as("n2"))
-      a.join(b, col("l1") < col("l2"))
-        .select(col("l1"), col("l2"), col("n1"), col("n2"),
-          round(graft.ext.Similarity.cosine(col("v1"), col("v2")), 6).as("cos"))
-        .orderBy(col("l1"), col("l2"))
-    }),
-
-    // Sentence-grain boilerplate: sentences (terminator-split, trimmed,
-    // lowercased) appearing in 2+ DISTINCT docs are boilerplate; each doc
-    // reports its contamination ratio. The sentence stream is one explode;
-    // the doc-frequency side is a (sentence)-keyed aggregate semi-joined
-    // back — nothing quadratic, the n-gram lane's discipline at sentence
-    // grain.
-    "text_sentence_boilerplate" -> ((s, d) => {
-      val sents = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), "[.!?]+")).as("s0"))
-        .withColumn("s", trim(lower(col("s0"))))
-        .filter(length(col("s")) > 0)
-        .select(col("doc_id"), col("s")).distinct()
-      val df = sents.groupBy(col("s"))
-        .agg(count_distinct(col("doc_id")).as("ndocs"))
-      val flagged = sents.join(df, "s")
-        .groupBy(col("doc_id")).agg(
-          count(lit(1)).as("n_sents"),
-          count_if(col("ndocs") >= 2).as("n_boiler"))
-      Tables.documents(s, d).select(col("doc_id"))
-        .join(flagged, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_sents"), lit(0L)).as("n_sents"),
-          coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
-          when(col("n_sents") > 0,
-            round(col("n_boiler").cast("double") / col("n_sents"), 4))
-            .as("boiler_ratio"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Out-of-vocabulary rate per doc against the corpus top-100 vocab
-    // (text_vocab_topk's exact definition) — the tokenizer-coverage gate:
-    // docs with high OOV under the deployed vocab inflate token counts
-    // and training cost. Vocab is a broadcast; the token stream is the
-    // same one-explode.
-    "text_oov_rate" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("w"))
-      val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("w")).limit(100)
-        .select(col("w"), lit(1).as("__in"))
-      val rates = toks.join(broadcast(vocab), Seq("w"), "left")
-        .groupBy(col("doc_id")).agg(
-          count(lit(1)).as("n_tokens"),
-          count_if(col("__in").isNull).as("n_oov"))
-      Tables.documents(s, d).select(col("doc_id"), col("lang"))
-        .join(rates, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("lang"),
-          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-          coalesce(col("n_oov"), lit(0L)).as("n_oov"),
-          when(col("n_tokens") > 0,
-            round(col("n_oov").cast("double") / col("n_tokens"), 4))
-            .as("oov_rate"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Autocorrelation of the daily order-count series at lags 1..7 — the
-    // seasonality detector run before picking a forecast model. All moment
-    // sums are EXACT LONGs (counts and count-products); the only doubles
-    // are the final mean and the num/den divisions, so the ACF is
-    // bit-identical cross-engine. The lag join is an EQUI-join on the
-    // computed key day+lag (7 exploded lags over the daily aggregate — a
-    // series bounded by the calendar, never by fact volume).
-    "ts_acf_daily" -> ((s, d) => {
-      val daily = Tables.orders(s, d)
-        .withColumn("day", expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
-        .groupBy(col("day")).agg(count(lit(1)).as("y"))
-        .localCheckpoint()
-      Dedup.rotateCheckpoints("ts_acf_daily", daily)
-      val g = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
-        sum(col("y") * col("y")).as("syy"))
-      val a = daily.select(col("day"), col("y"),
-        explode(sequence(lit(1L), lit(7L))).as("lag"))
-      val b = daily.select(col("day").as("bday"), col("y").as("by"))
-      val pairs = a.join(b, col("day") + col("lag") === col("bday"))
-        .groupBy(col("lag"))
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(col("y") * col("by")).as("sxy"),
-          sum(col("y")).as("sa"), sum(col("by")).as("sb"))
-      pairs.crossJoin(broadcast(g))
-        .withColumn("ybar", col("sy").cast("double") / col("n"))
-        .withColumn("num", col("sxy").cast("double")
-          - col("ybar") * (col("sa") + col("sb")).cast("double")
-          + col("n_pairs").cast("double") * col("ybar") * col("ybar"))
-        .withColumn("den", col("syy").cast("double")
-          - col("n").cast("double") * col("ybar") * col("ybar"))
-        .select(col("lag"), col("n_pairs"),
-          when(col("den") > 0, round(col("num") / col("den"), 6)).as("acf"))
-        .orderBy(col("lag"))
-    }),
-
-    // Day-of-week seasonal index of daily order revenue: per-dow average
-    // of the daily (cents-rounded) revenue over the global daily average.
-    // The weekday-effect readout behind staffing/campaign calendars; dow
-    // is the raw epoch-day mod 7 (day 0 = a Thursday), documented rather
-    // than re-labeled so the arithmetic stays pure integer.
-    "ts_seasonality_dow" -> ((s, d) => {
-      // daily is referenced twice (global avg + per-dow) — checkpoint the
-      // calendar-bounded aggregate so orders is scanned ONCE
-      val daily = Tables.orders(s, d)
-        .withColumn("day", expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
-        .groupBy(col("day"))
-        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
-        .localCheckpoint()
-      Dedup.rotateCheckpoints("ts_seasonality_dow", daily)
-      val g = daily.agg(avg(col("rev")).as("gavg"))
-      daily.withColumn("dow", pmod(col("day"), lit(7L)))
-        .groupBy(col("dow"))
-        .agg(count(lit(1)).as("n_days"), avg(col("rev")).as("avg_rev"))
-        .crossJoin(broadcast(g))
-        .select(col("dow"), col("n_days"),
-          round(col("avg_rev"), 4).as("avg_rev"),
-          round(col("avg_rev") / col("gavg"), 4).as("seasonal_idx"))
-        .orderBy(col("dow"))
-    }),
-
-    // CUSUM mean-shift screen over the daily event-count series:
-    // cusum_t = (running count sum) - t * global_mean, both terms exact
-    // (LONG prefix sum over the tiny daily frame; one double product), the
-    // peak |cusum| day flagged as the changepoint candidate. The window is
-    // global but runs over the DAILY aggregate — calendar-bounded, so the
-    // single partition holds hundreds of rows at any fact SF.
-    "ts_cusum_shift" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      // daily feeds g, the cusum, and the peak pass — checkpoint the
-      // calendar-bounded aggregate so events is scanned ONCE
-      val daily = Tables.events(s, d)
-        .withColumn("day", expr("(ts_ns div 1000) div 86400000000"))
-        .groupBy(col("day")).agg(count(lit(1)).as("y"))
-        .localCheckpoint()
-      Dedup.rotateCheckpoints("ts_cusum_shift", daily)
-      val g = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
-      val w = Window.orderBy(col("day"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val cu = daily.crossJoin(broadcast(g))
-        .withColumn("cum", sum(col("y")).over(w))
-        .withColumn("t", row_number().over(Window.orderBy(col("day"))))
-        .withColumn("cusum", round(col("cum").cast("double")
-          - col("t").cast("double")
-            * (col("sy").cast("double") / col("n")), 4))
-      val mx = cu.agg(max(abs(col("cusum"))).as("mxabs"))
-      cu.crossJoin(broadcast(mx))
-        .select(col("day"), col("y"), col("cusum"),
-          (abs(col("cusum")) === col("mxabs")).as("is_peak"))
-        .orderBy(col("day"))
-    }),
-
-    // Sequence-length bucketing audit: docs binned into fixed power-of-two
-    // token-length buckets (integer threshold compares — no log2/pow), with
-    // the padding waste a batcher padding to the bucket cap would pay. The
-    // batch-shape planning readout for training-throughput tuning; pure
-    // map-side classify + one tiny aggregate.
-    "train_length_buckets" -> ((s, d) => {
-      val caps = Seq(64L, 128L, 256L, 512L, 1024L, 2048L, 4096L, 8192L,
-        16384L, 32768L, 65536L)
-      val n = TA.tokenCount(col("text")).cast("long")
-      // docs beyond the largest cap land in a bucket_cap = -1 overflow
-      // row (they get chunked, not padded — padded_sum = token_sum there);
-      // keeps the cap*count product overflow-free under ANSI mode
-      val cap = caps.foldRight(lit(-1L): org.apache.spark.sql.Column) {
-        (c, acc) => when(n <= c, lit(c)).otherwise(acc)
-      }
-      Tables.documents(s, d)
-        .select(col("doc_id"), n.as("n_tokens"), cap.as("bucket_cap"))
-        .groupBy(col("bucket_cap"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("token_sum"))
-        .withColumn("padded_sum", when(col("bucket_cap") > 0,
-          col("bucket_cap") * col("n_docs")).otherwise(col("token_sum")))
-        .withColumn("waste_ratio", round(lit(1.0)
-          - col("token_sum").cast("double") / col("padded_sum"), 6))
-        .orderBy(col("bucket_cap"))
-    }),
-
-    // CUPED variance reduction on the A/B metric: per-user pre/post
-    // purchase totals split at the global time midpoint, theta =
-    // cov(pre, post)/var(pre) over all users pooled, adjusted metric
-    // Y - theta*(X - E[X]). The readout is the variance-reduction ratio —
-    // the experiment-sensitivity win CUPED buys. One user-keyed aggregate
-    // plus 1-row global reductions; moments via built-in covar/var.
-    "events_cuped" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      // integer midpoint (div, not /: long / int is DOUBLE division in
-      // Spark, and a ~3.6e18 ns sum doesn't round-trip through a double)
-      val rng = ev.agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx"))
-        .select(expr("(mn + mx) div 2").as("pivot"))
-      // per feeds the moment pass AND the adjusted-variance pass —
-      // checkpoint the per-user aggregate so events is scanned ONCE
-      val per = ev.filter(col("event_type") === "purchase")
-        .crossJoin(broadcast(rng))
-        .groupBy(col("user_id"))
-        .agg(round(sum(when(col("ts_ns") < col("pivot"),
-            coalesce(col("value"), lit(0.0))).otherwise(0.0)), 2).as("x"),
-          round(sum(when(col("ts_ns") >= col("pivot"),
-            coalesce(col("value"), lit(0.0))).otherwise(0.0)), 2).as("y"))
-        .localCheckpoint()
-      Dedup.rotateCheckpoints("events_cuped", per)
-      val m = per.agg(count(lit(1)).as("n_users"),
-        covar_pop(col("x"), col("y")).as("cxy"),
-        var_pop(col("x")).as("vx"), avg(col("x")).as("mx"))
-      val theta = m.select(col("n_users"), col("mx"),
-        when(col("vx") > 0, col("cxy") / col("vx")).otherwise(0.0).as("theta"))
-      per.crossJoin(broadcast(theta))
-        .withColumn("yadj", col("y") - col("theta") * (col("x") - col("mx")))
-        .groupBy(col("n_users"), col("theta"))
-        .agg(var_samp(col("y")).as("vy"), var_samp(col("yadj")).as("vyadj"))
-        .select(col("n_users"), round(col("theta"), 4).as("theta"),
-          round(col("vy"), 2).as("var_y"),
-          round(col("vyadj"), 2).as("var_y_adj"),
-          round(col("vyadj") / col("vy"), 4).as("var_ratio"))
-    }),
-
-    // Degree distribution of the MinHash near-dup graph: per-node distinct-
-    // neighbor degree over the LSH pair set, histogrammed, with the
-    // untouched corpus as the degree-0 row. The graph-shape audit run
-    // before components/PageRank — a skewed tail here predicts a hot key
-    // in every downstream graph join.
-    "graph_degree_histogram" -> ((s, d) => {
-      val (sigs, pairs) = nearDupGraph(s, d, "graph_degree_histogram")
-      val sym = pairs.unionAll(
-        pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-      val deg = sym.groupBy(col("id1"))
-        .agg(count_distinct(col("id2")).as("degree"))
-      // the checkpointed sigs frame already holds one row per doc (the
-      // short-doc shingle fallback guarantees coverage) — reuse it for
-      // the node universe instead of re-scanning documents
-      val nzero = sigs.select(col("id").as("doc_id"))
-        .join(deg.select(col("id1").as("doc_id")), Seq("doc_id"), "left_anti")
-        .agg(count(lit(1)).as("n_nodes"))
-        .select(lit(0L).as("degree"), col("n_nodes"))
-      deg.groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
-        .unionAll(nzero.filter(col("n_nodes") > 0))
-        .orderBy(col("degree"))
-    }),
-
-    // Reciprocal-rank fusion of two retrieval lists — BM25 top-20 (lexical)
-    // and a length-prior top-20 (the quality-signal stand-in every hybrid
-    // search stack fuses with) — rrf = sum 1/(60+rank). Each ranking's
-    // row_number window runs over its own 20-row TakeOrdered result, never
-    // the corpus; each 1/(60+r) term is a single division, so the fused
-    // scores are bit-identical cross-engine.
-    "rank_rrf_fusion" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
-      val bm = Ranking.bm25TopK(docs, "text", "doc_id",
-          Seq("spark", "window", "join"), k = 20)
-        .select(col("id").as("doc_id"), col("score"))
-        .withColumn("r", row_number().over(
-          Window.orderBy(col("score").desc, col("doc_id"))))
-        .select(col("doc_id"), col("r"))
-      val lp = docs.select(col("doc_id"), col("n_chars"))
-        .orderBy(col("n_chars").desc, col("doc_id")).limit(20)
-        .withColumn("r", row_number().over(
-          Window.orderBy(col("n_chars").desc, col("doc_id"))))
-        .select(col("doc_id"), col("r"))
-      bm.unionAll(lp)
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_lists"),
-          sum(lit(1.0) / (lit(60) + col("r"))).as("rrf0"))
-        .orderBy(col("rrf0").desc, col("doc_id")).limit(10)
-        .select(col("doc_id"), col("n_lists"), round(col("rrf0"), 6).as("rrf"))
-    }),
-
-    // Retrieval precision/recall@k + reciprocal rank for the BM25 ranking:
-    // relevant = the doc contains ALL three query terms. The k axis is a
-    // 3-element explode over the 20-row top list; rr is max(1/rank) over
-    // the relevant retrieved rows (= 1/first-relevant-rank). The
-    // set-metric complement to rank_ndcg_eval's graded DCG.
-    "rank_pr_at_k" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val terms = Seq("spark", "window", "join")
-      val docs = Tables.documents(s, d)
-      // rel feeds the total, the join, and (via top) both metric passes;
-      // top feeds the RR aggregate and the k-explode — checkpoint both so
-      // the corpus tokenize/score/TakeOrdered runs ONCE
-      val rel = docs
-        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("t"))
-        .filter(col("t").isin(terms: _*))
-        .groupBy(col("doc_id")).agg(count_distinct(col("t")).as("nt"))
-        .filter(col("nt") === terms.length)
-        .select(col("doc_id"), lit(1L).as("rel"))
-        .localCheckpoint()
-      Dedup.rotateCheckpoints("rank_pr_at_k_rel", rel)
-      val nrel = rel.agg(count(lit(1)).as("n_rel_total"))
-      val top = Ranking.bm25TopK(docs, "text", "doc_id", terms, k = 20)
-        .select(col("id").as("doc_id"), col("score"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("score").desc, col("doc_id"))))
-        .join(rel, Seq("doc_id"), "left")
-        .withColumn("rel", coalesce(col("rel"), lit(0L)))
-        .localCheckpoint()
-      Dedup.rotateCheckpoints("rank_pr_at_k_top", top)
-      val rr = top.agg(coalesce(max(when(col("rel") === 1,
-        lit(1.0) / col("rank"))), lit(0.0)).as("rr"))
-      top.withColumn("k", explode(array(lit(5), lit(10), lit(20))))
-        .filter(col("rank") <= col("k"))
-        .groupBy(col("k")).agg(sum(col("rel")).as("n_rel_ret"))
-        .crossJoin(broadcast(nrel)).crossJoin(broadcast(rr))
-        .select(col("k"), col("n_rel_ret"), col("n_rel_total"),
-          round(col("n_rel_ret").cast("double") / col("k"), 6).as("precision"),
-          round(col("n_rel_ret").cast("double") / col("n_rel_total"), 6).as("recall"),
-          round(col("rr"), 6).as("rr"))
-        .orderBy(col("k"))
-    }),
-
-    // Zipf-law fit over the top-100 token frequencies: OLS slope of
-    // ln(freq) on ln(rank). The corpus-naturalness screen (a slope far
-    // from ~-1 flags synthetic/templated text). Both ln streams are
-    // pre-rounded to 6 decimals before the moment sums so the libm ulp
-    // exposure is quarantined at the leaf, not compounded through the
-    // regression; the 100-row window runs over a TakeOrdered result.
-    "text_zipf_slope" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val top = Tables.documents(s, d)
-        .select(explode(TA.tokens(col("text"))).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("w")).limit(100)
-      val r = top
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("n").desc, col("w"))))
-        .withColumn("x", round(log(col("rank").cast("double")), 6))
-        .withColumn("y", round(log(col("n").cast("double")), 6))
-      r.agg(count(lit(1)).as("n_terms"),
-          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"))
-        .withColumn("slope", (col("n_terms") * col("sxy") - col("sx") * col("sy"))
-          / (col("n_terms") * col("sxx") - col("sx") * col("sx")))
-        .select(col("n_terms"),
-          round(col("slope"), 4).as("zipf_slope"),
-          round((col("sy") - col("slope") * col("sx")) / col("n_terms"), 4)
-            .as("intercept"))
-    }),
-
-    // Maximal-marginal-relevance diversity re-rank of the cosine top-20
-    // (lambda=0.7, 5 selections): greedy argmax of 0.7*rel - 0.3*max-sim-
-    // to-selected. The top-20 retrieval and the 20x20 pairwise-sim matrix
-    // are distributed; the greedy itself runs on the driver over the
-    // k-BOUNDED candidate set (k=20 rows + k^2 rounded sims — the same
-    // bounded-collect class as the IVF centroid loops). All scores are
-    // arithmetic on 6-decimal-rounded cosines, so selection is
-    // bit-deterministic cross-engine.
-    "sim_mmr_diversify" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      // cand feeds the rel collect AND both sides of the pairwise self-
-      // join — checkpoint so the scan + global top-k runs ONCE
-      val cand = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-        queryId = 0L, k = 20).localCheckpoint()
-      Dedup.rotateCheckpoints("sim_mmr_diversify", cand)
-      val cv = emb.join(cand.select(col("vec_id")), Seq("vec_id"))
-        .select(col("vec_id"), col("embedding"))
-      val sims = cv.as("a").join(cv.as("b"),
-          col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-          round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6)
-            .as("sim"))
-      val relMap = cand.collect()
-        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      val simMap = sims.collect()
-        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-      var selected = Vector.empty[(Int, Long, Double, Double)]
-      var remaining = relMap.keySet
-      // a shorter candidate list yields a shorter selection, not a throw
-      for (step <- 1 to math.min(5, relMap.size)) {
-        val scored = remaining.toSeq.map { id =>
-          val rel = relMap(id)
-          val score = if (step == 1) rel
-            else 0.7 * rel - 0.3 * selected.map(p => simMap((id, p._2))).max
-          (id, rel, score)
-        }
-        val best = scored.minBy { case (id, _, sc) => (-sc, id) }
-        selected :+= ((step, best._1, best._2, best._3))
-        remaining -= best._1
-      }
-      import s.implicits._
-      selected.toDF("sel_rank", "vec_id", "rel0", "score0")
-        .select(col("sel_rank"), col("vec_id"),
-          round(col("rel0"), 6).as("rel"), round(col("score0"), 6).as("mmr_score"))
-        .orderBy(col("sel_rank"))
-    }),
-
-    // 2-D skyline (Pareto frontier) over purchase (value, time): a point
-    // survives iff no other purchase is >= in BOTH dimensions and > in
-    // one. Two-phase distributed shape: a partition-local strict-dominance
-    // prune (skyline is decomposable: skyline(A∪B) =
-    // skyline(skyline(A)∪skyline(B))), then the exact pass over the
-    // pruned survivors at distinct-value grain — the only global window
-    // runs over the local frontiers, not the fact table.
-    "sort_skyline_pareto" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      // survivors feed the distinct-value pass AND the join-back —
-      // checkpoint the pruned (local-frontier-sized) set so the fact
-      // table is scanned ONCE. Derivations shared with BoundedWindowSpec,
-      // which pins that the phase-2 window input stays frontier-sized.
-      val surv = skylineSurvivors(skylinePoints(s, d)).localCheckpoint()
-      Dedup.rotateCheckpoints("sort_skyline_pareto", surv)
-      val g = surv.groupBy(col("value")).agg(max(col("tus")).as("mxt"))
-      val wg = Window.orderBy(col("value").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val fr = g.withColumn("gm", max(col("mxt")).over(wg))
-        .filter(col("gm").isNull || col("gm") < col("mxt"))
-      surv.join(fr.select(col("value"), col("mxt")), Seq("value"))
-        .filter(col("tus") === col("mxt"))
-        .groupBy(col("value"), col("tus")).agg(count(lit(1)).as("n_dups"))
-        .orderBy(col("value").desc, col("tus"))
-    }),
-
-    // Soft-dedup training weights: each doc in a near-dup component gets
-    // weight 1/|component| (singletons 1.0) — the standard repetition
-    // counter-bias for training mixtures, composed from the proven
-    // component machinery.
-    "train_cluster_weights" -> ((s, d) => {
-      // the slice feeds both sides of the pair join AND the label
-      // join-back — checkpoint so embeddings is scanned ONCE
-      val emb100 = Tables.embeddings(s, d).filter(col("vec_id") < 100)
-        .localCheckpoint()
-      Dedup.rotateCheckpoints("train_cluster_weights_emb", emb100)
-      val edges = Similarity.cosineNearDupPairs(emb100, "vec_id", "embedding",
-        threshold = 0.3)
-      val comps = Dedup.connectedComponents(edges.select(col("id1"), col("id2")))
-      Dedup.rotateCheckpoints("train_cluster_weights", comps)
-      val lab = emb100.select(col("vec_id"))
-        .join(comps.select(col("id").as("vec_id"), col("label")),
-          Seq("vec_id"), "left")
-        .withColumn("cluster", coalesce(col("label"), col("vec_id")))
-      val sizes = lab.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
-      lab.join(sizes, "cluster")
-        .select(col("vec_id"), col("cluster"), col("n_members"),
-          round(lit(1.0) / col("n_members"), 6).as("weight"))
-        .orderBy(col("vec_id"))
-    }),
-
-    // Exact weighted median (lower) of price weighted by quantity per
-    // return flag — an aggregate Spark has no built-in for. Group to
-    // distinct values FIRST (so the prefix sum runs over a deterministic
-    // value order, never row order), then one keyed window pass; the
-    // weights are integer-valued doubles, so every sum is exact and the
-    // tw/2 crossing is bit-deterministic.
-    "agg_weighted_median" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val byv = Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag").as("flag"),
-          col("l_extendedprice").as("v"))
-        .agg(sum(col("l_quantity")).as("w"))
-      val wo = Window.partitionBy(col("flag")).orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val wt = Window.partitionBy(col("flag"))
-      byv.withColumn("cw", sum(col("w")).over(wo))
-        .withColumn("tw", sum(col("w")).over(wt))
-        .filter(col("cw") >= col("tw") / 2)
-        .groupBy(col("flag"), col("tw"))
-        .agg(min(col("v")).as("wmedian"))
-        .select(col("flag"), col("tw").as("total_weight"), col("wmedian"))
-        .orderBy(col("flag"))
-    }),
-
-    // The 100 TB swap for agg_weighted_median, shipped as benched code
-    // (VERDICT r11 #4): the per-flag window above runs over ALL distinct
-    // prices — fine here, row-scale at near-unique values. This sibling
-    // is the two-phase bucketed prefix sum: phase 1 ranks B=1024
-    // value-range buckets (window frame ≤ B rows per flag) to find the
-    // single bucket containing the tw/2 crossing; phase 2 runs the exact
-    // distinct-value prefix sum INSIDE that one bucket only, offset by
-    // the prior buckets' cumulative weight. Same integer-exact weights,
-    // same lower-median crossing rule → IDENTICAL output to the exact
-    // lane, so the oracle is the same replay — while the largest sort
-    // frame shrinks from |distinct values| to max(B, values-per-bucket).
-    "agg_weighted_median_bucketed" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val wo = Window.partitionBy(col("flag")).orderBy(col("b"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val wt = Window.partitionBy(col("flag"))
-      // the bucketed frame feeds phase 1 (bucket ranks) AND phase 2
-      // (in-bucket values): checkpoint so lineitem scans once. Derivation
-      // shared with BoundedWindowSpec (bucket-occupancy pin).
-      val bkC = wmedianBucketed(s, d).localCheckpoint()
-      Dedup.rotateCheckpoints("agg_weighted_median_bucketed", bkC)
-      val cross = bkC.groupBy(col("flag"), col("b")).agg(sum(col("w")).as("bw"))
-        .withColumn("cb", sum(col("bw")).over(wo))
-        .withColumn("tw", sum(col("bw")).over(wt))
-        .filter(col("cb") >= col("tw") / 2)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("flag")).orderBy(col("b"))))
-        .filter(col("rn") === 1)
-        .select(col("flag"), col("b").as("cbk"),
-          (col("cb") - col("bw")).as("prior"), col("tw"))
-      val wo2 = Window.partitionBy(col("flag")).orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      bkC.join(broadcast(cross), Seq("flag")).filter(col("b") === col("cbk"))
-        .withColumn("cw", col("prior") + sum(col("w")).over(wo2))
-        .filter(col("cw") >= col("tw") / 2)
-        .groupBy(col("flag"), col("tw")).agg(min(col("v")).as("wmedian"))
-        .select(col("flag"), col("tw").as("total_weight"), col("wmedian"))
-        .orderBy(col("flag"))
-    }),
-
-    // Exact Gini coefficient of per-user event counts — the
-    // concentration-inequality readout beside events_power_users_pareto.
-    // Never sorts users globally: ties are grouped to DISTINCT activity
-    // levels first, and the rank sum of a tie run of m users after
-    // c_prev predecessors is m*c_prev + m(m+1)/2 — so the prefix-sum
-    // window runs over distinct levels (≪ users) and every moment is an
-    // exact LONG; only the two final divisions are floating-point.
-    "diag_gini_activity" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val lvl = Tables.events(s, d)
-        .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
-        .groupBy(col("x")).agg(count(lit(1)).as("m"))
-      val wo = Window.orderBy(col("x"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val t = lvl
-        .withColumn("cprev", coalesce(sum(col("m")).over(wo), lit(0L)))
-        .withColumn("rsum", col("m") * col("cprev")
-          + expr("m * (m + 1) div 2")) // div: `/` on longs is double division
-        .agg(sum(col("m")).as("n"), sum(col("x") * col("m")).as("sx"),
-          sum(col("x") * col("rsum")).as("t"))
-      t.select(col("n").as("n_users"), col("sx").as("total_events"),
-        round(lit(2.0) * col("t").cast("double")
-          / (col("n").cast("double") * col("sx").cast("double"))
-          - (col("n") + 1).cast("double") / col("n").cast("double"), 6)
-          .as("gini"))
-    })
-  )
-
-  /** Truncated EWMA kernel (alpha = 0.3, 10 taps), w_k = a*(1-a)^k computed
-    * ONCE here and shared verbatim — as double literals — by the Spark
-    * expression and the DuckDB oracle, so no pow() is evaluated in either
-    * engine at query time. */
-  private val ewmaTapWeights: Seq[Double] = {
-    val a = 0.3
-    (0 until 10).map(k => a * math.pow(1 - a, k))
-  }
-
-  /** Token budget per training shard — shared by the sharding query and its
-    * packing-stats audit so the two can never drift apart. */
-  private val shardBudget = 2048
-
-  /** Shared base for the shuffle-shard queries: seeded md5 shuffle key, 256
-    * hash strata, token counts, and the greedy cumulative-sum shard
-    * assignment (window per stratum, so the sort parallelizes across
-    * strata — no global single-partition window). */
-  private def shuffleShardFrame(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val key = md5(concat(lit("shuf:"), col("doc_id").cast("string")).cast("binary"))
-    val toks = TA.tokenCount(col("text")).cast("long")
-    val base = Tables.documents(s, d)
-      .select(col("doc_id"), key.as("k"), substring(key, 1, 2).as("stratum"),
-        toks.as("n_tokens"))
-    val w = Window.partitionBy(col("stratum")).orderBy(col("k"))
-    base.withColumn("cum", sum(col("n_tokens")).over(w))
-      .withColumn("shard",
-        floor((col("cum") - col("n_tokens")) / shardBudget).cast("long"))
-  }
-
-  // DuckDB mirrors. Tokenization both sides: lowercase, split \s+, drop
-  // empty. DuckDB md5() hashes the UTF-8 string exactly like Spark's
-  // md5(CAST AS BINARY).
-  private val toks = """list_filter(regexp_split_to_array(lower(text), '\s+'), x -> length(x) > 0)"""
-  private val enStops =
-    TA.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-  private val frStops =
-    TA.FrenchStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-  private val deStops =
-    TA.GermanStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-  private val esStops =
-    TA.SpanishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-
-  // Spark-parity rounding for division-derived score columns (see OracleSql)
-  private def sparkRound(expr: String, n: Int): String = OracleSql.sparkRound(expr, n)
-
-  /** Skyline input: (value, µs) of non-null purchases. Shared by the lane
-    * and BoundedWindowSpec so the bound pin can't drift off the lane. */
-  private[graft] def skylinePoints(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .filter(col("event_type") === "purchase" && col("value").isNotNull)
-      .select(col("value"), expr("ts_ns div 1000").as("tus"))
-
-  /** Phase 1 of the distributed skyline: per-partition dominance prune.
-    * Output size = sum of per-partition Pareto frontiers (~O(p·log n) on
-    * independent dims) — the bound BoundedWindowSpec pins, because phase
-    * 2's global window is only safe while this stays ≪ rows. */
-  private[graft] def skylineSurvivors(pts: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wl = Window.partitionBy(col("pid"))
-      .orderBy(col("value").desc, col("tus").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    pts.withColumn("pid", spark_partition_id())
-      .withColumn("pm", max(col("tus")).over(wl))
-      .filter(col("pm").isNull || col("pm") <= col("tus"))
-      .select(col("value"), col("tus"))
-  }
-
-  /** Distinct (flag, price)→weight rows with their B=1024 value-range
-    * bucket ids — phase 0+bucketing of agg_weighted_median_bucketed,
-    * shared with BoundedWindowSpec (pins per-bucket occupancy ≪ distinct
-    * values, the phase-2 window's frame bound). */
-  private[graft] val WmedianBuckets = 1024
-  private[graft] def wmedianBucketed(s: SparkSession, d: String): DataFrame = {
-    val B = WmedianBuckets
-    val byv = Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag").as("flag"),
-        col("l_extendedprice").as("v"))
-      .agg(sum(col("l_quantity")).as("w"))
-    val g = byv.groupBy(col("flag"))
-      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
-    val wB = (col("mx") - col("mn")) / B
-    byv.join(broadcast(g), "flag")
-      .withColumn("b", when(wB === 0.0, lit(0L))
-        .otherwise(least(lit((B - 1).toLong),
-          floor((col("v") - col("mn")) / wB))))
-  }
-
-  /** One replay for BOTH weighted-median lanes (exact + bucketed): the
-    * bucketed two-phase form returns the identical rows by construction. */
-  private val weightedMedianOracle: String =
-    """WITH byv AS (SELECT l_returnflag AS flag, l_extendedprice AS v,
-      |               sum(l_quantity) AS w
-      |             FROM lineitem GROUP BY 1, 2),
-      |c AS (SELECT flag, v, w,
-      |        sum(w) OVER (PARTITION BY flag ORDER BY v
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
-      |        sum(w) OVER (PARTITION BY flag) AS tw
-      |      FROM byv)
-      |SELECT flag, tw AS total_weight, min(v) AS wmedian
-      |FROM c WHERE cw >= tw / 2 GROUP BY flag, tw ORDER BY flag""".stripMargin
-
-  /** Shared near-dup graph derivation for the graph lanes (pagerank,
-    * triangles, degree histogram): k=32 signatures, 8 bands × 4 rows,
-    * agreement ≥ 0.5 — ONE definition kept in lockstep with the shared
-    * `minhashPairsCtes` oracle constants, so re-banding one lane can never
-    * desynchronize it from the single oracle replay. Returns the
-    * checkpointed signature frame (the node universe — the short-doc
-    * shingle fallback guarantees one row per doc) and the edge list. */
-  private def nearDupGraph(s: SparkSession, d: String, key: String)
-      : (DataFrame, DataFrame) = {
-    val sigs = Dedup.minhashSignatures(Tables.documents(s, d), "text",
-      "doc_id", k = 32).localCheckpoint()
-    Dedup.rotateCheckpoints(key, sigs)
-    val edges = Dedup.minhashNearDupsFromSigs(sigs,
-      bands = 8, rows = 4, threshold = 0.5).select(col("id1"), col("id2"))
-    (sigs, edges)
-  }
-
-  /** DuckDB replay of TextAnalysis.fleschScore (rounded 4), shared VERBATIM
-    * by the text_readability and train_curriculum_buckets oracles — the
-    * ewmaTapWeights/minhashPairsCtes discipline: one definition, so a
-    * syllable/sentence-regex change can never leave one oracle stale. */
-  private lazy val fleschRoundedSql: String = sparkRound(
-    s"206.835 - 1.015 * (CAST(len($toks) AS DOUBLE)" +
-      " / greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS DOUBLE), 1.0))" +
-      " - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)" +
-      s" / CAST(len($toks) AS DOUBLE))", 4)
-
-  /** Content-keyed path for the near-dup component store (k=32, b=8, r=4,
-    * t=0.5 over `documents`): keyed by the source file's identity so a
-    * regenerated corpus computes a fresh generation, versioned like the
-    * IVF/sigstore caches. */
-  private def compStorePath(d: String): String = {
-    val src = new java.io.File(d + "/documents.parquet")
-    System.getProperty("java.io.tmpdir") + "/graft_compstore_" +
-      (d + s"_${src.length}_${src.lastModified}_k32b8r4t05_v1")
-        .replaceAll("[^A-Za-z0-9]", "_")
-  }
-
-  // ANN oracle plumbing: the exact hyperplanes the Spark path uses (fixed
-  // seed), embedded as SQL literals — Double.toString round-trips exactly, and
-  // both engines accumulate dot products sequentially in double, so the sign
-  // bits (buckets) and cosines agree bit-for-bit.
-  private val lshPlanes = Similarity.hyperplanes(64, 4)
-  private def planeLit(p: Seq[Double]): String = p.mkString("[", ", ", "]")
-  private val bucketExpr = lshPlanes.zipWithIndex.map { case (p, i) =>
-    s"(CASE WHEN list_inner_product(v, ${planeLit(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
-  }.mkString(" + ")
-  // shared CTE prefix: corpus as DOUBLE[], LSH buckets, the query row
-  private val lshCtes =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
-       |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)""".stripMargin
-  // mirrors ivfCentroids/ivfRefine/ivfAssign/ivfProbeCells: every stride-th
-  // vector by id seeds a centroid; TWO deterministic Lloyd rounds move each
-  // centroid to its members' element-wise mean (accumulated as exact
-  // round(x·2^20) longs, so the mean is order-independent and the double
-  // division replays bit-for-bit); empty cells keep their previous
-  // centroid; then argmax-cosine assignment and a 3-nearest-cell probe.
-  private def lloydRound(i: Int, src: String = "e"): String = {
-    val (prev, a, m, g, next) = (s"c${i - 1}", s"a$i", s"m$i", s"g$i", s"c$i")
-    s"""$a AS (SELECT e.vec_id, e.v,
-       |        arg_max(c.cid, list_cosine_similarity(e.v, c.cv)) AS cell
-       |      FROM $src e, $prev c GROUP BY e.vec_id, e.v),
-       |$m AS (SELECT cell, d, sum(CAST(round(v[d+1] * 1048576.0) AS BIGINT)) AS s,
-       |        count(*) AS cnt
-       |      FROM $a, range(64) r(d) GROUP BY cell, d),
-       |$g AS (SELECT cell, list(CAST(s AS DOUBLE) / cnt / 1048576.0 ORDER BY d) AS cv
-       |      FROM $m GROUP BY cell),
-       |$next AS (SELECT p.cid, coalesce($g.cv, p.cv) AS cv
-       |      FROM $prev p LEFT JOIN $g ON $g.cell = p.cid)""".stripMargin
-  }
-  private val ivfCtes =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |n AS (SELECT greatest(count(*) // 8, 1) AS stride FROM e),
-      |c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v AS cv
-      |          FROM e, n WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT 8),
-      |${lloydRound(1)},
-      |${lloydRound(2)},
-      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-      |probe AS (SELECT cid FROM c2, q
-      |          ORDER BY list_cosine_similarity(cv, qv) DESC, cid LIMIT 3),
-      |assign AS (SELECT e.vec_id, e.v,
-      |             arg_max(c.cid, list_cosine_similarity(e.v, c.cv)) AS cell
-      |           FROM e, c2 c GROUP BY e.vec_id, e.v)""".stripMargin
-
-  // incremental-index replay: centroids learned on the EVEN-id base corpus
-  // only (seed stride + both Lloyd rounds over `ev`), assignment over the
-  // FULL corpus — exactly base build + delta append under stored centroids
-  private val ivfIncCtes =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |ev AS (SELECT * FROM e WHERE vec_id % 2 = 0),
-      |n AS (SELECT greatest(count(*) // 8, 1) AS stride FROM ev),
-      |c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v AS cv
-      |          FROM ev, n WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT 8),
-      |${lloydRound(1, "ev")},
-      |${lloydRound(2, "ev")},
-      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-      |probe AS (SELECT cid FROM c2, q
-      |          ORDER BY list_cosine_similarity(cv, qv) DESC, cid LIMIT 3),
-      |assign AS (SELECT e.vec_id, e.v,
-      |             arg_max(c.cid, list_cosine_similarity(e.v, c.cv)) AS cell
-      |           FROM e, c2 c GROUP BY e.vec_id, e.v)""".stripMargin
-
-  /** The per-corpus-snapshot persisted IVF index (nCells = 8, two Lloyd
-    * rounds), built on first use and partition-pruned ever after. "lloyd2"
-    * versions the cache key: the r7 centroid-refinement change would
-    * otherwise be served a stale stride-seed index. */
-  private def cachedIvfIndex(s: SparkSession, d: String,
-      emb: DataFrame): Similarity.IvfIndex = {
-    val path = snapPath(d, "graft_ivf_", IvfVer)
-    if (Similarity.ivfIndexExists(path)) Similarity.ivfRead(s, path)
-    else {
-      val built = Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 8)
-      Similarity.ivfWrite(built, path)
-      Similarity.ivfRead(s, path)
-    }
-  }
-
-  /** ONE recipe for every per-corpus-snapshot cache path: fixture dir +
-    * source (length, mtime) + a version suffix that callers bump when the
-    * algorithm behind the artifact changes (the r7 'lloyd2' lesson). */
-  private def snapPath(d: String, prefix: String, ver: String): String = {
-    val src = new java.io.File(d + "/embeddings.parquet")
-    System.getProperty("java.io.tmpdir") + s"/$prefix" +
-      (d + s"_${src.length}_${src.lastModified}_$ver").replaceAll("[^A-Za-z0-9]", "_")
-  }
-
-  /** IVF training version — shared by the index cache AND every derived
-    * artifact (codes_by_cell), so bumping it invalidates them TOGETHER:
-    * a derived layout keyed only on its own version would silently serve
-    * cells from stale centroids. */
-  private val IvfVer = "lloyd2"
-
-  private def pqPath(d: String): String = snapPath(d, "graft_pq_", "pq1")
-
-  /** The IVF-PQ layout proper: the PQ codes persisted PARTITIONED BY
-    * ivf_cell (once per corpus snapshot), so a probe is a partition-PRUNED
-    * scan of the 8-byte codes — cells-on-disk, codes-in-memory. Shared by
-    * sim_ivfpq_topk and sim_ivfpq_rerank; keyed on IvfVer so a centroid
-    * change invalidates it together with the index. */
-  private def cachedCodesByCell(s: SparkSession, d: String,
-      index: Similarity.IvfIndex, codes: DataFrame): DataFrame = {
-    val byCellPath = pqPath(d) + "/codes_by_cell_" + IvfVer
-    if (!new java.io.File(s"$byCellPath/_SUCCESS").exists())
-      codes.join(
-          index.assigned.select(col("vec_id").as("id"), col("ivf_cell")), "id")
-        .repartition(col("ivf_cell"))
-        .write.mode("overwrite").partitionBy("ivf_cell").parquet(byCellPath)
-    s.read.parquet(byCellPath)
-  }
-
-  /** The per-corpus-snapshot PQ model (codebook + codes), trained once and
-    * persisted — the production shape (codebooks are corpus-generation
-    * artifacts, like the IVF centroids and the signature store); repeat
-    * queries read 8 bytes/vector instead of re-running Lloyd. The build
-    * is gated on a marker written AFTER both writes (a crash between them
-    * forces a rebuild; like every snapshot cache here, the writer is
-    * single-JVM — the harness runs Verify/Bench serially). */
-  private def cachedPq(s: SparkSession, d: String, emb: DataFrame)
-      : (Seq[((Int, Int), Seq[Double])], DataFrame) = {
-    import s.implicits._
-    val path = pqPath(d)
-    val marker = java.nio.file.Paths.get(path, "_graft_pq_complete")
-    if (!java.nio.file.Files.exists(marker)) {
-      val cb = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16)
-      cb.map { case ((s0, c0), v) => (s0, c0, v) }.toDF("sub", "cid", "cv")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
-      Similarity.pqAssign(
-          Similarity.pqSubFrame(emb, "vec_id", "embedding", 64, 8), cb)
-        .write.mode("overwrite").parquet(s"$path/codes")
-      java.nio.file.Files.writeString(marker, "ok")
-    }
-    val cb = s.read.parquet(s"$path/codebook").collect()
-      .map(r => ((r.getAs[Int]("sub"), r.getAs[Int]("cid")),
-        r.getSeq[Double](r.fieldIndex("cv"))))
-      .sortBy(_._1).toSeq
-    (cb, s.read.parquet(s"$path/codes"))
-  }
-
-  /** Sequential squared-L2 fold over `len` elements in index order —
-    * mirrors [[graft.ext.Similarity.l2sq]] (same IEEE association). */
-  private def l2FoldSql(a: String, b: String, len: Int): String =
-    s"""list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, ${len + 1}),
-       |      i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])), (x, y) -> x + y)""".stripMargin
-
-  /** One PQ Lloyd round: assignment under cb{i-1} (min-distance then
-    * min-cid — the deterministic tie rule pqAssign uses), then per
-    * (sub, code, dim) exact-long means. */
-  private def pqRound(i: Int): String = {
-    val (prev, dd, mm, aa, gg, hh, next) =
-      (s"pcb${i - 1}", s"pd$i", s"pm$i", s"pa$i", s"pg$i", s"ph$i", s"pcb$i")
-    s"""$dd AS (SELECT f.vec_id, f.sub, c.cid,
-       |        ${l2FoldSql("f.sv", "c.cv", 8)} AS d2
-       |      FROM subf f JOIN $prev c ON c.sub = f.sub),
-       |$mm AS (SELECT vec_id, sub, min(d2) AS md FROM $dd GROUP BY vec_id, sub),
-       |$aa AS (SELECT d.vec_id, d.sub, min(d.cid) AS code
-       |      FROM $dd d JOIN $mm m ON m.vec_id = d.vec_id AND m.sub = d.sub
-       |        AND d.d2 = m.md GROUP BY d.vec_id, d.sub),
-       |$gg AS (SELECT a.sub, a.code, r.d,
-       |        sum(CAST(round(f.sv[r.d + 1] * 1048576.0) AS BIGINT)) AS s,
-       |        count(*) AS cnt
-       |      FROM $aa a JOIN subf f ON f.vec_id = a.vec_id AND f.sub = a.sub,
-       |        range(8) r(d) GROUP BY a.sub, a.code, r.d),
-       |$hh AS (SELECT sub, code, list(CAST(s AS DOUBLE) / cnt / 1048576.0 ORDER BY d) AS cv
-       |      FROM $gg GROUP BY sub, code),
-       |$next AS (SELECT c.sub, c.cid, coalesce($hh.cv, c.cv) AS cv
-       |      FROM $prev c LEFT JOIN $hh ON $hh.sub = c.sub AND $hh.code = c.cid)""".stripMargin
-  }
-
-  /** PQ replay chain (no leading WITH/e — composable beside ivfCtes):
-    * stride seeds (16 full vectors) sliced into 8 subspaces, two Lloyd
-    * rounds, final deterministic assignment, then ADC — per (sub, code)
-    * partials to the exact query sub-vectors, summed in FIXED subspace
-    * order via conditional columns (mirrors the Spark pivot). Own names
-    * (pn/qq/…) so the ivf chain's n/q never collide. */
-  private val pqChainCtes =
-    s"""pn AS (SELECT greatest(count(*) // 16, 1) AS stride FROM e),
-       |ps0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v
-       |       FROM e, pn WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT 16),
-       |pcb0 AS (SELECT r.sub, s.cid, s.v[r.sub * 8 + 1 : r.sub * 8 + 8] AS cv
-       |       FROM ps0 s, range(8) r(sub)),
-       |subf AS (SELECT e.vec_id, r.sub, e.v[r.sub * 8 + 1 : r.sub * 8 + 8] AS sv
-       |       FROM e, range(8) r(sub)),
-       |${pqRound(1)},
-       |${pqRound(2)},
-       |fd AS (SELECT f.vec_id, f.sub, c.cid,
-       |        ${l2FoldSql("f.sv", "c.cv", 8)} AS d2
-       |      FROM subf f JOIN pcb2 c ON c.sub = f.sub),
-       |fm AS (SELECT vec_id, sub, min(d2) AS md FROM fd GROUP BY vec_id, sub),
-       |codes AS (SELECT d.vec_id, d.sub, min(d.cid) AS code
-       |      FROM fd d JOIN fm m ON m.vec_id = d.vec_id AND m.sub = d.sub
-       |        AND d.d2 = m.md GROUP BY d.vec_id, d.sub),
-       |qq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-       |qs AS (SELECT r.sub, qq.qv[r.sub * 8 + 1 : r.sub * 8 + 8] AS sv
-       |      FROM qq, range(8) r(sub)),
-       |pp AS (SELECT c.sub, c.cid AS code,
-       |        ${l2FoldSql("qs.sv", "c.cv", 8)} AS pd
-       |      FROM pcb2 c JOIN qs ON qs.sub = c.sub),
-       |adc AS (SELECT cd.vec_id,
-       |        ${(0 until 8).map(s0 =>
-                  s"max(CASE WHEN cd.sub = $s0 THEN p.pd END) AS p$s0")
-                  .mkString(",\n|        ")}
-       |      FROM codes cd JOIN pp p ON p.sub = cd.sub AND p.code = cd.code
-       |      GROUP BY cd.vec_id),
-       |est AS (SELECT vec_id,
-       |        round(${(0 until 8).map(s0 => s"p$s0").mkString(" + ")}, 6) AS est_d2
-       |      FROM adc)""".stripMargin
-
-  private val pqCtes =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |$pqChainCtes""".stripMargin
-
-  // Sketch oracle plumbing: the MinHash/SimHash hash basis is FNV-1a
-  // (functions/Fnv.scala) precisely so DuckDB can replay it. The SQL walks
-  // the UTF-8 bytes as hex pairs and folds the xor/multiply loop in HUGEINT
-  // mod 2^64 — byte-for-byte the Scala loop in SimHash.fnv1a (the byte only
-  // touches the low 8 bits, so the xor is done on `% 256` in BIGINT).
-  private def fnvSql(expr: String): String =
-    s"""list_reduce(
-       |  [14695981039346656037::HUGEINT] || list_transform(
-       |    range(1, octet_length(encode($expr)) + 1),
-       |    i -> ('0x' || substr(hex(encode($expr)), 2*i - 1, 2))::BIGINT::HUGEINT),
-       |  (a, b) -> ((a - a % 256 + xor((a % 256)::BIGINT, b::BIGINT)::HUGEINT)
-       |             * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)""".stripMargin
-  /** (a * c) mod 2^64 where `a` is an unsigned-64 HUGEINT expression and `c`
-    * a 64-bit constant — the constant is split at 32 bits so no intermediate
-    * exceeds int128 (a*c directly would need 128+ bits for c ~ 2^64). */
-  private def mulMod64Sql(a: String, c: Long): String = {
-    val c1 = java.lang.Long.divideUnsigned(c, 1L << 32)
-    val c0 = c & 0xffffffffL
-    s"""((($a) * $c0::HUGEINT
-       |  + (((($a) % 4294967296::HUGEINT) * $c1::HUGEINT) % 4294967296::HUGEINT)
-       |    * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)""".stripMargin
-  }
-  /** murmur3 fmix64 over an unsigned-64 HUGEINT column `h`, as a chain of
-    * CTE stages (each xor-shift references its input twice — a column ref,
-    * never a re-inlined subtree). Mirrors [[graft.functions.Fnv.fmix64]];
-    * verified value-for-value against the JVM on random 64-bit inputs. */
-  private def fmixStages(src: String, keyCol: String): String =
-    s"""x1 AS (SELECT $keyCol, xor(h, h // (1::HUGEINT << 33)) AS h FROM $src),
-       |x2 AS (SELECT $keyCol, ${mulMod64Sql("h", 0xff51afd7ed558ccdL)} AS h FROM x1),
-       |x3 AS (SELECT $keyCol, xor(h, h // (1::HUGEINT << 29)) AS h FROM x2),
-       |x4 AS (SELECT $keyCol, ${mulMod64Sql("h", 0xc4ceb9fe1a85ec53L)} AS h FROM x3),
-       |hh AS (SELECT $keyCol, xor(h, h // (1::HUGEINT << 32)) AS hu FROM x4)""".stripMargin
-  /** unsigned 64-bit HUGEINT -> the signed BIGINT Spark's LongType holds */
-  private def signed64(expr: String): String =
-    s"(CASE WHEN ($expr) >= 9223372036854775808::HUGEINT THEN ($expr) - 18446744073709551616::HUGEINT ELSE ($expr) END)::BIGINT"
-  /** Spark pmod(x, 2^31-1) on a signed 64-bit value */
-  private def pmodPrime(expr: String): String =
-    s"((($expr) % 2147483647) + 2147483647) % 2147483647"
-  /** Word n-gram shingles of `tk` — mirrors Dedup.shingles/minhashSignatures:
-    * full n-grams for >= n tokens, else the whole token string once ("" for
-    * empty docs). */
-  private def shingleSqlN(n: Int): String = {
-    val gram = (0 until n).map(j => if (j == 0) "tk[i]" else s"tk[i+$j]")
-      .mkString(" || ' ' || ")
-    s"""CASE WHEN len(tk) >= $n
-       |     THEN list_transform(range(1, len(tk) - ${n - 2}), i -> $gram)
-       |     ELSE [array_to_string(tk, ' ')] END""".stripMargin
-  }
-  private val shingleSql = shingleSqlN(3)
-  /** Shared CTE prefix doc_id -> per-shingle hash h (the EXACT constants the
-    * Spark path derives from Dedup.minhashParams' fixed seed are embedded by
-    * the callers below). */
-  /** CDC chunk replay, shared by the per-chunk and duplication oracles:
-    * -> `ch(doc_id, chunk_idx, start_tok, n_toks, chunk_md5)`. The boundary
-    * rule is the signed-pmod-16 of the same FNV-1a fold the sketch oracles
-    * replay, over the rolling 2-token window ("prev tok", just "tok" at
-    * position 0); chunk text re-joins tokens in position order. */
-  private lazy val cdcChunkCtes =
-    s"""WITH docs AS (SELECT doc_id, $toks AS tk FROM documents),
-       |t AS (SELECT doc_id, unnest(tk) AS tok,
-       |        generate_subscripts(tk, 1) - 1 AS pos FROM docs),
-       |tw AS (SELECT doc_id, pos, tok,
-       |         CASE WHEN lag(tok) OVER w IS NULL THEN tok
-       |              ELSE lag(tok) OVER w || ' ' || tok END AS wt
-       |       FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-       |hb AS (SELECT doc_id, pos, tok,
-       |         CASE WHEN (((${signed64(fnvSql("wt"))} % 16) + 16) % 16) = 0
-       |              THEN 1 ELSE 0 END AS b
-       |       FROM tw),
-       |cx AS (SELECT *, CAST(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
-       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - b
-       |         AS BIGINT) AS chunk_idx
-       |       FROM hb),
-       |ch AS (SELECT doc_id, chunk_idx, CAST(min(pos) AS BIGINT) AS start_tok,
-       |         count(*) AS n_toks,
-       |         md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
-       |       FROM cx GROUP BY doc_id, chunk_idx)""".stripMargin
-
-  private val minhashHashCtes =
-    s"""WITH docs AS (SELECT doc_id, $toks AS tk FROM documents),
-       |shg AS (SELECT doc_id, unnest($shingleSql) AS s FROM docs),
-       |hh AS (SELECT doc_id, ${pmodPrime(signed64(fnvSql("s")))} AS h FROM shg)""".stripMargin
-
-  /** The minhash LSH pair replay, shared by the pairs oracle and the
-    * end-to-end survivors oracle: -> `pairs(id1, id2, est_jaccard)`. */
-  /** BM25 scoring CTEs for the fixed 3-term query, shared by the direct,
-    * indexed and NDCG-eval oracles: ends with `scored(doc_id, score)`
-    * (Spark-parity round-4 score); `tf(id, t, tf)` is also referenced by
-    * the NDCG relevance CTE. */
-  private lazy val bm25ScoredCtes = {
-    val terms = Seq("spark", "window", "join")
-    val inList = terms.map(t => s"'$t'").mkString(", ")
-    val scoreSum = terms.map(t =>
-      s"coalesce(sum(CASE WHEN t = '$t' THEN part END), 0)").mkString(" + ")
-    s"""WITH dl AS (SELECT doc_id AS id, CAST(len($toks) AS BIGINT) AS dl FROM documents),
-       |g AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
-       |tk AS (SELECT doc_id AS id, unnest($toks) AS t FROM documents),
-       |tf AS (SELECT id, t, count(*) AS tf FROM tk WHERE t IN ($inList) GROUP BY id, t),
-       |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
-       |p AS (SELECT tf.id, tf.t,
-       |        ln((g.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
-       |          * (tf.tf * ${1.2 + 1}) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / g.avgdl)) AS part
-       |      FROM tf JOIN df USING (t) JOIN dl USING (id), g),
-       |scored AS (SELECT id AS doc_id, ${sparkRound(scoreSum, 4)} AS score
-       |           FROM p GROUP BY id)""".stripMargin
-  }
-
-  /** Langid scoring CTEs (`lid`: doc_id, lang_guess, en) shared by the
-    * text_langid lane and its confusion-matrix evaluation — the DuckDB
-    * mirror of TextAnalysis.textStatsFrame's stopword-argmax pick, tie
-    * broken in en>fr>de>es inventory order exactly like the Scala fold. */
-  private lazy val langidCtes =
-    s"""WITH s AS (
-       |  SELECT doc_id,
-       |    CASE WHEN len($toks)=0 THEN 0.0
-       |         ELSE CAST(len(list_filter($toks, x -> list_contains($enStops, x))) AS DOUBLE)/len($toks) END AS en,
-       |    CASE WHEN len($toks)=0 THEN 0.0
-       |         ELSE CAST(len(list_filter($toks, x -> list_contains($frStops, x))) AS DOUBLE)/len($toks) END AS fr,
-       |    CASE WHEN len($toks)=0 THEN 0.0
-       |         ELSE CAST(len(list_filter($toks, x -> list_contains($deStops, x))) AS DOUBLE)/len($toks) END AS de,
-       |    CASE WHEN len($toks)=0 THEN 0.0
-       |         ELSE CAST(len(list_filter($toks, x -> list_contains($esStops, x))) AS DOUBLE)/len($toks) END AS es,
-       |    CASE WHEN length(text)=0 THEN 0.0
-       |         ELSE CAST(length(regexp_replace(text,
-       |                '[^\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}]', '', 'g')) AS DOUBLE)/length(text) END AS cjk
-       |  FROM documents),
-       |lid AS (
-       |  SELECT doc_id,
-       |    CASE WHEN cjk > 0.05 THEN 'zh'
-       |         WHEN en >= fr AND en >= de AND en >= es AND en > 0 THEN 'en'
-       |         WHEN fr >= de AND fr >= es AND fr > 0 THEN 'fr'
-       |         WHEN de >= es AND de > 0 THEN 'de'
-       |         WHEN es > 0 THEN 'es'
-       |         ELSE 'und' END AS lang_guess,
-       |    en
-       |  FROM s)""".stripMargin
-
-  private lazy val minhashPairsCtes = {
-    val sigList = Dedup.minhashParams(32)
-      .map { case (a, b) => s"min((h * $a + $b) % 2147483647)" }
-      .mkString("[", ", ", "]")
-    s"""$minhashHashCtes,
-       |sigs AS (SELECT doc_id, $sigList AS sig FROM hh GROUP BY doc_id),
-       |bands AS (SELECT doc_id, sig, b, sig[4*b + 1 : 4*b + 4] AS key
-       |          FROM sigs, range(8) r(b)),
-       |sizes AS (SELECT b, key FROM bands GROUP BY b, key
-       |          HAVING count(*) BETWEEN 2 AND 100),
-       |cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
-       |         FROM bands l JOIN sizes z ON l.b = z.b AND l.key = z.key
-       |         JOIN bands r ON r.b = z.b AND r.key = z.key
-       |         WHERE l.doc_id < r.doc_id),
-       |est AS (SELECT c.id1, c.id2,
-       |          ${sparkRound("CAST(len(list_filter(range(1, 33), i -> s1.sig[i] = s2.sig[i])) AS DOUBLE) / 32.0", 6)} AS est_jaccard
-       |        FROM cand c JOIN sigs s1 ON s1.doc_id = c.id1
-       |        JOIN sigs s2 ON s2.doc_id = c.id2),
-       |pairs AS (SELECT id1, id2, est_jaccard FROM est WHERE est_jaccard >= 0.5)""".stripMargin
-  }
-
-  /** diag_profile replay, shared by both modes: melt via UNION ALL, the
-    * same fmix64(FNV-1a) register chain keyed by (c, v) — null values
-    * null-propagate through the hash into a null register excluded from
-    * the estimate — then the grouped two-level rollup and per-row estimate
-    * branch. `exact = false` swaps the count(DISTINCT v) leg for NULL,
-    * mirroring Profile.profile's scale mode. */
-  private def profileOracleSql(exact: Boolean): String = {
-    val num = Hll.numerator(8)
-    val meltCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
-      "l_returnflag", "l_linestatus")
-    val melt = meltCols.map(c =>
-      s"SELECT '$c' AS c, CAST($c AS VARCHAR) AS v FROM lineitem")
-      .mkString("\n|  UNION ALL ")
-    val ndLeg = if (exact) "count(DISTINCT v)" else "CAST(NULL AS BIGINT)"
-    val ndRollup = if (exact) "CAST(sum(nd) AS BIGINT)" else "CAST(NULL AS BIGINT)"
-    s"""WITH mlt AS (
-       |  $melt),
-       |h0 AS (SELECT c, v, ${fnvSql("v")} AS h FROM mlt),
-       |${fmixStages("h0", "c, v")},
-       |rk AS (SELECT c, v, hu // (1::HUGEINT << 56) AS idx,
-       |         CASE WHEN hu % (1::HUGEINT << 56) = 0 THEN 57
-       |              ELSE 57 - length(bin(hu % (1::HUGEINT << 56))) END AS rank
-       |       FROM hh),
-       |regs AS (SELECT c, idx, max(rank) AS r, $ndLeg AS nd,
-       |           count(*) AS cnt, count(v) AS nn
-       |         FROM rk GROUP BY c, idx),
-       |a AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS n_rows,
-       |        CAST(sum(cnt) - sum(nn) AS BIGINT) AS n_null,
-       |        $ndRollup AS ndv_exact,
-       |        count(CASE WHEN idx IS NOT NULL THEN 1 END) AS m_used,
-       |        coalesce(sum(CASE WHEN idx IS NOT NULL
-       |          THEN 1::HUGEINT << (57 - r) END), 0::HUGEINT) AS s_used
-       |      FROM regs GROUP BY c),
-       |f AS (SELECT c, n_rows, n_null, ndv_exact,
-       |        CAST(256 - m_used AS BIGINT) AS v_empty,
-       |        s_used + (256 - m_used)::HUGEINT * (1::HUGEINT << 57) AS z_scaled
-       |      FROM a)
-       |SELECT c AS col_name, n_rows, n_null, ndv_exact,
-       |  ${sparkRound(
-          s"""CASE WHEN $num / CAST(z_scaled AS DOUBLE) <= 640.0 AND v_empty > 0
-             |         THEN 256.0 * ln(256.0 / v_empty)
-             |         ELSE $num / CAST(z_scaled AS DOUBLE) END""".stripMargin, 4)} AS ndv_est
-       |FROM f ORDER BY col_name""".stripMargin
-  }
-
-  /** The BPE merge loop as a DuckDB recursive CTE (the `text_bpe_tokens` /
-    * `train_pack_bpe` oracles): per doc, fold the token list by merging the
-    * LEFTMOST occurrence of the best-ranked adjacent pair, one merge per
-    * iteration, until no ranked pair remains — equivalent to the Spark
-    * side's all-occurrences-at-once greedy loop because the fixture table
-    * is creation-ordered (a merge's output token only operands LATER
-    * merges, so merging one occurrence never surfaces a better-ranked
-    * pair). The VALUES list is generated from the same
-    * [[graft.functions.Bpe.fixtureTable]] the expression ships. Ends with
-    * `bpe(doc_id, toks)`. */
-  private def bpeFoldCtes: String =
-    s"""WITH RECURSIVE
-       |merges(l, r, rnk) AS (VALUES ${graft.functions.Bpe.fixtureTable.sqlValues}),
-       |init AS (
-       |  SELECT doc_id,
-       |    list_filter(string_split(substr(text, 1, 120), ''), x -> x <> '') AS toks
-       |  FROM documents),
-       |fold AS (
-       |  SELECT doc_id, toks, false AS done FROM init
-       |  UNION ALL
-       |  SELECT f.doc_id,
-       |    CASE WHEN best.pos IS NULL THEN f.toks
-       |         ELSE f.toks[1:best.pos-1] ||
-       |              [f.toks[best.pos] || f.toks[best.pos+1]] ||
-       |              f.toks[best.pos+2:len(f.toks)] END AS toks,
-       |    best.pos IS NULL AS done
-       |  FROM (SELECT * FROM fold WHERE NOT done) f
-       |  LEFT JOIN LATERAL (
-       |    SELECT i AS pos FROM (SELECT unnest(range(1, len(f.toks))) AS i) p
-       |    JOIN merges m ON m.l = f.toks[i] AND m.r = f.toks[i+1]
-       |    ORDER BY m.rnk, i LIMIT 1
-       |  ) best ON true),
-       |bpe AS (SELECT doc_id, toks FROM fold WHERE done)""".stripMargin
-
-  /** FULL-document BPE replay (VERDICT r13 #4): same merge fold, but per
-    * SEGMENT — documents split at breaker chars (code points in no merge
-    * operand, where the token stream provably factorizes; the character
-    * class comes from the SAME BpeTable the Spark expression ships). The
-    * recursion's depth is bounded by the longest operand-char run, not the
-    * document length, and single-char segments (every breaker) start done.
-    * Ends with `bpe(doc_id, toks)` — full-document token lists; empty-text
-    * docs are restored by the consumers' LEFT JOIN. */
-  private def bpeFoldCtesFull: String = {
-    val cls = graft.functions.Bpe.fixtureTable.operandClassBody.replace("'", "''")
-    val pat = s"[$cls]+|[^$cls]"
-    s"""WITH RECURSIVE
-       |merges(l, r, rnk) AS (VALUES ${graft.functions.Bpe.fixtureTable.sqlValues}),
-       |seglist AS (SELECT doc_id, regexp_extract_all(text, '$pat', 0) AS segs
-       |            FROM documents),
-       |init AS (
-       |  SELECT doc_id, i.seg_idx,
-       |    list_filter(string_split(segs[i.seg_idx], ''), x -> x <> '') AS toks,
-       |    length(segs[i.seg_idx]) <= 1 AS done
-       |  FROM seglist,
-       |       LATERAL (SELECT unnest(range(1, len(segs) + 1)) AS seg_idx) i),
-       |fold AS (
-       |  SELECT doc_id, seg_idx, toks, done FROM init
-       |  UNION ALL
-       |  SELECT f.doc_id, f.seg_idx,
-       |    CASE WHEN best.pos IS NULL THEN f.toks
-       |         ELSE f.toks[1:best.pos-1] ||
-       |              [f.toks[best.pos] || f.toks[best.pos+1]] ||
-       |              f.toks[best.pos+2:len(f.toks)] END AS toks,
-       |    best.pos IS NULL AS done
-       |  FROM (SELECT * FROM fold WHERE NOT done) f
-       |  LEFT JOIN LATERAL (
-       |    SELECT i AS pos FROM (SELECT unnest(range(1, len(f.toks))) AS i) p
-       |    JOIN merges m ON m.l = f.toks[i] AND m.r = f.toks[i+1]
-       |    ORDER BY m.rnk, i LIMIT 1
-       |  ) best ON true),
-       |seg_bpe AS (SELECT doc_id, seg_idx, toks FROM fold WHERE done),
-       |bpe AS (SELECT doc_id, flatten(list(toks ORDER BY seg_idx)) AS toks
-       |        FROM seg_bpe GROUP BY doc_id)""".stripMargin
-  }
-
-  /** The BPE TRAINING loop replay (`train_bpe_learn`): k unrolled stages
-    * over the word histogram. Stage i = weighted adjacent-pair counts over
-    * the current tokenization (lateral unnest), argmax with (cnt DESC,
-    * lhs, rhs) ties, then the learned merge applied in CLOSED FORM — all
-    * matches merge at once (single-pass disjointness: for l≠r matches can
-    * never be adjacent; for l==r a run of n merges ⌊n/2⌋ pairs at even
-    * offsets from the run start, gated here by the `% 2` parity against
-    * the last non-l position). Every multiply-referenced stage is
-    * MATERIALIZED — inlined chaining re-evaluates the prefix per
-    * reference (2^k blowup, measured 305 s → 0.9 s at sf0.01). No
-    * recursive CTE anywhere: chained recursion + lateral joins proved
-    * planner-shape-sensitive in DuckDB during prototyping. */
-  private def bpeLearnOracle(k: Int): String = {
-    val (ctes, learnSel) = bpeLearnStages(k)
-    ctes + learnSel
-  }
-
-  /** The train→apply composition replay (`train_bpe_apply_learned`): the
-    * same learning stages, then the final tokenization d_{k+1} joins each
-    * document's whitespace words for BPE token counts + fertility. */
-  private def bpeApplyOracle(k: Int): String = {
-    val toks = """list_filter(regexp_split_to_array(lower(text), '\s+'), x -> length(x) > 0)"""
-    val (ctes, _) = bpeLearnStages(k)
-    ctes +
-      s""",
-         |v AS (SELECT word, CAST(len(toks) AS BIGINT) AS nt FROM d${k + 1}),
-         |dw AS (SELECT doc_id, unnest($toks) AS word FROM documents),
-         |pd AS (SELECT doc_id, CAST(sum(nt) AS BIGINT) AS n_bpe_tokens,
-         |         CAST(count(*) AS BIGINT) AS n_words
-         |       FROM dw JOIN v USING (word) GROUP BY doc_id)
-         |SELECT d.doc_id, coalesce(n_bpe_tokens, 0) AS n_bpe_tokens,
-         |  coalesce(n_words, 0) AS n_words,
-         |  CASE WHEN coalesce(n_words, 0) = 0 THEN 0.0
-         |       ELSE ${sparkRound("CAST(n_bpe_tokens AS DOUBLE) / n_words", 4)} END AS fertility
-         |FROM documents d LEFT JOIN pd USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin
-  }
-
-  /** Shared CTE prefix for the two training lanes: (stages, learning
-    * select). See [[bpeLearnOracle]] / [[bpeApplyOracle]]. */
-  private def bpeLearnStages(k: Int): (String, String) = {
-    val toks = """list_filter(regexp_split_to_array(lower(text), '\s+'), x -> length(x) > 0)"""
-    def applySql(t: String, ml: String, mr: String): String = {
-      val cand = s"($t[i] = $ml AND $t[i+1] = $mr)"
-      val runstart = s"(coalesce(list_max(list_filter(range(1, i), j -> $t[j] <> $ml)), 0) + 1)"
-      val app = s"($cand AND ($ml <> $mr OR (i - $runstart) % 2 = 0))"
-      val cand1 = s"($t[i-1] = $ml AND $t[i] = $mr)"
-      val runstart1 = s"(coalesce(list_max(list_filter(range(1, i-1), j -> $t[j] <> $ml)), 0) + 1)"
-      val app1 = s"(i > 1 AND $cand1 AND ($ml <> $mr OR ((i-1) - $runstart1) % 2 = 0))"
-      s"""flatten(list_transform(range(1, len($t) + 1), i ->
-         |    CASE WHEN i < len($t) AND $app THEN [$t[i] || $t[i+1]]
-         |         WHEN $app1 THEN []
-         |         ELSE [$t[i]] END))""".stripMargin
-    }
-    val parts = scala.collection.mutable.ArrayBuffer(
-      s"""w AS MATERIALIZED (SELECT x AS word, CAST(count(*) AS BIGINT) AS wc
-         |  FROM (SELECT unnest($toks) AS x FROM documents) GROUP BY x)""".stripMargin,
-      """d1 AS MATERIALIZED (SELECT word, wc,
-        |  list_filter(string_split(word, ''), x -> x <> '') AS toks FROM w)""".stripMargin)
-    val sel = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (i <- 1 to k) {
-      parts += s"""p$i AS (SELECT toks[i] AS l, toks[i+1] AS r, CAST(sum(wc) AS BIGINT) AS cnt
-                  |  FROM d$i, LATERAL (SELECT unnest(range(1, len(toks))) AS i) ii GROUP BY 1, 2)""".stripMargin
-      parts += s"m$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1)"
-      sel += s"SELECT ${i - 1} AS merge_round, l AS lhs, r AS rhs, cnt AS pair_count FROM m$i"
-      // the final apply (d_{k+1}) feeds the train→apply composition lane
-      parts += s"""d${i + 1} AS MATERIALIZED (
-                  |  SELECT word, wc, ${applySql("toks", "m.l", "m.r")} AS toks
-                  |  FROM d$i, m$i m)""".stripMargin
-    }
-    ("WITH\n" + parts.mkString(",\n") + "\n",
-      sel.mkString(" UNION ALL ") + " ORDER BY merge_round")
-  }
+  /** Concatenated registry over the domain objects — the split is purely
+    * structural; key set and per-key behavior are byte-identical to the
+    * former monolith. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ExtText.queries ++ ExtTrain.queries ++ ExtDedup.queries ++
+      ExtSim.queries ++ ExtEvents.queries ++ ExtDiag.queries ++
+      ExtPipe.queries
 
   def oracles: Map[String, String] = oraclesBase +
     // the gRPC-transported flagship pipeline produces byte-identical
@@ -4259,3045 +42,21 @@ object Extensions {
     // table read back from the loopback ClickHouse endpoint folds to the
     // same per-fork counts the generator arithmetic predicts
     ("pipeline_e2e_http" -> oraclesBase("pipeline_e2e_chain")) +
-    ("train_bpe_learn" -> bpeLearnOracle(8)) +
-    ("train_bpe_apply_learned" -> bpeApplyOracle(8))
-
-  private def oraclesBase: Map[String, String] = Map(
-    "text_token_stats" ->
-      s"""SELECT doc_id, len($toks) AS n_tokens,
-         |  len(list_distinct($toks)) AS n_distinct,
-         |  CASE WHEN len($toks) = 0 THEN 0.0
-         |       ELSE ${sparkRound(s"CAST(list_aggregate(list_transform($toks, x -> length(x)), 'sum') AS DOUBLE) / len($toks)", 4)} END AS avg_word_len,
-         |  length(text) AS n_chars_m
-         |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "text_token_entropy" ->
-      s"""WITH t AS (SELECT doc_id, unnest($toks) AS w FROM documents),
-         |tf AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2),
-         |p AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-         |        count(*) AS n_distinct, sum(c * ln(c)) AS clc
-         |      FROM tf GROUP BY doc_id)
-         |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
-         |  coalesce(n_distinct, 0) AS n_distinct,
-         |  CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
-         |       ELSE ${sparkRound("ln(n_tokens) - clc / n_tokens", 6)} END AS token_entropy
-         |FROM documents d LEFT JOIN p USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin,
-
-    "text_quality" ->
-      s"""WITH q AS (
-         |  SELECT doc_id,
-         |    CASE WHEN length(text)=0 THEN 0.0
-         |         ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)/length(text) END AS punct_ratio,
-         |    CASE WHEN length(text)=0 THEN 0.0
-         |         ELSE CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)/length(text) END AS upper_ratio,
-         |    CASE WHEN len($toks)=0 THEN 0.0
-         |         ELSE CAST(len(list_filter($toks, x -> list_contains($enStops, x))) AS DOUBLE)/len($toks) END AS stop_ratio,
-         |    CASE WHEN len($toks)=0 THEN 0.0
-         |         ELSE CAST(list_aggregate(list_transform($toks, x -> length(x)), 'sum') AS DOUBLE)/len($toks) END AS mwl,
-         |    length(text) AS n_len
-         |  FROM documents)
-         |SELECT doc_id, ${sparkRound("punct_ratio", 4)} AS punct_ratio,
-         |  ${sparkRound("upper_ratio", 4)} AS upper_ratio,
-         |  ${sparkRound("stop_ratio", 4)} AS stop_ratio,
-         |  ${sparkRound(
-              """least(n_len/500.0, 1.0)*0.3 + least(stop_ratio*4.0, 1.0)*0.3
-                |    + (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)*0.2
-                |    + greatest(0.0, 1.0 - punct_ratio*5.0)*0.2""".stripMargin, 4)} AS quality
-         |FROM q ORDER BY doc_id""".stripMargin,
-
-    // Mirrors TextAnalysis.textStatsFrame's language pick exactly: per-language
-    // stopword hit-rate, argmax with ties broken en > fr > de > es (the order
-    // of LangInventories), 'und' when nothing scores, 'zh' when >5% of
-    // codepoints are CJK. RE2 spells Java's \p{script=Han} as \p{Han}.
-    "text_langid" ->
-      s"""$langidCtes
-         |SELECT doc_id, lang_guess, ${sparkRound("en", 4)} AS en_score
-         |FROM lid ORDER BY doc_id""".stripMargin,
-
-    // the same langid CTE joined back to the labeled lang column
-    "text_langid_confusion" ->
-      s"""$langidCtes
-         |SELECT d.lang AS lang_actual, l.lang_guess, count(*) AS n_docs
-         |FROM lid l JOIN documents d USING (doc_id)
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "dedup_exact_groups" ->
-      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
-        |  min(doc_id) AS survivor_id, count(*) AS n_dups
-        |FROM documents GROUP BY 1 ORDER BY survivor_id""".stripMargin,
-
-    // exact 3-gram shingle-set Jaccard, recomputed independently (the Spark
-    // side's estimate must land within the ±0.35 band -> verdict column)
-    "dedup_minhash_accuracy" ->
-      s"""WITH s AS (
-         |  SELECT doc_id AS id,
-         |    CASE WHEN len($toks) >= 3
-         |         THEN list_distinct(list_transform(range(1, len($toks) - 1),
-         |                i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]))
-         |         ELSE [array_to_string($toks, ' ')] END AS sh
-         |  FROM documents WHERE doc_id < 60)
-         |SELECT a.id AS id1, b.id AS id2,
-         |  ${sparkRound(
-              "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))",
-              6)} AS jaccard,
-         |  true AS within_tol
-         |FROM s a, s b WHERE a.id < b.id
-         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.01
-         |ORDER BY id1, id2""".stripMargin,
-
-    "dedup_simhash_invariance" ->
-      """SELECT doc_id, true AS normalization_invariant
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // Decontamination replay: same 5-gram shingles, same FNV-1a hashes,
-    // same distinct-per-doc + eval-set join + per-doc count.
-    "train_decontaminate" ->
-      s"""WITH docs AS (SELECT doc_id, $toks AS tk FROM documents),
-         |g AS (SELECT doc_id, unnest(list_distinct(${shingleSqlN(5)})) AS s FROM docs),
-         |h AS (SELECT doc_id, ${signed64(fnvSql("s"))} AS h FROM g),
-         |ev AS (SELECT DISTINCT h FROM h WHERE doc_id % 97 = 0),
-         |tr AS (SELECT doc_id, h FROM h WHERE doc_id % 97 <> 0)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
-         |FROM tr JOIN ev USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "train_contamination_score" ->
-      s"""WITH docs AS (SELECT doc_id, $toks AS tk FROM documents),
-         |g AS (SELECT doc_id, unnest(list_distinct(${shingleSqlN(5)})) AS s FROM docs),
-         |h AS (SELECT doc_id, ${signed64(fnvSql("s"))} AS h FROM g),
-         |ev AS (SELECT DISTINCT h FROM h WHERE doc_id % 97 = 0),
-         |tr AS (SELECT doc_id, CASE WHEN ev.h IS NULL THEN 0 ELSE 1 END AS sh
-         |       FROM h LEFT JOIN ev USING (h) WHERE doc_id % 97 <> 0)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-         |  CAST(sum(sh) AS BIGINT) AS n_shared,
-         |  ${sparkRound("CAST(sum(sh) AS DOUBLE) / count(*)", 6)} AS containment
-         |FROM tr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "events_streaks" ->
-      """WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
-        |           FROM events),
-        |i AS (SELECT user_id, day,
-        |        day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
-        |      FROM a),
-        |s AS (SELECT user_id, count(*) AS streak_days, min(day) AS start_day
-        |      FROM i GROUP BY user_id, grp)
-        |SELECT user_id, start_day, streak_days FROM s
-        |ORDER BY streak_days DESC, user_id, start_day LIMIT 20""".stripMargin,
-
-    "train_dataset_card" ->
-      s"""WITH d0 AS (SELECT lang, source,
-         |    CAST(len($toks) AS BIGINT) AS nt,
-         |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
-         |  FROM documents),
-         |dups AS (SELECT fp FROM d0 GROUP BY fp HAVING count(*) > 1)
-         |SELECT lang, source, count(*) AS n_docs,
-         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
-         |  ${sparkRound("CAST(sum(nt) AS DOUBLE) / count(*)", 4)} AS avg_doc_tokens,
-         |  CAST(sum(CASE WHEN dups.fp IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_docs,
-         |  ${sparkRound("CAST(sum(CASE WHEN dups.fp IS NULL THEN 0 ELSE 1 END) AS DOUBLE) / count(*)", 4)} AS dup_rate
-         |FROM d0 LEFT JOIN dups USING (fp)
-         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
-
-    "events_power_users_pareto" ->
-      s"""WITH per AS (SELECT user_id, count(*) AS n_ev FROM events GROUP BY user_id),
-         |dec AS (SELECT n_ev,
-         |          ntile(10) OVER (ORDER BY n_ev DESC, user_id) AS decile
-         |        FROM per),
-         |g AS (SELECT decile, count(*) AS n_users,
-         |        CAST(sum(n_ev) AS BIGINT) AS n_events
-         |      FROM dec GROUP BY decile),
-         |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS total FROM g),
-         |c AS (SELECT decile, n_users, n_events,
-         |        CAST(sum(n_events) OVER (ORDER BY decile) AS BIGINT) AS cum
-         |      FROM g)
-         |SELECT decile, n_users, n_events,
-         |  ${sparkRound("CAST(n_events AS DOUBLE) / total", 6)} AS share,
-         |  ${sparkRound("CAST(cum AS DOUBLE) / total", 6)} AS cum_share
-         |FROM c, t ORDER BY decile""".stripMargin,
-
-    "events_dau_wau" ->
-      s"""WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
-         |           FROM events),
-         |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM a GROUP BY day),
-         |days AS (SELECT DISTINCT day AS d0 FROM a),
-         |wau AS (SELECT d0 AS day, count(DISTINCT user_id) AS wau
-         |        FROM days JOIN a ON a.day BETWEEN d0 - 6 AND d0
-         |        GROUP BY d0)
-         |SELECT day, dau, wau,
-         |  ${sparkRound("CAST(dau AS DOUBLE) / wau", 6)} AS stickiness
-         |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
-
-    // PII scrub replay: identical regexes (written to the Java-regex /
-    // RE2 common subset), identical replacement order (email, then phone,
-    // then IP — counts taken on the text each stage sees), md5 fingerprint
-    // of the fully scrubbed text.
-    "text_pii_scrub" -> {
-      val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
-      val phone = """\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]\d{3,4}"""
-      val ip = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
-      s"""WITH inj AS (SELECT doc_id,
-         |    text || ' contact: user' || CAST(doc_id AS VARCHAR) ||
-         |    '@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
-         |    '-0199 at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
-         |  FROM documents),
-         |st AS (SELECT doc_id, t,
-         |    regexp_replace(t, '$email', '<EMAIL>', 'g') AS t1 FROM inj),
-         |st2 AS (SELECT doc_id, t, t1,
-         |    regexp_replace(t1, '$phone', '<PHONE>', 'g') AS t2 FROM st)
-         |SELECT doc_id,
-         |  CAST(len(regexp_extract_all(t, '$email')) AS INT) AS n_emails,
-         |  CAST(len(regexp_extract_all(t1, '$phone')) AS INT) AS n_phones,
-         |  CAST(len(regexp_extract_all(t2, '$ip')) AS INT) AS n_ips,
-         |  md5(regexp_replace(t2, '$ip', '<IP>', 'g')) AS scrub_fp
-         |FROM st2 ORDER BY doc_id""".stripMargin
-    },
-
-    // BM25 replay: identical formula with identical association order
-    // (k1=1.2, b=0.75 folded to the same literals), the same fixed-order
-    // per-term sum, and Spark-parity rounding absorbing the 1-ulp ln()
-    // difference between libm and the JVM. The indexed lane replays the
-    // SAME chain: the index is lossless, so the oracle recomputes straight
-    // from the raw documents table.
-    "rank_bm25_indexed" ->
-      s"""$bm25ScoredCtes
-         |SELECT doc_id, score FROM scored
-         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
-
-    // build+append must compose to the full-corpus ranking — same replay
-    "rank_bm25_incremental" ->
-      s"""$bm25ScoredCtes
-         |SELECT doc_id, score FROM scored
-         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
-
-    "rank_bm25_topk" ->
-      s"""$bm25ScoredCtes
-         |SELECT doc_id, score FROM scored
-         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
-
-    // NDCG replay: relevance = #distinct query terms per doc (from the
-    // same tf CTE), DCG over the rounded-score top-10 ranking, IDCG over
-    // the global ideal ordering (row_number + filter — the window is fine
-    // HERE, DuckDB is the single-node oracle; the Spark side uses
-    // TakeOrdered + a 10-row window instead)
-    "rank_ndcg_eval" ->
-      s"""$bm25ScoredCtes,
-         |rel AS (SELECT id AS doc_id, count(*) AS rel FROM tf GROUP BY id),
-         |top AS (SELECT doc_id, score FROM scored
-         |        ORDER BY score DESC, doc_id LIMIT 10),
-         |tr AS (SELECT t.doc_id, coalesce(r.rel, 0) AS rel,
-         |         row_number() OVER (ORDER BY t.score DESC, t.doc_id) AS rnk
-         |       FROM top t LEFT JOIN rel r USING (doc_id)),
-         |dcg AS (SELECT sum((pow(2.0, rel) - 1) / log2(rnk + 1)) AS dcg_10 FROM tr),
-         |ideal AS (SELECT rel, rnk FROM (
-         |            SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS rnk
-         |            FROM rel) WHERE rnk <= 10),
-         |idcg AS (SELECT sum((pow(2.0, rel) - 1) / log2(rnk + 1)) AS idcg_10 FROM ideal),
-         |rc AS (SELECT count(*) AS n_relevant FROM rel)
-         |SELECT CAST(n_relevant AS BIGINT) AS n_relevant,
-         |  ${sparkRound("dcg_10", 6)} AS dcg_10,
-         |  ${sparkRound("idcg_10", 6)} AS idcg_10,
-         |  ${sparkRound("dcg_10 / idcg_10", 6)} AS ndcg_10
-         |FROM dcg, idcg, rc""".stripMargin,
-
-    // Boilerplate top-k: same per-doc-distinct 5-gram stream, doc-frequency
-    // count, total-ordered (df DESC, ngram) top-20.
-    "text_boilerplate_ngrams" ->
-      s"""WITH docs AS (SELECT doc_id, $toks AS tk FROM documents),
-         |g AS (SELECT unnest(list_distinct(${shingleSqlN(5)})) AS ngram FROM docs)
-         |SELECT ngram, CAST(count(*) AS BIGINT) AS doc_freq
-         |FROM g GROUP BY ngram ORDER BY doc_freq DESC, ngram LIMIT 20""".stripMargin,
-
-    // Substring-duplication coverage replayed end-to-end: positioned
-    // 5-token spans (whole-string shingle for short docs, like
-    // Dedup.shingleFramePos), FNV span hashes mod P, the >= 2 occurrence
-    // set, per-doc interval union as DISTINCT (doc, pos + offset), and the
-    // coverage fraction with Spark-parity rounding.
-    "dedup_substring_coverage" ->
-      s"""WITH docs AS (SELECT doc_id, $toks AS tk FROM documents),
-         |starts AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
-         |           FROM docs WHERE len(tk) >= 5),
-         |shg AS (
-         |  SELECT doc_id, i - 1 AS pos, 5 AS width,
-         |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] AS s
-         |  FROM starts
-         |  UNION ALL
-         |  SELECT doc_id, 0, len(tk), array_to_string(tk, ' ')
-         |  FROM docs WHERE len(tk) BETWEEN 1 AND 4),
-         |hh AS (SELECT doc_id, pos, width, ${pmodPrime(signed64(fnvSql("s")))} AS h FROM shg),
-         |dup AS (SELECT h FROM hh GROUP BY h HAVING count(*) >= 2),
-         |cov AS (SELECT DISTINCT doc_id, cp FROM (
-         |        SELECT doc_id, pos + unnest(range(0, width)) AS cp
-         |        FROM hh JOIN dup USING (h))),
-         |percov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_tokens
-         |           FROM cov GROUP BY doc_id)
-         |SELECT d.doc_id, CAST(len(d.tk) AS BIGINT) AS n_tokens,
-         |  coalesce(p.n_dup_tokens, 0) AS n_dup_tokens,
-         |  CASE WHEN len(d.tk) = 0 THEN 0.0
-         |       ELSE ${sparkRound("coalesce(p.n_dup_tokens, 0)::DOUBLE / len(d.tk)", 6)}
-         |  END AS dup_frac
-         |FROM docs d LEFT JOIN percov p USING (doc_id)
-         |ORDER BY doc_id""".stripMargin,
-
-    // Count-Min heavy hitters replayed cell-for-cell: FNV token hash mod P,
-    // the 4 affine rows (constants interpolated from the fixed seed) into
-    // 256 buckets, the counter grid, the exact top-20 witness, and the min
-    // over each candidate's 4 counters.
-    "text_cms_heavy_hitters" -> {
-      val P = 2147483647L
-      val arms = graft.ext.Cms.cmsParams(4).zipWithIndex
-      val cellArms = arms.map { case ((a, b), j) =>
-        s"SELECT ((h * $a + $b) % $P) % 256 AS bucket, $j AS row FROM hh"
-      }.mkString("\n  UNION ALL ")
-      val candArms = arms.map { case ((a, b), j) =>
-        s"SELECT w, n_exact, $j AS row, ((h * $a + $b) % $P) % 256 AS bucket FROM exact"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH tk AS (SELECT unnest($toks) AS w FROM documents),
-         |hh AS (SELECT w, ${pmodPrime(signed64(fnvSql("w")))} AS h FROM tk),
-         |cells AS (
-         |  $cellArms),
-         |sk AS (SELECT row, bucket, count(*) AS cnt FROM cells GROUP BY row, bucket),
-         |exact AS (SELECT w, min(h) AS h, CAST(count(*) AS BIGINT) AS n_exact
-         |          FROM hh GROUP BY w ORDER BY n_exact DESC, w LIMIT 20),
-         |cand AS (
-         |  $candArms),
-         |est AS (SELECT w, n_exact, min(coalesce(cnt, 0)) AS n_est
-         |        FROM cand LEFT JOIN sk USING (row, bucket) GROUP BY w, n_exact)
-         |SELECT w, n_exact, n_est, n_est - n_exact AS over_count
-         |FROM est ORDER BY w""".stripMargin
-    },
-
-    // Portable HLL replayed end-to-end: fmix64(FNV-1a) token hash (unsigned
-    // HUGEINT form; the finalizer as chained xor/split-multiply CTE stages),
-    // register index = top 8 bits, rank = 57 - bin-length of the low
-    // 56 bits (bin() string length, NEVER log2 — double conversion can round
-    // a 56-bit value across a power-of-two boundary), per-register max-rank,
-    // the harmonic sum as exact scaled integers, and the estimate as one
-    // IEEE division by the shared numerator literal. The small-range ln()
-    // branch is absorbed by Spark-parity rounding.
-    "agg_approx_distinct_portable" -> {
-      val num = Hll.numerator(8) // α·m²·2^57, same literal the Spark side divides
-      s"""WITH t AS (SELECT unnest($toks) AS tok FROM documents),
-         |h0 AS (SELECT tok, ${fnvSql("tok")} AS h FROM t),
-         |${fmixStages("h0", "tok")},
-         |rk AS (SELECT tok, hu // (1::HUGEINT << 56) AS idx,
-         |         CASE WHEN hu % (1::HUGEINT << 56) = 0 THEN 57
-         |              ELSE 57 - length(bin(hu % (1::HUGEINT << 56))) END AS rank
-         |       FROM hh),
-         |regs AS (SELECT idx, max(rank) AS r, count(DISTINCT tok) AS nd
-         |         FROM rk GROUP BY idx),
-         |a AS (SELECT count(*) AS m_used,
-         |        sum(1::HUGEINT << (57 - r)) AS s_used,
-         |        CAST(sum(nd) AS BIGINT) AS n_exact FROM regs),
-         |f AS (SELECT CAST(256 AS INT) AS m,
-         |        CAST(256 - m_used AS BIGINT) AS v_empty,
-         |        s_used + (256 - m_used)::HUGEINT * (1::HUGEINT << 57) AS z_scaled,
-         |        n_exact FROM a),
-         |e AS (SELECT m, v_empty, CAST(z_scaled AS VARCHAR) AS z_scaled,
-         |        ${sparkRound(
-               s"""CASE WHEN $num / CAST(z_scaled AS DOUBLE) <= 640.0 AND v_empty > 0
-                  |             THEN 256.0 * ln(256.0 / v_empty)
-                  |             ELSE $num / CAST(z_scaled AS DOUBLE) END""".stripMargin, 4)} AS est_hll,
-         |        n_exact FROM f)
-         |SELECT m, v_empty, z_scaled, est_hll, n_exact,
-         |  ${sparkRound("(est_hll - n_exact) / CAST(n_exact AS DOUBLE)", 4)} AS rel_err
-         |FROM e""".stripMargin
-    },
-
-    // daily-merge replay: ONE direct register chain over user_id — by the
-    // merge property (register-wise max commutes with union, pinned in
-    // HllSpec) the merged estimate must equal it exactly, so the oracle
-    // emits the same value for both columns and the gate's hash compare
-    // enforces the property on real data every round
-    "agg_hll_daily_merge" -> {
-      val num = Hll.numerator(8)
-      s"""WITH t AS (SELECT CAST(user_id AS VARCHAR) AS u FROM events
-         |           WHERE user_id IS NOT NULL),
-         |h0 AS (SELECT u, ${fnvSql("u")} AS h FROM t),
-         |${fmixStages("h0", "u")},
-         |rk AS (SELECT u, hu // (1::HUGEINT << 56) AS idx,
-         |         CASE WHEN hu % (1::HUGEINT << 56) = 0 THEN 57
-         |              ELSE 57 - length(bin(hu % (1::HUGEINT << 56))) END AS rank
-         |       FROM hh),
-         |regs AS (SELECT idx, max(rank) AS r FROM rk GROUP BY idx),
-         |a AS (SELECT count(*) AS m_used,
-         |        sum(1::HUGEINT << (57 - r)) AS s_used FROM regs),
-         |f AS (SELECT CAST(256 - m_used AS BIGINT) AS v_empty,
-         |        s_used + (256 - m_used)::HUGEINT * (1::HUGEINT << 57) AS z_scaled
-         |      FROM a),
-         |e AS (SELECT ${sparkRound(
-               s"""CASE WHEN $num / CAST(z_scaled AS DOUBLE) <= 640.0 AND v_empty > 0
-                  |             THEN 256.0 * ln(256.0 / v_empty)
-                  |             ELSE $num / CAST(z_scaled AS DOUBLE) END""".stripMargin, 4)} AS est
-         |      FROM f),
-         |nd AS (SELECT count(DISTINCT epoch_us(ts) // 86400000000) AS n_days
-         |       FROM events)
-         |SELECT CAST(n_days AS BIGINT) AS n_days, est AS est_merged,
-         |  est AS est_direct
-         |FROM e, nd""".stripMargin
-    },
-
-    // intersection replay: the grouped register chain for the two sets,
-    // per-set and merged (register-wise max) estimates, inclusion–
-    // exclusion in double, exact intersection witness
-    "agg_hll_intersect" -> {
-      val num = Hll.numerator(8)
-      def est(src: String) =
-        s"""CASE WHEN $num / CAST($src.z_scaled AS DOUBLE) <= 640.0 AND $src.v_empty > 0
-           |             THEN 256.0 * ln(256.0 / $src.v_empty)
-           |             ELSE $num / CAST($src.z_scaled AS DOUBLE) END""".stripMargin
-      s"""WITH t AS (SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events
-         |           WHERE user_id IS NOT NULL
-         |             AND event_type IN ('click', 'purchase')),
-         |h0 AS (SELECT event_type, u, ${fnvSql("u")} AS h FROM t),
-         |${fmixStages("h0", "event_type, u")},
-         |rk AS (SELECT event_type, hu // (1::HUGEINT << 56) AS idx,
-         |         CASE WHEN hu % (1::HUGEINT << 56) = 0 THEN 57
-         |              ELSE 57 - length(bin(hu % (1::HUGEINT << 56))) END AS rank
-         |       FROM hh),
-         |regsBy AS (SELECT event_type, idx, max(rank) AS r FROM rk GROUP BY 1, 2),
-         |regsU AS (SELECT idx, max(r) AS r FROM regsBy GROUP BY idx),
-         |fBy AS (SELECT event_type, CAST(256 - count(*) AS BIGINT) AS v_empty,
-         |          sum(1::HUGEINT << (57 - r))
-         |            + (256 - count(*))::HUGEINT * (1::HUGEINT << 57) AS z_scaled
-         |        FROM regsBy GROUP BY 1),
-         |fU AS (SELECT CAST(256 - count(*) AS BIGINT) AS v_empty,
-         |         sum(1::HUGEINT << (57 - r))
-         |           + (256 - count(*))::HUGEINT * (1::HUGEINT << 57) AS z_scaled
-         |       FROM regsU),
-         |ea AS (SELECT ${sparkRound(est("fBy"), 4)} AS est_a FROM fBy
-         |       WHERE event_type = 'click'),
-         |eb AS (SELECT ${sparkRound(est("fBy"), 4)} AS est_b FROM fBy
-         |       WHERE event_type = 'purchase'),
-         |eu AS (SELECT ${sparkRound(est("fU"), 4)} AS est_union FROM fU),
-         |x AS (SELECT count(*) AS nd_exact_intersect FROM
-         |        (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
-         |        NATURAL JOIN
-         |        (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
-         |SELECT est_a, est_b, est_union,
-         |  CAST(nd_exact_intersect AS BIGINT) AS nd_exact_intersect,
-         |  ${sparkRound("est_a + est_b - est_union", 4)} AS est_intersect
-         |FROM ea, eb, eu, x""".stripMargin
-    },
-
-    // grouped-NDV replay: the register chain with event_type carried
-    // through every stage, per-group estimate + exact witness
-    "agg_hll_by_group" -> {
-      val num = Hll.numerator(8)
-      val est =
-        s"""CASE WHEN $num / CAST(z_scaled AS DOUBLE) <= 640.0 AND v_empty > 0
-           |             THEN 256.0 * ln(256.0 / v_empty)
-           |             ELSE $num / CAST(z_scaled AS DOUBLE) END""".stripMargin
-      s"""WITH t AS (SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events
-         |           WHERE user_id IS NOT NULL),
-         |h0 AS (SELECT event_type, u, ${fnvSql("u")} AS h FROM t),
-         |${fmixStages("h0", "event_type, u")},
-         |rk AS (SELECT event_type, hu // (1::HUGEINT << 56) AS idx,
-         |         CASE WHEN hu % (1::HUGEINT << 56) = 0 THEN 57
-         |              ELSE 57 - length(bin(hu % (1::HUGEINT << 56))) END AS rank
-         |       FROM hh),
-         |regs AS (SELECT event_type, idx, max(rank) AS r FROM rk GROUP BY 1, 2),
-         |a AS (SELECT event_type, count(*) AS m_used,
-         |        sum(1::HUGEINT << (57 - r)) AS s_used FROM regs GROUP BY 1),
-         |f AS (SELECT event_type, CAST(256 - m_used AS BIGINT) AS v_empty,
-         |        s_used + (256 - m_used)::HUGEINT * (1::HUGEINT << 57) AS z_scaled
-         |      FROM a),
-         |e AS (SELECT event_type, ${sparkRound(est, 4)} AS est_hll FROM f),
-         |x AS (SELECT event_type, count(DISTINCT user_id) AS nd_exact FROM events
-         |      WHERE user_id IS NOT NULL GROUP BY 1)
-         |SELECT e.event_type, est_hll, CAST(nd_exact AS BIGINT) AS nd_exact,
-         |  ${sparkRound("(est_hll - nd_exact) / CAST(nd_exact AS DOUBLE)", 4)} AS rel_err
-         |FROM e JOIN x USING (event_type) ORDER BY event_type""".stripMargin
-    },
-
-    "text_code_detect" -> {
-      val kwList = Seq("def", "class", "return", "import", "function", "var",
-        "let", "const", "if", "else", "for", "while", "void", "int")
-        .map(w => s"'$w'").mkString("[", ", ", "]")
-      val brace =
-        """(CAST(length(text) - length(regexp_replace(text, '[{}()\[\];]', '', 'g')) AS DOUBLE) / greatest(length(text), 1))"""
-      val kwr =
-        s"""(CAST(len(list_filter($toks, x -> list_contains($kwList, x))) AS DOUBLE) / greatest(len($toks), 1))"""
-      val score = sparkRound(
-        s"least($brace * 20, 1.0) * 0.5 + least($kwr * 8, 1.0) * 0.5", 4)
-      s"""SELECT doc_id, length(text) AS n_chars,
-         |  ${sparkRound(brace, 4)} AS brace_ratio,
-         |  ${sparkRound(kwr, 4)} AS kw_ratio,
-         |  $score AS code_score,
-         |  ($score >= 0.5) AS is_code
-         |FROM documents ORDER BY doc_id""".stripMargin
-    },
-
-    // MinHash k=8 signature lanes replayed exactly: FNV-1a shingle hashes +
-    // the same affine permutation constants (interpolated from the fixed
-    // seed, so the two sides can never drift).
-    "dedup_minhash_sig" -> {
-      val lanes = Dedup.minhashParams(8).zipWithIndex.map { case ((a, b), i) =>
-        s"min((h * $a + $b) % 2147483647) AS m$i" }.mkString(", ")
-      s"""$minhashHashCtes,
-         |sigs AS (SELECT doc_id, $lanes FROM hh GROUP BY doc_id)
-         |SELECT doc_id, m0 AS h0, m1 AS h1, m7 AS h7 FROM sigs ORDER BY doc_id""".stripMargin
-    },
-
-    // Full LSH pair-finding replay: k=32 signatures, 8 bands of 4 rows
-    // (bucket key = the raw signature slice — Spark buckets on a hash of
-    // it, which only merges buckets on a 64-bit collision), bucket-size
-    // guard 2..100, signature-agreement estimate >= 0.5 after Spark-parity
-    // rounding, plus the non-empty marker row (-1, n_docs, 0.0).
-    "dedup_minhash_pairs" ->
-      s"""$minhashPairsCtes,
-         |marker AS (SELECT CAST(-1 AS BIGINT) AS id1, CAST(count(*) AS BIGINT) AS id2,
-         |                  CAST(0.0 AS DOUBLE) AS est_jaccard FROM documents)
-         |SELECT * FROM (SELECT * FROM marker UNION ALL SELECT * FROM pairs)
-         |ORDER BY id1, id2""".stripMargin,
-
-    // Incremental dedup replayed end-to-end: signatures for BOTH
-    // generations, store = even doc_ids / delta = odd, store-side bucket
-    // guard, banded delta->store join, agreement >= 0.5 verification, and
-    // min-store-id assignment (arg_min mirrors Spark's min_by tiebreak on
-    // the unique s_id).
-    "dedup_incremental" -> {
-      val sigList = Dedup.minhashParams(32)
-        .map { case (a, b) => s"min((h * $a + $b) % 2147483647)" }
-        .mkString("[", ", ", "]")
-      s"""$minhashHashCtes,
-         |sigs AS (SELECT doc_id, $sigList AS sig FROM hh GROUP BY doc_id),
-         |sb AS (SELECT doc_id, sig, b, sig[4*b + 1 : 4*b + 4] AS key
-         |       FROM sigs, range(8) r(b) WHERE doc_id % 2 = 0),
-         |db AS (SELECT doc_id, sig, b, sig[4*b + 1 : 4*b + 4] AS key
-         |       FROM sigs, range(8) r(b) WHERE doc_id % 2 = 1),
-         |ok AS (SELECT b, key FROM sb GROUP BY b, key HAVING count(*) <= 100),
-         |cand AS (SELECT DISTINCT d.doc_id AS d_id, s.doc_id AS s_id
-         |         FROM db d JOIN ok z ON d.b = z.b AND d.key = z.key
-         |         JOIN sb s ON s.b = z.b AND s.key = z.key),
-         |est AS (SELECT c.d_id, c.s_id,
-         |          ${sparkRound("CAST(len(list_filter(range(1, 33), i -> s1.sig[i] = s2.sig[i])) AS DOUBLE) / 32.0", 6)} AS e
-         |        FROM cand c JOIN sigs s1 ON s1.doc_id = c.d_id
-         |        JOIN sigs s2 ON s2.doc_id = c.s_id),
-         |best AS (SELECT d_id, min(s_id) AS matched_id,
-         |           arg_min(e, s_id) AS est_jaccard
-         |         FROM est WHERE e >= 0.5 GROUP BY d_id)
-         |SELECT dd.doc_id, best.matched_id IS NULL AS kept,
-         |  coalesce(best.matched_id, dd.doc_id) AS cluster,
-         |  best.matched_id, best.est_jaccard
-         |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) dd
-         |LEFT JOIN best ON best.d_id = dd.doc_id
-         |ORDER BY dd.doc_id""".stripMargin
-    },
-
-    // The whole near-dup pipeline replayed in one oracle: LSH pairs (the
-    // CTE block above), a recursive-CTE transitive closure for connected
-    // components, min-id survivor election, and every untouched doc kept.
-    "dedup_neardup_survivors" ->
-      s"""${minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |sym AS (SELECT id1 AS a, id2 AS b FROM pairs
-         |        UNION SELECT id2, id1 FROM pairs),
-         |reach(a, r) AS (
-         |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
-         |  UNION
-         |  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.a),
-         |comp AS (SELECT a, min(r) AS label FROM reach GROUP BY a)
-         |SELECT d.doc_id, CAST(coalesce(comp.label, d.doc_id) AS BIGINT) AS component,
-         |  coalesce(comp.label, d.doc_id) = d.doc_id AS kept
-         |FROM documents d LEFT JOIN comp ON comp.a = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
-
-    // Quality-election replay: the same closure, survivor = row_number 1
-    // under (n_tokens DESC, doc_id) per component.
-    "dedup_quality_survivors" ->
-      s"""${minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |sym AS (SELECT id1 AS a, id2 AS b FROM pairs
-         |        UNION SELECT id2, id1 FROM pairs),
-         |reach(a, r) AS (
-         |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
-         |  UNION
-         |  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.a),
-         |comp AS (SELECT a, min(r) AS label FROM reach GROUP BY a),
-         |base AS (SELECT d.doc_id,
-         |           CAST(coalesce(comp.label, d.doc_id) AS BIGINT) AS component,
-         |           CAST(len($toks) AS BIGINT) AS n_tokens
-         |         FROM documents d LEFT JOIN comp ON comp.a = d.doc_id),
-         |sv AS (SELECT component, doc_id AS survivor_id,
-         |         row_number() OVER (PARTITION BY component
-         |                            ORDER BY n_tokens DESC, doc_id) AS rn
-         |       FROM base)
-         |SELECT b.doc_id, b.component, b.n_tokens, s.survivor_id,
-         |  s.survivor_id = b.doc_id AS kept
-         |FROM base b JOIN (SELECT component, survivor_id FROM sv WHERE rn = 1) s
-         |  USING (component)
-         |ORDER BY b.doc_id""".stripMargin,
-
-    // Cluster-keyed split: the survivors' transitive closure feeding the
-    // same md5 fences as train_split_hash, keyed on the cluster id.
-    "train_split_by_cluster" ->
-      s"""${minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |sym AS (SELECT id1 AS a, id2 AS b FROM pairs
-         |        UNION SELECT id2, id1 FROM pairs),
-         |reach(a, r) AS (
-         |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
-         |  UNION
-         |  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.a),
-         |comp AS (SELECT a, min(r) AS label FROM reach GROUP BY a),
-         |cl AS (SELECT d.doc_id,
-         |         CAST(coalesce(comp.label, d.doc_id) AS BIGINT) AS cluster_id
-         |       FROM documents d LEFT JOIN comp ON comp.a = d.doc_id)
-         |SELECT doc_id, cluster_id,
-         |  CASE WHEN substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
-         |       WHEN substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 2) < 'f3' THEN 'valid'
-         |       ELSE 'test' END AS split
-         |FROM cl ORDER BY doc_id""".stripMargin,
-
-    // SimHash replayed exactly: FNV-1a token hashes, 64 +1/-1 bit votes,
-    // sign -> bit, then Spark's conv(...,10,16) = DuckDB hex() on the signed
-    // value (both print two's-complement uppercase without leading zeros).
-    // Docs with no tokens have no vote rows -> coalesce to simhash 0, like
-    // SimHash.compute on an empty array.
-    "dedup_simhash" ->
-      s"""WITH t AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
-         |h AS (SELECT doc_id, ${fnvSql("tok")} AS h FROM t),
-         |bits AS (SELECT doc_id, b,
-         |           sum(CASE WHEN (h // (1::HUGEINT << b)) % 2 = 1 THEN 1 ELSE -1 END) AS v
-         |         FROM h, range(64) r(b) GROUP BY 1, 2),
-         |u AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS uv
-         |      FROM bits GROUP BY 1),
-         |s AS (SELECT d.doc_id, ${signed64("coalesce(u.uv, 0::HUGEINT)")} AS sh
-         |      FROM documents d LEFT JOIN u USING (doc_id)),
-         |s0 AS (SELECT sh AS sh0 FROM s WHERE doc_id = 0)
-         |SELECT s.doc_id, hex(s.sh) AS simhash_hex,
-         |  CAST(bit_count(xor(s.sh, s0.sh0)) AS INT) AS hamming_to_0
-         |FROM s, s0 ORDER BY s.doc_id""".stripMargin,
-
-    "train_shuffle_shard" ->
-      s"""WITH b AS (
-         |  SELECT doc_id,
-         |    md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k,
-         |    substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 2) AS stratum,
-         |    CAST(len($toks) AS BIGINT) AS n_tokens
-         |  FROM documents)
-         |SELECT doc_id, stratum,
-         |  CAST(floor((sum(n_tokens) OVER (PARTITION BY stratum ORDER BY k)
-         |              - n_tokens) / $shardBudget.0) AS BIGINT) AS shard,
-         |  n_tokens
-         |FROM b ORDER BY doc_id""".stripMargin,
-
-    "train_pack_stats" ->
-      s"""WITH b AS (
-         |  SELECT doc_id,
-         |    md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k,
-         |    substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 2) AS stratum,
-         |    CAST(len($toks) AS BIGINT) AS n_tokens
-         |  FROM documents),
-         |s AS (
-         |  SELECT stratum,
-         |    CAST(floor((sum(n_tokens) OVER (PARTITION BY stratum ORDER BY k)
-         |                - n_tokens) / $shardBudget.0) AS BIGINT) AS shard,
-         |    n_tokens
-         |  FROM b)
-         |SELECT stratum, shard, count(*) AS n_docs,
-         |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
-         |  ${OracleSql.sparkRound(s"CAST(sum(n_tokens) AS DOUBLE) / $shardBudget.0", 4)} AS fill
-         |FROM s GROUP BY 1, 2 ORDER BY stratum, shard""".stripMargin,
-
-    // per-stratum budget cut replayed as the plain window cumsum
-    // FFD replay: same seeded-FNV shard, same (nt DESC, id) order, same
-    // first-bin-with-room rule — list_position over the transformed bin
-    // loads finds the first fit; NULL opens a new bin.
-    "train_pack_ffd" ->
-      s"""WITH RECURSIVE base AS (
-         |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS nt,
-         |    CAST(((${signed64(fnvSql("'ffd:' || CAST(doc_id AS VARCHAR)"))} % 16) + 16) % 16 AS INT) AS shard
-         |  FROM documents),
-         |d AS (SELECT *, row_number() OVER (PARTITION BY shard
-         |        ORDER BY nt DESC, doc_id) AS rn
-         |      FROM base WHERE nt > 0),
-         |fold(shard, rn, bins) AS (
-         |  SELECT shard, CAST(0 AS BIGINT), CAST([] AS BIGINT[])
-         |  FROM (SELECT DISTINCT shard FROM d)
-         |  UNION ALL
-         |  SELECT f.shard, f.rn + 1,
-         |    CASE WHEN p.idx IS NULL OR p.idx = 0
-         |         THEN list_append(f.bins, dd.nt)
-         |         ELSE list_concat(list_concat(
-         |           f.bins[:p.idx - 1], [f.bins[p.idx] + dd.nt]),
-         |           f.bins[p.idx + 1:]) END
-         |  FROM fold f
-         |  JOIN d dd ON dd.shard = f.shard AND dd.rn = f.rn + 1
-         |  CROSS JOIN LATERAL (SELECT list_position(
-         |      list_transform(f.bins, b -> b + dd.nt <= 256), true) AS idx) p),
-         |lastrn AS (SELECT shard, max(rn) AS mrn FROM fold GROUP BY shard),
-         |fin AS (SELECT f.shard, CAST(len(f.bins) AS BIGINT) AS n_bins
-         |        FROM fold f JOIN lastrn l ON f.shard = l.shard AND f.rn = l.mrn),
-         |agg AS (SELECT shard, count(*) AS n_docs,
-         |          CAST(sum(nt) AS BIGINT) AS n_tokens
-         |        FROM d GROUP BY shard)
-         |SELECT a.shard, a.n_docs, a.n_tokens, fin.n_bins,
-         |  ${OracleSql.sparkRound("CAST(a.n_tokens AS DOUBLE) / (fin.n_bins * 256)", 6)} AS fill
-         |FROM agg a JOIN fin ON a.shard = fin.shard
-         |ORDER BY a.shard""".stripMargin,
-
-    // Reweight replay: same aggregate + share/weight arithmetic in double.
-    "train_mixture_reweight" ->
-      s"""WITH pl AS (SELECT lang, count(*) AS n_docs,
-         |    CAST(sum(len($toks)) AS BIGINT) AS n_tokens
-         |  FROM documents GROUP BY lang),
-         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
-         |        count(*) AS n_langs FROM pl),
-         |w AS (SELECT pl.*, t.tot, t.n_langs,
-         |    least(10.0::DOUBLE, greatest(0.1::DOUBLE,
-         |      (CAST(1 AS DOUBLE) / n_langs) /
-         |        (CAST(n_tokens AS DOUBLE) / tot))) AS wraw
-         |  FROM pl, t),
-         |w2 AS (SELECT *, CASE WHEN n_tokens = 0 THEN 10.0
-         |         ELSE ${OracleSql.sparkRound("wraw", 6)} END AS weight
-         |  FROM w)
-         |SELECT lang, n_docs, n_tokens,
-         |  ${OracleSql.sparkRound("CAST(n_tokens AS DOUBLE) / tot", 6)} AS current_share,
-         |  weight,
-         |  ${OracleSql.sparkRound("n_tokens * weight", 2)} AS expected_tokens
-         |FROM w2 ORDER BY lang""".stripMargin,
-
-    "train_token_budget_mix" ->
-      s"""WITH b AS (
-         |  SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS nt,
-         |    substr(md5('budget:' || CAST(doc_id AS VARCHAR)), 1, 4) AS k
-         |  FROM documents),
-         |c AS (
-         |  SELECT lang, nt,
-         |    CASE WHEN lang = 'en' THEN 5000 ELSE 2000 END AS budget,
-         |    sum(nt) OVER (PARTITION BY lang ORDER BY k, doc_id) - nt AS start
-         |  FROM b),
-         |kept AS (SELECT * FROM c WHERE start < budget)
-         |SELECT lang, count(*) AS n_docs_kept,
-         |  CAST(sum(nt) AS BIGINT) AS tokens_kept,
-         |  CAST(max(budget) AS BIGINT) AS budget,
-         |  ${sparkRound("CAST(sum(nt) AS DOUBLE) / max(budget)", 4)} AS fill
-         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
-
-    // the two-phase prefix sum must equal the plain global window cumsum
-    "train_pack_concat" ->
-      s"""WITH b AS (
-         |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
-         |c AS (
-         |  SELECT doc_id, n_tokens,
-         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT) AS start_off
-         |  FROM b)
-         |SELECT doc_id, n_tokens, start_off,
-         |  CAST(floor(start_off / 2048.0) AS BIGINT) AS pack_first,
-         |  CAST(floor((start_off + greatest(n_tokens, 1) - 1) / 2048.0) AS BIGINT) AS pack_last,
-         |  CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
-         |       ELSE CAST(floor((start_off + greatest(n_tokens, 1) - 1) / 2048.0) AS BIGINT)
-         |            - CAST(floor(start_off / 2048.0) AS BIGINT) + 1 END AS packs_spanned
-         |FROM c ORDER BY doc_id""".stripMargin,
-
-    // BPE merge-loop replay (see bpeFoldCtes) + the token string join.
-    "text_bpe_tokens" ->
-      s"""$bpeFoldCtes
-         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe,
-         |  array_to_string(toks, '|') AS toks_str
-         |FROM bpe ORDER BY doc_id""".stripMargin,
-
-    // Full-document per-segment merge replay + the md5'd token string.
-    "text_bpe_tokens_full" ->
-      s"""$bpeFoldCtesFull
-         |SELECT d.doc_id, CAST(coalesce(len(b.toks), 0) AS BIGINT) AS n_bpe,
-         |  md5(coalesce(array_to_string(b.toks, '|'), '')) AS toks_md5
-         |FROM documents d LEFT JOIN bpe b USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin,
-
-    // FULL-document BPE counts (per-segment fold) through the
-    // train_pack_concat window replay, budget 512.
-    "train_pack_bpe" ->
-      s"""$bpeFoldCtesFull,
-         |b AS (SELECT d.doc_id,
-         |        CAST(coalesce(len(p.toks), 0) AS BIGINT) AS n_tokens
-         |      FROM documents d LEFT JOIN bpe p USING (doc_id)),
-         |c AS (SELECT doc_id, n_tokens,
-         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT) AS start_off
-         |  FROM b)
-         |SELECT doc_id, n_tokens, start_off,
-         |  CAST(floor(start_off / 512.0) AS BIGINT) AS pack_first,
-         |  CAST(floor((start_off + greatest(n_tokens, 1) - 1) / 512.0) AS BIGINT) AS pack_last,
-         |  CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
-         |       ELSE CAST(floor((start_off + greatest(n_tokens, 1) - 1) / 512.0) AS BIGINT)
-         |            - CAST(floor(start_off / 512.0) AS BIGINT) + 1 END AS packs_spanned
-         |FROM c ORDER BY doc_id""".stripMargin,
-
-    // TF-IDF replay: same counts, same smoothed idf, same (score DESC,
-    // term) tie order.
-    "text_tfidf_keywords" ->
-      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
-         |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
-         |dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
-         |n AS (SELECT count(*) AS nn FROM documents),
-         |sc AS (SELECT doc_id, t,
-         |    ${sparkRound("tf * ln(CAST(nn + 1 AS DOUBLE) / (df + 1))", 6)} AS score
-         |  FROM tf JOIN dfreq USING (t), n),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
-         |        ORDER BY score DESC, t) AS rnk FROM sc)
-         |SELECT doc_id, CAST(rnk AS INT) AS rnk, t AS term, score
-         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
-
-    // Gate battery replay: identical tokenization, integer-derived ratios
-    // against the same decimal literals, '...' count via the same
-    // replace-length delta.
-    "text_quality_gates" ->
-      s"""WITH tk AS (SELECT doc_id, lang, text, $toks AS t FROM documents),
-         |sig AS (SELECT doc_id, lang,
-         |    len(t) AS nw,
-         |    coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS sl,
-         |    len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS na,
-         |    len(list_distinct(list_filter(t, x -> list_contains($enStops, x)))) AS ns,
-         |    (length(text) - length(replace(text, '...', ''))) // 3 AS ne
-         |  FROM tk),
-         |g AS (SELECT lang,
-         |    (nw >= 30 AND nw <= 100000) AS gw,
-         |    (CASE WHEN nw = 0 THEN 0.0 ELSE CAST(sl AS DOUBLE) / nw END >= 3.0
-         |     AND CASE WHEN nw = 0 THEN 0.0 ELSE CAST(sl AS DOUBLE) / nw END <= 10.0) AS gm,
-         |    (CASE WHEN nw = 0 THEN 0.0 ELSE CAST(na AS DOUBLE) / nw END >= 0.7) AS ga,
-         |    (ns >= 2) AS gs,
-         |    (CASE WHEN nw = 0 THEN 0.0 ELSE CAST(ne AS DOUBLE) / nw END <= 0.1) AS gy
-         |  FROM sig)
-         |SELECT lang, count(*) AS n_docs,
-         |  CAST(sum(CASE WHEN gw AND gm AND ga AND gs AND gy THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
-         |  CAST(sum(CASE WHEN NOT gw THEN 1 ELSE 0 END) AS BIGINT) AS fail_words,
-         |  CAST(sum(CASE WHEN NOT gm THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_len,
-         |  CAST(sum(CASE WHEN NOT ga THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
-         |  CAST(sum(CASE WHEN NOT gs THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
-         |  CAST(sum(CASE WHEN NOT gy THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol
-         |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
-
-    "text_repetition" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, unnest($toks) AS w, unnest(range(len($toks))) AS pos
-         |  FROM documents),
-         |b AS (
-         |  SELECT doc_id, w,
-         |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
-         |  FROM t),
-         |wc AS (SELECT doc_id, w, count(*) AS c FROM b GROUP BY 1, 2),
-         |wa AS (SELECT doc_id, max(c) AS top_w, CAST(sum(c) AS BIGINT) AS n_tokens,
-         |              count(*) AS n_distinct FROM wc GROUP BY 1),
-         |bc AS (SELECT doc_id, w || ' ' || nxt AS big, count(*) AS c
-         |       FROM b WHERE nxt IS NOT NULL GROUP BY 1, 2),
-         |ba AS (SELECT doc_id, max(c) AS top_b, CAST(sum(c) AS BIGINT) AS n_bigrams
-         |       FROM bc GROUP BY 1)
-         |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
-         |  coalesce(n_distinct, 0) AS n_distinct,
-         |  CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
-         |       ELSE ${sparkRound("(n_tokens - n_distinct) / CAST(n_tokens AS DOUBLE)", 4)}
-         |  END AS dup_word_frac,
-         |  CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
-         |       ELSE ${sparkRound("top_w / CAST(n_tokens AS DOUBLE)", 4)}
-         |  END AS top_word_frac,
-         |  CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0.0
-         |       ELSE ${sparkRound("top_b / CAST(n_bigrams AS DOUBLE)", 4)}
-         |  END AS top_bigram_frac
-         |FROM documents d
-         |LEFT JOIN wa ON d.doc_id = wa.doc_id
-         |LEFT JOIN ba ON d.doc_id = ba.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
-
-    "dedup_cluster_components" ->
-      s"""WITH RECURSIVE e AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-         |  FROM embeddings WHERE vec_id < 100),
-         |nd AS (
-         |  SELECT a.vec_id AS id1, b.vec_id AS id2
-         |  FROM e a, e b WHERE a.vec_id < b.vec_id
-         |    AND ${sparkRound("list_cosine_similarity(a.v, b.v)", 6)} >= 0.3),
-         |sym AS (SELECT id1 AS a, id2 AS b FROM nd
-         |        UNION SELECT id2, id1 FROM nd),
-         |reach(a, r) AS (
-         |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
-         |  UNION
-         |  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.a)
-         |SELECT a AS vec_id, CAST(min(r) AS BIGINT) AS component
-         |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin,
-
-    // Histogram replayed: same IEEE bucket arithmetic ((v-lo)/((hi-lo)/10)
-    // floored and clamped), same null exclusion.
-    "diag_histogram_2d" ->
-      """WITH li AS (SELECT CAST(l_quantity AS DOUBLE) AS q,
-        |              CAST(l_extendedprice AS DOUBLE) AS p FROM lineitem),
-        |g AS (SELECT min(q) AS mnq, max(q) AS mxq,
-        |             min(p) AS mnp, max(p) AS mxp FROM li)
-        |SELECT CAST(CASE WHEN (mxq - mnq) / 5.0 = 0.0 THEN 0
-        |         ELSE least(4, floor((q - mnq) / ((mxq - mnq) / 5.0))) END AS BIGINT) AS bin_q,
-        |  CAST(CASE WHEN (mxp - mnp) / 5.0 = 0.0 THEN 0
-        |         ELSE least(4, floor((p - mnp) / ((mxp - mnp) / 5.0))) END AS BIGINT) AS bin_p,
-        |  count(*) AS n
-        |FROM li, g GROUP BY 1, 2 ORDER BY bin_q, bin_p""".stripMargin,
-
-    "sim_threshold_calibration" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |nn AS (SELECT count(*) AS n FROM e),
-         |hv AS (SELECT vec_id, v,
-         |         ${signed64(fnvSql("'cal:' || CAST(vec_id AS VARCHAR)"))} AS h
-         |       FROM e),
-         |pr AS (SELECT vec_id, v,
-         |         (vec_id + 1 + ((h % (n - 1)) + (n - 1)) % (n - 1)) % n AS pid
-         |       FROM hv, nn),
-         |cs AS (SELECT ${sparkRound("list_cosine_similarity(pr.v, e2.v)", 6)} AS cos
-         |       FROM pr JOIN e e2 ON e2.vec_id = pr.pid),
-         |b AS (SELECT CAST(least(9, floor((cos + 1.0) / 0.2)) AS BIGINT) AS bin,
-         |        count(*) AS n_pairs
-         |      FROM cs GROUP BY 1),
-         |t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS tt FROM b)
-         |SELECT bin, n_pairs,
-         |  ${sparkRound("CAST(n_pairs AS DOUBLE) / tt", 6)} AS share
-         |FROM b, t ORDER BY bin""".stripMargin,
-
-    "diag_histogram" ->
-      """WITH g AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
-        |           FROM lineitem)
-        |SELECT CAST(CASE WHEN hi = lo THEN 0
-        |         ELSE least(9, floor((l_extendedprice - lo) / ((hi - lo) / 10)))
-        |       END AS INT) AS bucket,
-        |  count(*) AS n, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
-        |FROM lineitem, g WHERE l_extendedprice IS NOT NULL
-        |GROUP BY 1 ORDER BY bucket""".stripMargin,
-
-    // Equi-depth replayed: the standard ntile remainder rule over the
-    // same (value, id) total order is engine-identical
-    "diag_histogram_depth" ->
-      """WITH t AS (SELECT o_totalprice AS v, o_orderkey AS id FROM orders
-        |           WHERE o_totalprice IS NOT NULL),
-        |b AS (SELECT v, CAST(ntile(12) OVER (ORDER BY v, id) AS INT) AS bucket FROM t)
-        |SELECT bucket, count(*) AS n, min(v) AS lo, max(v) AS hi
-        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
-
-    // Profile replayed: melt via UNION ALL, the same fmix64(FNV-1a)
-    // register chain keyed by (c, v) — null values null-propagate through
-    // the hash into a null register excluded from the estimate — then the
-    // grouped two-level rollup and per-row estimate branch.
-    // every check replayed as the same plain aggregates; FK via NOT IN
-    // with explicit NULL handling to match left-anti semantics
-    "diag_constraints" ->
-      """SELECT * FROM (
-        |SELECT 'documents.text_nonempty' AS check_name,
-        |  (SELECT count(*) FROM documents) AS n_rows,
-        |  (SELECT count(*) FROM documents WHERE length(text) = 0 OR text IS NULL) AS n_violations
-        |UNION ALL
-        |SELECT 'lineitem.discount_range', (SELECT count(*) FROM lineitem),
-        |  (SELECT count(*) FROM lineitem
-        |   WHERE l_discount < 0 OR l_discount > 1 OR l_discount IS NULL)
-        |UNION ALL
-        |SELECT 'lineitem.fk_orders', (SELECT count(*) FROM lineitem),
-        |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL
-        |     OR l_orderkey NOT IN (SELECT o_orderkey FROM orders
-        |                           WHERE o_orderkey IS NOT NULL))
-        |UNION ALL
-        |SELECT 'orders.orderdate_notnull', (SELECT count(*) FROM orders),
-        |  (SELECT count(*) FROM orders WHERE o_orderdate IS NULL)
-        |UNION ALL
-        |SELECT 'orders.pk_unique', (SELECT count(*) FROM orders),
-        |  (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
-        |UNION ALL
-        |SELECT 'orders.totalprice_nonneg', (SELECT count(*) FROM orders),
-        |  (SELECT count(*) FROM orders WHERE o_totalprice < 0 OR o_totalprice IS NULL)
-        |) ORDER BY check_name""".stripMargin,
-
-    // feature-hashing replay: same FNV bucket, same tf/df aggregates, the
-    // same tf*ln((N+1)/(df+1)) weight with Spark-parity rounding
-    "text_feature_hashing" ->
-      s"""WITH tk AS (SELECT doc_id, unnest($toks) AS t FROM documents WHERE doc_id < 100),
-         |dimt AS (SELECT doc_id,
-         |           CAST(((${signed64(fnvSql("t"))} % 64) + 64) % 64 AS INT) AS dim
-         |         FROM tk),
-         |tf AS (SELECT doc_id, dim, count(*) AS tf FROM dimt GROUP BY doc_id, dim),
-         |dfd AS (SELECT dim, count(*) AS df FROM tf GROUP BY dim),
-         |nn AS (SELECT count(*) AS n FROM documents WHERE doc_id < 100)
-         |SELECT doc_id, dim, ${sparkRound("tf * ln((n + 1.0) / (df + 1.0))", 6)} AS weight
-         |FROM tf JOIN dfd USING (dim), nn
-         |ORDER BY doc_id, dim""".stripMargin,
-
-    "diag_profile" -> profileOracleSql(exact = true),
-
-    // scale mode: same chain, the exact-NDV leg replaced by NULL
-    "diag_profile_fast" -> profileOracleSql(exact = false),
-
-    // Join-cardinality replayed: both sides' fmix64(FNV-1a) register
-    // frames, the union as a register-wise max over the concatenation,
-    // three estimate chains sharing the same rounding, inclusion-exclusion
-    // from the ROUNDED components, and the exact witness.
-    "diag_join_cardinality" -> {
-      val num = Hll.numerator(8)
-      def side(pre: String, keyExpr: String, from: String): String =
-        s"""${pre}h0 AS (SELECT ${fnvSql(keyExpr)} AS h FROM $from),
-           |${pre}x1 AS (SELECT xor(h, h // (1::HUGEINT << 33)) AS h FROM ${pre}h0),
-           |${pre}x2 AS (SELECT ${mulMod64Sql("h", 0xff51afd7ed558ccdL)} AS h FROM ${pre}x1),
-           |${pre}x3 AS (SELECT xor(h, h // (1::HUGEINT << 29)) AS h FROM ${pre}x2),
-           |${pre}x4 AS (SELECT ${mulMod64Sql("h", 0xc4ceb9fe1a85ec53L)} AS h FROM ${pre}x3),
-           |${pre}hh AS (SELECT xor(h, h // (1::HUGEINT << 32)) AS hu FROM ${pre}x4),
-           |${pre}regs AS (SELECT hu // (1::HUGEINT << 56) AS idx,
-           |    max(CASE WHEN hu % (1::HUGEINT << 56) = 0 THEN 57
-           |             ELSE 57 - length(bin(hu % (1::HUGEINT << 56))) END) AS r
-           |  FROM ${pre}hh GROUP BY 1)""".stripMargin
-      def est(pre: String, regsRef: String): String =
-        s"""${pre}a AS (SELECT count(*) AS m_used,
-           |    sum(1::HUGEINT << (57 - r)) AS s_used FROM $regsRef),
-           |${pre}f AS (SELECT CAST(256 - m_used AS BIGINT) AS v_empty,
-           |    s_used + (256 - m_used)::HUGEINT * (1::HUGEINT << 57) AS z_scaled
-           |  FROM ${pre}a),
-           |${pre}e AS (SELECT ${sparkRound(
-                s"""CASE WHEN $num / CAST(z_scaled AS DOUBLE) <= 640.0 AND v_empty > 0
-                   |         THEN 256.0 * ln(256.0 / v_empty)
-                   |         ELSE $num / CAST(z_scaled AS DOUBLE) END""".stripMargin, 4)} AS est
-           |  FROM ${pre}f)""".stripMargin
-      s"""WITH ${side("o", "CAST(o_custkey AS VARCHAR)", "orders")},
-         |${side("c", "CAST(c_custkey AS VARCHAR)", "customer")},
-         |uregs AS (SELECT idx, max(r) AS r FROM
-         |  (SELECT * FROM oregs UNION ALL SELECT * FROM cregs) GROUP BY idx),
-         |${est("eo", "oregs")},
-         |${est("ec", "cregs")},
-         |${est("eu", "uregs")},
-         |x AS (SELECT count(*) AS n_exact_common FROM
-         |  (SELECT DISTINCT o_custkey AS k FROM orders) a JOIN
-         |  (SELECT DISTINCT c_custkey AS k FROM customer) b USING (k))
-         |SELECT eoe.est AS ndv_orders, ece.est AS ndv_customer,
-         |  eue.est AS ndv_union,
-         |  ${sparkRound("eoe.est + ece.est - eue.est", 4)} AS est_common,
-         |  n_exact_common
-         |FROM eoe, ece, eue, x""".stripMargin
-    },
-
-    // Skew diagnostics replayed: per-key counts, 1-row globals, share and
-    // straggler multiplier with Spark-parity rounding, top-20.
-    "diag_key_skew" ->
-      s"""WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
-         |g AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
-         |        count(*) AS n_keys FROM c)
-         |SELECT user_id, cnt, n_keys,
-         |  ${sparkRound("cnt::DOUBLE / n_rows", 6)} AS share,
-         |  ${sparkRound("cnt::DOUBLE * n_keys / n_rows", 4)} AS skew
-         |FROM c, g
-         |ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin,
-
-    // JL projection replayed from the plane literals: list_inner_product
-    // accumulates sequentially in double exactly like the codegen'd dot
-    // expression (the lshCtes parity), /sqrt(8) as the exact
-    // Double.toString literal, squared norm in the same left-assoc order.
-    "sim_random_projection" -> {
-      val ps = Similarity.hyperplanes(64, 8, seed = 11L)
-      val scale = math.sqrt(8.0)
-      val ys = ps.zipWithIndex.map { case (p, j) =>
-        s"list_inner_product(v, ${planeLit(p)}) / $scale AS y$j"
-      }.mkString(",\n|    ")
-      val ny2 = (0 until 8).map(j => s"y$j*y$j").mkString(" + ")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |p AS (SELECT vec_id,
-         |    $ys
-         |  FROM e)
-         |SELECT vec_id, ${sparkRound("y0", 6)} AS y0, ${sparkRound("y1", 6)} AS y1,
-         |  ${sparkRound(ny2, 6)} AS ny2
-         |FROM p ORDER BY vec_id""".stripMargin
-    },
-
-    "sim_quantize_int8" ->
-      // the parquet column is FLOAT[]; widen to DOUBLE[] first or DuckDB
-      // keeps the whole pipeline in float32 while Spark's aggregate promotes
-      // per-element (float bits → double) — emb below matches Spark exactly
-      s"""WITH q AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
-         |    list_aggregate(list_transform(embedding,
-         |      x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
-         |  FROM embeddings)
-         |SELECT vec_id,
-         |  ${sparkRound("127.0 / mx", 6)} AS scale,
-         |  ${sparkRound(
-              """list_aggregate(list_transform(emb,
-                |      x -> (x - floor(x * (127.0 / mx) + 0.5) / (127.0 / mx))
-                |         * (x - floor(x * (127.0 / mx) + 0.5) / (127.0 / mx))), 'sum')
-                |    / len(emb)""".stripMargin, 10)} AS mse,
-         |  CAST(len(list_filter(emb,
-         |    x -> abs(floor(x * (127.0 / mx) + 0.5)) >= 127)) AS BIGINT) AS n_sat
-         |FROM q WHERE mx > 0.0
-         |ORDER BY vec_id""".stripMargin,
-
-    "train_split_hash" ->
-      """SELECT doc_id,
-        |  substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
-        |  CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
-        |         THEN 'train'
-        |       WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
-        |         THEN 'valid'
-        |       ELSE 'test' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // The four magic masks are 0x00FF00FF / 0x0F0F0F0F / 0x33333333 /
-    // 0x55555555 in decimal; the CTE chain replays Layout.spreadBits16
-    // stage by stage.
-    "layout_zorder" ->
-      """WITH pts AS (SELECT CAST(floor(value) AS BIGINT) AS x,
-        |                    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS y FROM events),
-        |s1 AS (SELECT x, y, ((x | (x << 8)) & 16711935) AS xa,
-        |                    ((y | (y << 8)) & 16711935) AS ya FROM pts),
-        |s2 AS (SELECT x, y, ((xa | (xa << 4)) & 252645135) AS xb,
-        |                    ((ya | (ya << 4)) & 252645135) AS yb FROM s1),
-        |s3 AS (SELECT x, y, ((xb | (xb << 2)) & 858993459) AS xc,
-        |                    ((yb | (yb << 2)) & 858993459) AS yc FROM s2),
-        |s4 AS (SELECT x, y, ((xc | (xc << 1)) & 1431655765) AS xs,
-        |                    ((yc | (yc << 1)) & 1431655765) AS ys FROM s3)
-        |SELECT (xs | (ys << 1)) >> 10 AS zb, count(*) AS n,
-        |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
-        |FROM s4 GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // rates: en 0.25 -> '4000', zh 0.5 -> '8000', default 1.0 -> 'g'
-    // (sorts above every hex digit = keep all; 'ffff' would drop the top
-    // draw). Thresholds replicate Sampling.thresholdHex exactly.
-    "train_stratified_sample" ->
-      """SELECT doc_id, lang FROM documents
-        |WHERE substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 4) <
-        |  CASE WHEN lang = 'en' THEN '4000'
-        |       WHEN lang = 'zh' THEN '8000' ELSE 'g' END
-        |ORDER BY doc_id""".stripMargin,
-
-    "train_sample_per_lang" ->
-      """SELECT doc_id, lang FROM (
-        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
-        |    ORDER BY substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 4), doc_id) AS rk
-        |  FROM documents) WHERE rk <= 40 ORDER BY doc_id""".stripMargin,
-
-    // Rebalance replayed end-to-end: stratum counts, the (N/k)/n_s rate in
-    // the same IEEE division order, the weightedSample clamp + hex fences,
-    // then before/after counts.
-    "train_mixture_rebalance" ->
-      """WITH nb AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY lang),
-        |g AS (SELECT count(*) AS n_tot, count(DISTINCT lang) AS k FROM documents),
-        |r AS (SELECT lang, least(1.0, (n_tot::DOUBLE / k) / n_before) AS rate
-        |      FROM nb CROSS JOIN g),
-        |kept AS (SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
-        |  WHERE substr(md5('strat:' || CAST(d.doc_id AS VARCHAR)), 1, 4) <
-        |    CASE WHEN greatest(0.0, least(1.0, rate)) >= 1.0 THEN 'g'
-        |         ELSE lpad(lower(hex(CAST(floor(
-        |           greatest(0.0, least(1.0, rate)) * 65536) AS BIGINT))), 4, '0')
-        |    END),
-        |na AS (SELECT lang, count(*) AS n_after FROM kept GROUP BY lang)
-        |SELECT nb.lang, nb.n_before, coalesce(na.n_after, 0) AS n_after
-        |FROM nb LEFT JOIN na USING (lang) ORDER BY nb.lang""".stripMargin,
-
-    // Temperature sampling replayed: stratum counts, 9-decimal sqrt
-    // weights summed as exact DECIMALs (order-free), target shares, the
-    // binding ratio t, the (t·q)/n rate in the same association order,
-    // then the weightedSample fences and before/after counts.
-    "train_temperature_sample" ->
-      s"""WITH nb AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
-         |w AS (SELECT lang, n, CAST(sum(n) OVER () AS BIGINT) AS n_tot FROM nb),
-         |x AS (SELECT lang, n,
-         |        CAST(${sparkRound("sqrt(n::DOUBLE / n_tot)", 9)} AS DECIMAL(38,9)) AS w9
-         |      FROM w),
-         |y AS (SELECT lang, n,
-         |        CAST(w9 AS DOUBLE) / CAST(sum(w9) OVER () AS DOUBLE) AS q
-         |      FROM x),
-         |z AS (SELECT lang, n, q, min(n::DOUBLE / q) OVER () AS t FROM y),
-         |r AS (SELECT lang, least(1.0, t * q / n::DOUBLE) AS rate FROM z),
-         |kept AS (SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
-         |  WHERE substr(md5('strat:' || CAST(d.doc_id AS VARCHAR)), 1, 4) <
-         |    CASE WHEN greatest(0.0, least(1.0, rate)) >= 1.0 THEN 'g'
-         |         ELSE lpad(lower(hex(CAST(floor(
-         |           greatest(0.0, least(1.0, rate)) * 65536) AS BIGINT))), 4, '0')
-         |    END),
-         |na AS (SELECT lang, count(*) AS n_after FROM kept GROUP BY lang)
-         |SELECT nb.lang, nb.n AS n_before, coalesce(na.n_after, 0) AS n_after
-         |FROM nb LEFT JOIN na USING (lang) ORDER BY nb.lang""".stripMargin,
-
-    // Per-row threshold hex replicated exactly: clamp, floor(rate*65536),
-    // 4-digit lower-case hex, 'g' sentinel at rate >= 1.
-    "train_weighted_sample" ->
-      """SELECT doc_id, n_chars FROM documents
-        |WHERE substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 4) <
-        |  CASE WHEN greatest(0.0, least(1.0, n_chars::DOUBLE / 500.0)) >= 1.0 THEN 'g'
-        |       ELSE lpad(lower(hex(CAST(floor(
-        |         greatest(0.0, least(1.0, n_chars::DOUBLE / 500.0)) * 65536) AS BIGINT))), 4, '0')
-        |  END
-        |ORDER BY doc_id""".stripMargin,
-
-    // A-ES replay: same seeded-FNV u ∈ (0,1] (52-bit draw), same
-    // ln(u)/(nt+1) key Spark-rounded to 12 decimals, same per-stratum
-    // row_number with id tie-break
-    "train_weighted_topk" ->
-      s"""WITH b AS (SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS nt
-         |           FROM documents),
-         |h0 AS (SELECT doc_id, lang, nt,
-         |         ${fnvSql("'aes:' || CAST(doc_id AS VARCHAR)")} AS h FROM b),
-         |kx AS (SELECT doc_id, lang, nt,
-         |         ${sparkRound(
-              "ln(CAST((h % (1::HUGEINT << 52)) + 1 AS DOUBLE) / 4503599627370496.0) / (nt + 1)",
-              12)} AS aes_key
-         |       FROM h0),
-         |r AS (SELECT doc_id, lang, nt,
-         |        row_number() OVER (PARTITION BY lang
-         |          ORDER BY aes_key DESC, doc_id) AS rank
-         |      FROM kx)
-         |SELECT lang, doc_id, nt AS n_tokens, CAST(rank AS BIGINT) AS rank
-         |FROM r WHERE rank <= 20 ORDER BY lang, rank""".stripMargin,
-
-    // Bigram LM replayed exactly: positioned bigrams, corpus bigram/prefix
-    // counts, the continuation vocabulary V, each add-one conditional
-    // (c2+1)/(c1+V) as the IEEE double both engines compute, Spark-rounded
-    // to 9 decimals and summed as exact DECIMAL terms
-    // (association-order-free), then one division + Spark-parity rounding.
-    "text_bigram_lm_score" ->
-      s"""WITH docs AS (SELECT doc_id, $toks AS tk FROM documents),
-         |bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2,
-         |         tk[i] || ' ' || tk[i+1] AS b
-         |       FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
-         |             FROM docs WHERE len(tk) >= 2)),
-         |cbg AS (SELECT b, count(*) AS c2 FROM bg GROUP BY b),
-         |cw1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
-         |vv AS (SELECT count(DISTINCT w2) AS v FROM bg),
-         |sc AS (SELECT doc_id,
-         |         CAST(${sparkRound("(c2 + 1)::DOUBLE / (c1 + v)", 9)} AS DECIMAL(38,9)) AS r
-         |       FROM bg JOIN cbg USING (b) JOIN cw1 USING (w1) CROSS JOIN vv),
-         |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |         CAST(sum(r) AS DOUBLE) AS s, count(*) AS n
-         |       FROM sc GROUP BY doc_id)
-         |SELECT d.doc_id, coalesce(ag.n_bigrams, 0) AS n_bigrams,
-         |  CASE WHEN ag.doc_id IS NULL THEN 0.0
-         |       ELSE ${sparkRound("ag.s / ag.n", 6)} END AS avg_cond_prob
-         |FROM documents d LEFT JOIN ag ON ag.doc_id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
-
-    // Chunk geometry replayed: nc = max(1, ceil((ntok-8)/24)) for non-empty
-    // docs, 1-based inclusive list slices (both engines clamp at the end),
-    // md5 of the space-joined window.
-    "text_chunk_windows" ->
-      s"""WITH docs AS (SELECT doc_id, $toks AS tk FROM documents),
-         |n AS (SELECT doc_id, tk,
-         |        CASE WHEN len(tk) <= 0 THEN 0
-         |             ELSE greatest(1, CAST(ceil((len(tk) - 8)::DOUBLE / 24) AS BIGINT))
-         |        END AS nc
-         |      FROM docs),
-         |c AS (SELECT doc_id, tk, unnest(range(0, nc)) AS chunk_idx FROM n WHERE nc > 0),
-         |s AS (SELECT doc_id, chunk_idx,
-         |        tk[CAST(chunk_idx*24 + 1 AS INT) : CAST(chunk_idx*24 + 32 AS INT)] AS ch
-         |      FROM c)
-         |SELECT doc_id, chunk_idx, CAST(len(ch) AS BIGINT) AS n_chunk_tokens,
-         |  md5(array_to_string(ch, ' ')) AS chunk_md5
-         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
-
-    // the BPE merge-loop CTE composed with the chunk-window replay
-    // (chunkSize 32, overlap 8 → stride 24), md5 over the space-join
-    "text_chunk_bpe" ->
-      s"""$bpeFoldCtes,
-         |n AS (SELECT doc_id, toks AS tk,
-         |        CASE WHEN len(toks) <= 0 THEN 0
-         |             ELSE greatest(1, CAST(ceil((len(toks) - 8)::DOUBLE / 24) AS BIGINT))
-         |        END AS nc
-         |      FROM bpe),
-         |c AS (SELECT doc_id, tk, unnest(range(0, nc)) AS chunk_idx FROM n WHERE nc > 0),
-         |sl AS (SELECT doc_id, chunk_idx,
-         |        tk[CAST(chunk_idx*24 + 1 AS INT) : CAST(chunk_idx*24 + 32 AS INT)] AS ch
-         |      FROM c)
-         |SELECT doc_id, chunk_idx, CAST(len(ch) AS BIGINT) AS n_chunk_tokens,
-         |  md5(array_to_string(ch, ' ')) AS chunk_md5
-         |FROM sl ORDER BY doc_id, chunk_idx""".stripMargin,
-
-    // CDC chunking replayed: per-token FNV-1a (the hex-pair byte fold),
-    // boundary = signed pmod 16 == 0, chunk index = boundaries strictly
-    // before the token (running sum minus own flag, CAST — HUGEINT),
-    // per-chunk md5 of the pos-ordered join.
-    "text_cdc_chunks" ->
-      s"""$cdcChunkCtes
-         |SELECT doc_id, chunk_idx, start_tok, n_toks, chunk_md5
-         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
-
-    // Chunk-duplication payoff replayed over the same CTEs: repeated chunk
-    // hashes, occurrences + distinct docs, deterministic top-50.
-    "dedup_cdc_shared" ->
-      s"""$cdcChunkCtes
-         |SELECT chunk_md5, count(*) AS n_occ,
-         |  count(DISTINCT doc_id) AS n_docs
-         |FROM ch GROUP BY chunk_md5 HAVING count(*) > 1
-         |ORDER BY n_occ DESC, chunk_md5 LIMIT 50""".stripMargin,
-
-    "text_vocab_topk" ->
-      s"""SELECT w, count(*) AS n
-         |FROM (SELECT unnest($toks) AS w FROM documents)
-         |GROUP BY 1 ORDER BY n DESC, w LIMIT 100""".stripMargin,
-
-    "train_quality_filter" ->
-      s"""WITH f AS (
-         |  SELECT doc_id,
-         |    CASE WHEN length(text)=0 THEN 0.0
-         |         ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)/length(text) END AS punct_ratio,
-         |    CASE WHEN len($toks)=0 THEN 0.0
-         |         ELSE CAST(len(list_filter($toks, x -> list_contains($enStops, x))) AS DOUBLE)/len($toks) END AS stop_ratio,
-         |    CASE WHEN len($toks)=0 THEN 0.0
-         |         ELSE CAST(list_aggregate(list_transform($toks, x -> length(x)), 'sum') AS DOUBLE)/len($toks) END AS mwl,
-         |    length(text) AS n_len, CAST(len($toks) AS BIGINT) AS n_tokens
-         |  FROM documents),
-         |q AS (SELECT doc_id, n_tokens,
-         |        ${sparkRound(
-                    """least(n_len/500.0, 1.0)*0.3 + least(stop_ratio*4.0, 1.0)*0.3
-                      |          + (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)*0.2
-                      |          + greatest(0.0, 1.0 - punct_ratio*5.0)*0.2""".stripMargin, 4)} AS quality
-         |      FROM f),
-         |s AS (SELECT min(doc_id) AS doc_id FROM documents
-         |      GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
-         |SELECT q.doc_id, quality, n_tokens FROM q JOIN s USING (doc_id)
-         |WHERE quality >= 0.5 ORDER BY doc_id""".stripMargin,
-
-    // Per-source cap replay: the SAME quality formula, ranked within
-    // source by (quality desc, doc_id) — the deterministic tiebreak both
-    // engines share because quality is rounded before comparison.
-    "train_source_cap" ->
-      s"""WITH f AS (
-         |  SELECT doc_id,
-         |    CASE WHEN length(text)=0 THEN 0.0
-         |         ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)/length(text) END AS punct_ratio,
-         |    CASE WHEN len($toks)=0 THEN 0.0
-         |         ELSE CAST(len(list_filter($toks, x -> list_contains($enStops, x))) AS DOUBLE)/len($toks) END AS stop_ratio,
-         |    CASE WHEN len($toks)=0 THEN 0.0
-         |         ELSE CAST(list_aggregate(list_transform($toks, x -> length(x)), 'sum') AS DOUBLE)/len($toks) END AS mwl,
-         |    length(text) AS n_len
-         |  FROM documents),
-         |q AS (SELECT doc_id,
-         |        ${sparkRound(
-                    """least(n_len/500.0, 1.0)*0.3 + least(stop_ratio*4.0, 1.0)*0.3
-                      |          + (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)*0.2
-                      |          + greatest(0.0, 1.0 - punct_ratio*5.0)*0.2""".stripMargin, 4)} AS quality
-         |      FROM f)
-         |SELECT q.doc_id, d.source, q.quality,
-         |  CAST(row_number() OVER (PARTITION BY d.source
-         |    ORDER BY q.quality DESC, q.doc_id) AS INT) AS src_rank,
-         |  row_number() OVER (PARTITION BY d.source
-         |    ORDER BY q.quality DESC, q.doc_id) <= 20 AS kept
-         |FROM q JOIN documents d USING (doc_id) ORDER BY q.doc_id""".stripMargin,
-
-    // Novelty replay: identical distinct (doc, 5-gram) grain, global
-    // first-occurrence by min doc_id.
-    "text_ngram_novelty" ->
-      s"""WITH docs AS (SELECT doc_id, $toks AS tk FROM documents),
-         |g AS (SELECT doc_id, unnest(list_distinct(${shingleSqlN(5)})) AS s
-         |      FROM docs WHERE len(tk) >= 5),
-         |fo AS (SELECT s, min(doc_id) AS first_id FROM g GROUP BY s),
-         |per AS (SELECT g.doc_id, count(*) AS n_shingles,
-         |          CAST(sum(CASE WHEN g.doc_id = fo.first_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
-         |        FROM g JOIN fo USING (s) GROUP BY g.doc_id)
-         |SELECT d.doc_id,
-         |  CAST(coalesce(per.n_shingles, 0) AS BIGINT) AS n_shingles,
-         |  CAST(coalesce(per.n_novel, 0) AS BIGINT) AS n_novel,
-         |  CASE WHEN per.n_shingles IS NULL THEN 0.0
-         |       ELSE ${sparkRound("CAST(per.n_novel AS DOUBLE) / per.n_shingles", 6)}
-         |  END AS novelty
-         |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin,
-
-    // PMI replay: bigram/unigram counts off the same token stream, the
-    // identical double expression tree, rounded-then-ordered head.
-    "text_pmi_collocations" ->
-      s"""WITH docs AS (SELECT doc_id, $toks AS tk FROM documents),
-         |bg AS (SELECT unnest(${shingleSqlN(2)}) AS b FROM docs WHERE len(tk) >= 2),
-         |tok AS (SELECT unnest(tk) AS w FROM docs),
-         |cw AS (SELECT w, count(*) AS cw FROM tok GROUP BY w),
-         |cbg AS (SELECT b, split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
-         |          count(*) AS c2
-         |        FROM bg GROUP BY 1, 2, 3 HAVING count(*) >= 5),
-         |g AS (SELECT (SELECT count(*) FROM tok) AS n_tok,
-         |             (SELECT count(*) FROM bg) AS n_big)
-         |SELECT c.b, CAST(c.c2 AS BIGINT) AS c2,
-         |  ${sparkRound(
-            """ln((CAST(c.c2 AS DOUBLE) / g.n_big) /
-              |    ((CAST(a.cw AS DOUBLE) / g.n_tok) * (CAST(bb.cw AS DOUBLE) / g.n_tok)))""".stripMargin, 6)} AS pmi
-         |FROM cbg c JOIN cw a ON a.w = c.w1 JOIN cw bb ON bb.w = c.w2, g
-         |ORDER BY pmi DESC, c.b LIMIT 20""".stripMargin,
-
-    // PageRank replay: the SAME pairs CTE, symmetrized, degree counts,
-    // then the 10 rounds unrolled with the identical per-round quantized
-    // arithmetic (double literals, Spark-parity rounding)
-    "graph_pagerank" ->
-      s"""$minhashPairsCtes,
-         |sym AS (SELECT id1 AS a, id2 AS b FROM pairs
-         |        UNION SELECT id2, id1 FROM pairs),
-         |deg AS (SELECT a, count(*) AS deg FROM sym GROUP BY a),
-         |nn AS (SELECT count(*) AS n FROM deg),
-         |r0 AS (SELECT a AS id, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
-         |r1 AS (SELECT s.b AS id,
-         |  ${sparkRound(s"(1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(r.rank / d.deg)", 10)} AS rank
-         |  FROM sym s JOIN r0 r ON r.id = s.a JOIN deg d ON d.a = s.a
-         |  GROUP BY s.b),
-         |r2 AS (SELECT s.b AS id,
-         |  ${sparkRound(s"(1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(r.rank / d.deg)", 10)} AS rank
-         |  FROM sym s JOIN r1 r ON r.id = s.a JOIN deg d ON d.a = s.a
-         |  GROUP BY s.b),
-         |r3 AS (SELECT s.b AS id,
-         |  ${sparkRound(s"(1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(r.rank / d.deg)", 10)} AS rank
-         |  FROM sym s JOIN r2 r ON r.id = s.a JOIN deg d ON d.a = s.a
-         |  GROUP BY s.b),
-         |r4 AS (SELECT s.b AS id,
-         |  ${sparkRound(s"(1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(r.rank / d.deg)", 10)} AS rank
-         |  FROM sym s JOIN r3 r ON r.id = s.a JOIN deg d ON d.a = s.a
-         |  GROUP BY s.b),
-         |r5 AS (SELECT s.b AS id,
-         |  ${sparkRound(s"(1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(r.rank / d.deg)", 10)} AS rank
-         |  FROM sym s JOIN r4 r ON r.id = s.a JOIN deg d ON d.a = s.a
-         |  GROUP BY s.b),
-         |r6 AS (SELECT s.b AS id,
-         |  ${sparkRound(s"(1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(r.rank / d.deg)", 10)} AS rank
-         |  FROM sym s JOIN r5 r ON r.id = s.a JOIN deg d ON d.a = s.a
-         |  GROUP BY s.b),
-         |r7 AS (SELECT s.b AS id,
-         |  ${sparkRound(s"(1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(r.rank / d.deg)", 10)} AS rank
-         |  FROM sym s JOIN r6 r ON r.id = s.a JOIN deg d ON d.a = s.a
-         |  GROUP BY s.b),
-         |r8 AS (SELECT s.b AS id,
-         |  ${sparkRound(s"(1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(r.rank / d.deg)", 10)} AS rank
-         |  FROM sym s JOIN r7 r ON r.id = s.a JOIN deg d ON d.a = s.a
-         |  GROUP BY s.b),
-         |r9 AS (SELECT s.b AS id,
-         |  ${sparkRound(s"(1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(r.rank / d.deg)", 10)} AS rank
-         |  FROM sym s JOIN r8 r ON r.id = s.a JOIN deg d ON d.a = s.a
-         |  GROUP BY s.b),
-         |r10 AS (SELECT s.b AS id,
-         |  ${sparkRound(s"(1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(r.rank / d.deg)", 10)} AS rank
-         |  FROM sym s JOIN r9 r ON r.id = s.a JOIN deg d ON d.a = s.a
-         |  GROUP BY s.b)
-         |SELECT id, ${sparkRound("rank", 6)} AS rank FROM r10 ORDER BY id""".stripMargin,
-
-    // Negative-pair replay: same FNV step arithmetic on the id ring, same
-    // closure-derived cluster labels for the exclusion
-    "train_negative_pairs" ->
-      s"""${minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |sym AS (SELECT id1 AS a, id2 AS b FROM pairs
-         |        UNION SELECT id2, id1 FROM pairs),
-         |reach(a, r) AS (
-         |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
-         |  UNION
-         |  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.a),
-         |comp AS (SELECT a, min(r) AS label FROM reach GROUP BY a),
-         |nn AS (SELECT count(*) AS n FROM documents),
-         |dr AS (SELECT doc_id AS anchor_id, CAST(unnest(range(1, 5)) AS INT) AS draw
-         |       FROM documents),
-         |hv AS (SELECT anchor_id, draw,
-         |         ${signed64(fnvSql("'neg:' || CAST(anchor_id AS VARCHAR) || ':' || CAST(draw AS VARCHAR)"))} AS h
-         |       FROM dr),
-         |neg AS (SELECT anchor_id, draw,
-         |          (anchor_id + 1 + ((h % (n - 1)) + (n - 1)) % (n - 1)) % n AS neg_id
-         |        FROM hv, nn)
-         |SELECT neg.anchor_id, neg.draw, neg.neg_id
-         |FROM neg
-         |LEFT JOIN comp c1 ON c1.a = neg.anchor_id
-         |LEFT JOIN comp c2 ON c2.a = neg.neg_id
-         |WHERE coalesce(c1.label, neg.anchor_id) != coalesce(c2.label, neg.neg_id)
-         |ORDER BY anchor_id, draw""".stripMargin,
-
-    // The whole pipeline replayed in ONE statement: minhash pairs ->
-    // closure -> survivors, 5-gram decontamination, the quality formula,
-    // the stratified md5 fences, then the per-language rollup. Reuses the
-    // shared minhash CTE prefix (which defines docs(doc_id, tk)).
-    "train_e2e_pipeline" ->
-      s"""${minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |sym AS (SELECT id1 AS a, id2 AS b FROM pairs
-         |        UNION SELECT id2, id1 FROM pairs),
-         |reach(a, r) AS (
-         |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
-         |  UNION
-         |  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.a),
-         |comp AS (SELECT a, min(r) AS label FROM reach GROUP BY a),
-         |surv AS (SELECT d.doc_id, d.lang FROM documents d
-         |         LEFT JOIN comp ON comp.a = d.doc_id
-         |         WHERE coalesce(comp.label, d.doc_id) = d.doc_id),
-         |g5 AS (SELECT doc_id, unnest(list_distinct(${shingleSqlN(5)})) AS s5 FROM docs),
-         |h5 AS (SELECT doc_id, ${signed64(fnvSql("s5"))} AS h FROM g5),
-         |ev AS (SELECT DISTINCT h FROM h5 WHERE doc_id % 97 = 0),
-         |cont AS (SELECT DISTINCT doc_id FROM h5 JOIN ev USING (h) WHERE doc_id % 97 <> 0),
-         |f AS (
-         |  SELECT doc_id,
-         |    CASE WHEN length(text)=0 THEN 0.0
-         |         ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)/length(text) END AS punct_ratio,
-         |    CASE WHEN len($toks)=0 THEN 0.0
-         |         ELSE CAST(len(list_filter($toks, x -> list_contains($enStops, x))) AS DOUBLE)/len($toks) END AS stop_ratio,
-         |    CASE WHEN len($toks)=0 THEN 0.0
-         |         ELSE CAST(list_aggregate(list_transform($toks, x -> length(x)), 'sum') AS DOUBLE)/len($toks) END AS mwl,
-         |    length(text) AS n_len, CAST(len($toks) AS BIGINT) AS n_tokens
-         |  FROM documents),
-         |q AS (SELECT doc_id, n_tokens,
-         |        ${sparkRound(
-                    """least(n_len/500.0, 1.0)*0.3 + least(stop_ratio*4.0, 1.0)*0.3
-                      |          + (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)*0.2
-                      |          + greatest(0.0, 1.0 - punct_ratio*5.0)*0.2""".stripMargin, 4)} AS quality
-         |      FROM f),
-         |kept AS (SELECT surv.doc_id, surv.lang, q.quality, q.n_tokens
-         |         FROM surv JOIN q USING (doc_id)
-         |         WHERE surv.doc_id % 97 <> 0
-         |           AND q.quality >= 0.5
-         |           AND surv.doc_id NOT IN (SELECT doc_id FROM cont)
-         |           AND substr(md5('strat:' || CAST(surv.doc_id AS VARCHAR)), 1, 4) <
-         |               CASE WHEN surv.lang = 'en' THEN '4000'
-         |                    WHEN surv.lang = 'zh' THEN '8000' ELSE 'g' END)
-         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
-         |  ${sparkRound("sum(quality)", 2)} AS quality_sum
-         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
-
-    "dedup_ngram_jaccard" ->
-      s"""WITH w AS (SELECT doc_id, list_distinct($toks) AS words FROM documents WHERE doc_id < 60)
-         |SELECT a.doc_id AS id1, b.doc_id AS id2,
-         |  ${sparkRound(
-              "CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) / len(list_distinct(list_concat(a.words, b.words)))",
-              6)} AS jaccard
-         |FROM w a, w b WHERE a.doc_id < b.doc_id
-         |  AND CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
-         |      / len(list_distinct(list_concat(a.words, b.words))) >= 0.5
-         |ORDER BY id1, id2""".stripMargin,
-
-    // edit-distance replay: same banded candidates, DuckDB's classic
-    // levenshtein (verified identical semantics incl. empty-string edges)
-    "dedup_edit_distance" ->
-      s"""$minhashPairsCtes
-         |SELECT p.id1, p.id2, CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist
-         |FROM pairs p JOIN documents da ON da.doc_id = p.id1
-         |JOIN documents db ON db.doc_id = p.id2
-         |WHERE levenshtein(da.text, db.text) <= 64
-         |ORDER BY id1, id2""".stripMargin,
-
-    "diag_correlation" ->
-      s"""SELECT count(*) AS n_rows,
-         |  ${sparkRound("corr(l_quantity, l_extendedprice)", 6)} AS corr_qty_price,
-         |  ${sparkRound("corr(l_quantity, l_discount)", 6)} AS corr_qty_disc,
-         |  ${sparkRound("corr(l_extendedprice, l_discount)", 6)} AS corr_price_disc
-         |FROM lineitem""".stripMargin,
-
-    "diag_mixture_entropy" ->
-      s"""WITH t AS (SELECT count(*) AS total FROM documents),
-         |g AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
-         |SELECT lang, n_docs,
-         |  ${sparkRound("CAST(n_docs AS DOUBLE) / total", 6)} AS share,
-         |  ${sparkRound("-(CAST(n_docs AS DOUBLE) / total) * ln(CAST(n_docs AS DOUBLE) / total)", 6)} AS entropy_term
-         |FROM g, t ORDER BY lang""".stripMargin,
-
-    "diag_fd_check" ->
-      """WITH f1 AS (SELECT 'lineitem.l_orderkey->l_suppkey' AS fd,
-        |    count(*) AS n_lhs_groups,
-        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
-        |  FROM (SELECT l_orderkey, count(DISTINCT l_suppkey) AS nd
-        |        FROM lineitem GROUP BY 1)),
-        |f2 AS (SELECT 'lineitem.l_partkey->l_suppkey' AS fd,
-        |    count(*) AS n_lhs_groups,
-        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
-        |  FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS nd
-        |        FROM lineitem GROUP BY 1)),
-        |f3 AS (SELECT 'nation.n_nationkey->n_regionkey' AS fd,
-        |    count(*) AS n_lhs_groups,
-        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
-        |  FROM (SELECT n_nationkey, count(DISTINCT n_regionkey) AS nd
-        |        FROM nation GROUP BY 1)),
-        |f4 AS (SELECT 'orders.o_orderkey->o_custkey' AS fd,
-        |    count(*) AS n_lhs_groups,
-        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
-        |  FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS nd
-        |        FROM orders GROUP BY 1))
-        |SELECT * FROM f1 UNION ALL SELECT * FROM f2
-        |UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4
-        |ORDER BY fd""".stripMargin,
-
-    "diag_drift_psi" ->
-      s"""WITH ev AS (
-         |  SELECT value, epoch_us(ts) * 1000 AS ts_ns FROM events
-         |  WHERE value IS NOT NULL AND ts IS NOT NULL),
-         |g AS (SELECT min(ts_ns) AS mn_ts, max(ts_ns) AS mx_ts,
-         |             min(value) AS mn_v, max(value) AS mx_v FROM ev),
-         |binned AS (
-         |  SELECT CASE WHEN (mx_v - mn_v) / 10.0 = 0.0 THEN CAST(0 AS BIGINT)
-         |              ELSE least(CAST(9 AS BIGINT),
-         |                CAST(floor((value - mn_v) / ((mx_v - mn_v) / 10.0)) AS BIGINT)) END AS bin,
-         |         CASE WHEN ts_ns >= mn_ts + (mx_ts - mn_ts) // 2
-         |              THEN 1 ELSE 0 END AS late
-         |  FROM ev, g),
-         |counts AS (SELECT bin, CAST(sum(1 - late) AS BIGINT) AS n_early,
-         |                  CAST(sum(late) AS BIGINT) AS n_late
-         |           FROM binned GROUP BY bin),
-         |spine AS (SELECT CAST(range AS BIGINT) AS bin FROM range(10)),
-         |filled AS (SELECT s.bin, coalesce(n_early, 0) AS n_early,
-         |                  coalesce(n_late, 0) AS n_late
-         |           FROM spine s LEFT JOIN counts c ON c.bin = s.bin),
-         |t AS (SELECT CAST(sum(n_early) AS BIGINT) AS te,
-         |             CAST(sum(n_late) AS BIGINT) AS tl FROM filled)
-         |SELECT bin, n_early, n_late,
-         |  ${sparkRound(
-              "(CAST(n_early + 1 AS DOUBLE) / (te + 10) - CAST(n_late + 1 AS DOUBLE) / (tl + 10))" +
-              " * ln((CAST(n_early + 1 AS DOUBLE) / (te + 10)) / (CAST(n_late + 1 AS DOUBLE) / (tl + 10)))",
-              6)} AS psi_term
-         |FROM filled, t ORDER BY bin""".stripMargin,
-
-    // Rolling-z replay: identical 20-row trailing frame and rounding fence.
-    "events_rolling_zscore" ->
-      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, value
-         |           FROM events WHERE value IS NOT NULL),
-         |r AS (SELECT *,
-         |    avg(value) OVER w AS mu,
-         |    stddev_samp(value) OVER w AS sd
-         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
-         |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
-         |z AS (SELECT user_id,
-         |    CASE WHEN sd > 0 THEN ${sparkRound("(value - mu) / sd", 4)} END AS zz
-         |  FROM r)
-         |SELECT user_id, count(*) AS n_events,
-         |  CAST(sum(CASE WHEN abs(zz) > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_anomalies,
-         |  ${sparkRound("max(abs(zz))", 4)} AS max_abs_z
-         |FROM z GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-    // LTV replay: same day floor-div, cents rounding before the cumsum.
-    "events_cohort_ltv" ->
-      s"""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
-         |             coalesce(value, 0.0) AS v
-         |           FROM events),
-         |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
-         |daily AS (SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
-         |    ${sparkRound("sum(e.v)", 2)} AS rev,
-         |    CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
-         |  FROM e JOIN c USING (user_id) GROUP BY 1, 2)
-         |SELECT cohort_day, day_offset, rev, n_active,
-         |  ${sparkRound(
-           "sum(rev) OVER (PARTITION BY cohort_day ORDER BY day_offset ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
-           2)} AS cum_rev
-         |FROM daily ORDER BY cohort_day, day_offset""".stripMargin,
-
-    // A/B replay: same FNV arm fence, same median threshold (interpolated
-    // percentile over cents-rounded sums), same pooled-variance z.
-    "events_ab_lift" ->
-      s"""WITH vals AS (SELECT user_id,
-         |    ${sparkRound("sum(coalesce(value, 0.0))", 2)} AS v
-         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
-         |med AS (SELECT ${sparkRound("quantile_cont(v, 0.5)", 6)} AS m FROM vals),
-         |u AS (SELECT DISTINCT user_id FROM events),
-         |arms AS (SELECT u.user_id,
-         |    ((${signed64(fnvSql("'ab:' || CAST(u.user_id AS VARCHAR)"))} % 2) + 2) % 2 AS arm,
-         |    CASE WHEN vals.v > med.m THEN 1 ELSE 0 END AS c
-         |  FROM u LEFT JOIN vals ON u.user_id = vals.user_id, med),
-         |g AS (SELECT arm, count(*) AS n, CAST(sum(c) AS BIGINT) AS k
-         |      FROM arms GROUP BY arm),
-         |a AS (SELECT n AS n_a, k AS k_a FROM g WHERE arm = 0),
-         |b AS (SELECT n AS n_b, k AS k_b FROM g WHERE arm = 1),
-         |j AS (SELECT *, (k_a + k_b) / CAST(n_a + n_b AS DOUBLE) AS p FROM a, b),
-         |jj AS (SELECT *,
-         |    sqrt(p * (1.0 - p) * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)) AS se
-         |  FROM j)
-         |SELECT n_a, k_a, n_b, k_b,
-         |  ${sparkRound("CAST(k_a AS DOUBLE) / n_a", 6)} AS rate_a,
-         |  ${sparkRound("CAST(k_b AS DOUBLE) / n_b", 6)} AS rate_b,
-         |  CASE WHEN se > 0 THEN ${sparkRound(
-           "(CAST(k_a AS DOUBLE) / n_a - CAST(k_b AS DOUBLE) / n_b) / se", 4)}
-         |  END AS z_score
-         |FROM jj""".stripMargin,
-
-    // Drawdown replay: identical (ts, id) running-max frame.
-    "events_drawdown" ->
-      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, value
-         |           FROM events WHERE value IS NOT NULL),
-         |r AS (SELECT *, max(value) OVER (PARTITION BY user_id
-         |        ORDER BY tus, event_id
-         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
-         |      FROM e)
-         |SELECT user_id, count(*) AS n_events,
-         |  ${sparkRound("min(value - peak)", 6)} AS max_drawdown,
-         |  ${sparkRound("max(peak)", 6)} AS peak_value
-         |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-    // Purge accounting replay: same forget rule + anti-join arithmetic.
-    // NULL user_ids (none in current fixtures, but contemplated inputs —
-    // see the HLL oracles' guards) are KEPT, matching the Spark
-    // anti-join's null-never-matches semantics, not dropped by the modulo
-    // predicate's NULL.
-    "ops_tombstone_purge" ->
-      """WITH k AS (SELECT event_type, count(*) AS n_kept FROM events
-        |           WHERE user_id IS NULL OR user_id % 13 != 0 GROUP BY event_type),
-        |t AS (SELECT event_type, count(*) AS n_total FROM events GROUP BY event_type)
-        |SELECT t.event_type, t.n_total, coalesce(k.n_kept, 0) AS n_kept,
-        |  t.n_total - coalesce(k.n_kept, 0) AS n_purged
-        |FROM t LEFT JOIN k USING (event_type)
-        |ORDER BY t.event_type""".stripMargin,
-
-    // Attribution replay: same user-keyed join + window predicate on µs
-    // ticks (Spark uses ns — same inequality set since ns = µs·1000),
-    // first/last via row_number over the identical (tick, id) order.
-    "events_attribution" ->
-      s"""WITH t AS (SELECT user_id AS u, epoch_us(ts) AS t_tick,
-         |             event_id AS t_id, event_type AS touch_type
-         |           FROM events WHERE event_type IN ('view', 'click')),
-         |c AS (SELECT user_id AS u, epoch_us(ts) AS c_tick, event_id AS c_id
-         |      FROM events WHERE event_type = 'purchase'),
-         |j AS (SELECT c.c_id, t.t_tick, t.t_id, t.touch_type
-         |      FROM c JOIN t USING (u)
-         |      WHERE t.t_tick <= c.c_tick
-         |        AND t.t_tick > c.c_tick - ${7L * 86400L * 1000000L}),
-         |r AS (SELECT *,
-         |        count(*) OVER (PARTITION BY c_id) AS n_touches,
-         |        row_number() OVER (PARTITION BY c_id
-         |          ORDER BY t_tick, t_id) AS rn_first,
-         |        row_number() OVER (PARTITION BY c_id
-         |          ORDER BY t_tick DESC, t_id DESC) AS rn_last
-         |      FROM j)
-         |SELECT touch_type,
-         |  CAST(sum(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS first_touch_convs,
-         |  CAST(sum(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS last_touch_convs,
-         |  ${sparkRound("sum(CAST(1 AS DOUBLE) / n_touches)", 6)} AS linear_credit,
-         |  count(*) AS n_touch_rows
-         |FROM r GROUP BY touch_type ORDER BY touch_type""".stripMargin,
-
-    // RFM replay: epoch_us ticks (Spark uses ns — same floor-div day),
-    // identical interpolated quartiles rounded 6 dp before the strict
-    // comparisons, monetary rounded to cents BEFORE the quartile pass.
-    "events_rfm_segments" ->
-      s"""WITH u AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
-         |    count(*) AS freq,
-         |    ${sparkRound("sum(coalesce(value, 0.0))", 2)} AS mon
-         |  FROM events GROUP BY user_id),
-         |nw AS (SELECT max(epoch_us(ts)) AS now_us FROM events),
-         |b AS (SELECT u.*, (nw.now_us - u.last_us) // 86400000000 AS rec_days
-         |      FROM u, nw),
-         |q AS (SELECT
-         |  ${sparkRound("quantile_cont(CAST(rec_days AS DOUBLE), 0.25)", 6)} AS r1,
-         |  ${sparkRound("quantile_cont(CAST(rec_days AS DOUBLE), 0.5)", 6)} AS r2,
-         |  ${sparkRound("quantile_cont(CAST(rec_days AS DOUBLE), 0.75)", 6)} AS r3,
-         |  ${sparkRound("quantile_cont(CAST(freq AS DOUBLE), 0.25)", 6)} AS f1,
-         |  ${sparkRound("quantile_cont(CAST(freq AS DOUBLE), 0.5)", 6)} AS f2,
-         |  ${sparkRound("quantile_cont(CAST(freq AS DOUBLE), 0.75)", 6)} AS f3,
-         |  ${sparkRound("quantile_cont(mon, 0.25)", 6)} AS m1,
-         |  ${sparkRound("quantile_cont(mon, 0.5)", 6)} AS m2,
-         |  ${sparkRound("quantile_cont(mon, 0.75)", 6)} AS m3
-         |  FROM b),
-         |s AS (SELECT
-         |  5 - (1 + CASE WHEN CAST(rec_days AS DOUBLE) > q.r1 THEN 1 ELSE 0 END
-         |         + CASE WHEN CAST(rec_days AS DOUBLE) > q.r2 THEN 1 ELSE 0 END
-         |         + CASE WHEN CAST(rec_days AS DOUBLE) > q.r3 THEN 1 ELSE 0 END) AS r_score,
-         |  1 + CASE WHEN CAST(freq AS DOUBLE) > q.f1 THEN 1 ELSE 0 END
-         |    + CASE WHEN CAST(freq AS DOUBLE) > q.f2 THEN 1 ELSE 0 END
-         |    + CASE WHEN CAST(freq AS DOUBLE) > q.f3 THEN 1 ELSE 0 END AS f_score,
-         |  1 + CASE WHEN mon > q.m1 THEN 1 ELSE 0 END
-         |    + CASE WHEN mon > q.m2 THEN 1 ELSE 0 END
-         |    + CASE WHEN mon > q.m3 THEN 1 ELSE 0 END AS m_score,
-         |  mon FROM b, q)
-         |SELECT r_score, f_score, m_score, count(*) AS n_users,
-         |  ${sparkRound("sum(mon)", 2)} AS total_mon
-         |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
-
-    "events_anomaly_mad" ->
-      s"""WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
-         |med AS (SELECT event_type, median(value) AS med FROM ev GROUP BY event_type),
-         |dev AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
-         |        FROM ev e JOIN med m USING (event_type)),
-         |mad AS (SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type)
-         |SELECT d.event_type, count(*) AS n_events,
-         |  ${sparkRound("max(d.med)", 6)} AS median_value,
-         |  ${sparkRound("max(m.mad)", 6)} AS mad,
-         |  CAST(sum(CASE WHEN ${sparkRound("d.adev", 6)} > ${sparkRound("3.0 * m.mad", 6)}
-         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-         |FROM dev d JOIN mad m USING (event_type)
-         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
-
-    // Histogram-sketch replay (the diag_profile_fast discipline): the
-    // approximate median/MAD estimator is the PORTABLE equi-width
-    // histogram, so DuckDB recomputes every bin edge, n/2 crossing and
-    // bin-resolution outlier cut with the same IEEE-double arithmetic —
-    // an exact hash match on an approximate statistic.
-    "events_anomaly_approx" ->
-      s"""WITH ev AS (SELECT event_type, CAST(value AS DOUBLE) AS v
-         |            FROM events WHERE value IS NOT NULL),
-         |g AS (SELECT event_type, min(v) AS mn, max(v) AS mx, count(*) AS n
-         |      FROM ev GROUP BY 1),
-         |h1 AS (SELECT e.event_type, g.mn, g.mx, g.n,
-         |         CAST(CASE WHEN (g.mx - g.mn) / 256 = 0.0 THEN 0
-         |              ELSE least(255, floor((e.v - g.mn) / ((g.mx - g.mn) / 256)))
-         |              END AS BIGINT) AS b,
-         |         count(*) AS c
-         |       FROM ev e JOIN g USING (event_type) GROUP BY 1, 2, 3, 4, 5),
-         |m1 AS (SELECT event_type, mn, mx, n, min(b) AS mb FROM (
-         |         SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY b
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |         FROM h1)
-         |       WHERE cum >= CAST(n AS DOUBLE) / 2 GROUP BY 1, 2, 3, 4),
-         |me AS (SELECT event_type, n, mn, mx,
-         |         mn + (CAST(mb AS DOUBLE) + 0.5) * ((mx - mn) / 256) AS med_est
-         |       FROM m1),
-         |med AS (SELECT event_type, n, med_est,
-         |          greatest(mx - med_est, med_est - mn) AS amx FROM me),
-         |h2 AS (SELECT e.event_type, m.n, m.med_est, m.amx,
-         |         CAST(CASE WHEN m.amx / 256 = 0.0 THEN 0
-         |              ELSE least(255, floor(abs(e.v - m.med_est) / (m.amx / 256)))
-         |              END AS BIGINT) AS b,
-         |         count(*) AS c
-         |       FROM ev e JOIN med m USING (event_type) GROUP BY 1, 2, 3, 4, 5),
-         |m2 AS (SELECT event_type, n, med_est, amx, min(b) AS mb2 FROM (
-         |         SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY b
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |         FROM h2)
-         |       WHERE cum >= CAST(n AS DOUBLE) / 2 GROUP BY 1, 2, 3, 4),
-         |mad AS (SELECT event_type, n, med_est, amx / 256 AS w2,
-         |          (CAST(mb2 AS DOUBLE) + 0.5) * (amx / 256) AS mad_est FROM m2)
-         |SELECT h2.event_type, CAST(mad.n AS BIGINT) AS n_events,
-         |  ${sparkRound("mad.med_est", 6)} AS median_est,
-         |  ${sparkRound("mad.mad_est", 6)} AS mad_est,
-         |  CAST(sum(CASE WHEN CAST(h2.b AS DOUBLE) * mad.w2 > 3.0 * mad.mad_est
-         |                THEN h2.c ELSE 0 END) AS BIGINT) AS n_outliers_est
-         |FROM h2 JOIN mad USING (event_type)
-         |GROUP BY 1, 2, 3, 4 ORDER BY h2.event_type""".stripMargin,
-
-    // Exact-Jaccard replay for the prefix-filter lane, by an INDEPENDENT
-    // candidate route: any pair with J > 0 shares a shingle, so a plain
-    // shingle equi-join bounds the candidates (5-gram shingles are rare —
-    // median df 1), then the same exact intersection/union verification.
-    // Prefix filtering only prunes candidates; both routes are exact, so
-    // the answers must agree row-for-row.
-    "dedup_jaccard_prefix" ->
-      s"""WITH d0 AS (SELECT doc_id, $toks AS tk FROM documents),
-         |w AS (SELECT doc_id, list_distinct(${shingleSqlN(5)}) AS sh FROM d0),
-         |tok AS (SELECT doc_id, unnest(sh) AS t FROM w),
-         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |         FROM tok a JOIN tok b USING (t) WHERE a.doc_id < b.doc_id)
-         |SELECT id1, id2,
-         |  ${sparkRound(
-              "CAST(len(list_intersect(wa.sh, wb.sh)) AS DOUBLE) / (len(wa.sh) + len(wb.sh) - len(list_intersect(wa.sh, wb.sh)))",
-              6)} AS jaccard
-         |FROM cand JOIN w wa ON wa.doc_id = id1 JOIN w wb ON wb.doc_id = id2
-         |WHERE CAST(len(list_intersect(wa.sh, wb.sh)) AS DOUBLE)
-         |      / (len(wa.sh) + len(wb.sh) - len(list_intersect(wa.sh, wb.sh))) >= 0.5
-         |ORDER BY id1, id2""".stripMargin,
-
-    "sim_cosine_topk" ->
-      s"""SELECT vec_id, ${sparkRound(
-            """list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-              |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))""".stripMargin,
-            6)} AS cos
-         |FROM embeddings WHERE vec_id != 0
-         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
-
-    "sim_embedding_neardup" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 100)
-         |SELECT a.vec_id AS id1, b.vec_id AS id2,
-         |  ${sparkRound("list_cosine_similarity(a.v, b.v)", 6)} AS cos
-         |FROM e a, e b WHERE a.vec_id < b.vec_id
-         |  AND ${sparkRound("list_cosine_similarity(a.v, b.v)", 6)} >= 0.3
-         |ORDER BY id1, id2""".stripMargin,
-
-    "join_range_bucketed" -> {
-      val values = (0 until 12)
-        .map(i => s"(${i}, ${i * 50000.0}, ${(i + 1) * 50000.0})").mkString(", ")
-      s"""SELECT band_id, count(*) AS n, round(sum(o_totalprice), 2) AS vol
-         |FROM orders JOIN (VALUES $values) AS bands(band_id, lo, hi)
-         |  ON o_totalprice >= lo AND o_totalprice <= hi
-         |GROUP BY band_id ORDER BY band_id""".stripMargin
-    },
-
-    "join_asof_events" ->
-      s"""SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
-         |  ${sparkRound("v.value", 4)} AS view_value
-         |FROM (SELECT * FROM events WHERE event_type = 'click') c
-         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
-         |  ON c.user_id = v.user_id AND c.ts >= v.ts
-         |ORDER BY c.user_id, click_id""".stripMargin,
-
-    "join_asof_nearest" ->
-      """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
-        |v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
-        |b AS (SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS cts,
-        |        v.event_id AS b_id, epoch_us(v.ts) AS bts
-        |      FROM c ASOF LEFT JOIN v
-        |        ON c.user_id = v.user_id AND c.ts >= v.ts),
-        |f AS (SELECT c.event_id AS click_id, v.event_id AS f_id, epoch_us(v.ts) AS fts
-        |      FROM c ASOF LEFT JOIN v
-        |        ON c.user_id = v.user_id AND c.ts <= v.ts)
-        |SELECT b.user_id, b.click_id,
-        |  CASE WHEN f_id IS NULL THEN b_id
-        |       WHEN b_id IS NULL THEN f_id
-        |       WHEN abs(cts - fts) < abs(cts - bts) THEN f_id
-        |       ELSE b_id END AS view_id
-        |FROM b JOIN f USING (click_id)
-        |WHERE b_id IS NOT NULL OR f_id IS NOT NULL
-        |ORDER BY user_id, click_id""".stripMargin,
-
-    // Sessionization replayed on the exact µs long (epoch_us = Spark's
-    // `ts_ns div 1000` under DuckDB's read-time truncation): same lag /
-    // gap / running-sum windows, same (ts, event_id) tie-break, exact
-    // integer session bounds.
-    "events_sessionize" ->
-      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type
-        |           FROM events),
-        |s AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
-        |                       OR tus - lag(tus) OVER w > 1800000000
-        |                     THEN 1 ELSE 0 END AS nw
-        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
-        |x AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY tus, event_id
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
-        |      FROM s)
-        |SELECT user_id, session_idx, count(*) AS n_events,
-        |  min(tus) AS start_ts, max(tus) AS end_ts,
-        |  max(tus) - min(tus) AS duration,
-        |  count(DISTINCT event_type) AS n_types
-        |FROM x GROUP BY user_id, session_idx
-        |ORDER BY user_id, session_idx""".stripMargin,
-
-    // Funnel replayed step by step: anchor = first signup, each step's
-    // first qualifying time strictly after the previous step and within
-    // the 72 h anchor window; counts are exact, conversion Spark-rounded.
-    "events_funnel" ->
-      s"""WITH s0 AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
-         |            WHERE event_type = 'signup' GROUP BY user_id),
-         |s1 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t1
-         |       FROM events e JOIN s0 USING (user_id)
-         |       WHERE e.event_type = 'view' AND epoch_us(e.ts) > t0
-         |         AND epoch_us(e.ts) <= t0 + 259200000000 GROUP BY e.user_id),
-         |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
-         |       FROM events e JOIN s1 USING (user_id) JOIN s0 USING (user_id)
-         |       WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1
-         |         AND epoch_us(e.ts) <= t0 + 259200000000 GROUP BY e.user_id),
-         |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
-         |       FROM events e JOIN s2 USING (user_id) JOIN s0 USING (user_id)
-         |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2
-         |         AND epoch_us(e.ts) <= t0 + 259200000000 GROUP BY e.user_id),
-         |n AS (SELECT 0 AS step_idx, 'signup' AS step,
-         |        (SELECT count(*) FROM s0) AS n_users
-         |      UNION ALL SELECT 1, 'view', (SELECT count(*) FROM s1)
-         |      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
-         |      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
-         |SELECT step_idx, step, n_users,
-         |  ${sparkRound("n_users::DOUBLE / (SELECT count(*) FROM s0)", 6)} AS conversion
-         |FROM n ORDER BY step_idx""".stripMargin,
-
-    // SCD2 replayed: same (ts, event_id) ordering, version boundaries via
-    // IS DISTINCT FROM (= Spark's null-safe <=> negated), effective_to =
-    // next boundary's start over the same window.
-    // SCD2-lookup replay: the same version-start stream, per purchase the
-    // backward as-of pick with the join's pinned tie rule (greatest
-    // (effective_from, payload) tuple).
-    "join_scd2_lookup" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
-        |           FROM events),
-        |b AS (SELECT *, lag(event_type) OVER w AS prev, row_number() OVER w AS rn
-        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
-        |v AS (SELECT user_id, event_type AS seg, tus AS eff_from,
-        |        event_id AS version_id
-        |      FROM b WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
-        |p AS (SELECT user_id, tus - 1 AS tus, event_id FROM e
-        |      WHERE event_type = 'purchase'),
-        |m AS (SELECT p.user_id, s.seg
-        |      FROM p CROSS JOIN LATERAL (
-        |        SELECT v.seg FROM v
-        |        WHERE v.user_id = p.user_id AND v.eff_from <= p.tus
-        |        ORDER BY v.eff_from DESC, v.seg DESC, v.version_id DESC
-        |        LIMIT 1) s)
-        |SELECT seg, count(*) AS n_purchases,
-        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-        |FROM m GROUP BY seg ORDER BY seg""".stripMargin,
-
-    "events_scd2_history" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
-        |           FROM events),
-        |b AS (SELECT *, lag(event_type) OVER w AS prev, row_number() OVER w AS rn
-        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
-        |v AS (SELECT user_id, event_type, tus, event_id FROM b
-        |      WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
-        |SELECT user_id, event_type, tus AS effective_from,
-        |  lead(tus) OVER w2 AS effective_to,
-        |  lead(tus) OVER w2 IS NULL AS is_current,
-        |  event_id AS version_id
-        |FROM v WINDOW w2 AS (PARTITION BY user_id ORDER BY tus, event_id)
-        |ORDER BY user_id, effective_from, version_id""".stripMargin,
-
-    // Top paths replayed: the sessionize CTE, then forward 3-grams gated
-    // on both leads staying in the same session. A NULL event_type inside
-    // a session would NULL-propagate through `||` exactly like Spark's
-    // `concat`; both engines then drop NULL paths explicitly (Spark's
-    // isNotNull filter / the IS NOT NULL guard here).
-    "events_top_paths" ->
-      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type
-        |           FROM events),
-        |s AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
-        |                       OR tus - lag(tus) OVER w > 1800000000
-        |                     THEN 1 ELSE 0 END AS nw
-        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
-        |x AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY tus, event_id
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
-        |      FROM s),
-        |p AS (SELECT event_type || '>' || lead(event_type, 1) OVER w2
-        |             || '>' || lead(event_type, 2) OVER w2 AS path,
-        |        CASE WHEN lead(session_idx, 1) OVER w2 = session_idx
-        |              AND lead(session_idx, 2) OVER w2 = session_idx
-        |             THEN 1 ELSE 0 END AS ok
-        |      FROM x WINDOW w2 AS (PARTITION BY user_id ORDER BY tus, event_id))
-        |SELECT path, count(*) AS n_occ FROM p
-        |WHERE ok = 1 AND path IS NOT NULL
-        |GROUP BY path ORDER BY n_occ DESC, path LIMIT 20""".stripMargin,
-
-    // Session-anchored funnel replayed: the sessionize CTEs, then the
-    // step-by-step min-time chain grouped by (user, session) — each step
-    // strictly after the previous step's time and within 72 h of the
-    // session's first 'view'.
-    "events_funnel_by_session" ->
-      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type
-         |           FROM events),
-         |s AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
-         |                       OR tus - lag(tus) OVER w > 1800000000
-         |                     THEN 1 ELSE 0 END AS nw
-         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
-         |x AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY tus, event_id
-         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
-         |      FROM s),
-         |s0 AS (SELECT user_id, session_idx, min(tus) AS t0 FROM x
-         |       WHERE event_type = 'view' GROUP BY user_id, session_idx),
-         |s1 AS (SELECT x.user_id, x.session_idx, min(x.tus) AS t1
-         |       FROM x JOIN s0 USING (user_id, session_idx)
-         |       WHERE x.event_type = 'click' AND x.tus > t0
-         |         AND x.tus <= t0 + 259200000000 GROUP BY x.user_id, x.session_idx),
-         |s2 AS (SELECT x.user_id, x.session_idx, min(x.tus) AS t2
-         |       FROM x JOIN s1 USING (user_id, session_idx)
-         |       JOIN s0 USING (user_id, session_idx)
-         |       WHERE x.event_type = 'purchase' AND x.tus > t1
-         |         AND x.tus <= t0 + 259200000000 GROUP BY x.user_id, x.session_idx),
-         |n AS (SELECT 0 AS step_idx, 'view' AS step,
-         |        (SELECT count(*) FROM s0) AS n_sessions
-         |      UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
-         |      UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2))
-         |SELECT step_idx, step, n_sessions,
-         |  ${sparkRound("n_sessions::DOUBLE / (SELECT count(*) FROM s0)", 6)} AS conversion
-         |FROM n ORDER BY step_idx""".stripMargin,
-
-    "events_retention_facts" ->
-      """WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
-        |           FROM events),
-        |c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id)
-        |SELECT a.user_id, c.cohort_day, a.day - c.cohort_day AS day_offset
-        |FROM a JOIN c USING (user_id)
-        |ORDER BY user_id, day_offset""".stripMargin,
-
-    // Cohort retention replayed: distinct (user, epoch-day) with integer
-    // `//` day division (= Spark's `div` on the positive epoch), cohort =
-    // min day, exact counts, Spark-rounded retained share.
-    "events_new_users_daily" ->
-      """WITH f AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS day
-        |           FROM events GROUP BY user_id),
-        |d AS (SELECT day, count(*) AS n_new_users FROM f GROUP BY day)
-        |SELECT day, n_new_users,
-        |  CAST(sum(n_new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
-        |FROM d ORDER BY day""".stripMargin,
-
-    "events_retention" ->
-      s"""WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
-         |           FROM events),
-         |c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id),
-         |z AS (SELECT cohort_day, count(*) AS cohort_n FROM c GROUP BY cohort_day),
-         |r AS (SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
-         |        count(DISTINCT a.user_id) AS n_active
-         |      FROM a JOIN c USING (user_id) GROUP BY 1, 2)
-         |SELECT r.cohort_day, r.day_offset, r.n_active, z.cohort_n,
-         |  ${sparkRound("r.n_active::DOUBLE / z.cohort_n", 6)} AS retained
-         |FROM r JOIN z USING (cohort_day)
-         |ORDER BY cohort_day, day_offset""".stripMargin,
-
-    "sim_ann_lsh_topk" ->
-      s"""$lshCtes
-         |SELECT vec_id, ${sparkRound("list_cosine_similarity(v, qv)", 6)} AS cos
-         |FROM b, q WHERE bucket = qb AND vec_id != 0
-         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
-
-    "sim_ann_ivf_topk" ->
-      s"""$ivfCtes
-         |SELECT a.vec_id, ${sparkRound("list_cosine_similarity(a.v, q.qv)", 6)} AS cos
-         |FROM assign a, q
-         |WHERE a.cell IN (SELECT cid FROM probe) AND a.vec_id != 0
-         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
-
-    // filtered-ANN replay: same ivfCtes chain, label joined from the raw
-    // table, predicate before the top-k
-    "sim_ann_filtered_topk" ->
-      s"""$ivfCtes
-         |SELECT a.vec_id, em.label,
-         |  ${sparkRound("list_cosine_similarity(a.v, q.qv)", 6)} AS cos
-         |FROM assign a JOIN embeddings em ON em.vec_id = a.vec_id, q
-         |WHERE a.cell IN (SELECT cid FROM probe) AND a.vec_id != 0
-         |  AND em.label = 1
-         |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin,
-
-    // cell-health replay: same ivfCtes chain, per-cell aggregate of the
-    // member→centroid cosines (mean fenced at round-6: sums of ≤N/k values
-    // in [−1,1] sit ~1e-12 from each other across engines)
-    // Parallel unnest zips value and 0-based position (Spark posexplode).
-    "sim_embedding_dim_profile" ->
-      s"""WITH x AS (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
-         |    CAST(unnest(range(len(embedding))) AS INT) AS dim
-         |  FROM embeddings)
-         |SELECT dim, count(*) AS n,
-         |  ${sparkRound("avg(x)", 4)} AS mean,
-         |  ${sparkRound("stddev_samp(x)", 4)} AS std,
-         |  ${sparkRound("min(x)", 4)} AS lo,
-         |  ${sparkRound("max(x)", 4)} AS hi
-         |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
-
-    "sim_cell_health" ->
-      s"""$ivfCtes
-         |SELECT a.cell AS ivf_cell, count(*) AS n_vectors,
-         |  ${sparkRound("avg(list_cosine_similarity(a.v, c.cv))", 6)} AS mean_cos,
-         |  ${sparkRound("min(list_cosine_similarity(a.v, c.cv))", 6)} AS min_cos
-         |FROM assign a JOIN c2 c ON c.cid = a.cell
-         |GROUP BY a.cell ORDER BY ivf_cell""".stripMargin,
-
-    // kNN-join replay: the same ivfCtes chain, then per-probe cell choice
-    // (row_number over centroid cosine, ties on cid), cell equi-join
-    // candidates, per-probe rank on the rounded cosine with neighbor-id
-    // ties — the window mirror of the Spark lane
-    "sim_knn_join" ->
-      s"""$ivfCtes,
-         |pr AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
-         |qc AS (SELECT query_id, qv, cid FROM (
-         |         SELECT p.query_id, p.qv, c.cid,
-         |           row_number() OVER (PARTITION BY p.query_id
-         |             ORDER BY list_cosine_similarity(c.cv, p.qv) DESC, c.cid) AS crk
-         |         FROM pr p, c2 c) WHERE crk <= 3),
-         |cand AS (SELECT qc.query_id, a.vec_id AS neighbor_id,
-         |           ${sparkRound("list_cosine_similarity(qc.qv, a.v)", 6)} AS cos
-         |         FROM qc JOIN assign a ON a.cell = qc.cid
-         |         WHERE a.vec_id != qc.query_id),
-         |rk AS (SELECT query_id, neighbor_id, cos,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |           ORDER BY cos DESC, neighbor_id) AS INT) AS rk
-         |       FROM cand)
-         |SELECT query_id, neighbor_id, cos, rk FROM rk WHERE rk <= 5
-         |ORDER BY query_id, rk""".stripMargin,
-
-    // semantic dedup replay: same ivfCtes chain (seeds, 2 Lloyd rounds,
-    // argmax assignment), then per-cell smaller-id pairs over the rounded
-    // cosine and the min-id election
-    "dedup_semantic" ->
-      s"""$ivfCtes,
-         |p AS (SELECT a2.vec_id AS id2, min(a1.vec_id) AS survivor
-         |      FROM assign a1 JOIN assign a2
-         |        ON a1.cell = a2.cell AND a1.vec_id < a2.vec_id
-         |      WHERE ${sparkRound("list_cosine_similarity(a1.v, a2.v)", 6)} >= 0.4
-         |      GROUP BY a2.vec_id)
-         |SELECT a.vec_id, CAST(a.cell AS INT) AS ivf_cell,
-         |  p.survivor IS NULL AS kept,
-         |  coalesce(p.survivor, a.vec_id) AS survivor_id
-         |FROM assign a LEFT JOIN p ON p.id2 = a.vec_id
-         |ORDER BY a.vec_id""".stripMargin,
-
-    // IVF-PQ: the ivf chain's probe-cell membership restricts the pq
-    // chain's ADC estimates — both replays verbatim, one WHERE clause
-    "sim_ivfpq_topk" ->
-      s"""$ivfCtes,
-         |$pqChainCtes
-         |SELECT vec_id, est_d2 FROM est
-         |WHERE vec_id != 0 AND vec_id IN
-         |  (SELECT vec_id FROM assign WHERE cell IN (SELECT cid FROM probe))
-         |ORDER BY est_d2, vec_id LIMIT 10""".stripMargin,
-
-    // rerank replay: the ivfpq chain's ADC estimates pick the C=100
-    // candidate set, the final distance is the exact 64-dim order-pinned
-    // fold over the raw vectors — same two stages, one extra CTE
-    "sim_ivfpq_rerank" ->
-      s"""$ivfCtes,
-         |$pqChainCtes,
-         |cand AS (SELECT vec_id FROM est
-         |      WHERE vec_id != 0 AND vec_id IN
-         |        (SELECT vec_id FROM assign WHERE cell IN (SELECT cid FROM probe))
-         |      ORDER BY est_d2, vec_id LIMIT 100)
-         |SELECT e.vec_id, ${sparkRound(l2FoldSql("e.v", "qq.qv", 64), 6)} AS d2
-         |FROM e JOIN cand USING (vec_id), qq
-         |ORDER BY d2, vec_id LIMIT 10""".stripMargin,
-
-    "sim_pq_adc_topk" ->
-      s"""$pqCtes
-         |SELECT vec_id, est_d2 FROM est WHERE vec_id != 0
-         |ORDER BY est_d2, vec_id LIMIT 10""".stripMargin,
-
-    "sim_pq_recall" ->
-      s"""$pqCtes,
-         |ann AS (SELECT vec_id FROM est WHERE vec_id != 0
-         |        ORDER BY est_d2, vec_id LIMIT 10),
-         |bf AS (SELECT e.vec_id, ${l2FoldSql("e.v", "qq.qv", 64)} AS d2
-         |       FROM e, qq WHERE vec_id != 0 ORDER BY d2, vec_id LIMIT 10)
-         |SELECT 10 AS k, count(*) AS n_hits, round(count(*) / 10.0, 4) AS recall
-         |FROM ann JOIN bf USING (vec_id)""".stripMargin,
-
-    "sim_ann_ivf_incremental" ->
-      s"""$ivfIncCtes
-         |SELECT a.vec_id, ${sparkRound("list_cosine_similarity(a.v, q.qv)", 6)} AS cos
-         |FROM assign a, q
-         |WHERE a.cell IN (SELECT cid FROM probe) AND a.vec_id != 0
-         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
-
-    "sim_ann_lsh_recall" ->
-      s"""$lshCtes,
-         |ann AS (SELECT vec_id FROM b, q WHERE bucket = qb AND vec_id != 0
-         |        ORDER BY ${sparkRound("list_cosine_similarity(v, qv)", 6)} DESC, vec_id LIMIT 10),
-         |bf AS (SELECT vec_id FROM e, q WHERE vec_id != 0
-         |       ORDER BY ${sparkRound("list_cosine_similarity(v, qv)", 6)} DESC, vec_id LIMIT 10)
-         |SELECT 10 AS k, count(*) AS n_hits, round(count(*) / 10.0, 4) AS recall
-         |FROM ann JOIN bf USING (vec_id)""".stripMargin,
-
-    "sim_ann_ivf_recall" ->
-      s"""$ivfCtes,
-         |ann AS (SELECT a.vec_id FROM assign a, q
-         |        WHERE a.cell IN (SELECT cid FROM probe) AND a.vec_id != 0
-         |        ORDER BY ${sparkRound("list_cosine_similarity(a.v, q.qv)", 6)} DESC, a.vec_id LIMIT 10),
-         |bf AS (SELECT vec_id FROM e, q WHERE vec_id != 0
-         |       ORDER BY ${sparkRound("list_cosine_similarity(v, qv)", 6)} DESC, vec_id LIMIT 10)
-         |SELECT 10 AS k, count(*) AS n_hits, round(count(*) / 10.0, 4) AS recall
-         |FROM ann JOIN bf USING (vec_id)""".stripMargin,
-
-    // nprobe-curve replay: the same ivfCtes chain with three probe depths
-    // against one brute-force truth
-    "sim_ann_nprobe_curve" ->
-      s"""$ivfCtes,
-         |bf AS (SELECT vec_id FROM e, q WHERE vec_id != 0
-         |       ORDER BY ${sparkRound("list_cosine_similarity(v, qv)", 6)} DESC, vec_id LIMIT 10),
-         |p1 AS (SELECT cid FROM c2, q
-         |       ORDER BY list_cosine_similarity(cv, qv) DESC, cid LIMIT 1),
-         |p2 AS (SELECT cid FROM c2, q
-         |       ORDER BY list_cosine_similarity(cv, qv) DESC, cid LIMIT 2),
-         |n1 AS (SELECT a.vec_id FROM assign a, q
-         |       WHERE a.cell IN (SELECT cid FROM p1) AND a.vec_id != 0
-         |       ORDER BY ${sparkRound("list_cosine_similarity(a.v, q.qv)", 6)} DESC, a.vec_id LIMIT 10),
-         |n2 AS (SELECT a.vec_id FROM assign a, q
-         |       WHERE a.cell IN (SELECT cid FROM p2) AND a.vec_id != 0
-         |       ORDER BY ${sparkRound("list_cosine_similarity(a.v, q.qv)", 6)} DESC, a.vec_id LIMIT 10),
-         |n3 AS (SELECT a.vec_id FROM assign a, q
-         |       WHERE a.cell IN (SELECT cid FROM probe) AND a.vec_id != 0
-         |       ORDER BY ${sparkRound("list_cosine_similarity(a.v, q.qv)", 6)} DESC, a.vec_id LIMIT 10)
-         |SELECT 1 AS nprobe, count(*) AS n_hits, round(count(*) / 10.0, 4) AS recall
-         |FROM n1 JOIN bf USING (vec_id)
-         |UNION ALL
-         |SELECT 2, count(*), round(count(*) / 10.0, 4) FROM n2 JOIN bf USING (vec_id)
-         |UNION ALL
-         |SELECT 3, count(*), round(count(*) / 10.0, 4) FROM n3 JOIN bf USING (vec_id)
-         |ORDER BY nprobe""".stripMargin,
-
-    "events_weekday_seasonality" ->
-      s"""SELECT ((epoch_us(ts) // 86400000000 + 4) % 7 + 7) % 7 AS dow,
-         |  (epoch_us(ts) // 3600000000) % 24 AS hour,
-         |  count(*) AS n,
-         |  ${sparkRound("avg(value)", 6)} AS avg_value
-         |FROM events GROUP BY 1, 2 ORDER BY dow, hour""".stripMargin,
-
-    "text_length_percentiles_by_lang" ->
-      s"""WITH b AS (SELECT lang, CAST(len($toks) AS BIGINT) AS nt FROM documents)
-         |SELECT lang, count(*) AS n_docs,
-         |  ${sparkRound("quantile_cont(nt, 0.25)", 4)} AS p25,
-         |  ${sparkRound("quantile_cont(nt, 0.5)", 4)} AS p50,
-         |  ${sparkRound("quantile_cont(nt, 0.75)", 4)} AS p75,
-         |  ${sparkRound("quantile_cont(nt, 0.95)", 4)} AS p95
-         |FROM b GROUP BY lang ORDER BY lang""".stripMargin,
-
-    "events_type_transitions" ->
-      s"""WITH ev AS (SELECT user_id, event_id, event_type,
-         |              epoch_us(ts) * 1000 AS ts_ns FROM events),
-         |p AS (SELECT event_type AS from_type,
-         |        lead(event_type) OVER (PARTITION BY user_id
-         |          ORDER BY ts_ns, event_id) AS to_type
-         |      FROM ev),
-         |c AS (SELECT from_type, to_type, count(*) AS n FROM p
-         |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
-         |rt AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS rtot FROM c GROUP BY 1)
-         |SELECT from_type, to_type, n,
-         |  ${sparkRound("CAST(n AS DOUBLE) / rtot", 6)} AS p
-         |FROM c JOIN rt USING (from_type)
-         |ORDER BY from_type, to_type""".stripMargin,
-
-    "diag_benford" ->
-      s"""WITH c AS (
-         |  SELECT substr(regexp_replace(CAST(abs(o_totalprice) AS VARCHAR),
-         |           '[^1-9]', '', 'g'), 1, 1) AS digit,
-         |         count(*) AS n
-         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice <> 0
-         |  GROUP BY 1),
-         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM c)
-         |SELECT digit, n,
-         |  ${sparkRound("CAST(n AS DOUBLE) / tt", 6)} AS observed,
-         |  ${sparkRound("log10(1.0 + 1.0 / CAST(digit AS DOUBLE))", 6)} AS expected
-         |FROM c, t ORDER BY digit""".stripMargin,
-
-    "events_conversion_time" ->
-      s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
-         |a AS (SELECT user_id, min(ts_us) AS t0 FROM ev
-         |      WHERE event_type = 'signup' GROUP BY user_id),
-         |b AS (SELECT a.user_id, min(e.ts_us) - min(a.t0) AS gap_us
-         |      FROM a JOIN ev e ON e.user_id = a.user_id
-         |        AND e.event_type = 'purchase'
-         |        AND e.ts_us > a.t0 AND e.ts_us <= a.t0 + 259200000000
-         |      GROUP BY a.user_id)
-         |SELECT count(*) AS n_converted,
-         |  ${sparkRound("quantile_cont(gap_us, 0.5)", 4)} AS p50_us,
-         |  ${sparkRound("quantile_cont(gap_us, 0.9)", 4)} AS p90_us,
-         |  min(gap_us) AS min_us, max(gap_us) AS max_us
-         |FROM b""".stripMargin,
-
-    "multimodal_metadata" ->
-      """SELECT doc_id AS media_id, octet_length(encode(text)) AS byte_len,
-        |  CASE WHEN n_chars % 3 = 0 THEN 'png' WHEN n_chars % 3 = 1 THEN 'jpg'
-        |       ELSE 'webp' END AS format,
-        |  CAST(n_chars % 640 + 1 AS INT) AS width,
-        |  CAST(n_chars % 480 + 1 AS INT) AS height
-        |FROM documents ORDER BY media_id""".stripMargin,
-
-    // The batched feature-extraction machinery, value-exact: the stand-in
-    // codec is pure byte math (out[i%8] += byte/255 in FLOAT, scaled), so
-    // the oracle folds the same UTF-8 bytes with the same IEEE float32
-    // arithmetic via list_reduce over REAL — accumulation order and all.
-    // frames_sampled = ceil(len/16) (stride-16 sampling), byte_len exact.
-    "multimodal_features" -> {
-      val f0Fold =
-        """CASE WHEN octet_length(e) = 0 THEN CAST(0.0 AS REAL)
-          |    ELSE CAST(list_reduce(
-          |      [CAST(0.0 AS REAL)] || list_transform(
-          |          list_filter(range(1, octet_length(e) + 1), i -> (i - 1) % 8 = 0),
-          |          i -> CAST(CAST(('0x' || substr(hex(e), 2*i - 1, 2))::BIGINT AS REAL)
-          |               / CAST(255.0 AS REAL) AS REAL)),
-          |      (a, x) -> CAST(a + x AS REAL))
-          |      / CAST(octet_length(e) AS REAL) * CAST(8.0 AS REAL) AS REAL) END""".stripMargin
-      s"""WITH b AS (SELECT doc_id, encode(text) AS e FROM documents),
-         |f AS (SELECT doc_id, octet_length(e) AS n, $f0Fold AS f0 FROM b)
-         |SELECT doc_id AS media_id, CAST(n AS INT) AS byte_len,
-         |  CAST((n + 15) // 16 AS INT) AS frames_sampled,
-         |  ${sparkRound("CAST(f0 AS DOUBLE)", 4)} AS f0
-         |FROM f ORDER BY media_id""".stripMargin
-    },
-
-    // WAV round-trip: the sawtooth samples have integer closed forms, so
-    // sums replay exactly (range is not lateral-joinable in DuckDB 1.0 —
-    // bounded cross join + filter instead; max n = 2099).
-    "multimodal_wav_roundtrip" ->
-      """WITH n AS (SELECT doc_id, n_chars % 2000 + 100 AS n FROM documents),
-        |s AS (SELECT n.doc_id, n.n,
-        |        sum((n.doc_id * 31 + r.i * 7) % 65536 - 32768) AS sm,
-        |        sum(((n.doc_id * 31 + r.i * 7) % 65536 - 32768)
-        |          * ((n.doc_id * 31 + r.i * 7) % 65536 - 32768)) AS sq
-        |      FROM n, range(2100) r(i) WHERE r.i < n.n GROUP BY n.doc_id, n.n)
-        |SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_samples,
-        |  CAST(16000 AS INT) AS sample_rate,
-        |  CAST(sm AS DOUBLE) / n AS mean_sample,
-        |  sqrt(CAST(sq AS DOUBLE) / n) AS rms
-        |FROM s ORDER BY media_id""".stripMargin,
-
-    // GIF multi-frame round-trip: sampled frame indexes from the stride-2
-    // rule, per-frame solid-fill means from the generation closed forms
-    // (lossless palette round-trip -> exact integer-valued doubles).
-    "multimodal_gif_frames" ->
-      """WITH f AS (
-        |  SELECT doc_id, CAST(doc_id % 5 + 2 AS INT) AS n_frames,
-        |    CAST(n_chars % 32 + 1 AS INT) AS width,
-        |    CAST(n_chars % 24 + 1 AS INT) AS height,
-        |    unnest(range(0, doc_id % 5 + 2, 2)) AS fi
-        |  FROM documents)
-        |SELECT doc_id AS media_id, CAST(fi AS INT) AS frame_idx, n_frames,
-        |  width, height,
-        |  CAST((doc_id + 17 * fi) % 256 AS DOUBLE) AS mean_r,
-        |  CAST((doc_id * 7 + 31 + 11 * fi) % 256 AS DOUBLE) AS mean_g,
-        |  CAST((doc_id * 13 + 7 + 29 * fi) % 256 AS DOUBLE) AS mean_b
-        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
-
-    // JPEG round-trip: dims have closed forms (lossy JPEG still preserves
-    // dimensions exactly); the tolerance booleans are pinned true — any
-    // channel swap or codec regression on the Spark side flips them.
-    "multimodal_jpeg_roundtrip" ->
-      """SELECT doc_id AS media_id,
-        |  CAST(n_chars % 64 + 1 AS INT) AS width,
-        |  CAST(n_chars % 48 + 1 AS INT) AS height,
-        |  true AS r_ok, true AS g_ok, true AS b_ok
-        |FROM documents ORDER BY media_id""".stripMargin,
-
-    // closed forms of the PNG fixture: constant R/G fills and the vertical
-    // gradient's mean (height-1)/2 — exact in double for these magnitudes
-    "multimodal_decode" ->
-      """SELECT doc_id AS media_id,
-        |  CAST(n_chars % 64 + 1 AS INT) AS width,
-        |  CAST(n_chars % 48 + 1 AS INT) AS height,
-        |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
-        |  CAST((doc_id * 7 + 31) % 256 AS DOUBLE) AS mean_g,
-        |  CAST(n_chars % 48 AS DOUBLE) / 2.0 AS mean_b
-        |FROM documents ORDER BY media_id""".stripMargin,
-
-    // Thumbnail closed forms from the pinned 2x2 block-average kernel over
-    // the b=y gradient (h <= 48 < 256): R/G are the solid fills; a block's
-    // blue is trunc((8y+2)/4) = 2y, so the thumbnail's blue mean is
-    // h2 - 1 exactly (the /1-row sum telescopes); dims floor-halve with
-    // the odd trailing row/column dropped. The <2 px filter mirrors the
-    // lane's no-2x2-block domain bound.
-    "multimodal_resize" ->
-      """SELECT doc_id AS media_id,
-        |  CAST((n_chars % 64 + 1) // 2 AS INT) AS thumb_w,
-        |  CAST((n_chars % 48 + 1) // 2 AS INT) AS thumb_h,
-        |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
-        |  CAST((doc_id * 7 + 31) % 256 AS DOUBLE) AS mean_g,
-        |  CAST((n_chars % 48 + 1) // 2 - 1 AS DOUBLE) AS mean_b
-        |FROM documents
-        |WHERE n_chars % 64 + 1 >= 2 AND n_chars % 48 + 1 >= 2
-        |ORDER BY media_id""".stripMargin,
-
-    // Independent replay of the whole flagship pipeline: the chain generator
-    // (ChainSource.messageAt closed forms, totalBlocks=200 reorgEvery=20
-    // reorgDepth=3 finalityLag=8) and the FinalityBuffer fold
-    // (state/FinalityBuffer.scala onBlock/onUndo, capacity 12) re-derived as
-    // a DuckDB recursive CTE over (buffer, released) list state — one
-    // iteration per seq. Buffer heights are monotone between undos (each
-    // append is head+1; undo truncation preserves the prefix), so
-    // "lastIndexWhere(h <= fb)" drains exactly the list_filter prefix and
-    // "truncate at the == match" is the <= filter guarded by an existence
-    // check (the reference's miss-is-a-no-op lane). The capacity-overflow
-    // drain (len >= 12) is replayed too, though lag 8 keeps the buffer at
-    // 8 deep so it never fires on this parameterization. Blocks still
-    // buffered at seq 199 are never released — same as the stream end.
-    "pipeline_e2e_chain" ->
-      """WITH RECURSIVE fold AS (
-        |  SELECT CAST(-1 AS BIGINT) AS seq,
-        |         CAST([] AS STRUCT(h BIGINT, f BIGINT)[]) AS buf,
-        |         CAST([] AS STRUCT(h BIGINT, f BIGINT)[]) AS rel
-        |  UNION ALL
-        |  SELECT step.n, step.buf2, step.rel2
-        |  FROM fold, LATERAL (
-        |    SELECT n,
-        |      CASE WHEN is_undo THEN
-        |        CASE WHEN len(list_filter(buf, x -> x.h = lv)) > 0
-        |             THEN list_filter(buf, x -> x.h <= lv) ELSE buf END
-        |      ELSE CASE WHEN h <= fb THEN kept
-        |                ELSE list_append(kept, {'h': h, 'f': undos}) END
-        |      END AS buf2,
-        |      CASE WHEN is_undo THEN rel
-        |      ELSE CASE WHEN h <= fb THEN rel || dr || [{'h': h, 'f': undos}]
-        |                ELSE rel || dr END
-        |      END AS rel2
-        |    FROM (
-        |      SELECT n, is_undo, undos, h, fb, lv,
-        |             buf[1:drain] AS dr, buf[drain+1:] AS kept
-        |      FROM (
-        |        SELECT n, is_undo, undos, h, fb, lv,
-        |          CASE WHEN npre > 0 THEN npre
-        |               WHEN len(buf) >= 12 THEN len(buf) - 11
-        |               ELSE 0 END AS drain
-        |        FROM (
-        |          SELECT n, is_undo, undos, h,
-        |                 greatest(h - 8, 0) AS fb, h - 4 AS lv,
-        |                 len(list_filter(buf, x -> x.h <= greatest(h - 8, 0))) AS npre
-        |          FROM (SELECT seq + 1 AS n,
-        |                       (seq + 1) % 20 = 0 AND seq + 1 > 0 AS is_undo,
-        |                       CASE WHEN seq + 1 > 0 THEN seq // 20 ELSE 0 END AS undos) t0,
-        |               LATERAL (SELECT t0.n - t0.undos * 4 AS h) t1
-        |        ) t2
-        |      ) t3
-        |    ) t4
-        |  ) step
-        |  WHERE fold.seq < 199
-        |)
-        |SELECT x.f AS fork, count(*) AS n_blocks, min(x.h) AS first_h, max(x.h) AS last_h
-        |FROM (SELECT unnest(rel) AS x FROM fold WHERE seq = 199)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Closed-form regeneration of the generator over exactly [35, 150)
-    // (reorgEvery=20, reorgDepth=3): undos(seq) = (seq-1)//20, height =
-    // seq - undos*4, undo rows point at height-1-3.
-    "pipe_chain_bounded" ->
-      """WITH seqs AS (SELECT range AS seq FROM range(35, 150)),
-        |e AS (SELECT seq, (seq > 0 AND seq % 20 = 0) AS is_undo,
-        |        CASE WHEN seq = 0 THEN 0 ELSE (seq - 1) // 20 END AS undos
-        |      FROM seqs),
-        |m AS (SELECT CASE WHEN is_undo THEN 'undo' ELSE 'data' END AS kind,
-        |        CAST(CASE WHEN is_undo THEN -1 ELSE undos END AS BIGINT) AS fork,
-        |        (seq - undos * 4) - CASE WHEN is_undo THEN 4 ELSE 0 END AS h
-        |      FROM e)
-        |SELECT kind, fork, count(*) AS n,
-        |  CAST(min(h) AS BIGINT) AS min_h, CAST(max(h) AS BIGINT) AS max_h
-        |FROM m GROUP BY kind, fork ORDER BY kind, fork""".stripMargin,
-
-    // Same banded edge set as pagerank's; triangles enumerated u<v<w from
-    // the canonical (id1<id2) pairs — the degree-ordered orientation on
-    // the Spark side finds the identical SET, just from each triangle's
-    // lowest-DEGREE corner instead of its lowest id
-    "graph_triangle_count" ->
-      s"""$minhashPairsCtes,
-         |e AS (SELECT id1 AS a, id2 AS b FROM pairs),
-         |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
-         |        FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
-         |        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
-         |ids AS (SELECT u AS id FROM tri
-         |        UNION ALL SELECT v FROM tri
-         |        UNION ALL SELECT w FROM tri)
-         |SELECT id, count(*) AS n_tri FROM ids GROUP BY id ORDER BY id""".stripMargin,
-
-    "diag_ks_drift" ->
-      s"""WITH ev AS (
-        |  SELECT event_type, value, epoch_us(ts) * 1000 AS ts_ns FROM events
-        |  WHERE value IS NOT NULL AND ts IS NOT NULL),
-        |g AS (SELECT min(ts_ns) AS mn_ts, max(ts_ns) AS mx_ts FROM ev),
-        |flagged AS (SELECT event_type, value,
-        |    CASE WHEN ts_ns >= mn_ts + (mx_ts - mn_ts) // 2 THEN 1 ELSE 0 END AS late
-        |  FROM ev, g),
-        |pv AS (SELECT event_type, value,
-        |    CAST(sum(1 - late) AS BIGINT) AS c_early,
-        |    CAST(sum(late) AS BIGINT) AS c_late
-        |  FROM flagged GROUP BY event_type, value),
-        |cdf AS (SELECT event_type,
-        |    sum(c_early) OVER (PARTITION BY event_type) AS n_early,
-        |    sum(c_late) OVER (PARTITION BY event_type) AS n_late,
-        |    abs(CAST(sum(c_early) OVER w AS DOUBLE)
-        |          / sum(c_early) OVER (PARTITION BY event_type)
-        |        - CAST(sum(c_late) OVER w AS DOUBLE)
-        |          / sum(c_late) OVER (PARTITION BY event_type)) AS d
-        |  FROM pv
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY value
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT event_type,
-        |  CAST(max(n_early) AS BIGINT) AS n_early,
-        |  CAST(max(n_late) AS BIGINT) AS n_late,
-        |  ${sparkRound("max(CASE WHEN n_early > 0 AND n_late > 0 THEN d END)", 6)} AS ks_stat
-        |FROM cdf GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    "ts_ewma_smooth" -> {
-      // identical double literals and identical left-associated add order
-      // as the Spark expression (see ewmaTapWeights)
-      val num = ewmaTapWeights.zipWithIndex
-        .map { case (wk, k) => s"coalesce(lag(value, $k) OVER w, 0.0) * $wk" }
-        .mkString(" + ")
-      val den = ewmaTapWeights.zipWithIndex
-        .map { case (wk, k) =>
-          s"CASE WHEN lag(value, $k) OVER w IS NOT NULL THEN $wk ELSE 0.0 END" }
-        .mkString(" + ")
-      s"""WITH ev AS (SELECT user_id, event_id, ts, value FROM events
-         |            WHERE value IS NOT NULL),
-         |sm AS (SELECT user_id,
-         |    ($num) / ($den) AS ewma,
-         |    row_number() OVER (PARTITION BY user_id
-         |                       ORDER BY ts DESC, event_id DESC) AS rn,
-         |    count(*) OVER (PARTITION BY user_id) AS n_events
-         |  FROM ev
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-         |SELECT user_id, n_events, ${OracleSql.sparkRound("ewma", 6)} AS ewma_last
-         |FROM sm WHERE rn = 1 ORDER BY user_id""".stripMargin
-    },
-
-    "text_readability" ->
-      s"""SELECT doc_id,
-         |  len($toks) AS n_words,
-         |  len(regexp_extract_all(text, '[.!?]+')) AS n_sentences,
-         |  CASE WHEN len($toks) > 0 THEN $fleschRoundedSql
-         |  END AS flesch
-         |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // same spine/daily CTEs as ts_resample_ffill, interpolation instead
-    // of the forward fill; leading/trailing gaps stay NULL
-    "ts_interpolate_linear" ->
-      s"""${OracleSql.userDailySpineCtes},
-         |f AS (SELECT user_id, day, close,
-         |    last_value(close IGNORE NULLS) OVER wp AS pv,
-         |    last_value(CASE WHEN close IS NOT NULL THEN day END IGNORE NULLS) OVER wp AS pd,
-         |    first_value(close IGNORE NULLS) OVER wn AS nv,
-         |    first_value(CASE WHEN close IS NOT NULL THEN day END IGNORE NULLS) OVER wn AS nd
-         |  FROM j
-         |  WINDOW wp AS (PARTITION BY user_id ORDER BY day
-         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-         |         wn AS (PARTITION BY user_id ORDER BY day
-         |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-         |SELECT user_id, day,
-         |  CASE WHEN close IS NOT NULL THEN close
-         |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN ${sparkRound(
-        "pv + (nv - pv) * (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))", 4)}
-         |  END AS close_interp,
-         |  close IS NOT NULL AS observed
-         |FROM f ORDER BY user_id, day""".stripMargin,
-
-    // exact-integer moment replay; the two divisions are the only float ops
-    "events_trend_ols" ->
-      s"""WITH ev AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day
-         |            FROM events WHERE ts IS NOT NULL),
-         |daily AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS y
-         |          FROM ev GROUP BY event_type, day),
-         |m AS (SELECT event_type,
-         |        CAST(count(*) AS BIGINT) AS n,
-         |        CAST(sum(day) AS BIGINT) AS sx,
-         |        CAST(sum(y) AS BIGINT) AS sy,
-         |        CAST(sum(day * y) AS BIGINT) AS sxy,
-         |        CAST(sum(day * day) AS BIGINT) AS sxx
-         |      FROM daily GROUP BY event_type),
-         |s AS (SELECT event_type, n, sx, sy,
-         |        CASE WHEN n * sxx - sx * sx <> 0
-         |             THEN CAST(n * sxy - sx * sy AS DOUBLE)
-         |                    / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope_raw
-         |      FROM m)
-         |SELECT event_type, n AS n_days,
-         |  ${sparkRound("slope_raw", 6)} AS slope,
-         |  ${sparkRound("(CAST(sy AS DOUBLE) - slope_raw * CAST(sx AS DOUBLE))" +
-        " / CAST(n AS DOUBLE)", 6)} AS intercept
-         |FROM s ORDER BY event_type""".stripMargin,
-
-    // same per-user totals + FNV arm fence as events_ab_lift; Welch's t
-    "diag_ttest_welch" ->
-      s"""WITH vals AS (SELECT user_id,
-         |    ${sparkRound("sum(coalesce(value, 0.0))", 2)} AS v
-         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
-         |arms AS (SELECT
-         |    ((${signed64(fnvSql("'ab:' || CAST(user_id AS VARCHAR)"))} % 2) + 2) % 2 AS arm,
-         |    v
-         |  FROM vals),
-         |g AS (SELECT arm, count(*) AS n, avg(v) AS m, var_samp(v) AS s2
-         |      FROM arms GROUP BY arm),
-         |a AS (SELECT CAST(n AS BIGINT) AS n_a, m AS m_a, s2 AS s2_a FROM g WHERE arm = 0),
-         |b AS (SELECT CAST(n AS BIGINT) AS n_b, m AS m_b, s2 AS s2_b FROM g WHERE arm = 1),
-         |j AS (SELECT *, s2_a / n_a AS va, s2_b / n_b AS vb,
-         |        n_a > 1 AND n_b > 1 AND (s2_a / n_a + s2_b / n_b) > 0 AS ok
-         |      FROM a, b)
-         |SELECT n_a, ${sparkRound("m_a", 4)} AS mean_a,
-         |  n_b, ${sparkRound("m_b", 4)} AS mean_b,
-         |  CASE WHEN ok THEN ${sparkRound("(m_a - m_b) / sqrt(va + vb)", 4)} END AS t_stat,
-         |  CASE WHEN ok THEN ${sparkRound(
-           "((va + vb) * (va + vb)) / (va * va / (n_a - 1) + vb * vb / (n_b - 1))", 2)}
-         |  END AS df
-         |FROM j""".stripMargin,
-
-    "events_gap_stats" ->
-      s"""WITH ev AS (SELECT event_id, user_id, event_type,
-         |              epoch_us(ts) * 1000 AS ts_ns FROM events),
-         |gaps AS (SELECT event_type,
-         |    CAST(ts_ns - lag(ts_ns, 1) OVER (PARTITION BY user_id
-         |      ORDER BY ts_ns, event_id) AS DOUBLE) / 1000000000.0 AS gap_s
-         |  FROM ev),
-         |gg AS (SELECT event_type, gap_s FROM gaps WHERE gap_s IS NOT NULL)
-         |SELECT event_type, count(*) AS n_gaps,
-         |  ${sparkRound("avg(gap_s)", 4)} AS mean_gap_s,
-         |  ${sparkRound("quantile_cont(gap_s, 0.5)", 4)} AS p50_gap_s,
-         |  ${sparkRound("quantile_cont(gap_s, 0.9)", 4)} AS p90_gap_s,
-         |  CASE WHEN stddev_samp(gap_s) + avg(gap_s) > 0
-         |       THEN ${sparkRound("(stddev_samp(gap_s) - avg(gap_s))" +
-        " / (stddev_samp(gap_s) + avg(gap_s))", 4)}
-         |  END AS burstiness
-         |FROM gg GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    "scalar_bitwise_funcs" ->
-      """SELECT event_id,
-        |  event_id & 255 AS b_and,
-        |  event_id | 4096 AS b_or,
-        |  xor(event_id, event_id >> 3) AS b_xor,
-        |  (event_id & 1023) << 2 AS b_shl,
-        |  ~event_id AS b_not,
-        |  CAST(bit_count(event_id) AS BIGINT) AS n_bits
-        |FROM events WHERE user_id < 50 ORDER BY event_id""".stripMargin,
-
-    "events_lifecycle_stages" ->
-      """WITH a AS (SELECT DISTINCT user_id,
-        |             (epoch_us(ts) // 86400000000) // 7 AS week FROM events),
-        |st AS (SELECT user_id, week,
-        |    min(week) OVER (PARTITION BY user_id) AS fw,
-        |    lag(week, 1) OVER (PARTITION BY user_id ORDER BY week) AS pw,
-        |    lead(week, 1) OVER (PARTITION BY user_id ORDER BY week) AS nw
-        |  FROM a),
-        |staged AS (SELECT *,
-        |    CASE WHEN week = fw THEN 'new'
-        |         WHEN pw = week - 1 THEN 'retained'
-        |         ELSE 'resurrected' END AS stage
-        |  FROM st),
-        |stages AS (SELECT week,
-        |    CAST(sum(CASE WHEN stage = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
-        |    CAST(sum(CASE WHEN stage = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
-        |    CAST(sum(CASE WHEN stage = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
-        |  FROM staged GROUP BY week),
-        |mx AS (SELECT max(week) AS mw FROM a),
-        |churned AS (SELECT week + 1 AS week, CAST(count(*) AS BIGINT) AS n_churned
-        |  FROM staged, mx
-        |  WHERE (nw IS NULL OR nw > week + 1) AND week + 1 <= mw
-        |  GROUP BY week + 1),
-        |spine AS (SELECT unnest(range(
-        |    (SELECT min(week) FROM a), (SELECT max(week) FROM a) + 1)) AS week)
-        |SELECT p.week, coalesce(n_new, 0) AS n_new,
-        |  coalesce(n_retained, 0) AS n_retained,
-        |  coalesce(n_resurrected, 0) AS n_resurrected,
-        |  coalesce(n_churned, 0) AS n_churned
-        |FROM spine p LEFT JOIN stages s ON p.week = s.week
-        |LEFT JOIN churned c ON p.week = c.week
-        |ORDER BY p.week""".stripMargin,
-
-    "events_forecast_snaive" ->
-      s"""WITH ev AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day
-         |            FROM events),
-         |daily AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS y
-         |          FROM ev GROUP BY event_type, day),
-         |bounds AS (SELECT event_type, min(day) AS d0, max(day) AS d1
-         |           FROM ev GROUP BY event_type),
-         |spine AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM bounds),
-         |filled AS (SELECT s.event_type, s.day, coalesce(d.y, 0) AS y
-         |           FROM spine s LEFT JOIN daily d USING (event_type, day)),
-         |scored AS (SELECT event_type, y,
-         |    lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS yhat
-         |  FROM filled)
-         |SELECT event_type, count(*) AS n_eval,
-         |  ${sparkRound(
-        "avg(CASE WHEN y > 0 THEN CAST(abs(y - yhat) AS DOUBLE) / y END)", 4)} AS mape,
-         |  ${sparkRound(
-        "sqrt(avg(CAST((y - yhat) * (y - yhat) AS DOUBLE)))", 4)} AS rmse
-         |FROM scored WHERE yhat IS NOT NULL
-         |GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    "events_audience_overlap" ->
-      s"""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
-         |sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS sz
-         |          FROM ut GROUP BY event_type),
-         |ov AS (SELECT l.event_type AS t1, r.event_type AS t2,
-         |           CAST(count(*) AS BIGINT) AS n_both
-         |         FROM ut l JOIN ut r ON l.user_id = r.user_id
-         |         WHERE l.event_type < r.event_type
-         |         GROUP BY 1, 2)
-         |SELECT t1, t2, s1.sz AS n1, s2.sz AS n2, n_both,
-         |  ${sparkRound(
-        "CAST(n_both AS DOUBLE) / (s1.sz + s2.sz - n_both)", 6)} AS jaccard
-         |FROM ov JOIN sizes s1 ON s1.event_type = t1
-         |JOIN sizes s2 ON s2.event_type = t2
-         |ORDER BY t1, t2""".stripMargin,
-
-    "train_curriculum_buckets" -> {
-      val flesch =
-        s"CASE WHEN len($toks) > 0 THEN $fleschRoundedSql ELSE 0.0 END"
-      s"""WITH f AS (SELECT doc_id, $flesch AS fl FROM documents),
-         |cuts AS (SELECT quantile_cont(fl, 0.25) AS c1,
-         |                quantile_cont(fl, 0.5) AS c2,
-         |                quantile_cont(fl, 0.75) AS c3
-         |         FROM f),
-         |ph AS (SELECT doc_id, fl,
-         |         CASE WHEN fl >= c3 THEN 1
-         |              WHEN fl >= c2 THEN 2
-         |              WHEN fl >= c1 THEN 3
-         |              ELSE 4 END AS phase
-         |       FROM f, cuts),
-         |sh AS (SELECT phase, doc_id, fl,
-         |         row_number() OVER (PARTITION BY phase ORDER BY
-         |           ${signed64(fnvSql("'cur:' || CAST(doc_id AS VARCHAR)"))}, doc_id) AS rn
-         |       FROM ph)
-         |SELECT phase, count(*) AS n_docs,
-         |  ${sparkRound("avg(fl)", 4)} AS mean_flesch,
-         |  round(min(fl), 4) AS min_flesch,
-         |  round(max(fl), 4) AS max_flesch,
-         |  CAST(sum(doc_id * rn) AS BIGINT) AS order_checksum
-         |FROM sh GROUP BY phase ORDER BY phase""".stripMargin
-    },
-
-    // parallel unnest zips value with its 0-based dim, mirroring posexplode
-    "sim_label_centroid_matrix" ->
-      s"""WITH x AS (SELECT label, unnest(range(len(embedding))) AS dim,
-         |             CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
-         |comp AS (SELECT label, dim, avg(x) AS c FROM x GROUP BY label, dim),
-         |cents AS (SELECT label, list(c ORDER BY dim) AS v FROM comp GROUP BY label),
-         |sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS n
-         |          FROM embeddings GROUP BY label)
-         |SELECT a.label AS l1, b.label AS l2, sa.n AS n1, sb.n AS n2,
-         |  ${sparkRound("list_cosine_similarity(a.v, b.v)", 6)} AS cos
-         |FROM cents a JOIN cents b ON a.label < b.label
-         |JOIN sizes sa ON sa.label = a.label
-         |JOIN sizes sb ON sb.label = b.label
-         |ORDER BY l1, l2""".stripMargin,
-
-    "text_sentence_boilerplate" ->
-      s"""WITH raw AS (SELECT doc_id,
-         |    trim(lower(unnest(regexp_split_to_array(text, '[.!?]+')))) AS s
-         |  FROM documents),
-         |sents AS (SELECT DISTINCT doc_id, s FROM raw WHERE length(s) > 0),
-         |df AS (SELECT s, count(DISTINCT doc_id) AS ndocs FROM sents GROUP BY s),
-         |fl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sents,
-         |         CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
-         |       FROM sents JOIN df USING (s) GROUP BY doc_id)
-         |SELECT d.doc_id, coalesce(n_sents, 0) AS n_sents,
-         |  coalesce(n_boiler, 0) AS n_boiler,
-         |  CASE WHEN n_sents > 0
-         |       THEN ${sparkRound("CAST(n_boiler AS DOUBLE) / n_sents", 4)}
-         |  END AS boiler_ratio
-         |FROM documents d LEFT JOIN fl USING (doc_id) ORDER BY d.doc_id""".stripMargin,
-
-    "text_oov_rate" ->
-      s"""WITH t AS (SELECT doc_id, unnest($toks) AS w FROM documents),
-         |v AS (SELECT w FROM (SELECT w, count(*) AS n FROM t GROUP BY w
-         |                     ORDER BY n DESC, w LIMIT 100)),
-         |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         |        CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
-         |      FROM t LEFT JOIN v ON t.w = v.w GROUP BY doc_id)
-         |SELECT d.doc_id, d.lang, coalesce(n_tokens, 0) AS n_tokens,
-         |  coalesce(n_oov, 0) AS n_oov,
-         |  CASE WHEN n_tokens > 0
-         |       THEN ${sparkRound("CAST(n_oov AS DOUBLE) / n_tokens", 4)}
-         |  END AS oov_rate
-         |FROM documents d LEFT JOIN r USING (doc_id) ORDER BY d.doc_id""".stripMargin,
-
-    // ACF replay: identical exact-LONG moments, one mean division, same
-    // left-associated num/den algebra.
-    "ts_acf_daily" ->
-      s"""WITH daily AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
-         |                 CAST(count(*) AS BIGINT) AS y
-         |               FROM orders GROUP BY 1),
-         |g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy,
-         |        CAST(sum(y * y) AS BIGINT) AS syy FROM daily),
-         |p AS (SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
-         |        CAST(sum(a.y * b.y) AS BIGINT) AS sxy,
-         |        CAST(sum(a.y) AS BIGINT) AS sa, CAST(sum(b.y) AS BIGINT) AS sb
-         |      FROM (SELECT unnest(range(1, 8)) AS lag) l, daily a, daily b
-         |      WHERE b.day = a.day + l.lag GROUP BY l.lag),
-         |c AS (SELECT p.*,
-         |        CAST(sy AS DOUBLE) / n AS ybar,
-         |        CAST(syy AS DOUBLE) - CAST(n AS DOUBLE)
-         |          * (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS den
-         |      FROM p, g)
-         |SELECT lag, n_pairs,
-         |  CASE WHEN den > 0 THEN ${sparkRound(
-           "(CAST(sxy AS DOUBLE) - ybar * CAST(sa + sb AS DOUBLE) + CAST(n_pairs AS DOUBLE) * ybar * ybar) / den",
-           6)}
-         |  END AS acf
-         |FROM c ORDER BY lag""".stripMargin,
-
-    // Seasonal-index replay: same cents-rounded daily revenue, same
-    // unrounded per-dow average in the ratio.
-    "ts_seasonality_dow" ->
-      s"""WITH daily AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
-         |                 ${sparkRound("sum(o_totalprice)", 2)} AS rev
-         |               FROM orders GROUP BY 1),
-         |g AS (SELECT avg(rev) AS gavg FROM daily),
-         |d2 AS (SELECT ((day % 7) + 7) % 7 AS dow,
-         |         CAST(count(*) AS BIGINT) AS n_days, avg(rev) AS a
-         |       FROM daily GROUP BY 1)
-         |SELECT dow, n_days, ${sparkRound("a", 4)} AS avg_rev,
-         |  ${sparkRound("a / gavg", 4)} AS seasonal_idx
-         |FROM d2, g ORDER BY dow""".stripMargin,
-
-    // CUSUM replay: exact LONG prefix sums, one mean division, peak flag
-    // compared on the ROUNDED cusum so the equality is deterministic.
-    "ts_cusum_shift" ->
-      s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
-         |                 CAST(count(*) AS BIGINT) AS y
-         |               FROM events GROUP BY 1),
-         |g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy
-         |      FROM daily),
-         |cu AS (SELECT day, y, ${sparkRound(
-           """CAST(sum(y) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-             - CAST(row_number() OVER (ORDER BY day) AS DOUBLE) * (CAST(sy AS DOUBLE) / n)""",
-           4)} AS cusum
-         |       FROM daily, g)
-         |SELECT day, y, cusum,
-         |  abs(cusum) = (SELECT max(abs(cusum)) FROM cu) AS is_peak
-         |FROM cu ORDER BY day""".stripMargin,
-
-    // Length-bucket replay: same fixed power-of-two thresholds, same
-    // overflow bucket semantics.
-    "train_length_buckets" -> {
-      val caps = Seq(64L, 128L, 256L, 512L, 1024L, 2048L, 4096L, 8192L,
-        16384L, 32768L, 65536L)
-      val caseSql = caps.map(c => s"WHEN n <= $c THEN CAST($c AS BIGINT)")
-        .mkString(" ")
-      s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n FROM documents),
-         |b AS (SELECT n, CASE $caseSql ELSE CAST(-1 AS BIGINT) END AS bucket_cap
-         |      FROM t),
-         |a AS (SELECT bucket_cap, CAST(count(*) AS BIGINT) AS n_docs,
-         |        CAST(sum(n) AS BIGINT) AS token_sum
-         |      FROM b GROUP BY bucket_cap)
-         |SELECT bucket_cap, n_docs, token_sum,
-         |  CASE WHEN bucket_cap > 0 THEN bucket_cap * n_docs
-         |       ELSE token_sum END AS padded_sum,
-         |  ${sparkRound(
-           "1.0 - CAST(token_sum AS DOUBLE) / (CASE WHEN bucket_cap > 0 THEN bucket_cap * n_docs ELSE token_sum END)",
-           6)} AS waste_ratio
-         |FROM a ORDER BY bucket_cap""".stripMargin
-    },
-
-    // CUPED replay: same integer-midpoint split, same pooled covar/var
-    // moments, same adjusted-metric variance ratio.
-    "events_cuped" ->
-      s"""WITH rng AS (SELECT (CAST(epoch_ns(min(ts)) AS BIGINT)
-         |                     + CAST(epoch_ns(max(ts)) AS BIGINT)) // 2 AS pv
-         |             FROM events),
-         |per AS (SELECT user_id,
-         |    ${sparkRound(
-           "sum(CASE WHEN epoch_ns(ts) < pv THEN coalesce(value, 0.0) ELSE 0.0 END)",
-           2)} AS x,
-         |    ${sparkRound(
-           "sum(CASE WHEN epoch_ns(ts) >= pv THEN coalesce(value, 0.0) ELSE 0.0 END)",
-           2)} AS y
-         |  FROM events, rng WHERE event_type = 'purchase' GROUP BY user_id),
-         |m AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
-         |        covar_pop(x, y) AS cxy, var_pop(x) AS vx, avg(x) AS mx
-         |      FROM per),
-         |th AS (SELECT n_users, mx,
-         |         CASE WHEN vx > 0 THEN cxy / vx ELSE 0.0 END AS theta FROM m),
-         |adj AS (SELECT per.y, per.y - th.theta * (per.x - th.mx) AS yadj,
-         |          th.n_users, th.theta
-         |        FROM per, th)
-         |SELECT n_users, ${sparkRound("theta", 4)} AS theta,
-         |  ${sparkRound("var_samp(y)", 2)} AS var_y,
-         |  ${sparkRound("var_samp(yadj)", 2)} AS var_y_adj,
-         |  ${sparkRound("var_samp(yadj) / var_samp(y)", 4)} AS var_ratio
-         |FROM adj GROUP BY n_users, theta""".stripMargin,
-
-    // Degree-histogram replay over the shared LSH pair CTEs.
-    "graph_degree_histogram" ->
-      s"""$minhashPairsCtes,
-         |sym AS (SELECT id1 AS a, id2 AS b FROM pairs
-         |        UNION ALL SELECT id2, id1 FROM pairs),
-         |deg AS (SELECT a, CAST(count(DISTINCT b) AS BIGINT) AS degree
-         |        FROM sym GROUP BY a),
-         |z AS (SELECT CAST(0 AS BIGINT) AS degree,
-         |        CAST(count(*) AS BIGINT) AS n_nodes
-         |      FROM documents WHERE doc_id NOT IN (SELECT a FROM deg)),
-         |h AS (SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
-         |      FROM deg GROUP BY degree
-         |      UNION ALL SELECT degree, n_nodes FROM z WHERE n_nodes > 0)
-         |SELECT degree, n_nodes FROM h ORDER BY degree""".stripMargin,
-
-    // RRF replay over the shared BM25 CTEs + the length-prior list; each
-    // 1/(60+r) term is one division, bit-identical both engines.
-    "rank_rrf_fusion" ->
-      s"""$bm25ScoredCtes,
-         |t20 AS (SELECT doc_id, score FROM scored
-         |        ORDER BY score DESC, doc_id LIMIT 20),
-         |b1 AS (SELECT doc_id,
-         |         row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM t20),
-         |l20 AS (SELECT doc_id, n_chars FROM documents
-         |        ORDER BY n_chars DESC, doc_id LIMIT 20),
-         |b2 AS (SELECT doc_id,
-         |         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r FROM l20),
-         |u AS (SELECT doc_id, r FROM b1 UNION ALL SELECT doc_id, r FROM b2),
-         |f AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
-         |        sum(CAST(1 AS DOUBLE) / (60 + r)) AS rrf0
-         |      FROM u GROUP BY doc_id)
-         |SELECT doc_id, n_lists, ${sparkRound("rrf0", 6)} AS rrf
-         |FROM f ORDER BY rrf0 DESC, doc_id LIMIT 10""".stripMargin,
-
-    // Precision/recall@k + RR replay: relevant = all 3 query terms present
-    // (from the same tf CTE).
-    "rank_pr_at_k" ->
-      s"""$bm25ScoredCtes,
-         |rel AS (SELECT id AS doc_id, 1 AS rel FROM tf
-         |        GROUP BY id HAVING count(DISTINCT t) = 3),
-         |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_rel_total FROM rel),
-         |top AS (SELECT doc_id,
-         |          row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
-         |        FROM (SELECT doc_id, score FROM scored
-         |              ORDER BY score DESC, doc_id LIMIT 20)),
-         |tr AS (SELECT t.doc_id, t.rnk, coalesce(r.rel, 0) AS rel
-         |       FROM top t LEFT JOIN rel r USING (doc_id)),
-         |rr AS (SELECT coalesce(max(CASE WHEN rel = 1
-         |                 THEN CAST(1 AS DOUBLE) / rnk END), 0.0) AS rr FROM tr),
-         |pr AS (SELECT k, CAST(sum(rel) AS BIGINT) AS n_rel_ret
-         |       FROM (SELECT unnest([5, 10, 20]) AS k) ks, tr
-         |       WHERE rnk <= k GROUP BY k)
-         |SELECT k, n_rel_ret, n_rel_total,
-         |  ${sparkRound("CAST(n_rel_ret AS DOUBLE) / k", 6)} AS "precision",
-         |  ${sparkRound("CAST(n_rel_ret AS DOUBLE) / n_rel_total", 6)} AS recall,
-         |  ${sparkRound("rr", 6)} AS rr
-         |FROM pr, nr, rr ORDER BY k""".stripMargin,
-
-    // Zipf replay: same top-100, same leaf-rounded ln streams, same OLS
-    // moment algebra.
-    "text_zipf_slope" ->
-      s"""WITH t AS (SELECT unnest($toks) AS w FROM documents),
-         |tp AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY w
-         |       ORDER BY n DESC, w LIMIT 100),
-         |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rnk FROM tp),
-         |v AS (SELECT ${sparkRound("ln(CAST(rnk AS DOUBLE))", 6)} AS x,
-         |        ${sparkRound("ln(CAST(n AS DOUBLE))", 6)} AS y FROM r),
-         |m AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
-         |        sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
-         |        sum(x * x) AS sxx FROM v),
-         |s AS (SELECT n_terms, sx, sy,
-         |        (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx) AS slope
-         |      FROM m)
-         |SELECT n_terms, ${sparkRound("slope", 4)} AS zipf_slope,
-         |  ${sparkRound("(sy - slope * sx) / n_terms", 4)} AS intercept
-         |FROM s""".stripMargin,
-
-    // MMR replay: same rounded top-20 + pairwise sims, greedy unrolled as
-    // 4 literal argmax stages after the pure-relevance seed.
-    "sim_mmr_diversify" -> {
-      val stages = (2 to 5).map { k =>
-        val prev = (1 until k).map(i => s"SELECT vec_id FROM s$i")
-          .mkString(" UNION ALL ")
-        s"""p${k - 1} AS ($prev),
-           |s$k AS (SELECT $k AS step, vec_id, rel,
-           |          CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * mx AS score
-           |        FROM (SELECT c.vec_id, c.rel, max(ps.sim) AS mx
-           |              FROM cand c JOIN ps ON ps.i = c.vec_id
-           |                AND ps.j IN (SELECT vec_id FROM p${k - 1})
-           |              WHERE c.vec_id NOT IN (SELECT vec_id FROM p${k - 1})
-           |              GROUP BY c.vec_id, c.rel)
-           |        ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-         |cand AS (SELECT e.vec_id,
-         |           ${sparkRound("list_cosine_similarity(e.v, qv)", 6)} AS rel, e.v
-         |         FROM e, q WHERE vec_id != 0
-         |         ORDER BY rel DESC, vec_id LIMIT 20),
-         |ps AS (SELECT a.vec_id AS i, b.vec_id AS j,
-         |         ${sparkRound("list_cosine_similarity(a.v, b.v)", 6)} AS sim
-         |       FROM cand a, cand b WHERE a.vec_id != b.vec_id),
-         |s1 AS (SELECT 1 AS step, vec_id, rel, rel AS score FROM cand
-         |       ORDER BY rel DESC, vec_id LIMIT 1),
-         |$stages
-         |SELECT step AS sel_rank, vec_id, ${sparkRound("rel", 6)} AS rel,
-         |  ${sparkRound("score", 6)} AS mmr_score
-         |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
-         |      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
-         |      UNION ALL SELECT * FROM s5)
-         |ORDER BY sel_rank""".stripMargin
-    },
-
-    // Skyline replay: distinct-value grain, running max over strictly
-    // greater values, frontier = (no greater-value point at >= time) AND
-    // group-max time; duplicates counted, equal points co-survive.
-    "sort_skyline_pareto" ->
-      """WITH p AS (SELECT value, epoch_us(ts) AS tus FROM events
-        |           WHERE event_type = 'purchase' AND value IS NOT NULL),
-        |g AS (SELECT value, max(tus) AS mxt FROM p GROUP BY value),
-        |r AS (SELECT value, mxt, max(mxt) OVER (ORDER BY value DESC
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS gm FROM g),
-        |f AS (SELECT value, mxt FROM r WHERE gm IS NULL OR gm < mxt)
-        |SELECT p.value, p.tus, CAST(count(*) AS BIGINT) AS n_dups
-        |FROM p JOIN f ON p.value = f.value AND p.tus = f.mxt
-        |GROUP BY p.value, p.tus ORDER BY p.value DESC, p.tus""".stripMargin,
-
-    // Cluster-weight replay: same closure as dedup_cluster_components,
-    // singletons self-labeled, weight = 1/|cluster|.
-    "train_cluster_weights" ->
-      s"""WITH RECURSIVE e AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-         |  FROM embeddings WHERE vec_id < 100),
-         |nd AS (
-         |  SELECT a.vec_id AS id1, b.vec_id AS id2
-         |  FROM e a, e b WHERE a.vec_id < b.vec_id
-         |    AND ${sparkRound("list_cosine_similarity(a.v, b.v)", 6)} >= 0.3),
-         |sym AS (SELECT id1 AS a, id2 AS b FROM nd
-         |        UNION SELECT id2, id1 FROM nd),
-         |reach(a, r) AS (
-         |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
-         |  UNION
-         |  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.a),
-         |comp AS (SELECT a, CAST(min(r) AS BIGINT) AS label FROM reach GROUP BY a),
-         |lab AS (SELECT e.vec_id, coalesce(comp.label, e.vec_id) AS cluster
-         |        FROM e LEFT JOIN comp ON comp.a = e.vec_id),
-         |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
-         |       FROM lab GROUP BY cluster)
-         |SELECT vec_id, cluster, n_members,
-         |  ${sparkRound("CAST(1 AS DOUBLE) / n_members", 6)} AS weight
-         |FROM lab JOIN sz USING (cluster) ORDER BY vec_id""".stripMargin,
-
-    // Weighted-median replay: same distinct-value prefix sums (exact —
-    // integer-valued weights), same lower-median crossing rule. The
-    // bucketed sibling is exact by construction (the two-phase bucket
-    // split only reorders which partial sums are taken, every sum stays
-    // integer-exact), so BOTH lanes replay against this one SQL.
-    "agg_weighted_median" -> weightedMedianOracle,
-    "agg_weighted_median_bucketed" -> weightedMedianOracle,
-
-    // Gini replay: identical tie-grouped exact-LONG rank sums, two final
-    // divisions.
-    "diag_gini_activity" ->
-      s"""WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x
-         |           FROM events GROUP BY user_id),
-         |lvl AS (SELECT x, CAST(count(*) AS BIGINT) AS m FROM u GROUP BY x),
-         |r AS (SELECT x, m,
-         |        coalesce(CAST(sum(m) OVER (ORDER BY x
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
-         |          0) AS cprev
-         |      FROM lvl),
-         |t AS (SELECT CAST(sum(m) AS BIGINT) AS n,
-         |        CAST(sum(x * m) AS BIGINT) AS sx,
-         |        CAST(sum(x * (m * cprev + m * (m + 1) // 2)) AS BIGINT) AS t
-         |      FROM r)
-         |SELECT n AS n_users, sx AS total_events,
-         |  ${sparkRound(
-           "2.0 * CAST(t AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)",
-           6)} AS gini
-         |FROM t""".stripMargin
-  )
+    ("train_bpe_learn" -> ExtShared.bpeLearnOracle(8)) +
+    ("train_bpe_apply_learned" -> ExtShared.bpeApplyOracle(8))
+
+  private def oraclesBase: Map[String, String] =
+    ExtText.oracles ++ ExtTrain.oracles ++ ExtDedup.oracles ++
+      ExtSim.oracles ++ ExtEvents.oracles ++ ExtDiag.oracles ++
+      ExtPipe.oracles
+
+  // Test-visible forwarders (BoundedWindowSpec) — implementations moved to
+  // ExtShared with the split.
+  private[graft] def skylinePoints(s: SparkSession, d: String): DataFrame =
+    ExtShared.skylinePoints(s, d)
+  private[graft] def skylineSurvivors(pts: DataFrame): DataFrame =
+    ExtShared.skylineSurvivors(pts)
+  private[graft] def wmedianBucketed(s: SparkSession, d: String): DataFrame =
+    ExtShared.wmedianBucketed(s, d)
+  private[graft] val WmedianBuckets: Int = ExtShared.WmedianBuckets
 }
