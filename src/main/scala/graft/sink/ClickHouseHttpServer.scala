@@ -69,7 +69,11 @@ final class ClickHouseHttpServer(
   def select(table: String): Seq[Array[String]] = {
     val t = tables.get(table)
     require(t != null, s"unknown table $table")
-    val raw = Option(store.get(table)).map(_.asScala.toSeq).getOrElse(Seq.empty)
+    // copy under the list's monitor (advice r14): iterating a
+    // synchronizedList without holding it races a concurrent INSERT
+    val raw = Option(store.get(table))
+      .map(l => l.synchronized(new java.util.ArrayList(l)).asScala.toSeq)
+      .getOrElse(Seq.empty)
     engines.get(table) match {
       case ("ReplacingMergeTree", ver, orderKey) if ver.nonEmpty =>
         val names = t.columns.map(_.name)

@@ -186,7 +186,15 @@ object RowBinary {
         case other => throw new IllegalArgumentException(s"bad Bool '$other'")
       }
       out.byte(b)
-    case ChDateTime => out.intLE(parseEpochSeconds(v), 4)
+    case ChDateTime =>
+      // range-check like the integer lanes (advice r14): ClickHouse DateTime
+      // is UInt32 epoch seconds (valid to 2106); silently wrapping values
+      // outside [0, 2^32) would put corrupt bytes on the wire
+      val e = parseEpochSeconds(v)
+      if (e < 0L || e > 0xFFFFFFFFL)
+        throw new IllegalArgumentException(
+          s"value '$v' out of range for $t [1970-01-01, 2106-02-07)")
+      out.intLE(e, 4)
     case ChDate => out.intLE(java.time.LocalDate.parse(v.trim).toEpochDay, 2)
     case ChDecimal(p, s) =>
       // setScale with no rounding mode throws ArithmeticException on excess
@@ -308,7 +316,9 @@ object RowBinary {
       case 1 => "true"
       case other => throw new IllegalArgumentException(s"bad Bool byte $other")
     }
-    case ChDateTime => r.longLE(4).toInt.toString // epoch seconds (canonical)
+    // epoch seconds, UNSIGNED (advice r14): DateTime is UInt32, valid to
+    // 2106 — .toInt would render post-2038 epochs as negative strings
+    case ChDateTime => r.longLE(4).toString
     case ChDate => java.time.LocalDate.ofEpochDay(r.longLE(2)).toString
     case ChDecimal(p, s) =>
       val width = if (p <= 9) 4 else if (p <= 18) 8 else if (p <= 38) 16 else 32

@@ -126,6 +126,27 @@ object GrpcChain {
   final class NonRetryableStatusException(val code: Int, message: String)
     extends RuntimeException(s"grpc-status $code (non-retryable): $message")
 
+  /** The WHOLE status taxonomy in one function (r13 #9: table-enumerated
+    * over all 17 codes in GrpcChainSpec so it can't drift):
+    *  - 16 UNAUTHENTICATED → [[UnauthenticatedException]] (fatal — the
+    *    replayed token would be rejected again);
+    *  - 0 OK mid-stream → IOException (the stream ended before the
+    *    requested range was served; the reconnect resumes from cursor);
+    *  - {4, 8, 14} ([[RetryableStatuses]]) → IOException (transient);
+    *  - every other code → [[NonRetryableStatusException]] (deterministic
+    *    rejection, advice r12).
+    * [[Backoff]] retries IOException and treats the other two as fatal. */
+  def statusException(code: Int, message: String,
+      endpoint: String, seq: Long): Exception = code match {
+    case 16 => new UnauthenticatedException(
+      s"server at $endpoint rejected the bearer token (grpc-status 16)")
+    case 0 => new java.io.IOException(
+      s"server completed the stream before seq $seq was served")
+    case c if RetryableStatuses(c) =>
+      new java.io.IOException(s"grpc-status $c (transient): $message")
+    case c => new NonRetryableStatusException(c, message)
+  }
+
   // ---- TLS + ALPN (the reference's transport security) ---------------------
   //
   // The reference's tonic channel is TLS with ALPN-negotiated h2
@@ -637,18 +658,10 @@ final class GrpcBlockFetcher(cfg: ChainSource.Config) extends BlockFetcher {
                 nextSeq = seq + 1
                 return ChainSource.toInternalRow(env)
             }
-          case Status(16, _) =>
-            throw new UnauthenticatedException(
-              s"server at ${cfg.endpoint} rejected the bearer token (grpc-status 16)")
-          case Status(0, _) =>
-            throw new java.io.IOException(
-              s"server completed the stream before seq $seq was served")
-          case Status(code, m) if GrpcChain.RetryableStatuses(code) =>
-            throw new java.io.IOException(s"grpc-status $code (transient): $m")
           case Status(code, m) =>
-            // deterministic rejection: the identical replay would get the
-            // identical status — fatal, no reconnect churn (advice r12)
-            throw new GrpcChain.NonRetryableStatusException(code, m)
+            // one taxonomy function for all 17 codes (table-tested) —
+            // fatal-vs-transient rationale lives on statusException
+            throw GrpcChain.statusException(code, m, cfg.endpoint, seq)
           case Broken(cause) => throw cause
           case Eof =>
             throw new java.io.IOException(s"connection dropped mid-stream at seq $seq")

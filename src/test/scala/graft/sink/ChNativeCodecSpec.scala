@@ -111,4 +111,39 @@ class ChNativeCodecSpec extends AnyFunSuite {
     assert(hex(bytes(200)) // >=128: main loop + tail chunks
       === ("2a2149dde0669f14", "32deb8c10c1ef4b0"))
   }
+
+  test("FrameOutputStream: incremental writes frame identically to one-shot writeFrames") {
+    val data = bytes(1000)
+    // incremental: mixed single-byte and ragged array writes, 256-byte frames
+    val inc = new ByteArrayOutputStream()
+    val fos = new ChNativeCodec.FrameOutputStream(inc, blockBytes = 256)
+    fos.write(data(0) & 0xFF)
+    fos.write(data, 1, 300)   // crosses a frame boundary mid-write
+    fos.write(data, 301, 5)
+    fos.write(data, 306, 694)
+    fos.close()
+    assert(fos.framesWritten === 4, "1000 bytes at 256/frame = 3 full + 1 partial")
+    // one-shot reference
+    val ref = new ByteArrayOutputStream()
+    ChNativeCodec.writeFrames(ref, data, blockBytes = 256)
+    assert(inc.toByteArray.toSeq === ref.toByteArray.toSeq,
+      "same data + blockBytes must produce byte-identical frames")
+    // and the stream decodes back to the original
+    assert(ChNativeCodec.readFrames(
+      new ByteArrayInputStream(inc.toByteArray)).toSeq === data.toSeq)
+  }
+
+  test("FrameOutputStream: bounded buffer — a partial frame only flushes on close; empty stream = no frames") {
+    val out = new ByteArrayOutputStream()
+    val fos = new ChNativeCodec.FrameOutputStream(out, blockBytes = 1 << 20)
+    fos.write(bytes(100), 0, 100)
+    assert(out.size() === 0, "under one blockBytes nothing is on the wire yet")
+    fos.close()
+    assert(fos.framesWritten === 1)
+    assert(ChNativeCodec.readFrames(
+      new ByteArrayInputStream(out.toByteArray)).toSeq === bytes(100).toSeq)
+    val empty = new ByteArrayOutputStream()
+    new ChNativeCodec.FrameOutputStream(empty, 256).close()
+    assert(empty.size() === 0, "no data -> no frames (matches writeFrames)")
+  }
 }

@@ -133,4 +133,107 @@ class ClickHouseHttpSinkSpec extends SparkSpec {
       assert(sink.loadCursor(spark).isEmpty)
     } finally server.close()
   }
+
+  test("streamed insert: a multi-frame body (tiny blockBytes) still checksum-verifies row-exact") {
+    import spark.implicits._
+    val server = new ClickHouseHttpServer()
+    try {
+      // 64-byte frames force MANY frames per partition POST — each row is
+      // tens of bytes (cursor + block_id strings) — through the INCREMENTAL
+      // framing path (FrameOutputStream), not a one-shot writeFrames
+      val sink = new ClickHouseHttpSink(catalog, server.url, "chainS", blockBytes = 64)
+      val blocks = (1L to 40L).map(n => blk(n, n)).toDS()
+      sink.writeBatch(blocks, 0L)
+      assert(storedV(server) === (1 to 40),
+        "every row must survive the multi-frame streamed body bit-exact")
+      assert(server.compressedRequests.get() > 0)
+    } finally server.close()
+  }
+
+  test("binary columns travel losslessly as hex (advice r14): non-UTF-8 bytes round-trip bit-exact") {
+    import spark.implicits._
+    val server = new ClickHouseHttpServer()
+    try {
+      // bytes that UTF-8 reinterpretation would destroy (lone continuation
+      // bytes, 0xFF, a NUL) — exactly the raw-address shape the advice cites
+      val payload = Array[Byte](0x00, 0xFF.toByte, 0xFE.toByte, 0x80.toByte,
+        0xC3.toByte, 0x28, 0x01, 0x7F)
+      ClickHouseHttpSink.post(server.url,
+        "CREATE TABLE `bin` (`id` Int32, `payload` String) ENGINE = MergeTree ORDER BY (`id`)",
+        Array.emptyByteArray, "default", "", compress = false)
+      val sink = new ClickHouseHttpSink(Seq.empty, server.url, "chainBin")
+      sink.writeTable("bin", Seq((7, payload)).toDF("id", "payload"))
+      val t = server.tables.get("bin")
+      val row = server.select("bin").head
+      val hexStored = row(t.columns.indexWhere(_.name == "payload"))
+      // the wire value is hex text — unhex recovers the ORIGINAL bytes
+      val back = hexStored.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      assert(back.toSeq === payload.toSeq, "bit-exact round trip through the String target")
+      assert(row(t.columns.indexWhere(_.name == "id")) === "7")
+    } finally server.close()
+  }
+
+  test("binary column against a non-String declared target is rejected LOUDLY, not truncated") {
+    import spark.implicits._
+    val server = new ClickHouseHttpServer()
+    try {
+      // FixedString(4) would truncate the hex text to 4 bytes — corrupt;
+      // the sink must refuse at plan-build time instead
+      val cat = Seq(ChTable("bin2", Seq(ChColumn("payload", ChFixedString(4)))))
+      val sink = new ClickHouseHttpSink(cat, server.url, "chainBin2")
+      val e = intercept[IllegalArgumentException] {
+        sink.writeTable("bin2", Seq(Tuple1(Array[Byte](1, 2))).toDF("payload"))
+      }
+      assert(e.getMessage.contains("FixedString"), s"got: ${e.getMessage}")
+      assert(server.rowCount("bin2") === 0)
+    } finally server.close()
+  }
+
+  test("executor death mid-POST: the aborted body lands NOTHING; the retry's duplicates collapse (r14 #8)") {
+    import spark.implicits._
+    val server = new ClickHouseHttpServer()
+    try {
+      val sink = new ClickHouseHttpSink(catalog, server.url, "chainC", blockBytes = 64)
+      val blocks = (1L to 10L).map(n => blk(n, n)).toDS()
+      sink.writeBatch(blocks, 0L) // attempt 0's successful earlier work
+      val before = server.rowCount("t")
+      assert(before === 10)
+
+      // the kill: a REAL task on an executor thread dies part-way through a
+      // streamed POST — one full frame is already on the wire, then the
+      // "executor" goes down before the body completes
+      val url = server.url
+      val e = intercept[org.apache.spark.SparkException] {
+        spark.range(0, 1, 1, 1).foreachPartition { (_: Iterator[java.lang.Long]) =>
+          ClickHouseHttpSink.postStream(url,
+            "INSERT INTO `t` (`block_num`, `block_id`, `cursor`, `v`) FORMAT RowBinary",
+            "default", "", compress = true, blockBytes = 64) { os =>
+            val b = new RowBinary.Buf()
+            RowBinary.writeValue(b, ChInt64, "99")
+            RowBinary.writeValue(b, ChString, "b99")
+            RowBinary.writeValue(b, ChString, "c99")
+            RowBinary.writeValue(b, ChInt32, "999")
+            val row = b.toBytes
+            (0 until 20).foreach(_ => os.write(row)) // > one 64-byte frame flushed
+            throw new RuntimeException("simulated executor death mid-POST")
+          }
+        }
+      }
+      assert(e.getMessage.contains("simulated executor death"), s"got $e")
+      assert(server.rowCount("t") === before,
+        "an aborted mid-POST body must land ZERO rows (truncated frames fail, request atomic)")
+      assert(storedV(server).forall(_ != 999), "no partial row from the dead attempt")
+
+      // the retry: Spark re-runs the batch (at-least-once) — data rows
+      // duplicate in raw storage, the ReplacingMergeTree cursor collapses
+      sink.writeBatch(blocks, 0L)
+      assert(server.rowCount("t") === 2 * before,
+        "at-least-once: the retried batch duplicates raw MergeTree rows")
+      assert(storedV(server) === (1 to 10).flatMap(v => Seq(v, v)).sorted,
+        "duplicates are exact copies, counted before collapse")
+      assert(server.select("graft_cursors").size === 1,
+        "ReplacingMergeTree collapses the replayed cursor rows latest-wins")
+      assert(sink.loadCursor(spark).map(_.blockNum) === Some(10L))
+    } finally server.close()
+  }
 }

@@ -146,6 +146,22 @@ class RowBinarySpec extends SparkSpec {
     assert(enc(ChDate, "1970-02-01") === "1f00") // day 31
   }
 
+  test("DateTime is UInt32 (advice r14): post-2038 round-trips positive; out-of-range is loud") {
+    def roundTrip(t: ChType, v: String): String = {
+      val out = new RowBinary.Buf()
+      RowBinary.writeValue(out, t, v)
+      RowBinary.readValue(new RowBinary.Reader(out.toBytes, 0), t)
+    }
+    // 2106-01-01T00:00:00Z = 4291747200 > 2^31 — previously decoded negative
+    assert(roundTrip(ChDateTime, "4291747200") === "4291747200")
+    assert(roundTrip(ChDateTime, "4294967295") === "4294967295") // 2^32-1, the last second
+    assert(roundTrip(ChDateTime, "2147483648") === "2147483648") // 2^31, first post-2038
+    // encoder range check, same loud taxonomy as the integer widths
+    intercept[IllegalArgumentException](enc(ChDateTime, "-1"))
+    intercept[IllegalArgumentException](enc(ChDateTime, "4294967296")) // 2^32
+    intercept[IllegalArgumentException](enc(ChDateTime, "1969-12-31T23:59:59Z"))
+  }
+
   test("Nullable flag byte; Decimal as scaled int of the precision width") {
     assert(enc(ChNullable(ChInt32), null) === "01")
     assert(enc(ChNullable(ChInt32), "7") === "0007000000")

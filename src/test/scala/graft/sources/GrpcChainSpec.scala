@@ -306,4 +306,36 @@ class GrpcChainSpec extends SparkSpec {
       assert(server.served.get(22L) === 2, "the killed seq was re-served once")
     } finally server.close()
   }
+
+  test("status taxonomy: ALL 17 grpc-status codes classify per the table, both directions") {
+    // the drift-proof enumeration (r13 #9): every code 0..16 through the
+    // REAL mapping the fetch loop throws from, asserted against the
+    // documented taxonomy — {4,8,14} transient IOException, 16 the
+    // dedicated auth fatal, 0 mid-stream a resumable IOException, all
+    // other codes the deterministic NonRetryableStatusException
+    val retryable = Set(4, 8, 14)
+    assert(GrpcChain.RetryableStatuses === retryable,
+      "the constant itself must stay exactly {DEADLINE_EXCEEDED, RESOURCE_EXHAUSTED, UNAVAILABLE}")
+    (0 to 16).foreach { code =>
+      val e = GrpcChain.statusException(code, s"msg-$code", "127.0.0.1:1", 7L)
+      code match {
+        case 16 =>
+          assert(e.isInstanceOf[UnauthenticatedException], s"code $code")
+        case 0 =>
+          assert(e.isInstanceOf[java.io.IOException], s"code $code")
+          assert(e.getMessage.contains("before seq 7"), s"code $code carries the seq")
+        case c if retryable(c) =>
+          assert(e.isInstanceOf[java.io.IOException], s"code $c must be transient")
+          assert(e.getMessage.contains(s"grpc-status $c (transient)"), s"code $c")
+        case c =>
+          assert(e.isInstanceOf[GrpcChain.NonRetryableStatusException],
+            s"code $c must be a deterministic fatal rejection")
+          assert(e.asInstanceOf[GrpcChain.NonRetryableStatusException].code === c)
+      }
+      // both directions: retryable ⇔ plain IOException (what Backoff retries)
+      val isRetryableShape = e.isInstanceOf[java.io.IOException]
+      assert(isRetryableShape === (retryable(code) || code == 0),
+        s"code $code: Backoff-retryable shape must match the taxonomy table")
+    }
+  }
 }
