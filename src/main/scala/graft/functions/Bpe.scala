@@ -82,6 +82,26 @@ object Bpe {
     "the" -> " ", "value" -> " ", "e" -> " ", "t" -> " ", " " -> "s",
     "b" -> "a", "ba" -> "t", "bat" -> "c", "batc" -> "h"))
 
+  /** The realistic-scale merge table (VERDICT r14 #2): 1,000 merges from
+    * the checked-in resource — an 89-merge prefix TRAINED to exhaustion on
+    * the sf0.01 corpus (every word merges to a single token, so applied
+    * depth per word is maximal) plus a creation-ordered synthetic tail on
+    * a disjoint alphabet that can never match corpus text. The tail is the
+    * table-size experiment: per-char encode cost must stay flat because
+    * the pair→rank lookup is a hash map, not a table scan. Generated by
+    * [[graft.TrainBpeTable]]; per-char timing vs the 25-merge fixture is
+    * recorded in PLANS.md r15. */
+  lazy val table1k: BpeTable = {
+    val in = getClass.getResourceAsStream("/graft/bpe_merges_1k.tsv")
+    require(in != null, "missing resource graft/bpe_merges_1k.tsv")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try BpeTable(src.getLines().map { line =>
+      val i = line.indexOf('\t')
+      (line.substring(0, i), line.substring(i + 1))
+    }.toVector)
+    finally src.close()
+  }
+
   def bpe_encode(text: Column, table: BpeTable): Column =
     ColumnBridge.column(BpeEncode(ColumnBridge.expression(text), table))
 

@@ -611,11 +611,16 @@ private[graft] object ExtShared {
     * document length, and single-char segments (every breaker) start done.
     * Ends with `bpe(doc_id, toks)` — full-document token lists; empty-text
     * docs are restored by the consumers' LEFT JOIN. */
-  def bpeFoldCtesFull: String = {
-    val cls = graft.functions.Bpe.fixtureTable.operandClassBody.replace("'", "''")
+  def bpeFoldCtesFull: String = bpeFoldCtesFullFor(graft.functions.Bpe.fixtureTable)
+
+  /** Same per-segment fold, parameterized by merge table — the 1k-table
+    * lane (`text_bpe_tokens_1k`, VERDICT r14 #2) replays its 1,000 VALUES
+    * rows through the identical recursion. */
+  def bpeFoldCtesFullFor(table: graft.functions.Bpe.BpeTable): String = {
+    val cls = table.operandClassBody.replace("'", "''")
     val pat = s"[$cls]+|[^$cls]"
     s"""WITH RECURSIVE
-       |merges(l, r, rnk) AS (VALUES ${graft.functions.Bpe.fixtureTable.sqlValues}),
+       |merges(l, r, rnk) AS (VALUES ${table.sqlValues}),
        |seglist AS (SELECT doc_id, regexp_extract_all(text, '$pat', 0) AS segs
        |            FROM documents),
        |init AS (

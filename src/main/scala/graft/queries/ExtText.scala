@@ -303,6 +303,21 @@ private[graft] object ExtText {
         .orderBy(col("doc_id"))
     }),
 
+    // Realistic merge-table scale (VERDICT r14 #2): the SAME full-document
+    // encode under the 1,000-merge table — an exhaustively-trained corpus
+    // prefix (words merge to single tokens, maximal applied depth) plus a
+    // synthetic 911-entry tail that can never match, so the lane measures
+    // rank-lookup flatness in table size. Same plan shape as the 25-merge
+    // lane: ONE codegen'd BpeEncode per document, no extra exchange.
+    "text_bpe_tokens_1k" -> ((s, d) => {
+      import graft.functions.Bpe
+      val toks = Bpe.bpe_encode_full(col("text"), Bpe.table1k)
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(toks).cast("long").as("n_bpe"),
+          md5(concat_ws("|", toks)).as("toks_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII redaction pass: deterministic synthetic PII (email/phone/IPv4
     // derived from doc_id) is appended to each doc, then counted and
     // scrubbed; the oracle re-runs the identical regexes in DuckDB and
@@ -636,6 +651,14 @@ private[graft] object ExtText {
     // Full-document per-segment merge replay + the md5'd token string.
     "text_bpe_tokens_full" ->
       s"""$bpeFoldCtesFull
+         |SELECT d.doc_id, CAST(coalesce(len(b.toks), 0) AS BIGINT) AS n_bpe,
+         |  md5(coalesce(array_to_string(b.toks, '|'), '')) AS toks_md5
+         |FROM documents d LEFT JOIN bpe b USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // The identical fold through the 1,000-row merge VALUES list.
+    "text_bpe_tokens_1k" ->
+      s"""${bpeFoldCtesFullFor(graft.functions.Bpe.table1k)}
          |SELECT d.doc_id, CAST(coalesce(len(b.toks), 0) AS BIGINT) AS n_bpe,
          |  md5(coalesce(array_to_string(b.toks, '|'), '')) AS toks_md5
          |FROM documents d LEFT JOIN bpe b USING (doc_id)

@@ -123,4 +123,37 @@ class BpeSpec extends SparkSpec {
     assert(got === Seq(Bpe.encode("data value", Bpe.fixtureTable).mkString("|"),
       Bpe.encode("batch", Bpe.fixtureTable).mkString("|")))
   }
+
+  test("table1k: 1,000 creation-ordered merges; trained prefix saturates corpus words (VERDICT r14 #2)") {
+    val t = Bpe.table1k
+    assert(t.merges.size === 1000)
+    // creation order — the oracle-equivalence precondition: every operand
+    // is a single code point or the output of an EARLIER merge
+    val outputs = scala.collection.mutable.HashSet.empty[String]
+    t.merges.foreach { case (l, r) =>
+      for (op <- Seq(l, r))
+        assert(op.codePointCount(0, op.length) == 1 || outputs.contains(op),
+          s"operand '$op' is multi-char but not an earlier merge output")
+      outputs += (l + r)
+    }
+    // trained to exhaustion: corpus words merge to a SINGLE token (deeper
+    // than the 25-merge fixture ever merges), e.g. the most frequent ones
+    for (w <- Seq("join", "hash", "customer", "vector", "batch"))
+      assert(Bpe.encode(w, t).toSeq === Seq(w), s"'$w' must merge to one token")
+    // the synthetic tail is disjoint from the corpus alphabet: lowercase
+    // text never meets an A-Z0-9 operand, so those 911 ranks never apply
+    assert(Bpe.encode("the batch value", t).mkString("|") ===
+      "the|" + " " + "|batch|" + " " + "|value")
+  }
+
+  test("table1k factorization + flat-lookup sanity: segmented == whole-text under 40x more merges") {
+    val t = Bpe.table1k
+    val texts = Seq(
+      "key agg row scan slow fast table value part hash",
+      "batch window spark order data column agg join",
+      "the1scan2value, data; batch!", "", "zzz", "A0Z9")
+    for (txt <- texts)
+      assert(Bpe.encodeSegmented(txt, t).toSeq === Bpe.encode(txt, t).toSeq,
+        s"factorization must be exact for '$txt'")
+  }
 }
