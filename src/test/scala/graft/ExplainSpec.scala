@@ -152,6 +152,20 @@ class ExplainSpec extends SparkSpec {
     assert(nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) === 0)
   }
 
+  test("text_bpe_tokens_1k: the 1,000-merge table changes NOTHING in the plan — one scan, no joins") {
+    // the table travels as a plan reference object inside the codegen'd
+    // BpeEncode; a bigger table must not add scans, joins, or exchanges
+    // (the per-char-flat claim is a plan property, then a measured one)
+    for (lane <- Seq("text_bpe_tokens_full", "text_bpe_tokens_1k")) {
+      val nodes = run(lane)
+      assert(scansOf(nodes, "doc_").size === 1, s"$lane: one documents scan")
+      assert(nodes.count(_.isInstanceOf[CartesianProductExec]) === 0, lane)
+      assert(nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) === 0, lane)
+      assert(hashExchanges(nodes) === 0,
+        s"$lane is scan->project->sort; a hash shuffle means the encode left codegen")
+    }
+  }
+
   test("dedup_minhash_pairs: banded equi-join, bounded documents scans, no all-pairs") {
     val nodes = run("dedup_minhash_pairs")
     // one scan feeds the checkpointed signatures; the non-empty marker row

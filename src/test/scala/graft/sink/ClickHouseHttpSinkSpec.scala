@@ -134,6 +134,22 @@ class ClickHouseHttpSinkSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("loadCursor escapes quotes in the cursor id (advice r14): no literal breakout, loud not silent") {
+    val server = new ClickHouseHttpServer()
+    try {
+      // a well-behaved id still resolves through the escaped literal path
+      val ok = new ClickHouseHttpSink(catalog, server.url, "plain_id")
+      assert(ok.loadCursor(spark).isEmpty)
+      // an id carrying a quote doubles it ('' = SQL-escaped quote), so it
+      // can never terminate the literal; the fixture's grammar doesn't
+      // parse escaped literals, so the query fails LOUDLY (a real server
+      // would match the id exactly) — either way no injected clause runs
+      val quoted = new ClickHouseHttpSink(catalog, server.url, "it's; DROP x")
+      intercept[java.io.IOException](quoted.loadCursor(spark))
+      assert(server.badRequests.get() >= 1)
+    } finally server.close()
+  }
+
   test("streamed insert: a multi-frame body (tiny blockBytes) still checksum-verifies row-exact") {
     import spark.implicits._
     val server = new ClickHouseHttpServer()
