@@ -616,21 +616,27 @@ private[graft] object ExtShared {
   /** Same per-segment fold, parameterized by merge table — the 1k-table
     * lane (`text_bpe_tokens_1k`, VERDICT r14 #2) replays its 1,000 VALUES
     * rows through the identical recursion. */
-  def bpeFoldCtesFullFor(table: graft.functions.Bpe.BpeTable): String = {
+  def bpeFoldCtesFullFor(table: graft.functions.Bpe.BpeTable): String =
+    "WITH RECURSIVE\n" + bpeFoldCtesBody(table, "")
+
+  /** The fold's CTE list WITHOUT the WITH keyword, every CTE name prefixed
+    * — lets one query carry TWO independent folds (the tokenizer-A/B lane
+    * replays both merge tables side by side). Ends with `${p}bpe(doc_id,
+    * toks)`. */
+  def bpeFoldCtesBody(table: graft.functions.Bpe.BpeTable, p: String): String = {
     val cls = table.operandClassBody.replace("'", "''")
     val pat = s"[$cls]+|[^$cls]"
-    s"""WITH RECURSIVE
-       |merges(l, r, rnk) AS (VALUES ${table.sqlValues}),
-       |seglist AS (SELECT doc_id, regexp_extract_all(text, '$pat', 0) AS segs
+    s"""${p}merges(l, r, rnk) AS (VALUES ${table.sqlValues}),
+       |${p}seglist AS (SELECT doc_id, regexp_extract_all(text, '$pat', 0) AS segs
        |            FROM documents),
-       |init AS (
+       |${p}init AS (
        |  SELECT doc_id, i.seg_idx,
        |    list_filter(string_split(segs[i.seg_idx], ''), x -> x <> '') AS toks,
        |    length(segs[i.seg_idx]) <= 1 AS done
-       |  FROM seglist,
+       |  FROM ${p}seglist,
        |       LATERAL (SELECT unnest(range(1, len(segs) + 1)) AS seg_idx) i),
-       |fold AS (
-       |  SELECT doc_id, seg_idx, toks, done FROM init
+       |${p}fold AS (
+       |  SELECT doc_id, seg_idx, toks, done FROM ${p}init
        |  UNION ALL
        |  SELECT f.doc_id, f.seg_idx,
        |    CASE WHEN best.pos IS NULL THEN f.toks
@@ -638,15 +644,15 @@ private[graft] object ExtShared {
        |              [f.toks[best.pos] || f.toks[best.pos+1]] ||
        |              f.toks[best.pos+2:len(f.toks)] END AS toks,
        |    best.pos IS NULL AS done
-       |  FROM (SELECT * FROM fold WHERE NOT done) f
+       |  FROM (SELECT * FROM ${p}fold WHERE NOT done) f
        |  LEFT JOIN LATERAL (
        |    SELECT i AS pos FROM (SELECT unnest(range(1, len(f.toks))) AS i) p
-       |    JOIN merges m ON m.l = f.toks[i] AND m.r = f.toks[i+1]
+       |    JOIN ${p}merges m ON m.l = f.toks[i] AND m.r = f.toks[i+1]
        |    ORDER BY m.rnk, i LIMIT 1
        |  ) best ON true),
-       |seg_bpe AS (SELECT doc_id, seg_idx, toks FROM fold WHERE done),
-       |bpe AS (SELECT doc_id, flatten(list(toks ORDER BY seg_idx)) AS toks
-       |        FROM seg_bpe GROUP BY doc_id)""".stripMargin
+       |${p}seg_bpe AS (SELECT doc_id, seg_idx, toks FROM ${p}fold WHERE done),
+       |${p}bpe AS (SELECT doc_id, flatten(list(toks ORDER BY seg_idx)) AS toks
+       |        FROM ${p}seg_bpe GROUP BY doc_id)""".stripMargin
   }
 
   /** The BPE TRAINING loop replay (`train_bpe_learn`): k unrolled stages

@@ -318,6 +318,29 @@ private[graft] object ExtText {
         .orderBy(col("doc_id"))
     }),
 
+    // Tokenizer A/B audit — the retokenization decision a pipeline faces
+    // when upgrading its tokenizer at 100 TB: both tables encode in ONE
+    // scan/projection (two codegen'd BpeEncode columns, no join, no extra
+    // pass over the corpus), per-doc token counts + the count ratio +
+    // which tokenizer compresses better. The oracle replays BOTH merge
+    // folds side by side (prefixed CTE chains over the two VALUES lists).
+    "text_tokenizer_ab" -> ((s, d) => {
+      import graft.functions.Bpe
+      val a = Bpe.bpe_encode_full(col("text"), Bpe.fixtureTable)
+      val b = Bpe.bpe_encode_full(col("text"), Bpe.table1k)
+      val na = size(a).cast("long")
+      val nb = size(b).cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          na.as("n_bpe_25"), nb.as("n_bpe_1k"),
+          when(na === 0, lit(0.0))
+            .otherwise(round(nb.cast("double") / na.cast("double"), 6))
+            .as("ab_ratio"),
+          when(nb < na, lit("table1k")).when(na < nb, lit("fixture25"))
+            .otherwise(lit("tie")).as("winner"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII redaction pass: deterministic synthetic PII (email/phone/IPv4
     // derived from doc_id) is appended to each doc, then counted and
     // scrubbed; the oracle re-runs the identical regexes in DuckDB and
@@ -663,6 +686,27 @@ private[graft] object ExtText {
          |  md5(coalesce(array_to_string(b.toks, '|'), '')) AS toks_md5
          |FROM documents d LEFT JOIN bpe b USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Both folds in one query (prefixed CTE chains), joined per doc.
+    "text_tokenizer_ab" ->
+      ("WITH RECURSIVE\n" +
+        bpeFoldCtesBody(graft.functions.Bpe.fixtureTable, "a_") + ",\n" +
+        bpeFoldCtesBody(graft.functions.Bpe.table1k, "b_") +
+        s"""
+           |SELECT d.doc_id,
+           |  CAST(coalesce(len(a.toks), 0) AS BIGINT) AS n_bpe_25,
+           |  CAST(coalesce(len(b.toks), 0) AS BIGINT) AS n_bpe_1k,
+           |  CASE WHEN coalesce(len(a.toks), 0) = 0 THEN 0.0
+           |       ELSE ${sparkRound(
+                  "CAST(coalesce(len(b.toks), 0) AS DOUBLE) / len(a.toks)", 6)}
+           |  END AS ab_ratio,
+           |  CASE WHEN coalesce(len(b.toks), 0) < coalesce(len(a.toks), 0) THEN 'table1k'
+           |       WHEN coalesce(len(a.toks), 0) < coalesce(len(b.toks), 0) THEN 'fixture25'
+           |       ELSE 'tie' END AS winner
+           |FROM documents d
+           |LEFT JOIN a_bpe a USING (doc_id)
+           |LEFT JOIN b_bpe b USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin),
 
     // TF-IDF replay: same counts, same smoothed idf, same (score DESC,
     // term) tie order.

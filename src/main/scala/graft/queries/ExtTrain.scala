@@ -236,6 +236,61 @@ private[graft] object ExtTrain {
     // Fertility (BPE tokens per word) is THE tokenizer-quality metric a
     // data pipeline monitors. Oracle: the training stages + one more
     // closed-form apply (d9), then the same vocab join per document.
+    // Supervised ROUTER AUDIT — the validation step a CCNet/DCLM-style
+    // pipeline runs before trusting a text classifier to route documents
+    // by provenance/domain for mixture weighting: train a centroid
+    // (Rocchio) classifier over unigram class profiles on a held-out
+    // split, score the test half, report per-doc predictions + correctness
+    // against the SOURCE label. On THIS corpus the audit's finding is
+    // "no signal": text is conditionally independent of every metadata
+    // label (measured during development — the centroid, a lift-weighted
+    // centroid, and a full add-1 log-NB all score exactly chance ≈ 1/20 on
+    // source, and per-source train-half/test-half top words disagree, i.e.
+    // the apparent skew is sampling noise; the lang label is likewise
+    // text-independent). A real mixture pipeline MUST run this audit —
+    // routing 100 TB on an unvalidated classifier silently reweights by
+    // noise. The machinery is the deliverable and is exactness-checked:
+    // per-class word frequencies rounded at 9 dp and CAST to DECIMAL (the
+    // bigram-LM recipe: integer division is IEEE-correctly-rounded in both
+    // engines, so the rounded profile values are bit-identical), exact
+    // decimal dot-product scores, argmax with lexicographic tie-break.
+    // Scale shape: the profile is vocab×classes (broadcast); one shuffle
+    // for the per-doc score aggregate; the class list is a tiny broadcast
+    // cross.
+    "train_centroid_classifier" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val words = docs.select(col("doc_id"), col("source"),
+        explode(TA.tokens(col("text"))).as("w"))
+      // split by alternating 20-blocks, NOT parity: source = src{doc_id%20}
+      // in this corpus, so a parity split would put even sources in train
+      // and odd in test (disjoint classes, accuracy 0 by construction)
+      val train = words.filter(col("doc_id") % 40 < 20)
+      val profile = train.groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("c"))
+        .join(train.groupBy(col("source")).agg(count(lit(1)).as("n")), "source")
+        .select(col("source").as("psrc"), col("w"),
+          round(col("c").cast("double") / col("n").cast("double"), 9)
+            .cast("decimal(38,9)").as("p"))
+      val scores = words.filter(col("doc_id") % 40 >= 20)
+        .join(broadcast(profile), "w")
+        .groupBy(col("doc_id"), col("psrc"))
+        .agg(sum(col("p")).as("score"))
+      val classes = docs.select(col("source").as("psrc")).distinct()
+      val full = docs.filter(col("doc_id") % 40 >= 20)
+        .select(col("doc_id"), col("source").as("true_source"))
+        .crossJoin(broadcast(classes))
+        .join(scores, Seq("doc_id", "psrc"), "left")
+        .withColumn("score",
+          coalesce(col("score"), lit(0).cast("decimal(38,9)")))
+      val rankw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("psrc"))
+      full.withColumn("rn", row_number().over(rankw)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("true_source"),
+          col("psrc").as("pred_source"),
+          (col("true_source") === col("psrc")).as("correct"))
+        .orderBy(col("doc_id"))
+    }),
+
     "train_bpe_apply_learned" -> ((s, d) => {
       import graft.functions.Bpe
       val words = Tables.documents(s, d)
@@ -586,6 +641,33 @@ private[graft] object ExtTrain {
   )
 
   def oracles: Map[String, String] = Map(
+
+    // Centroid-classifier replay: identical train split, identical rounded
+    // DECIMAL profile (sparkRound keeps the 9-dp rounding Spark-identical),
+    // exact decimal dot product, argmax with the same (score DESC, plang)
+    // tie order.
+    "train_centroid_classifier" ->
+      s"""WITH wx AS (SELECT doc_id, source, unnest($toks) AS w FROM documents),
+         |tr AS (SELECT * FROM wx WHERE doc_id % 40 < 20),
+         |cnt AS (SELECT source AS psrc, w, count(*) AS c FROM tr GROUP BY 1, 2),
+         |tot AS (SELECT source AS psrc, count(*) AS n FROM tr GROUP BY 1),
+         |prof AS (SELECT psrc, w,
+         |    CAST(${sparkRound("c::DOUBLE / n", 9)} AS DECIMAL(38,9)) AS p
+         |  FROM cnt JOIN tot USING (psrc)),
+         |te AS (SELECT doc_id, w FROM wx WHERE doc_id % 40 >= 20),
+         |sc AS (SELECT doc_id, psrc, sum(p) AS score
+         |       FROM te JOIN prof USING (w) GROUP BY 1, 2),
+         |td AS (SELECT doc_id, source AS true_source FROM documents WHERE doc_id % 40 >= 20),
+         |cls AS (SELECT DISTINCT source AS psrc FROM documents),
+         |fl AS (SELECT td.doc_id, td.true_source, l.psrc,
+         |         coalesce(sc.score, CAST(0 AS DECIMAL(38,9))) AS score
+         |       FROM td CROSS JOIN cls l
+         |       LEFT JOIN sc ON sc.doc_id = td.doc_id AND sc.psrc = l.psrc),
+         |rk AS (SELECT *, row_number() OVER
+         |         (PARTITION BY doc_id ORDER BY score DESC, psrc) AS rn FROM fl)
+         |SELECT doc_id, true_source, psrc AS pred_source,
+         |  true_source = psrc AS correct
+         |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // Decontamination replay: same 5-gram shingles, same FNV-1a hashes,
     // same distinct-per-doc + eval-set join + per-doc count.
