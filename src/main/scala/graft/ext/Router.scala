@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Classifier-based routing audit (the CCNet/DCLM-style validation step):
+  * train a centroid (Rocchio) text classifier over unigram class profiles
+  * on one split of a labeled corpus, score the other split, and report
+  * per-document predictions + correctness — the evidence a mixture
+  * pipeline needs BEFORE trusting a classifier to route 100 TB by
+  * provenance/domain/quality.
+  *
+  * Exactness recipe (the bigram-LM move, see `text_bigram_lm_score`): the
+  * per-class word frequencies are integer ratios, IEEE-correctly-rounded
+  * by double division in any engine, rounded at 9 dp, and CAST to
+  * DECIMAL(38,9) — so the profile values are bit-identical between Spark
+  * and the DuckDB oracle and the score dot products sum EXACTLY. Argmax
+  * breaks ties lexicographically on the class label.
+  *
+  * Scale shape: the profile is |vocab|×|classes| (broadcast, bounded by
+  * the vocabulary); ONE shuffle for the per-doc score aggregate; the
+  * class list is a tiny broadcast cross join so docs with zero profile
+  * overlap still classify (to the lexicographically-smallest class).
+  *
+  * RouterSpec plants a corpus with real class→vocabulary signal and pins
+  * accuracy 1.0 — the machinery LEARNS when signal exists; the declared
+  * lane's chance-level result on the synthetic corpus is therefore a
+  * property of that corpus (text ⊥ metadata there), i.e. the audit's
+  * correct finding, not a defect of the classifier.
+  */
+object Router {
+
+  /** Per-test-doc predictions: (doc_id, true_<label>, pred_<label>,
+    * correct), ordered by doc_id. `trainSide` selects the training split;
+    * its complement is scored. */
+  def centroidAudit(docs: DataFrame, labelCol: String,
+      trainSide: Column): DataFrame = {
+    val words = docs.select(col("doc_id"), col(labelCol).as("cls"),
+      explode(TextAnalysis.tokens(col("text"))).as("w"))
+    val train = words.filter(trainSide)
+    val profile = train.groupBy(col("cls"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .join(train.groupBy(col("cls")).agg(count(lit(1)).as("n")), "cls")
+      .select(col("cls").as("pcls"), col("w"),
+        round(col("c").cast("double") / col("n").cast("double"), 9)
+          .cast("decimal(38,9)").as("p"))
+    val scores = words.filter(!trainSide)
+      .join(broadcast(profile), "w")
+      .groupBy(col("doc_id"), col("pcls"))
+      .agg(sum(col("p")).as("score"))
+    val classes = docs.select(col(labelCol).as("pcls")).distinct()
+    val full = docs.filter(!trainSide)
+      .select(col("doc_id"), col(labelCol).as(s"true_$labelCol"))
+      .crossJoin(broadcast(classes))
+      .join(scores, Seq("doc_id", "pcls"), "left")
+      .withColumn("score", coalesce(col("score"), lit(0).cast("decimal(38,9)")))
+    val rankw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("pcls"))
+    full.withColumn("rn", row_number().over(rankw)).filter(col("rn") === 1)
+      .select(col("doc_id"), col(s"true_$labelCol"),
+        col("pcls").as(s"pred_$labelCol"),
+        (col(s"true_$labelCol") === col("pcls")).as("correct"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -257,39 +257,14 @@ private[graft] object ExtTrain {
     // Scale shape: the profile is vocab×classes (broadcast); one shuffle
     // for the per-doc score aggregate; the class list is a tiny broadcast
     // cross.
-    "train_centroid_classifier" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val words = docs.select(col("doc_id"), col("source"),
-        explode(TA.tokens(col("text"))).as("w"))
-      // split by alternating 20-blocks, NOT parity: source = src{doc_id%20}
-      // in this corpus, so a parity split would put even sources in train
-      // and odd in test (disjoint classes, accuracy 0 by construction)
-      val train = words.filter(col("doc_id") % 40 < 20)
-      val profile = train.groupBy(col("source"), col("w"))
-        .agg(count(lit(1)).as("c"))
-        .join(train.groupBy(col("source")).agg(count(lit(1)).as("n")), "source")
-        .select(col("source").as("psrc"), col("w"),
-          round(col("c").cast("double") / col("n").cast("double"), 9)
-            .cast("decimal(38,9)").as("p"))
-      val scores = words.filter(col("doc_id") % 40 >= 20)
-        .join(broadcast(profile), "w")
-        .groupBy(col("doc_id"), col("psrc"))
-        .agg(sum(col("p")).as("score"))
-      val classes = docs.select(col("source").as("psrc")).distinct()
-      val full = docs.filter(col("doc_id") % 40 >= 20)
-        .select(col("doc_id"), col("source").as("true_source"))
-        .crossJoin(broadcast(classes))
-        .join(scores, Seq("doc_id", "psrc"), "left")
-        .withColumn("score",
-          coalesce(col("score"), lit(0).cast("decimal(38,9)")))
-      val rankw = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("psrc"))
-      full.withColumn("rn", row_number().over(rankw)).filter(col("rn") === 1)
-        .select(col("doc_id"), col("true_source"),
-          col("psrc").as("pred_source"),
-          (col("true_source") === col("psrc")).as("correct"))
-        .orderBy(col("doc_id"))
-    }),
+    // Split by alternating 20-blocks, NOT parity: source = src{doc_id%20}
+    // in this corpus, so a parity split would put even sources in train
+    // and odd in test (disjoint classes, accuracy 0 by construction).
+    // RouterSpec proves the machinery learns (accuracy 1.0) on a planted-
+    // signal corpus.
+    "train_centroid_classifier" -> ((s, d) =>
+      graft.ext.Router.centroidAudit(Tables.documents(s, d), "source",
+        col("doc_id") % 40 < 20)),
 
     "train_bpe_apply_learned" -> ((s, d) => {
       import graft.functions.Bpe
