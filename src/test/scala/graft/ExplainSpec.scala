@@ -166,6 +166,28 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
+  test("text_tokenizer_ab: BOTH merge tables encode in ONE documents scan — no join, no second pass") {
+    val nodes = run("text_tokenizer_ab")
+    assert(scansOf(nodes, "doc_").size === 1,
+      "the A/B must not rescan the corpus per tokenizer: two codegen'd " +
+        "BpeEncode columns in one projection")
+    assert(nodes.count(_.isInstanceOf[CartesianProductExec]) === 0)
+    assert(nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) === 0)
+    assert(hashExchanges(nodes) === 0,
+      "scan->project->sort, like the single-table BPE lanes")
+  }
+
+  test("train_centroid_classifier: profile + class list broadcast, no cartesian, bounded scans") {
+    val nodes = run("train_centroid_classifier")
+    assert(fileScans(nodes, "documents").size <= 5,
+      "words (train+test), class list, and test-docs reads — never a per-class rescan")
+    assert(nodes.count(_.isInstanceOf[CartesianProductExec]) === 0)
+    assert(nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) <= 2,
+      "the only nested-loop shape is the tiny broadcast class cross")
+    assert(nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "the vocab-bounded profile must join broadcast, never shuffle the word stream against it")
+  }
+
   test("dedup_minhash_pairs: banded equi-join, bounded documents scans, no all-pairs") {
     val nodes = run("dedup_minhash_pairs")
     // one scan feeds the checkpointed signatures; the non-empty marker row
