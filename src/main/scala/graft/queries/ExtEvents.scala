@@ -192,6 +192,32 @@ private[graft] object ExtEvents {
         .orderBy(col("user_id"))
     }),
 
+    // Snapshot diff — the change-detection step incremental-retraining
+    // decisions ride on: two dataset versions (derived deterministically
+    // from the corpus: v1 drops doc_id%17==5, v2 drops doc_id%13==7 and
+    // revises doc_id%11==0 texts) fingerprinted and FULL-OUTER joined on
+    // the key, each doc classified added/removed/changed/unchanged. Scale
+    // shape: two fingerprint projections + one key-partitioned full-outer
+    // SMJ — the delta never touches the driver; at 100 TB the same plan
+    // runs over partitioned fingerprint manifests.
+    "ops_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val v1 = docs.filter(col("doc_id") % 17 =!= 5)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp1"))
+      val v2 = docs.filter(col("doc_id") % 13 =!= 7)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text"))
+            .cast("binary")).as("fp2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("fp1").isNull, lit("added"))
+            .when(col("fp2").isNull, lit("removed"))
+            .when(col("fp1") =!= col("fp2"), lit("changed"))
+            .otherwise(lit("unchanged")).as("status"))
+        .orderBy(col("doc_id"))
+    }),
+
     // GDPR-style tombstone purge accounting: a deterministic forget-list
     // (user_id % 13 = 0) broadcast anti-joined against the event log —
     // the deletion-propagation step every privacy pipeline runs, reduced
@@ -1067,6 +1093,23 @@ private[graft] object ExtEvents {
          |  ${sparkRound("min(value - peak)", 6)} AS max_drawdown,
          |  ${sparkRound("max(peak)", 6)} AS peak_value
          |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Snapshot-diff replay: same version derivations, same md5
+    // fingerprints, same full-outer classification.
+    "ops_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS fp1 FROM documents
+        |            WHERE doc_id % 17 <> 5),
+        |v2 AS (SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 11 = 0 THEN text || ' rev2'
+        |                  ELSE text END) AS fp2
+        |       FROM documents WHERE doc_id % 13 <> 7)
+        |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |       WHEN v2.doc_id IS NULL THEN 'removed'
+        |       WHEN fp1 <> fp2 THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // Purge accounting replay: same forget rule + anti-join arithmetic.
     // NULL user_ids (none in current fixtures, but contemplated inputs —
