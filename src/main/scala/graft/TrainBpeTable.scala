@@ -51,15 +51,15 @@ object TrainBpeTable {
       .collect().map(r => r.getString(0) -> r.getLong(1))
     spark.stop()
 
-    val merges = train(hist.toSeq, k) ++ syntheticTail(k)
-    val table = merges.take(k)
+    val trained = train(hist.toSeq, k)
+    val table = (trained ++ syntheticTail(k - trained.size)).take(k)
     val f = new java.io.File(out)
     f.getParentFile.mkdirs()
     val w = new java.io.PrintWriter(f, "UTF-8")
     try table.foreach { case (l, r) => w.println(s"$l\t$r") }
     finally w.close()
     println(s"wrote ${table.size} merges to $out " +
-      s"(${train(hist.toSeq, k).size} trained + tail)")
+      s"(${trained.size} trained + ${table.size - trained.size} tail)")
   }
 
   /** In-memory BPE training to exhaustion (≤ k merges): weighted adjacent
@@ -100,10 +100,12 @@ object TrainBpeTable {
     learned.toSeq
   }
 
-  /** Creation-ordered filler: single-char pairs over A–Z0–9 (disjoint from
-    * the lowercased corpus), lexicographic — 1,296 available. */
+  /** Creation-ordered filler: the first `k` single-char pairs over A–Z0–9
+    * (an alphabet with NO adjacent occurrences in the corpus's raw text —
+    * verified by scan at sf0.001/0.01/0.1, advice r15), lexicographic —
+    * 1,296 available. */
   def syntheticTail(k: Int): Seq[(String, String)] = {
     val alpha = (('A' to 'Z') ++ ('0' to '9')).map(_.toString)
-    for (a <- alpha; b <- alpha) yield (a, b)
+    (for (a <- alpha; b <- alpha) yield (a, b)).take(math.max(k, 0))
   }
 }

@@ -17,10 +17,14 @@ import org.apache.spark.sql.functions._
   * and the DuckDB oracle and the score dot products sum EXACTLY. Argmax
   * breaks ties lexicographically on the class label.
   *
-  * Scale shape: the profile is |vocab|×|classes| (broadcast, bounded by
-  * the vocabulary); ONE shuffle for the per-doc score aggregate; the
-  * class list is a tiny broadcast cross join so docs with zero profile
-  * overlap still classify (to the lexicographically-smallest class).
+  * Scale shape: the profile is BOUNDED at `maxTermsPerClass` terms per
+  * class (top-k by in-class frequency, term-lexicographic ties — the
+  * CCNet-style vocabulary truncation), so the broadcast is ≤ k·|classes|
+  * rows even on an OPEN 100 TB vocabulary (VERDICT r15 #4; on a closed
+  * vocabulary under k the cap is a no-op and the audit is unchanged);
+  * ONE shuffle for the per-doc score aggregate; the class list is a tiny
+  * broadcast cross join so docs with zero profile overlap still classify
+  * (to the lexicographically-smallest class).
   *
   * RouterSpec plants a corpus with real class→vocabulary signal and pins
   * accuracy 1.0 — the machinery LEARNS when signal exists; the declared
@@ -34,12 +38,21 @@ object Router {
     * correct), ordered by doc_id. `trainSide` selects the training split;
     * its complement is scored. */
   def centroidAudit(docs: DataFrame, labelCol: String,
-      trainSide: Column): DataFrame = {
+      trainSide: Column, maxTermsPerClass: Int = 4096): DataFrame = {
+    require(maxTermsPerClass > 0, "maxTermsPerClass must be positive")
     val words = docs.select(col("doc_id"), col(labelCol).as("cls"),
       explode(TextAnalysis.tokens(col("text"))).as("w"))
     val train = words.filter(trainSide)
-    val profile = train.groupBy(col("cls"), col("w"))
+    // vocabulary cap: keep each class's top-k terms by in-class frequency
+    // (ties term-asc, deterministic); the denominator n stays the FULL
+    // class token count, so kept terms' weights are unchanged by the cap
+    val capW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cls")).orderBy(col("c").desc, col("w"))
+    val kept = train.groupBy(col("cls"), col("w"))
       .agg(count(lit(1)).as("c"))
+      .withColumn("cap_rank", row_number().over(capW))
+      .filter(col("cap_rank") <= maxTermsPerClass).drop("cap_rank")
+    val profile = kept
       .join(train.groupBy(col("cls")).agg(count(lit(1)).as("n")), "cls")
       .select(col("cls").as("pcls"), col("w"),
         round(col("c").cast("double") / col("n").cast("double"), 9)

@@ -86,7 +86,9 @@ object Bpe {
     * the checked-in resource — an 89-merge prefix TRAINED to exhaustion on
     * the sf0.01 corpus (every word merges to a single token, so applied
     * depth per word is maximal) plus a creation-ordered synthetic tail on
-    * a disjoint alphabet that can never match corpus text. The tail is the
+    * the A–Z0–9 alphabet, which never matches ADJACENT pairs in the RAW
+    * corpus text either — verified by scan: zero `[A-Z0-9][A-Z0-9]`
+    * occurrences at sf0.001/0.01/0.1 (advice r15). The tail is the
     * table-size experiment: per-char encode cost must stay flat because
     * the pair→rank lookup is a hash map, not a table scan. Generated by
     * [[graft.TrainBpeTable]]; per-char timing vs the 25-merge fixture is

@@ -254,9 +254,10 @@ private[graft] object ExtTrain {
     // bigram-LM recipe: integer division is IEEE-correctly-rounded in both
     // engines, so the rounded profile values are bit-identical), exact
     // decimal dot-product scores, argmax with lexicographic tie-break.
-    // Scale shape: the profile is vocab×classes (broadcast); one shuffle
-    // for the per-doc score aggregate; the class list is a tiny broadcast
-    // cross.
+    // Scale shape: the profile broadcast is CAPPED at top-k terms per
+    // class (no-op on this closed 31-word vocabulary — the oracle is
+    // cap-free); one shuffle for the per-doc score aggregate; the class
+    // list is a tiny broadcast cross.
     // Split by alternating 20-blocks, NOT parity: source = src{doc_id%20}
     // in this corpus, so a parity split would put even sources in train
     // and odd in test (disjoint classes, accuracy 0 by construction).

@@ -89,10 +89,12 @@ class ClickHouseHttpSink(
           // lossless transport (advice r14): cast("string") reinterprets
           // bytes as UTF-8 and substitutes U+FFFD for invalid sequences.
           // Binary travels as hex text in a ClickHouse String (`unhex()`
-          // recovers the bytes server-side); a non-String declared target
-          // (e.g. FixedString(20)) would truncate the hex — reject loudly.
+          // recovers the bytes server-side); a Nullable(String) target is
+          // equally valid (writeValue handles the null marker and hex(null)
+          // stays null — advice r15). A non-String declared target (e.g.
+          // FixedString(20)) would truncate the hex — reject loudly.
           byName(f.name) match {
-            case ChString => hex(col(f.name))
+            case ChString | ChNullable(ChString) => hex(col(f.name))
             case other => throw new IllegalArgumentException(
               s"binary column '${f.name}' of $table maps to $other; binary " +
                 "travels as hex text and requires a String target")
@@ -225,8 +227,20 @@ object ClickHouseHttpSink {
       val raw = conn.getOutputStream
       val os = if (compress && hasBody)
         new ChNativeCodec.FrameOutputStream(raw, blockBytes) else raw
-      write(os)
-      os.close()
+      // advice r15: if `write` throws mid-stream, release the socket
+      // WITHOUT finishing the body — the outer finally's disconnect()
+      // aborts the chunked transfer first, and only then is the frame
+      // wrapper closed (suppressed): closing it live would flush a valid
+      // final frame into the socket and commit rows from a failed task.
+      var bodyDone = false
+      try { write(os); os.close(); bodyDone = true }
+      finally if (!bodyDone) {
+        conn.disconnect()
+        // best-effort release of the wrapper's buffer; the JDK's stream may
+        // throw anything (even NPE) once the connection is torn down —
+        // nothing here may mask the original write failure
+        try os.close() catch { case scala.util.control.NonFatal(_) => () }
+      }
       val code = conn.getResponseCode
       if (code / 100 != 2) {
         val err = Option(conn.getErrorStream)

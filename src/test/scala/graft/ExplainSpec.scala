@@ -188,6 +188,20 @@ class ExplainSpec extends SparkSpec {
       "the vocab-bounded profile must join broadcast, never shuffle the word stream against it")
   }
 
+  test("ops_snapshot_diff: two fingerprint projections, ONE full-outer SMJ, no manifest broadcast") {
+    val nodes = run("ops_snapshot_diff")
+    assert(fileScans(nodes, "documents").size === 2,
+      "one scan per dataset version — the fingerprint projections read the corpus exactly twice")
+    val smj = nodes.collect { case j: SortMergeJoinExec => j }
+    assert(smj.size === 1 &&
+      smj.head.joinType === org.apache.spark.sql.catalyst.plans.FullOuter,
+      "the delta is ONE key-partitioned full-outer sort-merge join of the manifests")
+    assert(nodes.count(_.isInstanceOf[BroadcastHashJoinExec]) === 0,
+      "neither manifest may broadcast — both sides are corpus-sized at 100 TB")
+    assert(nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) === 0)
+    assert(nodes.count(_.isInstanceOf[CartesianProductExec]) === 0)
+  }
+
   test("dedup_minhash_pairs: banded equi-join, bounded documents scans, no all-pairs") {
     val nodes = run("dedup_minhash_pairs")
     // one scan feeds the checkpointed signatures; the non-empty marker row

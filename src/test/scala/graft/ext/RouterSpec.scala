@@ -53,6 +53,30 @@ class RouterSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("vocabulary cap: top-k-per-class profile still learns the planted signal exactly") {
+    // each class's 4 jargon words dominate its term counts (≈3 uses/doc vs
+    // 1 for the shared fillers), so a cap of 4 keeps EXACTLY the signal
+    // vocabulary and drops the fillers — the CCNet truncation must not
+    // cost accuracy when the head terms carry the signal
+    val audit = Router.centroidAudit(plantedDocs, "domain",
+      col("doc_id") % 2 === 0, maxTermsPerClass = 4)
+    val rows = audit.collect()
+    assert(rows.length === 80)
+    assert(rows.forall(_.getAs[Boolean]("correct")),
+      "a df-head cap that keeps the signal terms must not move accuracy")
+  }
+
+  test("vocabulary cap above the vocabulary is a no-op (bit-identical predictions)") {
+    val uncapped = Router.centroidAudit(plantedDocs, "domain",
+      col("doc_id") % 2 === 0, maxTermsPerClass = Int.MaxValue)
+      .collect().map(_.toString).toSeq
+    val default = Router.centroidAudit(plantedDocs, "domain",
+      col("doc_id") % 2 === 0)
+      .collect().map(_.toString).toSeq
+    assert(default === uncapped,
+      "the default 4096 cap never binds on a sub-4096 vocabulary")
+  }
+
   test("zero profile overlap classifies to the lexicographically smallest class (tie policy)") {
     val docs = Seq(
       (0L, "beta", "xx yy"), (2L, "alpha", "xx yy"), // train: both classes
