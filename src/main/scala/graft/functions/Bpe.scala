@@ -70,6 +70,23 @@ object Bpe {
       merges.zipWithIndex
         .map { case ((l, r), i) => s"(${q(l)},${q(r)},$i)" }.mkString(", ")
     }
+
+    /** True when every merge operand is pure ASCII — the precondition for
+      * the BYTE-seeded mode: a single-byte operand char hexes to a single
+      * byte token, so [[hexed]] preserves creation order (a multi-byte
+      * operand char would hex to a token no byte-level merge ever builds,
+      * silently dead merges — rejected loudly instead). */
+    @transient lazy val allAsciiOperands: Boolean =
+      merges.forall { case (l, r) => (l + r).forall(_ < 128) }
+
+    /** The same merges re-expressed over UTF-8 BYTE tokens (2 lowercase hex
+      * chars per byte) — the byte-seeded twin table. Only valid when
+      * [[allAsciiOperands]] (checked at column construction). */
+    @transient lazy val hexed: BpeTable =
+      BpeTable(merges.map { case (l, r) => (Bpe.toHex(l), Bpe.toHex(r)) })
+
+    /** [[sqlValues]] for the byte-seeded oracle: the hexed merge pairs. */
+    def sqlValuesHex: String = hexed.sqlValues
   }
 
   /** The fixture table the BPE lanes use: frequent character pairs of the
@@ -113,6 +130,17 @@ object Bpe {
     ColumnBridge.column(BpeEncode(ColumnBridge.expression(text), table,
       segmented = true))
 
+  /** BYTE-seeded full-document variant (see [[encodeBytesSegmented]]):
+    * tokens are lowercase-hex byte strings. Rejects tables with non-ASCII
+    * operands at plan build — their hexed twin would carry dead merges. */
+  def bpe_encode_bytes(text: Column, table: BpeTable): Column = {
+    require(table.allAsciiOperands,
+      "byte-seeded BPE requires an all-ASCII merge table: a multi-byte " +
+        "operand char hexes to a token no byte-level merge ever builds")
+    ColumnBridge.column(BpeEncode(ColumnBridge.expression(text), table,
+      segmented = true, byteSeeded = true))
+  }
+
   /** One seed token per Unicode CODE POINT. */
   private def seedTokens(text: String): Array[String] = {
     val out = new ArrayBuffer[String](text.length)
@@ -130,8 +158,13 @@ object Bpe {
     * right), repeat until no pair is ranked. Seed tokens are CODE POINTS
     * (surrogate pairs stay together — `text.map(_.toString)` would split
     * every non-BMP char into two invalid half-tokens, advice r13). */
-  def encode(text: String, table: BpeTable): Array[String] = {
-    var toks: Array[String] = seedTokens(text)
+  def encode(text: String, table: BpeTable): Array[String] =
+    encodeTokens(seedTokens(text), table)
+
+  /** The merge loop over an arbitrary seed-token array — shared by the
+    * code-point and byte seedings. */
+  private def encodeTokens(seed: Array[String], table: BpeTable): Array[String] = {
+    var toks: Array[String] = seed
     val rank = table.rank
     while (toks.length > 1) {
       var best = Int.MaxValue
@@ -183,11 +216,70 @@ object Bpe {
     out.toArray
   }
 
+  /** Lowercase hex of a string's UTF-8 bytes. */
+  private[graft] def toHex(s: String): String = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length * 2)
+    bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** One seed token per UTF-8 BYTE (2 lowercase hex chars each) — the
+    * GPT-2/LLaMA seeding: every byte is in the base vocabulary, so there
+    * is no unknown token, only unmerged bytes (byte fallback). */
+  private def seedByteTokens(text: String): Array[String] = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = f"${bytes(i) & 0xff}%02x"; i += 1 }
+    out
+  }
+
+  /** BYTE-level BPE (VERDICT r15 #4 — the GPT-2/LLaMA shape): seed from
+    * UTF-8 bytes, apply the table's merges re-expressed over byte tokens
+    * ([[BpeTable.hexed]]). On ASCII text this produces exactly the hex of
+    * the code-point encode's tokens; non-ASCII characters pass through as
+    * their raw bytes (byte fallback) — both properties pinned in BpeSpec. */
+  def encodeBytes(text: String, table: BpeTable): Array[String] =
+    encodeTokens(seedByteTokens(text), table.hexed)
+
+  /** Segment-factorized [[encodeBytes]] — IDENTICAL output (pinned in
+    * BpeSpec), run-bounded cost. Segmentation is by the CHAR table's
+    * operand code points, which is exactly byte-level factorization when
+    * every operand is ASCII (the [[BpeTable.allAsciiOperands]]
+    * precondition): a breaker char's bytes are either a non-operand ASCII
+    * byte or ≥0x80 continuation/lead bytes, neither of which any hexed
+    * merge operand contains, so no merge can ever cross a breaker. */
+  def encodeBytesSegmented(text: String, table: BpeTable): Array[String] = {
+    val ops = table.operandCodePoints
+    val out = new ArrayBuffer[String](text.length / 2 + 1)
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      if (!ops.contains(cp)) {
+        val n = Character.charCount(cp)
+        out ++= seedByteTokens(text.substring(i, i + n)) // byte fallback
+        i += n
+      } else {
+        var j = i
+        while (j < text.length && ops.contains(text.codePointAt(j)))
+          j += Character.charCount(text.codePointAt(j))
+        out ++= encodeTokens(seedByteTokens(text.substring(i, j)), table.hexed)
+        i = j
+      }
+    }
+    out.toArray
+  }
+
   /** Executor entry for codegen. */
-  def encodeUtf8(text: UTF8String, table: BpeTable, segmented: Boolean): GenericArrayData = {
+  def encodeUtf8(text: UTF8String, table: BpeTable, segmented: Boolean,
+      byteSeeded: Boolean = false): GenericArrayData = {
+    val s = text.toString
     val toks =
-      if (segmented) encodeSegmented(text.toString, table)
-      else encode(text.toString, table)
+      if (byteSeeded) {
+        if (segmented) encodeBytesSegmented(s, table) else encodeBytes(s, table)
+      } else if (segmented) encodeSegmented(s, table)
+      else encode(s, table)
     new GenericArrayData(toks.map(s => UTF8String.fromString(s): Any))
   }
 }
@@ -196,18 +288,19 @@ object Bpe {
   * table (travels with the plan — broadcast-by-closure). `segmented` picks
   * the factorized loop — identical tokens, run-bounded cost. */
 case class BpeEncode(child: Expression, table: Bpe.BpeTable,
-    segmented: Boolean = false) extends UnaryExpression {
+    segmented: Boolean = false, byteSeeded: Boolean = false)
+  extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    Bpe.encodeUtf8(input.asInstanceOf[UTF8String], table, segmented)
+    Bpe.encodeUtf8(input.asInstanceOf[UTF8String], table, segmented, byteSeeded)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val tableRef = ctx.addReferenceObj("bpeTable", table,
       classOf[Bpe.BpeTable].getName)
     nullSafeCodeGen(ctx, ev, t =>
-      s"${ev.value} = graft.functions.Bpe.encodeUtf8($t, $tableRef, $segmented);")
+      s"${ev.value} = graft.functions.Bpe.encodeUtf8($t, $tableRef, $segmented, $byteSeeded);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

@@ -318,6 +318,24 @@ private[graft] object ExtText {
         .orderBy(col("doc_id"))
     }),
 
+    // BYTE-level BPE (VERDICT r15 #4 — the GPT-2/LLaMA shape): the same
+    // full-document segment-factorized encode, seeded from UTF-8 BYTES
+    // (tokens are lowercase hex pairs) under the fixture table's hexed
+    // twin, with inherent byte fallback (every byte is base vocabulary —
+    // non-ASCII chars pass through as raw bytes; BpeSpec pins that plus
+    // segmented==whole and the hex-of-code-point equivalence on ASCII).
+    // Same plan shape as the code-point lanes: ONE codegen'd BpeEncode
+    // per document, no extra exchange. The oracle replays the fold over
+    // hex byte pairs through the hexed VALUES list.
+    "text_bpe_tokens_bytes" -> ((s, d) => {
+      import graft.functions.Bpe
+      val toks = Bpe.bpe_encode_bytes(col("text"), Bpe.fixtureTable)
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(toks).cast("long").as("n_bpe_bytes"),
+          md5(concat_ws("|", toks)).as("toks_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Tokenizer A/B audit — the retokenization decision a pipeline faces
     // when upgrading its tokenizer at 100 TB: both tables encode in ONE
     // scan/projection (two codegen'd BpeEncode columns, no join, no extra
@@ -683,6 +701,14 @@ private[graft] object ExtText {
     "text_bpe_tokens_1k" ->
       s"""${bpeFoldCtesFullFor(graft.functions.Bpe.table1k)}
          |SELECT d.doc_id, CAST(coalesce(len(b.toks), 0) AS BIGINT) AS n_bpe,
+         |  md5(coalesce(array_to_string(b.toks, '|'), '')) AS toks_md5
+         |FROM documents d LEFT JOIN bpe b USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // The byte-seeded fold through the hexed merge VALUES list.
+    "text_bpe_tokens_bytes" ->
+      s"""${ExtShared.bpeFoldCtesBytesFor(graft.functions.Bpe.fixtureTable)}
+         |SELECT d.doc_id, CAST(coalesce(len(b.toks), 0) AS BIGINT) AS n_bpe_bytes,
          |  md5(coalesce(array_to_string(b.toks, '|'), '')) AS toks_md5
          |FROM documents d LEFT JOIN bpe b USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,

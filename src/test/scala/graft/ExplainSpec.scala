@@ -156,7 +156,8 @@ class ExplainSpec extends SparkSpec {
     // the table travels as a plan reference object inside the codegen'd
     // BpeEncode; a bigger table must not add scans, joins, or exchanges
     // (the per-char-flat claim is a plan property, then a measured one)
-    for (lane <- Seq("text_bpe_tokens_full", "text_bpe_tokens_1k")) {
+    for (lane <- Seq("text_bpe_tokens_full", "text_bpe_tokens_1k",
+        "text_bpe_tokens_bytes")) {
       val nodes = run(lane)
       assert(scansOf(nodes, "doc_").size === 1, s"$lane: one documents scan")
       assert(nodes.count(_.isInstanceOf[CartesianProductExec]) === 0, lane)

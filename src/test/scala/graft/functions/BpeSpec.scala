@@ -71,6 +71,52 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("byte mode on ASCII text is the hex image of the code-point encode (VERDICT r15 #4)") {
+    val t = Bpe.fixtureTable
+    // toHex is injective and concatenation-compatible on ASCII, so the two
+    // merge loops are isomorphic: same merges fire in the same order
+    val texts = Seq("the scan value data batch", "the1scan2value, data; batch!",
+      "zzz", "", "42", "the", " s s s ", "query the batch... value=7 data")
+    for (txt <- texts)
+      assert(Bpe.encodeBytes(txt, t).toSeq === Bpe.encode(txt, t).toSeq.map(Bpe.toHex),
+        s"byte/code-point isomorphism must hold for '$txt'")
+  }
+
+  test("byte fallback: non-ASCII characters pass through as raw UTF-8 bytes") {
+    val t = Bpe.fixtureTable
+    // 'é' = c3 a9; no merge operand contains those bytes, so they stay
+    // unmerged byte tokens — the GPT-2 property: no unknowns, only bytes
+    assert(Bpe.encodeBytes("thé", t).toSeq === Seq("7468", "c3", "a9"))
+    val rocket = new String(Character.toChars(0x1F680)) // f0 9f 9a 80
+    assert(Bpe.encodeBytes(rocket, t).toSeq === Seq("f0", "9f", "9a", "80"))
+    assert(Bpe.encodeBytes(s"the$rocket", t).toSeq ===
+      Seq("746865", "f0", "9f", "9a", "80"))
+  }
+
+  test("byte-mode factorization: segmented equals whole-bytes encode, unicode included") {
+    val t = Bpe.fixtureTable
+    val texts = Seq("the scan value data batch", "thé välue",
+      new String(Character.toChars(0x1F680)) * 3 + "the", "", "zü42")
+    for (txt <- texts)
+      assert(Bpe.encodeBytesSegmented(txt, t).toSeq === Bpe.encodeBytes(txt, t).toSeq,
+        s"byte factorization must be exact for '$txt'")
+    val alpha = "the scanvlud,;.!09zqéü".toCharArray
+    var seed = 98765L
+    def nxt(): Int = { seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33) % alpha.length).toInt }
+    for (_ <- 1 to 50) {
+      val txt = new String(Array.fill(1 + nxt() % 64)(alpha(nxt())))
+      assert(Bpe.encodeBytesSegmented(txt, t).toSeq === Bpe.encodeBytes(txt, t).toSeq, s"'$txt'")
+    }
+  }
+
+  test("byte mode rejects non-ASCII operand tables at column build") {
+    val bad = BpeTable(Seq("é" -> "s"))
+    assertThrows[IllegalArgumentException] {
+      Bpe.bpe_encode_bytes(col("text"), bad)
+    }
+  }
+
   test("training equivalence: full-table encode == stage-wise single-pass application (train_bpe_learn oracle premise)") {
     // the oracle's closed-form per-stage apply: one left-to-right pass,
     // all disjoint matches merge, no re-merge within the stage
