@@ -845,6 +845,27 @@ object Relational {
         .orderBy(col("doc_id"))
     }),
 
+    // WARC record ingestion (VERDICT r15 #7): the format web-scale text
+    // actually arrives in. Documents become ISO 28500 response records in
+    // 4 concatenated-record .warc files (content-keyed fixture); the read
+    // path is binaryFile (per-file parallelism) + ONE codegen'd record
+    // splitter per file + posexplode. The oracle replays the RECORD
+    // GEOMETRY arithmetically — header bytes, Content-Length, and each
+    // record's byte OFFSET in its file as a per-group running sum — so a
+    // single byte of framing drift anywhere in write/split/parse
+    // hash-mismatches.
+    "source_warc_records" -> ((s, d) => {
+      val dir = graft.sources.Warc.fixtureCached(Tables.documents(s, d), d)
+      graft.sources.Warc.records(s, dir)
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("warc_type"), col("record_id"), col("warc_date"),
+          col("target_uri"), col("content_length"), col("offset"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PERMISSIVE CSV ingestion: schema-enforced read where rows with an
     // unparseable field land in _corrupt_record instead of failing the
     // job — the error-budget accounting every raw-file ingest needs. The
@@ -1925,6 +1946,39 @@ object Relational {
         |  md5(text) AS content_md5
         |FROM documents WHERE doc_id < 500 AND octet_length(encode(text)) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    // Full WARC geometry replay: the header is REBUILT byte-for-byte in
+    // SQL (CRLF = chr(13)||chr(10)), so content_length and each record's
+    // in-file offset (running sum over the doc_id%4 file group) are pure
+    // arithmetic over the documents table — no WARC parsing oracle-side.
+    "source_warc_records" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    'https://example.org/doc/' || doc_id AS target_uri,
+        |    strftime(make_timestamp((1767225600 + doc_id) * 1000000),
+        |             '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+        |    md5(text) AS payload_md5
+        |  FROM documents WHERE doc_id < 500),
+        |h AS (
+        |  SELECT *,
+        |    octet_length(encode('WARC/1.0' || chr(13)||chr(10) ||
+        |      'WARC-Type: response' || chr(13)||chr(10) ||
+        |      'WARC-Record-ID: <urn:graft:doc:' || doc_id || '>' || chr(13)||chr(10) ||
+        |      'WARC-Date: ' || warc_date || chr(13)||chr(10) ||
+        |      'WARC-Target-URI: ' || target_uri || chr(13)||chr(10) ||
+        |      'Content-Type: text/plain' || chr(13)||chr(10) ||
+        |      'Content-Length: ' || content_length || chr(13)||chr(10) ||
+        |      chr(13)||chr(10))) + content_length + 4 AS rec_size
+        |  FROM r)
+        |SELECT doc_id, 'response' AS warc_type,
+        |  '<urn:graft:doc:' || doc_id || '>' AS record_id,
+        |  warc_date, target_uri, content_length,
+        |  CAST(coalesce(sum(rec_size) OVER (PARTITION BY doc_id % 4
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS BIGINT) AS offset,
+        |  payload_md5
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     // corrupt/good split replayed from the fixture's generation rule
     "source_csv_permissive" ->
