@@ -140,3 +140,7 @@ class StreamingDrawdownSpec extends SparkSpec {
     }
   }
 }
+
+/** The same battery under the RocksDB state store — state on local disk,
+  * bounded block cache; the 100 TB key-cardinality provider (VERDICT r15 #3). */
+class StreamingDrawdownRocksDbSpec extends StreamingDrawdownSpec with graft.RocksDbState

@@ -119,3 +119,7 @@ class StreamingRetentionSpec extends SparkSpec {
       Set((1L, day(0), 0L), (1L, day(0), 5L), (7L, day(4), 0L)))
   }
 }
+
+/** The same battery under the RocksDB state store — state on local disk,
+  * bounded block cache; the 100 TB key-cardinality provider (VERDICT r15 #3). */
+class StreamingRetentionRocksDbSpec extends StreamingRetentionSpec with graft.RocksDbState

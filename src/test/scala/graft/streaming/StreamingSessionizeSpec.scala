@@ -157,3 +157,7 @@ class StreamingSessionizeSpec extends SparkSpec {
       "every closed streaming session must equal the batch rollup row")
   }
 }
+
+/** The same battery under the RocksDB state store — state on local disk,
+  * bounded block cache; the 100 TB key-cardinality provider (VERDICT r15 #3). */
+class StreamingSessionizeRocksDbSpec extends StreamingSessionizeSpec with graft.RocksDbState

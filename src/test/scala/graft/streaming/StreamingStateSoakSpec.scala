@@ -46,6 +46,20 @@ class StreamingStateSoakSpec extends SparkSpec {
     input.addData(sentinel: _*)
     q.processAllAvailable()
     val end = stateRows(q)
+    // the provider's own accounting (RocksDB reports memory + SST file
+    // sizes — the state-on-disk/bounded-heap evidence; the HDFS-backed
+    // provider reports its on-heap bytes)
+    Option(q.lastProgress).foreach { p =>
+      import scala.jdk.CollectionConverters._
+      val mm = p.stateOperators.flatMap(_.customMetrics.asScala)
+        .filter { case (k, _) =>
+          val lk = k.toLowerCase(java.util.Locale.ROOT)
+          lk.contains("memory") || lk.contains("sst") || lk.contains("bytes")
+        }
+      if (mm.nonEmpty)
+        println(s"SOAK state-store metrics: " +
+          mm.map { case (k, v) => s"$k=$v" }.mkString(", "))
+    }
     q.stop()
     curve :+ end
   }
@@ -149,3 +163,9 @@ class StreamingStateSoakSpec extends SparkSpec {
     assert(grams === (cohorts * cohortSize * 2).toLong)
   }
 }
+
+/** The soak under RocksDB: the plateau must hold with state on LOCAL DISK
+  * (SST files) and a bounded block cache instead of on-heap maps — the
+  * provider a 100 TB deployment runs (VERDICT r15 #3). The printed
+  * state-store metrics line is the bounded-heap evidence. */
+class StreamingStateSoakRocksDbSpec extends StreamingStateSoakSpec with graft.RocksDbState

@@ -116,3 +116,7 @@ class StreamingTopPathsSpec extends SparkSpec {
       "only the sentinel's own open session may remain")
   }
 }
+
+/** The same battery under the RocksDB state store — state on local disk,
+  * bounded block cache; the 100 TB key-cardinality provider (VERDICT r15 #3). */
+class StreamingTopPathsRocksDbSpec extends StreamingTopPathsSpec with graft.RocksDbState
