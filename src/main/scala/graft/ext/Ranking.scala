@@ -246,4 +246,71 @@ object Ranking {
     }
     path
   }
+
+  // ---- VERSIONED store: generations + tombstones = deletes ---------------
+  // The delta-loop format (VERDICT r15 #1). Postings/doclen rows carry a
+  // generation stamp; a delete appends an (id, before_gen) tombstone — a
+  // row is live iff gen >= the id's greatest before_gen, so delete + re-add
+  // at the same generation compose (the changed-document path: gen-0 rows
+  // die, the gen-1 re-add survives). Globals stay mergeable partials; a
+  // delete appends a NEGATIVE partial computed from the dying doclen rows
+  // (one filtered pass over doclen — the honest cost of deletes), so
+  // (n, avgdl) reflect exactly the live corpus. Nothing is ever rewritten
+  // in place; StoreCompaction folds generations and a compaction pass can
+  // apply tombstones physically the same way.
+
+  /** One gen-stamped generation: same frames as [[bm25Append]], plus the
+    * `gen` column on postings and doclen. */
+  def bm25WriteVersioned(docs: DataFrame, textCol: String, idCol: String,
+      storeDir: String, gen: Int): Unit = {
+    val (postings, dl, globals) = incrFrames(docs, textCol, idCol)
+    postings.withColumn("gen", lit(gen))
+      .write.mode("append").partitionBy("t_bucket").parquet(storeDir + "/postings")
+    dl.withColumn("gen", lit(gen)).write.mode("append").parquet(storeDir + "/doclen")
+    globals.write.mode("append").parquet(storeDir + "/globals")
+  }
+
+  /** Tombstone `ids` (one `id` column): their rows with gen < `beforeGen`
+    * die. The negative globals partial is appended FIRST, computed from
+    * the still-live dying rows — a crash between the two writes leaves the
+    * store over-counting (conservative) until the delete is replayed. */
+  def bm25DeleteVersioned(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, ids: DataFrame, beforeGen: Int): Unit = {
+    val dying = DeltaStore
+      .alive(spark, spark.read.parquet(storeDir + "/doclen"),
+        storeDir + "/tomb", "id")
+      .filter(col("gen") < beforeGen)
+      .join(ids.select(col("id")), Seq("id"), "left_semi")
+    dying.agg((-count(lit(1))).as("n_part"),
+        (-coalesce(sum(col("dl")), lit(0L))).as("dl_sum"))
+      .write.mode("append").parquet(storeDir + "/globals")
+    DeltaStore.tombstone(ids, beforeGen, storeDir + "/tomb")
+  }
+
+  /** Probe over the versioned store: the same partition-pruned postings
+    * read as [[bm25TopKIndexed]] plus the liveness join (tombstone
+    * manifests are delta-sized), globals merged over positive AND negative
+    * partials — identical scoring tree, so the output equals a fresh index
+    * of the live corpus (bit-parity pinned in IncrementalPipelineSpec;
+    * oracled end-to-end by `train_incremental_e2e`). */
+  def bm25TopKVersionedStore(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, k: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      "query terms must be non-empty and distinct")
+    val buckets = queryTerms.map(termBucket).distinct
+    val tf = DeltaStore.alive(spark,
+        spark.read.parquet(storeDir + "/postings")
+          .filter(col("t_bucket").isin(buckets: _*) &&
+            col("t").isin(queryTerms: _*)),
+        storeDir + "/tomb", "id")
+      .select(col("id"), col("t"), col("tf"))
+    val dl = DeltaStore.alive(spark, spark.read.parquet(storeDir + "/doclen"),
+        storeDir + "/tomb", "id")
+      .select(col("id"), col("dl"))
+    val g = spark.read.parquet(storeDir + "/globals")
+      .agg(sum(col("n_part")).as("n"),
+        (sum(col("dl_sum")).cast("double") / sum(col("n_part"))).as("avgdl"))
+    scoreTf(tf, dl, g, queryTerms, k1, b, k)
+  }
 }

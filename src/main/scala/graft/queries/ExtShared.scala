@@ -217,6 +217,33 @@ private[graft] object ExtShared {
       |             arg_max(c.cid, list_cosine_similarity(e.v, c.cv)) AS cell
       |           FROM e, c2 c GROUP BY e.vec_id, e.v)""".stripMargin
 
+  /** Incremental-e2e IVF replay (no WITH — composes into the combined
+    * train_incremental_e2e oracle): centroids trained on the V1 embedding
+    * corpus (stride seeds + two exact-long-mean Lloyd rounds — the same
+    * [[lloydRound]] chain as ivfIncCtes), assignment over the V2 corpus
+    * (id%13!=7, id%11==0 NEGATED — sign flips are IEEE-exact and visible
+    * to cosine), probe = 3 nearest cells of the v2 query vector. Exactly
+    * what the store's v1-build + tombstone + append-under-stored-centroids
+    * path must produce. */
+  val ivfE2eCtesBody: String =
+    s"""ive AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ev1 AS (SELECT vec_id, v FROM ive WHERE vec_id % 17 <> 5),
+      |ev2 AS (SELECT vec_id,
+      |          CASE WHEN vec_id % 11 = 0 THEN list_transform(v, x -> -x)
+      |               ELSE v END AS v
+      |        FROM ive WHERE vec_id % 13 <> 7),
+      |n AS (SELECT greatest(count(*) // 8, 1) AS stride FROM ev1),
+      |c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v AS cv
+      |          FROM ev1, n WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT 8),
+      |${lloydRound(1, "ev1")},
+      |${lloydRound(2, "ev1")},
+      |q AS (SELECT v AS qv FROM ev2 WHERE vec_id = 1),
+      |probe AS (SELECT cid FROM c2, q
+      |          ORDER BY list_cosine_similarity(cv, qv) DESC, cid LIMIT 3),
+      |assign AS (SELECT e.vec_id, e.v,
+      |             arg_max(c.cid, list_cosine_similarity(e.v, c.cv)) AS cell
+      |           FROM ev2 e, c2 c GROUP BY e.vec_id, e.v)""".stripMargin
+
   /** The per-corpus-snapshot persisted IVF index (nCells = 8, two Lloyd
     * rounds), built on first use and partition-pruned ever after. "lloyd2"
     * versions the cache key: the r7 centroid-refinement change would
@@ -444,10 +471,15 @@ private[graft] object ExtShared {
        |         md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
        |       FROM cx GROUP BY doc_id, chunk_idx)""".stripMargin
 
-  val minhashHashCtes =
-    s"""WITH docs AS (SELECT doc_id, $toks AS tk FROM documents),
+  /** [[minhashHashCtes]] body (no WITH), parameterized by the docs source —
+    * the incremental-e2e oracle runs the identical chain over the v2
+    * corpus subquery. */
+  def minhashHashCtesBody(src: String): String =
+    s"""docs AS (SELECT doc_id, $toks AS tk FROM $src),
        |shg AS (SELECT doc_id, unnest($shingleSql) AS s FROM docs),
        |hh AS (SELECT doc_id, ${pmodPrime(signed64(fnvSql("s")))} AS h FROM shg)""".stripMargin
+
+  val minhashHashCtes = "WITH " + minhashHashCtesBody("documents")
 
   /** The minhash LSH pair replay, shared by the pairs oracle and the
     * end-to-end survivors oracle: -> `pairs(id1, id2, est_jaccard)`. */
@@ -455,14 +487,14 @@ private[graft] object ExtShared {
     * indexed and NDCG-eval oracles: ends with `scored(doc_id, score)`
     * (Spark-parity round-4 score); `tf(id, t, tf)` is also referenced by
     * the NDCG relevance CTE. */
-  lazy val bm25ScoredCtes = {
+  def bm25ScoredCtesBody(src: String): String = {
     val terms = Seq("spark", "window", "join")
     val inList = terms.map(t => s"'$t'").mkString(", ")
     val scoreSum = terms.map(t =>
       s"coalesce(sum(CASE WHEN t = '$t' THEN part END), 0)").mkString(" + ")
-    s"""WITH dl AS (SELECT doc_id AS id, CAST(len($toks) AS BIGINT) AS dl FROM documents),
+    s"""dl AS (SELECT doc_id AS id, CAST(len($toks) AS BIGINT) AS dl FROM $src),
        |g AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
-       |tk AS (SELECT doc_id AS id, unnest($toks) AS t FROM documents),
+       |tk AS (SELECT doc_id AS id, unnest($toks) AS t FROM $src),
        |tf AS (SELECT id, t, count(*) AS tf FROM tk WHERE t IN ($inList) GROUP BY id, t),
        |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
        |p AS (SELECT tf.id, tf.t,
@@ -472,6 +504,8 @@ private[graft] object ExtShared {
        |scored AS (SELECT id AS doc_id, ${sparkRound(scoreSum, 4)} AS score
        |           FROM p GROUP BY id)""".stripMargin
   }
+
+  lazy val bm25ScoredCtes = "WITH " + bm25ScoredCtesBody("documents")
 
   /** Langid scoring CTEs (`lid`: doc_id, lang_guess, en) shared by the
     * text_langid lane and its confusion-matrix evaluation — the DuckDB
@@ -503,11 +537,11 @@ private[graft] object ExtShared {
        |    en
        |  FROM s)""".stripMargin
 
-  lazy val minhashPairsCtes = {
+  def minhashPairsCtesBody(src: String): String = {
     val sigList = Dedup.minhashParams(32)
       .map { case (a, b) => s"min((h * $a + $b) % 2147483647)" }
       .mkString("[", ", ", "]")
-    s"""$minhashHashCtes,
+    s"""${minhashHashCtesBody(src)},
        |sigs AS (SELECT doc_id, $sigList AS sig FROM hh GROUP BY doc_id),
        |bands AS (SELECT doc_id, sig, b, sig[4*b + 1 : 4*b + 4] AS key
        |          FROM sigs, range(8) r(b)),
@@ -523,6 +557,8 @@ private[graft] object ExtShared {
        |        JOIN sigs s2 ON s2.doc_id = c.id2),
        |pairs AS (SELECT id1, id2, est_jaccard FROM est WHERE est_jaccard >= 0.5)""".stripMargin
   }
+
+  lazy val minhashPairsCtes = "WITH " + minhashPairsCtesBody("documents")
 
   /** diag_profile replay, shared by both modes: melt via UNION ALL, the
     * same fmix64(FNV-1a) register chain keyed by (c, v) — null values

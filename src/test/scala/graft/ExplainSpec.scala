@@ -203,6 +203,16 @@ class ExplainSpec extends SparkSpec {
     assert(nodes.count(_.isInstanceOf[CartesianProductExec]) === 0)
   }
 
+  test("train_incremental_e2e: probes never rescan the corpus — one documents read (the v2 id list)") {
+    val nodes = run("train_incremental_e2e")
+    assert(fileScans(nodes, "documents").size === 1,
+      "the delta loop's probes run over the persisted stores; the only corpus " +
+        "touch is the v2 id list the survivor section joins against")
+    assert(nodes.count(_.isInstanceOf[CartesianProductExec]) === 0)
+    assert(nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) <= 1,
+      "the only nested-loop shape is BM25's one-row merged-globals broadcast")
+  }
+
   test("dedup_minhash_pairs: banded equi-join, bounded documents scans, no all-pairs") {
     val nodes = run("dedup_minhash_pairs")
     // one scan feeds the checkpointed signatures; the non-empty marker row
