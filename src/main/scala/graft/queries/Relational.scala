@@ -866,6 +866,25 @@ object Relational {
         .orderBy(col("doc_id"))
     }),
 
+    // The DELIVERED container shape: the same records, each its own gzip
+    // MEMBER in .warc.gz files (the Common Crawl framing — per-member
+    // compression is what keeps the container offset-seekable). The
+    // splitter inflates the concatenated members and reports offsets in
+    // the DECOMPRESSED stream, so the record geometry — and therefore the
+    // oracle — is byte-identical to the plain lane's.
+    "source_warc_gz_records" -> ((s, d) => {
+      val dir = graft.sources.Warc.fixtureCached(Tables.documents(s, d), d,
+        gzMembers = true)
+      graft.sources.Warc.recordsGz(s, dir)
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("warc_type"), col("record_id"), col("warc_date"),
+          col("target_uri"), col("content_length"), col("offset"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PERMISSIVE CSV ingestion: schema-enforced read where rows with an
     // unparseable field land in _corrupt_record instead of failing the
     // job — the error-budget accounting every raw-file ingest needs. The
@@ -1444,6 +1463,41 @@ object Relational {
     })
   )
 
+  /** The WARC record-geometry replay, shared by the plain and the
+    * gz-member lanes (per-member inflation reproduces the plain
+    * concatenation byte-for-byte, so one arithmetic oracle covers both):
+    * the header is REBUILT byte-for-byte in SQL, content_length and each
+    * record's in-(decompressed-)file offset are pure arithmetic over the
+    * documents table — no WARC parsing oracle-side. */
+  private val warcGeometryOracle: String =
+    """WITH r AS (
+      |  SELECT doc_id,
+      |    'https://example.org/doc/' || doc_id AS target_uri,
+      |    strftime(make_timestamp((1767225600 + doc_id) * 1000000),
+      |             '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+      |    md5(text) AS payload_md5
+      |  FROM documents WHERE doc_id < 500),
+      |h AS (
+      |  SELECT *,
+      |    octet_length(encode('WARC/1.0' || chr(13)||chr(10) ||
+      |      'WARC-Type: response' || chr(13)||chr(10) ||
+      |      'WARC-Record-ID: <urn:graft:doc:' || doc_id || '>' || chr(13)||chr(10) ||
+      |      'WARC-Date: ' || warc_date || chr(13)||chr(10) ||
+      |      'WARC-Target-URI: ' || target_uri || chr(13)||chr(10) ||
+      |      'Content-Type: text/plain' || chr(13)||chr(10) ||
+      |      'Content-Length: ' || content_length || chr(13)||chr(10) ||
+      |      chr(13)||chr(10))) + content_length + 4 AS rec_size
+      |  FROM r)
+      |SELECT doc_id, 'response' AS warc_type,
+      |  '<urn:graft:doc:' || doc_id || '>' AS record_id,
+      |  warc_date, target_uri, content_length,
+      |  CAST(coalesce(sum(rec_size) OVER (PARTITION BY doc_id % 4
+      |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    0) AS BIGINT) AS offset,
+      |  payload_md5
+      |FROM h ORDER BY doc_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "tpch_q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1951,34 +2005,12 @@ object Relational {
     // SQL (CRLF = chr(13)||chr(10)), so content_length and each record's
     // in-file offset (running sum over the doc_id%4 file group) are pure
     // arithmetic over the documents table — no WARC parsing oracle-side.
-    "source_warc_records" ->
-      """WITH r AS (
-        |  SELECT doc_id,
-        |    'https://example.org/doc/' || doc_id AS target_uri,
-        |    strftime(make_timestamp((1767225600 + doc_id) * 1000000),
-        |             '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
-        |    CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
-        |    md5(text) AS payload_md5
-        |  FROM documents WHERE doc_id < 500),
-        |h AS (
-        |  SELECT *,
-        |    octet_length(encode('WARC/1.0' || chr(13)||chr(10) ||
-        |      'WARC-Type: response' || chr(13)||chr(10) ||
-        |      'WARC-Record-ID: <urn:graft:doc:' || doc_id || '>' || chr(13)||chr(10) ||
-        |      'WARC-Date: ' || warc_date || chr(13)||chr(10) ||
-        |      'WARC-Target-URI: ' || target_uri || chr(13)||chr(10) ||
-        |      'Content-Type: text/plain' || chr(13)||chr(10) ||
-        |      'Content-Length: ' || content_length || chr(13)||chr(10) ||
-        |      chr(13)||chr(10))) + content_length + 4 AS rec_size
-        |  FROM r)
-        |SELECT doc_id, 'response' AS warc_type,
-        |  '<urn:graft:doc:' || doc_id || '>' AS record_id,
-        |  warc_date, target_uri, content_length,
-        |  CAST(coalesce(sum(rec_size) OVER (PARTITION BY doc_id % 4
-        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |    0) AS BIGINT) AS offset,
-        |  payload_md5
-        |FROM h ORDER BY doc_id""".stripMargin,
+    "source_warc_records" -> warcGeometryOracle,
+
+    // The gz container is invisible to record geometry: per-member
+    // inflation reproduces the plain concatenation byte-for-byte, so the
+    // SAME arithmetic replay is the gz lane's exact oracle.
+    "source_warc_gz_records" -> warcGeometryOracle,
 
     // corrupt/good split replayed from the fixture's generation rule
     "source_csv_permissive" ->

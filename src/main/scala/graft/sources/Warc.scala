@@ -23,10 +23,11 @@ import graft.ext.Multimodal
   * Catalyst expression per file row — no per-record UDF, no shuffle until
   * the caller aggregates. This mirrors how production WARC pipelines run
   * Spark over Common Crawl: per-file tasks, records exploded inside the
-  * task. (Real deliveries are per-record gzip members; the container
-  * codec is orthogonal to record framing and this sandbox ships no gzip
-  * fixture corpus — the framing, header grammar, and geometry accounting
-  * below are the load-bearing parts.)
+  * task. Real crawl deliveries frame each record as its own GZIP MEMBER
+  * (concatenated members per file — what makes a .warc.gz seekable by
+  * offset); [[parseRecordsGz]] walks the member stream and parses each
+  * inflated record, so both the plain and the delivered container shape
+  * are first-class.
   *
   * STRICT parser: a malformed version line, a missing Content-Length, or a
   * torn record boundary throws with the byte offset — an ingest that
@@ -111,17 +112,41 @@ object Warc {
     new GenericArrayData(out.toArray)
   }
 
+  /** Inflate a concatenated-gzip-member stream (the .warc.gz container:
+    * one member per record) and split the records. Offsets are positions
+    * in the DECOMPRESSED stream — identical to the plain-file geometry,
+    * which is what makes the gz lane share the plain lane's oracle; a
+    * CDX-style compressed-offset index would track member boundaries in
+    * the writer instead. */
+  def parseRecordsGz(bytes: Array[Byte]): GenericArrayData = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val inflated = try in.readAllBytes() finally in.close()
+    parseRecords(inflated)
+  }
+
   def warc_records(content: Column): Column =
     ColumnBridge.column(WarcParse(ColumnBridge.expression(content)))
+
+  def warc_records_gz(content: Column): Column =
+    ColumnBridge.column(WarcParse(ColumnBridge.expression(content), gz = true))
 
   /** Directory of `*.warc` files → one row per record (+ source path and
     * in-file record index). Per-file parallelism; nothing driver-side. */
   def records(spark: SparkSession, dir: String): DataFrame =
+    recordsWith(spark, dir, "*.warc", warc_records)
+
+  /** The same over `*.warc.gz` deliveries (per-record gzip members). */
+  def recordsGz(spark: SparkSession, dir: String): DataFrame =
+    recordsWith(spark, dir, "*.warc.gz", warc_records_gz)
+
+  private def recordsWith(spark: SparkSession, dir: String, glob: String,
+      parse: Column => Column): DataFrame =
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc")
+      .option("pathGlobFilter", glob)
       .load(dir)
       .select(col("path"),
-        posexplode(warc_records(col("content"))).as(Seq("rec_idx", "r")))
+        posexplode(parse(col("content"))).as(Seq("rec_idx", "r")))
       .select(col("path"), col("rec_idx"), col("r.*"))
 
   // ---- deterministic fixture ------------------------------------------
@@ -163,10 +188,12 @@ object Warc {
     * the oracle's per-group running-sum offset replay assumes. Written on
     * executors, atomically published. */
   def fixtureCached(docs: DataFrame, sfDir: String, maxDocs: Int = 500,
-      nFiles: Int = 4): String = {
+      nFiles: Int = 4, gzMembers: Boolean = false): String = {
     val src = new java.io.File(sfDir + "/documents.parquet")
+    val suffix = if (gzMembers) "_gz_v1" else "_v1"
+    val ext = if (gzMembers) ".warc.gz" else ".warc"
     val path = System.getProperty("java.io.tmpdir") + "/graft_warc_" +
-      (sfDir + s"_${src.length}_${src.lastModified}_${maxDocs}_${nFiles}_v1")
+      (sfDir + s"_${src.length}_${src.lastModified}_${maxDocs}_$nFiles$suffix")
         .replaceAll("[^A-Za-z0-9]", "_")
     if (!new java.io.File(path + "/_SUCCESS").exists()) {
       Multimodal.sweepOrphanTmpDirs(path)
@@ -186,9 +213,15 @@ object Warc {
               if (os != null) os.close()
               cur = g
               os = java.nio.file.Files.newOutputStream(
-                java.nio.file.Paths.get(tmp, f"part-$g%03d.warc"))
+                java.nio.file.Paths.get(tmp, f"part-$g%03d$ext"))
             }
-            os.write(fixtureRecord(r.getLong(0), r.getString(1)))
+            val rec = fixtureRecord(r.getLong(0), r.getString(1))
+            if (gzMembers) {
+              // one gzip MEMBER per record — the Common Crawl container
+              val gzo = new java.util.zip.GZIPOutputStream(os)
+              gzo.write(rec)
+              gzo.finish() // member trailer, but leave the file stream open
+            } else os.write(rec)
           }
           if (os != null) os.close()
         }
@@ -202,17 +235,22 @@ object Warc {
 
 /** BINARY (one WARC file's bytes) → ARRAY<STRUCT> of its records. Codegen
   * via a static call, like the protobuf codec — the record loop runs
-  * inside whole-stage codegen, one invocation per FILE row. */
-case class WarcParse(child: Expression) extends UnaryExpression {
+  * inside whole-stage codegen, one invocation per FILE row. `gz` inflates
+  * the concatenated gzip members first (the .warc.gz delivery container). */
+case class WarcParse(child: Expression, gz: Boolean = false)
+  extends UnaryExpression {
   override def dataType: DataType = ArrayType(Warc.recordType, containsNull = false)
   override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    Warc.parseRecords(input.asInstanceOf[Array[Byte]])
+    if (gz) Warc.parseRecordsGz(input.asInstanceOf[Array[Byte]])
+    else Warc.parseRecords(input.asInstanceOf[Array[Byte]])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (gz) "parseRecordsGz" else "parseRecords"
     nullSafeCodeGen(ctx, ev, b =>
-      s"${ev.value} = graft.sources.Warc.parseRecords($b);")
+      s"${ev.value} = graft.sources.Warc.$fn($b);")
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

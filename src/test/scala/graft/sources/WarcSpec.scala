@@ -77,6 +77,43 @@ class WarcSpec extends SparkSpec {
       "absent optional headers surface as null, not a parse failure")
   }
 
+  test("gz members: per-record gzip inflation reproduces the plain geometry exactly") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close()
+      bo.toByteArray
+    }
+    val (a, b, c) = (rec(1, "alpha"), rec(2, "beta beta"), rec(3, ""))
+    val plain = Warc.parseRecords(a ++ b ++ c)
+    val inflated = Warc.parseRecordsGz(gz(a) ++ gz(b) ++ gz(c))
+    assert(inflated.numElements() === 3)
+    // decompressed-stream offsets == plain concatenation offsets
+    val plainRows = Seq(plain, inflated).map { arr =>
+      (0 until arr.numElements()).map(i =>
+        arr.getStruct(i, 7).getLong(5)).toSeq
+    }
+    assert(plainRows.head === plainRows(1))
+    assert(plainRows.head === Seq(0L, a.length.toLong, (a.length + b.length).toLong))
+  }
+
+  test("gz: a corrupted member stream throws, never resynchronizes") {
+    val bo = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bo)
+    g.write(rec(1, "alpha")); g.close()
+    val bytes = bo.toByteArray
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x5a).toByte
+    assertThrows[java.io.IOException](Warc.parseRecordsGz(bytes))
+  }
+
+  test("gz fixture + directory read: same 500 records through the .warc.gz container") {
+    val d = "/root/testdata/sf0.001"
+    val dir = Warc.fixtureCached(graft.Tables.documents(spark, d), d, gzMembers = true)
+    val recs = Warc.recordsGz(spark, dir)
+    assert(recs.count() === 500)
+    assert(recs.filter(col("warc_type") === "response").count() === 500)
+  }
+
   test("fixture + directory read: every doc < 500 comes back, one row per record") {
     val d = "/root/testdata/sf0.001"
     val dir = Warc.fixtureCached(graft.Tables.documents(spark, d), d)
