@@ -18,6 +18,18 @@ object DeltaStore {
     ids.select(col("id"), lit(beforeGen).as("before_gen"))
       .write.mode("append").parquet(tombDir)
 
+  /** Drop a fully-folded tombstone manifest — call only after EVERY store
+    * sharing it ran [[StoreCompaction.foldTombstones]] (deleting first
+    * would resurrect dead rows in the not-yet-folded stores). */
+  def clear(tombDir: String): Unit = {
+    val p = java.nio.file.Paths.get(tombDir)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
   /** Liveness filter: drop rows whose gen < the id's greatest before_gen.
     * No-op (and no read) when the store has no tombstones yet. The
     * manifest is aggregated per id before the join, so the join's build

@@ -163,6 +163,70 @@ object StoreCompaction {
     deleteRecursively(tmp)
   }
 
+  /** Apply a tombstone manifest PHYSICALLY: rewrite exactly the leaf
+    * partitions that still hold dead rows (gen < the id's greatest
+    * before_gen — the [[DeltaStore.alive]] liveness rule), leaving every
+    * other partition untouched. This is the maintenance pass that turns a
+    * delta-loop store's probe-time liveness joins back into plain scans;
+    * run it, then [[DeltaStore]]-clear the manifest once every store
+    * sharing it has folded.
+    *
+    * Affected-partition detection is ONE pass (dead rows →
+    * `input_file_name()` → parent dirs), so an empty manifest or a
+    * fully-folded store costs a single pruned job and zero rewrites. Each
+    * rewrite uses [[compact]]'s atomic swap protocol — a flat
+    * (unpartitioned) store swaps as a single leaf through its PARENT dir,
+    * which [[recover]] repairs the same way. The fold is idempotent, and
+    * crash-safe in the conservative direction: the manifest outlives the
+    * fold, so a crash mid-way leaves probes correct (they just keep
+    * paying the liveness join). */
+  def foldTombstones(spark: SparkSession, dataPath: String, tombPath: String,
+      idCol: String): Report = {
+    val root = new File(dataPath)
+    if (!new File(tombPath).exists() || !root.isDirectory) return Report(0, 0, 0, 0)
+    recover(dataPath)
+    recover(root.getParentFile.getPath)
+    import org.apache.spark.sql.functions.{input_file_name, max}
+    val bg = spark.read.parquet(tombPath)
+      .groupBy(col("id").as(idCol)).agg(max(col("before_gen")).as("__bg"))
+    def aliveOf(df: DataFrame) = df.join(bg, Seq(idCol), "left")
+      .filter(col("__bg").isNull || col("gen") >= col("__bg")).drop("__bg")
+    // input_file_name() must bind BEFORE the join (single-source rule)
+    val affected = spark.read.parquet(dataPath)
+      .select(col(idCol), col("gen"), input_file_name().as("f"))
+      .join(bg, Seq(idCol))
+      .filter(col("gen") < col("__bg"))
+      .select(col("f")).distinct()
+      .collect()
+      .map(r => new File(java.net.URI.create(r.getString(0)).getPath)
+        .getParentFile.getCanonicalFile)
+      .toSet
+    val leaves0 = leafDirs(root)
+    val flat = leaves0.isEmpty
+    val leaves = if (flat) Seq(root) else leaves0
+    var compacted = 0
+    var before = 0
+    var after = 0
+    leaves.foreach { dir =>
+      before += Option(dir.listFiles()).getOrElse(Array.empty[File]).count(isData)
+      if (affected.contains(dir.getCanonicalFile)) {
+        val base = (if (flat) root.getParentFile else root).toPath
+        val rel = base.relativize(dir.toPath).toString
+        val tmp = base.resolve(s".compact_tmp_${enc(rel)}")
+        val old = base.resolve(s".compact_old_${enc(rel)}")
+        deleteRecursively(tmp)
+        aliveOf(spark.read.parquet(dir.toString)).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        Files.move(dir.toPath, old, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(tmp, dir.toPath, StandardCopyOption.ATOMIC_MOVE)
+        deleteRecursively(old)
+        compacted += 1
+      }
+      after += Option(dir.listFiles()).getOrElse(Array.empty[File]).count(isData)
+    }
+    Report(leaves.size, compacted, before, after)
+  }
+
   /** Rewrite every leaf partition of the partitioned parquet store at
     * `rootPath` whose data-file count exceeds `maxFiles`, coalescing it to
     * `targetFiles` file(s). Partitions at or under the bound are not

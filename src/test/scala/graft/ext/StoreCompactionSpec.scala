@@ -85,6 +85,73 @@ class StoreCompactionSpec extends SparkSpec {
     assert(probe() === pre, "compaction must not change incremental dedup results")
   }
 
+  test("foldTombstones: dead rows leave the files, probes unchanged, untouched partitions untouched") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_fold").toString
+    val data = root + "/store"
+    val tomb = root + "/tomb"
+    // gen-0: ids 0..19 across 4 partitions; gen-1 re-adds ids 0..4
+    (0 until 20).map(i => (i.toLong, s"v0_$i", 0, i % 4))
+      .toDF("id", "v", "gen", "b")
+      .write.partitionBy("b").parquet(data)
+    (0 until 5).map(i => (i.toLong, s"v1_$i", 1, i % 4))
+      .toDF("id", "v", "gen", "b")
+      .write.mode("append").partitionBy("b").parquet(data)
+    // tombstone: changed ids 0..4 (before gen 1) + removed ids 17..19
+    DeltaStore.tombstone((0 until 5).map(_.toLong).toDF("id"), 1, tomb)
+    DeltaStore.tombstone(Seq(17L, 18L, 19L).toDF("id"), 1, tomb)
+    val beforeRows = DeltaStore.alive(spark, spark.read.parquet(data), tomb, "id")
+      .collect().map(_.toString).sorted.toSeq
+    // partition b=0 holds ids {0,4,8,12,16} + re-adds {0,4}: affected.
+    // Every partition holds some dead row here EXCEPT none — ids 17,18,19
+    // hit b=1,2,3; so all 4 partitions are affected. Add an untouched 5th.
+    Seq((100L, "keep", 0, 9)).toDF("id", "v", "gen", "b")
+      .write.mode("append").partitionBy("b").parquet(data)
+    val untouched = new File(data + "/b=9")
+    val stamp = dataFiles(untouched).map(f => (f.getName, f.lastModified)).sorted
+    val report = StoreCompaction.foldTombstones(spark, data, tomb, "id")
+    assert(report.partitionsCompacted === 4, "exactly the dead-row partitions rewrite")
+    assert(dataFiles(untouched).map(f => (f.getName, f.lastModified)).sorted === stamp,
+      "a partition with no dead rows is not rewritten")
+    // physically gone: raw read has no dead rows left
+    val raw = spark.read.parquet(data)
+    assert(raw.filter(col("id").isin(17L, 18L, 19L)).count() === 0)
+    assert(raw.filter(col("id") < 5 && col("gen") === 0).count() === 0)
+    assert(raw.filter(col("id") < 5 && col("gen") === 1).count() === 5,
+      "re-adds at the tombstone generation survive the fold")
+    // probe parity: alive() over the folded store (manifest still applied)
+    // and the plain scan after clearing both equal the pre-fold view
+    val expected = (beforeRows :+ "[100,keep,0,9]").sorted
+    val folded = DeltaStore.alive(spark, raw, tomb, "id")
+      .collect().map(_.toString).sorted.toSeq
+    assert(folded === expected)
+    // idempotent: a second fold rewrites nothing
+    val again = StoreCompaction.foldTombstones(spark, data, tomb, "id")
+    assert(again.partitionsCompacted === 0)
+    DeltaStore.clear(tomb)
+    val cleared = spark.read.parquet(data).collect().map(_.toString).sorted.toSeq
+    assert(cleared === expected)
+  }
+
+  test("foldTombstones: a FLAT store folds as one leaf through its parent") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_fold_flat").toString
+    val data = root + "/doclen"
+    val tomb = root + "/tomb"
+    (0 until 10).map(i => (i.toLong, i * 10L, 0)).toDF("id", "dl", "gen")
+      .write.parquet(data)
+    (0 until 2).map(i => (i.toLong, i * 10L + 1L, 1)).toDF("id", "dl", "gen")
+      .write.mode("append").parquet(data)
+    DeltaStore.tombstone((0 until 3).map(_.toLong).toDF("id"), 1, tomb)
+    val before = DeltaStore.alive(spark, spark.read.parquet(data), tomb, "id")
+      .collect().map(_.toString).sorted.toSeq
+    val report = StoreCompaction.foldTombstones(spark, data, tomb, "id")
+    assert(report.partitionsCompacted === 1)
+    DeltaStore.clear(tomb)
+    assert(spark.read.parquet(data).collect().map(_.toString).sorted.toSeq === before)
+    assert(spark.read.parquet(data).filter(col("gen") === 0 && col("id") < 3).count() === 0)
+  }
+
   test("recover() repairs every crash state of the swap protocol") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_compact_rec").toString + "/store"
