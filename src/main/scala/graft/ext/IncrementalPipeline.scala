@@ -13,9 +13,15 @@ import org.apache.spark.sql.functions._
   * ([[StoreCompaction]]). */
 object DeltaStore {
 
-  /** Append (id, before_gen) tombstones under `tombDir`. */
-  def tombstone(ids: DataFrame, beforeGen: Int, tombDir: String): Unit =
-    ids.select(col("id"), lit(beforeGen).as("before_gen"))
+  /** Append (id, before_gen, tag) tombstones under `tombDir`. The `tag`
+    * names the delete batch: replay-idempotent writers key their files by
+    * it ([[graft.ext.Ranking.bm25DeleteVersionedKeyed]]), and the
+    * dying-set computation can exclude its OWN tag's rows so a replay
+    * recomputes the same set in every crash state. Plain appends (inside
+    * an atomically-published single-writer build) leave it empty. */
+  def tombstone(ids: DataFrame, beforeGen: Int, tombDir: String,
+      tag: String = ""): Unit =
+    ids.select(col("id"), lit(beforeGen).as("before_gen"), lit(tag).as("tag"))
       .write.mode("append").parquet(tombDir)
 
   /** Drop a fully-folded tombstone manifest — call only after EVERY store
@@ -34,16 +40,30 @@ object DeltaStore {
     * No-op (and no read) when the store has no tombstones yet. The
     * manifest is aggregated per id before the join, so the join's build
     * side is bounded by deleted-id count, never by row count. */
+  /** True when `dir` holds at least one visible data file — an existing
+    * but EMPTY manifest dir (e.g. a crash right after a keyed replay
+    * cleared its own generation) must read as "no tombstones", not as an
+    * unreadable parquet source. */
+  def hasData(dir: String): Boolean = {
+    val fs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    fs.exists(f => f.isFile && !f.getName.startsWith(".") &&
+      !f.getName.startsWith("_"))
+  }
+
   def alive(spark: SparkSession, rows: DataFrame, tombDir: String,
       idCol: String): DataFrame =
-    if (!new java.io.File(tombDir).exists()) rows
-    else {
-      val bg = spark.read.parquet(tombDir)
-        .groupBy(col("id").as(idCol)).agg(max(col("before_gen")).as("__bg"))
-      rows.join(bg, Seq(idCol), "left")
-        .filter(col("__bg").isNull || col("gen") >= col("__bg"))
-        .drop("__bg")
-    }
+    if (!hasData(tombDir)) rows
+    else aliveAgainst(rows, spark.read.parquet(tombDir), idCol)
+
+  /** [[alive]] against an explicit tombstone frame — lets a
+    * replay-idempotent delete exclude its OWN tag's rows. */
+  def aliveAgainst(rows: DataFrame, tomb: DataFrame, idCol: String): DataFrame = {
+    val bg = tomb.groupBy(col("id").as(idCol))
+      .agg(max(col("before_gen")).as("__bg"))
+    rows.join(bg, Seq(idCol), "left")
+      .filter(col("__bg").isNull || col("gen") >= col("__bg"))
+      .drop("__bg")
+  }
 }
 
 /** The DELTA LOOP (VERDICT r15 #1) — the daily operating mode of a 100 TB

@@ -271,9 +271,13 @@ object Ranking {
   }
 
   /** Tombstone `ids` (one `id` column): their rows with gen < `beforeGen`
-    * die. The negative globals partial is appended FIRST, computed from
-    * the still-live dying rows — a crash between the two writes leaves the
-    * store over-counting (conservative) until the delete is replayed. */
+    * die. Plain-append variant for SINGLE-SHOT use inside an
+    * atomically-published build (the IncrementalPipeline store gate): a
+    * replay there rebuilds the whole tmp dir, so the two appends are
+    * never re-run against their own residue. Anything that can REPLAY a
+    * delete against a live store (a streaming micro-batch, a restarted
+    * job) must use [[bm25DeleteVersionedKeyed]] — replaying THIS function
+    * would stack a second negative globals partial. */
   def bm25DeleteVersioned(spark: org.apache.spark.sql.SparkSession,
       storeDir: String, ids: DataFrame, beforeGen: Int): Unit = {
     val dying = DeltaStore
@@ -285,6 +289,31 @@ object Ranking {
         (-coalesce(sum(col("dl")), lit(0L))).as("dl_sum"))
       .write.mode("append").parquet(storeDir + "/globals")
     DeltaStore.tombstone(ids, beforeGen, storeDir + "/tomb")
+  }
+
+  /** REPLAY-IDEMPOTENT delete — the live-store/streaming path. The dying
+    * set is computed against every tombstone EXCEPT this tag's own rows
+    * (so it is the SAME set in every crash state: nothing written, partial
+    * only, or both), and both writes publish through
+    * [[StoreCompaction.appendKeyed]] with tag-named files — a replay
+    * replaces its own generation instead of stacking a second negative
+    * partial. Convergence is pinned in IncrementalPipelineSpec. */
+  def bm25DeleteVersionedKeyed(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, ids: DataFrame, beforeGen: Int, tag: String): Unit = {
+    val tombDir = storeDir + "/tomb"
+    val others =
+      if (!DeltaStore.hasData(tombDir)) None
+      else Some(spark.read.parquet(tombDir).filter(col("tag") =!= tag))
+    val dl = spark.read.parquet(storeDir + "/doclen")
+    val dying = others.fold(dl)(t => DeltaStore.aliveAgainst(dl, t, "id"))
+      .filter(col("gen") < beforeGen)
+      .join(ids.select(col("id")), Seq("id"), "left_semi")
+    val neg = dying.agg((-count(lit(1))).as("n_part"),
+      (-coalesce(sum(col("dl")), lit(0L))).as("dl_sum"))
+    StoreCompaction.appendKeyed(neg, storeDir + "/globals", Nil, s"del-$tag")
+    StoreCompaction.appendKeyed(
+      ids.select(col("id"), lit(beforeGen).as("before_gen"), lit(tag).as("tag")),
+      tombDir, Nil, tag)
   }
 
   /** Probe over the versioned store: the same partition-pruned postings

@@ -80,6 +80,50 @@ class IncrementalPipelineSpec extends SparkSpec {
     assert(rows(incremental) === rows(recompute))
   }
 
+  test("keyed delete: replay converges in EVERY crash state (no stacked negative partials)") {
+    import spark.implicits._
+    def freshStore(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_keyed_del").toString
+      val docs = Seq((0L, "a b c"), (1L, "a b"), (2L, "c c c c"), (3L, "b"))
+        .toDF("doc_id", "text")
+      Ranking.bm25WriteVersioned(docs, "text", "doc_id", dir, gen = 0)
+      dir
+    }
+    def globals(dir: String): (Long, Long) = {
+      val r = spark.read.parquet(dir + "/globals")
+        .agg(sum(col("n_part")), sum(col("dl_sum"))).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val ids = Seq(0L, 2L).toDF("id")
+    // clean run: live n = 2, live dl_sum = 2 + 1 = 3
+    val s1 = freshStore()
+    Ranking.bm25DeleteVersionedKeyed(spark, s1, ids, beforeGen = 1, tag = "b7")
+    assert(globals(s1) === ((2L, 3L)))
+    // crash state A: nothing durable yet -> plain re-run (trivially same)
+    Ranking.bm25DeleteVersionedKeyed(spark, s1, ids, beforeGen = 1, tag = "b7")
+    assert(globals(s1) === ((2L, 3L)),
+      "a replay after full success must REPLACE its generation, not stack")
+    // crash state B: negative partial landed, tombstone did not
+    val s2 = freshStore()
+    Ranking.bm25DeleteVersionedKeyed(spark, s2, ids, beforeGen = 1, tag = "b7")
+    val tombFiles = Option(new java.io.File(s2 + "/tomb").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("b7-"))
+    assert(tombFiles.nonEmpty)
+    tombFiles.foreach(f => java.nio.file.Files.delete(f.toPath))
+    Ranking.bm25DeleteVersionedKeyed(spark, s2, ids, beforeGen = 1, tag = "b7")
+    assert(globals(s2) === ((2L, 3L)),
+      "replay after a partial-only crash recomputes the SAME dying set")
+    // and liveness agrees: exactly docs 1 and 3 remain
+    val live = DeltaStore.alive(spark, spark.read.parquet(s2 + "/doclen"),
+      s2 + "/tomb", "id").select(col("id")).collect().map(_.getLong(0)).sorted
+    assert(live.toSeq === Seq(1L, 3L))
+    // an EARLIER batch's tombstones still apply to a later tag's dying set
+    Ranking.bm25DeleteVersionedKeyed(spark, s2, Seq(1L, 2L).toDF("id"),
+      beforeGen = 1, tag = "b8")
+    assert(globals(s2) === ((1L, 1L)),
+      "doc 2 is already dead under b7 — b8 must subtract only doc 1")
+  }
+
   test("liveness negatives: removed ids are gone from every store, changed ids carry only gen-1 rows") {
     val removedDoc = docs.select(col("doc_id"))
       .filter(col("doc_id") % 13 === 7 && col("doc_id") % 17 =!= 5)
