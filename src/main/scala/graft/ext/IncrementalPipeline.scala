@@ -40,6 +40,17 @@ object DeltaStore {
     * No-op (and no read) when the store has no tombstones yet. The
     * manifest is aggregated per id before the join, so the join's build
     * side is bounded by deleted-id count, never by row count. */
+  /** Replay-idempotent [[tombstone]]: tag-named files via
+    * [[StoreCompaction.appendKeyed]] — a replayed batch replaces its own
+    * tombstone generation (the streaming-CDC delete for stores without
+    * mergeable partials, e.g. the IVF assignment). */
+  def tombstoneKeyed(ids: DataFrame, beforeGen: Int, tombDir: String,
+      tag: String): Unit =
+    StoreCompaction.appendKeyed(
+      ids.select(col("id"), lit(beforeGen).as("before_gen"),
+        lit(tag).as("tag")),
+      tombDir, Nil, tag)
+
   /** True when `dir` holds at least one visible data file — an existing
     * but EMPTY manifest dir (e.g. a crash right after a keyed replay
     * cleared its own generation) must read as "no tombstones", not as an

@@ -291,6 +291,20 @@ object Ranking {
     DeltaStore.tombstone(ids, beforeGen, storeDir + "/tomb")
   }
 
+  /** Gen-stamped, replay-idempotent append — the streaming-CDC write:
+    * same frames as [[bm25WriteVersioned]], published with tag-named
+    * generation files so a replayed micro-batch replaces its own files
+    * ([[StoreCompaction.appendKeyed]], the bm25AppendKeyed discipline). */
+  def bm25AppendVersionedKeyed(delta: DataFrame, textCol: String,
+      idCol: String, storeDir: String, gen: Int, tag: String): Unit = {
+    val (postings, dl, globals) = incrFrames(delta, textCol, idCol)
+    StoreCompaction.appendKeyed(postings.withColumn("gen", lit(gen)),
+      storeDir + "/postings", Seq("t_bucket"), tag)
+    StoreCompaction.appendKeyed(dl.withColumn("gen", lit(gen)),
+      storeDir + "/doclen", Nil, tag)
+    StoreCompaction.appendKeyed(globals, storeDir + "/globals", Nil, tag)
+  }
+
   /** REPLAY-IDEMPOTENT delete — the live-store/streaming path. The dying
     * set is computed against every tombstone EXCEPT this tag's own rows
     * (so it is the SAME set in every crash state: nothing written, partial

@@ -239,6 +239,19 @@ object Similarity {
       s"$path/assigned", Seq("ivf_cell"), tag)
   }
 
+  /** [[ivfAppendKeyed]] with a generation stamp — the streaming-CDC write
+    * over a VERSIONED index (rows live iff gen ≥ the id's greatest
+    * tombstone before_gen, the [[graft.ext.DeltaStore]] rule). */
+  def ivfAppendVersionedKeyed(spark: org.apache.spark.sql.SparkSession,
+      path: String, delta: DataFrame, idCol: String, vecCol: String,
+      gen: Int, tag: String): Unit = {
+    val cents = ivfRead(spark, path).centroids
+    StoreCompaction.appendKeyed(
+      ivfAssign(delta, idCol, vecCol, cents)
+        .withColumn("gen", org.apache.spark.sql.functions.lit(gen)),
+      s"$path/assigned", Seq("ivf_cell"), tag)
+  }
+
   /** Reload a persisted index (probe-only sessions; k centroid rows is the
     * only driver-side data). */
   def ivfRead(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {

@@ -107,6 +107,104 @@ object StreamingIndexMaintenance {
     val _ = report
   }
 
+  // ---- CDC maintenance: upserts AND deletes over VERSIONED stores ------
+  // Round 16: the append-only maintenance above cannot retract a document;
+  // real corpora also shed them (takedowns, license revocations, GDPR).
+  // The CDC path runs over the gen-stamped store format (rows live iff
+  // gen >= the id's greatest tombstone before_gen — graft.ext.DeltaStore):
+  // a micro-batch carries an `op` column ("upsert"/"delete"); upsert ids
+  // tombstone their prior generations AND re-enter at this batch's gen in
+  // the same batch (the changed-document composition), delete ids just
+  // tombstone. Every write is tag-keyed by batch id, and the BM25 delete
+  // computes its dying set excluding its own tag — so a replayed batch
+  // converges in every crash state (bm25DeleteVersionedKeyed's pinned
+  // property), on top of the cursor skip-guard.
+
+  /** Seed the VERSIONED stores (generation 0) from an initial corpus;
+    * centroids learned here stay fixed, as in [[initStores]]. */
+  def initStoresVersioned(seed: DataFrame, rootDir: String, idCol: String,
+      textCol: String, vecCol: String, nCells: Int): Unit = {
+    val idx = Similarity.ivfIndex(seed, idCol, vecCol, nCells)
+    idx.assigned.withColumn("gen", lit(0))
+      .repartition(col("ivf_cell"))
+      .write.mode("overwrite").partitionBy("ivf_cell")
+      .parquet(s"$rootDir/ivf/assigned")
+    val spark = seed.sparkSession
+    locally {
+      import spark.implicits._
+      idx.centroids.toDF("cid", "cvec").coalesce(1)
+        .write.mode("overwrite").parquet(s"$rootDir/ivf/centroids")
+    }
+    Ranking.bm25WriteVersioned(seed, textCol, idCol, s"$rootDir/bm25", gen = 0)
+    writeCursor(rootDir, -1L)
+  }
+
+  /** Apply one CDC micro-batch (`op` in upsert/delete) to both versioned
+    * stores. Batch gen = batchId + 1 (the seed owns gen 0). Returns false
+    * on a cursor-skipped replay. */
+  def applyBatchCdc(batch: DataFrame, batchId: Long, rootDir: String,
+      idCol: String, textCol: String, vecCol: String, opCol: String = "op",
+      compactAtFiles: Int = 16): Boolean = {
+    if (batchId <= readCursor(rootDir)) return false
+    val spark = batch.sparkSession
+    val gen = (batchId + 1).toInt
+    val tag = s"batch$batchId"
+    val b = batch.localCheckpoint()
+    try {
+      // dead generations: every id the batch touches (a CDC upsert is
+      // delete-prior-then-add; liveness gen >= before_gen keeps the re-add)
+      val dead = b.select(col(idCol).as("id")).distinct()
+      Ranking.bm25DeleteVersionedKeyed(spark, s"$rootDir/bm25", dead, gen, tag)
+      graft.ext.DeltaStore.tombstoneKeyed(dead, gen, s"$rootDir/ivf/tomb", tag)
+      val up = b.filter(col(opCol) === "upsert")
+      Ranking.bm25AppendVersionedKeyed(up.select(col(idCol), col(textCol)),
+        textCol, idCol, s"$rootDir/bm25", gen, tag)
+      Similarity.ivfAppendVersionedKeyed(spark, s"$rootDir/ivf",
+        up.select(col(idCol), col(vecCol)), idCol, vecCol, gen, tag)
+      writeCursor(rootDir, batchId) // write-LAST, as in applyBatch
+      maybeCompact(spark, s"$rootDir/ivf/assigned", compactAtFiles)
+      maybeCompact(spark, s"$rootDir/bm25/postings", compactAtFiles)
+      // fold + clear tombstones once BOTH stores folded — compaction-time
+      // work, never probe-time; runs only after the cursor (replay-safe:
+      // a fold of already-applied tombstones changes no live row)
+      if (readCursor(rootDir) == batchId && shouldFold(rootDir)) {
+        StoreCompaction.foldTombstones(spark, s"$rootDir/bm25/postings",
+          s"$rootDir/bm25/tomb", "id")
+        StoreCompaction.foldTombstones(spark, s"$rootDir/bm25/doclen",
+          s"$rootDir/bm25/tomb", "id")
+        StoreCompaction.foldTombstones(spark, s"$rootDir/ivf/assigned",
+          s"$rootDir/ivf/tomb", idCol)
+        graft.ext.DeltaStore.clear(s"$rootDir/bm25/tomb")
+        graft.ext.DeltaStore.clear(s"$rootDir/ivf/tomb")
+      }
+      true
+    } finally graft.ext.Dedup.unpersistCheckpoint(b)
+  }
+
+  /** Fold when either manifest accreted past a handful of generations —
+    * the small-files bound, same spirit as [[maybeCompact]]. */
+  private def shouldFold(rootDir: String, maxFiles: Int = 8): Boolean =
+    Seq(s"$rootDir/bm25/tomb", s"$rootDir/ivf/tomb").exists { d =>
+      Option(new File(d).listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_")) > maxFiles
+    }
+
+  /** Wire a CDC stream (op + document columns) into the versioned stores. */
+  def attachCdc(stream: DataFrame, checkpointDir: String, rootDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      vecCol: String = "embedding", opCol: String = "op",
+      compactAtFiles: Int = 16): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatchCdc(batch, batchId, rootDir, idCol, textCol, vecCol,
+          opCol, compactAtFiles)
+        ()
+      }
+      .start()
+
   /** Wire a document stream into the stores: ONE query, append mode; the
     * checkpoint dir carries the source offsets, the root cursor carries
     * the applied-batch watermark. */

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ext.{DeltaStore, Ranking, Similarity}
+
+/** Streaming CDC maintenance of the versioned retrieval stores: upserts
+  * AND deletes flow through foreachBatch; after the stream the grown
+  * stores must probe EXACTLY like fresh indexes of the live corpus, and
+  * replays must converge (cursor skip-guard + keyed-write idempotence). */
+class StreamingCdcMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Terms = Seq("spark", "join")
+
+  private def vec(seed: Int): Seq[Float] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(8)((r.nextGaussian() + (seed % 3) * 4).toFloat)
+  }
+
+  private def docRow(op: String, id: Long, text: String, seed: Int) =
+    (op, id, text, vec(seed))
+
+  private def seedDocs = (0L until 20L).map { i =>
+    val t = if (i % 3 == 0) "spark join scan" else if (i % 3 == 1) "spark value" else "batch data join"
+    (i, s"$t doc$i", vec(i.toInt))
+  }.toDF("doc_id", "text", "embedding")
+
+  /** What the corpus looks like after the CDC batches below. */
+  private def liveDocs = {
+    val changed3 = (3L, "join join join revised", vec(103))
+    val changed21 = (21L, "spark spark join", vec(121))
+    val adds = Seq((20L, "spark fresh", vec(120)), (22L, "value spark join", vec(122)),
+      (23L, "scan scan", vec(123)), (24L, "join batch", vec(124)))
+    val kept = seedDocs.collect().filter { r =>
+      val id = r.getLong(0); id != 3L && id != 5L && id != 6L
+    }.map(r => (r.getLong(0), r.getString(1), r.getSeq[Float](2)))
+    (kept.toSeq ++ adds.filter(_._1 != 21L) ++ Seq(changed3, changed21))
+      .toDF("doc_id", "text", "embedding")
+  }
+
+  private def probeParity(root: String): Unit = {
+    // BM25: the maintained store vs a fresh ranking of the live corpus
+    val maintained = Ranking.bm25TopKVersionedStore(spark, s"$root/bm25", Terms)
+      .collect().map(_.toString).toSeq
+    val fresh = Ranking.bm25TopK(liveDocs, "text", "doc_id", Terms, k = 20)
+      .collect().map(_.toString).toSeq
+    assert(maintained === fresh, "maintained BM25 must equal a fresh live-corpus index")
+    // IVF: live rows of the grown index vs fresh assignment under the
+    // SEED-TIME centroids (the fixed-centroid contract)
+    val idx = Similarity.ivfRead(spark, s"$root/ivf")
+    val alive = DeltaStore.alive(spark, idx.assigned, s"$root/ivf/tomb", "doc_id")
+    val qvec = vec(122).map(_.toDouble)
+    val a = Similarity.ivfProbe(alive, idx.centroids, "doc_id", "embedding",
+      qvec, k = 8, nprobe = 2).collect().map(_.toString).toSeq
+    val freshAssigned = Similarity.ivfAssign(liveDocs, "doc_id", "embedding", idx.centroids)
+    val b = Similarity.ivfProbe(freshAssigned, idx.centroids, "doc_id", "embedding",
+      qvec, k = 8, nprobe = 2).collect().map(_.toString).toSeq
+    assert(a === b, "maintained IVF must probe like a fresh live-corpus assignment")
+    assert(alive.count() === liveDocs.count())
+  }
+
+  test("CDC stream: upserts + deletes land exactly once; stores probe like fresh live-corpus indexes") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt").toString
+    StreamingIndexMaintenance.initStoresVersioned(seedDocs, root,
+      "doc_id", "text", "embedding", nCells = 3)
+    val input = MemoryStream[(String, Long, String, Seq[Float])]
+    val q = StreamingIndexMaintenance.attachCdc(
+      input.toDF().toDF("op", "doc_id", "text", "embedding"), ckpt, root)
+    // batch 0: four adds + one changed doc (upsert = retract prior + re-add)
+    input.addData(
+      docRow("upsert", 20L, "spark fresh", 120),
+      docRow("upsert", 21L, "stale text", 221), // will change again in b1
+      docRow("upsert", 22L, "value spark join", 122),
+      docRow("upsert", 23L, "scan scan", 123),
+      docRow("upsert", 24L, "join batch", 124),
+      docRow("upsert", 3L, "join join join revised", 103))
+    q.processAllAvailable()
+    // batch 1: two deletes + the re-change of 21
+    input.addData(
+      docRow("delete", 5L, "", 0), docRow("delete", 6L, "", 0),
+      docRow("upsert", 21L, "spark spark join", 121))
+    q.processAllAvailable()
+    q.stop()
+    assert(StreamingIndexMaintenance.readCursor(root) === 1L)
+    probeParity(root)
+    // deleted and superseded generations are really dead
+    val dl = DeltaStore.alive(spark,
+      spark.read.parquet(s"$root/bm25/doclen"), s"$root/bm25/tomb", "id")
+    assert(dl.filter(col("id").isin(5L, 6L)).count() === 0)
+    assert(dl.filter(col("id") === 21L).collect().map(_.getAs[Int]("gen")).toSeq === Seq(2))
+  }
+
+  test("replay: a cursor-skipped batch is a no-op; a crash-window replay converges") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc_rp").toString
+    StreamingIndexMaintenance.initStoresVersioned(seedDocs, root,
+      "doc_id", "text", "embedding", nCells = 3)
+    val b0 = Seq(docRow("upsert", 20L, "spark fresh", 120),
+      docRow("delete", 5L, "", 0))
+      .toDF("op", "doc_id", "text", "embedding")
+    assert(StreamingIndexMaintenance.applyBatchCdc(b0, 0L, root,
+      "doc_id", "text", "embedding"))
+    val after = Ranking.bm25TopKVersionedStore(spark, s"$root/bm25", Terms)
+      .collect().map(_.toString).toSeq
+    // full replay of the committed batch: skipped on the cursor
+    assert(!StreamingIndexMaintenance.applyBatchCdc(b0, 0L, root,
+      "doc_id", "text", "embedding"))
+    // crash-window replay: data landed but the cursor write was lost —
+    // rewind the cursor and re-apply; keyed writes must REPLACE their own
+    // generation (no stacked negative partials, no duplicate postings)
+    StreamingIndexMaintenance.writeCursor(root, -1L)
+    assert(StreamingIndexMaintenance.applyBatchCdc(b0, 0L, root,
+      "doc_id", "text", "embedding"))
+    val replayed = Ranking.bm25TopKVersionedStore(spark, s"$root/bm25", Terms)
+      .collect().map(_.toString).toSeq
+    assert(replayed === after, "a crash-window replay must converge bit-for-bit")
+    val n = spark.read.parquet(s"$root/bm25/globals")
+      .agg(sum(col("n_part"))).collect().head.getLong(0)
+    assert(n === 20L, "19 seed survivors + 1 add — negative partials never stack")
+  }
+}
