@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, DeltaStore, IncrementalPipeline => IP, Ranking, Similarity}
+
+/** Measurement harness for the delta loop's scale claim (PLANS.md r16):
+  * the work of maintaining the stores across a corpus version bump must be
+  * DELTA-SIZED, not corpus-sized. Runs the same three phases the cached
+  * e2e build composes ([[graft.ext.IncrementalPipeline.storeCached]]),
+  * each timed separately in fresh directories:
+  *
+  *  - v1_build: the corpus-sized one-off (BM25 gen-0 + signature gen-0 +
+  *    IVF train/assign over v1);
+  *  - delta_apply: the per-version-bump work (fingerprint diff,
+  *    tombstones + negative partials, delta-only BM25/signature/IVF
+  *    writes, live-signature pairs + closure + component store);
+  *  - v2_recompute: what a pipeline WITHOUT the delta loop pays (full v2
+  *    BM25 + signatures + closure + assignment under the same centroids).
+  *
+  * Prints one JSON line. Usage: runMain graft.DeltaScale <sfDir> [out].
+  */
+object DeltaScale {
+
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1)
+      else java.nio.file.Files.createTempDirectory("graft_deltascale").toString
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .appName("graft-delta-scale").master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val docs = Tables.documents(spark, d)
+    val emb = Tables.embeddings(spark, d)
+    val (dv1, dv2) = (IP.v1Docs(docs), IP.v2Docs(docs))
+    val (ev1, ev2) = (IP.v1Emb(emb), IP.v2Emb(emb))
+
+    // ---- phase 1: the corpus-sized v1 build (once per corpus) ----------
+    val (idx, tV1) = timed {
+      Ranking.bm25WriteVersioned(dv1, "text", "doc_id", s"$out/bm25", gen = 0)
+      IP.writeSigGen(dv1, s"$out/sig", gen = 0)
+      val i = Similarity.ivfIndex(ev1, "vec_id", "embedding", nCells = 8)
+      i.assigned.withColumn("gen", lit(0)).repartition(col("ivf_cell"))
+        .write.mode("overwrite").partitionBy("ivf_cell")
+        .parquet(s"$out/ivf/assigned")
+      i
+    }
+
+    // ---- phase 2: the delta apply (per version bump) -------------------
+    // Split into the TEXT-PASS work (what the delta loop makes delta-sized:
+    // diff + tombstones + delta-only BM25/signature/IVF writes) and the
+    // CLOSURE (pairs + components over live signatures — live-SET-sized in
+    // BOTH paths by necessity: removal can split a component).
+    val (_, tDeltaText) = timed {
+      val dd = IP.delta(dv1, dv2, "doc_id", "text").localCheckpoint()
+      Dedup.rotateCheckpoints(s"DeltaScale:$d", dd)
+      val dead = dd.filter(col("status").isin("removed", "changed"))
+        .select(col("doc_id").as("id"))
+      val ups = dv2.join(dd.filter(col("status").isin("added", "changed")),
+        Seq("doc_id"), "left_semi")
+      Ranking.bm25DeleteVersioned(spark, s"$out/bm25", dead, beforeGen = 1)
+      Ranking.bm25WriteVersioned(ups, "text", "doc_id", s"$out/bm25", gen = 1)
+      DeltaStore.tombstone(dead, beforeGen = 1, s"$out/sig_tomb")
+      IP.writeSigGen(ups, s"$out/sig", gen = 1)
+      val ed = IP.delta(ev1.withColumn("fp", col("embedding").cast("string")),
+        ev2.withColumn("fp", col("embedding").cast("string")), "vec_id", "fp")
+        .localCheckpoint()
+      Dedup.rotateCheckpoints(s"DeltaScale:emb:$d", ed)
+      DeltaStore.tombstone(ed.filter(col("status").isin("removed", "changed"))
+        .select(col("vec_id").as("id")), beforeGen = 1, s"$out/ivf/tomb")
+      val upv = ev2.join(ed.filter(col("status").isin("added", "changed")),
+        Seq("vec_id"), "left_semi")
+      Similarity.ivfAssign(upv, "vec_id", "embedding", idx.centroids)
+        .withColumn("gen", lit(1)).repartition(col("ivf_cell"))
+        .write.mode("append").partitionBy("ivf_cell")
+        .parquet(s"$out/ivf/assigned")
+    }
+    val (_, tDeltaClosure) = timed {
+      // band=0 slice = one signature row per id, partition-pruned (the
+      // storeCached discipline — no wide-array dedup shuffle)
+      val aliveSigs = DeltaStore
+        .alive(spark,
+          spark.read.parquet(s"$out/sig").filter(col("band") === 0),
+          s"$out/sig_tomb", "id")
+        .select(col("id"), col("sig")).localCheckpoint()
+      Dedup.rotateCheckpoints(s"DeltaScale:sigs:$d", aliveSigs)
+      val comps = Dedup.connectedComponents(
+        Dedup.minhashNearDupsFromSigs(aliveSigs).select(col("id1"), col("id2")))
+      comps.write.mode("overwrite").parquet(s"$out/components")
+      Dedup.unpersistCheckpoint(comps)
+    }
+
+    // ---- phase 3: the full v2 recompute (what no-delta-loop costs) -----
+    val (sigsFull, tRecText) = timed {
+      Ranking.bm25WriteVersioned(dv2, "text", "doc_id", s"$out/bm25_full", gen = 0)
+      val sigs = Dedup.minhashSignatures(dv2, "text", "doc_id").localCheckpoint()
+      Dedup.rotateCheckpoints(s"DeltaScale:full:$d", sigs)
+      sigs.count() // materialize the signing pass inside the timed block
+      Similarity.ivfAssign(ev2, "vec_id", "embedding", idx.centroids)
+        .withColumn("gen", lit(0)).repartition(col("ivf_cell"))
+        .write.mode("overwrite").partitionBy("ivf_cell")
+        .parquet(s"$out/ivf_full/assigned")
+      sigs
+    }
+    val (_, tRecClosure) = timed {
+      val comps = Dedup.connectedComponents(
+        Dedup.minhashNearDupsFromSigs(sigsFull).select(col("id1"), col("id2")))
+      comps.write.mode("overwrite").parquet(s"$out/components_full")
+      Dedup.unpersistCheckpoint(comps)
+    }
+
+    val nV1 = dv1.count(); val nV2 = dv2.count()
+    val nDelta = IP.delta(dv1, dv2, "doc_id", "text")
+      .filter(col("status").isin("added", "changed")).count()
+    def f(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    println(s"""{"metric":"delta_scale","dir":"$d","v1_docs":$nV1,"v2_docs":$nV2,""" +
+      s""""delta_docs":$nDelta,"v1_build_sec":${f(tV1)},""" +
+      s""""delta_text_sec":${f(tDeltaText)},"delta_closure_sec":${f(tDeltaClosure)},""" +
+      s""""recompute_text_sec":${f(tRecText)},"recompute_closure_sec":${f(tRecClosure)},""" +
+      s""""text_speedup":${f(tRecText / tDeltaText)},""" +
+      s""""e2e_speedup":${f((tRecText + tRecClosure) / (tDeltaText + tDeltaClosure))}}""")
+    spark.stop()
+  }
+}

@@ -147,7 +147,7 @@ object IncrementalPipeline {
 
   private val SigBuckets = 8L
 
-  private def writeSigGen(docs: DataFrame, path: String, gen: Int): Unit =
+  private[graft] def writeSigGen(docs: DataFrame, path: String, gen: Int): Unit =
     Dedup.lshBandsFromSigs(Dedup.minhashSignatures(docs, "text", "doc_id"))
       .withColumn("sig_bucket", pmod(col("band_hash"), lit(SigBuckets)))
       .withColumn("gen", lit(gen))
@@ -194,10 +194,15 @@ object IncrementalPipeline {
       DeltaStore.tombstone(deadDocs, beforeGen = 1, tmp + "/sig_tomb")
       writeSigGen(upsertDocs, tmp + "/sig", gen = 1)
       // pairs + closure over LIVE SIGNATURES (signature-sized work): the
-      // persisted component store of the v2 generation
+      // persisted component store of the v2 generation. The store keys
+      // one row per (id, band); band=0 carries each id's signature exactly
+      // once — a partition-PRUNED slice (1/bands of the store), no
+      // dropDuplicates shuffle of wide sig arrays (measured 3.5x on the
+      // ×100 closure, DeltaScale r16)
       val aliveSigs = DeltaStore
-        .alive(s, s.read.parquet(tmp + "/sig"), tmp + "/sig_tomb", "id")
-        .select(col("id"), col("sig")).dropDuplicates("id")
+        .alive(s, s.read.parquet(tmp + "/sig").filter(col("band") === 0),
+          tmp + "/sig_tomb", "id")
+        .select(col("id"), col("sig"))
         .localCheckpoint()
       Dedup.rotateCheckpoints(s"IncrementalPipeline:sigs:$d", aliveSigs)
       val pairs = Dedup.minhashNearDupsFromSigs(aliveSigs)
