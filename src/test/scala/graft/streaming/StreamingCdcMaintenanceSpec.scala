@@ -96,6 +96,38 @@ class StreamingCdcMaintenanceSpec extends SparkSpec {
     assert(dl.filter(col("id") === 21L).collect().map(_.getAs[Int]("gen")).toSeq === Seq(2))
   }
 
+  test("in-stream tombstone fold: manifests accrete past the bound, fold+clear, probes unchanged") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc_fold").toString
+    StreamingIndexMaintenance.initStoresVersioned(seedDocs, root,
+      "doc_id", "text", "embedding", nCells = 3)
+    // 9 single-doc delete batches: each appends one tombstone file per
+    // store manifest; batch 8 lifts the count to 9 > shouldFold's bound
+    // (8), so ITS batch-end maintenance folds BOTH stores and clears the
+    // manifests — the loop ends with the fold as the last act
+    (0 until 9).foreach { i =>
+      val b = Seq(docRow("delete", i.toLong, "", 0))
+        .toDF("op", "doc_id", "text", "embedding")
+      assert(StreamingIndexMaintenance.applyBatchCdc(b, i.toLong, root,
+        "doc_id", "text", "embedding"))
+    }
+    assert(!DeltaStore.hasData(s"$root/bm25/tomb") &&
+      !DeltaStore.hasData(s"$root/ivf/tomb"),
+      "past the bound the manifests must fold into the data files and clear")
+    // dead rows are physically gone and the ranking matches a fresh index
+    // of the 11 survivors
+    val raw = spark.read.parquet(s"$root/bm25/doclen")
+    assert(raw.filter(col("id") < 9L).count() === 0)
+    val live = seedDocs.filter(col("doc_id") >= 9L)
+    val maintained = Ranking.bm25TopKVersionedStore(spark, s"$root/bm25", Terms)
+      .collect().map(_.toString).toSeq
+    val fresh = Ranking.bm25TopK(live, "text", "doc_id", Terms, k = 20)
+      .collect().map(_.toString).toSeq
+    assert(maintained === fresh)
+    val idx = Similarity.ivfRead(spark, s"$root/ivf")
+    assert(idx.assigned.count() === 11L,
+      "the folded assignment holds exactly the live vectors")
+  }
+
   test("replay: a cursor-skipped batch is a no-op; a crash-window replay converges") {
     val root = java.nio.file.Files.createTempDirectory("graft_cdc_rp").toString
     StreamingIndexMaintenance.initStoresVersioned(seedDocs, root,
