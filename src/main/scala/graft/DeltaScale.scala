@@ -7,25 +7,30 @@ import graft.ext.{Dedup, DeltaStore, IncrementalPipeline => IP, Ranking, Similar
 
 /** Measurement harness for the delta loop's scale claim (PLANS.md r16):
   * the work of maintaining the stores across a corpus version bump must be
-  * DELTA-SIZED, not corpus-sized. Runs the same three phases the cached
-  * e2e build composes ([[graft.ext.IncrementalPipeline.storeCached]]),
-  * each timed separately in fresh directories:
+  * DELTA-SIZED, not corpus-sized. Runs the same phases the cached e2e
+  * build composes ([[graft.ext.IncrementalPipeline.storeCached]]):
   *
   *  - v1_build: the corpus-sized one-off (BM25 gen-0 + signature gen-0 +
   *    IVF train/assign over v1);
-  *  - delta_apply: the per-version-bump work (fingerprint diff,
+  *  - delta text-pass: the per-version-bump work (fingerprint diff,
   *    tombstones + negative partials, delta-only BM25/signature/IVF
-  *    writes, live-signature pairs + closure + component store);
-  *  - v2_recompute: what a pipeline WITHOUT the delta loop pays (full v2
-  *    BM25 + signatures + closure + assignment under the same centroids).
+  *    writes);
+  *  - delta closure: pairs + components over live signatures (live-SET-
+  *    sized in BOTH paths by necessity — removal can split a component);
+  *  - v2 recompute (text + closure): what a pipeline WITHOUT the delta
+  *    loop pays.
   *
-  * Prints one JSON line. Usage: runMain graft.DeltaScale <sfDir> [out].
+  * Methodology (the bench discipline): every phase runs ONCE UNTIMED into
+  * a throwaway twin directory (JIT/codegen/page-cache warm-up — phase
+  * ordering would otherwise bias whichever phase runs last), then once
+  * timed into the real directory. Prints one JSON line.
+  * Usage: runMain graft.DeltaScale <sfDir> [outRoot].
   */
 object DeltaScale {
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val out = if (args.length > 1) args(1)
+    val root = if (args.length > 1) args(1)
       else java.nio.file.Files.createTempDirectory("graft_deltascale").toString
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -37,19 +42,12 @@ object DeltaScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def timed[T](f: => T): (T, Double) = {
-      val t0 = System.nanoTime()
-      val r = f
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
-
     val docs = Tables.documents(spark, d)
     val emb = Tables.embeddings(spark, d)
     val (dv1, dv2) = (IP.v1Docs(docs), IP.v2Docs(docs))
     val (ev1, ev2) = (IP.v1Emb(emb), IP.v2Emb(emb))
 
-    // ---- phase 1: the corpus-sized v1 build (once per corpus) ----------
-    val (idx, tV1) = timed {
+    def v1Build(out: String): Similarity.IvfIndex = {
       Ranking.bm25WriteVersioned(dv1, "text", "doc_id", s"$out/bm25", gen = 0)
       IP.writeSigGen(dv1, s"$out/sig", gen = 0)
       val i = Similarity.ivfIndex(ev1, "vec_id", "embedding", nCells = 8)
@@ -59,14 +57,9 @@ object DeltaScale {
       i
     }
 
-    // ---- phase 2: the delta apply (per version bump) -------------------
-    // Split into the TEXT-PASS work (what the delta loop makes delta-sized:
-    // diff + tombstones + delta-only BM25/signature/IVF writes) and the
-    // CLOSURE (pairs + components over live signatures — live-SET-sized in
-    // BOTH paths by necessity: removal can split a component).
-    val (_, tDeltaText) = timed {
+    def deltaText(out: String, idx: Similarity.IvfIndex): Unit = {
       val dd = IP.delta(dv1, dv2, "doc_id", "text").localCheckpoint()
-      Dedup.rotateCheckpoints(s"DeltaScale:$d", dd)
+      Dedup.rotateCheckpoints(s"DeltaScale:dd", dd)
       val dead = dd.filter(col("status").isin("removed", "changed"))
         .select(col("doc_id").as("id"))
       val ups = dv2.join(dd.filter(col("status").isin("added", "changed")),
@@ -78,7 +71,7 @@ object DeltaScale {
       val ed = IP.delta(ev1.withColumn("fp", col("embedding").cast("string")),
         ev2.withColumn("fp", col("embedding").cast("string")), "vec_id", "fp")
         .localCheckpoint()
-      Dedup.rotateCheckpoints(s"DeltaScale:emb:$d", ed)
+      Dedup.rotateCheckpoints(s"DeltaScale:emb", ed)
       DeltaStore.tombstone(ed.filter(col("status").isin("removed", "changed"))
         .select(col("vec_id").as("id")), beforeGen = 1, s"$out/ivf/tomb")
       val upv = ev2.join(ed.filter(col("status").isin("added", "changed")),
@@ -88,7 +81,8 @@ object DeltaScale {
         .write.mode("append").partitionBy("ivf_cell")
         .parquet(s"$out/ivf/assigned")
     }
-    val (_, tDeltaClosure) = timed {
+
+    def deltaClosure(out: String): Unit = {
       // band=0 slice = one signature row per id, partition-pruned (the
       // storeCached discipline — no wide-array dedup shuffle)
       val aliveSigs = DeltaStore
@@ -96,18 +90,17 @@ object DeltaScale {
           spark.read.parquet(s"$out/sig").filter(col("band") === 0),
           s"$out/sig_tomb", "id")
         .select(col("id"), col("sig")).localCheckpoint()
-      Dedup.rotateCheckpoints(s"DeltaScale:sigs:$d", aliveSigs)
+      Dedup.rotateCheckpoints(s"DeltaScale:sigs", aliveSigs)
       val comps = Dedup.connectedComponents(
         Dedup.minhashNearDupsFromSigs(aliveSigs).select(col("id1"), col("id2")))
       comps.write.mode("overwrite").parquet(s"$out/components")
       Dedup.unpersistCheckpoint(comps)
     }
 
-    // ---- phase 3: the full v2 recompute (what no-delta-loop costs) -----
-    val (sigsFull, tRecText) = timed {
+    def recomputeText(out: String, idx: Similarity.IvfIndex): org.apache.spark.sql.DataFrame = {
       Ranking.bm25WriteVersioned(dv2, "text", "doc_id", s"$out/bm25_full", gen = 0)
       val sigs = Dedup.minhashSignatures(dv2, "text", "doc_id").localCheckpoint()
-      Dedup.rotateCheckpoints(s"DeltaScale:full:$d", sigs)
+      Dedup.rotateCheckpoints(s"DeltaScale:full", sigs)
       sigs.count() // materialize the signing pass inside the timed block
       Similarity.ivfAssign(ev2, "vec_id", "embedding", idx.centroids)
         .withColumn("gen", lit(0)).repartition(col("ivf_cell"))
@@ -115,12 +108,31 @@ object DeltaScale {
         .parquet(s"$out/ivf_full/assigned")
       sigs
     }
-    val (_, tRecClosure) = timed {
+
+    def recomputeClosure(out: String, sigs: org.apache.spark.sql.DataFrame): Unit = {
       val comps = Dedup.connectedComponents(
-        Dedup.minhashNearDupsFromSigs(sigsFull).select(col("id1"), col("id2")))
+        Dedup.minhashNearDupsFromSigs(sigs).select(col("id1"), col("id2")))
       comps.write.mode("overwrite").parquet(s"$out/components_full")
       Dedup.unpersistCheckpoint(comps)
     }
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    val (w, m) = (s"$root/w", s"$root/m") // warm-up twin / measured
+    // warm-up pass, untimed, full phase sequence into the twin dirs
+    val idxW = v1Build(w)
+    deltaText(w, idxW); deltaClosure(w)
+    recomputeClosure(w, recomputeText(w, idxW))
+    // measured pass
+    var idx: Similarity.IvfIndex = null
+    val tV1 = timed { idx = v1Build(m) }
+    val tDeltaText = timed(deltaText(m, idx))
+    val tDeltaClosure = timed(deltaClosure(m))
+    var sigsFull: org.apache.spark.sql.DataFrame = null
+    val tRecText = timed { sigsFull = recomputeText(m, idx) }
+    val tRecClosure = timed(recomputeClosure(m, sigsFull))
 
     val nV1 = dv1.count(); val nV2 = dv2.count()
     val nDelta = IP.delta(dv1, dv2, "doc_id", "text")
