@@ -377,6 +377,32 @@ private[graft] object ExtText {
         .orderBy(col("doc_id"))
     }),
 
+    // The full web-corpus front door (VERDICT r16 #1): WARC records →
+    // HTTP envelope strip → deterministic HTML text extraction (head/
+    // script/style removal, block split, entity decode, link-density
+    // boilerplate drop — graft.functions.HtmlText's documented rule), all
+    // inside ONE task-local codegen span per file. The oracle replays the
+    // extraction CLOSED-FORM: the fixture HTML is a pure function of
+    // (doc_id, text), so the expected text is rebuilt directly from the
+    // documents table and md5-compared — the nav/footer blocks must drop
+    // (link density 1.0), head content must vanish, entities must decode.
+    "text_html_extract" -> ((s, d) => {
+      val dir = graft.sources.Warc.fixtureCached(Tables.documents(s, d), d,
+        http = true)
+      graft.sources.Warc.records(s, dir)
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          graft.sources.HttpPayload.http_response(col("payload"))
+            .getField("body").cast("string").as("html"))
+        .select(col("doc_id"),
+          graft.functions.HtmlText.html_text(col("html")).as("t"))
+        .select(col("doc_id"), col("t.n_kept"), col("t.n_dropped"),
+          length(col("t.text")).as("n_chars"),
+          md5(col("t.text").cast("binary")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus-level boilerplate n-grams: top-20 5-grams by document
     // frequency (one vote per doc per distinct gram), TakeOrdered top-k.
     "text_boilerplate_ngrams" -> ((s, d) => {
@@ -627,6 +653,23 @@ private[graft] object ExtText {
          |  md5(regexp_replace(t2, '$ip', '<IP>', 'g')) AS scrub_fp
          |FROM st2 ORDER BY doc_id""".stripMargin
     },
+
+    // Closed-form replay of the HTML extraction over the fixture template:
+    // expected text = "Doc <id>\n<text>\ntail <id> & fin!" (h1 + body
+    // paragraph + entity paragraph kept; nav and footer dropped at link
+    // density 1.0; head/script/style vanish). The corpus has no empty or
+    // whitespace-irregular texts (verified all SFs), so the rebuilt string
+    // is exact — a single divergent char anywhere in WARC split, HTTP
+    // strip, tag walk, entity decode, or block accounting md5-mismatches.
+    "text_html_extract" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    'Doc ' || doc_id || chr(10) || text || chr(10) ||
+        |      'tail ' || doc_id || ' & fin!' AS ex
+        |  FROM documents WHERE doc_id < 500)
+        |SELECT doc_id, CAST(3 AS INT) AS n_kept, CAST(2 AS INT) AS n_dropped,
+        |  CAST(length(ex) AS INT) AS n_chars, md5(ex) AS text_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // Boilerplate top-k: same per-doc-distinct 5-gram stream, doc-frequency
     // count, total-ordered (df DESC, ngram) top-20.

@@ -885,6 +885,30 @@ object Relational {
         .orderBy(col("doc_id"))
     }),
 
+    // The WARC→HTTP chain (VERDICT r16 #1): response records whose payload
+    // is a full HTTP/1.1 message (`application/http; msgtype=response` —
+    // what Common Crawl response captures actually carry). The lane strips
+    // the HTTP envelope with ONE codegen'd expression per record —
+    // status line, header walk, Content-Length vs actual-body cross-check —
+    // in the same task as the WARC split. The oracle rebuilds the entire
+    // HTML body string in SQL, so one envelope byte off anywhere in
+    // write/split/strip hash-mismatches.
+    "source_warc_http" -> ((s, d) => {
+      val dir = graft.sources.Warc.fixtureCached(Tables.documents(s, d), d,
+        http = true)
+      graft.sources.Warc.records(s, dir)
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          graft.sources.HttpPayload.http_response(col("payload")).as("h"))
+        .select(col("doc_id"),
+          col("h.status_code"), col("h.reason"),
+          col("h.content_type").as("http_content_type"),
+          col("h.content_length").as("body_len"),
+          md5(col("h.body")).as("body_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PERMISSIVE CSV ingestion: schema-enforced read where rows with an
     // unparseable field land in _corrupt_record instead of failing the
     // job — the error-budget accounting every raw-file ingest needs. The
@@ -2011,6 +2035,29 @@ object Relational {
     // inflation reproduces the plain concatenation byte-for-byte, so the
     // SAME arithmetic replay is the gz lane's exact oracle.
     "source_warc_gz_records" -> warcGeometryOracle,
+
+    // The HTTP-envelope strip checked by REBUILDING the entire HTML body
+    // in SQL (the fixture payload is a pure function of (doc_id, text)):
+    // body_len is the parsed Content-Length header (cross-checked in the
+    // parser against actual body bytes), body_md5 hashes the stripped
+    // body, so envelope drift of a single byte fails the lane.
+    "source_warc_http" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id || '</title><style>p{margin:0}</style>'
+        |    || '<script>var s="<p>no</p>";</script></head><body>'
+        |    || '<div><a href="/">Home</a> <a href="/about">About</a> '
+        |    || '<a href="/contact">Contact</a></div>'
+        |    || '<h1>Doc ' || doc_id || '</h1><p>' || text || '</p>'
+        |    || '<p>tail ' || doc_id || ' &amp; fin&#33;</p>'
+        |    || '<div><a href="/terms">Terms</a> <a href="/privacy">Privacy</a></div>'
+        |    || '</body></html>' AS html
+        |  FROM documents WHERE doc_id < 500)
+        |SELECT doc_id, CAST(200 AS INT) AS status_code, 'OK' AS reason,
+        |  'text/html; charset=utf-8' AS http_content_type,
+        |  CAST(octet_length(encode(html)) AS BIGINT) AS body_len,
+        |  md5(html) AS body_md5
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     // corrupt/good split replayed from the fixture's generation rule
     "source_csv_permissive" ->

@@ -161,15 +161,28 @@ object Warc {
   /** The exact bytes of one fixture response record — shared by the writer
     * and WarcSpec, and replayed ARITHMETICALLY by the lane's oracle (the
     * record geometry is a pure function of (doc_id, text)). */
-  def fixtureRecord(docId: Long, text: String): Array[Byte] = {
-    val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  def fixtureRecord(docId: Long, text: String): Array[Byte] =
+    fixtureRecordWith(docId,
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8), "text/plain")
+
+  /** The crawl-shaped variant: the payload is a full HTTP/1.1 response
+    * (status line + headers + HTML body — [[HttpPayload]]'s fixture), the
+    * record Content-Type the standard `application/http; msgtype=response`.
+    * Still a pure function of (doc_id, text), so the WARC→HTTP→HTML lanes
+    * rebuild every byte in SQL. */
+  def fixtureRecordHttp(docId: Long, text: String): Array[Byte] =
+    fixtureRecordWith(docId, HttpPayload.httpResponsePayload(docId, text),
+      "application/http; msgtype=response")
+
+  private def fixtureRecordWith(docId: Long, payload: Array[Byte],
+      contentType: String): Array[Byte] = {
     val header =
       s"WARC/1.0\r\n" +
         s"WARC-Type: response\r\n" +
         s"WARC-Record-ID: <urn:graft:doc:$docId>\r\n" +
         s"WARC-Date: ${DateFmt.format(java.time.Instant.ofEpochSecond(FixtureEpoch + docId))}\r\n" +
         s"WARC-Target-URI: https://example.org/doc/$docId\r\n" +
-        s"Content-Type: text/plain\r\n" +
+        s"Content-Type: $contentType\r\n" +
         s"Content-Length: ${payload.length}\r\n" +
         "\r\n"
     val hb = header.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
@@ -188,9 +201,11 @@ object Warc {
     * the oracle's per-group running-sum offset replay assumes. Written on
     * executors, atomically published. */
   def fixtureCached(docs: DataFrame, sfDir: String, maxDocs: Int = 500,
-      nFiles: Int = 4, gzMembers: Boolean = false): String = {
+      nFiles: Int = 4, gzMembers: Boolean = false,
+      http: Boolean = false): String = {
     val src = new java.io.File(sfDir + "/documents.parquet")
-    val suffix = if (gzMembers) "_gz_v1" else "_v1"
+    val suffix = (if (http) "_http" else "") +
+      (if (gzMembers) "_gz_v1" else "_v1")
     val ext = if (gzMembers) ".warc.gz" else ".warc"
     val path = System.getProperty("java.io.tmpdir") + "/graft_warc_" +
       (sfDir + s"_${src.length}_${src.lastModified}_${maxDocs}_$nFiles$suffix")
@@ -215,12 +230,19 @@ object Warc {
               os = java.nio.file.Files.newOutputStream(
                 java.nio.file.Paths.get(tmp, f"part-$g%03d$ext"))
             }
-            val rec = fixtureRecord(r.getLong(0), r.getString(1))
+            val rec = if (http) fixtureRecordHttp(r.getLong(0), r.getString(1))
+              else fixtureRecord(r.getLong(0), r.getString(1))
             if (gzMembers) {
-              // one gzip MEMBER per record — the Common Crawl container
-              val gzo = new java.util.zip.GZIPOutputStream(os)
+              // one gzip MEMBER per record — the Common Crawl container.
+              // close() through a close-shield so each member's native
+              // Deflater is released eagerly (advice r16: finish() alone
+              // leaves it to the finalizer) while the file stream stays open
+              val shield = new java.io.FilterOutputStream(os) {
+                override def close(): Unit = flush()
+              }
+              val gzo = new java.util.zip.GZIPOutputStream(shield)
               gzo.write(rec)
-              gzo.finish() // member trailer, but leave the file stream open
+              gzo.close() // finishes the member trailer + ends the Deflater
             } else os.write(rec)
           }
           if (os != null) os.close()

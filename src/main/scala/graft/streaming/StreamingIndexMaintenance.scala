@@ -141,16 +141,47 @@ object StreamingIndexMaintenance {
 
   /** Apply one CDC micro-batch (`op` in upsert/delete) to both versioned
     * stores. Batch gen = batchId + 1 (the seed owns gen 0). Returns false
-    * on a cursor-skipped replay. */
+    * on a cursor-skipped replay.
+    *
+    * Intra-batch semantics: a micro-batch may carry AT MOST ONE op per id
+    * unless `seqCol` names an ordering column — with it the batch is
+    * reduced to the LAST op per id before any store write (CDC
+    * last-wins); without it a duplicated id fails LOUDLY (advice r16:
+    * silently letting the upsert win would lose a trailing delete and
+    * keep duplicate postings alive). */
   def applyBatchCdc(batch: DataFrame, batchId: Long, rootDir: String,
       idCol: String, textCol: String, vecCol: String, opCol: String = "op",
-      compactAtFiles: Int = 16): Boolean = {
+      compactAtFiles: Int = 16, seqCol: Option[String] = None): Boolean = {
     if (batchId <= readCursor(rootDir)) return false
     val spark = batch.sparkSession
     val gen = (batchId + 1).toInt
     val tag = s"batch$batchId"
-    val b = batch.localCheckpoint()
+    // repair any crash residue of a previous fold/compact swap BEFORE the
+    // first store read (advice r16 medium: a crash inside foldTombstones'
+    // swap window leaves a partition dir absent until recover runs, and
+    // the delete path below reads doclen/postings before any fold would)
+    Seq(s"$rootDir/bm25/postings", s"$rootDir/bm25/doclen", s"$rootDir/bm25",
+      s"$rootDir/ivf/assigned", s"$rootDir/ivf")
+      .foreach(StoreCompaction.recover)
+    val b0 = seqCol match {
+      case Some(sc) => // last op per id wins, ties broken by op (delete
+        // after upsert at the same seq — the conservative reading)
+        import org.apache.spark.sql.expressions.Window
+        batch.withColumn("__rn", row_number().over(
+            Window.partitionBy(col(idCol))
+              .orderBy(col(sc).desc, col(opCol).asc)))
+          .filter(col("__rn") === 1).drop("__rn")
+      case None => batch
+    }
+    val b = b0.localCheckpoint()
     try {
+      if (seqCol.isEmpty) {
+        val dup = b.groupBy(col(idCol)).count().filter(col("count") > 1)
+          .limit(1).collect()
+        require(dup.isEmpty, s"CDC micro-batch $batchId carries more than " +
+          s"one op for $idCol=${dup.head.get(0)}; pass seqCol to reduce to " +
+          "last-op-per-id or de-duplicate upstream")
+      }
       // dead generations: every id the batch touches (a CDC upsert is
       // delete-prior-then-add; liveness gen >= before_gen keeps the re-add)
       val dead = b.select(col(idCol).as("id")).distinct()
@@ -194,13 +225,13 @@ object StreamingIndexMaintenance {
   def attachCdc(stream: DataFrame, checkpointDir: String, rootDir: String,
       idCol: String = "doc_id", textCol: String = "text",
       vecCol: String = "embedding", opCol: String = "op",
-      compactAtFiles: Int = 16): StreamingQuery =
+      compactAtFiles: Int = 16, seqCol: Option[String] = None): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatchCdc(batch, batchId, rootDir, idCol, textCol, vecCol,
-          opCol, compactAtFiles)
+          opCol, compactAtFiles, seqCol)
         ()
       }
       .start()
