@@ -120,10 +120,7 @@ object Bench {
     }
     val allQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val allBands = samples.map { case (k, t) => "\"" + k + "\":" + band(t) }.mkString("{", ",", "}")
-    // end probe BEFORE the detail/canonical write so the gate can consider
-    // it: either a quiet start OR a quiet end (concurrent with the sweep
-    // tail) demonstrates an unloaded box; requiring specifically the start
-    // probe re-measures JVM warmth, not co-tenant pressure
+    // end probe BEFORE the detail/canonical write so the gate can consider it
     val calibEnd = Seq.fill(3)(calibProbe()).sorted.apply(1)
     // A prefix-filtered run is a local iteration aid — never let it replace
     // the full-inventory record the judge reads.
@@ -145,14 +142,23 @@ object Bench {
       // prevent. The JVM already measured calibStart and loadStart, so use
       // them: refuse the canonical write (keeping the ordinary detail write)
       // unless the probe and the 1-minute loadavg were inside the gate.
+      // BOTH probes must be quiet (VERDICT r16 #3): the sweep runs
+      // ALPHABETICALLY, so a run that starts on a warming box (r16 run 2:
+      // start probe 0.684, end 0.150) passes a min-probe gate on the END
+      // while its first chunks (agg_*, dedup_*) record x2-7 warm-up
+      // inflation — poisoning every future canonical-to-canonical per-lane
+      // comparison. JVM coldness is already paid before calibStart (three
+      // untimed probe warm-ups + the table pre-count), so a hot START
+      // probe here measures co-tenant pressure during the early lanes,
+      // exactly what the record must exclude.
       if (sys.env.get("SPARK_GRAFT_CANONICAL").contains("1")) {
         val load1 = scala.util.Try(loadStart.split(" ").head.toDouble).getOrElse(Double.MaxValue)
-        if (math.min(calibStart, calibEnd) <= 0.25 && load1 < 2.0)
+        if (math.max(calibStart, calibEnd) <= 0.25 && load1 < 2.0)
           java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_CANONICAL.json"),
             detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         else
           System.err.println(s"""SPARK_GRAFT_CANONICAL=1 set but gate failed in-process """ +
-            s"""(probe start ${fmtD(calibStart)}s / end ${fmtD(calibEnd)}s, """ +
+            s"""(probe start ${fmtD(calibStart)}s / end ${fmtD(calibEnd)}s — BOTH must be <= 0.25, """ +
             s"""loadavg "$loadStart") — canonical write refused.""")
       }
     }

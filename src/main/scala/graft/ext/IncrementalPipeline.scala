@@ -162,9 +162,12 @@ object IncrementalPipeline {
   def storeCached(s: SparkSession, d: String): String = {
     val dsrc = new java.io.File(d + "/documents.parquet")
     val esrc = new java.io.File(d + "/embeddings.parquet")
+    // _v2: globals partials are gen-stamped as of r17 (the as-of probe
+    // contract) — the suffix bump regenerates stores cached under the
+    // unstamped schema
     val path = System.getProperty("java.io.tmpdir") + "/graft_incr_e2e_" +
       (d + s"_${dsrc.length}_${dsrc.lastModified}" +
-        s"_${esrc.length}_${esrc.lastModified}_v1")
+        s"_${esrc.length}_${esrc.lastModified}_v2")
         .replaceAll("[^A-Za-z0-9]", "_")
     if (!new java.io.File(path + "/_SUCCESS").exists()) {
       Multimodal.sweepOrphanTmpDirs(path)

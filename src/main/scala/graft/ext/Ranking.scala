@@ -267,7 +267,11 @@ object Ranking {
     postings.withColumn("gen", lit(gen))
       .write.mode("append").partitionBy("t_bucket").parquet(storeDir + "/postings")
     dl.withColumn("gen", lit(gen)).write.mode("append").parquet(storeDir + "/doclen")
-    globals.write.mode("append").parquet(storeDir + "/globals")
+    // globals partials carry the gen too (r17): an as-of-g probe sums
+    // exactly the partials with gen <= g — same O(partials) merge, no
+    // doclen rescan. The current-view probe ignores the column.
+    globals.withColumn("gen", lit(gen))
+      .write.mode("append").parquet(storeDir + "/globals")
   }
 
   /** Tombstone `ids` (one `id` column): their rows with gen < `beforeGen`
@@ -285,8 +289,11 @@ object Ranking {
         storeDir + "/tomb", "id")
       .filter(col("gen") < beforeGen)
       .join(ids.select(col("id")), Seq("id"), "left_semi")
+    // the negative partial belongs to generation `beforeGen`: the rows it
+    // retracts die exactly when that generation's view begins
     dying.agg((-count(lit(1))).as("n_part"),
         (-coalesce(sum(col("dl")), lit(0L))).as("dl_sum"))
+      .withColumn("gen", lit(beforeGen))
       .write.mode("append").parquet(storeDir + "/globals")
     DeltaStore.tombstone(ids, beforeGen, storeDir + "/tomb")
   }
@@ -302,7 +309,8 @@ object Ranking {
       storeDir + "/postings", Seq("t_bucket"), tag)
     StoreCompaction.appendKeyed(dl.withColumn("gen", lit(gen)),
       storeDir + "/doclen", Nil, tag)
-    StoreCompaction.appendKeyed(globals, storeDir + "/globals", Nil, tag)
+    StoreCompaction.appendKeyed(globals.withColumn("gen", lit(gen)),
+      storeDir + "/globals", Nil, tag)
   }
 
   /** REPLAY-IDEMPOTENT delete — the live-store/streaming path. The dying
@@ -323,7 +331,8 @@ object Ranking {
       .filter(col("gen") < beforeGen)
       .join(ids.select(col("id")), Seq("id"), "left_semi")
     val neg = dying.agg((-count(lit(1))).as("n_part"),
-      (-coalesce(sum(col("dl")), lit(0L))).as("dl_sum"))
+        (-coalesce(sum(col("dl")), lit(0L))).as("dl_sum"))
+      .withColumn("gen", lit(beforeGen))
     StoreCompaction.appendKeyed(neg, storeDir + "/globals", Nil, s"del-$tag")
     StoreCompaction.appendKeyed(
       ids.select(col("id"), lit(beforeGen).as("before_gen"), lit(tag).as("tag")),
@@ -355,5 +364,67 @@ object Ranking {
       .agg(sum(col("n_part")).as("n"),
         (sum(col("dl_sum")).cast("double") / sum(col("n_part"))).as("avgdl"))
     scoreTf(tf, dl, g, queryTerms, k1, b, k)
+  }
+
+  // ---- generation lifecycle (VERDICT r16 #6): time travel + retention ----
+  // The gen stamps make the versioned store a log: every generation's view
+  // is reconstructible until a retention pass physically folds it away.
+  // These two are the lakehouse contract's halves — the auditor's
+  // "the index as of gen g" probe, and the GC that bounds storage while
+  // recording exactly which views it destroyed.
+
+  /** [[bm25TopKVersionedStore]] as of generation `asOfGen`: rows with
+    * gen <= g, tombstones with before_gen <= g, globals partials with
+    * gen <= g — the same O(partials) merge and partition-pruned postings
+    * read, one extra min/max-pruned predicate per scan. Rejects LOUDLY
+    * when a retention pass has folded the requested view away (silently
+    * returning the newer view would be an audit-integrity bug). */
+  def bm25TopKVersionedStoreAsOf(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, queryTerms: Seq[String], asOfGen: Int,
+      k1: Double = 1.2, b: Double = 0.75, k: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      "query terms must be non-empty and distinct")
+    val floor = StoreCompaction.readAsOfFloor(storeDir)
+    require(asOfGen >= floor,
+      s"as-of generation $asOfGen was folded away by retention " +
+        s"(floor is $floor) — the store no longer holds that view")
+    val tombDir = storeDir + "/tomb"
+    def aliveAsOf(rows: DataFrame, idCol: String): DataFrame = {
+      val bounded = rows.filter(col("gen") <= asOfGen)
+      if (!DeltaStore.hasData(tombDir)) bounded
+      else DeltaStore.aliveAgainst(bounded,
+        spark.read.parquet(tombDir).filter(col("before_gen") <= asOfGen),
+        idCol)
+    }
+    val buckets = queryTerms.map(termBucket).distinct
+    val tf = aliveAsOf(spark.read.parquet(storeDir + "/postings")
+        .filter(col("t_bucket").isin(buckets: _*) &&
+          col("t").isin(queryTerms: _*)), "id")
+      .select(col("id"), col("t"), col("tf"))
+    val dl = aliveAsOf(spark.read.parquet(storeDir + "/doclen"), "id")
+      .select(col("id"), col("dl"))
+    val g = spark.read.parquet(storeDir + "/globals")
+      .filter(col("gen") <= asOfGen)
+      .agg(sum(col("n_part")).as("n"),
+        (sum(col("dl_sum")).cast("double") / sum(col("n_part"))).as("avgdl"))
+    scoreTf(tf, dl, g, queryTerms, k1, b, k)
+  }
+
+  /** Retention GC: physically fold every tombstone with
+    * before_gen <= `minGen` into postings and doclen (rows dead as of
+    * `minGen` are dead at every later generation, so all as-of views
+    * >= `minGen` survive bit-identical), prune those rows from the
+    * manifest, and record the floor. Probes for generations below
+    * `minGen` fail loudly from then on. Idempotent; a crash between the
+    * folds leaves probes correct (the manifest outlives the fold — the
+    * [[StoreCompaction.foldTombstones]] conservative direction). */
+  def bm25RetainGenerations(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, minGen: Int): Unit = {
+    StoreCompaction.foldTombstones(spark, storeDir + "/postings",
+      storeDir + "/tomb", "id", maxBeforeGen = minGen)
+    StoreCompaction.foldTombstones(spark, storeDir + "/doclen",
+      storeDir + "/tomb", "id", maxBeforeGen = minGen)
+    StoreCompaction.pruneManifest(spark, storeDir + "/tomb", minGen)
+    StoreCompaction.writeAsOfFloor(storeDir, minGen)
   }
 }

@@ -181,13 +181,19 @@ object StoreCompaction {
     * fold, so a crash mid-way leaves probes correct (they just keep
     * paying the liveness join). */
   def foldTombstones(spark: SparkSession, dataPath: String, tombPath: String,
-      idCol: String): Report = {
+      idCol: String, maxBeforeGen: Int = Int.MaxValue): Report = {
     val root = new File(dataPath)
     if (!new File(tombPath).exists() || !root.isDirectory) return Report(0, 0, 0, 0)
     recover(dataPath)
     recover(root.getParentFile.getPath)
     import org.apache.spark.sql.functions.{input_file_name, max}
+    // maxBeforeGen bounds the fold to tombstones a retention pass may
+    // apply (generation-lifecycle GC: rows dead as of gen g are dead at
+    // every later generation, so folding before_gen <= g preserves every
+    // as-of view >= g while destroying the ones below — the caller records
+    // that floor). Default folds everything, the pre-r17 behavior.
     val bg = spark.read.parquet(tombPath)
+      .filter(col("before_gen") <= maxBeforeGen)
       .groupBy(col("id").as(idCol)).agg(max(col("before_gen")).as("__bg"))
     def aliveOf(df: DataFrame) = df.join(bg, Seq(idCol), "left")
       .filter(col("__bg").isNull || col("gen") >= col("__bg")).drop("__bg")
@@ -225,6 +231,60 @@ object StoreCompaction {
       after += Option(dir.listFiles()).getOrElse(Array.empty[File]).count(isData)
     }
     Report(leaves.size, compacted, before, after)
+  }
+
+  // ---- generation lifecycle: the as-of floor -----------------------------
+  // The gen stamps already make every store a time-travel log: an as-of-g
+  // probe filters rows to gen <= g and tombstones to before_gen <= g. What
+  // bounds that contract is PHYSICAL folding: once a fold applied
+  // tombstones with before_gen <= g, the pre-g views are gone — probes for
+  // them must fail LOUDLY, not silently return the newer view. The floor
+  // marker records the lowest still-probe-able generation; retention
+  // passes and full folds bump it, as-of probes check it first.
+
+  /** Lowest generation whose as-of view is still physically intact.
+    * 0 until any fold/retention ran. */
+  def readAsOfFloor(storeRoot: String): Int = {
+    val f = new File(storeRoot, "_asof_floor")
+    if (!f.exists()) 0
+    else new String(Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+  }
+
+  /** Bump (never lower) the store's as-of floor. Atomic publish. */
+  def writeAsOfFloor(storeRoot: String, gen: Int): Unit = {
+    val cur = readAsOfFloor(storeRoot)
+    if (gen > cur) {
+      val dir = Paths.get(storeRoot)
+      Files.createDirectories(dir)
+      val tmp = dir.resolve(s".asof_floor.tmp-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, gen.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, dir.resolve("_asof_floor"), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Drop the manifest rows a retention pass has folded (before_gen <=
+    * `minGen`), keeping the rest: read, filter, atomic directory swap via
+    * the compact protocol (the manifest is flat, so it swaps as a single
+    * leaf through its parent — [[recover]] repairs a crash the same way).
+    * An all-folded manifest becomes an empty dir, which
+    * [[DeltaStore.hasData]] reads as "no tombstones". */
+  def pruneManifest(spark: SparkSession, tombPath: String, minGen: Int): Unit = {
+    val dir = new File(tombPath)
+    if (!dir.isDirectory) return
+    recover(dir.getParentFile.getPath)
+    if (!DeltaStore.hasData(tombPath)) return
+    val base = dir.getParentFile.toPath
+    val rel = base.relativize(dir.toPath).toString
+    val tmp = base.resolve(s".compact_tmp_${enc(rel)}")
+    val old = base.resolve(s".compact_old_${enc(rel)}")
+    deleteRecursively(tmp)
+    spark.read.parquet(tombPath).filter(col("before_gen") > minGen)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    Files.move(dir.toPath, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, dir.toPath, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
   }
 
   /** Rewrite every leaf partition of the partitioned parquet store at

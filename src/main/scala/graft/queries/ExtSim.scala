@@ -48,6 +48,19 @@ private[graft] object ExtSim {
         .select(col("id").as("doc_id"), col("score"))
     }),
 
+    // TIME TRAVEL over the versioned store (VERDICT r16 #6): the as-of
+    // probe reconstructs generation 0 — the v1 corpus — from the SAME
+    // store the delta loop grew to v2 (gen-bounded rows, tombstones and
+    // globals partials; identical scoring tree). The oracle recomputes
+    // BM25 directly over the v1 predicate, so the hash match proves the
+    // store still holds the old view exactly, not approximately.
+    "rank_bm25_asof" -> ((s, d) => {
+      val root = graft.ext.IncrementalPipeline.storeCached(s, d)
+      Ranking.bm25TopKVersionedStoreAsOf(s, root + "/bm25",
+        graft.ext.IncrementalPipeline.Terms, asOfGen = 0)
+        .select(col("id").as("doc_id"), col("score"))
+    }),
+
     // Retrieval-quality evaluation: NDCG@10 of the BM25 ranking against a
     // deterministic relevance label (#distinct query terms in the doc).
     // The eval-metric lane beside the recall lanes: DCG over the top-10,
@@ -584,6 +597,14 @@ private[graft] object ExtSim {
     // build+append must compose to the full-corpus ranking — same replay
     "rank_bm25_incremental" ->
       s"""$bm25ScoredCtes
+         |SELECT doc_id, score FROM scored
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // the as-of-gen-0 probe must equal BM25 recomputed over the v1
+    // corpus predicate (doc_id % 17 <> 5 — the IncrementalPipeline rule)
+    "rank_bm25_asof" ->
+      s"""WITH ${bm25ScoredCtesBody(
+             "(SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 5)")}
          |SELECT doc_id, score FROM scored
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 

@@ -199,6 +199,14 @@ object StreamingIndexMaintenance {
       // work, never probe-time; runs only after the cursor (replay-safe:
       // a fold of already-applied tombstones changes no live row)
       if (readCursor(rootDir) == batchId && shouldFold(rootDir)) {
+        // a full fold destroys every as-of view below the highest folded
+        // before_gen — record that floor (r17 lifecycle contract) BEFORE
+        // clearing, so time-travel probes reject the gone views loudly
+        if (graft.ext.DeltaStore.hasData(s"$rootDir/bm25/tomb")) {
+          val maxBg = spark.read.parquet(s"$rootDir/bm25/tomb")
+            .agg(max(col("before_gen"))).collect().head.getInt(0)
+          StoreCompaction.writeAsOfFloor(s"$rootDir/bm25", maxBg)
+        }
         StoreCompaction.foldTombstones(spark, s"$rootDir/bm25/postings",
           s"$rootDir/bm25/tomb", "id")
         StoreCompaction.foldTombstones(spark, s"$rootDir/bm25/doclen",

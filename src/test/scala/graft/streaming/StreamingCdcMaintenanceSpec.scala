@@ -126,6 +126,47 @@ class StreamingCdcMaintenanceSpec extends SparkSpec {
     val idx = Similarity.ivfRead(spark, s"$root/ivf")
     assert(idx.assigned.count() === 11L,
       "the folded assignment holds exactly the live vectors")
+    // the in-stream fold destroyed every pre-fold as-of view — the floor
+    // must record that (r17 lifecycle contract): highest folded
+    // before_gen = batch 8's gen 9
+    assert(graft.ext.StoreCompaction.readAsOfFloor(s"$root/bm25") === 9)
+  }
+
+  test("intra-batch order: duplicate ids fail loudly; seqCol reduces to last-op-per-id") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc_dup").toString
+    StreamingIndexMaintenance.initStoresVersioned(seedDocs, root,
+      "doc_id", "text", "embedding", nCells = 3)
+    // upsert then delete of the SAME id in one micro-batch: without an
+    // ordering column this is ambiguous — the advice-r16 failure mode was
+    // the upsert silently winning and the delete vanishing
+    val dup = Seq(
+      ("upsert", 7L, "late text join", vec(107), 1L),
+      ("delete", 7L, "", vec(0), 2L))
+      .toDF("op", "doc_id", "text", "embedding", "seq")
+    val e = intercept[IllegalArgumentException](
+      StreamingIndexMaintenance.applyBatchCdc(dup.drop("seq"), 0L, root,
+        "doc_id", "text", "embedding"))
+    assert(e.getMessage.contains("more than one op"))
+    assert(StreamingIndexMaintenance.readCursor(root) === -1L,
+      "the loud failure happens before any store write")
+    // with seqCol the trailing delete wins: id 7 ends dead
+    assert(StreamingIndexMaintenance.applyBatchCdc(dup, 0L, root,
+      "doc_id", "text", "embedding", seqCol = Some("seq")))
+    val dl = DeltaStore.alive(spark,
+      spark.read.parquet(s"$root/bm25/doclen"), s"$root/bm25/tomb", "id")
+    assert(dl.filter(col("id") === 7L).count() === 0)
+    // the mirror sequence — delete then upsert — keeps the re-add
+    val dup2 = Seq(
+      ("delete", 8L, "", vec(0), 1L),
+      ("upsert", 8L, "resurrected spark join", vec(108), 2L))
+      .toDF("op", "doc_id", "text", "embedding", "seq")
+    assert(StreamingIndexMaintenance.applyBatchCdc(dup2, 1L, root,
+      "doc_id", "text", "embedding", seqCol = Some("seq")))
+    val dl2 = DeltaStore.alive(spark,
+      spark.read.parquet(s"$root/bm25/doclen"), s"$root/bm25/tomb", "id")
+    assert(dl2.filter(col("id") === 8L).collect()
+      .map(_.getAs[Int]("gen")).toSeq === Seq(2),
+      "the later upsert survives at the batch's generation")
   }
 
   test("replay: a cursor-skipped batch is a no-op; a crash-window replay converges") {
