@@ -98,6 +98,68 @@ object ProductionTopology {
       new graft.sink.ClickHouseHttpSink(catalog, endpoint, cursorId).writeBatch,
       checkpointDir, indexRoot, compactAtFiles)
 
+  // ---- CDC over the production transport (VERDICT r16 #5) ----------------
+  // The CDC maintenance path driven by the REAL wire instead of a
+  // MemoryStream: chain source → finality fold → a deterministic
+  // upsert/delete derivation → the VERSIONED stores, with the same
+  // kill/restart convergence contract as the table sink half.
+
+  /** CDC op derivation from released blocks: every block UPSERTS its
+    * document ([[docsOf]]); every block whose height % 7 == 6 also emits a
+    * DELETE of the doc five heights below under its own fork (a takedown
+    * rule — when that (height, fork) never released, the delete tombstones
+    * nothing, which the versioned store treats as a no-op). `seq` = height
+    * orders intra-batch ops, so a delete landing in the same micro-batch
+    * as its target's upsert reduces to last-op-per-id deterministically
+    * (the applyBatchCdc seqCol contract). */
+  def cdcOf(blocks: Dataset[BlockScoped]): DataFrame = {
+    val docs = blocks.toDF()
+      .select(col("clock.number").as("height"),
+        expr("CAST(filter(changes[0].fields, f -> f.name = 'fork')[0].newValue AS BIGINT)")
+          .as("fork"))
+    val zeroVec = expr(s"transform(sequence(0, ${DocDim - 1}), d -> CAST(0.0 AS FLOAT))")
+    // seq = the block height, recoverable from doc_id = height*100 + fork
+    // (fork counters stay far below 100) — no join back to the block frame
+    val ups = docsOf(blocks)
+      .select(lit("upsert").as("op"), col("doc_id"), col("text"),
+        col("embedding"), (col("doc_id") / 100).cast("long").as("seq"))
+    val dels = docs.filter(pmod(col("height"), lit(7)) === 6)
+      .select(lit("delete").as("op"),
+        ((col("height") - 5) * 100 + col("fork")).as("doc_id"),
+        lit("").as("text"), zeroVec.as("embedding"), col("height").as("seq"))
+    ups.unionByName(dels)
+  }
+
+  /** The corpus the CDC stream should leave live: global last-op-per-id
+    * over the same derivation (delete wins height ties — the seqCol
+    * ordering), upserts only. The spec's batch-replay parity oracle. */
+  def cdcLive(blocks: Dataset[BlockScoped]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    cdcOf(blocks)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("seq").desc, col("op").asc)))
+      .filter(col("__rn") === 1 && col("op") === "upsert")
+      .select(col("doc_id"), col("text"), col("embedding"))
+  }
+
+  /** The CDC half as its own composed job: wire in, versioned stores out
+    * ([[StreamingIndexMaintenance.applyBatchCdc]] — cursor skip-guard,
+    * tag-keyed idempotent writes, replay-idempotent deletes). */
+  def startCdc(
+      msgs: Dataset[BlockMsg],
+      checkpointDir: String,
+      indexRoot: String,
+      compactAtFiles: Int = 16): StreamingQuery =
+    GraftStream.startWith(msgs, checkpointDir) { (blocks, batchId) =>
+      val once = blocks.localCheckpoint()
+      try {
+        val _ = StreamingIndexMaintenance.applyBatchCdc(
+          cdcOf(once), batchId, indexRoot, "doc_id", "text", "embedding",
+          compactAtFiles = compactAtFiles, seqCol = Some("seq"))
+      } finally graft.ext.Dedup.unpersistCheckpoint(once.toDF())
+    }
+
   private def startWithSink(
       msgs: Dataset[BlockMsg],
       writeTables: (Dataset[BlockScoped], Long) => Unit,

@@ -205,4 +205,69 @@ class ProductionTopologySpec extends SparkSpec {
         "BM25 store diverged from direct full-corpus scoring")
     } finally server.close()
   }
+
+  test("CDC over the real wire (r17): gRPC-TLS chain -> versioned stores, kill + restart, probes match the fresh build bit-for-bit") {
+    val base = Files.createTempDirectory("graft_prod_cdc").toString
+    val (ckpt, idxRoot) = (s"$base/ckpt", s"$base/idx")
+    val tlsOpts = Map("tls" -> "true",
+      "tlsTrustCertPath" -> graft.sources.GrpcChain.serverCertPem.getAbsolutePath)
+
+    val seedDocs = ProductionTopology.docsOf(
+      StreamingFinality.released(
+        batchMsgs(gen ++ Map("startBlock" -> "900", "endBlock" -> "930"))))
+    StreamingIndexMaintenance.initStoresVersioned(seedDocs, idxRoot,
+      "doc_id", "text", "embedding", nCells = 3)
+
+    // the server kills the TLS connection the first time seq 17 is served
+    val server = new GrpcChainServer(cfgOf(gen ++ tlsOpts), failOnceAtSeqs = Set(17L))
+    try {
+      def run(endBlock: Long): Unit = {
+        implicit val enc = Encoders.product[BlockMsg]
+        var r = spark.readStream.format("graft.sources.ChainSource")
+        (gen ++ tlsOpts ++ Map("endBlock" -> endBlock.toString,
+          "fetcherClass" -> "graft.sources.GrpcBlockFetcher",
+          "endpoint" -> s"127.0.0.1:${server.port}"))
+          .foreach { case (k, v) => r = r.option(k, v) }
+        val q = ProductionTopology.startCdc(r.load().as[BlockMsg], ckpt, idxRoot)
+        q.processAllAvailable(); q.stop()
+      }
+
+      run(22) // survives the injected TLS kill mid-batch
+      assert(server.served.get(17L) === 2,
+        "the killed seq must have been re-served after the TLS reconnect")
+      run(35) // operator restart: cursor resume, committed batches never replay
+
+      // parity oracle: seed corpus (stream deletes never target its id
+      // range) + the CDC rule's global last-op survivors over the replay
+      val live: DataFrame =
+        seedDocs.unionAll(ProductionTopology.cdcLive(releasedReplay(35L)))
+      val nLive = live.count()
+      val nAllUpserts = seedDocs.count() +
+        ProductionTopology.docsOf(releasedReplay(35L)).count()
+      assert(nLive < nAllUpserts,
+        "the takedown rule must have retired at least one streamed doc")
+
+      val terms = Seq("alpha", "gamma", "theta")
+      assert(Ranking.bm25TopKVersionedStore(spark, s"$idxRoot/bm25", terms)
+          .collect().map(_.toSeq).toSeq ===
+        Ranking.bm25TopK(live, "text", "doc_id", terms)
+          .collect().map(_.toSeq).toSeq,
+        "versioned BM25 store diverged from a fresh live-corpus index")
+
+      val idx = Similarity.ivfRead(spark, s"$idxRoot/ivf")
+      val alive = graft.ext.DeltaStore.alive(spark, idx.assigned,
+        s"$idxRoot/ivf/tomb", "doc_id")
+      assert(alive.count() === nLive,
+        "live assignment rows must equal the live corpus — no loss, no dups")
+      val qvec = Similarity.queryVector(live, "doc_id", "embedding",
+        live.select(min("doc_id")).collect().head.getLong(0))
+      def probe(assigned: DataFrame) =
+        Similarity.ivfProbe(assigned, idx.centroids, "doc_id", "embedding",
+          qvec, k = 5, nprobe = 2).collect().map(_.toSeq).toSeq
+      assert(probe(alive) ===
+        probe(Similarity.ivfAssign(live, "doc_id", "embedding", idx.centroids)),
+        "IVF probe diverged from a fresh assignment under the stored centroids")
+      assert(StreamingIndexMaintenance.readCursor(idxRoot) >= 1L)
+    } finally server.close()
+  }
 }
