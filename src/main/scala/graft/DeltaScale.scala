@@ -58,7 +58,7 @@ object DeltaScale {
     }
 
     def deltaText(out: String, idx: Similarity.IvfIndex): Unit = {
-      val dd = IP.delta(dv1, dv2, "doc_id", "text").localCheckpoint()
+      val dd = Dedup.boundedCheckpoint(IP.delta(dv1, dv2, "doc_id", "text"))
       Dedup.rotateCheckpoints(s"DeltaScale:dd", dd)
       val dead = dd.filter(col("status").isin("removed", "changed"))
         .select(col("doc_id").as("id"))
@@ -68,9 +68,9 @@ object DeltaScale {
       Ranking.bm25WriteVersioned(ups, "text", "doc_id", s"$out/bm25", gen = 1)
       DeltaStore.tombstone(dead, beforeGen = 1, s"$out/sig_tomb")
       IP.writeSigGen(ups, s"$out/sig", gen = 1)
-      val ed = IP.delta(ev1.withColumn("fp", col("embedding").cast("string")),
-        ev2.withColumn("fp", col("embedding").cast("string")), "vec_id", "fp")
-        .localCheckpoint()
+      val ed = Dedup.boundedCheckpoint(
+        IP.delta(ev1.withColumn("fp", col("embedding").cast("string")),
+          ev2.withColumn("fp", col("embedding").cast("string")), "vec_id", "fp"))
       Dedup.rotateCheckpoints(s"DeltaScale:emb", ed)
       DeltaStore.tombstone(ed.filter(col("status").isin("removed", "changed"))
         .select(col("vec_id").as("id")), beforeGen = 1, s"$out/ivf/tomb")
@@ -85,11 +85,11 @@ object DeltaScale {
     def deltaClosure(out: String): Unit = {
       // band=0 slice = one signature row per id, partition-pruned (the
       // storeCached discipline — no wide-array dedup shuffle)
-      val aliveSigs = DeltaStore
+      val aliveSigs = Dedup.boundedCheckpoint(DeltaStore
         .alive(spark,
           spark.read.parquet(s"$out/sig").filter(col("band") === 0),
           s"$out/sig_tomb", "id")
-        .select(col("id"), col("sig")).localCheckpoint()
+        .select(col("id"), col("sig")))
       Dedup.rotateCheckpoints(s"DeltaScale:sigs", aliveSigs)
       val comps = Dedup.connectedComponents(
         Dedup.minhashNearDupsFromSigs(aliveSigs).select(col("id1"), col("id2")))
@@ -99,7 +99,7 @@ object DeltaScale {
 
     def recomputeText(out: String, idx: Similarity.IvfIndex): org.apache.spark.sql.DataFrame = {
       Ranking.bm25WriteVersioned(dv2, "text", "doc_id", s"$out/bm25_full", gen = 0)
-      val sigs = Dedup.minhashSignatures(dv2, "text", "doc_id").localCheckpoint()
+      val sigs = Dedup.boundedCheckpoint(Dedup.minhashSignatures(dv2, "text", "doc_id"))
       Dedup.rotateCheckpoints(s"DeltaScale:full", sigs)
       sigs.count() // materialize the signing pass inside the timed block
       Similarity.ivfAssign(ev2, "vec_id", "embedding", idx.centroids)
@@ -125,6 +125,12 @@ object DeltaScale {
     val idxW = v1Build(w)
     deltaText(w, idxW); deltaClosure(w)
     recomputeClosure(w, recomputeText(w, idxW))
+    // bounded-memory discipline (VERDICT r16 #4): the warm-up pass retains
+    // one checkpoint generation per key — corpus-sized frames at x100 that
+    // the measured pass would otherwise carry as dead heap into the
+    // closure. Free them all; the measured pass rebuilds its own.
+    Dedup.clearRotatedCheckpoints()
+    spark.catalog.clearCache()
     // measured pass
     var idx: Similarity.IvfIndex = null
     val tV1 = timed { idx = v1Build(m) }

@@ -676,6 +676,26 @@ object Dedup {
     prev.getOrElse(key, Nil).foreach(unpersistCheckpoint)
   }
 
+  /** Free EVERY retained checkpoint generation. For measurement mains and
+    * long sessions that run several corpus-sized phases back to back
+    * (DeltaScale's warm-up/measured passes): the one-generation rotation
+    * bounds steady-state retention, but a session that touches many keys
+    * still accumulates one generation PER KEY — at x100 corpus scale that
+    * accumulated storage is what pushed the 8-GiB closure run into OOM
+    * (VERDICT r16 #4). No frame returned by a builder may be consumed
+    * after this call. */
+  def clearRotatedCheckpoints(): Unit =
+    lastGen.getAndSet(Map.empty).values.flatten.foreach(unpersistCheckpoint)
+
+  /** Eager local checkpoint with SERIALIZED, spillable storage — the
+    * bounded-heap variant for corpus-sized intermediates (the default
+    * localCheckpoint stores deserialized rows, 3-5x the footprint). The
+    * closure loop and the scale harness go through this; blocks free via
+    * [[unpersistCheckpoint]] exactly like the default kind. */
+  def boundedCheckpoint(df: DataFrame): DataFrame =
+    df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
   /** Connected components over an undirected near-dup edge list — the step
     * that turns pairwise matches (MinHash/SimHash/cosine) into dedup GROUPS.
     * Returns (id, component) where component = min node id reachable; the
@@ -693,13 +713,17 @@ object Dedup {
     * (the convergence check), never edge data.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val sym = edges
+    // serialized, spillable checkpoints (r17): the loop's retained frames
+    // are edge/label-sized — on a x100 corpus the deserialized default was
+    // the closure's OOM margin (VERDICT r16 #4); each block is read once
+    // per round, so the serialization cost is noise
+    val sym = boundedCheckpoint(edges
       .select(col("id1").cast("long").as("a"), col("id2").cast("long").as("b"))
       .union(edges
         .select(col("id2").cast("long").as("a"), col("id1").cast("long").as("b")))
-      .distinct().localCheckpoint()
-    var prevCkpt = sym.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+      .distinct())
+    var prevCkpt = boundedCheckpoint(sym.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")))
     var labels = prevCkpt
     var changed = 1L
     var iter = 0
@@ -708,11 +732,10 @@ object Dedup {
         .join(labels.select(col("id").as("b_id"), col("label").as("b_label")),
           col("b") === col("b_id"))
         .groupBy(col("a")).agg(min(col("b_label")).as("nbr_min"))
-      val next = labels
+      val next = boundedCheckpoint(labels
         .join(nbrMin, labels("id") === nbrMin("a"), "left")
         .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next_label"))
-        .localCheckpoint()
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next_label")))
       changed = next.filter(col("next_label") < col("label")).count()
       // next is materialized; the previous round's checkpoint blocks are
       // dead — free them now instead of waiting for driver GC (25 retained
@@ -737,7 +760,7 @@ object Dedup {
     // consuming it. DedupSpec("connected components storage accounting")
     // pins both facts: exactly 1 net new persistent RDD per call, and
     // readability after the loop's own unpersists.
-    val owned = labels.localCheckpoint()
+    val owned = boundedCheckpoint(labels)
     unpersistCheckpoint(prevCkpt)
     owned
   }

@@ -203,6 +203,20 @@ class ExplainSpec extends SparkSpec {
     assert(nodes.count(_.isInstanceOf[CartesianProductExec]) === 0)
   }
 
+  test("text_html_extract: the WARC->HTTP->HTML chain is one task-local pass — no joins, no hash exchange") {
+    // binaryFile scan -> WarcParse posexplode -> HttpParse -> HtmlTextExtract
+    // all inside per-file tasks; the only movement is the final output sort
+    for (lane <- Seq("source_warc_http", "text_html_extract")) {
+      val nodes = run(lane)
+      assert(nodes.count(_.isInstanceOf[CartesianProductExec]) === 0, lane)
+      assert(nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) === 0, lane)
+      assert(nodes.count(_.isInstanceOf[SortMergeJoinExec]) === 0, lane)
+      assert(nodes.count(_.isInstanceOf[BroadcastHashJoinExec]) === 0, lane)
+      assert(hashExchanges(nodes) === 0,
+        s"$lane: envelope strip + extraction must stay inside the record-split task")
+    }
+  }
+
   test("train_incremental_e2e: probes never rescan the corpus — one documents read (the v2 id list)") {
     val nodes = run("train_incremental_e2e")
     assert(fileScans(nodes, "documents").size === 1,
