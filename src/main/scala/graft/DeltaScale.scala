@@ -62,7 +62,14 @@ object DeltaScale {
       Dedup.rotateCheckpoints(s"DeltaScale:dd", dd)
       val dead = dd.filter(col("status").isin("removed", "changed"))
         .select(col("doc_id").as("id"))
-      val ups = dv2.join(dd.filter(col("status").isin("added", "changed")),
+      // BROADCAST the delta manifest (r17): without the hint this semi
+      // join shuffled the full corpus TEXT by doc_id — measured at x100 as
+      // delta_text 26-41 s vs recompute 28-53 s, i.e. the "delta-sized"
+      // pass was paying a corpus-sized shuffle. The manifest is ids-only
+      // (delta-sized by construction), exactly what broadcast is for.
+      val ups = dv2.join(
+        broadcast(dd.filter(col("status").isin("added", "changed"))
+          .select(col("doc_id"))),
         Seq("doc_id"), "left_semi")
       Ranking.bm25DeleteVersioned(spark, s"$out/bm25", dead, beforeGen = 1)
       Ranking.bm25WriteVersioned(ups, "text", "doc_id", s"$out/bm25", gen = 1)
@@ -74,7 +81,9 @@ object DeltaScale {
       Dedup.rotateCheckpoints(s"DeltaScale:emb", ed)
       DeltaStore.tombstone(ed.filter(col("status").isin("removed", "changed"))
         .select(col("vec_id").as("id")), beforeGen = 1, s"$out/ivf/tomb")
-      val upv = ev2.join(ed.filter(col("status").isin("added", "changed")),
+      val upv = ev2.join(
+        broadcast(ed.filter(col("status").isin("added", "changed"))
+          .select(col("vec_id"))),
         Seq("vec_id"), "left_semi")
       Similarity.ivfAssign(upv, "vec_id", "embedding", idx.centroids)
         .withColumn("gen", lit(1)).repartition(col("ivf_cell"))

@@ -183,9 +183,14 @@ object IncrementalPipeline {
       Dedup.rotateCheckpoints(s"IncrementalPipeline:$d", dd)
       val deadDocs = dd.filter(col("status").isin("removed", "changed"))
         .select(col("doc_id").as("id"))
+      // broadcast the delta manifest (r17, found by DeltaScale at x100):
+      // an unhinted semi join here shuffles the full corpus TEXT by
+      // doc_id — corpus-sized movement inside the pass whose whole point
+      // is being delta-sized. The manifest is an id list; broadcast it.
       val upsertDocs = dv2.join(
-        dd.filter(col("status").isin("added", "changed")), Seq("doc_id"),
-        "left_semi")
+        broadcast(dd.filter(col("status").isin("added", "changed"))
+          .select(col("doc_id"))),
+        Seq("doc_id"), "left_semi")
 
       // BM25: v1 generation, tombstone dead, append the delta's v2 text
       Ranking.bm25WriteVersioned(dv1, "text", "doc_id", tmp + "/bm25", gen = 0)
@@ -235,8 +240,9 @@ object IncrementalPipeline {
         .select(col("vec_id").as("id"))
       DeltaStore.tombstone(deadVecs, beforeGen = 1, tmp + "/ivf/tomb")
       val upsertVecs = ev2.drop("fp").join(
-        ed.filter(col("status").isin("added", "changed")), Seq("vec_id"),
-        "left_semi")
+        broadcast(ed.filter(col("status").isin("added", "changed"))
+          .select(col("vec_id"))),
+        Seq("vec_id"), "left_semi")
       Similarity.ivfAssign(upsertVecs, "vec_id", "embedding", idx.centroids)
         .withColumn("gen", lit(1))
         .repartition(col("ivf_cell"))
