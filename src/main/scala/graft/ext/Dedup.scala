@@ -132,8 +132,46 @@ object Dedup {
     * where `pos` is the 0-based start token of the span (0 for a short
     * doc's whole-string shingle, null for an empty doc) and `ntok` the
     * doc's token count — what position-aware consumers (substring-coverage
-    * dedup) need to map spans back onto token intervals. */
+    * dedup) need to map spans back onto token intervals.
+    *
+    * r17 (guide §2.3/§2.4): spans are built IN-ROW by the codegen'd
+    * [[graft.functions.Shingles]] expression and exploded — ZERO exchanges
+    * where the old formulation (posexplode + window `lead`s, retained below
+    * as the differential reference) exchanged and sorted the corpus-sized
+    * token stream before building a single shingle. Every downstream
+    * per-id aggregate now map-side-combines over locally-grouped spans, so
+    * only the reduced frame crosses the network. */
   def shingleFramePos(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    require(n >= 1)
+    withMinParallelism(docs, idCol)
+      .select(col(idCol).as("id"),
+        explode(graft.functions.Shingles.spansCol(
+          TextAnalysis.tokens(col(textCol)), n)).as("e"))
+      .select(col("id"), col("e.ntok").as("ntok"), col("e.pos").as("pos"),
+        col("e.shingle").as("shingle"))
+  }
+
+  /** Scale-adaptive parallelism guard for expensive IN-ROW pipelines
+    * (r17): when the input's plan yields fewer partitions than the
+    * session's parallelism — the single-file/single-row-group scan shape —
+    * hash-repartition the (narrow) input rows by id so the per-row work
+    * spreads across the cluster; the id partitioning is then REUSED by any
+    * downstream per-id aggregate. At real scale the scan already carries
+    * >= the session parallelism and this is an identity — no constant is
+    * tuned to local mode (the threshold is the session's own
+    * defaultParallelism). Shuffling the compact document rows here is
+    * strictly cheaper than the pre-r17 shape, which shuffled the exploded
+    * token stream (one row per token) for the same spread. */
+  private[graft] def withMinParallelism(df: DataFrame, idCol: String): DataFrame = {
+    val parts = df.rdd.getNumPartitions
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (parts >= target) df else df.repartition(col(idCol))
+  }
+
+  /** Pre-r17 window formulation of [[shingleFramePos]], retained verbatim
+    * as the ground truth for the DedupSpec differential. */
+  private[graft] def shingleFramePosReference(docs: DataFrame, textCol: String,
+      idCol: String, n: Int): DataFrame = {
     require(n >= 1)
     val toks = docs.select(col(idCol).as("id"),
       posexplode_outer(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "t")))

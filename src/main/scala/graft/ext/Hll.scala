@@ -137,6 +137,22 @@ object Hll {
   def mergeGrouped(regsBy: DataFrame): DataFrame =
     regsBy.groupBy(col("idx")).agg(max(col("r")).as("r"))
 
+  /** [[registersBy]] carrying an exact per-register distinct count beside
+    * the max rank (r17): a value hashes to exactly ONE register, so
+    * `sum(nd)` over a group's registers is the group's exact NDV — the
+    * grouped twin of [[approxDistinct]]'s exact witness, letting a lane
+    * compute estimate + witness from ONE input scan. The extra `nd`/`v`
+    * columns ride beside the estimator basis; [[estimateBy]] ignores them. */
+  def registersByWithExact(values: DataFrame, valueCol: String,
+      groupCol: String, p: Int = 8): DataFrame = {
+    val (idx, rank) = idxRank(valueCol, p)
+    values.select(col(groupCol), idx.as("idx"), rank.as("rank"),
+        col(valueCol).cast("string").as("v"))
+      .where(col("idx").isNotNull)
+      .groupBy(col(groupCol), col("idx"))
+      .agg(max(col("rank")).as("r"), countDistinct(col("v")).as("nd"))
+  }
+
   /** Per-group estimates from a [[registersBy]] frame: (groupCol, est_hll)
     * — the grouped approximate-distinct shape (NDV per tenant/day/type)
     * with the same scaled-harmonic-mean + linear-counting branch as

@@ -48,12 +48,21 @@ object Router {
     // class token count, so kept terms' weights are unchanged by the cap
     val capW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cls")).orderBy(col("c").desc, col("w"))
-    val kept = train.groupBy(col("cls"), col("w"))
+    // r17 (guide §2.4): the (cls, w) count frame feeds the cap window AND
+    // the class-total denominator — derive n = Σc per class from it instead
+    // of re-tokenizing the train split for a second count pass (Σ of
+    // per-term counts IS the class token count). The two consumers are NOT
+    // exchange-deduped (column pruning specializes each branch — plan-
+    // verified), so materialize the vocab-bounded count frame once.
+    val cnt = train.groupBy(col("cls"), col("w"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    Dedup.rotateCheckpoints("Router.centroidAudit", cnt)
+    val kept = cnt
       .withColumn("cap_rank", row_number().over(capW))
       .filter(col("cap_rank") <= maxTermsPerClass).drop("cap_rank")
     val profile = kept
-      .join(train.groupBy(col("cls")).agg(count(lit(1)).as("n")), "cls")
+      .join(cnt.groupBy(col("cls")).agg(sum(col("c")).as("n")), "cls")
       .select(col("cls").as("pcls"), col("w"),
         round(col("c").cast("double") / col("n").cast("double"), 9)
           .cast("decimal(38,9)").as("p"))

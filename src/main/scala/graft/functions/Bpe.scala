@@ -53,6 +53,14 @@ object Bpe {
       merges.flatMap { case (l, r) =>
         (l + r).codePoints().toArray.toSeq
       }.toSet
+    /** ASCII slice of [[operandCodePoints]] as a flat boolean table — the
+      * segmentation loop's per-char membership test without Int boxing
+      * (r17; the Set[Int] path stays for cp >= 128). */
+    @transient lazy val operandAsciiMask: Array[Boolean] = {
+      val m = new Array[Boolean](128)
+      operandCodePoints.foreach(cp => if (cp < 128) m(cp) = true)
+      m
+    }
     /** The operand set as a regex character-class BODY (metachars escaped)
       * — shared source of truth for the DuckDB oracle's segment split. */
     def operandClassBody: String =
@@ -87,6 +95,17 @@ object Bpe {
 
     /** [[sqlValues]] for the byte-seeded oracle: the hexed merge pairs. */
     def sqlValuesHex: String = hexed.sqlValues
+
+    /** Interned execution tables (r17 optimization): token strings mapped
+      * to dense int ids once per JVM, so the merge loop's inner rank
+      * lookup is an open-addressed long-probe instead of a tuple-boxed
+      * `Map[(String, String), Int]` hash (two string hashes + a Tuple2
+      * allocation per adjacent pair per round — the measured hot path of
+      * every full-document encode lane). Output is bit-identical: the
+      * interning is a bijection on the token vocabulary and unknown seeds
+      * get fresh negative ids that can never match a merge pair, exactly
+      * like a pair absent from the rank map. */
+    @transient lazy val intern: Bpe.Intern = new Bpe.Intern(merges)
   }
 
   /** The fixture table the BPE lanes use: frequent character pairs of the
@@ -141,6 +160,253 @@ object Bpe {
       segmented = true, byteSeeded = true))
   }
 
+  /** Open-addressed (long → int) hash map with linear probing and no
+    * boxing — the interned merge loop's pair→rank lookup (r17). Keys are
+    * `(leftId << 32) | rightId` pair codes over non-negative ids, so -1
+    * can serve as the empty sentinel. Built once per JVM per table,
+    * read-only afterwards; sized to ≤ 50 % load. */
+  private[functions] final class LongIntMap(n: Int) {
+    private val cap = Integer.highestOneBit(math.max(8, n * 2) * 2 - 1) << 1
+    private val mask = cap - 1
+    private val keys = Array.fill[Long](cap)(-1L)
+    private val vals = new Array[Int](cap)
+    private def slot(k: Long): Int = {
+      val h = k * -7046029254386353131L // Stafford mix step: spread both halves
+      ((h ^ (h >>> 32)).toInt) & mask
+    }
+    def put(k: Long, v: Int): Unit = {
+      var i = slot(k)
+      while (keys(i) != -1L && keys(i) != k) i = (i + 1) & mask
+      keys(i) = k; vals(i) = v
+    }
+    def get(k: Long, dflt: Int): Int = {
+      var i = slot(k)
+      while (true) {
+        val kk = keys(i)
+        if (kk == k) return vals(i)
+        if (kk == -1L) return dflt
+        i = (i + 1) & mask
+      }
+      dflt // unreachable: load factor < 1 guarantees an empty slot
+    }
+  }
+
+  /** Lowercase hex image of every byte value — the byte-seeded mode's seed
+    * strings, precomputed once (the previous per-byte `f"%02x"` format call
+    * was a measurable constant in the byte lanes). */
+  private[functions] val byteHexStr: Array[String] =
+    Array.tabulate(256)(b => f"$b%02x")
+
+  /** Interned execution tables for one merge table (see
+    * [[BpeTable.intern]]): dense int ids over the token vocabulary (every
+    * merge operand and output), the pair→rank map re-keyed on id pairs,
+    * and cached output strings/UTF8Strings per id. Unknown seed tokens
+    * (chars outside the vocabulary) get fresh NEGATIVE ids at encode time;
+    * a negative id never probes the rank map, which is exactly the
+    * behaviour of a pair absent from the string-keyed map, so the interned
+    * loop is output-identical to the reference loop (BpeSpec pins the
+    * differential). */
+  private[functions] final class Intern(merges: Seq[(String, String)]) {
+    private val vocab = new java.util.HashMap[String, Integer]()
+    private val toks = new ArrayBuffer[String]()
+    private def idFor(s: String): Int = {
+      val got = vocab.get(s)
+      if (got != null) got.intValue
+      else { val id = toks.size; vocab.put(s, id); toks += s; id }
+    }
+    val pairL = new Array[Int](merges.size)
+    val pairR = new Array[Int](merges.size)
+    val mergedId = new Array[Int](merges.size)
+    val pairRank = new LongIntMap(merges.size)
+    locally {
+      var k = 0
+      merges.foreach { case (l, r) =>
+        pairL(k) = idFor(l); pairR(k) = idFor(r); mergedId(k) = idFor(l + r)
+        k += 1
+      }
+      // insertion in rank order: a duplicate pair's later rank overwrites,
+      // matching `merges.zipWithIndex.toMap`
+      k = 0
+      while (k < merges.size) {
+        pairRank.put(Bpe.pairKey(pairL(k), pairR(k)), k); k += 1
+      }
+    }
+    val tokStrings: Array[String] = toks.toArray
+    val tokUtf8: Array[UTF8String] = tokStrings.map(UTF8String.fromString)
+    /** Single ASCII char → vocab id (or -1): the seed fast path. */
+    val asciiSeedId: Array[Int] = Array.tabulate(128) { c =>
+      val g = vocab.get(String.valueOf(c.toChar))
+      if (g == null) -1 else g.intValue
+    }
+    /** Byte value → vocab id of its hex-pair token (or -1) — only
+      * meaningful on a hexed table's intern. */
+    val byteSeedId: Array[Int] = Array.tabulate(256) { b =>
+      val g = vocab.get(Bpe.byteHexStr(b))
+      if (g == null) -1 else g.intValue
+    }
+    def idOf(s: String): Int = {
+      val g = vocab.get(s)
+      if (g == null) -1 else g.intValue
+    }
+  }
+
+  @inline private def pairKey(l: Int, r: Int): Long =
+    (l.toLong << 32) | (r.toLong & 0xffffffffL)
+
+  /** The interned merge loop: merges in place over `ids[from, to)` and
+    * returns the new end index. Entries < 0 are unknown seeds (see
+    * [[Intern]]) and never participate in a merge. */
+  private def mergeIds(ids: Array[Int], from: Int, to: Int, it: Intern): Int = {
+    var len = to - from
+    val pr = it.pairRank
+    while (len > 1) {
+      var best = Int.MaxValue
+      var i = from
+      val last = from + len - 1
+      while (i < last) {
+        val a = ids(i); val b = ids(i + 1)
+        if ((a | b) >= 0) {
+          val r = pr.get((a.toLong << 32) | (b.toLong & 0xffffffffL), Int.MaxValue)
+          if (r < best) best = r
+        }
+        i += 1
+      }
+      if (best == Int.MaxValue) return from + len
+      val l = it.pairL(best); val r = it.pairR(best); val m = it.mergedId(best)
+      var w = from; var j = from
+      val end = from + len
+      while (j < end) {
+        if (j < end - 1 && ids(j) == l && ids(j + 1) == r) { ids(w) = m; j += 2 }
+        else { ids(w) = ids(j); j += 1 }
+        w += 1
+      }
+      len = w - from
+    }
+    from + len
+  }
+
+  /** Greedy BPE: merge the best-ranked pair (all occurrences, left to
+    * right), repeat until no pair is ranked. Seed tokens are CODE POINTS
+    * (surrogate pairs stay together — `text.map(_.toString)` would split
+    * every non-BMP char into two invalid half-tokens, advice r13). */
+  def encode(text: String, table: BpeTable): Array[String] = {
+    val extra = new ArrayBuffer[String]()
+    val (ids, n) = encodeIdsCp(text, table, segmented = false, extra)
+    idsToStrings(ids, n, table.intern, extra)
+  }
+
+  /** Code-point-seeded interned encode: seeds every code point to an id
+    * (unknowns negative), then merges — whole-text or per operand-run
+    * (`segmented`), identical outputs (the factorization property). */
+  private def encodeIdsCp(text: String, table: BpeTable, segmented: Boolean,
+      extra: ArrayBuffer[String]): (Array[Int], Int) = {
+    val it = table.intern
+    val opsAscii = table.operandAsciiMask
+    val ops = table.operandCodePoints
+    val ids = new Array[Int](text.length)
+    var w = 0        // compacted length (runs already merged)
+    var runStart = 0 // seeds of the current operand run live at [runStart, w)
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      val k = Character.charCount(cp)
+      val isOp = !segmented ||
+        (if (cp < 128) opsAscii(cp) else ops.contains(cp))
+      if (isOp) {
+        val id =
+          if (cp < 128) it.asciiSeedId(cp)
+          else it.idOf(text.substring(i, i + k))
+        ids(w) =
+          if (id >= 0) id
+          else { extra += text.substring(i, i + k); -extra.size }
+        w += 1
+      } else {
+        // breaker: close the pending run, pass the char through whole
+        w = mergeIds(ids, runStart, w, it)
+        extra += text.substring(i, i + k)
+        ids(w) = -extra.size
+        w += 1
+        runStart = w
+      }
+      i += k
+    }
+    w = mergeIds(ids, runStart, w, it)
+    (ids, w)
+  }
+
+  /** Byte-seeded interned encode (GPT-2/LLaMA seeding): seeds every UTF-8
+    * byte to its hex-pair token id in the HEXED table, merges whole-text
+    * or per operand-run. Breaker chars pass through as raw unmerged bytes
+    * (byte fallback), exactly like the reference loop. */
+  private def encodeIdsBytes(text: String, table: BpeTable, segmented: Boolean,
+      extra: ArrayBuffer[String]): (Array[Int], Int) = {
+    val it = table.hexed.intern
+    val opsAscii = table.operandAsciiMask
+    val ops = table.operandCodePoints
+    // worst case 4 UTF-8 bytes per char — but chars below 0x800 (the
+    // overwhelming majority) take <= 2, so size for 2 and grow on demand
+    var ids = new Array[Int](math.max(8, text.length * 2))
+    var w = 0
+    var runStart = 0
+    var i = 0
+    def ensure(extraCap: Int): Unit =
+      if (w + extraCap > ids.length)
+        ids = java.util.Arrays.copyOf(ids, math.max(ids.length * 2, w + extraCap))
+    def pushByte(b: Int, mergeable: Boolean): Unit = {
+      val id = if (mergeable) it.byteSeedId(b) else -1
+      if (id >= 0) { ids(w) = id }
+      else {
+        // unknown byte — or a breaker byte that must NOT merge: its hex
+        // string renders identically either way
+        extra += byteHexStr(b); ids(w) = -extra.size
+      }
+      w += 1
+    }
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      val k = Character.charCount(cp)
+      val isOp = !segmented ||
+        (if (cp < 128) opsAscii(cp) else ops.contains(cp))
+      if (isOp) {
+        // operand chars are ASCII by the allAsciiOperands precondition of
+        // byte mode when segmented; unsegmented mode takes any char here
+        if (cp < 128) { ensure(1); pushByte(cp, mergeable = true) }
+        else {
+          val bytes = text.substring(i, i + k)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          ensure(bytes.length)
+          bytes.foreach(b => pushByte(b & 0xff, mergeable = true))
+        }
+      } else {
+        // breaker: close the run, emit the char's bytes unmerged
+        w = mergeIds(ids, runStart, w, it)
+        val bytes = text.substring(i, i + k)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ensure(bytes.length)
+        bytes.foreach(b => pushByte(b & 0xff, mergeable = false))
+        runStart = w
+      }
+      i += k
+    }
+    w = mergeIds(ids, runStart, w, it)
+    (ids, w)
+  }
+
+  private def idsToStrings(ids: Array[Int], n: Int, it: Intern,
+      extra: ArrayBuffer[String]): Array[String] = {
+    val out = new Array[String](n)
+    var k = 0
+    while (k < n) {
+      val id = ids(k)
+      out(k) = if (id >= 0) it.tokStrings(id) else extra(-id - 1)
+      k += 1
+    }
+    out
+  }
+
+  // ---- reference implementation (retained verbatim for the r17
+  // differential spec: the interned path above must be output-identical) --
+
   /** One seed token per Unicode CODE POINT. */
   private def seedTokens(text: String): Array[String] = {
     val out = new ArrayBuffer[String](text.length)
@@ -154,15 +420,11 @@ object Bpe {
     out.toArray
   }
 
-  /** Greedy BPE: merge the best-ranked pair (all occurrences, left to
-    * right), repeat until no pair is ranked. Seed tokens are CODE POINTS
-    * (surrogate pairs stay together — `text.map(_.toString)` would split
-    * every non-BMP char into two invalid half-tokens, advice r13). */
-  def encode(text: String, table: BpeTable): Array[String] =
+  private[functions] def encodeReference(text: String, table: BpeTable): Array[String] =
     encodeTokens(seedTokens(text), table)
 
   /** The merge loop over an arbitrary seed-token array — shared by the
-    * code-point and byte seedings. */
+    * code-point and byte seedings (reference path). */
   private def encodeTokens(seed: Array[String], table: BpeTable): Array[String] = {
     var toks: Array[String] = seed
     val rank = table.rank
@@ -196,6 +458,14 @@ object Bpe {
     * full-document lanes' scale path (VERDICT r13 #4). Breaker code points
     * pass through as singleton tokens. */
   def encodeSegmented(text: String, table: BpeTable): Array[String] = {
+    val extra = new ArrayBuffer[String]()
+    val (ids, n) = encodeIdsCp(text, table, segmented = true, extra)
+    idsToStrings(ids, n, table.intern, extra)
+  }
+
+  /** Reference twin of [[encodeSegmented]] (pre-r17 loop, verbatim). */
+  private[functions] def encodeSegmentedReference(text: String,
+      table: BpeTable): Array[String] = {
     val ops = table.operandCodePoints
     val out = new ArrayBuffer[String](text.length / 2 + 1)
     var i = 0
@@ -209,7 +479,7 @@ object Bpe {
         var j = i
         while (j < text.length && ops.contains(text.codePointAt(j)))
           j += Character.charCount(text.codePointAt(j))
-        out ++= encode(text.substring(i, j), table)
+        out ++= encodeReference(text.substring(i, j), table)
         i = j
       }
     }
@@ -240,7 +510,15 @@ object Bpe {
     * ([[BpeTable.hexed]]). On ASCII text this produces exactly the hex of
     * the code-point encode's tokens; non-ASCII characters pass through as
     * their raw bytes (byte fallback) — both properties pinned in BpeSpec. */
-  def encodeBytes(text: String, table: BpeTable): Array[String] =
+  def encodeBytes(text: String, table: BpeTable): Array[String] = {
+    val extra = new ArrayBuffer[String]()
+    val (ids, n) = encodeIdsBytes(text, table, segmented = false, extra)
+    idsToStrings(ids, n, table.hexed.intern, extra)
+  }
+
+  /** Reference twin of [[encodeBytes]] (pre-r17 loop, verbatim). */
+  private[functions] def encodeBytesReference(text: String,
+      table: BpeTable): Array[String] =
     encodeTokens(seedByteTokens(text), table.hexed)
 
   /** Segment-factorized [[encodeBytes]] — IDENTICAL output (pinned in
@@ -251,6 +529,14 @@ object Bpe {
     * byte or ≥0x80 continuation/lead bytes, neither of which any hexed
     * merge operand contains, so no merge can ever cross a breaker. */
   def encodeBytesSegmented(text: String, table: BpeTable): Array[String] = {
+    val extra = new ArrayBuffer[String]()
+    val (ids, n) = encodeIdsBytes(text, table, segmented = true, extra)
+    idsToStrings(ids, n, table.hexed.intern, extra)
+  }
+
+  /** Reference twin of [[encodeBytesSegmented]] (pre-r17 loop, verbatim). */
+  private[functions] def encodeBytesSegmentedReference(text: String,
+      table: BpeTable): Array[String] = {
     val ops = table.operandCodePoints
     val out = new ArrayBuffer[String](text.length / 2 + 1)
     var i = 0
@@ -271,16 +557,27 @@ object Bpe {
     out.toArray
   }
 
-  /** Executor entry for codegen. */
+  /** Executor entry for codegen. Renders ids straight to the CACHED
+    * per-vocab UTF8Strings (r17) — the per-token `UTF8String.fromString`
+    * of the old path re-encoded every token's bytes on every row. */
   def encodeUtf8(text: UTF8String, table: BpeTable, segmented: Boolean,
       byteSeeded: Boolean = false): GenericArrayData = {
     val s = text.toString
-    val toks =
-      if (byteSeeded) {
-        if (segmented) encodeBytesSegmented(s, table) else encodeBytes(s, table)
-      } else if (segmented) encodeSegmented(s, table)
-      else encode(s, table)
-    new GenericArrayData(toks.map(s => UTF8String.fromString(s): Any))
+    val extra = new ArrayBuffer[String]()
+    val it = if (byteSeeded) table.hexed.intern else table.intern
+    val (ids, n) =
+      if (byteSeeded) encodeIdsBytes(s, table, segmented, extra)
+      else encodeIdsCp(s, table, segmented, extra)
+    val out = new Array[Any](n)
+    var k = 0
+    while (k < n) {
+      val id = ids(k)
+      out(k) =
+        if (id >= 0) it.tokUtf8(id)
+        else UTF8String.fromString(extra(-id - 1))
+      k += 1
+    }
+    new GenericArrayData(out)
   }
 }
 

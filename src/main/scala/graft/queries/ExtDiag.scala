@@ -294,8 +294,16 @@ private[graft] object ExtDiag {
     "agg_hll_intersect" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .filter(col("event_type").isin("click", "purchase"))
+      // r17 (guide §2.4): the register frame feeds THREE estimate consumers
+      // (A, B, union). ReuseExchange does NOT dedup them — predicate
+      // pushdown specializes each branch's scan (click/purchase/union
+      // filters pushed through the grouping key), so the lazy form ran 3
+      // events scans (plan-verified). Materialize once: it is sketch-sized
+      // (≤ 2 groups · 2^p rows) and replaces corpus rescans at any scale.
       val regsBy = Hll.registersBy(
-        ev.select(col("event_type"), col("user_id")), "user_id", "event_type", p = 8)
+        ev.select(col("event_type"), col("user_id")), "user_id", "event_type",
+        p = 8).localCheckpoint()
+      Dedup.rotateCheckpoints("agg_hll_intersect", regsBy)
       val ests = Hll.estimateBy(regsBy, "event_type", p = 8)
       val estA = ests.filter(col("event_type") === "click")
         .select(col("est_hll").as("est_a"))
@@ -303,10 +311,15 @@ private[graft] object ExtDiag {
         .select(col("est_hll").as("est_b"))
       val estU = Hll.estimate(Hll.mergeGrouped(regsBy), p = 8)
         .select(col("est_hll").as("est_union"))
-      val exact = ev.filter(col("event_type") === "click")
-        .select(col("user_id")).distinct()
-        .join(ev.filter(col("event_type") === "purchase")
-          .select(col("user_id")).distinct(), "user_id")
+      // r17: the exact witness in ONE events pass — per-user click/purchase
+      // flags then a global both-flags count, replacing the two distinct()
+      // subtrees joined on user_id (2 scans + a join shuffle → 1 scan + 1
+      // user-keyed aggregate). Same value by definition: a user counts iff
+      // they have ≥1 click AND ≥1 purchase event.
+      val exact = ev.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("__c"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("__p"))
+        .filter(col("__c") === 1 && col("__p") === 1)
         .agg(count(lit(1)).as("nd_exact_intersect"))
       estA.crossJoin(estB).crossJoin(estU).crossJoin(exact)
         .withColumn("est_intersect",
@@ -319,11 +332,21 @@ private[graft] object ExtDiag {
     // per-group estimate beside the exact witness and its relative error.
     "agg_hll_by_group" -> ((s, d) => {
       val ev = Tables.events(s, d)
-      val est = Hll.estimateBy(
-        Hll.registersBy(ev.select(col("event_type"), col("user_id")),
-          "user_id", "event_type", p = 8), "event_type", p = 8)
-      val exact = ev.groupBy(col("event_type"))
-        .agg(count_distinct(col("user_id")).as("nd_exact"))
+      // r17 (guide §2.4): estimate AND exact witness from ONE events scan —
+      // the register aggregate carries a per-(group, idx) exact distinct
+      // count, and a value hashes to exactly one register, so sum(nd) per
+      // group IS the group NDV (the approxDistinct-witness trick, grouped).
+      // Previously the exact side was a second full scan + count_distinct.
+      // The est/exact consumers below are NOT exchange-deduped (column
+      // pruning specializes each branch's copy of the register aggregate —
+      // plan-verified), so materialize the sketch-sized frame once.
+      val regs = Hll.registersByWithExact(
+        ev.select(col("event_type"), col("user_id")), "user_id", "event_type",
+        p = 8).localCheckpoint()
+      Dedup.rotateCheckpoints("agg_hll_by_group", regs)
+      val est = Hll.estimateBy(regs, "event_type", p = 8)
+      val exact = regs.groupBy(col("event_type"))
+        .agg(sum(col("nd")).as("nd_exact"))
       est.join(exact, "event_type")
         .select(col("event_type"), col("est_hll"), col("nd_exact"),
           round((col("est_hll") - col("nd_exact")) /

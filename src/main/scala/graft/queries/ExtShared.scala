@@ -87,10 +87,17 @@ private[graft] object ExtShared {
   val WmedianBuckets = 1024
   def wmedianBucketed(s: SparkSession, d: String): DataFrame = {
     val B = WmedianBuckets
+    // r17 (guide §2.4): byv feeds BOTH the per-flag range aggregate and the
+    // bucket join. The two consumers are NOT exchange-deduped (column
+    // pruning specializes each branch's copy — plan-verified), so the lazy
+    // form scanned lineitem twice; materialize the distinct-value frame
+    // once — it is already the reduced grain.
     val byv = Tables.lineitem(s, d)
       .groupBy(col("l_returnflag").as("flag"),
         col("l_extendedprice").as("v"))
       .agg(sum(col("l_quantity")).as("w"))
+      .localCheckpoint()
+    Dedup.rotateCheckpoints("ExtShared.wmedianBucketed", byv)
     val g = byv.groupBy(col("flag"))
       .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
     val wB = (col("mx") - col("mn")) / B

@@ -370,4 +370,32 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(r2 === r1, "existing store must be reread, not recomputed")
   }
+
+  test("r17 in-row shingle spans are row-identical to the window reference") {
+    import spark.implicits._
+    // edge shapes: empty doc, whitespace-only doc, null text, doc shorter
+    // than n, doc of exactly n tokens, normal docs, repeated tokens,
+    // multi-space separators, unicode
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, ""), (2L, "   "), (3L, null.asInstanceOf[String]),
+      (4L, "one two"), (5L, "a b c d e"), (6L, "x x x x x x"),
+      (7L, "  spaced   out\ttokens \n here "), (8L, "solo"),
+      (9L, "héllo wörld ünicode tökens"), (10L, "Mixed CASE Words Stay lowered")
+    ).toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3, 5, 12)) {
+      val fast = Dedup.shingleFramePos(docs, "text", "doc_id", n)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1 else r.getInt(2), r.getString(3))).toSeq.sorted
+      val ref = Dedup.shingleFramePosReference(docs, "text", "doc_id", n)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1 else r.getInt(2), r.getString(3))).toSeq.sorted
+      assert(fast === ref, s"span stream must match the window reference at n=$n")
+    }
+    // schema parity (names, types, nullability-insensitive compare by type)
+    val f = Dedup.shingleFramePos(docs, "text", "doc_id", 3).schema
+    val r = Dedup.shingleFramePosReference(docs, "text", "doc_id", 3).schema
+    assert(f.fields.map(x => (x.name, x.dataType)).toSeq ===
+      r.fields.map(x => (x.name, x.dataType)).toSeq)
+  }
 }

@@ -202,4 +202,31 @@ class BpeSpec extends SparkSpec {
       assert(Bpe.encodeSegmented(txt, t).toSeq === Bpe.encode(txt, t).toSeq,
         s"factorization must be exact for '$txt'")
   }
+
+  test("r17 interned loop is output-identical to the reference loop (all modes, fuzz)") {
+    // the r17 optimization replaced the string-keyed merge loop with an
+    // int-interned one; the retained reference twins are the ground truth
+    val rocket = new String(Character.toChars(0x1F680))
+    val alphabet = "the scanvaluedata batch".toCharArray.map(_.toString) ++
+      Seq("1", ",", ";", "z", "é", rocket, " ", "'")
+    val rnd = new scala.util.Random(170417)
+    val texts = Seq("", "a", rocket, "é", "the") ++ (1 to 60).map { _ =>
+      (0 until rnd.nextInt(80)).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+        .mkString
+    }
+    for (t <- Seq(Bpe.fixtureTable, Bpe.table1k); txt <- texts) {
+      assert(Bpe.encode(txt, t).toSeq ===
+        Bpe.encodeReference(txt, t).toSeq, s"encode '$txt'")
+      assert(Bpe.encodeSegmented(txt, t).toSeq ===
+        Bpe.encodeSegmentedReference(txt, t).toSeq, s"segmented '$txt'")
+      assert(Bpe.encodeBytes(txt, t).toSeq ===
+        Bpe.encodeBytesReference(txt, t).toSeq, s"bytes '$txt'")
+      assert(Bpe.encodeBytesSegmented(txt, t).toSeq ===
+        Bpe.encodeBytesSegmentedReference(txt, t).toSeq, s"bytesSeg '$txt'")
+    }
+    // duplicate-pair tie: toMap keeps the LAST rank — the interned map must too
+    val dup = BpeTable(Seq("a" -> "b", "c" -> "d", "a" -> "b"))
+    for (txt <- Seq("abcd", "abab", "cdcd"))
+      assert(Bpe.encode(txt, dup).toSeq === Bpe.encodeReference(txt, dup).toSeq)
+  }
 }
