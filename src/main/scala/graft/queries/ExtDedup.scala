@@ -20,7 +20,7 @@ private[graft] object ExtDedup {
     // exact-dedup groups on the md5 content fingerprint
     "dedup_exact_groups" -> ((s, d) => {
       Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id")
-        .orderBy(col("survivor_id"))
+        .transform(sortedOnce(_, col("survivor_id")))
         .select(col("fp"), col("survivor_id"), col("n_dups"))
     }),
 
@@ -53,7 +53,7 @@ private[graft] object ExtDedup {
         .select(col("doc_id"),
           coalesce(col("label"), col("doc_id")).as("component"),
           (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("kept"))
-        .orderBy(col("doc_id"))
+        .transform(sortedOnce(_, col("doc_id")))
     }),
 
     // QUALITY-based survivor election: same component store, but the kept
@@ -73,7 +73,7 @@ private[graft] object ExtDedup {
         .withColumn("survivor_id", first(col("doc_id")).over(w))
         .select(col("doc_id"), col("component"), col("nt").as("n_tokens"),
           col("survivor_id"), (col("survivor_id") === col("doc_id")).as("kept"))
-        .orderBy(col("doc_id"))
+        .transform(sortedOnce(_, col("doc_id")))
     }),
 
     // INCREMENTAL near-dup dedup — the production shape: the corpus (even
@@ -98,7 +98,7 @@ private[graft] object ExtDedup {
         "text", "doc_id", path)
         .select(col("id").as("doc_id"), col("kept"), col("cluster"),
           col("matched_id"), col("est_jaccard"))
-        .orderBy(col("doc_id"))
+        .transform(sortedOnce(_, col("doc_id")))
     }),
 
     // Lee et al.'s ExactSubstr signal, span-granular: per-doc fraction of
@@ -109,7 +109,7 @@ private[graft] object ExtDedup {
     "dedup_substring_coverage" -> ((s, d) => {
       Dedup.substringCoverage(Tables.documents(s, d), "text", "doc_id", n = 5)
         .withColumnRenamed("id", "doc_id")
-        .orderBy(col("doc_id"))
+        .transform(sortedOnce(_, col("doc_id")))
     }),
 
     // exact pairwise n-gram Jaccard on a bounded slice (quadratic by nature)
@@ -117,7 +117,7 @@ private[graft] object ExtDedup {
       Dedup.ngramJaccardPairs(
         Tables.documents(s, d).filter(col("doc_id") < 60), "text", "doc_id",
         minJaccard = 0.5)
-        .orderBy(col("id1"), col("id2"))
+        .transform(sortedOnce(_, col("id1"), col("id2")))
     }),
 
     // Exact EDIT-DISTANCE verification over the LSH candidate pairs: the
@@ -144,7 +144,7 @@ private[graft] object ExtDedup {
         .select(col("id1"), col("id2"),
           levenshtein(col("t1"), col("t2"), 64).as("edit_dist"))
         .filter(col("edit_dist") =!= -1)
-        .orderBy(col("id1"), col("id2"))
+        .transform(sortedOnce(_, col("id1"), col("id2")))
     }),
 
     // EXACT Jaccard pairs over the FULL corpus — the scale path for the
@@ -155,7 +155,7 @@ private[graft] object ExtDedup {
     "dedup_jaccard_prefix" -> ((s, d) => {
       Dedup.jaccardPrefixPairs(Tables.documents(s, d), "text", "doc_id",
         n = 5, minJaccard = 0.5)
-        .orderBy(col("id1"), col("id2"))
+        .transform(sortedOnce(_, col("id1"), col("id2")))
     }),
 
     // SemDeDup-style SEMANTIC dedup: IVF-cluster the embeddings, then drop
@@ -175,7 +175,7 @@ private[graft] object ExtDedup {
           threshold = 0.4)
         .select(col("id").as("vec_id"), col("ivf_cell"), col("kept"),
           col("survivor_id"))
-        .orderBy(col("vec_id"))
+        .transform(sortedOnce(_, col("vec_id")))
     }),
 
     // Near-dup CLUSTERING: pairwise matches → connected components → one
@@ -190,14 +190,14 @@ private[graft] object ExtDedup {
       Dedup.rotateCheckpoints("dedup_cluster_components", comps)
       comps
         .select(col("id").as("vec_id"), col("label").as("component"))
-        .orderBy(col("vec_id"))
+        .transform(sortedOnce(_, col("vec_id")))
     }),
 
     "dedup_minhash_sig" -> ((s, d) => {
       Dedup.minhashSignatures(Tables.documents(s, d), "text", "doc_id", k = 8)
         .select(col("id").as("doc_id"), col("sig").getItem(0).as("h0"),
           col("sig").getItem(1).as("h1"), col("sig").getItem(7).as("h7"))
-        .orderBy(col("doc_id"))
+        .transform(sortedOnce(_, col("doc_id")))
     }),
 
     "dedup_simhash" -> ((s, d) => {
@@ -207,7 +207,7 @@ private[graft] object ExtDedup {
       withSh.join(broadcast(sh0))
         .select(col("doc_id"), conv(col("sh").cast("string"), 10, 16).as("simhash_hex"),
           graft.ext.SimHash.hamming(col("sh"), col("sh0")).as("hamming_to_0"))
-        .orderBy(col("doc_id"))
+        .transform(sortedOnce(_, col("doc_id")))
     }),
 
     // MinHash ACCURACY, exact-checked: on a bounded slice, the k=32
@@ -236,7 +236,7 @@ private[graft] object ExtDedup {
         .select(col("id1"), col("id2"), round(col("j"), 6).as("jaccard"),
           (abs(Dedup.sigAgreement(col("sig1"), col("sig2")) - col("j")) <= 0.35)
             .as("within_tol"))
-        .orderBy(col("id1"), col("id2"))
+        .transform(sortedOnce(_, col("id1"), col("id2")))
     }),
 
     // SimHash normalization invariance, exact-checked per document: the
@@ -248,7 +248,7 @@ private[graft] object ExtDedup {
           (Dedup.simhash(col("text")) ===
             Dedup.simhash(upper(concat(lit("  "), col("text"), lit("  ")))))
             .as("normalization_invariant"))
-        .orderBy(col("doc_id"))
+        .transform(sortedOnce(_, col("doc_id")))
     }),
 
     "dedup_minhash_pairs" -> ((s, d) => {

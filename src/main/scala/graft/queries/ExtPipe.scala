@@ -221,11 +221,10 @@ private[graft] object ExtPipe {
     // javax.imageio on executors; dims and channel means have closed forms
     // the oracle recomputes from the generation rule (PNG is lossless).
     "multimodal_decode" -> ((s, d) => {
-      Multimodal.decodePngFeatures(
+      sortedOnce(Multimodal.decodePngFeatures(
         Multimodal.pngMediaCached(Tables.documents(s, d), d)).toDF()
         .select(col("media_id"), col("width"), col("height"),
-          col("mean_r"), col("mean_g"), col("mean_b"))
-        .orderBy(col("media_id"))
+          col("mean_r"), col("mean_g"), col("mean_b")), col("media_id"))
     }),
 
     // RESIZE stage over the real decoded raster: 2x2 block-average
@@ -235,12 +234,11 @@ private[graft] object ExtPipe {
     // (w or h = 1) are out of the kernel's domain — filtered here AND in
     // the oracle.
     "multimodal_resize" -> ((s, d) => {
-      Multimodal.thumbnailFeatures(
+      sortedOnce(Multimodal.thumbnailFeatures(
         Multimodal.pngMediaCached(Tables.documents(s, d), d)
           .filter(col("width") >= 2 && col("height") >= 2)).toDF()
         .select(col("media_id"), col("thumb_w"), col("thumb_h"),
-          col("mean_r"), col("mean_g"), col("mean_b"))
-        .orderBy(col("media_id"))
+          col("mean_r"), col("mean_g"), col("mean_b")), col("media_id"))
     }),
 
     // LOSSY codec round-trip, exact-checked: synthetic solid-color JPEGs
@@ -251,13 +249,13 @@ private[graft] object ExtPipe {
     // oracle pins as `true` fail on any channel swap, gradient bug, or
     // codec regression.
     "multimodal_jpeg_roundtrip" -> ((s, d) => {
-      Multimodal.decodePngFeatures(
+      sortedOnce(Multimodal.decodePngFeatures(
         Multimodal.jpegMediaCached(Tables.documents(s, d), d)).toDF()
         .select(col("media_id"), col("width"), col("height"),
           (abs(col("mean_r") - col("media_id") % 256) <= 4.0).as("r_ok"),
           (abs(col("mean_g") - (col("media_id") * 7 + 31) % 256) <= 4.0).as("g_ok"),
-          (abs(col("mean_b") - (col("media_id") * 13 + 7) % 256) <= 4.0).as("b_ok"))
-        .orderBy(col("media_id"))
+          (abs(col("mean_b") - (col("media_id") * 13 + 7) % 256) <= 4.0).as("b_ok")),
+        col("media_id"))
     }),
 
     // REAL audio codec round-trip: deterministic 16-bit PCM clips through
@@ -266,10 +264,10 @@ private[graft] object ExtPipe {
     // the oracle's closed forms bit-for-bit with NO rounding (IEEE divide
     // and sqrt are correctly rounded in both engines).
     "multimodal_wav_roundtrip" -> ((s, d) => {
-      Multimodal.decodeWavStats(Multimodal.wavMediaCached(Tables.documents(s, d), d)).toDF()
+      sortedOnce(Multimodal.decodeWavStats(
+        Multimodal.wavMediaCached(Tables.documents(s, d), d)).toDF()
         .select(col("media_id"), col("n_samples"), col("sample_rate"),
-          col("mean_sample"), col("rms"))
-        .orderBy(col("media_id"))
+          col("mean_sample"), col("rms")), col("media_id"))
     }),
 
     // REAL multi-frame (video-shaped) codec round-trip: deterministic 2-6
@@ -279,9 +277,9 @@ private[graft] object ExtPipe {
     // the generation rule's closed forms bit-for-bit — no tolerance needed,
     // unlike JPEG.
     "multimodal_gif_frames" -> ((s, d) => {
-      Multimodal.decodeGifFrames(
-        Multimodal.gifMediaCached(Tables.documents(s, d), d), stride = 2).toDF()
-        .orderBy(col("media_id"), col("frame_idx"))
+      sortedOnce(Multimodal.decodeGifFrames(
+        Multimodal.gifMediaCached(Tables.documents(s, d), d), stride = 2).toDF(),
+        col("media_id"), col("frame_idx"))
     }),
 
     // The batched feature-extraction machinery for formats with no JVM

@@ -80,6 +80,19 @@ private[graft] object ExtShared {
       .select(col("value"), col("tus"))
   }
 
+  /** Global sort that computes its child ONCE (r17, guide §2.4): Spark's
+    * range exchange SAMPLES its child RDD for partition bounds and then
+    * shuffles it — executing the entire pre-sort segment (scan, codegen'd
+    * projections, codecs) TWICE. Measured on the byte-BPE projection at
+    * sf0.1 (graft.SortProbe): plain orderBy 0.63 s vs 0.34 s with a hash
+    * exchange interposed — the exchange materializes the segment as an AQE
+    * query stage, so the range sampling reads shuffle output instead of
+    * recomputing the segment. Cost: one extra exchange of the FINAL rows;
+    * a win whenever segment compute dominates output bytes (tokenizer,
+    * regex, media-codec lanes). Output rows and order are identical. */
+  def sortedOnce(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame =
+    df.repartition(keys: _*).orderBy(keys: _*)
+
   /** Distinct (flag, price)→weight rows with their B=1024 value-range
     * bucket ids — phase 0+bucketing of agg_weighted_median_bucketed,
     * shared with BoundedWindowSpec (pins per-bucket occupancy ≪ distinct

@@ -27,7 +27,7 @@ private[graft] object ExtTrain {
     "train_shuffle_shard" -> ((s, d) => {
       shuffleShardFrame(s, d)
         .select(col("doc_id"), col("stratum"), col("shard"), col("n_tokens"))
-        .orderBy(col("doc_id"))
+        .transform(sortedOnce(_, col("doc_id")))
     }),
 
     // Deterministic train/valid/test assignment from an md5 threshold on
@@ -39,7 +39,7 @@ private[graft] object ExtTrain {
       Tables.documents(s, d)
         .select(col("doc_id"), bucket.as("bucket"))
         .withColumn("split", graft.ext.Sampling.hashSplit(col("doc_id")))
-        .orderBy(col("doc_id"))
+        .transform(sortedOnce(_, col("doc_id")))
     }),
 
     // Z-order (Morton) layout audit: interleave two dimensions into one
@@ -67,7 +67,7 @@ private[graft] object ExtTrain {
       graft.ext.Sampling.stratifiedSample(Tables.documents(s, d), "lang", "doc_id",
           Map("en" -> 0.25, "zh" -> 0.5))
         .select(col("doc_id"), col("lang"))
-        .orderBy(col("doc_id"))
+        .transform(sortedOnce(_, col("doc_id")))
     }),
 
     // Stratified fixed-size sampling: exactly min(k,|stratum|) docs per
@@ -77,7 +77,7 @@ private[graft] object ExtTrain {
     "train_sample_per_lang" -> ((s, d) => {
       graft.ext.Sampling.stratifiedFixedK(Tables.documents(s, d), "lang", "doc_id", 40)
         .select(col("doc_id"), col("lang"))
-        .orderBy(col("doc_id"))
+        .transform(sortedOnce(_, col("doc_id")))
     }),
 
     // Mixture rebalancing with DATA-DERIVED rates: each language gets
@@ -120,7 +120,7 @@ private[graft] object ExtTrain {
       graft.ext.Sampling.weightedSample(Tables.documents(s, d),
           col("n_chars").cast("double") / 500.0, "doc_id")
         .select(col("doc_id"), col("n_chars"))
-        .orderBy(col("doc_id"))
+        .transform(sortedOnce(_, col("doc_id")))
     }),
 
     // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
@@ -165,7 +165,7 @@ private[graft] object ExtTrain {
           TA.tokenCount(col("text")), budget = 2048L)
         .select(col("id").as("doc_id"), col("n_tokens"), col("start_off"),
           col("pack_first"), col("pack_last"), col("packs_spanned"))
-        .orderBy(col("doc_id"))
+        .transform(sortedOnce(_, col("doc_id")))
     }),
 
     // Token-budget mixture: per language, keep docs in seeded-draw order
@@ -314,7 +314,7 @@ private[graft] object ExtTrain {
           coalesce(col("n_words"), lit(0L)).as("n_words"),
           coalesce(round(col("n_bpe_tokens").cast("double") / col("n_words"), 4),
             lit(0.0)).as("fertility"))
-        .orderBy(col("doc_id"))
+        .transform(sortedOnce(_, col("doc_id")))
     }),
 
     "train_pack_ffd" -> ((s, d) => {
@@ -338,7 +338,7 @@ private[graft] object ExtTrain {
           budget = 512L)
         .select(col("id").as("doc_id"), col("n_tokens"), col("start_off"),
           col("pack_first"), col("pack_last"), col("packs_spanned"))
-        .orderBy(col("doc_id"))
+        .transform(sortedOnce(_, col("doc_id")))
     }),
 
     // Static mixture REWEIGHTING (the DoReMi-style domain-weight step done
@@ -395,7 +395,7 @@ private[graft] object ExtTrain {
         .select(col("survivor_id").as("doc_id"))
       stats.join(survivors, "doc_id")
         .filter(col("quality") >= 0.5)
-        .orderBy(col("doc_id"))
+        .transform(sortedOnce(_, col("doc_id")))
     }),
 
     // Per-source diversity cap — the domain-cap step every web-crawl
@@ -415,7 +415,7 @@ private[graft] object ExtTrain {
         .withColumn("kept", col("src_rank") <= 20)
         .select(col("doc_id"), col("source"), col("quality"),
           col("src_rank"), col("kept"))
-        .orderBy(col("doc_id"))
+        .transform(sortedOnce(_, col("doc_id")))
     }),
 
     // Train/eval n-gram decontamination: eval set = every 97th doc, train =
@@ -430,7 +430,7 @@ private[graft] object ExtTrain {
         docs.filter(col("doc_id") % 97 === 0),
         "text", "doc_id", n = 5)
         .select(col("id").as("doc_id"), col("n_shared"))
-        .orderBy(col("doc_id"))
+        .transform(sortedOnce(_, col("doc_id")))
     }),
 
     // Containment-SCORED decontamination: beside the shared-gram count,
@@ -447,7 +447,7 @@ private[graft] object ExtTrain {
         "text", "doc_id", n = 5)
         .select(col("id").as("doc_id"), col("n_grams"), col("n_shared"),
           col("containment"))
-        .orderBy(col("doc_id"))
+        .transform(sortedOnce(_, col("doc_id")))
     }),
 
     // Dataset card: the per-(lang, source) summary a data release ships —
@@ -540,7 +540,7 @@ private[graft] object ExtTrain {
         .join(comps.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
         .withColumn("split", graft.ext.Sampling.hashSplit(col("cluster_id")))
-        .orderBy(col("doc_id"))
+        .transform(sortedOnce(_, col("doc_id")))
     }),
 
     // Curriculum phasing: docs split easy→hard into 4 phases by Flesch
