@@ -162,10 +162,10 @@ object Dedup {
     * defaultParallelism). Shuffling the compact document rows here is
     * strictly cheaper than the pre-r17 shape, which shuffled the exploded
     * token stream (one row per token) for the same spread. */
-  private[graft] def withMinParallelism(df: DataFrame, idCol: String): DataFrame = {
+  private[graft] def withMinParallelism(df: DataFrame, idCols: String*): DataFrame = {
     val parts = df.rdd.getNumPartitions
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (parts >= target) df else df.repartition(col(idCol))
+    if (parts >= target) df else df.repartition(idCols.map(col): _*)
   }
 
   /** Pre-r17 window formulation of [[shingleFramePos]], retained verbatim
@@ -755,11 +755,16 @@ object Dedup {
     // are edge/label-sized — on a x100 corpus the deserialized default was
     // the closure's OOM margin (VERDICT r16 #4); each block is read once
     // per round, so the serialization cost is noise
+    // r17: pre-partition the edge list by the per-round join key before the
+    // checkpoint (which preserves partitioning) — each round then exchanges
+    // only the node-sized label frame, never the edges; the nbrMin→labels
+    // join is co-partitioned for free (hash(a) aligns with hash(id))
     val sym = boundedCheckpoint(edges
       .select(col("id1").cast("long").as("a"), col("id2").cast("long").as("b"))
       .union(edges
         .select(col("id2").cast("long").as("a"), col("id1").cast("long").as("b")))
-      .distinct())
+      .distinct()
+      .repartition(col("b")))
     var prevCkpt = boundedCheckpoint(sym.select(col("a").as("id")).distinct()
       .withColumn("label", col("id")))
     var labels = prevCkpt

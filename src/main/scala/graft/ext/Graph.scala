@@ -48,17 +48,31 @@ object Graph {
       damping: Double = 0.85, checkpointKey: String = "Graph.pageRank"): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
-    val sym = edges.select(col("id1").as("src"), col("id2").as("dst"))
+    // r17 (guide §2.4): pre-partition the symmetrized edges by the
+    // iteration join key BEFORE checkpointing — localCheckpoint preserves
+    // outputPartitioning in its LogicalRDD, so every round's edge⋈rank
+    // join re-exchanges only the (node-sized) rank frame, never the edge
+    // list — and fold the degree in ONCE, so each round runs one join
+    // instead of two. Was per round: edge exchange + 2 joins; now: one
+    // rank exchange + 1 join + the dst-keyed aggregate.
+    val symP = edges.select(col("id1").as("src"), col("id2").as("dst"))
       .unionAll(edges.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
+      .repartition(col("src"))
       .localCheckpoint()
-    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val deg = symP.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     val n = deg.count()
     if (n == 0) { // edgeless graph: empty rank frame, same schema
-      Dedup.rotateCheckpoints(checkpointKey, sym, deg)
-      return sym.select(col("src").as("id"), lit(0.0).as("rank")).limit(0)
+      Dedup.rotateCheckpoints(checkpointKey, symP, deg)
+      return symP.select(col("src").as("id"), lit(0.0).as("rank")).limit(0)
     }
+    val sym = symP.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .localCheckpoint()
+    // symP's blocks are dead once the degree-attached edge frame exists
+    // (deg still reads its own checkpoint; ranks round 1 reads deg's)
+    Dedup.unpersistCheckpoint(symP)
     var ranks = deg.select(col("src").as("id"), lit(1.0 / n).as("rank"))
     // a barrier's checkpoint blocks are dead the moment the next barrier's
     // eager localCheckpoint materializes (the new frame is a fresh
@@ -71,7 +85,6 @@ object Graph {
     for (i <- 1 to iterations) {
       val contribs = sym
         .join(ranks.withColumnRenamed("id", "src"), "src")
-        .join(deg, "src")
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
       ranks = contribs.groupBy(col("id"))
         .agg(round(lit((1 - damping) / n) + lit(damping) * sum(col("c")), 10)
@@ -133,6 +146,10 @@ object Graph {
           .otherwise(struct(col("b").as("src"), col("a").as("dst"),
             col("da").as("ddeg"))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.ddeg").as("ddeg"))
+      // r17: pre-partition by the wedge key before the checkpoint (which
+      // preserves partitioning) — the wedge self-join below then runs with
+      // ZERO exchanges on either side
+      .repartition(col("src"))
       .localCheckpoint()
     val left = out.select(col("src"), col("dst").as("v"), col("ddeg").as("dv"))
     val right = out.select(col("src"), col("dst").as("w"), col("ddeg").as("dw"))

@@ -101,7 +101,12 @@ object Profile {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val m = 1 << p
     val maxRank = 64 - p + 1
-    val melted = df
+    // r17: the melt + hash/rank projection + per-(col, register) partial
+    // aggregation all run inside the scan task — on a single-row-group
+    // input that serializes k·rows of work onto one core. The guard
+    // hash-repartitions the narrow source rows only when the scan yields
+    // fewer partitions than the session parallelism (identity at scale).
+    val melted = Dedup.withMinParallelism(df.select(cols.map(col): _*), cols: _*)
       .select(explode(array(cols.map(c =>
         struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("e"))
       .select(col("e.c").as("c"), col("e.v").as("v"))
