@@ -387,7 +387,7 @@ private[graft] object ExtDiag {
         .agg(max(col("n_early")).as("n_early"), max(col("n_late")).as("n_late"),
           round(max(when(col("n_early") > 0 && col("n_late") > 0, col("__d"))), 6)
             .as("ks_stat"))
-        .orderBy(col("event_type"))
+        .transform(sortedOnce(_, col("event_type")))
     }),
 
     // Welch's unequal-variance t on per-user purchase totals between the
@@ -483,7 +483,7 @@ private[graft] object ExtDiag {
         .groupBy(col("flag"), col("tw"))
         .agg(min(col("v")).as("wmedian"))
         .select(col("flag"), col("tw").as("total_weight"), col("wmedian"))
-        .orderBy(col("flag"))
+        .transform(sortedOnce(_, col("flag")))
     }),
 
     // The 100 TB swap for agg_weighted_median, shipped as benched code
@@ -523,7 +523,7 @@ private[graft] object ExtDiag {
         .filter(col("cw") >= col("tw") / 2)
         .groupBy(col("flag"), col("tw")).agg(min(col("v")).as("wmedian"))
         .select(col("flag"), col("tw").as("total_weight"), col("wmedian"))
-        .orderBy(col("flag"))
+        .transform(sortedOnce(_, col("flag")))
     }),
 
     // Exact Gini coefficient of per-user event counts — the

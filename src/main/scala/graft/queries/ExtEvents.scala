@@ -115,7 +115,7 @@ private[graft] object ExtEvents {
         .agg(count(lit(1)).as("n_events"),
           count_if(abs(col("__z")) > 3.0).as("n_anomalies"),
           round(max(abs(col("__z"))), 4).as("max_abs_z"))
-        .orderBy(col("user_id"))
+        .transform(sortedOnce(_, col("user_id")))
     }),
 
     // Cohort LTV: revenue by (cohort day, age), plus the running
@@ -133,7 +133,7 @@ private[graft] object ExtEvents {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("cohort_day")).orderBy(col("day_offset"))
       daily.withColumn("cum_rev", round(sum(col("rev")).over(w), 2))
-        .orderBy(col("cohort_day"), col("day_offset"))
+        .transform(sortedOnce(_, col("cohort_day"), col("day_offset")))
     }),
 
     // A/B exposure analysis: users deterministically hash-bucketed into
@@ -189,7 +189,7 @@ private[graft] object ExtEvents {
         .agg(count(lit(1)).as("n_events"),
           round(min(col("value") - col("peak")), 6).as("max_drawdown"),
           round(max(col("peak")), 6).as("peak_value"))
-        .orderBy(col("user_id"))
+        .transform(sortedOnce(_, col("user_id")))
     }),
 
     // Snapshot diff — the change-detection step incremental-retraining
@@ -243,7 +243,7 @@ private[graft] object ExtEvents {
           "user_id", "ts_ns", "event_id", "event_type",
           touchTypes = Seq("view", "click"), conversionType = "purchase",
           windowTicks = 7L * 86400L * 1000000000L)
-        .orderBy(col("touch_type"))
+        .transform(sortedOnce(_, col("touch_type")))
     }),
 
     // RFM user segmentation: recency/frequency/monetary quartile scores
@@ -254,7 +254,7 @@ private[graft] object ExtEvents {
     "events_rfm_segments" -> ((s, d) => {
       graft.ext.EventAnalytics.rfmSegments(Tables.events(s, d),
           "user_id", "ts_ns", "value")
-        .orderBy(col("r_score"), col("f_score"), col("m_score"))
+        .transform(sortedOnce(_, col("r_score"), col("f_score"), col("m_score")))
     }),
 
     // Robust per-type outlier gate: exact median + MAD (median absolute
@@ -284,7 +284,7 @@ private[graft] object ExtEvents {
           // interpolation difference)
           sum(when(round(col("__adev"), 6) > round(lit(3.0) * col("__mad"), 6),
             1L).otherwise(0L)).as("n_outliers"))
-        .orderBy(col("event_type"))
+        .transform(sortedOnce(_, col("event_type")))
     }),
 
     // The 100 TB swap for events_anomaly_mad, shipped as benched code
@@ -363,7 +363,7 @@ private[graft] object ExtEvents {
       graft.ext.EventAnalytics.sessionStats(
         ev, "user_id", "ts_us", "event_id", "event_type",
         gapNs = 1800L * 1000000L)
-        .orderBy(col("user_id"), col("session_idx"))
+        .transform(sortedOnce(_, col("user_id"), col("session_idx")))
     }),
 
     // Strict ordered funnel signup -> view -> click -> purchase within 72 h
@@ -426,7 +426,7 @@ private[graft] object ExtEvents {
       pairs.join(rowTot, "from_type")
         .select(col("from_type"), col("to_type"), col("n"),
           round(col("n").cast("double") / col("__rt"), 6).as("p"))
-        .orderBy(col("from_type"), col("to_type"))
+        .transform(sortedOnce(_, col("from_type"), col("to_type")))
     }),
 
     // Time-to-convert: among users completing the signup→purchase funnel
@@ -455,7 +455,7 @@ private[graft] object ExtEvents {
         ticksPerDay = 86400L * 1000000L)
         .select(col("cohort_day"), col("day_offset"), col("n_active"), col("cohort_n"),
           round(col("n_active").cast("double") / col("cohort_n"), 6).as("retained"))
-        .orderBy(col("cohort_day"), col("day_offset"))
+        .transform(sortedOnce(_, col("cohort_day"), col("day_offset")))
     }),
 
     // Growth curve: new users per day (each user counted on their FIRST
@@ -508,7 +508,7 @@ private[graft] object ExtEvents {
           col("version_id"))
         // version_id makes the sort total even when two version boundaries
         // share one µs-truncated timestamp (latent flap before)
-        .orderBy(col("user_id"), col("effective_from"), col("version_id"))
+        .transform(sortedOnce(_, col("user_id"), col("effective_from"), col("version_id")))
     }),
 
     // Top-20 3-step in-session paths: session containment enforced inside
@@ -544,7 +544,7 @@ private[graft] object ExtEvents {
       counts.select(explode(array(rows: _*)).as("r"))
         .select(col("r.step_idx"), col("r.step"), col("r.n_sessions"),
           col("r.conversion"))
-        .orderBy(col("step_idx"))
+        .transform(sortedOnce(_, col("step_idx")))
     }),
 
     // Per-node triangle counts on the near-dup graph (degree-ordered
@@ -584,7 +584,7 @@ private[graft] object ExtEvents {
         .filter(col("__rn") === 1)
         .select(col("user_id"), col("n_events"),
           round(col("__ewma"), 6).as("ewma_last"))
-        .orderBy(col("user_id"))
+        .transform(sortedOnce(_, col("user_id")))
     }),
 
     // Linear interpolation over the same per-user daily spine as
@@ -612,7 +612,7 @@ private[graft] object ExtEvents {
                 * ((col("day") - col("pd")) / (col("nd") - col("pd"))), 4))))
         .withColumn("observed", col("close").isNotNull)
         .select(col("user_id"), col("day"), col("close_interp"), col("observed"))
-        .orderBy(col("user_id"), col("day"))
+        .transform(sortedOnce(_, col("user_id"), col("day")))
     }),
 
     // Per-type daily-volume OLS trend. The five moments are EXACT LONG
@@ -639,7 +639,7 @@ private[graft] object ExtEvents {
           round(col("__slope"), 6).as("slope"),
           round((col("sy").cast("double") - col("__slope") * col("sx").cast("double"))
             / col("n").cast("double"), 6).as("intercept"))
-        .orderBy(col("event_type"))
+        .transform(sortedOnce(_, col("event_type")))
     }),
 
     // Inter-arrival gap profile per event_type: each event's gap since
@@ -666,7 +666,7 @@ private[graft] object ExtEvents {
             round((stddev_samp(col("__gap_s")) - avg(col("__gap_s")))
               / (stddev_samp(col("__gap_s")) + avg(col("__gap_s"))), 4))
             .as("burstiness"))
-        .orderBy(col("event_type"))
+        .transform(sortedOnce(_, col("event_type")))
     }),
 
     // Growth accounting: each user-week classified new / retained /
@@ -717,7 +717,7 @@ private[graft] object ExtEvents {
           coalesce(col("n_retained"), lit(0L)).as("n_retained"),
           coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
           coalesce(col("n_churned"), lit(0L)).as("n_churned"))
-        .orderBy(col("week"))
+        .transform(sortedOnce(_, col("week")))
     }),
 
     // Seasonal-naive backtest: forecast(day) = count(day − 7) on the
@@ -748,7 +748,7 @@ private[graft] object ExtEvents {
             .as("mape"),
           round(sqrt(avg(((col("y") - col("yhat"))
             * (col("y") - col("yhat"))).cast("double"))), 4).as("rmse"))
-        .orderBy(col("event_type"))
+        .transform(sortedOnce(_, col("event_type")))
     }),
 
     // Pairwise audience overlap between event types: |A∩B| via ONE
@@ -860,7 +860,7 @@ private[graft] object ExtEvents {
       cu.crossJoin(broadcast(mx))
         .select(col("day"), col("y"), col("cusum"),
           (abs(col("cusum")) === col("mxabs")).as("is_peak"))
-        .orderBy(col("day"))
+        .transform(sortedOnce(_, col("day")))
     }),
 
     // CUPED variance reduction on the A/B metric: per-user pre/post
