@@ -286,12 +286,20 @@ object Dedup {
   def minhashNearDupsFromSigs(sigs: DataFrame,
       bands: Int = 8, rows: Int = 4, threshold: Double = 0.5,
       maxBucket: Int = 100): DataFrame = {
+    // r17 plan audit: the band stream fed the bucket-size aggregate AND the
+    // prune join (2 runs of the interpreted band explode over the signature
+    // blocks), and the pruned stream fed BOTH sides of the candidate
+    // self-join (2 more). Materialize each once — both are band-stream
+    // sized (bands rows per doc at most, pruned far smaller).
     val b = lshBandsFromSigs(sigs, bands, rows)
       .select(col("id"), col("band"), col("band_hash"))
+      .localCheckpoint()
     val sizes = b.groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("sz"))
       .filter(col("sz").between(2, maxBucket))
     val pruned = b.join(sizes, Seq("band", "band_hash"))
+      .localCheckpoint()
+    rotateCheckpoints("Dedup.minhashNearDupsFromSigs", b, pruned)
     val pairs = pruned.select(col("band"), col("band_hash"), col("id").as("id1"))
       .join(pruned.select(col("band"), col("band_hash"), col("id").as("id2")),
         Seq("band", "band_hash"))
@@ -434,9 +442,13 @@ object Dedup {
       val comps = connectedComponents(pairs.select(col("id1"), col("id2")))
       comps.write.mode("overwrite").parquet(path)
       // the store materializes everything — free the whole chain eagerly
-      // (no rotation needed: consumers depend on the parquet, not the plan)
+      // (no rotation needed: consumers depend on the parquet, not the plan).
+      // The banding step's own rotation generation (r17) is part of this
+      // chain: an empty rotation under its key frees it now instead of at
+      // the next banding call.
       unpersistCheckpoint(comps)
       unpersistCheckpoint(sigs)
+      rotateCheckpoints("Dedup.minhashNearDupsFromSigs")
     }
     spark.read.parquet(path)
   }
@@ -647,8 +659,13 @@ object Dedup {
     val tokSet = shingleFrame(docs, textCol, idCol, n)
       .withColumnRenamed("shingle", "t").distinct()
       .localCheckpoint()
-    rotateCheckpoints("Dedup.jaccardPrefixPairs", tokSet)
+    // r17 plan audit: szs fed the prefix build AND both final size joins
+    // (3 full-stream aggregations over tokSet's blocks), and the whole
+    // prefix pipeline (dfreq join + per-doc window + rank filter) ran
+    // TWICE — once per side of the candidate self-join. Materialize both
+    // reduced frames; the self-join then reads prefix blocks.
     val szs = tokSet.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+      .localCheckpoint()
     val dfreq = tokSet.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("df"), col("t"))
@@ -659,6 +676,8 @@ object Dedup {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= col("sz") - ceilTsz + 1)
       .select(col("id"), col("sz"), col("t"))
+      .localCheckpoint()
+    rotateCheckpoints("Dedup.jaccardPrefixPairs", tokSet, szs, pfx)
     val cand = pfx.as("a").join(pfx.as("b"),
         col("a.t") === col("b.t") && col("a.id") < col("b.id") &&
           col("b.sz") * lit(den) >= lit(num) * col("a.sz") &&

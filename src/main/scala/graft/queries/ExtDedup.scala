@@ -190,7 +190,7 @@ private[graft] object ExtDedup {
       Dedup.rotateCheckpoints("dedup_cluster_components", comps)
       comps
         .select(col("id").as("vec_id"), col("label").as("component"))
-        .transform(sortedOnce(_, col("vec_id")))
+        .orderBy(col("vec_id"))
     }),
 
     "dedup_minhash_sig" -> ((s, d) => {

@@ -255,18 +255,21 @@ class ExplainSpec extends SparkSpec {
     assert(nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) === 0)
   }
 
-  test("events_sessionize: one events scan, ONE hash exchange for windows + rollup") {
+  test("events_sessionize: one events scan, windows share one user exchange + the sortedOnce stage") {
     val nodes = run("events_sessionize")
     assert(fileScans(nodes, "events.parquet").size === 1, "sessionize reads the log once")
-    assert(hashExchanges(nodes) <= 1,
+    // r17: <= 2 — the single user-keyed shuffle all windows reuse, plus the
+    // deliberate sortedOnce stage that keeps the output sort's sampling
+    // from re-running the window segment
+    assert(hashExchanges(nodes) <= 2,
       "the lag window, running-sum window, and per-session rollup must all " +
-        "reuse the single user-keyed shuffle")
+        "reuse the single user-keyed shuffle (plus the one sortedOnce stage)")
   }
 
-  test("events_scd2_history: one events scan, ONE hash exchange for lag/filter/lead") {
+  test("events_scd2_history: one events scan, one user exchange + the sortedOnce stage") {
     val nodes = run("events_scd2_history")
     assert(fileScans(nodes, "events.parquet").size === 1)
-    assert(hashExchanges(nodes) <= 1)
+    assert(hashExchanges(nodes) <= 2) // user exchange + sortedOnce stage (r17)
   }
 
   test("events_funnel: one events scan, no self-join for the conversion denominator") {
