@@ -101,9 +101,13 @@ private[graft] object ExtDiag {
     // Run over four candidate FDs (two that hold, two that don't on this
     // schema); each is one aggregate pair, outputs a 1-row verdict.
     "diag_fd_check" -> ((s, d) => {
+      // r17: the lhs-keyed distinct aggregate's partial phase runs inside
+      // the scan task — serialized on single-row-group inputs; the
+      // scale-adaptive guard spreads the two-column rows first
       def fd(name: String, df: org.apache.spark.sql.DataFrame,
           lhs: String, rhs: String): org.apache.spark.sql.DataFrame =
-        df.groupBy(col(lhs)).agg(count_distinct(col(rhs)).as("__nd"))
+        Dedup.withMinParallelism(df.select(col(lhs), col(rhs)), lhs)
+          .groupBy(col(lhs)).agg(count_distinct(col(rhs)).as("__nd"))
           .agg(count(lit(1)).as("n_lhs_groups"),
             sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_violating"))
           .select(lit(name).as("fd"), col("n_lhs_groups"), col("n_violating"))
@@ -483,7 +487,7 @@ private[graft] object ExtDiag {
         .groupBy(col("flag"), col("tw"))
         .agg(min(col("v")).as("wmedian"))
         .select(col("flag"), col("tw").as("total_weight"), col("wmedian"))
-        .transform(sortedOnce(_, col("flag")))
+        .orderBy(col("flag"))
     }),
 
     // The 100 TB swap for agg_weighted_median, shipped as benched code
@@ -523,7 +527,7 @@ private[graft] object ExtDiag {
         .filter(col("cw") >= col("tw") / 2)
         .groupBy(col("flag"), col("tw")).agg(min(col("v")).as("wmedian"))
         .select(col("flag"), col("tw").as("total_weight"), col("wmedian"))
-        .transform(sortedOnce(_, col("flag")))
+        .orderBy(col("flag"))
     }),
 
     // Exact Gini coefficient of per-user event counts — the

@@ -198,9 +198,14 @@ private[graft] object ExtText {
     // no pairwise anything. The shared grain frame feeds both sides →
     // checkpointed, one corpus scan.
     "text_ngram_novelty" -> ((s, d) => {
+      // r17: pre-partition the grain frame by SHINGLE before the checkpoint
+      // (which preserves partitioning) — the first-occurrence aggregate and
+      // the join-back are then both co-partitioned for free (was: two
+      // full-stream shingle exchanges after the checkpoint)
       val g = Dedup.shingleFramePos(Tables.documents(s, d), "text", "doc_id", 5)
         .filter(col("ntok") >= 5)
         .select(col("id"), col("shingle")).distinct()
+        .repartition(col("shingle"))
         .localCheckpoint()
       Dedup.rotateCheckpoints("text_ngram_novelty", g)
       val first = g.groupBy(col("shingle")).agg(min(col("id")).as("first_id"))
