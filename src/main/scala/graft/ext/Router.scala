@@ -82,6 +82,10 @@ object Router {
       .select(col("doc_id"), col(s"true_$labelCol"),
         col("pcls").as(s"pred_$labelCol"),
         (col(s"true_$labelCol") === col("pcls")).as("correct"))
+      // r17 (the sortedOnce pattern): a hash stage before the output sort,
+      // so the range sampling reads shuffle output instead of re-running
+      // the argmax window segment
+      .repartition(col("doc_id"))
       .orderBy(col("doc_id"))
   }
 }

@@ -91,7 +91,11 @@ private[graft] object ExtShared {
     * a win whenever segment compute dominates output bytes (tokenizer,
     * regex, media-codec lanes). Output rows and order are identical. */
   def sortedOnce(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame =
-    df.repartition(keys: _*).orderBy(keys: _*)
+    // partition on the LEADING key only: a multi-column repartition whose
+    // expressions match the sort prefix is collapsed away by the optimizer
+    // in several of these shapes (observed in the r17 plan dumps), which
+    // silently restores the double evaluation this helper exists to avoid
+    df.repartition(keys.head).orderBy(keys: _*)
 
   /** Distinct (flag, price)→weight rows with their B=1024 value-range
     * bucket ids — phase 0+bucketing of agg_weighted_median_bucketed,
