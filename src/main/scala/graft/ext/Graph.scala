@@ -48,6 +48,12 @@ object Graph {
       damping: Double = 0.85, checkpointKey: String = "Graph.pageRank"): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    pageRankBody(edges, iterations, damping, checkpointKey)
+  }
+
+  private def pageRankBody(edges: DataFrame, iterations: Int,
+      damping: Double, checkpointKey: String): DataFrame = {
+    val spark = edges.sparkSession
     // r17 (guide §2.4): pre-partition the symmetrized edges by the
     // iteration join key BEFORE checkpointing — localCheckpoint preserves
     // outputPartitioning in its LogicalRDD, so every round's edge⋈rank
@@ -55,20 +61,52 @@ object Graph {
     // list — and fold the degree in ONCE, so each round runs one join
     // instead of two. Was per round: edge exchange + 2 joins; now: one
     // rank exchange + 1 join + the dst-keyed aggregate.
-    val symP = edges.select(col("id1").as("src"), col("id2").as("dst"))
+    val symP0 = edges.select(col("id1").as("src"), col("id2").as("dst"))
       .unionAll(edges.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
       .repartition(col("src"))
       .localCheckpoint()
+    // r18 (VERDICT r17 #1): the edge-building pipeline above runs under the
+    // session's normal adaptive config; the LOOP below runs with AQE off
+    // and a shuffle-partition count derived from the MEASURED edge bytes,
+    // the way AQE's coalescing would size it (advisory byte target,
+    // parallelism-first floor). Under AQE every exchange is a separately
+    // submitted driver job — 44 jobs/run for this lane, each a blocking
+    // round-trip, on pre-partitioned frames where adaptivity has nothing
+    // to decide. With the loop conf pinned, each barrier is ONE job whose
+    // byte-right stages schedule inside the DAG. Scale-neutral: the count
+    // is bytes/advisory with a parallelism floor, never a local constant.
+    Dedup.withAqeOff(spark) {
+    val p = Dedup.sizeAdaptivePartitions(spark, Dedup.checkpointBytes(symP0))
+    val symP = if (p >= symP0.rdd.getNumPartitions) symP0 else {
+      val r = symP0.repartition(p, col("src")).localCheckpoint()
+      Dedup.unpersistCheckpoint(symP0)
+      r
+    }
+    Dedup.withShufflePartitions(spark, symP.rdd.getNumPartitions) {
+    // r18 (VERDICT r17 #1 — the loop lanes are driver-latency-bound): the
+    // degree aggregate is CO-PARTITIONED with symP's checkpoint (no
+    // exchange), and the node count rides the degree checkpoint's
+    // materialization as an observed metric instead of a separate count()
+    // job — one blocking driver round-trip fewer before the loop.
+    // (ObsProbe pins that eager localCheckpoint delivers observe metrics.)
+    val obs = org.apache.spark.sql.Observation()
     val deg = symP.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .observe(obs, count(lit(1)).as("n"))
       .localCheckpoint()
-    val n = deg.count()
+    val n = obs.get("n").asInstanceOf[Long]
     if (n == 0) { // edgeless graph: empty rank frame, same schema
       Dedup.rotateCheckpoints(checkpointKey, symP, deg)
-      return symP.select(col("src").as("id"), lit(0.0).as("rank")).limit(0)
-    }
+      symP.select(col("src").as("id"), lit(0.0).as("rank")).limit(0)
+    } else {
+    // co-partitioned join (both sides hash(src) from the checkpoints) —
+    // zero exchanges in this barrier's job. SORT the edge frame by the
+    // join key before checkpointing (LogicalRDD preserves outputOrdering
+    // like it preserves partitioning): each round's merge join then sorts
+    // only the node-sized rank frame, never the edges.
     val sym = symP.join(deg, "src")
       .select(col("src"), col("dst"), col("deg"))
+      .sortWithinPartitions(col("src"))
       .localCheckpoint()
     // symP's blocks are dead once the degree-attached edge frame exists
     // (deg still reads its own checkpoint; ranks round 1 reads deg's)
@@ -83,8 +121,16 @@ object Graph {
     // over `deg`, whose blocks later rounds still read.
     var prevLoopCkpt: DataFrame = null
     for (i <- 1 to iterations) {
+      // r18: force the MERGE join — both sides are already hash(src)
+      // partitioned (checkpointed edges; rank frames out of the id-keyed
+      // aggregate), so the SMJ is exchange-free, and the pre-sorted edge
+      // checkpoint makes its sort node-side-only. The planner otherwise
+      // BROADCASTS the (locally tiny) rank frame, which is a blocking
+      // collect-to-driver round trip inside EVERY iteration — the reason
+      // the lane was core-count-flat (VERDICT r17 #1); at real scale the
+      // rank frame is node-sized and could never broadcast anyway.
       val contribs = sym
-        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(ranks.withColumnRenamed("id", "src").hint("merge"), "src")
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
       ranks = contribs.groupBy(col("id"))
         .agg(round(lit((1 - damping) / n) + lit(damping) * sum(col("c")), 10)
@@ -103,6 +149,9 @@ object Graph {
     // still touch: sym, deg, and the final ranks generation
     Dedup.rotateCheckpoints(checkpointKey, sym, deg, ranks)
     ranks.select(col("id"), round(col("rank"), 6).as("rank"))
+    } // else (n > 0)
+    } // withShufflePartitions
+    } // withAqeOff
   }
 
   /** Per-node triangle counts over an UNDIRECTED edge list (id1, id2).
